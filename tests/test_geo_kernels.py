@@ -1,0 +1,238 @@
+"""Property tests for the pure-numpy geo kernels (SURVEY.md §5.2 layer 1).
+
+Self-oracled: brute-force implementations are the ground truth for the
+indexed/accelerated paths (STRtree+PIP vs full ray-cast, ring-expansion
+kNN vs O(n*m) haversine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine.geo import h3like, knn, pip, s2like
+
+RNG = np.random.default_rng(42)
+LON = RNG.uniform(-12, 12, 2000)
+LAT = RNG.uniform(35, 47, 2000)
+
+
+# ------------------------------------------------------------------ h3like
+
+@pytest.mark.parametrize("res", [0, 5, 7, 12, 15])
+def test_h3_center_roundtrip(res):
+    c = h3like.encode(LON, LAT, res)
+    assert h3like.cell_res(c).tolist() == [res] * len(c)
+    clon, clat = h3like.cell_center(c)
+    assert np.array_equal(h3like.encode(clon, clat, res), c)
+
+
+@pytest.mark.parametrize("res", [5, 8, 12])
+def test_h3_parent_near_direct_encode(res):
+    c = h3like.encode(LON, LAT, res)
+    p = h3like.parent(c)
+    assert np.all(h3like.cell_res(p) == res - 1)
+    direct = h3like.encode(LON, LAT, res - 1)
+    # aperture-4 approximate containment: parent within one grid step
+    assert h3like.grid_distance(p, direct).max() <= 1
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5])
+def test_h3_ring_cardinality_and_symmetry(k):
+    c0 = int(h3like.encode(np.array([9.1]), np.array([41.3]), 7)[0])
+    r = h3like.ring(c0, k)
+    assert len(r) == 6 * k
+    assert len(np.unique(r)) == 6 * k
+    assert np.all(h3like.grid_distance(r, np.full(len(r), c0, np.uint64)) == k)
+    for n in h3like.ring(c0, 1):
+        assert np.uint64(c0) in h3like.ring(int(n), 1)
+
+
+def test_h3_disk_count():
+    c0 = int(h3like.encode(np.array([2.0]), np.array([40.0]), 9)[0])
+    d = h3like.disk(c0, 3)
+    assert len(d) == 1 + 3 * 3 * (3 + 1)  # 1 + 3k(k+1)
+
+
+def test_h3_children_disjoint_and_tile():
+    # children sets of distinct parents are disjoint and tile the child
+    # lattice (aperture-4: counts vary per parent, average 4)
+    c0 = int(h3like.encode(np.array([5.0]), np.array([44.0]), 6)[0])
+    parents = h3like.disk(c0, 3)
+    all_kids = []
+    for p in parents:
+        kids = h3like.children(int(p))
+        lon, lat = h3like.cell_center(kids)
+        assert np.all(h3like.encode(lon, lat, 6) == p)  # parent consistency
+        all_kids.append(kids)
+    flat = np.concatenate(all_kids)
+    assert len(flat) == len(np.unique(flat))  # disjoint
+    # coverage: every child of the inner disk appears in some parent's set
+    inner = h3like.disk(c0, 1)
+    lon, lat = h3like.cell_center(inner)
+    # children of inner parents ⊇ child cells centered at inner parents
+    center_children = h3like.encode(lon, lat, 7)
+    assert np.isin(center_children, flat).all()
+    assert abs(len(flat) / len(parents) - 4.0) < 1.0  # average ~4
+
+
+def test_h3_encode_multi_matches_per_res():
+    m = h3like.encode_multi(LON[:100], LAT[:100], range(5, 13))
+    assert m.shape == (100, 8)
+    for j, res in enumerate(range(5, 13)):
+        assert np.array_equal(m[:, j], h3like.encode(LON[:100], LAT[:100], res))
+
+
+# ------------------------------------------------------------------ s2like
+
+@pytest.mark.parametrize("level", [0, 4, 10, 20, 30])
+def test_s2_level_and_center_roundtrip(level):
+    c = s2like.encode(LON, LAT, level)
+    assert np.all(s2like.cell_level(c) == level)
+    clon, clat = s2like.cell_center(c)
+    assert np.array_equal(s2like.encode(clon, clat, level), c)
+
+
+@pytest.mark.parametrize("level", [1, 10, 30])
+def test_s2_parent_is_exact_prefix(level):
+    c = s2like.encode(LON, LAT, level)
+    p = s2like.parent(c)
+    assert np.all(s2like.cell_level(p) == level - 1)
+    assert np.all(s2like.contains(p, c))
+    assert np.array_equal(p, s2like.encode(LON, LAT, level - 1))
+
+
+def test_s2_children_partition_parent():
+    c = s2like.encode(LON[:50], LAT[:50], 12)
+    kids = s2like.children(c)
+    assert len(kids) == 200
+    assert np.all(s2like.cell_level(kids) == 13)
+    assert np.all(s2like.contains(np.repeat(c, 4), kids))
+    # children ranges tile the parent range exactly
+    k = kids.reshape(-1, 4)
+    assert np.array_equal(s2like.range_min(k[:, 0]), s2like.range_min(c))
+    assert np.array_equal(s2like.range_max(k[:, 3]), s2like.range_max(c))
+
+
+def test_s2_covering_covers_all_bbox_points():
+    ring_lon = np.array([8.0, 9.5, 9.5, 8.0])
+    ring_lat = np.array([40.0, 40.0, 41.5, 41.5])
+    cov = s2like.covering(ring_lon, ring_lat, max_level=9, max_cells=128)
+    assert 0 < len(cov) <= 132
+    rng = np.random.default_rng(7)
+    plon = rng.uniform(8.0, 9.5, 1000)
+    plat = rng.uniform(40.0, 41.5, 1000)
+    leaf = s2like.encode(plon, plat, 30)
+    covered = np.zeros(len(leaf), dtype=bool)
+    for c in cov:
+        cc = np.full(len(leaf), c, np.uint64)
+        covered |= s2like.contains(cc, leaf)
+    assert covered.all()
+
+
+# --------------------------------------------------------------------- pip
+
+def _random_polygons(n, rng):
+    rx, ry = [], []
+    for _ in range(n):
+        cx, cy = rng.uniform(-10, 10), rng.uniform(36, 46)
+        nv = int(rng.integers(8, 24))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.3, 1.5) * (0.7 + 0.3 * rng.random(nv))
+        rx.append(cx + rad * np.cos(ang))
+        ry.append(cy + rad * np.sin(ang))
+    return rx, ry
+
+
+def test_strtree_candidates_superset_of_hits():
+    rng = np.random.default_rng(3)
+    rx, ry = _random_polygons(60, rng)
+    boxes = np.stack([[x.min(), y.min(), x.max(), y.max()] for x, y in zip(rx, ry)])
+    tree = pip.STRTree(boxes)
+    qx = rng.uniform(-12, 12, 1000)
+    qy = rng.uniform(35, 47, 1000)
+    p_idx, b_idx = tree.query_points(qx, qy)
+    got = set(zip(p_idx.tolist(), b_idx.tolist()))
+    for b in range(len(boxes)):
+        inside = (
+            (qx >= boxes[b, 0]) & (qx <= boxes[b, 2])
+            & (qy >= boxes[b, 1]) & (qy <= boxes[b, 3])
+        )
+        for p in np.flatnonzero(inside):
+            assert (p, b) in got
+
+
+def test_pip_matches_bruteforce_with_holes():
+    rng = np.random.default_rng(4)
+    rx, ry = _random_polygons(40, rng)
+    holes = [[] for _ in rx]
+    # punch a hole in polygon 0 (quarter-size ring at its centroid)
+    hx = rx[0].mean() + (rx[0] - rx[0].mean()) * 0.3
+    hy = ry[0].mean() + (ry[0] - ry[0].mean()) * 0.3
+    holes[0] = [(hx, hy)]
+    ps = pip.PolygonSet(
+        np.array([f"a{i}" for i in range(len(rx))]),
+        np.ones(len(rx), np.int32), rx, ry, holes,
+    )
+    qx = rng.uniform(-12, 12, 3000)
+    qy = rng.uniform(35, 47, 3000)
+    pi, gi = ps.contains_pairs(qx, qy)
+    eng = set(zip(pi.tolist(), gi.tolist()))
+    bf = set()
+    for g in range(len(rx)):
+        ins = pip.points_in_ring(qx, qy, rx[g], ry[g])
+        for (ghx, ghy) in holes[g]:
+            ins &= ~pip.points_in_ring(qx, qy, ghx, ghy)
+        bf |= {(int(p), g) for p in np.flatnonzero(ins)}
+    assert eng == bf
+    assert len(eng) > 100  # sanity: fixture actually exercises the path
+
+
+def test_pip_boundary_point_counts_inside():
+    sq_x = np.array([0.0, 1.0, 1.0, 0.0])
+    sq_y = np.array([0.0, 0.0, 1.0, 1.0])
+    on_edge = pip.points_in_ring(np.array([0.5, 0.0, 1.0]), np.array([0.0, 0.5, 1.0]), sq_x, sq_y)
+    assert on_edge.all()
+
+
+# --------------------------------------------------------------------- knn
+
+@pytest.mark.parametrize("res,k", [(6, 1), (7, 5), (8, 10)])
+def test_knn_ring_expand_matches_bruteforce(res, k):
+    rng = np.random.default_rng(5)
+    clon = rng.uniform(-12, 12, 3000)
+    clat = rng.uniform(35, 47, 3000)
+    qlon = rng.uniform(-12, 12, 400)
+    qlat = rng.uniform(35, 47, 400)
+    idx = knn.CellIndex(clon, clat, res=res)
+    nn, nd = knn.knn_ring_expand(idx, qlon, qlat, k=k)
+    bn, bd = knn.knn_brute_force(clon, clat, qlon, qlat, k=k)
+    assert np.array_equal(nn, bn)
+    assert np.allclose(nd, bd)
+
+
+def test_knn_self_exclusion():
+    rng = np.random.default_rng(6)
+    clon = rng.uniform(-2, 2, 500)
+    clat = rng.uniform(40, 42, 500)
+    idx = knn.CellIndex(clon, clat, res=8)
+    rows = np.arange(500)
+    nn, nd = knn.knn_ring_expand(idx, clon, clat, k=3, exclude_self_rows=rows)
+    assert not np.any(nn == rows[:, None])
+    bn, bd = knn.knn_brute_force(clon, clat, clon, clat, k=3, exclude_self_rows=rows)
+    assert np.array_equal(nn, bn)
+
+
+def test_knn_clustered_skewed_candidates():
+    # hot cluster: 90% of candidates inside one tiny disc (skew shape)
+    rng = np.random.default_rng(8)
+    n = 2000
+    hot = rng.normal([9.0, 41.0], 0.01, (int(n * 0.9), 2))
+    cold = np.column_stack([rng.uniform(-12, 12, n - len(hot)), rng.uniform(35, 47, n - len(hot))])
+    pts = np.vstack([hot, cold])
+    idx = knn.CellIndex(pts[:, 0], pts[:, 1], res=7)
+    qlon = rng.uniform(-12, 12, 200)
+    qlat = rng.uniform(35, 47, 200)
+    nn, nd = knn.knn_ring_expand(idx, qlon, qlat, k=4)
+    bn, bd = knn.knn_brute_force(pts[:, 0], pts[:, 1], qlon, qlat, k=4)
+    assert np.array_equal(nn, bn)
