@@ -1,0 +1,29 @@
+"""Source/sink seam (SURVEY.md S1/S4): parquet today, Lance-shaped schema.
+
+The driver's input hint specifies a Lance table of image+caption pairs
+(BASELINE.json:15); no ``lance`` wheel exists in this sandbox (SURVEY.md
+§7.1), so storage is parquet carrying the exact Lance logical schema.
+``read_images`` is the single indirection every pipeline uses — swapping
+in ``ray.data.read_lance`` later touches only this module.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+IMAGE_COLUMNS = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+
+def read_images(uri: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read the primary images table, pruning columns at the read
+    (SURVEY.md "prune at the read")."""
+    return ray.data.read_parquet(uri, columns=list(columns) if columns else None)
+
+
+def read_table(uri: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(uri, columns=list(columns) if columns else None)
+
+
+def sf_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """One of the driver's TPC-H-ish tables (TESTDATA.md)."""
+    return read_table(f"{sf_dir}/{name}.parquet", columns)
