@@ -1,44 +1,532 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: ``entry()`` / ``queries()`` / ``oracle_sql()``.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init``/``ray.shutdown`` here or in ``engine.*`` (SURVEY.md §3.2).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the operator inventory of SURVEY.md §2 over the
+driver's TPC-H-ish tables (SQL-expressible ops get a DuckDB twin in
+``oracle_sql()``; names and column names match exactly) plus the geo /
+dedup / similarity / multimodal operators over deterministic synthetic
+fixtures (rows-only checks — their exactness is covered by the pytest
+oracles instead, see tests/).
+
+Float discipline: aggregate outputs are rounded to 4-6 decimals on BOTH
+sides so parallel summation order can't flip the value-hash.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+_GEO_N = 1500  # geo fixture rows used by the geo_* queries (any sf_dir)
+
+
+# --------------------------------------------------------------------- geo fixture
+
+def _geo_fixture_dir(n: int = _GEO_N) -> str:
+    """Deterministic on-disk geo fixture, generated once per machine."""
+    from engine import fixtures
+
+    d = f"/tmp/graft_geo_fixture_{n}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        fixtures.write_images_parquet(n, d, num_files=4)
+        open(marker, "w").write("ok")
+    return d
+
+
+def _geo_indexed(columns=None):
+    from engine.io import read_images
+    from engine.pipeline import ingest
+
+    ds = read_images(_geo_fixture_dir(), columns=columns)
+    return ingest.run_ingest(ds)
+
+
+# --------------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale: ingest -> PIP join on the
+    synthetic geo fixture; returns the joined Dataset."""
+    from engine import fixtures
+    from engine.pipeline import join
 
+    indexed = _geo_indexed(columns=["image_id", "caption"])
+    return join.run_pip_join(indexed, fixtures.polygons(), concurrency=(1, 4))
+
+
+# --------------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from engine import codec, fixtures
+    from engine.io import sf_table
+    from engine.ops import dedup, geo as geo_ops, multimodal, relational, simsearch, text
+    from engine.pipeline import ingest, join, tile
+
+    # ---- relational over the driver tables -----------------------------
+
+    def q1_pricing_summary(sf_dir: str):
+        ds = sf_table(
+            sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+
+        def add_disc(b: pd.DataFrame) -> pd.DataFrame:
+            b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+            return b
+
+        ds = ds.map_batches(add_disc, batch_format="pandas")
+        out = relational.partial_groupby_sum(
+            ds,
+            ["l_returnflag", "l_linestatus"],
+            {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
+             "disc_price": "sum_disc_price"},
+            count_as="count_order",
+        ).to_pandas()
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            out[c] = out[c].round(4)
+        return out
+
+    def revenue_by_nation(sf_dir: str):
+        orders = sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        cust = sf_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        nation = sf_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+        small = cust.merge(
+            nation, left_on="c_nationkey", right_on="n_nationkey"
+        )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+        joined = relational.broadcast_hash_join(orders, small, on="o_custkey")
+        out = relational.partial_groupby_sum(
+            joined, ["n_name"], {"o_totalprice": "revenue"}, count_as="n_orders"
+        ).to_pandas()
+        out["revenue"] = out["revenue"].round(4)
+        return out
+
+    def top_customers_by_acctbal(sf_dir: str):
+        ds = sf_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        return relational.topk(ds, "c_acctbal", 10).to_pandas()
+
+    def customers_with_orders(sf_dir: str):
+        cust = sf_table(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+        keys = sf_table(sf_dir, "orders", ["o_custkey"]).to_pandas()
+        keys = keys.rename(columns={"o_custkey": "c_custkey"})
+        return relational.semi_join(cust, keys, on="c_custkey")
+
+    def customers_without_big_orders(sf_dir: str):
+        # anti-join (J3): customers with no order over 300k
+        cust = sf_table(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+        keys = (
+            sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .filter(expr="o_totalprice > 300000")
+            .to_pandas()
+        )
+        keys = keys.rename(columns={"o_custkey": "c_custkey"})
+        return relational.anti_join(cust, keys, on="c_custkey")
+
+    def distinct_mktsegment(sf_dir: str):
+        return relational.distinct(
+            sf_table(sf_dir, "customer", ["c_mktsegment"]), ["c_mktsegment"]
+        )
+
+    def lineitem_revenue_rows(sf_dir: str):
+        ds = sf_table(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+        )
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["l_discount"] > 0.08].copy()
+            b["revenue"] = (b["l_extendedprice"] * (1 - b["l_discount"])).round(4)
+            return b[["l_orderkey", "l_linenumber", "revenue"]]
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    def orders_by_month(sf_dir: str):
+        ds = sf_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["month"] = b["o_orderdate"].dt.strftime("%Y-%m")
+            return b[["month", "o_totalprice"]]
+
+        out = relational.partial_groupby_sum(
+            ds.map_batches(f, batch_format="pandas"),
+            ["month"], {"o_totalprice": "total"}, count_as="n_orders",
+        ).to_pandas()
+        out["total"] = out["total"].round(4)
+        return out
+
+    def part_supplier_join(sf_dir: str):
+        # both-sides co-shuffle join (native hash-partitioned Dataset.join)
+        li = sf_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        part = sf_table(sf_dir, "part", ["p_partkey", "p_brand"])
+
+        def ren(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={"p_partkey": "l_partkey"})
+
+        joined = relational.bucketed_join(
+            li, part.map_batches(ren, batch_format="pandas"),
+            on="l_partkey", num_partitions=8,
+        )
+        out = relational.partial_groupby_sum(
+            joined, ["p_brand"], {"l_quantity": "sum_qty"}, count_as="n_items"
+        ).to_pandas()
+        out["sum_qty"] = out["sum_qty"].round(4)
+        return out
+
+    def union_order_status(sf_dir: str):
+        o = sf_table(sf_dir, "orders", ["o_orderstatus", "o_orderkey"])
+        a = o.filter(expr="o_orderstatus == 'O'")
+        b = o.filter(expr="o_orderstatus == 'F'")
+        out = (
+            a.union(b)
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n"))
+            .to_pandas()
+        )
+        return out
+
+    def events_json_stats(sf_dir: str):
+        ds = sf_table(sf_dir, "events", ["event_type", "props"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            import json
+
+            b["k"] = [int(json.loads(p)["k"]) for p in b["props"]]
+            return b[["event_type", "k"]]
+
+        out = relational.partial_groupby_sum(
+            ds.map_batches(f, batch_format="pandas"),
+            ["event_type"], {"k": "sum_k"}, count_as="n",
+        ).to_pandas()
+        return out
+
+    def running_total_by_user(sf_dir: str):
+        ds = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            g["running_value"] = g["value"].cumsum().round(4)
+            return g[["event_id", "user_id", "running_value"]]
+
+        return ds.groupby("user_id").map_groups(f, batch_format="pandas")
+
+    def sessionize_events(sf_dir: str):
+        ds = sf_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            gap = g["ts"].diff().dt.total_seconds()
+            new_sess = ((gap > 3600) | gap.isna()).astype(np.int64)
+            g["session_seq"] = new_sess.cumsum()
+            return g[["event_id", "user_id", "session_seq"]]
+
+        return ds.groupby("user_id").map_groups(f, batch_format="pandas")
+
+    def docs_token_stats(sf_dir: str):
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+        ds = ds.map_batches(text.token_count_batch, batch_format="pandas")
+        out = relational.partial_groupby_sum(
+            ds, ["lang"], {"n_tokens": "sum_tokens", "n_chars": "sum_chars"},
+            count_as="n_docs",
+        ).to_pandas()
+        return out
+
+    def docs_quality(sf_dir: str):
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        out = ds.map_batches(text.quality_score_batch, batch_format="pandas")
+        return out.select_columns(
+            ["doc_id", "n_chars_q", "mean_word_len", "stopword_ratio"]
+        )
+
+    def dedup_documents_exact(sf_dir: str):
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        out = dedup.exact_dedup(ds, key="text", order_col="doc_id")
+        return out.select_columns(["doc_id", "text"])
+
+    def ann_cosine_topk(sf_dir: str):
+        emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        qdf = emb.sort("vec_id").limit(5).to_pandas()
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        res = simsearch.brute_force_topk(emb, q, k=10)
+        res["query_vec_id"] = qdf["vec_id"].to_numpy()[res["query_ix"].to_numpy()]
+        return res[["query_vec_id", "rank", "vec_id", "cos"]]
+
+    # ---- rows-only: text / dedup / similarity --------------------------
+
+    def lang_id_documents(sf_dir: str):
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.run_lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_score"])
+
+    def fingerprint_documents(sf_dir: str):
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return ds.map_batches(text.fingerprint_batch, batch_format="pandas").select_columns(
+            ["doc_id", "fingerprint"]
+        )
+
+    def simhash_documents(sf_dir: str):
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.simhash_table(ds).select_columns(["doc_id", "simhash"])
+
+    def minhash_dedup_documents(sf_dir: str):
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        lookup = dict(
+            zip(*[ds.to_pandas()[c].to_numpy() for c in ("doc_id", "text")])
+        )
+        return dedup.minhash_lsh_dedup(ds, text_lookup=lookup)
+
+    def embedding_near_dups(sf_dir: str):
+        import ray.data as rd
+
+        emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        # plant deterministic near-duplicates: perturbed copies of the
+        # first 10 vectors under new ids (random vectors have none)
+        base = emb.sort("vec_id").limit(10).to_pandas()
+        rng = np.random.default_rng(7)
+        planted = pd.DataFrame(
+            {
+                "vec_id": base["vec_id"].to_numpy() + 1_000_000,
+                "embedding": [
+                    (np.asarray(v, dtype=np.float32)
+                     + rng.normal(0, 0.01, len(v)).astype(np.float32)).tolist()
+                    for v in base["embedding"]
+                ],
+            }
+        )
+        corpus = emb.union(rd.from_pandas(planted))
+        return dedup.embedding_near_dups(corpus, threshold=0.9)
+
+    def ann_ivf_topk(sf_dir: str):
+        emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        qdf = emb.sort("vec_id").limit(5).to_pandas()
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        return simsearch.ivf_topk(emb, q, k=10)
+
+    # ---- geo / multimodal over the synthetic fixture -------------------
+
+    def geo_h3_cell_counts(sf_dir: str):
+        idx = _geo_indexed(columns=["image_id"])
+        return idx.groupby("h3_r5").aggregate(Count(alias_name="n"))
+
+    def geo_pip_join(sf_dir: str):
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
+        return j.select_columns(["image_id", "admin_id", "level", "is_primary"])
+
+    def geo_knn(sf_dir: str):
+        from engine.pipeline.flagship import _poly_centroids
+
+        idx = _geo_indexed(columns=["image_id"])
+        return join.run_knn(idx, _poly_centroids(fixtures.polygons()), k=5,
+                            concurrency=(1, 4))
+
+    def geo_self_knn(sf_dir: str):
+        idx = _geo_indexed(columns=["image_id"])
+        return geo_ops.self_knn_halo(idx, k=3, coarse_res=5, halo_rings=1)
+
+    def geo_tile_assignments(sf_dir: str):
+        idx = _geo_indexed(columns=["image_id"])
+        keyed = idx.map_batches(
+            lambda b: tile.add_tile_keys(b, tile.DEFAULT_ZOOM), batch_format="pyarrow"
+        )
+        out = keyed.groupby("tile_key").aggregate(Count(alias_name="n_images"))
+        return out
+
+    def geo_dedup_phash(sf_dir: str):
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(), columns=["image_id", "phash"])
+        return dedup.exact_dedup(ds, key="phash", order_col="image_id")
+
+    def image_features(sf_dir: str):
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt"])
+        return multimodal.image_features(ds, concurrency=(1, 4))
+
+    def image_resize(sf_dir: str):
+        from engine.io import read_images
+        import zlib
+
+        ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt"])
+        out = multimodal.resize_images(ds, size=8, concurrency=(1, 4))
+
+        def crc(b: pd.DataFrame) -> pd.DataFrame:
+            b["resized_crc"] = [zlib.crc32(x) for x in b["resized_bytes"]]
+            return b[["image_id", "resized_w", "resized_h", "resized_crc"]]
+
+        return out.map_batches(crc, batch_format="pandas")
+
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
+        "top_customers_by_acctbal": top_customers_by_acctbal,
+        "customers_with_orders": customers_with_orders,
+        "customers_without_big_orders": customers_without_big_orders,
+        "distinct_mktsegment": distinct_mktsegment,
+        "lineitem_revenue_rows": lineitem_revenue_rows,
+        "orders_by_month": orders_by_month,
+        "part_supplier_join": part_supplier_join,
+        "union_order_status": union_order_status,
+        "events_json_stats": events_json_stats,
+        "running_total_by_user": running_total_by_user,
+        "sessionize_events": sessionize_events,
+        "docs_token_stats": docs_token_stats,
+        "docs_quality": docs_quality,
+        "dedup_documents_exact": dedup_documents_exact,
+        "ann_cosine_topk": ann_cosine_topk,
+        "lang_id_documents": lang_id_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "simhash_documents": simhash_documents,
+        "minhash_dedup_documents": minhash_dedup_documents,
+        "embedding_near_dups": embedding_near_dups,
+        "ann_ivf_topk": ann_ivf_topk,
+        "geo_h3_cell_counts": geo_h3_cell_counts,
+        "geo_pip_join": geo_pip_join,
+        "geo_knn": geo_knn,
+        "geo_self_knn": geo_self_knn,
+        "geo_tile_assignments": geo_tile_assignments,
+        "geo_dedup_phash": geo_dedup_phash,
+        "image_features": image_features,
+        "image_resize": image_resize,
+    }
+
+
+# --------------------------------------------------------------------- oracles
+
+_STOPWORDS_SQL = "('the','and','of','to','a','in','is','that','it','for','with','was','il','la','di','e','che','un','una','per','con','del','della','non','der','die','das','und','ist','ein','eine','mit','von','nicht','den')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, ROUND(SUM(o_totalprice), 4) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customers_by_acctbal": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal DESC LIMIT 10
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "customers_without_big_orders": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+        "lineitem_revenue_rows": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+            FROM lineitem WHERE l_discount > 0.08
+        """,
+        "orders_by_month": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "part_supplier_join": """
+            SELECT p_brand, ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "union_order_status": """
+            SELECT o_orderstatus, COUNT(*) AS n FROM (
+                SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+                UNION ALL
+                SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+            ) GROUP BY o_orderstatus
+        """,
+        "events_json_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "running_total_by_user": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 4) AS running_value
+            FROM events
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 IS NULL THEN 1
+                            WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 1 HOUR THEN 1
+                            ELSE 0 END AS new_sess
+                FROM events
+            )
+        """,
+        "docs_token_stats": """
+            SELECT lang,
+                   CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')), 6)
+                       AS mean_word_len,
+                   ROUND(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                              t -> t IN """ + _STOPWORDS_SQL + """)) AS DOUBLE)
+                         / len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')), 6)
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "dedup_documents_exact": """
+            SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_vec_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_vec_id, e.vec_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS c
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_vec_id, vec_id, c,
+                       ROW_NUMBER() OVER (PARTITION BY query_vec_id
+                                          ORDER BY c DESC, vec_id) - 1 AS rank
+                FROM scored
+            )
+            SELECT query_vec_id, CAST(rank AS INT) AS rank, vec_id,
+                   ROUND(c, 6) AS cos
+            FROM ranked WHERE rank < 10
+        """,
+    }

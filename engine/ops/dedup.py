@@ -1,0 +1,254 @@
+"""Deduplication family over Ray Datasets (driver mandate + SURVEY D2/D3).
+
+- exact:      hash-partition on the key (``groupby``), keep the first
+              row per group under a deterministic rule
+- MinHash+LSH: shingle -> minhash signature (vectorized) -> band rows ->
+              ``groupby((band, band_hash))`` -> candidate pairs ->
+              verified Jaccard -> cluster by min-id label propagation
+- SimHash:    64-bit token-weight simhash; near-dups = hamming <= t via
+              banded grouping
+- n-gram Jaccard: verified pairwise Jaccard on LSH candidates (the
+              verify step doubles as the standalone n-gram op)
+- embedding cosine: near-dup pairs among normalized vectors via
+              cosine >= t, LSH-bucketed by random hyperplane signs
+
+Scale notes: every family shuffles only (key, id [, signature]) rows —
+never payloads; signatures are fixed-width; candidate verification
+re-reads only candidate texts via broadcast lookup (fixture scale) or a
+co-shuffle join (cluster scale, see ``relational.bucketed_join``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+_M61 = (1 << 61) - 1
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, key: str, order_col: str
+) -> ray.data.Dataset:
+    """Keep exactly one row per ``key``: the one with the smallest
+    ``order_col`` (deterministic keep-rule, SURVEY D2)."""
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="stable").head(1)
+
+    return ds.groupby(key).map_groups(keep_first, batch_format="pandas")
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Deterministic char-k-shingle hash set (crc32 — NOT Python ``hash``,
+    which is process-salted and would differ across Ray workers)."""
+    from zlib import crc32
+
+    t = text.lower().encode("utf-8", "ignore")
+    if len(t) <= k:
+        return np.array([crc32(t)], dtype=np.int64)
+    views = {crc32(t[i : i + k]) for i in range(len(t) - k + 1)}
+    return np.fromiter(views, dtype=np.int64)
+
+
+class MinHasher:
+    """Per-actor state: the (a, b) hash family for n permutations."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 5):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _M61, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _M61, num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k).astype(np.int64)
+        # (n_shingles, num_perm) universal hash, min over shingles
+        v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _M61
+        return v.min(axis=0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(s) for s in batch["text"].astype(str)])
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+        out["sig"] = list(sigs.astype(np.int64))
+        return out
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = set(_shingles(a, k).tolist()), set(_shingles(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def minhash_lsh_dedup(
+    docs: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    text_lookup: dict[int, str] | None = None,
+) -> pd.DataFrame:
+    """MinHash+LSH near-dup clustering -> DataFrame(doc_id, cluster_id).
+
+    Pipeline: signatures (actor pool) -> explode to (band, band_hash,
+    doc_id) rows -> groupby band bucket -> candidate pairs -> verify
+    n-gram Jaccard >= threshold -> connected components by iterated
+    min-label propagation (pairs are few; propagation runs driver-side
+    on the candidate edge list — documented small-result assumption).
+    ``text_lookup`` (doc_id -> text) is broadcast for verification.
+    """
+    rows_per_band = num_perm // bands
+    sigs = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did, sig in zip(batch["doc_id"], batch["sig"]):
+            s = np.asarray(sig).reshape(bands, rows_per_band)
+            bh = (s * np.arange(1, rows_per_band + 1)).sum(axis=1) % _M61
+            out.append(
+                pd.DataFrame(
+                    {"band": np.arange(bands, dtype=np.int32),
+                     "band_hash": bh.astype(np.int64),
+                     "doc_id": did}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    banded = sigs.map_batches(explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+
+    cand = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    cand_pd = cand.to_pandas().drop_duplicates()
+    # verify candidates
+    if text_lookup is not None and len(cand_pd):
+        keep = [
+            ngram_jaccard(text_lookup[a], text_lookup[b], shingle_k) >= threshold
+            for a, b in zip(cand_pd["a"], cand_pd["b"])
+        ]
+        cand_pd = cand_pd[np.asarray(keep, dtype=bool)]
+    # connected components via min-label propagation on the edge list
+    all_ids = docs.to_pandas()["doc_id"].to_numpy()
+    label = {int(i): int(i) for i in all_ids}
+
+    def find(x: int) -> int:
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for a, b in zip(cand_pd["a"], cand_pd["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            label[hi] = lo
+    out = pd.DataFrame(
+        {"doc_id": all_ids, "cluster_id": [find(int(i)) for i in all_ids]}
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+class SimHasher:
+    """64-bit simhash over whitespace tokens (per-actor hash state)."""
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def simhash(self, text: str) -> int:
+        from hashlib import blake2b
+
+        acc = np.zeros(64, dtype=np.int64)
+        salt = self.seed.to_bytes(8, "little")
+        for tok in text.lower().split():
+            # deterministic across processes (unlike builtin hash())
+            h = int.from_bytes(
+                blake2b(tok.encode("utf-8"), digest_size=8, salt=salt).digest(),
+                "little",
+            )
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["simhash"] = [self.simhash(s) for s in batch["text"].astype(str)]
+        return out
+
+
+def simhash_table(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+
+
+def embedding_near_dups(
+    emb: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Near-dup id pairs with cosine >= threshold.
+
+    LSH bucket by random-hyperplane sign signature (groupby bucket),
+    exact cosine verify within buckets. High-threshold pairs agree on
+    most hyperplanes, so bucketing by the full sign signature catches
+    near-identical vectors while keeping buckets tiny. Returns
+    DataFrame(a, b, cos) sorted.
+    """
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(batch[vec_col].to_numpy())
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((v.shape[1], num_planes))
+        signs = (v @ planes) > 0
+        bucket = (signs * (1 << np.arange(num_planes))).sum(axis=1)
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(), "bucket": bucket.astype(np.int64),
+             vec_col: list(v)}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "cos": pd.Series(dtype=np.float64)})
+        ids = g[id_col].to_numpy()
+        v = np.stack(g[vec_col].to_numpy())
+        order = np.argsort(ids)
+        ids, v = ids[order], v[order]
+        sim = v @ v.T
+        a, b = np.triu_indices(len(ids), k=1)
+        m = sim[a, b] >= threshold
+        return pd.DataFrame(
+            {"a": ids[a[m]], "b": ids[b[m]], "cos": np.round(sim[a[m], b[m]], 6)}
+        )
+
+    pairs = (
+        emb.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return pairs.drop_duplicates().sort_values(["a", "b"], ignore_index=True)

@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (driver mandate).
+
+- ``brute_force_topk``: exact cosine top-k — the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul
+  against it; per-batch local top-k partials are merged driver-side
+  (k * n_queries rows — tiny), so the corpus streams and nothing
+  all-to-all shuffles.
+- ``ivf_topk``: IVF-style scale path — k-means coarse centroids
+  (trained on a sample), corpus bucketed by nearest centroid
+  (groupby), queries probe only ``nprobe`` nearest buckets. Exactness
+  is traded for touch-set size; recall measured vs brute force in
+  tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k. Returns DataFrame(query_ix, rank, vec_id, cos)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            ids = batch[id_col].to_numpy()
+            sim = self.q @ v.T  # (nq, nb)
+            kk = min(k, sim.shape[1])
+            # local top-k partials per query
+            part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(sim.shape[0]):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_ix": qi,
+                            "vec_id": ids[part[qi]],
+                            "cos": sim[qi, part[qi]],
+                        }
+                    )
+                )
+            return pd.concat(rows, ignore_index=True)
+
+    partials = corpus.map_batches(
+        Score, batch_format="pandas", concurrency=(1, 8)
+    ).to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_ix"):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)[["query_ix", "rank", "vec_id", "cos"]]
+    res["cos"] = np.round(res["cos"], 6)
+    return res
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42):
+    """Tiny deterministic k-means (Lloyd) on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(sample.astype(np.float64))
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 2048,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (the 100TB-scale path).
+
+    Centroids trained once on a driver-side sample and broadcast; the
+    corpus is scored ONLY in the ``nprobe`` buckets nearest each query.
+    At cluster scale the bucket assignment becomes the partition key of
+    a pre-bucketed corpus layout, so a query touches nprobe/n_clusters
+    of the data.
+    """
+    sample = np.stack(
+        corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
+    )
+    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_buckets = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(q_buckets)
+    q_ref = ray.put(q)
+
+    class Score:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q = ray.get(q_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            ids = batch[id_col].to_numpy()
+            vb = np.argmax(v @ self.cent.T, axis=1)  # corpus bucket
+            rows = []
+            for qi in range(len(self.q)):
+                m = np.isin(vb, self.probe[qi])
+                if not m.any():
+                    continue
+                sim = v[m] @ self.q[qi]
+                kk = min(k, len(sim))
+                part = np.argpartition(-sim, kk - 1)[:kk]
+                rows.append(
+                    pd.DataFrame(
+                        {"query_ix": qi, "vec_id": ids[m][part], "cos": sim[part]}
+                    )
+                )
+            if not rows:
+                return pd.DataFrame(
+                    {"query_ix": pd.Series(dtype=np.int64),
+                     "vec_id": pd.Series(dtype=ids.dtype),
+                     "cos": pd.Series(dtype=np.float64)}
+                )
+            return pd.concat(rows, ignore_index=True)
+
+    partials = corpus.map_batches(
+        Score, batch_format="pandas", concurrency=(1, 8)
+    ).to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_ix"):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=["query_ix", "rank", "vec_id", "cos"])
+    res = pd.concat(out, ignore_index=True)[["query_ix", "rank", "vec_id", "cos"]]
+    res["cos"] = np.round(res["cos"], 6)
+    return res

@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines (driver mandate).
+
+Language-ID (character n-gram heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace +
+BPE-ish regex), and rolling-hash document fingerprinting — each a
+vectorized/per-batch ``map_batches`` stage over a ``text`` column.
+Stateful pieces (compiled regexes, n-gram profiles) live in actor
+``__init__`` per the T4 pattern.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+# Tiny per-language stopword/character profiles (public common words).
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "was"},
+    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "con", "del", "della", "non"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "nicht", "den"},
+    "fr": {"le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans", "avec", "pas"},
+    "es": {"el", "la", "de", "y", "que", "un", "una", "es", "en", "por", "con", "para"},
+}
+
+_TOKEN_RE = re.compile(r"[A-Za-z]+(?:'[a-z]+)?|\d+|[^\sA-Za-z\d]")
+_WS_RE = re.compile(r"\s+")
+
+
+class LangId:
+    """Stopword-overlap language ID — stateless heuristic, actor-cached
+    profiles. Emits ``lang_pred`` and ``lang_score``."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.ws = _WS_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, scores = [], []
+        for text in batch["text"].astype(str):
+            words = set(self.ws.split(text.lower()))
+            best, best_n = "unk", 0
+            for lang, prof in self.profiles.items():
+                n = len(words & prof)
+                if n > best_n or (n == best_n and n > 0 and lang < best):
+                    best, best_n = lang, n
+            preds.append(best)
+            scores.append(best_n / max(1, len(words)))
+        batch = batch.copy()
+        batch["lang_pred"] = preds
+        batch["lang_score"] = np.round(scores, 6)
+        return batch
+
+
+def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """``n_tokens``: whitespace tokens; ``n_bpe_ish``: regex sub-tokens
+    (letters runs / digit runs / single punctuation — a BPE-ish pre-
+    tokenizer)."""
+    texts = batch["text"].astype(str)
+    batch = batch.copy()
+    batch["n_tokens"] = [
+        len([t for t in _WS_RE.split(s) if t]) for s in texts
+    ]
+    batch["n_bpe_ish"] = [len(_TOKEN_RE.findall(s)) for s in texts]
+    return batch
+
+
+def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Heuristic quality features: char length, mean word length,
+    punctuation ratio, stopword ratio, upper ratio + a composite score."""
+    texts = batch["text"].astype(str)
+    stop = _LANG_PROFILES["en"] | _LANG_PROFILES["it"] | _LANG_PROFILES["de"]
+    n_chars, mean_wl, punct, stopr, upper = [], [], [], [], []
+    for s in texts:
+        words = [t for t in _WS_RE.split(s) if t]
+        n = max(1, len(s))
+        n_chars.append(len(s))
+        mean_wl.append(sum(map(len, words)) / max(1, len(words)))
+        punct.append(sum(not c.isalnum() and not c.isspace() for c in s) / n)
+        stopr.append(sum(w.lower() in stop for w in words) / max(1, len(words)))
+        upper.append(sum(c.isupper() for c in s) / n)
+    batch = batch.copy()
+    batch["n_chars_q"] = n_chars
+    batch["mean_word_len"] = np.round(mean_wl, 6)
+    batch["punct_ratio"] = np.round(punct, 6)
+    batch["stopword_ratio"] = np.round(stopr, 6)
+    batch["upper_ratio"] = np.round(upper, 6)
+    batch["quality"] = np.round(
+        np.clip(
+            0.4 * np.minimum(1.0, np.asarray(n_chars) / 200.0)
+            + 0.3 * np.asarray(stopr)
+            + 0.3 * (1.0 - np.minimum(1.0, 4.0 * np.asarray(punct))),
+            0.0,
+            1.0,
+        ),
+        6,
+    )
+    return batch
+
+
+_FP_BASE = 1000003
+_FP_MASK = (1 << 64) - 1
+
+
+def fingerprint64(text: str) -> int:
+    """Rolling polynomial (FNV-style) hash of the whole document —
+    deterministic, order-sensitive content fingerprint. Returned as
+    signed int64 for Arrow friendliness."""
+    h = 1469598103934665603
+    for b in text.encode("utf-8", "ignore"):
+        h = ((h * _FP_BASE) & _FP_MASK) ^ b
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    batch = batch.copy()
+    batch["fingerprint"] = [fingerprint64(s) for s in batch["text"].astype(str)]
+    return batch
+
+
+def run_lang_id(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
