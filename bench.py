@@ -1,0 +1,292 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6 / M7).
+
+Default mode: run the flagship geo pipeline (ingest -> STRtree PIP join
+-> ring-expansion kNN -> decode+salted tiling, BASELINE.json:6) over a
+deterministic synthetic image+caption fixture sized to the scale factor,
+plus every driver-contract query over ``$GRAFT_SF_DIR``, and print ONE
+JSON line::
+
+    {"metric": ..., "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "flagship": {"rows": n, "sec": s, "rows_per_s": r}}
+
+``--scaling``: the sandbox protocol for the north rule's two-cluster-size
+criterion (BASELINE.md) — run the identical flagship job in two FRESH
+processes at ``num_cpus=8`` and ``num_cpus=32`` on the same input and
+report throughput at both plus ``efficiency = (rps_hi/rps_lo)/(hi/lo)``;
+the measured table in BASELINE.md is updated in place.
+
+This script OWNS its Ray session (ray.init/ray.shutdown); library code
+and ``__ray_entry__`` never init Ray (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
+FIXTURE_ROOT = "/tmp/graft_bench_images"
+BASELINE_MD = os.path.join(REPO, "BASELINE.md")
+MARK_BEGIN = "<!-- BENCH:BEGIN -->"
+MARK_END = "<!-- BENCH:END -->"
+
+
+def parse_sf(sf_dir: str) -> float | None:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return None
+
+
+def fixture_rows(sf: float | None) -> int:
+    """Flagship fixture size: ~600k rows/sf-unit, floor 2k (sf0.001-ish)."""
+    return max(2000, int(600_000 * (sf if sf is not None else 0.1)))
+
+
+def ensure_fixture(n: int) -> str:
+    """Deterministic parquet fixture, generated once (Ray-parallel) and
+    reused by every run/level — generation is excluded from all timings."""
+    from engine import fixtures
+
+    d = f"{FIXTURE_ROOT}_{n}"
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    fixtures.images_dataset(n, parallelism=max(32, n // 4096)).write_parquet(d)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return d
+
+
+def run_flagship_bench(n: int, cpus: int, target_partitions: int = 0) -> dict:
+    from engine.pipeline import flagship
+
+    if not target_partitions:
+        # ~600k rows/partition: fused partitions are shuffle-free streams
+        # (pack combiner replaced the per-partition sort), so partitions
+        # can be large; the count keeps resume granularity reasonable
+        target_partitions = max(4, round(n / 600_000))
+
+    img_dir = ensure_fixture(n)
+    # Warmup: tiny end-to-end run so Ray worker processes exist and have
+    # imported the engine before timing starts. Throughput / scaling
+    # efficiency are steady-state metrics (a real cluster job runs warm);
+    # cold-start is reported separately by the driver's wall clock.
+    warm_dir = ensure_fixture(2000)
+    warm_out = tempfile.mkdtemp(prefix="graft_bench_warm_")
+    flagship.run_flagship(
+        warm_dir, warm_out, target_partitions=2, batch_size=2048,
+        resume=False, run_id="warmup", partition_threads=2, use_actors=False,
+    )
+    shutil.rmtree(warm_out, ignore_errors=True)
+
+    out_dir = tempfile.mkdtemp(prefix="graft_bench_out_")  # fresh: no resume reuse
+    t0 = time.perf_counter()
+    res = flagship.run_flagship(
+        img_dir,
+        out_dir,
+        target_partitions=target_partitions,
+        batch_size=2048,
+        pip_concurrency=(1, cpus),
+        decoder_concurrency=(1, cpus),
+        resume=False,
+        run_id=f"bench_c{cpus}",
+        # 4 concurrent partition executions hide the ~3-4s per-execution
+        # latency (driver scheduling + sort barrier); more threads contend
+        # on the driver GIL. Progress bars MUST be off for this to help.
+        partition_threads=4,
+        use_actors=False,  # warm-worker tasks: many short executions (see engine.state)
+    )
+    sec = time.perf_counter() - t0
+    summary = {
+        "rows": n,
+        "sec": round(sec, 3),
+        "rows_per_s": round(n / sec, 1),
+        "joined_rows": res["joined_rows"],
+        "knn_rows": res["knn_rows"],
+        "tiles": res["tiles"],
+        "partitions": res["partitions"],
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return summary
+
+
+def consume(result) -> int:
+    """Force execution of a query result; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return result.count()  # ray.data.Dataset
+
+
+def run_queries_bench(sf_dir: str) -> tuple[dict, dict]:
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entrymod
+
+    qtimes: dict[str, float] = {}
+    qrows: dict[str, int] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        qrows[name] = consume(fn(sf_dir))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+    return qtimes, qrows
+
+
+def update_baseline_md(block: str) -> None:
+    text = open(BASELINE_MD).read()
+    section = f"{MARK_BEGIN}\n{block}\n{MARK_END}"
+    if MARK_BEGIN in text:
+        pre = text.split(MARK_BEGIN)[0]
+        post = text.split(MARK_END)[-1]
+        text = pre + section + post
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(BASELINE_MD, "w") as f:
+        f.write(text)
+
+
+def scaling_mode(args) -> dict:
+    """Fresh-process two-level scaling run (BASELINE.md protocol).
+
+    Each level runs ``--repeats`` times in fresh processes; the BEST
+    wall time per level is reported (this sandbox VM shows 2-3x
+    run-to-run interference noise; min-of-N is the standard throughput
+    methodology under external interference)."""
+    levels = sorted({args.scale_lo, args.scale_hi})
+    n = args.n or 2_400_000  # large enough that compute dominates fixed latency
+    results = {}
+    for cpus in levels:
+        best = None
+        for _ in range(args.repeats):
+            out = tempfile.mktemp(prefix="graft_scaling_", suffix=".json")
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--flagship-only", "--cpus", str(cpus),
+                "--sf-dir", args.sf_dir, "--json-out", out, "--n", str(n),
+            ]
+            subprocess.run(cmd, check=True, cwd=REPO)
+            with open(out) as f:
+                r = json.load(f)
+            os.remove(out)
+            if best is None or r["flagship"]["sec"] < best["flagship"]["sec"]:
+                best = r
+        results[cpus] = best
+    lo, hi = levels[0], levels[-1]
+    rps_lo = results[lo]["flagship"]["rows_per_s"]
+    rps_hi = results[hi]["flagship"]["rows_per_s"]
+    eff = (rps_hi / rps_lo) / (hi / lo)
+    report = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": results[hi].get("sf"),
+        "num_cpus": hi,
+        "levels": {
+            str(c): {
+                "rows_per_s": results[c]["flagship"]["rows_per_s"],
+                "sec": results[c]["flagship"]["sec"],
+            }
+            for c in levels
+        },
+        "rows": results[hi]["flagship"]["rows"],
+        "target": 0.8,
+    }
+    block = (
+        "## Measured results (sandbox two-level protocol)\n\n"
+        f"Flagship ingest+join+kNN+tile job, {report['rows']} image rows, "
+        "fresh `ray.init(address=\"local\", num_cpus=C)` per level, same "
+        f"input fixture, fresh output dirs; best of {args.repeats} runs "
+        "per level (the sandbox VM shows 2-3x external interference "
+        "noise run-to-run):\n\n"
+        "| num_cpus | wall sec | rows/s |\n|---|---|---|\n"
+        + "".join(
+            f"| {c} | {report['levels'][str(c)]['sec']} | "
+            f"{report['levels'][str(c)]['rows_per_s']} |\n"
+            for c in levels
+        )
+        + f"\nScaling efficiency {lo}->{hi} cpus: "
+        f"**{report['value']}** (target >= 0.8; "
+        f"efficiency = (rps_{hi}/rps_{lo})/({hi}/{lo}))\n"
+    )
+    update_baseline_md(block)
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--n", type=int, default=0, help="flagship fixture rows (0 = auto from sf)")
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--queries-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-lo", type=int, default=8)
+    ap.add_argument("--scale-hi", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    if args.scaling:
+        report = scaling_mode(args)
+        print(json.dumps(report))
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.cpus, include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    import ray.data
+
+    # progress-bar rendering measurably serializes the driver when
+    # several streaming executions run concurrently (measured 2x on the
+    # flagship job) — benchmarks run without it
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        sf = parse_sf(args.sf_dir)
+        n = args.n or fixture_rows(sf)
+        t_all = time.perf_counter()
+        flag = None if args.queries_only else run_flagship_bench(n, args.cpus)
+        qtimes, qrows = ({}, {}) if args.flagship_only else run_queries_bench(args.sf_dir)
+        total = round(time.perf_counter() - t_all, 3)
+        line = {
+            "metric": "flagship_plus_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "num_cpus": args.cpus,
+            "flagship": flag,
+            "query_rows": qrows,
+        }
+        out = json.dumps(line)
+        print(out)
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                f.write(out)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,40 @@ def decode_batch(datas, fmts) -> list[np.ndarray]:
     return [decode(d, f) for d, f in zip(datas, fmts)]
 
 
+def header(data: bytes) -> tuple[bytes, int, int, int]:
+    """(magic, w, h, c) of an encoded payload (cheap, no decode)."""
+    return _HDR.unpack_from(data, 0)
+
+
+def decode_same_shape(datas: list[bytes], magic: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """Decode N same-header payloads to one (N, h, w, c) uint8 stack.
+
+    Bit-identical to per-image ``decode`` (same stacked-matmul kernel,
+    just a longer leading axis), amortizing Python/alloc overhead —
+    the vectorized body of the T3 decoder (SURVEY.md §2.3)."""
+    n = len(datas)
+    if magic == MAGIC_RAW:
+        flat = np.frombuffer(b"".join(datas), dtype=np.uint8)
+        body = flat.reshape(n, _HDR.size + h * w * c)[:, _HDR.size:]
+        return body.reshape(n, h, w, c)
+    if magic != MAGIC_QDCT:
+        raise ValueError(f"unknown magic {magic!r}")
+    hh, ww = h + (-h % 8), w + (-w % 8)
+    nb = (hh // 8) * (ww // 8)
+    flat = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    body = flat.reshape(n, _HDR.size + c * nb * 128)[:, _HDR.size:].copy()
+    q = body.view(np.int16).reshape(n, c, nb, 8, 8)
+    coef = q.astype(np.float64) * QSTEP
+    blocks = _DCT8.T @ coef.reshape(-1, 8, 8) @ _DCT8
+    ch = (
+        blocks.reshape(n, c, hh // 8, ww // 8, 8, 8)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(n, c, hh, ww)[:, :, :h, :w]
+    ) + 128.0
+    out = np.clip(np.rint(ch), 0, 255).astype(np.uint8)
+    return out.transpose(0, 2, 3, 1)  # (n, h, w, c)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     a = np.asarray(a, dtype=np.float64)

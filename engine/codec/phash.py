@@ -35,6 +35,32 @@ def _resize_area(gray: np.ndarray, out: int = _N) -> np.ndarray:
     return tot / np.maximum(area, 1)
 
 
+def _resize_area_batch(stack: np.ndarray, out: int = _N) -> np.ndarray:
+    """Area-mean resample of (N, h, w[, c]) float to (N, out, out[, c]).
+
+    Identical per-slice arithmetic to ``_resize_area`` (cumsum along h
+    then w acts independently per (image, channel) slice), so results
+    are bit-equal to the per-image path — required for tile pixel
+    parity — while amortizing allocation overhead across the batch."""
+    squeeze = stack.ndim == 3
+    if squeeze:
+        stack = stack[..., None]
+    n, h, w, c = stack.shape
+    ys = (np.arange(out + 1) * h) // out
+    xs = (np.arange(out + 1) * w) // out
+    csum = np.zeros((n, h + 1, w + 1, c))
+    csum[:, 1:, 1:, :] = np.cumsum(np.cumsum(stack, axis=1), axis=2)
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    tot = (
+        csum[:, ys[1:, None], xs[None, 1:], :]
+        - csum[:, ys[:-1, None], xs[None, 1:], :]
+        - csum[:, ys[1:, None], xs[None, :-1], :]
+        + csum[:, ys[:-1, None], xs[None, :-1], :]
+    )
+    res = tot / np.maximum(area, 1)[None, :, :, None]
+    return res[..., 0] if squeeze else res
+
+
 def phash64(pixels: np.ndarray) -> int:
     """(h, w, c) or (h, w) uint8 -> 64-bit perceptual hash (signed int64)."""
     px = np.asarray(pixels, dtype=np.float64)

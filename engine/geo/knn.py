@@ -33,10 +33,33 @@ def haversine_m(
     return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
 
 
-class CellIndex:
-    """cell(res) -> candidate row indices; built once per kNN actor."""
+def pick_res(lon: np.ndarray, lat: np.ndarray, k_hint: int = 8) -> int:
+    """Index resolution matched to candidate density.
 
-    def __init__(self, lon: np.ndarray, lat: np.ndarray, res: int = 7):
+    Ring expansion cost is dominated by walking empty cells, so the cell
+    size should be about the mean candidate spacing scaled by sqrt(k):
+    then ring 1-2 gathers ~k candidates for typical queries. A fixed
+    fine resolution over a sparse candidate set makes every query walk
+    dozens of empty rings (measured 100x slowdown)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = max(len(lon), 1)
+    area = max(float(np.ptp(lon)) * float(np.ptp(lat)), 1e-12)
+    spacing = np.sqrt(area / n)
+    target = max(spacing * np.sqrt(max(k_hint, 1)) / 1.5, 1e-9)
+    sizes = [(r, h3like.res_size(r)) for r in range(0, 16)]
+    return min(sizes, key=lambda rs: abs(np.log(rs[1] / target)))[0]
+
+
+class CellIndex:
+    """cell(res) -> candidate row indices; built once per kNN actor.
+
+    ``res=None`` auto-selects via ``pick_res`` (recommended)."""
+
+    def __init__(self, lon: np.ndarray, lat: np.ndarray, res: int | None = None,
+                 k_hint: int = 8):
+        if res is None:
+            res = pick_res(lon, lat, k_hint)
         self.res = res
         self.lon = np.asarray(lon, dtype=np.float64)
         self.lat = np.asarray(lat, dtype=np.float64)

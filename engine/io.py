@@ -9,7 +9,43 @@ in ``ray.data.read_lance`` later touches only this module.
 
 from __future__ import annotations
 
+import sys
+import types
+
 import ray.data
+
+
+def _stub_fsspec_http() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem``
+    deterministic and thread-safe.
+
+    In this sandbox ``aiohttp`` is absent, so that import fails on every
+    attempt; under CONCURRENT first-import (threaded partition runs) the
+    failure can surface as a plain ``ImportError`` that Ray's
+    ``except ModuleNotFoundError`` in ``path_util._is_http_filesystem``
+    does not catch. A sentinel class (never instantiated — no real
+    HTTPFileSystem can exist without aiohttp) keeps the isinstance check
+    correct (always False)."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    try:
+        import fsspec.implementations
+    except ImportError:  # no fsspec at all: nothing to stub
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    fsspec.implementations.http = mod
+
+
+_stub_fsspec_http()
 
 IMAGE_COLUMNS = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 

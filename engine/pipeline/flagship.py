@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import glob
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -50,15 +51,34 @@ def run_flagship(
     decoder_concurrency=(2, 8),
     batch_size: int = 2048,
     run_id: str = "run",
+    partition_threads: int = 1,
+    use_actors: bool = True,
+    fused: bool = True,
 ) -> dict:
     """Run (or resume) the full pipeline; returns summary counts.
 
     Partition = a group of input parquet fragments. Each partition runs
-    ingest+join+knn+thumb-decode+tiling as one streaming Dataset job and
+    ingest+join+knn+thumb-decode+tiling streaming Dataset work and
     commits a manifest row per stage on completion. The tile merge phase
     runs once at the end over ALL partitions' partial tiles (tiles span
     partitions), keyed by tile_key — its input is the small partial-tile
     table, not the image table.
+
+    ``fused=True`` (default) runs each partition as ONE streaming
+    execution: one read of the fragments, ingest once, and the joined /
+    knn outputs are written as idempotent SIDE-WRITES from inside the
+    pipeline (files named by each batch's first image_id; the partition
+    dirs are cleared before recompute, so retries and resumes never
+    duplicate rows). The manifest "join" row commits LAST and is the
+    partition's completion marker. ``fused=False`` is the staged
+    three-execution variant (one column-pruned read per stage), whose
+    sinks are Ray-native ``write_parquet`` only.
+
+    ``partition_threads`` > 1 runs that many partitions' streaming jobs
+    concurrently from driver threads (independent executions; Ray
+    arbitrates resources) — this overlaps per-execution scheduling gaps,
+    the multi-node analog being one driverless job per partition under
+    ``ray job submit``.
     """
     poly = poly or fixtures.polygons()
     man_dir = os.path.join(out_dir, "manifest")
@@ -71,36 +91,109 @@ def run_flagship(
     hot = tile.count_tiles(paths, zoom=zoom)
     hot = tile.hot_tile_salts(hot)
 
-    for pid, frags in sorted(todo.items()):
+    def _dirs(pid: str) -> tuple[str, str, str]:
+        return (
+            os.path.join(out_dir, "joined", pid),
+            os.path.join(out_dir, "knn", pid),
+            os.path.join(out_dir, "tile_partials", pid),
+        )
+
+    def run_partition_fused(pid: str, frags: list[str]) -> None:
+        import shutil
+
+        from engine.pipeline.join import (
+            _build_knn_state, _knn_batch, _pip_join_batch, build_polygon_set,
+        )
+        from engine.state import cached_get
+
+        jdir, kdir, pdir = _dirs(pid)
+        for d in (jdir, kdir, pdir):  # idempotent recompute
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+        poly_ref = ray.put(build_polygon_set(poly))
+        cand_ref = ray.put(
+            {
+                "id": np.asarray(cand["id"]),
+                "lon": np.asarray(cand["lon"], dtype=np.float64),
+                "lat": np.asarray(cand["lat"], dtype=np.float64),
+            }
+        )
+
+        def side_write(table, d: str) -> None:
+            if table.num_rows == 0:
+                return
+            name = table["image_id"][0].as_py()  # unique & stable per batch
+            tmp = os.path.join(d, f".{name}.tmp")
+            pq.write_table(table, tmp)
+            os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+
+        def join_knn_stage(batch):
+            joined = _pip_join_batch(cached_get(poly_ref), batch)
+            side_write(joined, jdir)
+            knn_t = _knn_batch(
+                *cached_get(cand_ref, build=lambda c: _build_knn_state(c, knn_k, None)),
+                knn_k, batch,
+            )
+            side_write(knn_t, kdir)
+            # prune for the tile path: the only shuffle downstream should
+            # move thumbs + keys, not captions/cell columns
+            return batch.select(["image_id", "bytes", "fmt", "lon", "lat"])
+
+        ds = read_images(frags, columns=["image_id", "caption", "bytes", "fmt"])
+        indexed = ingest.run_ingest(ds, batch_size=batch_size)
+        staged = indexed.map_batches(
+            join_knn_stage, batch_format="pyarrow", batch_size=batch_size, num_cpus=1
+        )
+        keyed = staged.map_batches(
+            lambda b: tile.add_tile_keys(b, zoom), batch_format="pyarrow"
+        )
+        thumbed = keyed.map_batches(
+            tile.thumb_decode_batch, batch_format="pyarrow",
+            batch_size=batch_size, num_cpus=1,
+        )
+        salted = thumbed.map_batches(
+            lambda b: tile.add_salt(b, hot), batch_format="pyarrow"
+        )
+        # pack instead of shuffle: the partition stays a pure stream
+        # (read -> maps -> write); the salted compose happens globally in
+        # the merge phase over the far smaller packed-row table
+        partials = salted.map_batches(
+            tile.pack_draws_batch, batch_format="pyarrow", batch_size=8192
+        )
+        partials.write_parquet(pdir)
+        manifest.write_manifest_row(
+            man_dir, partition_id=pid, stage="tile_partials",
+            input_fragment_ids=frags, row_count=_count_rows(pdir), run_id=run_id,
+        )
+        manifest.write_manifest_row(
+            man_dir, partition_id=pid, stage="knn", input_fragment_ids=frags,
+            row_count=_count_rows(kdir), run_id=run_id,
+        )
+        manifest.write_manifest_row(  # completion marker: committed last
+            man_dir, partition_id=pid, stage="join", input_fragment_ids=frags,
+            row_count=_count_rows(jdir), run_id=run_id,
+        )
+
+    def run_partition_staged(pid: str, frags: list[str]) -> None:
+        jdir, kdir, pdir = _dirs(pid)
         # prune at the read: the join needs no image bytes
         ds = read_images(frags, columns=["image_id", "caption"])
         indexed = ingest.run_ingest(ds, batch_size=batch_size)
         # ---- joined (streamed to parquet, one dir per partition)
         joined = join.run_pip_join(
-            indexed, poly, batch_size=batch_size, concurrency=pip_concurrency
+            indexed, poly, batch_size=batch_size, concurrency=pip_concurrency,
+            use_actors=use_actors,
         )
-        jdir = os.path.join(out_dir, "joined", pid)
         joined.write_parquet(jdir)
-        jrows = _count_rows(jdir)
-        manifest.write_manifest_row(
-            man_dir, partition_id=pid, stage="join", input_fragment_ids=frags,
-            row_count=jrows, run_id=run_id,
-        )
         # ---- knn
         indexed2 = ingest.run_ingest(
             read_images(frags, columns=["image_id"]), batch_size=batch_size
         )
         knn_ds = join.run_knn(
             indexed2, cand, k=knn_k, batch_size=batch_size,
-            concurrency=pip_concurrency,
+            concurrency=pip_concurrency, use_actors=use_actors,
         )
-        kdir = os.path.join(out_dir, "knn", pid)
         knn_ds.write_parquet(kdir)
-        krows = _count_rows(kdir)
-        manifest.write_manifest_row(
-            man_dir, partition_id=pid, stage="knn", input_fragment_ids=frags,
-            row_count=krows, run_id=run_id,
-        )
         # ---- partial tiles (decode -> salted compose), merge happens later
         indexed3 = ingest.run_ingest(
             read_images(frags, columns=["image_id", "bytes", "fmt"]),
@@ -109,36 +202,81 @@ def run_flagship(
         keyed = indexed3.map_batches(
             lambda b: tile.add_tile_keys(b, zoom), batch_format="pyarrow"
         )
-        thumbed = keyed.map_batches(
-            tile.ThumbDecoder,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=decoder_concurrency,
-            num_cpus=1,
-        )
+        if use_actors:
+            thumbed = keyed.map_batches(
+                tile.ThumbDecoder,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=decoder_concurrency,
+                num_cpus=1,
+            )
+        else:
+            thumbed = keyed.map_batches(
+                tile.thumb_decode_batch,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                num_cpus=1,
+            )
         salted = thumbed.map_batches(
             lambda b: tile.add_salt(b, hot), batch_format="pyarrow"
         )
         partials = salted.groupby("salt_key").map_groups(
             tile.compose_partial, batch_format="pyarrow"
         )
-        pdir = os.path.join(out_dir, "tile_partials", pid)
         partials.write_parquet(pdir)
-        prows = _count_rows(pdir)
         manifest.write_manifest_row(
             man_dir, partition_id=pid, stage="tile_partials",
-            input_fragment_ids=frags, row_count=prows, run_id=run_id,
+            input_fragment_ids=frags, row_count=_count_rows(pdir), run_id=run_id,
         )
+        manifest.write_manifest_row(
+            man_dir, partition_id=pid, stage="knn", input_fragment_ids=frags,
+            row_count=_count_rows(kdir), run_id=run_id,
+        )
+        manifest.write_manifest_row(
+            man_dir, partition_id=pid, stage="join", input_fragment_ids=frags,
+            row_count=_count_rows(jdir), run_id=run_id,
+        )
+
+    run_partition = run_partition_fused if fused else run_partition_staged
+
+    items = sorted(todo.items())
+    if partition_threads > 1 and len(items) > 1:
+        # pre-warm lazy imports that race under concurrent first-import
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except ImportError:
+            pass
+        with ThreadPoolExecutor(max_workers=partition_threads) as pool:
+            futures = [pool.submit(run_partition, pid, frags) for pid, frags in items]
+            for f in futures:
+                f.result()
+    else:
+        for pid, frags in items:
+            run_partition(pid, frags)
 
     # ---- global tile merge (small input: one partial row per tile/salt/partition)
     merge_todo = manifest.plan_resume(man_dir, "tiles", {"all": []}) if resume else {"all": []}
     tdir = os.path.join(out_dir, "tiles")
     if merge_todo:
         pglob = glob.glob(os.path.join(out_dir, "tile_partials", "*", "*.parquet"))
-        partial_ds = ray.data.read_parquet(pglob)
-        tiles = partial_ds.groupby("tile_key").map_groups(
-            lambda g: tile.merge_partials(g, zoom), batch_format="pyarrow"
+        # coalesce: sort-shuffle cost grows superlinearly in block count
+        # (measured 7x between 450 and 64 blocks for the same bytes)
+        partial_ds = ray.data.read_parquet(
+            pglob, override_num_blocks=min(64, len(pglob))
         )
+        if "thumbs" in partial_ds.schema().names:  # packed partials (fused path)
+            # phase 1: salted compose (hot tiles fan out across salts);
+            # phase 2: merge per-tile canvases (associative owner-max)
+            canvases = partial_ds.groupby("salt_key").map_groups(
+                tile.compose_pack_group, batch_format="pyarrow"
+            )
+            tiles = canvases.repartition(32).groupby("tile_key").map_groups(
+                lambda g: tile.merge_partials(g, zoom), batch_format="pyarrow"
+            )
+        else:  # canvas/draw partials (staged path)
+            tiles = partial_ds.groupby("tile_key").map_groups(
+                lambda g: tile.merge_partials(g, zoom), batch_format="pyarrow"
+            )
         tiles.write_parquet(tdir)
         trows = _count_rows(tdir)
         manifest.write_manifest_row(

@@ -38,7 +38,7 @@ from engine import codec
 TILE_SIZE = 256
 THUMB = 16
 DEFAULT_ZOOM = 8
-DEFAULT_GROUP_CAP = 4096
+DEFAULT_GROUP_CAP = 16384
 
 
 def lonlat_to_tile(lon, lat, zoom: int):
@@ -85,39 +85,59 @@ def add_tile_keys(batch: pa.Table, zoom: int = DEFAULT_ZOOM) -> pa.Table:
     return batch
 
 
+def thumb_decode_batch(batch: pa.Table) -> pa.Table:
+    """Decode kernel: bytes/fmt -> THUMBxTHUMB thumbnail columns.
+
+    Vectorized per (header) shape group: same-shape payloads decode as
+    one numpy stack and resize in one batched area-mean (bit-identical
+    to the per-image path — tile pixel parity holds). REPLACES the wide
+    ``bytes`` column with a fixed 768-byte thumb so downstream shuffles
+    are cheap; emits ``paint_order`` (numeric image id), the
+    deterministic owner-wins key."""
+    from collections import defaultdict
+
+    from engine.codec.image import decode_same_shape, header
+    from engine.codec.phash import _resize_area_batch
+
+    datas = batch["bytes"].to_pylist()
+    n = len(datas)
+    thumbs: list[bytes | None] = [None] * n
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for ix, d in enumerate(datas):
+        groups[header(d)].append(ix)
+    CHUNK = 256  # cap float64 scratch ~6MB/task: big stacks thrash the allocator
+    for (magic, w, h, c), ixs in groups.items():
+        for s in range(0, len(ixs), CHUNK):
+            part = ixs[s : s + CHUNK]
+            stack = decode_same_shape([datas[i] for i in part], magic, w, h, c)
+            small = _resize_area_batch(stack.astype(np.float64), THUMB)
+            tb = np.clip(np.rint(small), 0, 255).astype(np.uint8)
+            for j, i in enumerate(part):
+                thumbs[i] = tb[j].tobytes()
+    ids = batch["image_id"].to_pylist()
+    paint = np.array([int(s[3:]) for s in ids], dtype=np.int64)
+    cols = {name: batch[name] for name in batch.column_names if name != "bytes"}
+    cols["thumb"] = pa.array(thumbs, pa.binary())
+    cols["paint_order"] = pa.array(paint, pa.int64())
+    return pa.table(cols)
+
+
 class ThumbDecoder:
     """Actor-pool decode stage (T3): bytes/fmt -> THUMBxTHUMB thumbnail.
 
     Per-actor codec state (DCT bases, scratch) lives in ``__init__``;
-    each ``__call__`` decodes a batch and REPLACES the wide ``bytes``
-    column with a fixed 768-byte thumb, so downstream shuffles are
-    cheap. Also emits ``paint_order``: the numeric image id used as the
-    deterministic owner-wins key.
+    each ``__call__`` runs ``thumb_decode_batch``. The same kernel runs
+    as plain tasks when the caller prefers warm-worker reuse over actor
+    pools (short executions; see ``engine.state``).
     """
 
     def __init__(self):
         # instantiate codec tables once per actor
         from engine.codec.image import _DCT8, _dct_matrix  # noqa: F401
-        from engine.codec.phash import _resize_area
-
-        self._resize = _resize_area
+        from engine.codec.phash import _resize_area  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        datas = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        thumbs = []
-        for d, f in zip(datas, fmts):
-            px = codec.decode(d, f).astype(np.float64)
-            t = np.stack(
-                [self._resize(px[:, :, c], THUMB) for c in range(px.shape[2])], axis=2
-            )
-            thumbs.append(np.clip(np.rint(t), 0, 255).astype(np.uint8).tobytes())
-        ids = batch["image_id"].to_pylist()
-        paint = np.array([int(s[3:]) for s in ids], dtype=np.int64)
-        cols = {name: batch[name] for name in batch.column_names if name != "bytes"}
-        cols["thumb"] = pa.array(thumbs, pa.binary())
-        cols["paint_order"] = pa.array(paint, pa.int64())
-        return pa.table(cols)
+        return thumb_decode_batch(batch)
 
 
 def _paint(
@@ -265,6 +285,148 @@ def merge_partials(group: pa.Table, zoom: int) -> pa.Table:
     )
 
 
+_PACK_SCHEMA = pa.schema(
+    [
+        ("tile_key", pa.int64()),
+        ("salt_key", pa.int64()),
+        ("n", pa.int32()),
+        ("thumbs", pa.binary()),       # n * THUMB*THUMB*3 uint8, concatenated
+        ("px", pa.binary()),           # n int32
+        ("py", pa.binary()),           # n int64? no: int32
+        ("paint_order", pa.binary()),  # n int64
+        ("members", pa.list_(pa.string())),
+    ]
+)
+
+_THUMB_BYTES = THUMB * THUMB * 3
+
+
+def pack_draws_batch(batch: pa.Table) -> pa.Table:
+    """Shuffle-free combiner: draws -> one packed row per salt_key.
+
+    Groups a thumb-decoded, salted batch by ``salt_key`` and emits ONE
+    row per group carrying the concatenated thumbs + positions. Packing
+    is what lets a partition pipeline stay a pure stream (read -> map ->
+    write, no sort barrier): row count drops ~batch/tiles-fold while
+    bytes stay the same, so the later global compose shuffle sorts few,
+    fat rows. Compose order is irrelevant (owner-wins paint is
+    associative+commutative), so packing cannot change final pixels."""
+    n = batch.num_rows
+    keys = np.asarray(batch["salt_key"], dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]]) if n else np.empty(0, np.int64)
+    thumbs = batch["thumb"].to_pylist()
+    ids = batch["image_id"].to_pylist()
+    px = np.asarray(batch["px"], dtype=np.int32)
+    py = np.asarray(batch["py"], dtype=np.int32)
+    po = np.asarray(batch["paint_order"], dtype=np.int64)
+    tk = np.asarray(batch["tile_key"], dtype=np.int64)
+    o_tk, o_sk, o_n, o_th, o_px, o_py, o_po, o_m = [], [], [], [], [], [], [], []
+    for gi, start in enumerate(bounds):
+        end = bounds[gi + 1] if gi + 1 < len(bounds) else n
+        ix = order[start:end]
+        o_tk.append(int(tk[ix[0]]))
+        o_sk.append(int(sk[start]))
+        o_n.append(len(ix))
+        o_th.append(b"".join(thumbs[i] for i in ix))
+        o_px.append(px[ix].tobytes())
+        o_py.append(py[ix].tobytes())
+        o_po.append(po[ix].tobytes())
+        o_m.append([ids[i] for i in ix])
+    return pa.table(
+        {
+            "tile_key": pa.array(o_tk, pa.int64()),
+            "salt_key": pa.array(o_sk, pa.int64()),
+            "n": pa.array(o_n, pa.int32()),
+            "thumbs": pa.array(o_th, pa.binary()),
+            "px": pa.array(o_px, pa.binary()),
+            "py": pa.array(o_py, pa.binary()),
+            "paint_order": pa.array(o_po, pa.binary()),
+            "members": pa.array(o_m, pa.list_(pa.string())),
+        },
+        schema=_PACK_SCHEMA,
+    )
+
+
+def _paint_vectorized(
+    canvas: np.ndarray, owner: np.ndarray,
+    thumbs: np.ndarray, pxs: np.ndarray, pys: np.ndarray, pos: np.ndarray,
+) -> None:
+    """Paint a draw set onto an EMPTY-or-partial canvas, owner-wins.
+
+    Equivalent to ``_paint``: draws are sorted ascending by paint_order,
+    so an unconditional scatter (numpy duplicate-index assignment keeps
+    the LAST value) realizes max-owner-wins for the in-bounds majority;
+    edge-clipped draws fall back to the masked per-thumb path."""
+    order = np.argsort(pos, kind="stable")
+    thumbs, pxs, pys, pos = thumbs[order], pxs[order], pys[order], pos[order]
+    half = THUMB // 2
+    x0 = pxs.astype(np.int64) - half
+    y0 = pys.astype(np.int64) - half
+    inb = (x0 >= 0) & (y0 >= 0) & (x0 + THUMB <= TILE_SIZE) & (y0 + THUMB <= TILE_SIZE)
+    vi = np.flatnonzero(inb)
+    if len(vi):
+        d = np.arange(THUMB, dtype=np.int64)
+        fy = y0[vi, None, None] + d[None, :, None]
+        fx = x0[vi, None, None] + d[None, None, :]
+        flat = (fy * TILE_SIZE + fx).reshape(-1)
+        # existing owners may beat these draws only where owner > po —
+        # possible when painting onto a pre-painted canvas; mask those
+        prev = owner.reshape(-1)[flat]
+        po_rep = np.repeat(pos[vi], THUMB * THUMB)
+        win = po_rep > prev
+        canvas.reshape(-1, 3)[flat[win]] = thumbs[vi].reshape(-1, 3)[win]
+        owner.reshape(-1)[flat[win]] = po_rep[win]
+    ci = np.flatnonzero(~inb)
+    if len(ci):
+        _paint(
+            canvas, owner, [thumbs[i].tobytes() for i in ci],
+            pxs[ci], pys[ci], pos[ci],
+        )
+
+
+def compose_pack_group(group: pa.Table) -> pa.Table:
+    """All packed rows of one (tile, salt) -> one canvas partial row."""
+    import zlib
+
+    canvas = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
+    owner = np.full((TILE_SIZE, TILE_SIZE), -1, dtype=np.int64)
+    key = group["tile_key"][0].as_py()
+    thumbs = np.frombuffer(
+        b"".join(group["thumbs"].to_pylist()), np.uint8
+    ).reshape(-1, THUMB, THUMB, 3)
+    px = np.concatenate(
+        [np.frombuffer(b, np.int32) for b in group["px"].to_pylist()]
+    )
+    py = np.concatenate(
+        [np.frombuffer(b, np.int32) for b in group["py"].to_pylist()]
+    )
+    po = np.concatenate(
+        [np.frombuffer(b, np.int64) for b in group["paint_order"].to_pylist()]
+    )
+    _paint_vectorized(canvas, owner, thumbs, px, py, po)
+    members: list[str] = []
+    for m in group["members"].to_pylist():
+        members.extend(m)
+    members.sort()
+    return pa.table(
+        {
+            "tile_key": pa.array([key], pa.int64()),
+            "kind": pa.array(["canvas"]),
+            "canvas": pa.array([zlib.compress(canvas.tobytes(), 1)], pa.binary()),
+            "owner": pa.array([zlib.compress(owner.tobytes(), 1)], pa.binary()),
+            "members": pa.array([members], pa.list_(pa.string())),
+            "thumb": pa.array([None], pa.binary()),
+            "px": pa.array([None], pa.int32()),
+            "py": pa.array([None], pa.int32()),
+            "paint_order": pa.array([None], pa.int64()),
+            "image_id": pa.array([None], pa.string()),
+        },
+        schema=_PARTIAL_SCHEMA,
+    )
+
+
 def hot_tile_salts(
     keyed_counts: dict[int, int], group_cap: int = DEFAULT_GROUP_CAP
 ) -> dict[int, int]:
@@ -315,21 +477,25 @@ def count_tiles(images_uri, zoom: int = DEFAULT_ZOOM) -> dict[int, int]:
     """Bytes-free pre-pass: tile_key -> row count (drives salt fan-out).
 
     Reads ONLY image_id (geotags derive from it), so the scan never
-    touches the binary column (SURVEY.md §4.2 step 1).
+    touches the binary column (SURVEY.md §4.2 step 1). Partial counts
+    per batch (combiner), merged on the driver — the result is at most
+    #tiles × #blocks rows, so no shuffle is ever needed.
     """
     from engine.io import read_images
     from engine.pipeline.ingest import derive_geotags
 
-    def keys_only(batch: pa.Table) -> pa.Table:
+    def keys_count(batch: pa.Table) -> pa.Table:
         lon, lat = derive_geotags(batch["image_id"])
         tx, ty, _, _ = lonlat_to_tile(lon, lat, zoom)
-        return pa.table({"tile_key": pa.array(tile_key(tx, ty, zoom), pa.int64())})
+        u, c = np.unique(tile_key(tx, ty, zoom), return_counts=True)
+        return pa.table(
+            {"tile_key": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
 
-    counts = (
+    parts = (
         read_images(images_uri, columns=["image_id"])
-        .map_batches(keys_only, batch_format="pyarrow")
-        .groupby("tile_key")
-        .count()
-        .take_all()
+        .map_batches(keys_count, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()  # small: <= #tiles x #blocks partial rows
     )
-    return {int(r["tile_key"]): int(r["count()"]) for r in counts}
+    agg = parts.groupby("tile_key")["n"].sum()
+    return {int(k): int(v) for k, v in agg.items()}
