@@ -230,6 +230,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.groupby("user_id").map_groups(f, batch_format="pandas")
 
+    def top_users_by_events(sf_dir: str):
+        # A4: per-user counts + global top-k by (count desc, user asc)
+        ds = sf_table(sf_dir, "events", ["user_id"])
+        counts = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+        out = counts.sort(["n_events", "user_id"], descending=[True, False]).limit(20)
+        return out.to_pandas()
+
+    def scalar_string_funcs(sf_dir: str):
+        # M9: scalar string/date/math kernels via pyarrow.compute
+        import pyarrow.compute as pc
+
+        ds = sf_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+        def f(b):
+            return b.select(["c_custkey"]).append_column(
+                "name_upper", pc.utf8_upper(b["c_name"])
+            ).append_column(
+                "name_prefix", pc.utf8_slice_codeunits(b["c_name"], 0, 8)
+            ).append_column(
+                "bal_bucket",
+                pc.cast(pc.floor(pc.divide(b["c_acctbal"], 1000.0)), "int64"),
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def sample_customers(sf_dir: str):
+        # O3: deterministic systematic sample (key mod m == r) — the
+        # seeded-sampling analog that stays oracle-checkable
+        import pyarrow as pa
+
+        ds = sf_table(sf_dir, "customer", ["c_custkey", "c_name"])
+
+        def f(b: "pa.Table") -> "pa.Table":
+            mask = (np.asarray(b["c_custkey"], dtype=np.int64) % 17) == 3
+            return b.filter(pa.array(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
     def docs_token_stats(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
         ds = ds.map_batches(text.token_count_batch, batch_format="pandas")
@@ -277,10 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def minhash_dedup_documents(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
-        lookup = dict(
-            zip(*[ds.to_pandas()[c].to_numpy() for c in ("doc_id", "text")])
-        )
-        return dedup.minhash_lsh_dedup(ds, text_lookup=lookup)
+        return dedup.minhash_lsh_dedup(ds)  # verify fetches candidate texts only
 
     def embedding_near_dups(sf_dir: str):
         import ray.data as rd
@@ -339,6 +374,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = keyed.groupby("tile_key").aggregate(Count(alias_name="n_images"))
         return out
 
+    def geo_polygon_centroids(sf_dir: str):
+        return geo_ops.polygon_centroids(fixtures.polygons())
+
+    def geo_admin_rollup(sf_dir: str):
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
+        return geo_ops.admin_rollup(j, fixtures.polygons())
+
+    def geo_phash_near_dups(sf_dir: str):
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(), columns=["image_id", "phash"])
+        return dedup.phash_near_dups(ds, max_hamming=6)
+
     def geo_dedup_phash(sf_dir: str):
         from engine.io import read_images
 
@@ -378,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_stats": events_json_stats,
         "running_total_by_user": running_total_by_user,
         "sessionize_events": sessionize_events,
+        "top_users_by_events": top_users_by_events,
+        "scalar_string_funcs": scalar_string_funcs,
+        "sample_customers": sample_customers,
         "docs_token_stats": docs_token_stats,
         "docs_quality": docs_quality,
         "dedup_documents_exact": dedup_documents_exact,
@@ -393,6 +445,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn": geo_knn,
         "geo_self_knn": geo_self_knn,
         "geo_tile_assignments": geo_tile_assignments,
+        "geo_polygon_centroids": geo_polygon_centroids,
+        "geo_admin_rollup": geo_admin_rollup,
+        "geo_phash_near_dups": geo_phash_near_dups,
         "geo_dedup_phash": geo_dedup_phash,
         "image_features": image_features,
         "image_resize": image_resize,
@@ -485,6 +540,20 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END AS new_sess
                 FROM events
             )
+        """,
+        "top_users_by_events": """
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 20
+        """,
+        "scalar_string_funcs": """
+            SELECT c_custkey, upper(c_name) AS name_upper,
+                   substr(c_name, 1, 8) AS name_prefix,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+            FROM customer
+        """,
+        "sample_customers": """
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey % 17 = 3
         """,
         "docs_token_stats": """
             SELECT lang,

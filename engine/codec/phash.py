@@ -46,8 +46,21 @@ def _resize_area_batch(stack: np.ndarray, out: int = _N) -> np.ndarray:
     if squeeze:
         stack = stack[..., None]
     n, h, w, c = stack.shape
+    if h % out == 0 and w % out == 0:
+        # exact block mean: integer sum then one divide — bit-identical
+        # to the cumsum path (both form the exact sum of integer-valued
+        # pixels, then divide by area) at ~10x less memory traffic
+        bh, bw = h // out, w // out
+        tot = (
+            stack.reshape(n, out, bh, out, bw, c)
+            .sum(axis=(2, 4), dtype=np.float64)
+        )
+        res = tot / float(bh * bw)
+        return res[..., 0] if squeeze else res
     ys = (np.arange(out + 1) * h) // out
     xs = (np.arange(out + 1) * w) // out
+    if stack.dtype != np.float64:
+        stack = stack.astype(np.float64)
     csum = np.zeros((n, h + 1, w + 1, c))
     csum[:, 1:, 1:, :] = np.cumsum(np.cumsum(stack, axis=1), axis=2)
     area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])

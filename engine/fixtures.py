@@ -91,9 +91,12 @@ def row_caption(i: np.ndarray) -> list[str]:
     return out
 
 
-def row_dims(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    w = np.uint64(16) + np.uint64(8) * (_hash_stream(i, 10) % np.uint64(3))
-    h = np.uint64(16) + np.uint64(8) * (_hash_stream(i, 11) % np.uint64(3))
+def row_dims(i: np.ndarray, px_scale: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Image dims 16/24/32 px, times ``px_scale`` (the bench uses scale
+    4 -> 64-128px so per-row decode cost approximates real image
+    payloads; tests use scale 1)."""
+    w = (np.uint64(16) + np.uint64(8) * (_hash_stream(i, 10) % np.uint64(3))) * np.uint64(px_scale)
+    h = (np.uint64(16) + np.uint64(8) * (_hash_stream(i, 11) % np.uint64(3))) * np.uint64(px_scale)
     return w.astype(np.int32), h.astype(np.int32)
 
 
@@ -128,14 +131,13 @@ def image_pixels(src_row: int, w: int, h: int) -> np.ndarray:
     return np.clip(np.rint(px), 0, 255).astype(np.uint8)
 
 
-def make_rows(i: np.ndarray) -> dict[str, np.ndarray | list]:
+def make_rows(i: np.ndarray, px_scale: int = 1) -> dict[str, np.ndarray | list]:
     """Full fixture rows for indices ``i`` (the map_batches body)."""
     i = np.asarray(i, dtype=np.int64)
-    w, h = row_dims(i)
     fmts = row_fmt(i)
     src = pixel_source_row(i)
     # duplicates share the SOURCE row's dims/fmt so pixels match exactly
-    w_src, h_src = row_dims(src)
+    w_src, h_src = row_dims(src, px_scale)
     fmt_src = row_fmt(src)
     blobs, phashes = [], np.empty(len(i), dtype=np.int64)
     for k in range(len(i)):
@@ -166,9 +168,9 @@ _SCHEMA = pa.schema(
 )
 
 
-def images_table(n: int, offset: int = 0) -> pa.Table:
+def images_table(n: int, offset: int = 0, px_scale: int = 1) -> pa.Table:
     """Driver-side fixture table of n rows (tests / tiny scale)."""
-    d = make_rows(np.arange(offset, offset + n))
+    d = make_rows(np.arange(offset, offset + n), px_scale)
     return pa.table(
         {
             "image_id": pa.array(d["image_id"], pa.string()),
@@ -183,12 +185,12 @@ def images_table(n: int, offset: int = 0) -> pa.Table:
     )
 
 
-def images_dataset(n: int, parallelism: int = 64):
+def images_dataset(n: int, parallelism: int = 64, px_scale: int = 1):
     """Ray Data generation pipeline for bench-scale fixtures."""
     import ray.data
 
     def gen(batch: dict) -> pa.Table:
-        d = make_rows(batch["id"])
+        d = make_rows(batch["id"], px_scale)
         return pa.table(
             {
                 "image_id": pa.array(d["image_id"], pa.string()),
@@ -208,7 +210,9 @@ def images_dataset(n: int, parallelism: int = 64):
     )
 
 
-def write_images_parquet(n: int, out_dir: str, num_files: int = 8) -> list[str]:
+def write_images_parquet(
+    n: int, out_dir: str, num_files: int = 8, px_scale: int = 1
+) -> list[str]:
     """Deterministic sharded parquet fixture (driver-side, small/medium n)."""
     import os
 
@@ -223,7 +227,7 @@ def write_images_parquet(n: int, out_dir: str, num_files: int = 8) -> list[str]:
         if a >= b:
             break
         p = os.path.join(out_dir, f"images-{s:05d}.parquet")
-        pq.write_table(images_table(b - a, offset=a), p)
+        pq.write_table(images_table(b - a, offset=a, px_scale=px_scale), p)
         paths.append(p)
     return paths
 

@@ -50,10 +50,21 @@ _stub_fsspec_http()
 IMAGE_COLUMNS = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 
-def read_images(uri: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
+def read_images(
+    uri: str | list[str],
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
     """Read the primary images table, pruning columns at the read
-    (SURVEY.md "prune at the read")."""
-    return ray.data.read_parquet(uri, columns=list(columns) if columns else None)
+    (SURVEY.md "prune at the read"). ``override_num_blocks`` coalesces
+    small files into fewer, fatter blocks — fewer tasks means less
+    driver-side coordination, which is the scaling bottleneck when many
+    streaming executions share one driver."""
+    return ray.data.read_parquet(
+        uri,
+        columns=list(columns) if columns else None,
+        override_num_blocks=override_num_blocks,
+    )
 
 
 def read_table(uri: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:

@@ -137,7 +137,22 @@ def minhash_lsh_dedup(
         .map_groups(pairs, batch_format="pandas")
     )
     cand_pd = cand.to_pandas().drop_duplicates()
-    # verify candidates
+    # verify candidates: fetch ONLY candidate texts (small set) with a
+    # distributed membership filter — never materialize the corpus
+    if len(cand_pd) and text_lookup is None:
+        cand_ids = np.union1d(cand_pd["a"].to_numpy(), cand_pd["b"].to_numpy())
+        id_set_ref = ray.put(set(int(x) for x in cand_ids))
+
+        def only_candidates(b: pd.DataFrame) -> pd.DataFrame:
+            from engine.state import cached_get
+
+            ids = cached_get(id_set_ref)
+            return b[b["doc_id"].isin(ids)]
+
+        cand_texts = docs.map_batches(
+            only_candidates, batch_format="pandas"
+        ).to_pandas()
+        text_lookup = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
     if text_lookup is not None and len(cand_pd):
         keep = [
             ngram_jaccard(text_lookup[a], text_lookup[b], shingle_k) >= threshold
@@ -145,7 +160,8 @@ def minhash_lsh_dedup(
         ]
         cand_pd = cand_pd[np.asarray(keep, dtype=bool)]
     # connected components via min-label propagation on the edge list
-    all_ids = docs.to_pandas()["doc_id"].to_numpy()
+    # (ids only — the text column never reaches the driver)
+    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
     label = {int(i): int(i) for i in all_ids}
 
     def find(x: int) -> int:
@@ -198,6 +214,66 @@ class SimHasher:
 
 def simhash_table(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+
+
+def phash_near_dups(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> pd.DataFrame:
+    """Near-duplicate images by perceptual-hash hamming distance
+    (SURVEY D3): split the 64-bit phash into ``bands`` byte bands;
+    by pigeonhole any pair with hamming <= bands-1 shares at least one
+    identical band, so a groupby((band_ix, band_val)) surfaces every
+    candidate, verified exactly with vectorized popcount.
+
+    Shuffles only (band key, id, hash) — payload bytes never move.
+    Returns DataFrame(a, b, hamming) sorted, a < b."""
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    from engine.codec.phash import hamming64
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        h = b[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+        ids = b[id_col].to_numpy()
+        frames = []
+        for bi in range(bands):
+            val = (h >> np.uint64(8 * bi)) & np.uint64(0xFF)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band_ix": np.int32(bi),
+                        "band_val": val.astype(np.int64),
+                        id_col: ids,
+                        hash_col: b[hash_col].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col, kind="stable")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        ids = g[id_col].to_numpy()
+        h = g[hash_col].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = hamming64(h[ia], h[ib])
+        m = d <= max_hamming
+        return pd.DataFrame({"a": ids[ia[m]], "b": ids[ib[m]], "hamming": d[m]})
+
+    out = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby(["band_ix", "band_val"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"], ignore_index=True)
 
 
 def embedding_near_dups(

