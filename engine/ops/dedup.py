@@ -102,40 +102,62 @@ def minhash_lsh_dedup(
     ``text_lookup`` (doc_id -> text) is broadcast for verification.
     """
     rows_per_band = num_perm // bands
-    sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
-        concurrency=(1, 8),
+    _state: dict[tuple, MinHasher] = {}
+
+    def sign_and_band(batch: pd.DataFrame) -> pd.DataFrame:
+        """signatures + banding in one vectorized stage (cached hash
+        family per worker process — no actor spawn for a tiny state)."""
+        key = (num_perm, shingle_k)
+        mh = _state.get(key)
+        if mh is None:
+            mh = _state[key] = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        n = len(batch)
+        sig = np.stack([mh.signature(s) for s in batch["text"].astype(str)])
+        s = sig.reshape(n, bands, rows_per_band)
+        bh = (s * np.arange(1, rows_per_band + 1)).sum(axis=2) % _M61
+        # one int64 bucket key folding (band index, band hash)
+        bucket = (bh.astype(np.int64) ^ (np.arange(bands, dtype=np.int64) << 56)).ravel()
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+            }
+        )
+
+    # shard buckets so the pair-gen groupby sees ~256 groups, not one
+    # per bucket (per-group pandas overhead dominates at 10^4+ buckets);
+    # within a shard the per-bucket pairing is vectorized over sorted arrays
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b["shard"] = (b["bucket"].to_numpy() % 256).astype(np.int32)
+        return b
+
+    banded = docs.map_batches(sign_and_band, batch_format="pandas").map_batches(
+        add_shard, batch_format="pandas"
     )
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for did, sig in zip(batch["doc_id"], batch["sig"]):
-            s = np.asarray(sig).reshape(bands, rows_per_band)
-            bh = (s * np.arange(1, rows_per_band + 1)).sum(axis=1) % _M61
-            out.append(
-                pd.DataFrame(
-                    {"band": np.arange(bands, dtype=np.int32),
-                     "band_hash": bh.astype(np.int64),
-                     "doc_id": did}
-                )
+    def pairs_sharded(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["bucket", "doc_id"], kind="stable")
+        bk = d["bucket"].to_numpy()
+        ids = d["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            a, b = np.triu_indices(m, k=1)
+            out_a.append(ids[s + a])
+            out_b.append(ids[s + b])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
             )
-        return pd.concat(out, ignore_index=True)
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
-    banded = sigs.map_batches(explode, batch_format="pandas")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
-
-    cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-    )
+    cand = banded.groupby("shard").map_groups(pairs_sharded, batch_format="pandas")
     cand_pd = cand.to_pandas().drop_duplicates()
     # verify candidates: fetch ONLY candidate texts (small set) with a
     # distributed membership filter — never materialize the corpus
@@ -154,10 +176,19 @@ def minhash_lsh_dedup(
         ).to_pandas()
         text_lookup = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
     if text_lookup is not None and len(cand_pd):
-        keep = [
-            ngram_jaccard(text_lookup[a], text_lookup[b], shingle_k) >= threshold
-            for a, b in zip(cand_pd["a"], cand_pd["b"])
-        ]
+        # shingle sets computed ONCE per candidate doc, then cheap set
+        # intersections per pair (the naive per-pair recompute was the
+        # dominant cost: 2 shingle passes x |pairs|)
+        sets = {
+            did: set(_shingles(text_lookup[did], shingle_k).tolist())
+            for did in set(cand_pd["a"]).union(cand_pd["b"])
+        }
+        keep = []
+        for a, b in zip(cand_pd["a"], cand_pd["b"]):
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            keep.append((inter / union if union else 1.0) >= threshold)
         cand_pd = cand_pd[np.asarray(keep, dtype=bool)]
     # connected components via min-label propagation on the edge list
     # (ids only — the text column never reaches the driver)
