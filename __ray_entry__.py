@@ -374,6 +374,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = keyed.groupby("tile_key").aggregate(Count(alias_name="n_images"))
         return out
 
+    def run_history_series(sf_dir: str):
+        # S7/A6: per-run global stats appended to a history partition,
+        # read back as a series (run_ts injected; deterministic)
+        import shutil
+
+        from engine.ops import history
+
+        hdir = "/tmp/graft_history_demo"
+        shutil.rmtree(hdir, ignore_errors=True)
+        orders = sf_table(sf_dir, "orders", ["o_totalprice"])
+        stats = history.global_stats(orders, ["o_totalprice"])
+        for run_ts in ("2026-08-15", "2026-08-16", "2026-08-17"):
+            history.append_run_stats(hdir, run_ts, stats)
+        # idempotency: re-append of an existing run overwrites, not dupes
+        history.append_run_stats(hdir, "2026-08-17", stats)
+        return history.read_history(hdir)
+
+    def geo_phash_verify(sf_dir: str):
+        # M6: recompute phash from decoded pixels, verify vs the column
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt", "phash"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            vals = [
+                codec.phash64(codec.decode(d, f_))
+                for d, f_ in zip(b["bytes"], b["fmt"])
+            ]
+            b = b[["image_id", "phash"]].copy()
+            b["phash_ok"] = np.asarray(vals, dtype=np.int64) == b["phash"].to_numpy()
+            return b
+
+        return ds.map_batches(f, batch_format="pandas", batch_size=512)
+
     def geo_polygon_centroids(sf_dir: str):
         return geo_ops.polygon_centroids(fixtures.polygons())
 
@@ -445,6 +479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn": geo_knn,
         "geo_self_knn": geo_self_knn,
         "geo_tile_assignments": geo_tile_assignments,
+        "run_history_series": run_history_series,
+        "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
         "geo_admin_rollup": geo_admin_rollup,
         "geo_phash_near_dups": geo_phash_near_dups,
