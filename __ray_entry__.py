@@ -268,6 +268,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(f, batch_format="pyarrow")
 
+    def events_hourly_window(sf_dir: str):
+        # tumbling 1h window per event_type: the windowed-aggregate op
+        ds = sf_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["window_start"] = b["ts"].dt.floor("h")
+            return b[["event_type", "window_start", "value"]]
+
+        out = relational.partial_groupby_sum(
+            ds.map_batches(f, batch_format="pandas"),
+            ["event_type", "window_start"], {"value": "sum_value"}, count_as="n",
+        ).to_pandas()
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
     def docs_token_stats(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
         ds = ds.map_batches(text.token_count_batch, batch_format="pandas")
@@ -464,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_events": top_users_by_events,
         "scalar_string_funcs": scalar_string_funcs,
         "sample_customers": sample_customers,
+        "events_hourly_window": events_hourly_window,
         "docs_token_stats": docs_token_stats,
         "docs_quality": docs_quality,
         "dedup_documents_exact": dedup_documents_exact,
@@ -590,6 +606,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_customers": """
             SELECT c_custkey, c_name FROM customer WHERE c_custkey % 17 = 3
+        """,
+        "events_hourly_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "docs_token_stats": """
             SELECT lang,

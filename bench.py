@@ -135,10 +135,17 @@ def run_flagship_bench(
     out_dir = tempfile.mkdtemp(  # fresh: no resume reuse
         prefix="graft_bench_out_", dir=_scratch_root()
     )
+    from engine import fixtures
+
+    # Italy-scale admin hierarchy (20 regions / 100 provinces / 1000
+    # municipalities + hotspot): the reference's real workload joins
+    # against thousands of boundary polygons, not a toy set
+    poly = fixtures.polygons(n_regions=20, provinces=5, munis=10)
     t0 = time.perf_counter()
     res = flagship.run_flagship(
         img_dir,
         out_dir,
+        poly=poly,
         target_partitions=target_partitions,
         batch_size=2048,
         pip_concurrency=(1, cpus),
@@ -215,12 +222,13 @@ def scaling_mode(args) -> dict:
     run-to-run interference noise; min-of-N is the standard throughput
     methodology under external interference)."""
     levels = sorted({args.scale_lo, args.scale_hi})
-    # 2.4M rows at px_scale=1 (~4.6GB): large enough that compute
-    # dominates fixed latency at both levels. px_scale=4 (64-128px,
-    # ~18GB) was measured memory-bandwidth-bound end-to-end on this VM
-    # (~13GB/s ceiling) — bandwidth doesn't scale with local CPUs, so
-    # the heavier fixture measures the VM, not the engine.
-    n = args.n or 2_400_000
+    # 1.2M rows at px_scale=1 (~2.3GB) against the Italy-scale polygon
+    # set: large enough that compute dominates fixed latency at both
+    # levels. px_scale=4 (64-128px, ~18GB) was measured memory-
+    # bandwidth-bound end-to-end on this VM (~13GB/s ceiling) —
+    # bandwidth doesn't scale with local CPUs, so a heavier fixture
+    # measures the VM, not the engine.
+    n = args.n or 1_200_000
     results = {}
     for cpus in levels:
         best = None

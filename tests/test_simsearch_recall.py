@@ -1,0 +1,55 @@
+"""IVF approximate-ANN recall vs brute force (SURVEY simsearch note:
+"recall measured vs brute force in tests")."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session, sf_dir):
+    from engine.io import sf_table
+
+    return sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+
+def test_ivf_recall_vs_brute_force(emb_ds):
+    from engine.ops import simsearch
+
+    qdf = emb_ds.sort("vec_id").limit(8).to_pandas()
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    exact = simsearch.brute_force_topk(emb_ds, q, k=10)
+    approx = simsearch.ivf_topk(emb_ds, q, k=10, n_clusters=8, nprobe=4)
+    recalls = []
+    for qi in range(len(q)):
+        e = set(exact[exact["query_ix"] == qi]["vec_id"])
+        a = set(approx[approx["query_ix"] == qi]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    mean_recall = float(np.mean(recalls))
+    # nprobe/n_clusters = 1/2 of the space probed -> recall well above that
+    assert mean_recall >= 0.6, f"IVF mean recall {mean_recall:.2f} too low"
+    # the self-vector (cos=1.0) must always be found: it lands in the
+    # query's own top probe bucket by construction
+    for qi, vid in enumerate(qdf["vec_id"]):
+        got = approx[(approx["query_ix"] == qi) & (approx["rank"] == 0)]
+        assert len(got) == 1 and got["vec_id"].iloc[0] == vid
+
+
+def test_brute_force_matches_numpy_oracle(emb_ds):
+    from engine.ops import simsearch
+
+    qdf = emb_ds.sort("vec_id").limit(4).to_pandas()
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    res = simsearch.brute_force_topk(emb_ds, q, k=5)
+    all_df = emb_ds.to_pandas().sort_values("vec_id", ignore_index=True)
+    v = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sim = qn @ v.T
+    ids = all_df["vec_id"].to_numpy()
+    for qi in range(len(q)):
+        order = np.lexsort((ids, -sim[qi]))[:5]
+        want = ids[order].tolist()
+        got = res[res["query_ix"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == want, (qi, got, want)
