@@ -353,6 +353,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = emb.union(rd.from_pandas(planted))
         return dedup.embedding_near_dups(corpus, threshold=0.9)
 
+    def ngram_jaccard_docs(sf_dir: str):
+        import ray.data as rd
+
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        # plant deterministic near-dups: tail-mutated copies of the first
+        # 10 docs under new ids (plus the corpus's own exact dups at 1.0)
+        base = ds.sort("doc_id").limit(10).to_pandas()
+        mut = base.copy()
+        mut["doc_id"] = mut["doc_id"].to_numpy() + 10_000_000
+        mut["text"] = [
+            str(t)[: max(0, len(str(t)) - 8)] + " extra tail sentence"
+            for t in mut["text"]
+        ]
+        corpus = ds.union(rd.from_pandas(mut))
+        return dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+
+    def video_frame_plan(sf_dir: str):
+        # video-as-binary plumbing: clip metadata -> deterministic
+        # uniform-stride frame-sampling plan (decode itself is the
+        # stubbed external-codec step, engine/ops/multimodal.py)
+        ds = sf_table(sf_dir, "events", ["event_id"])
+
+        def add_meta(b: pd.DataFrame) -> pd.DataFrame:
+            b["n_frames"] = (b["event_id"].to_numpy() % 12) + 1
+            return b
+
+        out = ds.map_batches(add_meta, batch_format="pandas").map_batches(
+            multimodal.FrameSampler,
+            fn_constructor_kwargs={"frames_per_clip": 4},
+            batch_format="pandas", concurrency=(1, 4), num_cpus=1,
+        )
+        return out.select_columns(["event_id", "n_frames", "frame_index"])
+
+    def audio_chunk_plan(sf_dir: str):
+        # audio-as-binary plumbing: 5s fixed windows at 16kHz from
+        # n_samples metadata (PCM decode is the stubbed step)
+        ds = sf_table(sf_dir, "events", ["event_id"])
+
+        def add_meta(b: pd.DataFrame) -> pd.DataFrame:
+            b["n_samples"] = ((b["event_id"].to_numpy() * 37) % 200001) + 16000
+            b["sample_rate"] = np.int64(16000)
+            return b
+
+        out = ds.map_batches(add_meta, batch_format="pandas").map_batches(
+            multimodal.AudioChunker,
+            fn_constructor_kwargs={"chunk_seconds": 5.0},
+            batch_format="pandas", concurrency=(1, 4), num_cpus=1,
+        )
+        return out.select_columns(
+            ["event_id", "n_samples", "chunk_index", "start_sample", "end_sample"]
+        )
+
     def ann_ivf_topk(sf_dir: str):
         emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         qdf = emb.sort("vec_id").limit(5).to_pandas()
@@ -489,6 +541,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": simhash_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "embedding_near_dups": embedding_near_dups,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "video_frame_plan": video_frame_plan,
+        "audio_chunk_plan": audio_chunk_plan,
         "ann_ivf_topk": ann_ivf_topk,
         "geo_h3_cell_counts": geo_h3_cell_counts,
         "geo_pip_join": geo_pip_join,
@@ -633,6 +688,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_documents_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "video_frame_plan": """
+            SELECT DISTINCT event_id, n_frames,
+                   CASE WHEN i = m - 1 THEN n_frames - 1
+                        ELSE CAST(trunc(i * ((n_frames - 1.0) / GREATEST(m - 1, 1)))
+                                  AS BIGINT)
+                   END AS frame_index
+            FROM (
+                SELECT event_id, (event_id % 12) + 1 AS n_frames,
+                       LEAST(4, (event_id % 12) + 1) AS m
+                FROM events
+            ), LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i)
+        """,
+        "audio_chunk_plan": """
+            SELECT event_id, n_samples, i AS chunk_index,
+                   i * 80000 AS start_sample,
+                   LEAST((i + 1) * 80000, n_samples) AS end_sample
+            FROM (
+                SELECT event_id, ((event_id * 37) % 200001) + 16000 AS n_samples
+                FROM events
+            ), LATERAL (SELECT unnest(generate_series(
+                    0, CAST(ceil(n_samples / 80000.0) AS BIGINT) - 1)) AS i)
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -41,16 +41,27 @@ def exact_dedup(
     return ds.groupby(key).map_groups(keep_first, batch_format="pandas")
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Deterministic char-k-shingle hash set (crc32 — NOT Python ``hash``,
-    which is process-salted and would differ across Ray workers)."""
-    from zlib import crc32
+_SHINGLE_P = np.uint64(1099511628211)  # FNV prime; wraps mod 2^64
 
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Deterministic char-k-shingle hash set, fully vectorized: a
+    polynomial hash over every k-byte window via numpy sliding windows
+    (NOT Python ``hash``, which is process-salted and would differ
+    across Ray workers; NOT a per-position crc32 loop, which was the
+    measured hot path of the MinHash stages)."""
     t = text.lower().encode("utf-8", "ignore")
     if len(t) <= k:
-        return np.array([crc32(t)], dtype=np.int64)
-    views = {crc32(t[i : i + k]) for i in range(len(t) - k + 1)}
-    return np.fromiter(views, dtype=np.int64)
+        t = t.ljust(1, b"\x00")
+        b = np.frombuffer(t, np.uint8).astype(np.uint64)
+        pows = _SHINGLE_P ** np.arange(len(b) - 1, -1, -1, dtype=np.uint64)
+        return np.unique((b * pows).sum(dtype=np.uint64)).view(np.int64)
+    b = np.frombuffer(t, np.uint8).astype(np.uint64)
+    w = np.lib.stride_tricks.sliding_window_view(b, k)
+    pows = _SHINGLE_P ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (w * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h).view(np.int64)
 
 
 class MinHasher:
@@ -210,6 +221,100 @@ def minhash_lsh_dedup(
         {"doc_id": all_ids, "cluster_id": [find(int(i)) for i in all_ids]}
     )
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> pd.DataFrame:
+    """Standalone n-gram Jaccard near-dup op (SURVEY §2.7 D3 family):
+    MinHash banding surfaces candidate pairs (wide ``bands`` so recall
+    holds down to the lower ``threshold``), then each pair is verified
+    with the EXACT char-k-shingle Jaccard. Returns
+    DataFrame(a, b, jaccard) with a < b, sorted — only shingle-set
+    hashes of candidate docs are recomputed; payloads never shuffle."""
+    rows_per_band = num_perm // bands
+    _state: dict[tuple, MinHasher] = {}
+
+    def sign_and_band(batch: pd.DataFrame) -> pd.DataFrame:
+        key = (num_perm, shingle_k)
+        mh = _state.get(key)
+        if mh is None:
+            mh = _state[key] = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        n = len(batch)
+        sig = np.stack([mh.signature(s) for s in batch["text"].astype(str)])
+        s = sig.reshape(n, bands, rows_per_band)
+        bh = (s * np.arange(1, rows_per_band + 1)).sum(axis=2) % _M61
+        bucket = (bh.astype(np.int64) ^ (np.arange(bands, dtype=np.int64) << 56)).ravel()
+        return pd.DataFrame(
+            {"bucket": bucket, "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands)}
+        )
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b["shard"] = (b["bucket"].to_numpy() % 256).astype(np.int32)
+        return b
+
+    def pairs_sharded(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["bucket", "doc_id"], kind="stable")
+        bk, ids = d["bucket"].to_numpy(), d["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s + a])
+            out_b.append(ids[s + b])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+    cand_pd = (
+        docs.map_batches(sign_and_band, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pairs_sharded, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if not len(cand_pd):
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "jaccard": pd.Series(dtype=np.float64)}
+        )
+    cand_ids = np.union1d(cand_pd["a"].to_numpy(), cand_pd["b"].to_numpy())
+    id_set_ref = ray.put(set(int(x) for x in cand_ids))
+
+    def only_candidates(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        return b[b["doc_id"].isin(cached_get(id_set_ref))]
+
+    cand_texts = docs.map_batches(only_candidates, batch_format="pandas").to_pandas()
+    sets = {
+        int(did): set(_shingles(t, shingle_k).tolist())
+        for did, t in zip(cand_texts["doc_id"], cand_texts["text"].astype(str))
+    }
+    jac = []
+    for a, b in zip(cand_pd["a"], cand_pd["b"]):
+        sa, sb = sets[int(a)], sets[int(b)]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        jac.append(inter / union if union else 1.0)
+    cand_pd = cand_pd.copy()
+    cand_pd["jaccard"] = np.round(jac, 6)
+    out = cand_pd[cand_pd["jaccard"] >= threshold]
+    lo = np.minimum(out["a"].to_numpy(), out["b"].to_numpy())
+    hi = np.maximum(out["a"].to_numpy(), out["b"].to_numpy())
+    out = pd.DataFrame({"a": lo, "b": hi, "jaccard": out["jaccard"].to_numpy()})
+    return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"], ignore_index=True)
 
 
 class SimHasher:

@@ -106,19 +106,59 @@ class FrameSampler:
 
     def __init__(self, frames_per_clip: int = 4):
         self.n = frames_per_clip
+        self._plans: dict[int, np.ndarray] = {}  # n_frames -> frame indices
+
+    def _plan(self, n_frames: int) -> np.ndarray:
+        p = self._plans.get(n_frames)
+        if p is None:
+            p = self._plans[n_frames] = np.unique(
+                np.linspace(
+                    0, max(0, n_frames - 1), min(self.n, max(1, n_frames))
+                ).astype(int)
+            )
+        return p
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, row in batch.iterrows():
-            n_frames = int(row.get("n_frames", 1) or 1)
-            take = np.unique(
-                np.linspace(0, max(0, n_frames - 1), min(self.n, n_frames)).astype(int)
-            )
-            for fi in take:
-                r = row.to_dict()
-                r["frame_index"] = int(fi)
-                rows.append(r)
-        return pd.DataFrame(rows)
+        if "n_frames" in batch.columns:
+            f = batch["n_frames"].fillna(1).astype(np.int64).clip(lower=1).to_numpy()
+        else:
+            f = np.ones(len(batch), dtype=np.int64)
+        plans = [self._plan(int(v)) for v in np.unique(f)]
+        by_val = dict(zip(np.unique(f), plans))
+        counts = np.array([len(by_val[v]) for v in f], dtype=np.int64)
+        out = batch.iloc[np.repeat(np.arange(len(batch)), counts)].reset_index(drop=True)
+        out["frame_index"] = (
+            np.concatenate([by_val[v] for v in f]) if len(f) else
+            np.array([], dtype=np.int64)
+        )
+        return out
+
+
+class AudioChunker:
+    """Audio payloads: emit a deterministic fixed-window chunk plan.
+
+    Metadata ``n_samples``/``sample_rate`` drive the plan (real);
+    decoding PCM from an external container (mp3/ogg/...) is the
+    stubbed step — engine-native payloads pass through as one chunk of
+    raw bytes. Emits one row per ``chunk_seconds`` window with
+    ``chunk_index, start_sample, end_sample``."""
+
+    def __init__(self, chunk_seconds: float = 5.0):
+        self.chunk_seconds = chunk_seconds
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_samples"].astype(np.int64).clip(lower=1).to_numpy()
+        sr = batch["sample_rate"].astype(np.int64).clip(lower=1).to_numpy()
+        win = np.maximum(1, (sr * self.chunk_seconds).astype(np.int64))
+        n_chunks = -(-n // win)  # ceil-div
+        row_ix = np.repeat(np.arange(len(batch)), n_chunks)
+        out = batch.iloc[row_ix].reset_index(drop=True)
+        ci = np.concatenate([np.arange(k) for k in n_chunks]) if len(n_chunks) else \
+            np.array([], dtype=np.int64)
+        out["chunk_index"] = ci
+        out["start_sample"] = ci * win[row_ix]
+        out["end_sample"] = np.minimum((ci + 1) * win[row_ix], n[row_ix])
+        return out
 
 
 def image_features(ds: ray.data.Dataset, *, batch_size: int = 512,

@@ -1,0 +1,106 @@
+"""Unit tests for the n-gram Jaccard pair op and the multimodal
+frame-sample / audio-chunk plan stages (SURVEY §2.7 D3, multimodal
+mandate: plumbing real, external decode stubbed)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------- ngram jaccard
+
+def test_ngram_jaccard_pairs_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.ops import dedup
+
+    rng = np.random.default_rng(42)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+    texts = [
+        " ".join(rng.choice(words, 30)) for _ in range(40)
+    ]
+    # plant near-dups: copies with a short mutated tail
+    for i in range(5):
+        texts.append(texts[i] + " zulu tail")
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = dedup.ngram_jaccard_pairs(
+        rd.from_pandas(docs), threshold=0.5, bands=32, num_perm=64
+    )
+    # brute-force oracle: exact jaccard over all pairs
+    want = []
+    for (ia, ta), (ib, tb) in itertools.combinations(
+        zip(docs["doc_id"], docs["text"]), 2
+    ):
+        j = dedup.ngram_jaccard(ta, tb, k=5)
+        if j >= 0.5:
+            want.append((min(ia, ib), max(ia, ib), round(j, 6)))
+    want_set = {(a, b) for a, b, _ in want}
+    got_set = set(zip(got["a"], got["b"]))
+    # every planted pair (jaccard >> threshold) must be found; LSH may
+    # miss borderline pairs but all true pairs here are well above 0.5
+    assert got_set == want_set
+    want_j = {(a, b): j for a, b, j in want}
+    for a, b, j in zip(got["a"], got["b"], got["jaccard"]):
+        assert abs(j - want_j[(a, b)]) < 1e-9
+
+
+# ---------------------------------------------------------------- frame sampler
+
+def test_frame_sampler_plan_matches_linspace():
+    from engine.ops.multimodal import FrameSampler
+
+    fs = FrameSampler(frames_per_clip=4)
+    batch = pd.DataFrame({"clip_id": np.arange(1, 15), "n_frames": np.arange(1, 15)})
+    out = fs(batch)
+    for f in range(1, 15):
+        got = out[out["n_frames"] == f]["frame_index"].tolist()
+        want = np.unique(
+            np.linspace(0, max(0, f - 1), min(4, f)).astype(int)
+        ).tolist()
+        assert got == want, (f, got, want)
+    # rows carry through all metadata columns
+    assert set(out.columns) == {"clip_id", "n_frames", "frame_index"}
+
+
+def test_frame_sampler_defaults_missing_column_to_one_frame():
+    from engine.ops.multimodal import FrameSampler
+
+    out = FrameSampler(4)(pd.DataFrame({"clip_id": [1, 2]}))
+    assert out["frame_index"].tolist() == [0, 0]
+
+
+# ---------------------------------------------------------------- audio chunker
+
+def test_audio_chunker_windows_cover_exactly():
+    from engine.ops.multimodal import AudioChunker
+
+    ch = AudioChunker(chunk_seconds=5.0)
+    batch = pd.DataFrame(
+        {
+            "audio_id": [1, 2, 3],
+            "n_samples": [80000, 80001, 1],  # exact fit / one over / tiny
+            "sample_rate": [16000, 16000, 16000],
+        }
+    )
+    out = ch(batch)
+    assert out[out["audio_id"] == 1]["chunk_index"].tolist() == [0]
+    assert out[out["audio_id"] == 2]["chunk_index"].tolist() == [0, 1]
+    assert out[out["audio_id"] == 3]["end_sample"].tolist() == [1]
+    # windows tile [0, n_samples) without gap or overlap
+    for aid, g in out.groupby("audio_id"):
+        g = g.sort_values("chunk_index")
+        n = batch[batch["audio_id"] == aid]["n_samples"].iloc[0]
+        assert g["start_sample"].iloc[0] == 0
+        assert g["end_sample"].iloc[-1] == n
+        assert (g["start_sample"].to_numpy()[1:] == g["end_sample"].to_numpy()[:-1]).all()
+
+
+def test_external_codec_decode_is_stubbed():
+    from engine.ops import multimodal
+
+    with pytest.raises(NotImplementedError, match="external codec"):
+        multimodal._decode_or_raise(b"\x00", "jpeg")
