@@ -483,6 +483,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
         return geo_ops.admin_rollup(j, fixtures.polygons())
 
+    def geo_article_match(sf_dir: str):
+        # J2 tag-equality join: canonical caption == article title
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        return geo_ops.article_match(idx, fixtures.articles(_GEO_N))
+
+    def geo_articles_untagged(sf_dir: str):
+        # J3 anti side: the reference's "articles still to tag" list
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        return geo_ops.articles_untagged(idx, fixtures.articles(_GEO_N))
+
+    def geo_area_tag_stats(sf_dir: str):
+        # A2: per-admin-area located/tagged counts + percentage
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
+        return geo_ops.area_tag_stats(j, fixtures.articles(_GEO_N))
+
     def geo_phash_near_dups(sf_dir: str):
         from engine.io import read_images
 
@@ -554,6 +570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
         "geo_admin_rollup": geo_admin_rollup,
+        "geo_article_match": geo_article_match,
+        "geo_articles_untagged": geo_articles_untagged,
+        "geo_area_tag_stats": geo_area_tag_stats,
         "geo_phash_near_dups": geo_phash_near_dups,
         "geo_dedup_phash": geo_dedup_phash,
         "image_features": image_features,

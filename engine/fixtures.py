@@ -316,3 +316,33 @@ def polygons(seed: int = SEED, n_regions: int = 4, provinces: int = 3, munis: in
         "ring_lat": rings_y,
         "holes": holes,
     }
+
+
+# ------------------------------------------------------------------ articles
+
+def articles(n_images: int = 1500, extra: int = 200) -> "pd.DataFrame":
+    """Deterministic Wikipedia-article-list analog (SURVEY.md §0.2, S3).
+
+    Canonical titles of every 3rd image caption (these MATCH after
+    canonicalization even when the image side is denormalized) plus
+    ``extra`` titles that match no image (the reference's "articles
+    still to tag"). Columns: article_id, title_canon, theme."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from engine.pipeline.ingest import canonicalize_captions
+
+    i = np.arange(0, n_images, 3, dtype=np.int64)
+    caps = pa.array(row_caption(i), pa.string())
+    canon = canonicalize_captions(caps).to_pylist()
+    missing = [
+        f"{_LANGS[k % 3]}:Unmatched article {k}" for k in range(extra)
+    ]
+    titles = canon + missing
+    df = pd.DataFrame({"title_canon": titles})
+    df = df.drop_duplicates("title_canon", ignore_index=True)
+    df["article_id"] = [f"A{k:06d}" for k in range(len(df))]
+    df["theme"] = [
+        ("monuments", "nature", "transport")[k % 3] for k in range(len(df))
+    ]
+    return df[["article_id", "title_canon", "theme"]]

@@ -67,6 +67,7 @@ class CellIndex:
         order = np.argsort(cells, kind="stable")
         self.sorted_cells = cells[order]
         self.sorted_rows = order.astype(np.int64)
+        self.xyz = lonlat_to_xyz(self.lon, self.lat)  # chord-topk prefilter
 
     def rows_in_cells(self, cells: np.ndarray) -> np.ndarray:
         """Candidate row indices for a set of cell ids (sorted, unique rows)."""
@@ -161,6 +162,86 @@ def knn_ring_expand(
         nn[q_rows[:, None], np.arange(kk)[None, :]] = rows_sel
         nd[q_rows[:, None], np.arange(kk)[None, :]] = dist_sel
     return nn, nd
+
+
+def lonlat_to_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Unit-sphere 3D coordinates, (n, 3)."""
+    lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    cp = np.cos(phi)
+    return np.stack([cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)], axis=1)
+
+
+_CHORD_CHUNK_ENTRIES = 16_000_000  # cap on the (queries x candidates) score block
+
+
+def knn_chord_topk(
+    c_lon: np.ndarray,
+    c_lat: np.ndarray,
+    q_lon: np.ndarray,
+    q_lat: np.ndarray,
+    k: int,
+    *,
+    c_xyz: np.ndarray | None = None,
+    exclude_self_rows: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k via chord-distance prefilter: one (queries x cands)
+    dot-product matmul ranks by great-circle distance (chord length is
+    strictly monotone in central angle), then exact haversine re-ranks
+    only the selected k+pad per query. ~20x the trig-everywhere brute
+    force; identical results incl. the (distance, candidate row)
+    tie-break — queries whose tie group straddles the prefilter
+    boundary (regular grids) fall back to the full per-query sort.
+    Queries are chunked so the score block stays under ~128MB.
+    """
+    c_lon = np.asarray(c_lon, dtype=np.float64)
+    c_lat = np.asarray(c_lat, dtype=np.float64)
+    q_lon = np.asarray(q_lon, dtype=np.float64)
+    q_lat = np.asarray(q_lat, dtype=np.float64)
+    m, n = len(c_lon), len(q_lon)
+    kk = min(k, m)
+    out_rows = np.full((n, k), -1, dtype=np.int64)
+    out_dist = np.full((n, k), np.inf)
+    if m == 0 or n == 0:
+        return out_rows, out_dist
+    if c_xyz is None:
+        c_xyz = lonlat_to_xyz(c_lon, c_lat)
+    pad = min(kk + 8, m)
+    chunk = max(1, _CHORD_CHUNK_ENTRIES // m)
+    excl = None if exclude_self_rows is None else np.asarray(exclude_self_rows)
+    for a in range(0, n, chunk):
+        b = min(a + chunk, n)
+        q_xyz = lonlat_to_xyz(q_lon[a:b], q_lat[a:b])
+        dots = q_xyz @ c_xyz.T
+        if excl is not None:
+            cols = np.arange(m)
+            dots[cols[None, :] == excl[a:b][:, None]] = -np.inf
+        if pad < m:
+            sel = np.argpartition(-dots, pad - 1, axis=1)[:, :pad]
+        else:
+            sel = np.broadcast_to(np.arange(m), (b - a, m)).copy()
+        # tie safety: if candidates tied with the chunk's selection
+        # minimum spill past the prefilter, sort those queries fully
+        minsel = np.take_along_axis(dots, sel, axis=1).min(axis=1)
+        spill = (dots >= minsel[:, None]).sum(axis=1) > pad
+        sel = np.sort(sel, axis=1)  # ascending row => stable row tie-break
+        d = haversine_m(q_lon[a:b, None], q_lat[a:b, None], c_lon[sel], c_lat[sel])
+        if excl is not None:
+            d[sel == excl[a:b][:, None]] = np.inf
+        part = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        rows = np.take_along_axis(sel, part, axis=1).astype(np.int64)
+        dist = np.take_along_axis(d, part, axis=1)
+        if spill.any():
+            qi = np.flatnonzero(spill)
+            fr, fd = knn_brute_force(
+                c_lon, c_lat, q_lon[a:b][qi], q_lat[a:b][qi], kk,
+                exclude_self_rows=None if excl is None else excl[a:b][qi],
+            )
+            rows[qi], dist[qi] = fr[:, :kk], fd[:, :kk]
+        rows[dist == np.inf] = -1
+        out_rows[a:b, :kk] = rows
+        out_dist[a:b, :kk] = dist
+    return out_rows, out_dist
 
 
 def knn_brute_force(

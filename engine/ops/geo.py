@@ -92,7 +92,7 @@ def self_knn_halo(
         c_lon, c_lat, c_ids = c_lon[order], c_lat[order], c_ids[order]
         q_ids = own["image_id"].to_numpy()
         self_rows = np.searchsorted(c_ids, q_ids)
-        nn, nd = knn_mod.knn_brute_force(
+        nn, nd = knn_mod.knn_chord_topk(
             c_lon, c_lat, own["lon"].to_numpy(), own["lat"].to_numpy(),
             k, exclude_self_rows=self_rows,
         )
@@ -189,3 +189,99 @@ def admin_rollup(joined: ray.data.Dataset, poly: dict) -> pd.DataFrame:
     return table[["admin_id", "level", "own_count", "subtree_count"]].sort_values(
         "admin_id", ignore_index=True
     )
+
+
+# ------------------------------------------------------------- article match
+
+def article_match(
+    indexed: ray.data.Dataset, articles: pd.DataFrame
+) -> ray.data.Dataset:
+    """Tag-equality join (SURVEY J2): canonicalized caption == canonical
+    article title. The article side (reference: per-theme category
+    lists) is small relative to the image table, so it is ``ray.put``
+    once as a dict and every batch does a vectorized map lookup — no
+    shuffle of the image side. Emits one row per matched image:
+    (image_id, article_id, caption_canon, theme)."""
+    import ray
+
+    from engine.state import cached_get
+
+    lut_ref = ray.put(
+        dict(zip(articles["title_canon"], articles["article_id"]))
+    )
+    theme_ref = ray.put(dict(zip(articles["article_id"], articles["theme"])))
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        lut = cached_get(lut_ref)
+        themes = cached_get(theme_ref)
+        aid = b["caption_canon"].map(lut)
+        m = aid.notna()
+        out = b.loc[m, ["image_id", "caption_canon"]].copy()
+        out["article_id"] = aid[m]
+        out["theme"] = out["article_id"].map(themes)
+        return out[["image_id", "article_id", "caption_canon", "theme"]]
+
+    return indexed.map_batches(f, batch_format="pandas")
+
+
+def articles_untagged(
+    indexed: ray.data.Dataset, articles: pd.DataFrame
+) -> pd.DataFrame:
+    """Anti-join side of the match (SURVEY J3): articles with NO image
+    whose canonical caption equals the title — the reference's "still
+    to tag" suggestion lists. The distinct canonical-caption set is
+    aggregated distributedly (shuffles only the canon column); the
+    anti filter runs driver-side on the small article table."""
+    seen = set(
+        indexed.select_columns(["caption_canon"])
+        .unique("caption_canon")
+    )
+    out = articles[~articles["title_canon"].isin(seen)]
+    return out.sort_values("article_id", ignore_index=True)
+
+
+def area_tag_stats(
+    joined: ray.data.Dataset, articles: pd.DataFrame
+) -> pd.DataFrame:
+    """Per-area tagging stats (SURVEY A2): for each admin area, how many
+    located images exist, how many match an article, and the match
+    percentage — the reference's per-area progress numbers. One
+    distributed groupby over (admin_id, matched) partial counts."""
+    import ray
+
+    from engine.state import cached_get
+
+    title_ref = ray.put(set(articles["title_canon"]))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        titles = cached_get(title_ref)
+        out = b[["admin_id"]].copy()
+        out["matched"] = b["caption_canon"].isin(titles)
+        return out
+
+    from engine.ops import relational
+
+    counts = relational.partial_groupby_sum(
+        joined.map_batches(flag, batch_format="pandas"),
+        ["admin_id", "matched"], {}, count_as="n",
+    ).to_pandas()
+    pv = counts.pivot_table(
+        index="admin_id", columns="matched", values="n",
+        aggfunc="sum", fill_value=0,
+    )
+    n_tagged = pv[True] if True in pv.columns else 0
+    n_images = pv.sum(axis=1)
+    out = pd.DataFrame(
+        {
+            "admin_id": pv.index,
+            "n_images": n_images.to_numpy(dtype=np.int64),
+            "n_tagged": (
+                n_tagged.to_numpy(dtype=np.int64)
+                if hasattr(n_tagged, "to_numpy") else np.zeros(len(pv), np.int64)
+            ),
+        }
+    )
+    out["pct_tagged"] = np.round(
+        100.0 * out["n_tagged"] / np.maximum(out["n_images"], 1), 4
+    )
+    return out.sort_values("admin_id", ignore_index=True)

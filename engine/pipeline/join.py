@@ -143,15 +143,17 @@ def _build_knn_state(cand: dict, k: int, res: int | None):
     )
 
 
-BRUTE_FORCE_CANDIDATES = 1024  # below this, one matmul beats ring walks
+CHORD_MAX_CANDIDATES = 65536  # above this, ring walks beat the matmul
 
 
 def _knn_batch(cand_ids, index, k: int, batch: pa.Table) -> pa.Table:
     lon = np.asarray(batch["lon"], dtype=np.float64)
     lat = np.asarray(batch["lat"], dtype=np.float64)
-    if len(index.lon) <= BRUTE_FORCE_CANDIDATES:
+    if len(index.lon) <= CHORD_MAX_CANDIDATES:
         # exact + same (distance, row) tie-break as ring expansion
-        nn, nd = knn_mod.knn_brute_force(index.lon, index.lat, lon, lat, k=k)
+        nn, nd = knn_mod.knn_chord_topk(
+            index.lon, index.lat, lon, lat, k=k, c_xyz=index.xyz
+        )
     else:
         nn, nd = knn_mod.knn_ring_expand(index, lon, lat, k=k)
     n, kk = nn.shape

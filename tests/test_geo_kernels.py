@@ -225,6 +225,43 @@ def test_knn_self_exclusion():
     assert np.array_equal(nn, bn)
 
 
+@pytest.mark.parametrize("k", [1, 5, 10])
+def test_knn_chord_topk_matches_bruteforce(k):
+    rng = np.random.default_rng(11)
+    clon = rng.uniform(-12, 12, 3000)
+    clat = rng.uniform(35, 47, 3000)
+    qlon = rng.uniform(-12, 12, 400)
+    qlat = rng.uniform(35, 47, 400)
+    nn, nd = knn.knn_chord_topk(clon, clat, qlon, qlat, k=k)
+    bn, bd = knn.knn_brute_force(clon, clat, qlon, qlat, k=k)
+    assert np.array_equal(nn, bn)
+    assert np.allclose(nd, bd)
+
+
+def test_knn_chord_topk_grid_ties_and_self_exclusion():
+    # regular grid: massive exact-distance ties — exercises the
+    # spill-to-full-sort fallback; parity must still be exact
+    gx, gy = np.meshgrid(np.arange(25) * 0.01, np.arange(25) * 0.01)
+    clon, clat = gx.ravel(), gy.ravel() + 40.0
+    rows = np.arange(len(clon))
+    nn, nd = knn.knn_chord_topk(
+        clon, clat, clon, clat, k=8, exclude_self_rows=rows
+    )
+    bn, bd = knn.knn_brute_force(
+        clon, clat, clon, clat, k=8, exclude_self_rows=rows
+    )
+    assert np.array_equal(nn, bn)
+    assert np.allclose(nd, bd)
+    assert not np.any(nn == rows[:, None])
+
+
+def test_knn_chord_topk_more_k_than_candidates():
+    clon = np.array([0.0, 1.0]); clat = np.array([40.0, 40.0])
+    nn, nd = knn.knn_chord_topk(clon, clat, np.array([0.1]), np.array([40.0]), k=5)
+    assert nn.shape == (1, 5)
+    assert nn[0, :2].tolist() == [0, 1] and (nn[0, 2:] == -1).all()
+
+
 def test_knn_clustered_skewed_candidates():
     # hot cluster: 90% of candidates inside one tiny disc (skew shape)
     rng = np.random.default_rng(8)
