@@ -283,6 +283,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_value"] = out["sum_value"].round(4)
         return out
 
+    def events_asof_purchase(sf_dir: str):
+        # as-of join (custom operator, SURVEY §2.9a): each click joined
+        # to the user's latest purchase at-or-before it
+        ev = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+        clicks = ev.filter(expr="event_type == 'click'").select_columns(
+            ["event_id", "user_id", "ts"]
+        )
+        purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+            ["event_id", "user_id", "ts", "value"]
+        )
+        out = relational.asof_join_grouped(
+            clicks, purchases, by="user_id", on="ts",
+            right_value_cols={"event_id": "purchase_event_id",
+                              "value": "purchase_value"},
+            left_cols=["event_id", "user_id", "ts"],
+            right_tie_cols=["event_id"],
+        ).to_pandas()
+        out["purchase_value"] = out["purchase_value"].round(4)
+        return out
+
+    def quantity_range_buckets(sf_dir: str):
+        # range join (broadcast interval table, no shuffle of lineitem)
+        li = sf_table(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        ranges = pd.DataFrame(
+            {"lo": [1.0, 11.0, 21.0, 31.0], "hi": [11.0, 21.0, 31.0, 51.0],
+             "bucket": ["q1", "q2", "q3", "q4"]}
+        )
+        joined = relational.range_join_broadcast(li, ranges, "l_quantity")
+        out = relational.partial_groupby_sum(
+            joined, ["bucket"], {"l_extendedprice": "sum_price"}, count_as="n"
+        ).to_pandas()
+        out["sum_price"] = out["sum_price"].round(4)
+        return out
+
+    def top3_orders_per_customer(sf_dir: str):
+        ds = sf_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        out = relational.grouped_topk(
+            ds, "o_custkey", "o_totalprice", 3, tie_col="o_orderkey", rank_as="rank"
+        )
+        return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice", "rank"])
+
+    def latest_event_per_user(sf_dir: str):
+        ev = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        out = relational.argmax_per_group(ev, "user_id", "ts", "event_id").to_pandas()
+        out["value"] = out["value"].round(4)
+        return out[["user_id", "event_id", "ts", "value"]]
+
+    def acctbal_quantiles_by_segment(sf_dir: str):
+        cust = sf_table(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+        out = relational.grouped_quantile_disc(
+            cust, ["c_mktsegment"], "c_acctbal",
+            {0.25: "q25", 0.5: "q50", 0.75: "q75"},
+        ).to_pandas()
+        for c in ("q25", "q50", "q75"):
+            out[c] = out[c].round(4)
+        return out
+
+    def rolling_avg_user_value(sf_dir: str):
+        ev = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        out = relational.rolling_mean(
+            ev, "user_id", ["ts", "event_id"], "value", window=3, out="rolling_avg"
+        ).to_pandas()
+        out["rolling_avg"] = out["rolling_avg"].round(4)
+        return out[["event_id", "user_id", "rolling_avg"]]
+
+    def stratified_sample_customers(sf_dir: str):
+        cust = sf_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+        return relational.stratified_sample(cust, "c_mktsegment", "c_custkey", 0.125)
+
     def docs_token_stats(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
         ds = ds.map_batches(text.token_count_batch, batch_format="pandas")
@@ -548,6 +617,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalar_string_funcs": scalar_string_funcs,
         "sample_customers": sample_customers,
         "events_hourly_window": events_hourly_window,
+        "events_asof_purchase": events_asof_purchase,
+        "quantity_range_buckets": quantity_range_buckets,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "latest_event_per_user": latest_event_per_user,
+        "acctbal_quantiles_by_segment": acctbal_quantiles_by_segment,
+        "rolling_avg_user_value": rolling_avg_user_value,
+        "stratified_sample_customers": stratified_sample_customers,
         "docs_token_stats": docs_token_stats,
         "docs_quality": docs_quality,
         "dedup_documents_exact": dedup_documents_exact,
@@ -685,6 +761,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof_purchase": """
+            WITH pur AS (
+                SELECT user_id, ts, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ), p AS (SELECT user_id, ts, event_id, value FROM pur WHERE rn = 1),
+            c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.event_id AS purchase_event_id,
+                   ROUND(p.value, 4) AS purchase_value
+            FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "quantity_range_buckets": """
+            SELECT bucket, ROUND(SUM(l_extendedprice), 4) AS sum_price,
+                   COUNT(*) AS n
+            FROM lineitem
+            JOIN (VALUES (1.0, 11.0, 'q1'), (11.0, 21.0, 'q2'),
+                         (21.0, 31.0, 'q3'), (31.0, 51.0, 'q4'))
+                 r(lo, hi, bucket)
+              ON l_quantity >= lo AND l_quantity < hi
+            GROUP BY bucket
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, ROUND(value, 4) AS value
+            FROM (
+                SELECT user_id, event_id, ts, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "acctbal_quantiles_by_segment": """
+            SELECT c_mktsegment,
+                   ROUND(quantile_disc(c_acctbal, 0.25), 4) AS q25,
+                   ROUND(quantile_disc(c_acctbal, 0.5), 4) AS q50,
+                   ROUND(quantile_disc(c_acctbal, 0.75), 4) AS q75
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "rolling_avg_user_value": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS rolling_avg
+            FROM events
+        """,
+        "stratified_sample_customers": """
+            SELECT c_custkey, c_name, c_mktsegment FROM (
+                SELECT c_custkey, c_name, c_mktsegment,
+                       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                           ORDER BY (c_custkey * 2654435761) % 4294967296,
+                                    c_custkey) AS rn,
+                       COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+                FROM customer
+            ) WHERE rn <= CEIL(n * 0.125)
         """,
         "docs_token_stats": """
             SELECT lang,

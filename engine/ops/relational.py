@@ -155,6 +155,241 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     )
 
 
+def asof_join_grouped(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    right_value_cols: dict[str, str],
+    left_cols: list[str],
+    right_tie_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the latest right row of the same
+    ``by`` key with ``right.on <= left.on`` (exact matches allowed);
+    left rows with no earlier right row are dropped (inner semantics).
+
+    Ray Data has no native as-of join; this is the SURVEY.md §2.9
+    "custom operator" composition (a): tag each side, union, ONE hash
+    shuffle on ``by``, then a per-group sorted ``pd.merge_asof``. Both
+    sides may be large — nothing is broadcast. Partitioning assumption:
+    all rows of one ``by`` key fit in one group (true for per-user /
+    per-entity timelines; salt the key upstream if a single entity's
+    history exceeds a worker's heap).
+
+    ``right_value_cols``: {right_col: output_name} carried from the
+    matched right row (output names must not collide with left_cols).
+    Right-side ties on ``on`` are broken deterministically: the kept
+    row is the one sorting LAST by ``[on] + right_tie_cols`` — i.e.
+    the max of the tie columns, which oracle SQL expresses as a
+    row_number-DESC dedupe per (by, on).
+    """
+    tie = right_tie_cols or []
+    src_cols = list(right_value_cols)
+    all_cols = list(dict.fromkeys(left_cols + [by, on] + src_cols + tie))
+
+    def tag(side: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = np.nan
+            b["__side"] = side
+            return b[all_cols + ["__side"]]
+        return f
+
+    l_t = left.map_batches(tag("l"), batch_format="pandas")
+    r_t = right.map_batches(tag("r"), batch_format="pandas")
+    both = l_t.union(r_t)
+    out_cols = left_cols + list(right_value_cols.values())
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"]
+        rg = g[g["__side"] == "r"]
+        int_outs = [right_value_cols[c] for c in src_cols
+                    if np.issubdtype(g[c].dtype, np.integer)]
+        if len(lg) == 0 or len(rg) == 0:
+            empty = {c: pd.Series(dtype=g[c].dtype) for c in left_cols}
+            for c in src_cols:
+                empty[right_value_cols[c]] = pd.Series(dtype=g[c].dtype)
+            return pd.DataFrame(empty)
+        lg = lg.sort_values(on, kind="stable")
+        rg = rg.sort_values([on] + tie, kind="stable")
+        merged = pd.merge_asof(
+            lg[left_cols + ([on] if on not in left_cols else [])],
+            rg[[on] + src_cols].rename(columns=right_value_cols),
+            on=on, direction="backward", allow_exact_matches=True,
+        )
+        merged = merged.dropna(subset=list(right_value_cols.values()))
+        for c in int_outs:  # NaN-padding floated them; restore
+            merged[c] = merged[c].astype(np.int64)
+        return merged[out_cols]
+
+    return both.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
+def range_join_broadcast(
+    ds: ray.data.Dataset,
+    ranges_df: pd.DataFrame,
+    col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> ray.data.Dataset:
+    """Join each row to the (single) range with ``lo <= col < hi``.
+
+    Ranges must be non-overlapping and sorted-able by ``lo`` (verified
+    at build time); they are broadcast once via ``ray.put`` and probed
+    with one vectorized ``np.searchsorted`` per batch — no shuffle of
+    the big side. Rows matching no range are dropped (inner semantics).
+    """
+    r = ranges_df.sort_values(lo_col, ignore_index=True)
+    lo = r[lo_col].to_numpy()
+    hi = r[hi_col].to_numpy()
+    if not (hi[:-1] <= lo[1:]).all() or not (lo < hi).all():
+        raise ValueError("ranges must be non-overlapping with lo < hi")
+    ref = ray.put((lo, hi, r))
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_, rdf = ray.get(ref)
+        v = batch[col].to_numpy()
+        ix = np.searchsorted(lo_, v, side="right") - 1
+        ok = (ix >= 0) & (v < hi_[np.clip(ix, 0, len(hi_) - 1)])
+        out = batch[ok].reset_index(drop=True)
+        picked = rdf.iloc[ix[ok]].reset_index(drop=True)
+        return pd.concat([out, picked], axis=1)
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    group_key: str,
+    col: str,
+    k: int,
+    tie_col: str,
+    rank_as: str | None = "rank",
+) -> ray.data.Dataset:
+    """Top-k rows per group by (col DESC, tie_col ASC), with 1-based
+    rank. Per-batch combiner keeps only k rows per key per batch, so
+    the shuffle moves at most k * n_batches rows per key."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values([col, tie_col], ascending=[False, True], kind="stable")
+        return b.groupby(group_key, sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([col, tie_col], ascending=[False, True],
+                          kind="stable").head(k)
+        if rank_as:
+            g = g.copy()
+            g[rank_as] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    return partials.groupby(group_key).map_groups(final, batch_format="pandas")
+
+
+def argmax_per_group(
+    ds: ray.data.Dataset, group_key: str, col: str, tie_col: str
+) -> ray.data.Dataset:
+    """The single best row per group by (col DESC, tie_col DESC) — the
+    reference's "latest run / newest entry per area" lookup. Same
+    combiner discipline as grouped_topk with k=1."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values([col, tie_col], ascending=False, kind="stable")
+        return b.groupby(group_key, sort=False).head(1)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([col, tie_col], ascending=False,
+                             kind="stable").head(1)
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    return partials.groupby(group_key).map_groups(final, batch_format="pandas")
+
+
+def grouped_quantile_disc(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    qs: dict[float, str],
+) -> ray.data.Dataset:
+    """Exact discrete quantiles per group: the value at sorted index
+    ``ceil(q*n) - 1`` (DuckDB ``quantile_disc`` semantics, verified
+    empirically against duckdb 1.0).
+
+    One shuffle on ``keys``; each group's values are sorted locally in
+    ``map_groups``. Partitioning assumption: one group's values fit in
+    one worker (true for low-cardinality group keys; for a 100 TB
+    high-cardinality case, pre-aggregate to per-(key, value) counts
+    first and walk the CDF — that variant is ``partial_groupby_sum`` +
+    this over the counts)."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy())
+        n = len(v)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for q, name in qs.items():
+            row[name] = [float(v[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)])]
+        return pd.DataFrame(row)
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        f, batch_format="pandas"
+    )
+
+
+def rolling_mean(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    col: str,
+    window: int,
+    out: str = "rolling_mean",
+) -> ray.data.Dataset:
+    """Per-group moving average over the current + preceding
+    ``window-1`` rows in ``order_cols`` order (SQL ``ROWS BETWEEN n
+    PRECEDING AND CURRENT ROW``). One shuffle on the group key.
+
+    The window sum is built oldest-term-first with explicit shifts (not
+    pandas' sliding accumulator) so float summation order matches a SQL
+    engine's frame-order sum bit-for-bit — required for the rounded
+    oracle comparison."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable").copy()
+        v = g[col].to_numpy(dtype=np.float64)
+        n = len(v)
+        acc = np.zeros(n)
+        for sh in range(window - 1, -1, -1):  # oldest frame row first
+            if sh < n:
+                acc[sh:] += v[: n - sh]
+        cnt = np.minimum(np.arange(1, n + 1), window)
+        g[out] = acc / cnt
+        return g
+
+    return ds.groupby(group_key).map_groups(f, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    strata: str,
+    key_col: str,
+    frac: float,
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: within each stratum, rows are
+    ordered by a Knuth multiplicative hash of the key and the first
+    ``ceil(n * frac)`` are kept — every stratum is represented at the
+    target rate regardless of skew (unlike a global hash filter).
+    One shuffle on the stratum key; reproducible with no RNG state."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g[key_col].to_numpy(dtype=np.int64) * 2654435761) % 4294967296
+        g = g.assign(__h=h).sort_values(["__h", key_col], kind="stable")
+        take = int(np.ceil(len(g) * frac))
+        return g.head(take).drop(columns="__h")
+
+    return ds.groupby(strata).map_groups(f, batch_format="pandas")
+
+
 def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
