@@ -352,6 +352,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = sf_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
         return relational.stratified_sample(cust, "c_mktsegment", "c_custkey", 0.125)
 
+    def events_pivot_by_user(sf_dir: str):
+        # pivot: event_type categories -> count columns per user
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type"])
+        cats = ["click", "view", "purchase", "signup", "error"]
+        return relational.pivot_counts(ev, "user_id", "event_type", cats)
+
+    def qty_price_corr_by_flag(sf_dir: str):
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_returnflag", "l_quantity", "l_extendedprice"])
+        out = relational.grouped_corr(
+            li, "l_returnflag", "l_quantity", "l_extendedprice", out="corr_qp"
+        )
+        out["corr_qp"] = out["corr_qp"].round(4)
+        return out
+
     def docs_token_stats(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
         ds = ds.map_batches(text.token_count_batch, batch_format="pandas")
@@ -624,6 +639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctbal_quantiles_by_segment": acctbal_quantiles_by_segment,
         "rolling_avg_user_value": rolling_avg_user_value,
         "stratified_sample_customers": stratified_sample_customers,
+        "events_pivot_by_user": events_pivot_by_user,
+        "qty_price_corr_by_flag": qty_price_corr_by_flag,
         "docs_token_stats": docs_token_stats,
         "docs_quality": docs_quality,
         "dedup_documents_exact": dedup_documents_exact,
@@ -819,6 +836,20 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
                        AS rolling_avg
             FROM events
+        """,
+        "events_pivot_by_user": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "qty_price_corr_by_flag": """
+            SELECT l_returnflag,
+                   ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_qp
+            FROM lineitem GROUP BY l_returnflag
         """,
         "stratified_sample_customers": """
             SELECT c_custkey, c_name, c_mktsegment FROM (

@@ -390,6 +390,79 @@ def stratified_sample(
     return ds.groupby(strata).map_groups(f, batch_format="pandas")
 
 
+def pivot_counts(
+    ds: ray.data.Dataset,
+    group_key: str,
+    pivot_col: str,
+    categories: list[str],
+    prefix: str = "n_",
+) -> ray.data.Dataset:
+    """Pivot ``pivot_col`` categories into count columns per group —
+    the reference's per-area/per-theme wide report tables. Vectorized:
+    each batch emits one indicator-sum row per key (combiner), the
+    final groupby sums partials. ``categories`` must be the known
+    closed set (pass the result of ``distinct`` for open sets)."""
+
+    out_cols = {c: f"{prefix}{c}" for c in categories}
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        d = {group_key: b[group_key]}
+        pv = b[pivot_col].to_numpy()
+        for c, name in out_cols.items():
+            d[name] = (pv == c).astype(np.int64)
+        return pd.DataFrame(d).groupby(group_key, as_index=False, sort=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    return partials.groupby(group_key).aggregate(
+        *[Sum(name, alias_name=name) for name in out_cols.values()]
+    )
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    group_key: str,
+    x: str,
+    y: str,
+    out: str = "corr",
+) -> pd.DataFrame:
+    """Pearson correlation of (x, y) per group, two-pass distributed:
+    pass 1 aggregates per-group means (tiny shuffle of partial sums);
+    pass 2 broadcasts the means and sums centered products per batch —
+    numerically stable (no catastrophic cancellation of raw-moment
+    formulas) and never materializes the input."""
+    sums = partial_groupby_sum(
+        ds, [group_key], {x: "__sx", y: "__sy"}, count_as="__n"
+    ).to_pandas()
+    mdf = pd.DataFrame(
+        {group_key: sums[group_key],
+         "__mx": sums["__sx"] / sums["__n"],
+         "__my": sums["__sy"] / sums["__n"]}
+    )
+    ref = ray.put(mdf)
+
+    def centered(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.merge(ray.get(ref), on=group_key)
+        dx = b[x].to_numpy() - b["__mx"].to_numpy()
+        dy = b[y].to_numpy() - b["__my"].to_numpy()
+        return pd.DataFrame(
+            {group_key: b[group_key], "__sxy": dx * dy,
+             "__sxx": dx * dx, "__syy": dy * dy}
+        ).groupby(group_key, as_index=False, sort=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(centered, batch_format="pandas")
+    tot = parts.groupby(group_key).aggregate(
+        Sum("__sxy", alias_name="__sxy"),
+        Sum("__sxx", alias_name="__sxx"),
+        Sum("__syy", alias_name="__syy"),
+    ).to_pandas()
+    tot[out] = tot["__sxy"] / np.sqrt(tot["__sxx"] * tot["__syy"])
+    return tot[[group_key, out]]
+
+
 def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
