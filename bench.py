@@ -94,6 +94,34 @@ def ensure_fixture(n: int, px_scale: int = 1) -> str:
     return d
 
 
+def _ramp_warmup(cpus: int, seconds: float = 2.0) -> None:
+    """Force-spawn the full worker pool AND ramp each worker's CPU.
+
+    Two effects: (1) Ray spawns workers gradually — without this the
+    first executions run at a fraction of the CPU budget (measured
+    100s -> 43s across identical executions); (2) the sandbox throttles
+    each process's first seconds of heavy compute (measured: identical
+    matmul+argpartition 1.33s -> 0.40s -> 0.08s across calls in a fresh
+    process) — real numpy work, not a sleep-spin, ramps the quota/BLAS
+    so the timed run doesn't absorb a 10-20x first-task penalty."""
+    import numpy as _np
+    import ray.data
+
+    def _spin(batch):
+        a = _np.ones((4000, 3))
+        b = _np.ones((1121, 3))
+        t_end = time.perf_counter() + seconds
+        while time.perf_counter() < t_end:
+            d = a @ b.T
+            _np.argpartition(-d, 12, axis=1)
+            _np.sin(d[:64])
+        return batch
+
+    ray.data.range(cpus * 2, override_num_blocks=cpus * 2).map_batches(
+        _spin, batch_size=1
+    ).materialize()
+
+
 def run_flagship_bench(
     n: int, cpus: int, target_partitions: int = 0, px_scale: int = 1
 ) -> dict:
@@ -106,24 +134,11 @@ def run_flagship_bench(
         target_partitions = max(4, round(n / 600_000))
 
     img_dir = ensure_fixture(n, px_scale)
-    # Warmup: (1) force-spawn the FULL worker pool — Ray ramps workers
-    # up gradually, which otherwise makes the first executions run at a
-    # fraction of the CPU budget (measured 100s -> 43s across identical
-    # executions in one session); (2) a tiny end-to-end run so workers
-    # have imported the engine. Throughput / scaling efficiency are
+    # Warmup (see _ramp_warmup) + a tiny end-to-end run so workers have
+    # imported the engine. Throughput / scaling efficiency are
     # steady-state metrics (a real cluster job runs warm); cold-start is
     # reported separately by the driver's wall clock.
-    import ray.data
-
-    def _spin(batch):
-        t_end = time.perf_counter() + 0.3
-        while time.perf_counter() < t_end:
-            pass
-        return batch
-
-    ray.data.range(cpus * 2, override_num_blocks=cpus * 2).map_batches(
-        _spin, batch_size=1
-    ).materialize()
+    _ramp_warmup(cpus)
     warm_dir = ensure_fixture(2000)
     warm_out = tempfile.mkdtemp(prefix="graft_bench_warm_", dir=_scratch_root())
     flagship.run_flagship(
@@ -188,10 +203,12 @@ def consume(result) -> int:
     return result.count()  # ray.data.Dataset
 
 
-def run_queries_bench(sf_dir: str) -> tuple[dict, dict]:
+def run_queries_bench(sf_dir: str, cpus: int | None = None) -> tuple[dict, dict]:
     sys.path.insert(0, REPO)
     import __ray_entry__ as entrymod
 
+    if cpus:
+        _ramp_warmup(cpus)
     qtimes: dict[str, float] = {}
     qrows: dict[str, int] = {}
     for name, fn in entrymod.queries().items():
@@ -339,7 +356,12 @@ def main() -> None:
             None if args.queries_only
             else run_flagship_bench(n, args.cpus, px_scale=args.px_scale or 1)
         )
-        qtimes, qrows = ({}, {}) if args.flagship_only else run_queries_bench(args.sf_dir)
+        qtimes, qrows = (
+            ({}, {}) if args.flagship_only
+            else run_queries_bench(
+                args.sf_dir, cpus=args.cpus if args.queries_only else None
+            )
+        )
         total = round(time.perf_counter() - t_all, 3)
         line = {
             "metric": "flagship_plus_queries_total_sec",

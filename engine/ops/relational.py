@@ -337,6 +337,48 @@ def grouped_quantile_disc(
     )
 
 
+def grouped_quantile_disc_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    qs: dict[float, str],
+) -> ray.data.Dataset:
+    """The 100-TB path for ``grouped_quantile_disc``: pre-aggregate to
+    per-(key, value) COUNTS inside map_batches (combiner), shuffle only
+    the counts, then walk each group's CDF to the ``ceil(q*n)``-th
+    element. A group's footprint is its distinct-value count, not its
+    row count — correct for skewed hot keys where raw values would
+    blow a worker's heap. Identical results to grouped_quantile_disc
+    (DuckDB ``quantile_disc`` semantics)."""
+    gcols = keys + [col]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(gcols, as_index=False, sort=False).agg(
+            __cnt=(col, "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(local, batch_format="pandas").groupby(
+        gcols[0] if len(gcols) == 1 else gcols
+    ).aggregate(Sum("__cnt", alias_name="__cnt"))
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="stable")
+        cum = g["__cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        v = g[col].to_numpy()
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for q, name in qs.items():
+            pos = min(max(int(np.ceil(q * n)), 1), n)
+            row[name] = [float(v[np.searchsorted(cum, pos, side="left")])]
+        return pd.DataFrame(row)
+
+    return counts.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        walk, batch_format="pandas"
+    )
+
+
 def rolling_mean(
     ds: ray.data.Dataset,
     group_key: str,

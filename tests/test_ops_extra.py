@@ -79,3 +79,86 @@ def test_admin_rollup_conserves_counts(ray_session, tmp_path_factory):
     for a, p in parent.items():
         if p:
             assert by_id.loc[p, "subtree_count"] >= by_id.loc[a, "subtree_count"]
+
+
+def test_grouped_quantile_counts_matches_direct(ray_session):
+    """CDF-walk (counts) path == direct per-group sort path == DuckDB
+    quantile_disc, including repeated values."""
+    import duckdb
+    import ray.data
+
+    from engine.ops import relational
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, 4000),
+            # integer-valued floats => many exact duplicates per group
+            "v": rng.integers(0, 40, 4000).astype(np.float64),
+        }
+    )
+    qs = {0.25: "q25", 0.5: "q50", 0.75: "q75", 0.9: "q90"}
+    ds = ray.data.from_pandas(df).repartition(8)
+    direct = (
+        relational.grouped_quantile_disc(ds, ["g"], "v", qs)
+        .to_pandas().sort_values("g", ignore_index=True)
+    )
+    cdf = (
+        relational.grouped_quantile_disc_counts(ds, ["g"], "v", qs)
+        .to_pandas().sort_values("g", ignore_index=True)
+    )
+    want = duckdb.sql(
+        """SELECT g, quantile_disc(v, 0.25) q25, quantile_disc(v, 0.5) q50,
+                  quantile_disc(v, 0.75) q75, quantile_disc(v, 0.9) q90
+           FROM df GROUP BY g ORDER BY g"""
+    ).df()
+    for out in (direct, cdf):
+        for c in ("q25", "q50", "q75", "q90"):
+            np.testing.assert_allclose(out[c].to_numpy(), want[c].to_numpy())
+
+
+def test_asof_join_grouped_matches_pandas(ray_session):
+    import ray.data
+
+    from engine.ops import relational
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(300, dtype=np.int64),
+            "u": rng.integers(0, 12, 300),
+            "t": rng.integers(0, 1000, 300).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(200, dtype=np.int64) + 5000,
+            "u": rng.integers(0, 12, 200),
+            "t": rng.integers(0, 1000, 200).astype(np.int64),
+            "val": rng.normal(size=200),
+        }
+    )
+    got = relational.asof_join_grouped(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(4),
+        by="u", on="t",
+        right_value_cols={"rid": "match_rid", "val": "match_val"},
+        left_cols=["lid", "u", "t"],
+        right_tie_cols=["rid"],
+    ).to_pandas().sort_values("lid", ignore_index=True)
+
+    # brute-force oracle: max (t, rid) right row with t <= left t per u
+    rows = []
+    for _, lr in left.iterrows():
+        cand = right[(right["u"] == lr["u"]) & (right["t"] <= lr["t"])]
+        if len(cand):
+            best = cand.sort_values(["t", "rid"]).iloc[-1]
+            rows.append((lr["lid"], lr["u"], lr["t"], best["rid"], best["val"]))
+    want = pd.DataFrame(
+        rows, columns=["lid", "u", "t", "match_rid", "match_val"]
+    ).sort_values("lid", ignore_index=True)
+    assert len(got) == len(want)
+    assert got["lid"].tolist() == want["lid"].tolist()
+    assert got["match_rid"].tolist() == [int(x) for x in want["match_rid"]]
+    np.testing.assert_allclose(got["match_val"].to_numpy(),
+                               want["match_val"].to_numpy(dtype=np.float64))
