@@ -13,9 +13,11 @@ JSON line::
 
 ``--scaling``: the sandbox protocol for the north rule's two-cluster-size
 criterion (BASELINE.md) — run the identical flagship job in two FRESH
-processes at ``num_cpus=8`` and ``num_cpus=32`` on the same input and
-report throughput at both plus ``efficiency = (rps_hi/rps_lo)/(hi/lo)``;
-the measured table in BASELINE.md is updated in place.
+processes at ``num_cpus=4`` and ``num_cpus=16`` (N and 4N; see
+BASELINE.md for why this pair stays under the VM's non-scaling disk and
+memory-bandwidth ceilings) on the same input and report throughput at
+both plus ``efficiency = (rps_hi/rps_lo)/(hi/lo)``; the measured table
+in BASELINE.md is updated in place.
 
 This script OWNS its Ray session (ray.init/ray.shutdown); library code
 and ``__ray_entry__`` never init Ray (driver contract).
@@ -123,7 +125,8 @@ def _ramp_warmup(cpus: int, seconds: float = 2.0) -> None:
 
 
 def run_flagship_bench(
-    n: int, cpus: int, target_partitions: int = 0, px_scale: int = 1
+    n: int, cpus: int, target_partitions: int = 0, px_scale: int = 1,
+    pre_seconds: float = 20.0,
 ) -> dict:
     from engine.pipeline import flagship
 
@@ -147,15 +150,39 @@ def run_flagship_bench(
     )
     shutil.rmtree(warm_out, ignore_errors=True)
 
-    out_dir = tempfile.mkdtemp(  # fresh: no resume reuse
-        prefix="graft_bench_out_", dir=_scratch_root()
-    )
     from engine import fixtures
 
     # Italy-scale admin hierarchy (20 regions / 100 provinces / 1000
     # municipalities + hotspot): the reference's real workload joins
     # against thousands of boundary polygons, not a toy set
     poly = fixtures.polygons(n_regions=20, provinces=5, munis=10)
+
+    # Steady-state pre-runs: the sandbox lifts a process's CPU quota
+    # gradually over MINUTES of sustained load — the first full-size run
+    # after a short warmup is reproducibly ~2x slower than an identical
+    # second run (measured 48.9s -> 21.0s and 57.7s -> 23.6s at 16
+    # cpus), and long-lived sessions keep speeding up past that. A short
+    # spin can't buy those credits, so the full job runs UNTIMED until
+    # ~90s of sustained load has accrued (one run at the low level,
+    # several at the high level) — giving both levels the same
+    # wall-clock ramp before the timed run. Without this the ratio is
+    # poisoned asymmetrically: the short high-cpu run enters its timed
+    # section less ramped than the long low-cpu one (efficiency read
+    # 0.60-0.71 from that artifact alone).
+    pre_deadline = time.perf_counter() + pre_seconds
+    while time.perf_counter() < pre_deadline:
+        pre_out = tempfile.mkdtemp(prefix="graft_bench_pre_", dir=_scratch_root())
+        flagship.run_flagship(
+            img_dir, pre_out, poly=poly, target_partitions=target_partitions,
+            batch_size=2048, pip_concurrency=(1, cpus),
+            decoder_concurrency=(1, cpus), resume=False, run_id="steady_warm",
+            partition_threads=1, use_actors=False, read_blocks=32,
+        )
+        shutil.rmtree(pre_out, ignore_errors=True)
+
+    out_dir = tempfile.mkdtemp(  # fresh: no resume reuse
+        prefix="graft_bench_out_", dir=_scratch_root()
+    )
     t0 = time.perf_counter()
     res = flagship.run_flagship(
         img_dir,
@@ -168,9 +195,10 @@ def run_flagship_bench(
         resume=False,
         run_id=f"bench_c{cpus}",
         # sequential partitions: each fused execution saturates the
-        # available CPUs on its own (32 fat blocks); concurrent driver
-        # threads were measured 3-7x slower per execution on the heavy
-        # fixture (driver-GIL + memory-bandwidth contention)
+        # available CPUs on its own (32 fat blocks). partition_threads=2
+        # re-tested post-warmup-fix: equal to 1 within the VM's 2-3x
+        # interference noise (bests 21.0s vs 23.6s at 16 cpus), so the
+        # simpler sequential mode stays
         partition_threads=1,
         use_actors=False,  # warm-worker tasks: many short executions (see engine.state)
         # ~32 fat blocks per partition: per-task driver bookkeeping is
@@ -247,23 +275,29 @@ def scaling_mode(args) -> dict:
     # measures the VM, not the engine.
     n = args.n or 1_200_000
     results = {}
-    for cpus in levels:
-        best = None
-        for _ in range(args.repeats):
+    # levels are INTERLEAVED per repeat round (A,B,A,B,...) rather than
+    # run as blocks: the VM's external interference comes in multi-
+    # minute episodes, so a blocked order can hand one level a clean
+    # window and the other a stormy one — measured efficiency swung
+    # 0.64..1.46 from that alone. Interleaving makes both levels sample
+    # the same climate; best-of-N then estimates each level's clean time.
+    for _ in range(args.repeats):
+        for cpus in levels:
             out = tempfile.mktemp(prefix="graft_scaling_", suffix=".json")
             cmd = [
                 sys.executable, os.path.abspath(__file__),
                 "--flagship-only", "--cpus", str(cpus),
                 "--sf-dir", args.sf_dir, "--json-out", out, "--n", str(n),
                 "--px-scale", str(args.px_scale or 1),
+                "--pre-seconds", "90",
             ]
             subprocess.run(cmd, check=True, cwd=REPO)
             with open(out) as f:
                 r = json.load(f)
             os.remove(out)
+            best = results.get(cpus)
             if best is None or r["flagship"]["sec"] < best["flagship"]["sec"]:
-                best = r
-        results[cpus] = best
+                results[cpus] = r
     lo, hi = levels[0], levels[-1]
     rps_lo = results[lo]["flagship"]["rows_per_s"]
     rps_hi = results[hi]["flagship"]["rows_per_s"]
@@ -327,6 +361,7 @@ def main() -> None:
     ap.add_argument("--px-scale", type=int, default=0,
                     help="image-dimension multiplier for the flagship fixture "
                          "(0 = 1 in default mode, 4 in --scaling)")
+    ap.add_argument("--pre-seconds", type=float, default=20.0)
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 
@@ -354,7 +389,8 @@ def main() -> None:
         t_all = time.perf_counter()
         flag = (
             None if args.queries_only
-            else run_flagship_bench(n, args.cpus, px_scale=args.px_scale or 1)
+            else run_flagship_bench(n, args.cpus, px_scale=args.px_scale or 1,
+                                    pre_seconds=args.pre_seconds)
         )
         qtimes, qrows = (
             ({}, {}) if args.flagship_only

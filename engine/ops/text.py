@@ -28,6 +28,7 @@ _LANG_PROFILES = {
 
 _TOKEN_RE = re.compile(r"[A-Za-z]+(?:'[a-z]+)?|\d+|[^\sA-Za-z\d]")
 _WS_RE = re.compile(r"\s+")
+_CJK_RE = re.compile(r"[぀-ヿ㐀-䶿一-鿿]")
 
 
 class LangId:
@@ -41,6 +42,13 @@ class LangId:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         preds, scores = [], []
         for text in batch["text"].astype(str):
+            # script rule first: CJK text has no whitespace stopwords,
+            # so stopword overlap can never identify it
+            n_cjk = len(_CJK_RE.findall(text))
+            if n_cjk >= 0.2 * max(1, len(text)):
+                preds.append("zh")
+                scores.append(round(n_cjk / max(1, len(text)), 6))
+                continue
             words = set(self.ws.split(text.lower()))
             best, best_n = "unk", 0
             for lang, prof in self.profiles.items():

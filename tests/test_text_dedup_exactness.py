@@ -1,0 +1,121 @@
+"""Exactness / self-oracle tests for the rows-only text + dedup ops
+(SURVEY.md §5.2 layer 1 policy: every op without a DuckDB oracle gets a
+single-process oracle here instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+
+
+def test_lang_id_on_known_language_texts(ray_session):
+    """Self-oracle on a constructed multilingual corpus (the driver's
+    documents.lang column is a random label over English-ish text, so
+    it cannot serve as ground truth — verified by inspection)."""
+    import ray.data
+
+    from engine.ops import text
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the cat sat on the mat and it was happy with that",
+                "il gatto e la volpe vanno per la strada con il cane",
+                "der Hund und die Katze sind mit den Kindern nicht da",
+                "le chien est dans le jardin avec une balle pour jouer",
+                "el perro es grande y la casa es blanca por el sol",
+                "数据库查询引擎在大规模数据上运行得很快而且稳定可靠",
+            ],
+            "want": ["en", "it", "de", "fr", "es", "zh"],
+        }
+    )
+    out = (
+        text.run_lang_id(ray.data.from_pandas(corpus).repartition(2))
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert out["lang_pred"].tolist() == corpus["want"].tolist(), out[
+        ["lang_pred"]
+    ].values.ravel().tolist()
+    assert (out["lang_score"] > 0).all()
+
+
+def test_lang_id_deterministic_across_partitionings(ray_session, docs_df):
+    import ray.data
+
+    from engine.ops import text
+
+    a = text.run_lang_id(
+        ray.data.from_pandas(docs_df[["doc_id", "text"]]).repartition(2)
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = text.run_lang_id(
+        ray.data.from_pandas(docs_df[["doc_id", "text"]]).repartition(7)
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a["lang_pred"].tolist() == b["lang_pred"].tolist()
+    np.testing.assert_allclose(a["lang_score"], b["lang_score"])
+
+
+def test_fingerprint_deterministic_and_content_sensitive(docs_df):
+    from engine.ops.text import fingerprint_batch
+
+    b = docs_df.head(200)[["doc_id", "text"]].copy()
+    f1 = fingerprint_batch(b.copy())["fingerprint"].to_numpy()
+    f2 = fingerprint_batch(b.copy())["fingerprint"].to_numpy()
+    assert (f1 == f2).all()  # pure function of text
+    # distinct texts -> distinct fingerprints (64-bit, 200 docs)
+    uniq_texts = b["text"].nunique()
+    assert pd.Series(f1).nunique() == uniq_texts
+    # single-character edit flips the fingerprint
+    mut = b.copy()
+    mut["text"] = mut["text"].str[:-1] + "#"
+    f3 = fingerprint_batch(mut)["fingerprint"].to_numpy()
+    assert (f1 != f3).all()
+
+
+def test_simhash_near_duplicates_have_small_hamming(docs_df):
+    from engine.codec.phash import hamming64
+    from engine.ops.dedup import SimHasher
+
+    sh = SimHasher()
+    base = docs_df.head(30)["text"].astype(str)
+    # near-dup: drop the last word
+    near = base.str.rsplit(" ", n=1).str[0]
+    hb = sh._batch_simhash(base)
+    hn = sh._batch_simhash(near)
+    d_near = hamming64(hb, hn)
+    assert (d_near <= 12).mean() >= 0.9, d_near
+    # unrelated docs: large distance
+    other = docs_df.iloc[200:230]["text"].astype(str).reset_index(drop=True)
+    d_far = hamming64(hb, sh._batch_simhash(other))
+    assert d_far.mean() > d_near.mean() + 5
+
+
+def test_minhash_lsh_dedup_finds_planted_dups(ray_session, docs_df):
+    """Exact duplicates are always found (identical signatures land in
+    every band together); the keep-rule is deterministic (min doc_id)."""
+    import ray.data
+
+    from engine.ops.dedup import minhash_lsh_dedup
+
+    base = docs_df.head(50)[["doc_id", "text"]].copy()
+    dup = base.copy()
+    dup["doc_id"] = dup["doc_id"] + 1_000_000  # exact-dup clones
+    corpus = pd.concat([base, dup], ignore_index=True)
+    out = minhash_lsh_dedup(ray.data.from_pandas(corpus).repartition(4))
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    for did in base["doc_id"]:
+        # identical signatures share every band bucket -> same cluster,
+        # labelled by the min doc_id of the component
+        assert cl.get(did + 1_000_000) == cl.get(did), did
+        assert cl.get(did) <= did
