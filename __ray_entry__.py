@@ -367,6 +367,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["corr_qp"] = out["corr_qp"].round(4)
         return out
 
+    def order_rank_in_customer(sf_dir: str):
+        # SQL ranking window functions (row_number/rank/dense_rank),
+        # one shuffle on the partition key
+        ds = sf_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        out = relational.window_rank(
+            ds, "o_custkey", ["o_totalprice", "o_orderkey"], [False, True],
+            methods={"rn": "row_number", "rnk": "rank", "drnk": "dense_rank"},
+            rank_on=["o_totalprice"],
+        )
+        return out.select_columns(["o_custkey", "o_orderkey", "rn", "rnk", "drnk"])
+
+    def event_value_delta(sf_dir: str):
+        # LAG window function: per-user delta vs previous event
+        ev = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        out = relational.lag_delta(
+            ev, "user_id", ["ts", "event_id"], "value", out="delta"
+        ).to_pandas()
+        out["delta"] = out["delta"].round(4)
+        return out[["event_id", "user_id", "delta"]]
+
+    def acctbal_qcont_by_segment(sf_dir: str):
+        # continuous (interpolated) quantiles, DuckDB quantile_cont parity
+        cust = sf_table(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+        out = relational.grouped_quantile_cont(
+            cust, ["c_mktsegment"], "c_acctbal", {0.5: "median_bal", 0.9: "p90_bal"}
+        ).to_pandas()
+        for c in ("median_bal", "p90_bal"):
+            out[c] = out[c].round(4)
+        return out
+
+    def distinct_users_per_event_type(sf_dir: str):
+        # exact COUNT(DISTINCT) with a per-batch distinct-pair combiner
+        ev = sf_table(sf_dir, "events", ["event_type", "user_id"])
+        return relational.grouped_count_distinct(
+            ev, ["event_type"], "user_id", out="n_users"
+        )
+
+    def customer_big_order_counts(sf_dir: str):
+        # LEFT OUTER broadcast join: every customer kept, zero-filled
+        # count of their >150k orders (COALESCE'd so output is null-free)
+        cust = sf_table(sf_dir, "customer", ["c_custkey", "c_name"])
+        big = sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+            expr="o_totalprice > 150000.0"
+        )
+        counts = relational.partial_groupby_sum(
+            big, ["o_custkey"], {}, count_as="n_big"
+        ).to_pandas().rename(columns={"o_custkey": "c_custkey"})
+        out = relational.broadcast_hash_join(
+            cust, counts, on="c_custkey", how="left"
+        ).to_pandas()
+        out["n_big"] = out["n_big"].fillna(0).astype(np.int64)
+        return out
+
+    def docs_top_tokens(sf_dir: str):
+        # corpus vocabulary report: global token counts, top 50
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.token_topk(ds, k=50)
+
     def docs_token_stats(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
         ds = ds.map_batches(text.token_count_batch, batch_format="pandas")
@@ -452,6 +510,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         corpus = ds.union(rd.from_pandas(mut))
         return dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+
+    def approx_distinct_users(sf_dir: str):
+        # HyperLogLog sketch: one streaming pass, zero shuffles; the
+        # ~1.6% (p=12) accuracy bound is pytest-verified vs the exact
+        # count (approximate => rows-only, no SQL twin)
+        from engine.ops import sketch
+
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type"])
+        n = sketch.hll_count_distinct(ev, "user_id", p=12)
+        per_type = sketch.grouped_hll_count_distinct(
+            ev, "event_type", "user_id", p=12, out="approx_users"
+        )
+        per_type["global_approx_users"] = np.int64(n)
+        return per_type
+
+    def dedup_components_documents(sf_dir: str):
+        # distributed connected components (iterated min-label
+        # propagation, one co-shuffle join per round) over verified
+        # near-dup pairs — the scale path past driver-side union-find
+        import ray.data as rd
+
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        base = ds.sort("doc_id").limit(10).to_pandas()
+        mut = base.copy()
+        mut["doc_id"] = mut["doc_id"].to_numpy() + 10_000_000
+        mut["text"] = [
+            str(t)[: max(0, len(str(t)) - 8)] + " extra tail sentence"
+            for t in mut["text"]
+        ]
+        corpus = ds.union(rd.from_pandas(mut))
+        pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+        if not len(pairs):
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "label": pd.Series(dtype=np.int64)})
+        edges = rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
+        return dedup.connected_components_distributed(edges)
 
     def video_frame_plan(sf_dir: str):
         # video-as-binary plumbing: clip metadata -> deterministic
@@ -641,6 +735,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_customers": stratified_sample_customers,
         "events_pivot_by_user": events_pivot_by_user,
         "qty_price_corr_by_flag": qty_price_corr_by_flag,
+        "order_rank_in_customer": order_rank_in_customer,
+        "event_value_delta": event_value_delta,
+        "acctbal_qcont_by_segment": acctbal_qcont_by_segment,
+        "distinct_users_per_event_type": distinct_users_per_event_type,
+        "customer_big_order_counts": customer_big_order_counts,
+        "docs_top_tokens": docs_top_tokens,
+        "approx_distinct_users": approx_distinct_users,
+        "dedup_components_documents": dedup_components_documents,
         "docs_token_stats": docs_token_stats,
         "docs_quality": docs_quality,
         "dedup_documents_exact": dedup_documents_exact,
@@ -904,6 +1006,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ), LATERAL (SELECT unnest(generate_series(
                     0, CAST(ceil(n_samples / 80000.0) AS BIGINT) - 1)) AS i)
+        """,
+        "order_rank_in_customer": """
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                   RANK() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC) AS drnk
+            FROM orders
+        """,
+        "event_value_delta": """
+            SELECT event_id, user_id,
+                   ROUND(COALESCE(value - LAG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 0), 4) AS delta
+            FROM events
+        """,
+        "acctbal_qcont_by_segment": """
+            SELECT c_mktsegment,
+                   ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+                   ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "distinct_users_per_event_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "customer_big_order_counts": """
+            SELECT c.c_custkey, c.c_name, COALESCE(o.n_big, 0) AS n_big
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS n_big FROM orders
+                WHERE o_totalprice > 150000.0 GROUP BY o_custkey
+            ) o ON c.c_custkey = o.o_custkey
+        """,
+        "docs_top_tokens": """
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 50
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -518,3 +518,78 @@ def embedding_near_dups(
         .to_pandas()
     )
     return pairs.drop_duplicates().sort_values(["a", "b"], ignore_index=True)
+
+
+def connected_components_distributed(
+    edges: ray.data.Dataset,
+    *,
+    max_rounds: int = 25,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Connected components over a near-dup pair list WITHOUT the
+    driver-side union-find of ``minhash_lsh_dedup`` — the scale path
+    when the candidate-edge set itself no longer fits one machine
+    (10^12-doc corpora where even 0.1% dup pairs is 10^9 edges).
+
+    Iterated min-label propagation, fully expressed in Ray Data:
+    labels(node, label) starts at min(node, neighbors); each round does
+    ONE hash-partitioned equi-join (edges x labels on node) to push
+    every node's current label to its neighbors, then a combiner-first
+    min-groupby to fold proposals. Labels only ever decrease, so the
+    global label sum is a monotone convergence witness: an unchanged
+    sum means a fixpoint (converges in O(graph diameter) rounds; the
+    per-round cost is one co-shuffle of (int64, int64) rows — payloads
+    never enter the graph). ``labels`` is materialized per round to
+    truncate lineage, standard for iterative algorithms.
+
+    Returns DataFrame(node, label) for every node incident to an edge,
+    label = min node id of its component (matches union-find exactly —
+    see tests/test_ops_extra.py).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [b.rename(columns={"a": "node", "b": "nbr"}),
+             b.rename(columns={"b": "node", "a": "nbr"})]
+        )[["node", "nbr"]]
+        return out.drop_duplicates()
+
+    sym_edges = edges.map_batches(sym, batch_format="pandas").materialize()
+
+    def seed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["label"] = np.minimum(b["node"].to_numpy(), b["nbr"].to_numpy())
+        return b.groupby("node", as_index=False, sort=False)["label"].min()
+
+    labels = (
+        sym_edges.map_batches(seed, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    for _ in range(max_rounds):
+        msgs = sym_edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("node",),
+        ).select_columns(["nbr", "label"]).rename_columns({"nbr": "node"})
+
+        def local_min(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby("node", as_index=False, sort=False)["label"].min()
+
+        labels = (
+            labels.union(msgs)
+            .map_batches(local_min, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out = labels.to_pandas().astype({"node": np.int64, "label": np.int64})
+    return out.sort_values("node", ignore_index=True)

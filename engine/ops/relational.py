@@ -557,6 +557,148 @@ def grouped_corr(
     return tot[[group_key, out]]
 
 
+def window_rank(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    ascending: list[bool],
+    methods: dict[str, str],
+    rank_on: list[str] | None = None,
+) -> ray.data.Dataset:
+    """SQL ranking window functions per group, all in ONE shuffle:
+    ``methods`` maps output column -> ``row_number`` (ties broken by
+    the full ``order_cols`` sort), ``rank`` (ties share, gaps after) or
+    ``dense_rank`` (ties share, no gaps) — the reference's per-area
+    "position in ranking" report columns. Tie equality is tested on
+    ``rank_on`` (default: ``order_cols``), so a trailing deterministic
+    tie-break column can be part of the sort without splitting SQL tie
+    groups. One hash shuffle on the partition key; per-group ranking is
+    vectorized numpy. Partitioning assumption: one partition's rows fit
+    a worker (the same contract as any SQL PARTITION BY)."""
+    rank_on = rank_on if rank_on is not None else order_cols
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=ascending, kind="stable").copy()
+        n = len(g)
+        pos = np.arange(1, n + 1, dtype=np.int64)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for c in rank_on:
+            v = g[c].to_numpy()
+            new[1:] |= v[1:] != v[:-1]
+        for out, method in methods.items():
+            if method == "row_number":
+                g[out] = pos
+            elif method == "dense_rank":
+                g[out] = np.cumsum(new).astype(np.int64)
+            elif method == "rank":
+                g[out] = np.maximum.accumulate(np.where(new, pos, 0))
+            else:
+                raise ValueError(f"unknown rank method: {method}")
+        return g
+
+    return ds.groupby(group_key).map_groups(f, batch_format="pandas")
+
+
+def lag_delta(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    col: str,
+    out: str = "delta",
+    fill: float = 0.0,
+) -> ray.data.Dataset:
+    """Per-group ``col - LAG(col)`` in ``order_cols`` order (first row
+    of each partition gets ``fill``, the COALESCE'd SQL convention so
+    the output stays null-free for hashing). One shuffle on the
+    partition key; vectorized shift inside the group."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable").copy()
+        v = g[col].to_numpy(dtype=np.float64)
+        d = np.empty_like(v)
+        d[0] = fill
+        d[1:] = v[1:] - v[:-1]
+        g[out] = d
+        return g
+
+    return ds.groupby(group_key).map_groups(f, batch_format="pandas")
+
+
+def grouped_quantile_cont(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    qs: dict[float, str],
+) -> ray.data.Dataset:
+    """Exact continuous (interpolated) quantiles per group — DuckDB
+    ``quantile_cont`` semantics: value at fractional sorted position
+    ``q * (n - 1)``, linearly interpolated between neighbors (verified
+    empirically against duckdb 1.0). Same shuffle/partitioning contract
+    as ``grouped_quantile_disc``."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy(dtype=np.float64))
+        n = len(v)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for q, name in qs.items():
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, n - 1)
+            frac = pos - lo
+            row[name] = [float(v[lo] * (1 - frac) + v[hi] * frac)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        f, batch_format="pandas"
+    )
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    out: str = "n_distinct",
+    final: str = "small",
+) -> ray.data.Dataset:
+    """Exact ``COUNT(DISTINCT col)`` per group. Combiner discipline:
+    each batch first collapses to its distinct (keys, col) pairs, so
+    the exchange moves at most distinct-pairs x blocks rows — never the
+    raw input. ``final="small"`` merges pairs on one worker (right
+    whenever the distinct-pair table is small); ``final="shuffle"``
+    keeps a distributed groupby on the pair key for huge value spaces
+    (per-URL distinct users at 10^12 scale). For approximate counting
+    at that scale see ``ops.sketch.hll_count_distinct``."""
+    pair_cols = keys + [col]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return b[pair_cols].drop_duplicates()
+
+    partials = ds.map_batches(local, batch_format="pandas")
+
+    if final == "small":
+
+        def merge(b: pd.DataFrame) -> pd.DataFrame:
+            pairs = b.drop_duplicates()
+            g = pairs.groupby(keys, as_index=False, sort=True).agg(
+                **{out: (col, "size")}
+            )
+            return g
+
+        return partials.repartition(1).map_batches(
+            merge, batch_format="pandas", batch_size=None
+        )
+
+    dedup_pairs = partials.groupby(
+        pair_cols[0] if len(pair_cols) == 1 else pair_cols
+    ).map_groups(lambda g: g.head(1), batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    return dedup_pairs.groupby(keys[0] if len(keys) == 1 else keys).aggregate(
+        Count(alias_name=out)
+    )
+
+
 def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

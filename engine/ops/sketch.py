@@ -1,0 +1,133 @@
+"""Sketch aggregates for cardinality at 100 TB scale.
+
+The reference computes exact distinct counts on single-machine data
+(SURVEY.md §2.5 A5/A7 — no sketches existed there); at the engine's
+design scale (10^12 rows) an exact distinct over a high-cardinality key
+would shuffle the whole key column. HyperLogLog gives a fixed
+``2**p``-byte state per group that merges associatively, so the whole
+aggregation is one combiner pass + a tiny register-max reduce — no
+all-to-all of raw keys.
+
+Implementation is the standard HLL of Flajolet et al. with the usual
+small-range (linear counting) correction; register update is fully
+vectorized numpy (hash -> bucket index + leading-zero rank via log2).
+Accuracy ~= 1.04 / sqrt(2**p) relative std error (p=12 -> ~1.6%).
+Exactness vs a brute-force distinct is covered by pytest self-oracles
+(tests/test_ops_extra.py) — approximate ops get no DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix64 finalizer) over an int64 or
+    string array. No RNG state — same value hashes identically on every
+    worker and every run."""
+    if values.dtype.kind in ("i", "u"):
+        x = values.astype(np.uint64)
+    else:
+        # strings: cheap FNV-1a via pandas hashing (stable, no PYTHONHASHSEED)
+        from pandas.util import hash_array
+
+        x = hash_array(np.asarray(values, dtype=object), categorize=False).astype(
+            np.uint64
+        )
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+        return x ^ (x >> np.uint64(31))
+
+
+def _registers_for(h: np.ndarray, p: int) -> np.ndarray:
+    """Max leading-zero rank per bucket for one batch of 64-bit hashes."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) & _MASK64
+    # rank = leading zeros of `rest` + 1; rest==0 -> max rank (64-p+1)
+    nz = rest != 0
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    if nz.any():
+        # leading zeros via floor(log2): lz = 63 - floor(log2(x))
+        lz = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        rank[nz] = (lz + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray, p: int) -> float:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_count_distinct(
+    ds: ray.data.Dataset, col: str, p: int = 12
+) -> int:
+    """Approximate global ``COUNT(DISTINCT col)``. Per-batch combiner
+    emits one ``2**p``-register row; registers merge by elementwise max
+    on the driver (the reduced set is blocks x 4KB — trivially small).
+    Cost: one streaming pass, zero shuffles."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        regs = _registers_for(_hash64(b[col].to_numpy()), p)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(local, batch_format="pandas").take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts:
+        np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8), out=merged)
+    return int(round(_estimate(merged, p)))
+
+
+def grouped_hll_count_distinct(
+    ds: ray.data.Dataset, group_key: str, col: str, p: int = 10,
+    out: str = "approx_distinct",
+) -> pd.DataFrame:
+    """Approximate ``COUNT(DISTINCT col)`` per group. Each batch emits
+    one register blob per key present (combiner); the shuffle moves
+    ``keys x blocks`` 1KB blobs, never raw values; the final is an
+    associative register-max merge per key on one worker (group-key
+    cardinality is report-sized here; shard the merge by
+    ``hash(key) % K`` for huge key spaces)."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {group_key: [], "regs": []}
+        for key, g in b.groupby(group_key, sort=False):
+            rows[group_key].append(key)
+            rows["regs"].append(
+                _registers_for(_hash64(g[col].to_numpy()), p).tobytes()
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(local, batch_format="pandas")
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        keys_out, ns = [], []
+        for key, g in b.groupby(group_key, sort=True):
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for blob in g["regs"]:
+                np.maximum(
+                    merged, np.frombuffer(blob, dtype=np.uint8), out=merged
+                )
+            keys_out.append(key)
+            ns.append(int(round(_estimate(merged, p))))
+        return pd.DataFrame({group_key: keys_out, out: ns})
+
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    ).to_pandas()

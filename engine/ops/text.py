@@ -131,3 +131,49 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def run_lang_id(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
     return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+
+
+_ALPHA_RE = re.compile(r"[a-z]+")
+
+
+def token_topk(
+    ds: ray.data.Dataset, k: int = 50, final: str = "small"
+) -> pd.DataFrame:
+    """Global token frequencies, top-k — the corpus-vocabulary report a
+    training-data pipeline runs before filtering. Tokenizer: maximal
+    ``[a-z]+`` runs of the lowercased text (DuckDB-oracle-equivalent to
+    ``string_split_regex(lower(text), '[^a-z]+')``, see
+    ``docs_top_tokens``). Each batch collapses to per-token partial
+    counts via one ``np.unique`` over the concatenated token array —
+    the exchange moves (token, count) partials bounded by vocabulary x
+    blocks, never token instances. ``final="small"`` merges on one
+    worker (vocabularies are ~10^5-10^6 — small); ``final="shuffle"``
+    keeps a distributed groupby for open-ended token spaces (URLs,
+    n-grams)."""
+    from engine.ops import relational
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for s in b["text"].astype(str):
+            toks.extend(_ALPHA_RE.findall(s.lower()))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({"token": u, "n": c.astype(np.int64)})
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    if final == "small":
+        counts = relational.sum_final(partials, ["token"]).to_pandas()
+    else:
+        from ray.data.aggregate import Sum
+
+        counts = (
+            partials.groupby("token")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+    counts = counts.sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable", ignore_index=True
+    )
+    return counts.head(k)

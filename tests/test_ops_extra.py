@@ -162,3 +162,140 @@ def test_asof_join_grouped_matches_pandas(ray_session):
     assert got["match_rid"].tolist() == [int(x) for x in want["match_rid"]]
     np.testing.assert_allclose(got["match_val"].to_numpy(),
                                want["match_val"].to_numpy(dtype=np.float64))
+
+
+def test_window_rank_matches_pandas(ray_session):
+    from engine.ops.relational import window_rank
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 8, 500),
+            "id": np.arange(500),
+            # coarse values so ties are common
+            "v": rng.integers(0, 20, 500).astype(float),
+        }
+    )
+    got = (
+        window_rank(
+            ray.data.from_pandas(df), "g", ["v", "id"], [False, True],
+            methods={"rn": "row_number", "rnk": "rank", "drnk": "dense_rank"},
+            rank_on=["v"],
+        )
+        .to_pandas()
+        .sort_values(["g", "id"], ignore_index=True)
+    )
+    df2 = df.copy()
+    df2["rn"] = (
+        df2.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g")
+        .cumcount()
+        .add(1)
+    )  # aligns back by original index
+    df2["rnk"] = df2.groupby("g")["v"].rank(method="min", ascending=False).astype(np.int64)
+    df2["drnk"] = df2.groupby("g")["v"].rank(method="dense", ascending=False).astype(np.int64)
+    want = df2.sort_values(["g", "id"], ignore_index=True)
+    for c in ("rn", "rnk", "drnk"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_grouped_count_distinct_paths_agree(ray_session):
+    from engine.ops.relational import grouped_count_distinct
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 6, 2000), "v": rng.integers(0, 150, 2000)}
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    small = grouped_count_distinct(ds, ["k"], "v").to_pandas()
+    shuf = (
+        grouped_count_distinct(ds, ["k"], "v", final="shuffle")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = (
+        df.groupby("k")["v"].nunique().reset_index().rename(columns={"v": "n_distinct"})
+    )
+    assert small.sort_values("k", ignore_index=True)["n_distinct"].tolist() == want[
+        "n_distinct"
+    ].tolist()
+    assert shuf["n_distinct"].astype(int).tolist() == want["n_distinct"].tolist()
+
+
+def test_hll_within_error_bound(ray_session):
+    from engine.ops.sketch import grouped_hll_count_distinct, hll_count_distinct
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 50_000),
+            "v": rng.integers(0, 20_000, 50_000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    exact = df["v"].nunique()
+    approx = hll_count_distinct(ds, "v", p=12)
+    assert abs(approx - exact) / exact < 0.05  # ~3 sigma at p=12
+    g = grouped_hll_count_distinct(ds, "k", "v", p=12, out="n")
+    ex = df.groupby("k")["v"].nunique()
+    for _, row in g.iterrows():
+        e = ex[row["k"]]
+        assert abs(row["n"] - e) / e < 0.07
+
+    # string column path (pandas hash_array branch)
+    sdf = pd.DataFrame({"s": [f"user_{i % 3000}" for i in range(20_000)]})
+    a = hll_count_distinct(ray.data.from_pandas(sdf), "s", p=12)
+    assert abs(a - 3000) / 3000 < 0.05
+
+
+def test_connected_components_distributed_matches_unionfind(ray_session):
+    from engine.ops.dedup import connected_components_distributed
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    n, m = 400, 300
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    edges = pd.DataFrame({"a": a[keep].astype(np.int64), "b": b[keep].astype(np.int64)})
+
+    # oracle: union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(edges["a"], edges["b"]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    # canonical label = min node id in component
+    nodes = sorted(set(edges["a"]) | set(edges["b"]))
+    comp: dict[int, int] = {}
+    for v in nodes:
+        comp.setdefault(find(v), v)  # nodes ascending -> min id first
+    want = {v: comp[find(v)] for v in nodes}
+
+    got = connected_components_distributed(
+        ray.data.from_pandas(edges).repartition(4)
+    )
+    assert got["node"].tolist() == nodes
+    assert got["label"].tolist() == [want[v] for v in nodes]
+
+
+def test_token_topk_small(ray_session):
+    from engine.ops.text import token_topk
+    import ray.data
+
+    docs = pd.DataFrame(
+        {"text": ["The cat and the dog.", "A cat!", "dog dog DOG", ""]}
+    )
+    out = token_topk(ray.data.from_pandas(docs).repartition(2), k=3)
+    assert out["token"].tolist() == ["dog", "cat", "the"]
+    assert out["n"].tolist() == [4, 2, 2]
