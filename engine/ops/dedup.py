@@ -524,7 +524,7 @@ def connected_components_distributed(
     edges: ray.data.Dataset,
     *,
     max_rounds: int = 25,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Connected components over a near-dup pair list WITHOUT the
     driver-side union-find of ``minhash_lsh_dedup`` — the scale path
@@ -556,6 +556,10 @@ def connected_components_distributed(
         return out.drop_duplicates()
 
     sym_edges = edges.map_batches(sym, batch_format="pandas").materialize()
+    if num_partitions is None:
+        # join fan-out sized to the edge set: every extra partition is
+        # per-round task overhead, pure waste below ~200k edges/partition
+        num_partitions = int(min(16, max(2, sym_edges.count() // 200_000 + 1)))
 
     def seed(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
