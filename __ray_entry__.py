@@ -425,6 +425,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
         return text.token_topk(ds, k=50)
 
+    def urgent_vs_big_orders(sf_dir: str):
+        # FULL OUTER co-shuffle join of two aggregates with disjoint
+        # key coverage; both sides null-filled so output hashes cleanly
+        orders = sf_table(sf_dir, "orders",
+                          ["o_custkey", "o_orderpriority", "o_totalprice"])
+        urgent = relational.partial_groupby_sum(
+            orders.filter(expr="o_orderpriority == '1-URGENT'"),
+            ["o_custkey"], {}, count_as="n_urgent",
+        )
+        big = relational.partial_groupby_sum(
+            orders.filter(expr="o_totalprice > 300000.0"),
+            ["o_custkey"], {}, count_as="n_big",
+        )
+        out = relational.bucketed_join(
+            urgent, big, on="o_custkey", how="full_outer", num_partitions=8
+        ).to_pandas()
+        for c in ("n_urgent", "n_big"):
+            out[c] = out[c].fillna(0).astype(np.int64)
+        return out
+
     def docs_token_stats(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
         ds = ds.map_batches(text.token_count_batch, batch_format="pandas")
@@ -741,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event_type": distinct_users_per_event_type,
         "customer_big_order_counts": customer_big_order_counts,
         "docs_top_tokens": docs_top_tokens,
+        "urgent_vs_big_orders": urgent_vs_big_orders,
         "approx_distinct_users": approx_distinct_users,
         "dedup_components_documents": dedup_components_documents,
         "docs_token_stats": docs_token_stats,
@@ -1046,6 +1067,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "urgent_vs_big_orders": """
+            SELECT COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+                   COALESCE(u.n_urgent, 0) AS n_urgent,
+                   COALESCE(b.n_big, 0) AS n_big
+            FROM (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+                  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+            FULL OUTER JOIN
+                 (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+                  WHERE o_totalprice > 300000.0 GROUP BY o_custkey) b
+            ON u.o_custkey = b.o_custkey
         """,
         "ann_cosine_topk": """
             WITH q AS (
