@@ -531,6 +531,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = ds.union(rd.from_pandas(mut))
         return dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
 
+    def embedding_norm_by_label(sf_dir: str):
+        # vector math with a SQL twin: mean L2 norm per label
+        emb = sf_table(sf_dir, "embeddings", ["label", "embedding"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            v = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {"label": b["label"].to_numpy(),
+                 "norm": np.sqrt((v * v).sum(axis=1))}
+            )
+
+        out = relational.partial_groupby_sum(
+            emb.map_batches(f, batch_format="pandas"),
+            ["label"], {"norm": "sum_norm"}, count_as="n_vecs",
+        ).to_pandas()
+        out["avg_norm"] = (out["sum_norm"] / out["n_vecs"]).round(4)
+        return out[["label", "n_vecs", "avg_norm"]]
+
+    def embedding_kmeans_clusters(sf_dir: str):
+        # corpus curation clustering: broadcast centroids, streaming
+        # assignment, then a combiner-first per-cluster report
+        emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        assigned = simsearch.kmeans_assign(emb, n_clusters=8)
+        out = relational.partial_groupby_sum(
+            assigned, ["cluster"], {"cos": "sum_cos"}, count_as="n_vecs"
+        ).to_pandas()
+        out["avg_cos"] = (out["sum_cos"] / out["n_vecs"]).round(4)
+        return out[["cluster", "n_vecs", "avg_cos"]]
+
     def approx_distinct_users(sf_dir: str):
         # HyperLogLog sketch: one streaming pass, zero shuffles; the
         # ~1.6% (p=12) accuracy bound is pytest-verified vs the exact
@@ -762,6 +791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_big_order_counts": customer_big_order_counts,
         "docs_top_tokens": docs_top_tokens,
         "urgent_vs_big_orders": urgent_vs_big_orders,
+        "embedding_norm_by_label": embedding_norm_by_label,
+        "embedding_kmeans_clusters": embedding_kmeans_clusters,
         "approx_distinct_users": approx_distinct_users,
         "dedup_components_documents": dedup_components_documents,
         "docs_token_stats": docs_token_stats,
@@ -1078,6 +1109,12 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT o_custkey, COUNT(*) AS n_big FROM orders
                   WHERE o_totalprice > 300000.0 GROUP BY o_custkey) b
             ON u.o_custkey = b.o_custkey
+        """,
+        "embedding_norm_by_label": """
+            SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(AVG(sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x*x)))), 4) AS avg_norm
+            FROM embeddings GROUP BY label
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -165,3 +165,44 @@ def ivf_topk(
     res = pd.concat(out, ignore_index=True)[["query_ix", "rank", "vec_id", "cos"]]
     res["cos"] = np.round(res["cos"], 6)
     return res
+
+
+def kmeans_assign(
+    corpus: ray.data.Dataset,
+    *,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 2048,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Embedding clustering for corpus curation: deterministic k-means
+    centroids fit on a driver-side sample, broadcast once, then every
+    batch assigns its vectors by one matmul — the corpus streams, no
+    shuffle. Emits (id_col, cluster: int32, cos: double = similarity to
+    the owning centroid). At 100 TB the same centroid broadcast scales
+    unchanged; only the sample read grows (swap in a distributed
+    reservoir sample)."""
+    sample = np.stack(
+        corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
+    )
+    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            sim = v @ self.cent.T
+            a = np.argmax(sim, axis=1)
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    "cluster": a.astype(np.int32),
+                    "cos": np.round(sim[np.arange(len(a)), a], 6),
+                }
+            )
+
+    return corpus.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
