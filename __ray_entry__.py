@@ -425,6 +425,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
         return text.token_topk(ds, k=50)
 
+    def heavy_hitter_tokens(sf_dir: str):
+        # EXACT phi-frequent tokens in two streaming passes over a
+        # Misra-Gries candidate summary — O(k) state per batch, no
+        # full-vocabulary shuffle (the scale path for 10^9-term streams)
+        from engine.ops import sketch
+
+        ds = sf_table(sf_dir, "documents", ["text"])
+
+        def extract(b):
+            toks: list = []
+            for s in b["text"]:
+                toks.extend(text._ALPHA_RE.findall(s.lower()))
+            return np.asarray(toks, dtype=object)
+
+        return sketch.heavy_hitters_exact(
+            ds, phi=0.005, extract=extract, out_col="token"
+        )
+
     def urgent_vs_big_orders(sf_dir: str):
         # FULL OUTER co-shuffle join of two aggregates with disjoint
         # key coverage; both sides null-filled so output hashes cleanly
@@ -790,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event_type": distinct_users_per_event_type,
         "customer_big_order_counts": customer_big_order_counts,
         "docs_top_tokens": docs_top_tokens,
+        "heavy_hitter_tokens": heavy_hitter_tokens,
         "urgent_vs_big_orders": urgent_vs_big_orders,
         "embedding_norm_by_label": embedding_norm_by_label,
         "embedding_kmeans_clusters": embedding_kmeans_clusters,
@@ -1098,6 +1117,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "heavy_hitter_tokens": """
+            WITH t2 AS (
+                SELECT token FROM (
+                    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            )
+            SELECT token, COUNT(*) AS n FROM t2
+            GROUP BY token
+            HAVING COUNT(*) >= 0.005 * (SELECT COUNT(*) FROM t2)
+            ORDER BY n DESC, token
         """,
         "urgent_vs_big_orders": """
             SELECT COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,

@@ -131,3 +131,94 @@ def grouped_hll_count_distinct(
     return parts.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     ).to_pandas()
+
+
+# Reserved key carrying the stream length through the same shuffle as
+# the candidate counts (NUL prefix cannot appear in extracted tokens).
+_TOTAL_SENTINEL = "\x00__total__"
+
+
+def heavy_hitters_exact(
+    ds: ray.data.Dataset,
+    phi: float,
+    extract,
+    out_col: str = "value",
+    k_factor: int = 4,
+) -> pd.DataFrame:
+    """EXACT frequent items (support >= ``phi`` of the stream) in two
+    streaming passes — the scale path when the value space (tokens,
+    URLs, user ids) is far too large to groupby-count outright:
+
+    pass 1: each batch emits its exact ``np.unique`` counts pruned to a
+    ``k = k_factor/phi``-entry Misra-Gries summary (subtract the
+    (k+1)-th count, drop non-positive). Per-batch exact counts are
+    zero-error MG summaries, and MG summaries merge by count-sum +
+    re-prune (mergeable-summaries result), so the merged candidate set
+    PROVABLY contains every item with true frequency > n/k — a
+    superset of the phi-heavy items at k_factor x margin. State is
+    O(k) per batch regardless of cardinality.
+
+    pass 2: the candidate set (tiny) broadcasts; batches count ONLY
+    candidates; an exact filter ``count >= phi * n`` runs on the merged
+    totals. Output is exactly SQL ``GROUP BY .. HAVING count >= phi *
+    total`` (see the ``heavy_hitter_tokens`` DuckDB oracle).
+
+    ``extract(batch) -> np.ndarray`` maps a pandas batch to the value
+    stream (a column, or tokens exploded from one).
+    """
+    k = int(np.ceil(k_factor / phi))
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        vals = extract(b)
+        n = len(vals)
+        if n == 0:
+            return pd.DataFrame({out_col: pd.Series(dtype=object),
+                                 "__c": pd.Series(dtype=np.int64)})
+        u, c = np.unique(vals, return_counts=True)
+        if len(u) > k:
+            thr = np.sort(c)[::-1][k]  # (k+1)-th largest
+            keep = (c - thr) > 0
+            u, c = u[keep], c[keep] - thr
+        return pd.DataFrame(
+            {out_col: np.append(u, _TOTAL_SENTINEL),
+             "__c": np.append(c, n).astype(np.int64)}
+        )
+
+    merged = (
+        ds.map_batches(summarize, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby(out_col, as_index=False, sort=False)["__c"].sum(),
+            batch_format="pandas", batch_size=None,
+        )
+        .to_pandas()
+    )
+    total = int(merged.loc[merged[out_col] == _TOTAL_SENTINEL, "__c"].iloc[0])
+    cand = merged[merged[out_col] != _TOTAL_SENTINEL]
+    if len(cand) > k:  # final MG prune of the merged summary
+        thr = np.sort(cand["__c"].to_numpy())[::-1][k]
+        cand = cand[cand["__c"] - thr > 0]
+    cand_ref = ray.put(frozenset(cand[out_col]))
+
+    def exact_counts(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        cset = cached_get(cand_ref)
+        vals = extract(b)
+        vals = vals[pd.Series(vals).isin(cset).to_numpy()]
+        u, c = np.unique(vals, return_counts=True)
+        return pd.DataFrame({out_col: u, "n": c.astype(np.int64)})
+
+    counts = (
+        ds.map_batches(exact_counts, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby(out_col, as_index=False, sort=False)["n"].sum(),
+            batch_format="pandas", batch_size=None,
+        )
+        .to_pandas()
+    )
+    out = counts[counts["n"] >= phi * total]
+    return out.sort_values(
+        ["n", out_col], ascending=[False, True], kind="stable", ignore_index=True
+    )

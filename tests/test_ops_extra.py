@@ -299,3 +299,36 @@ def test_token_topk_small(ray_session):
     out = token_topk(ray.data.from_pandas(docs).repartition(2), k=3)
     assert out["token"].tolist() == ["dog", "cat", "the"]
     assert out["n"].tolist() == [4, 2, 2]
+
+
+def test_heavy_hitters_exact_matches_bruteforce(ray_session):
+    """Planted zipf-ish stream with vocabulary >> k so the per-batch
+    Misra-Gries prune actually fires; result must equal the exact
+    GROUP BY .. HAVING count >= phi*n filter."""
+    from engine.ops.sketch import heavy_hitters_exact
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    phi = 0.01
+    # 12 planted heavy items (~2% each) + 60k-strong long tail
+    heavy = np.repeat([f"hot_{i}" for i in range(12)], 2_000)
+    tail = np.array([f"cold_{i}" for i in rng.integers(0, 60_000, 90_000)])
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = heavy_hitters_exact(
+        ds, phi=phi, extract=lambda b: b["v"].to_numpy(), out_col="v"
+    )
+    # k = 4/phi = 400 << per-batch vocab (~60k/8 tail values per block)
+    exact = df["v"].value_counts()
+    expected = exact[exact >= phi * len(df)].sort_index()
+    got = out.set_index("v")["n"].sort_index()
+    assert got.index.tolist() == expected.index.tolist()
+    assert (got.to_numpy() == expected.to_numpy()).all()
+    # sorted n desc then value asc
+    assert out["n"].is_monotonic_decreasing or (
+        out.sort_values(["n", "v"], ascending=[False, True])["v"].tolist()
+        == out["v"].tolist()
+    )
