@@ -486,7 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_cosine_topk(sf_dir: str):
         emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        qdf = emb.sort("vec_id").limit(5).to_pandas()
+        qdf = relational.topk(emb, "vec_id", 5, descending=False).to_pandas()
         q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
         res = simsearch.brute_force_topk(emb, q, k=10)
         res["query_vec_id"] = qdf["vec_id"].to_numpy()[res["query_ix"].to_numpy()]
@@ -518,7 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         # plant deterministic near-duplicates: perturbed copies of the
         # first 10 vectors under new ids (random vectors have none)
-        base = emb.sort("vec_id").limit(10).to_pandas()
+        base = relational.topk(emb, "vec_id", 10, descending=False).to_pandas()
         rng = np.random.default_rng(7)
         planted = pd.DataFrame(
             {
@@ -539,7 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
         # plant deterministic near-dups: tail-mutated copies of the first
         # 10 docs under new ids (plus the corpus's own exact dups at 1.0)
-        base = ds.sort("doc_id").limit(10).to_pandas()
+        base = relational.topk(ds, "doc_id", 10, descending=False).to_pandas()
         mut = base.copy()
         mut["doc_id"] = mut["doc_id"].to_numpy() + 10_000_000
         mut["text"] = [
@@ -599,7 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
 
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
-        base = ds.sort("doc_id").limit(10).to_pandas()
+        # bottom-10 doc_ids via the pruning top-k (no range-sort of the
+        # full text column just to pick 10 seed rows)
+        base = relational.topk(ds, "doc_id", 10, descending=False).to_pandas()
         mut = base.copy()
         mut["doc_id"] = mut["doc_id"].to_numpy() + 10_000_000
         mut["text"] = [
@@ -652,7 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_ivf_topk(sf_dir: str):
         emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        qdf = emb.sort("vec_id").limit(5).to_pandas()
+        qdf = relational.topk(emb, "vec_id", 5, descending=False).to_pandas()
         q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
         return simsearch.ivf_topk(emb, q, k=10)
 

@@ -167,14 +167,20 @@ def topk(
     ds: ray.data.Dataset, col: str, k: int, descending: bool = True
 ) -> ray.data.Dataset:
     """Global top-k with per-batch pruning: each batch keeps its local
-    top-k, the global sort then runs over <= k*n_batches survivors."""
+    top-k (a combiner), then the <= k-per-block survivors coalesce into
+    ONE block for the final exact prune. Strictly fewer stages than
+    ``sort(col).limit(k)`` — no boundary-sampling pass and no
+    range-partition all-to-all; the only data movement is the tiny
+    survivor set. Output block is sorted by ``col``."""
 
     def prune(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.nlargest(k, col) if descending else batch.nsmallest(k, col)
 
-    return ds.map_batches(prune, batch_format="pandas").sort(
-        col, descending=descending
-    ).limit(k)
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .repartition(1)
+        .map_batches(prune, batch_format="pandas", batch_size=None)
+    )
 
 
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
