@@ -378,6 +378,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["o_custkey", "o_orderkey", "rn", "rnk", "drnk"])
 
+    def order_pctrank_in_customer(sf_dir: str):
+        # normalized window functions (PERCENT_RANK / CUME_DIST / NTILE),
+        # same single sharded shuffle as the ranking query
+        ds = sf_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        out = relational.window_rank(
+            ds, "o_custkey", ["o_totalprice", "o_orderkey"], [True, True],
+            methods={"pct_rnk": "percent_rank", "cume_d": "cume_dist",
+                     "tile4": "ntile:4"},
+            rank_on=["o_totalprice"],
+        ).to_pandas()
+        out["pct_rnk"] = out["pct_rnk"].round(6)
+        out["cume_d"] = out["cume_d"].round(6)
+        return out[["o_custkey", "o_orderkey", "pct_rnk", "cume_d", "tile4"]]
+
     def event_value_delta(sf_dir: str):
         # LAG window function: per-user delta vs previous event
         ev = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
@@ -805,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_user": events_pivot_by_user,
         "qty_price_corr_by_flag": qty_price_corr_by_flag,
         "order_rank_in_customer": order_rank_in_customer,
+        "order_pctrank_in_customer": order_pctrank_in_customer,
         "event_value_delta": event_value_delta,
         "acctbal_qcont_by_segment": acctbal_qcont_by_segment,
         "distinct_users_per_event_type": distinct_users_per_event_type,
@@ -1088,6 +1103,16 @@ def oracle_sql() -> dict[str, str]:
                                 ORDER BY o_totalprice DESC) AS rnk,
                    DENSE_RANK() OVER (PARTITION BY o_custkey
                                       ORDER BY o_totalprice DESC) AS drnk
+            FROM orders
+        """,
+        "order_pctrank_in_customer": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                              ORDER BY o_totalprice), 6) AS pct_rnk,
+                   ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice), 6) AS cume_d,
+                   NTILE(4) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice, o_orderkey) AS tile4
             FROM orders
         """,
         "event_value_delta": """

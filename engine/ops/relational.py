@@ -595,9 +595,12 @@ def window_rank(
 ) -> ray.data.Dataset:
     """SQL ranking window functions per group, all in ONE shuffle:
     ``methods`` maps output column -> ``row_number`` (ties broken by
-    the full ``order_cols`` sort), ``rank`` (ties share, gaps after) or
-    ``dense_rank`` (ties share, no gaps) — the reference's per-area
-    "position in ranking" report columns. Tie equality is tested on
+    the full ``order_cols`` sort), ``rank`` (ties share, gaps after),
+    ``dense_rank`` (ties share, no gaps), ``percent_rank``
+    ((rank-1)/(n-1), 0.0 for singleton groups), ``cume_dist``
+    (rows <= current tie-run end / n) or ``ntile:<k>`` (SQL NTILE
+    bucketing by row_number: the first n%k buckets get one extra row)
+    — the reference's per-area "position in ranking" report columns. Tie equality is tested on
     ``rank_on`` (default: ``order_cols``), so a trailing deterministic
     tie-break column can be part of the sort without splitting SQL tie
     groups.
@@ -629,6 +632,12 @@ def window_rank(
         for c in rank_on:
             v = g[c].to_numpy()
             new[1:] |= v[1:] != v[:-1]
+        # group sizes per row (segmented), for the normalized methods
+        s_idx = np.flatnonzero(starts)
+        sizes = np.diff(np.r_[s_idx, n])
+        gs = np.repeat(sizes, sizes)
+        # forward-fill index of the last tie-run start (rank base)
+        last_new = np.maximum.accumulate(np.where(new, idx, 0))
         for out, method in methods.items():
             if method == "row_number":
                 g[out] = pos
@@ -636,9 +645,25 @@ def window_rank(
                 cn = np.cumsum(new)
                 g[out] = cn - cn[gstart] + 1
             elif method == "rank":
-                # forward-fill index of the last tie-run start
-                last_new = np.maximum.accumulate(np.where(new, idx, 0))
                 g[out] = pos[last_new]
+            elif method == "percent_rank":
+                g[out] = np.where(
+                    gs > 1, (pos[last_new] - 1) / np.maximum(gs - 1, 1), 0.0
+                )
+            elif method == "cume_dist":
+                # within-group position of the END of the current tie run
+                run_id = np.cumsum(new) - 1
+                run_starts = np.flatnonzero(new)
+                run_end_idx = np.r_[run_starts[1:], n] - 1
+                g[out] = pos[run_end_idx[run_id]] / gs
+            elif method.startswith("ntile:"):
+                k = int(method.split(":", 1)[1])
+                q, r = gs // k, gs % k
+                fat = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+                p0 = pos - 1
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tail = np.where(q > 0, r + (p0 - fat) // np.maximum(q, 1) + 1, 0)
+                g[out] = np.where(p0 < fat, p0 // (q + 1) + 1, tail).astype(np.int64)
             else:
                 raise ValueError(f"unknown rank method: {method}")
         return g

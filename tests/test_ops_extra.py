@@ -332,3 +332,33 @@ def test_heavy_hitters_exact_matches_bruteforce(ray_session):
         out.sort_values(["n", "v"], ascending=[False, True])["v"].tolist()
         == out["v"].tolist()
     )
+
+
+def test_window_normalized_methods_edge_cases(ray_session):
+    """percent_rank=0 for singletons; ntile:k with group < k gives each
+    row its own bucket; cume_dist counts full tie runs."""
+    from engine.ops.relational import window_rank
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1, 2, 3, 3],
+            "v": [10, 10, 20, 30, 5, 7, 7],
+            "id": [1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    out = (
+        window_rank(
+            ray.data.from_pandas(df).repartition(3),
+            "g", ["v", "id"], [True, True],
+            methods={"pr": "percent_rank", "cd": "cume_dist", "t3": "ntile:3"},
+            rank_on=["v"], num_shards=4,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert out["pr"].tolist() == [0.0, 0.0, 2 / 3, 1.0, 0.0, 0.0, 0.0]
+    assert out["cd"].tolist() == [0.5, 0.5, 0.75, 1.0, 1.0, 1.0, 1.0]
+    # g=1 (4 rows, k=3): buckets sized 2,1,1; g=2 singleton -> 1;
+    # g=3 (2 rows < k) -> row_number
+    assert out["t3"].tolist() == [1, 1, 2, 3, 1, 1, 2]
