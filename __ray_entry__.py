@@ -378,6 +378,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["o_custkey", "o_orderkey", "rn", "rnk", "drnk"])
 
+    def acctbal_var_by_segment(sf_dir: str):
+        # per-group population variance/stddev, two-pass centered sums
+        ds = sf_table(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+        out = relational.grouped_var_std(ds, "c_mktsegment", "c_acctbal")
+        out["var_pop"] = out["var_pop"].round(4)
+        out["std_pop"] = out["std_pop"].round(4)
+        return out
+
+    def orders_priority_rollup(sf_dir: str):
+        # GROUP BY ROLLUP: one distributed finest aggregate, coarser
+        # levels cascaded from its tiny result (A3 report rollup)
+        ds = sf_table(sf_dir, "orders",
+                      ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        out = relational.rollup_sum(
+            ds, ["o_orderstatus", "o_orderpriority"],
+            {"o_totalprice": "total"}, count_as="n_orders",
+        )
+        out["total"] = out["total"].round(4)
+        return out
+
     def order_pctrank_in_customer(sf_dir: str):
         # normalized window functions (PERCENT_RANK / CUME_DIST / NTILE),
         # same single sharded shuffle as the ranking query
@@ -820,6 +840,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr_by_flag": qty_price_corr_by_flag,
         "order_rank_in_customer": order_rank_in_customer,
         "order_pctrank_in_customer": order_pctrank_in_customer,
+        "orders_priority_rollup": orders_priority_rollup,
+        "acctbal_var_by_segment": acctbal_var_by_segment,
         "event_value_delta": event_value_delta,
         "acctbal_qcont_by_segment": acctbal_qcont_by_segment,
         "distinct_users_per_event_type": distinct_users_per_event_type,
@@ -1104,6 +1126,20 @@ def oracle_sql() -> dict[str, str]:
                    DENSE_RANK() OVER (PARTITION BY o_custkey
                                       ORDER BY o_totalprice DESC) AS drnk
             FROM orders
+        """,
+        "acctbal_var_by_segment": """
+            SELECT c_mktsegment,
+                   ROUND(VAR_POP(c_acctbal), 4) AS var_pop,
+                   ROUND(STDDEV_POP(c_acctbal), 4) AS std_pop
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "orders_priority_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   ROUND(SUM(o_totalprice), 4) AS total,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "order_pctrank_in_customer": """
             SELECT o_custkey, o_orderkey,

@@ -163,6 +163,42 @@ def partial_groupby_sum(
     return out
 
 
+def rollup_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    count_as: str = "n",
+    all_value: str = "ALL",
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(keys)`` (the reference's child->parent report
+    rollups, SURVEY.md §2.5 A3): ONE distributed finest-level aggregate
+    (combiner + small final) over the input; every coarser level is then
+    re-aggregated from the previous level's (tiny) result driver-side —
+    the rollup cascade never re-reads the input. Super-aggregate rows
+    carry ``all_value`` in the rolled-up key columns, matching a SQL
+    twin of ``COALESCE(key, 'ALL') .. GROUP BY ROLLUP(keys)``."""
+    finest = partial_groupby_sum(ds, keys, sums, count_as=count_as).to_pandas()
+    vals = list(sums.values()) + [count_as]
+    levels = [finest[keys + vals]]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        kept = keys[:i]
+        if kept:
+            g = cur.groupby(kept, as_index=False, sort=False)[vals].sum()
+        else:
+            g = cur[vals].sum().to_frame().T
+        for k in keys[i:]:
+            g[k] = all_value
+        g = g[keys + vals]
+        levels.append(g)
+        cur = g
+    out = pd.concat(levels, ignore_index=True)
+    out[count_as] = out[count_as].astype(np.int64)
+    for v in sums.values():
+        out[v] = out[v].astype(np.float64)
+    return out.sort_values(keys, ignore_index=True)
+
+
 def topk(
     ds: ray.data.Dataset, col: str, k: int, descending: bool = True
 ) -> ray.data.Dataset:
@@ -561,6 +597,43 @@ def grouped_corr(
     tot = sum_final(parts, [group_key]).to_pandas()
     tot[out] = tot["__sxy"] / np.sqrt(tot["__sxx"] * tot["__syy"])
     return tot[[group_key, out]]
+
+
+def grouped_var_std(
+    ds: ray.data.Dataset,
+    group_key: str,
+    x: str,
+    var_out: str = "var_pop",
+    std_out: str = "std_pop",
+) -> pd.DataFrame:
+    """Population variance + stddev of ``x`` per group, the same
+    two-pass centered scheme as ``grouped_corr``: pass 1 gets per-group
+    means (combiner + tiny final), pass 2 broadcasts them and sums
+    squared deviations per batch — stable against the catastrophic
+    cancellation of the raw ``E[x^2]-E[x]^2`` formula, never
+    materializes the input."""
+    sums = partial_groupby_sum(
+        ds, [group_key], {x: "__sx"}, count_as="__n"
+    ).to_pandas()
+    mdf = pd.DataFrame(
+        {group_key: sums[group_key], "__mx": sums["__sx"] / sums["__n"]}
+    )
+    ref = ray.put(mdf)
+
+    def centered(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        b = b.merge(cached_get(ref), on=group_key)
+        dx = b[x].to_numpy() - b["__mx"].to_numpy()
+        return pd.DataFrame(
+            {group_key: b[group_key], "__sxx": dx * dx, "__n": 1}
+        ).groupby(group_key, as_index=False, sort=False).sum()
+
+    parts = ds.map_batches(centered, batch_format="pandas")
+    tot = sum_final(parts, [group_key]).to_pandas()
+    tot[var_out] = tot["__sxx"] / tot["__n"]
+    tot[std_out] = np.sqrt(tot[var_out])
+    return tot[[group_key, var_out, std_out]]
 
 
 def _sharded_by_key(
