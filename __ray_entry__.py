@@ -378,6 +378,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["o_custkey", "o_orderkey", "rn", "rnk", "drnk"])
 
+    def orders_of_rich_customers(sf_dir: str):
+        # Bloom-prefiltered semi-join: key side stays distributed, the
+        # broadcast is a bitset not a key set; misses drop BEFORE the
+        # co-shuffle, the exact residual join removes false positives
+        orders = sf_table(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_totalprice"])
+        rich = (
+            sf_table(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+            .filter(expr="c_acctbal > 9000.0")
+            .map_batches(
+                lambda b: b[["c_custkey"]].rename(
+                    columns={"c_custkey": "o_custkey"}
+                ),
+                batch_format="pandas",
+            )
+        )
+        out = relational.bloom_semi_join(orders, rich, "o_custkey")
+        out = out.select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).to_pandas()
+        out["o_totalprice"] = out["o_totalprice"].round(4)
+        return out
+
     def acctbal_var_by_segment(sf_dir: str):
         # per-group population variance/stddev, two-pass centered sums
         ds = sf_table(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
@@ -842,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_pctrank_in_customer": order_pctrank_in_customer,
         "orders_priority_rollup": orders_priority_rollup,
         "acctbal_var_by_segment": acctbal_var_by_segment,
+        "orders_of_rich_customers": orders_of_rich_customers,
         "event_value_delta": event_value_delta,
         "acctbal_qcont_by_segment": acctbal_qcont_by_segment,
         "distinct_users_per_event_type": distinct_users_per_event_type,
@@ -1126,6 +1150,13 @@ def oracle_sql() -> dict[str, str]:
                    DENSE_RANK() OVER (PARTITION BY o_custkey
                                       ORDER BY o_totalprice DESC) AS drnk
             FROM orders
+        """,
+        "orders_of_rich_customers": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+            )
         """,
         "acctbal_var_by_segment": """
             SELECT c_mktsegment,

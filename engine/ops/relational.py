@@ -163,6 +163,75 @@ def partial_groupby_sum(
     return out
 
 
+def bloom_semi_join(
+    big: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    *,
+    bits_per_key: int = 10,
+    k_hashes: int = 3,
+    expected_keys: int | None = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Semi-join for the case ``semi_join`` can't handle: the key side
+    is itself a big Dataset (too large to collect as a driver set) but a
+    full both-sides co-shuffle of ``big`` would be wasteful because most
+    probe rows miss. A Bloom filter of the keys (``bits_per_key`` x
+    |keys| bits, ~1% false positives at 10/3) is built distributed —
+    per-block bitmaps OR-folded driver-side, O(num_blocks x m/8) bytes —
+    broadcast once via ``ray.put``, and probes drop misses BEFORE the
+    shuffle. Only the (small) survivor set then co-shuffles against the
+    distinct keys for the exact residual check, so output is EXACTLY the
+    semi-join (false positives are eliminated, never emitted).
+
+    Shuffle volume: |matches| + FP·|big| instead of |big| — at a 1%
+    match rate that is a ~50x cut of the all-to-all.
+
+    ``num_partitions`` feeds the residual ``bucketed_join``; the native
+    JoinOperator keeps all partition aggregators resident, so it must
+    stay O(cluster CPUs) — 32 partitions on a 4-cpu node livelocks
+    (measured: 50+ blocked workers). Raise it with cluster size."""
+    from engine.ops.sketch import _hash64
+
+    if expected_keys is None:
+        expected_keys = max(1024, keys.count())
+    m_bits = int(bits_per_key * expected_keys)
+    seeds = np.arange(1, k_hashes + 1, dtype=np.uint64)
+
+    def positions(vals: np.ndarray) -> np.ndarray:
+        h = _hash64(vals)
+        h2 = ((h >> np.uint64(33)) | np.uint64(1))  # odd -> full cycle
+        return (
+            (h[:, None] + seeds[None, :] * h2[:, None]) % np.uint64(m_bits)
+        ).ravel()
+
+    def local_bitmap(b: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+        pos = positions(b[on].to_numpy())
+        np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = keys.map_batches(local_bitmap, batch_format="pandas").to_pandas()
+    bm = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+    for blob in parts["bm"]:
+        np.bitwise_or(bm, np.frombuffer(blob, dtype=np.uint8), out=bm)
+    bm_ref = ray.put(bm)
+
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        f = cached_get(bm_ref)
+        pos = positions(b[on].to_numpy()).reshape(-1, k_hashes)
+        hit = ((f[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        return b[hit]
+
+    survivors = big.map_batches(prefilter, batch_format="pandas")
+    dkeys = distinct(keys, [on])
+    return bucketed_join(
+        survivors, dkeys, on=on, num_partitions=num_partitions, how="inner"
+    )
+
+
 def rollup_sum(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -740,6 +809,41 @@ def window_rank(
             else:
                 raise ValueError(f"unknown rank method: {method}")
         return g
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )
+
+
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    group_key: str,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    sep: str = ",",
+    out_col: str = "agg",
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``string_agg(value ORDER BY order_cols)`` per group — the
+    reference's per-area article list / per-theme report row (it renders
+    one comma-joined list of matched titles per admin area). Ordered
+    concatenation is not commutative, so there is no combiner; instead
+    ONE shuffle on ``hash(group_key) % num_shards`` co-locates whole
+    groups, each shard sorts once by (key, order_cols) and joins every
+    group's run in a single pandas pass. ``order_cols`` must make the
+    order total (include a unique tie-break column) or the result is
+    nondeterministic. Partitioning assumption: a shard's concatenated
+    strings fit one worker; raise ``num_shards`` with data size."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        )
+        agg = g.groupby(group_key, sort=False)[value_col].agg(sep.join)
+        return pd.DataFrame({group_key: agg.index, out_col: agg.to_numpy()})
 
     return (
         _sharded_by_key(ds, group_key, num_shards)

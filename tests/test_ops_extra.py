@@ -362,3 +362,30 @@ def test_window_normalized_methods_edge_cases(ray_session):
     # g=1 (4 rows, k=3): buckets sized 2,1,1; g=2 singleton -> 1;
     # g=3 (2 rows < k) -> row_number
     assert out["t3"].tolist() == [1, 1, 2, 3, 1, 1, 2]
+
+
+def test_bloom_semi_join_exact_under_high_fp(ray_session):
+    """bits_per_key=2 forces a high Bloom false-positive rate; the
+    residual co-shuffle must still yield EXACTLY the semi-join."""
+    from engine.ops.relational import bloom_semi_join
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    big = pd.DataFrame(
+        {"k": rng.integers(0, 5_000, 20_000), "v": np.arange(20_000)}
+    )
+    keys = pd.DataFrame({"k": rng.choice(5_000, 300, replace=False)})
+    out = (
+        bloom_semi_join(
+            ray.data.from_pandas(big).repartition(6),
+            ray.data.from_pandas(keys).repartition(3),
+            "k", bits_per_key=2, k_hashes=2, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    expected = big[big["k"].isin(set(keys["k"]))].sort_values(
+        "v", ignore_index=True
+    )
+    assert out["v"].tolist() == expected["v"].tolist()
+    assert out["k"].tolist() == expected["k"].tolist()
