@@ -444,6 +444,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["delta"] = out["delta"].round(4)
         return out[["event_id", "user_id", "delta"]]
 
+    def user_event_type_seq(sf_dir: str):
+        # ordered per-group string_agg — the reference's per-area
+        # article list (one comma-joined titles row per admin area)
+        ev = sf_table(sf_dir, "events",
+                      ["event_id", "user_id", "ts", "event_type"])
+        return relational.grouped_string_agg(
+            ev, "user_id", "event_type", ["ts", "event_id"],
+            out_col="type_seq",
+        ).to_pandas()
+
+    def top_event_type_per_user(sf_dir: str):
+        # mode per group composed from existing pieces: combiner counts
+        # per (user, type), then argmax per user (ties -> larger type,
+        # matching argmax_per_group's DESC tie rule)
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type"])
+        counts = relational.partial_groupby_sum(
+            ev, ["user_id", "event_type"], {}, count_as="n"
+        )
+        out = relational.argmax_per_group(
+            counts, "user_id", "n", "event_type"
+        ).to_pandas()
+        return out.rename(columns={"event_type": "top_type"})
+
     def acctbal_qcont_by_segment(sf_dir: str):
         # continuous (interpolated) quantiles, DuckDB quantile_cont parity
         cust = sf_table(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
@@ -866,6 +889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_rollup": orders_priority_rollup,
         "acctbal_var_by_segment": acctbal_var_by_segment,
         "orders_of_rich_customers": orders_of_rich_customers,
+        "user_event_type_seq": user_event_type_seq,
+        "top_event_type_per_user": top_event_type_per_user,
         "event_value_delta": event_value_delta,
         "acctbal_qcont_by_segment": acctbal_qcont_by_segment,
         "distinct_users_per_event_type": distinct_users_per_event_type,
@@ -1157,6 +1182,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
                 SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
             )
+        """,
+        "user_event_type_seq": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+            FROM events GROUP BY user_id
+        """,
+        "top_event_type_per_user": """
+            SELECT user_id, event_type AS top_type, n FROM (
+                SELECT user_id, event_type, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type DESC) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "acctbal_var_by_segment": """
             SELECT c_mktsegment,

@@ -364,6 +364,40 @@ def test_window_normalized_methods_edge_cases(ray_session):
     assert out["t3"].tolist() == [1, 1, 2, 3, 1, 1, 2]
 
 
+def test_grouped_string_agg_ordered(ray_session):
+    """Order inside each group follows order_cols regardless of how
+    rows are scattered across input blocks and shards."""
+    from engine.ops.relational import grouped_string_agg
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 3_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 40, n),
+            "seq": rng.permutation(n),
+            "val": [f"v{i}" for i in range(n)],
+        }
+    )
+    out = (
+        grouped_string_agg(
+            ray.data.from_pandas(df.sample(frac=1.0, random_state=3))
+            .repartition(7),
+            "g", "val", ["seq"], out_col="s", num_shards=5,
+        )
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    exp = (
+        df.sort_values(["g", "seq"])
+        .groupby("g")["val"]
+        .agg(",".join)
+        .reset_index(name="s")
+    )
+    assert out["g"].tolist() == exp["g"].tolist()
+    assert out["s"].tolist() == exp["s"].tolist()
+
+
 def test_bloom_semi_join_exact_under_high_fp(ray_session):
     """bits_per_key=2 forces a high Bloom false-positive rate; the
     residual co-shuffle must still yield EXACTLY the semi-join."""
