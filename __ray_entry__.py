@@ -444,6 +444,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["delta"] = out["delta"].round(4)
         return out[["event_id", "user_id", "delta"]]
 
+    def parts_never_ordered_heavy(sf_dir: str):
+        # both-sides-big anti-join: parts with no heavy (>45 qty)
+        # lineitem — neither side broadcastable at scale, so the NOT IN
+        # runs as a marker-carrying left-outer co-shuffle
+        part = sf_table(sf_dir, "part", ["p_partkey", "p_name"])
+        li = (
+            sf_table(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+            .filter(expr="l_quantity > 45")
+            .map_batches(
+                lambda b: b[["l_partkey"]].rename(
+                    columns={"l_partkey": "p_partkey"}
+                ),
+                batch_format="pandas",
+            )
+        )
+        out = relational.bucketed_anti_join(part, li, "p_partkey")
+        return out.select_columns(["p_partkey", "p_name"]).to_pandas()
+
     def user_event_type_seq(sf_dir: str):
         # ordered per-group string_agg — the reference's per-area
         # article list (one comma-joined titles row per admin area)
@@ -889,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_rollup": orders_priority_rollup,
         "acctbal_var_by_segment": acctbal_var_by_segment,
         "orders_of_rich_customers": orders_of_rich_customers,
+        "parts_never_ordered_heavy": parts_never_ordered_heavy,
         "user_event_type_seq": user_event_type_seq,
         "top_event_type_per_user": top_event_type_per_user,
         "event_value_delta": event_value_delta,
@@ -1181,6 +1200,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (
                 SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+            )
+        """,
+        "parts_never_ordered_heavy": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN (
+                SELECT l_partkey FROM lineitem WHERE l_quantity > 45
             )
         """,
         "user_event_type_seq": """

@@ -232,6 +232,37 @@ def bloom_semi_join(
     )
 
 
+def bucketed_anti_join(
+    left: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    on: str,
+    *,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Both-sides-big NOT IN (the reference's "articles with no matching
+    object" lists when neither side fits a broadcast): distinct right
+    keys carry a presence marker through a LEFT OUTER hash-partitioned
+    co-shuffle; survivors are the rows whose marker came back null.
+    Exact — unlike a Bloom prefilter, misses are what we KEEP, so false
+    positives would drop valid rows and no sketch shortcut applies."""
+    dk = distinct(right_keys, [on])
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__present"] = np.int8(1)
+        return b
+
+    j = bucketed_join(
+        left, dk.map_batches(mark, batch_format="pandas"),
+        on=on, num_partitions=num_partitions, how="left_outer",
+    )
+
+    def keep_missing(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["__present"].isna()].drop(columns="__present")
+
+    return j.map_batches(keep_missing, batch_format="pandas")
+
+
 def rollup_sum(
     ds: ray.data.Dataset,
     keys: list[str],
