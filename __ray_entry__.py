@@ -823,6 +823,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def geo_polygon_centroids(sf_dir: str):
         return geo_ops.polygon_centroids(fixtures.polygons())
 
+    def geo_vector_tiles(sf_dir: str):
+        # vector half of raster<->vector tiling: admin polygons clipped
+        # to z/x/y tile rects (Sutherland-Hodgman), per-tile net area;
+        # area conservation is pytest-oracled (test_geo_kernels)
+        out = geo_ops.vector_tiles(fixtures.polygons(), zoom=8).to_pandas()
+        out["area"] = out["area"].round(9)
+        return (
+            out[["tile_key", "z", "x", "y", "admin_id", "level",
+                 "n_vertices", "area"]]
+            .sort_values(["tile_key", "admin_id"], ignore_index=True)
+        )
+
     def geo_admin_rollup(sf_dir: str):
         idx = _geo_indexed(columns=["image_id", "caption"])
         j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
@@ -942,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "run_history_series": run_history_series,
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
+        "geo_vector_tiles": geo_vector_tiles,
         "geo_admin_rollup": geo_admin_rollup,
         "geo_article_match": geo_article_match,
         "geo_articles_untagged": geo_articles_untagged,

@@ -285,3 +285,113 @@ def area_tag_stats(
         100.0 * out["n_tagged"] / np.maximum(out["n_images"], 1), 4
     )
     return out.sort_values("admin_id", ignore_index=True)
+
+
+# ------------------------------------------------------------- vector tiles
+
+def vector_tiles(
+    poly: dict, zoom: int = 8, epsilon: float = 0.0
+) -> ray.data.Dataset:
+    """Vector half of raster<->vector tiling (SURVEY §0.2: per-area
+    boundary overlays on the reference's slippy-map pages): every admin
+    polygon is projected to Web-Mercator tile units, optionally
+    Douglas-Peucker simplified (``epsilon`` in tile units — the per-zoom
+    detail knob), flat-mapped onto each z/x/y tile its bbox touches, and
+    clipped exactly to the tile rect (Sutherland-Hodgman, convex clip =>
+    exact). Holes are clipped too and their area subtracted.
+
+    Emits one row per (polygon, tile): tile_key, z/x/y, admin_id, level,
+    the clipped ring in in-tile pixel coords (256px tiles), n_vertices,
+    and net area in tile-units^2. Conservation oracle: with epsilon=0
+    the per-tile net areas of a polygon sum to its whole-polygon net
+    area (the tile grid partitions the plane; verified in tests).
+
+    Scale shape: one input row per polygon, fan-out bounded by bbox tile
+    count; no shuffle at all — tiles needing assembly groupby(tile_key)
+    downstream. Batches loop over POLYGONS (ragged rings), never over
+    vertices; all vertex math is numpy."""
+    from engine.geo import clip as clip_mod
+    from engine.pipeline.tile import TILE_SIZE, tile_key as pack_key
+
+    rows = []
+    holes_all = poly.get("holes") or [[] for _ in poly["admin_id"]]
+    for i in range(len(poly["admin_id"])):
+        rows.append(
+            {
+                "admin_id": str(poly["admin_id"][i]),
+                "level": int(poly["level"][i]),
+                "ring_lon": np.asarray(poly["ring_lon"][i], np.float64).tolist(),
+                "ring_lat": np.asarray(poly["ring_lat"][i], np.float64).tolist(),
+                "hole_lon": [np.asarray(hx, np.float64).tolist() for hx, _ in holes_all[i]],
+                "hole_lat": [np.asarray(hy, np.float64).tolist() for _, hy in holes_all[i]],
+            }
+        )
+    ds = ray.data.from_items(rows)
+
+    def clip_batch(b: pa.Table) -> pd.DataFrame:
+        out: dict[str, list] = {
+            "tile_key": [], "z": [], "x": [], "y": [],
+            "admin_id": [], "level": [], "n_vertices": [],
+            "area": [], "ring_px": [], "ring_py": [],
+        }
+        ids = b["admin_id"].to_pylist()
+        lvls = b["level"].to_pylist()
+        rlon = b["ring_lon"].to_pylist()
+        rlat = b["ring_lat"].to_pylist()
+        hlon = b["hole_lon"].to_pylist()
+        hlat = b["hole_lat"].to_pylist()
+        for aid, lvl, lons, lats, hxs, hys in zip(
+            ids, lvls, rlon, rlat, hlon, hlat
+        ):
+            ex, ey = clip_mod.lonlat_to_mercator_unit(
+                np.asarray(lons), np.asarray(lats), zoom
+            )
+            if epsilon > 0.0:
+                ex, ey = clip_mod.simplify_ring(ex, ey, epsilon)
+            holes_m = [
+                clip_mod.lonlat_to_mercator_unit(
+                    np.asarray(hx), np.asarray(hy), zoom
+                )
+                for hx, hy in zip(hxs, hys)
+            ]
+            n = 1 << zoom
+            tx0 = max(0, int(np.floor(ex.min())))
+            tx1 = min(n - 1, int(np.floor(ex.max())))
+            ty0 = max(0, int(np.floor(ey.min())))
+            ty1 = min(n - 1, int(np.floor(ey.max())))
+            for tx in range(tx0, tx1 + 1):
+                for ty in range(ty0, ty1 + 1):
+                    cx, cy = clip_mod.clip_ring_rect(
+                        ex, ey, tx, ty, tx + 1.0, ty + 1.0
+                    )
+                    if len(cx) < 3:
+                        continue
+                    area = abs(clip_mod.shoelace_area(cx, cy))
+                    for hx, hy in holes_m:
+                        chx, chy = clip_mod.clip_ring_rect(
+                            hx, hy, tx, ty, tx + 1.0, ty + 1.0
+                        )
+                        if len(chx) >= 3:
+                            area -= abs(clip_mod.shoelace_area(chx, chy))
+                    if area <= 1e-12:
+                        continue
+                    key = int(pack_key(
+                        np.asarray([tx]), np.asarray([ty]), zoom
+                    )[0])
+                    out["tile_key"].append(key)
+                    out["z"].append(zoom)
+                    out["x"].append(tx)
+                    out["y"].append(ty)
+                    out["admin_id"].append(aid)
+                    out["level"].append(lvl)
+                    out["n_vertices"].append(len(cx))
+                    out["area"].append(round(float(area), 12))
+                    out["ring_px"].append(
+                        np.round((cx - tx) * TILE_SIZE, 6).tolist()
+                    )
+                    out["ring_py"].append(
+                        np.round((cy - ty) * TILE_SIZE, 6).tolist()
+                    )
+        return pd.DataFrame(out)
+
+    return ds.map_batches(clip_batch, batch_format="pyarrow")

@@ -275,3 +275,94 @@ def test_knn_clustered_skewed_candidates():
     nn, nd = knn.knn_ring_expand(idx, qlon, qlat, k=4)
     bn, bd = knn.knn_brute_force(pts[:, 0], pts[:, 1], qlon, qlat, k=4)
     assert np.array_equal(nn, bn)
+
+
+# ------------------------------------------------------------------ clip
+
+def _random_simple_ring(rng, nv, cx=0.0, cy=0.0, radius=1.0):
+    # star-shaped around (cx,cy): sorted angles guarantee a simple ring
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    rad = radius * (0.5 + 0.5 * rng.random(nv))
+    return cx + rad * np.cos(ang), cy + rad * np.sin(ang)
+
+
+def test_clip_area_conservation_over_grid():
+    """Clipping against every cell of a grid partitions the polygon:
+    per-cell |areas| must sum to the ring's |area| (exact law)."""
+    from engine.geo import clip
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        x, y = _random_simple_ring(rng, int(rng.integers(5, 40)),
+                                   cx=5.0, cy=5.0, radius=2.5)
+        total = abs(clip.shoelace_area(x, y))
+        acc = 0.0
+        for gx in range(2, 9):
+            for gy in range(2, 9):
+                cxs, cys = clip.clip_ring_rect(x, y, gx, gy, gx + 1, gy + 1)
+                acc += abs(clip.shoelace_area(cxs, cys))
+        assert abs(acc - total) <= 1e-9 * max(total, 1.0)
+
+
+def test_clip_identity_and_disjoint():
+    from engine.geo import clip
+
+    rng = np.random.default_rng(8)
+    x, y = _random_simple_ring(rng, 12, radius=1.0)
+    cx, cy = clip.clip_ring_rect(x, y, -5, -5, 5, 5)  # superset rect
+    assert abs(clip.shoelace_area(cx, cy) - clip.shoelace_area(x, y)) < 1e-12
+    ex, ey = clip.clip_ring_rect(x, y, 10, 10, 11, 11)  # disjoint
+    assert len(ex) == 0 and len(ey) == 0
+
+
+def test_simplify_ring_deviation_bound_and_eps0():
+    from engine.geo import clip
+
+    rng = np.random.default_rng(9)
+    x, y = _random_simple_ring(rng, 200, radius=1.0)
+    sx, sy = clip.simplify_ring(x, y, 0.0)
+    assert np.array_equal(sx, x) and np.array_equal(sy, y)
+    eps = 0.05
+    sx, sy = clip.simplify_ring(x, y, eps)
+    assert len(sx) < len(x)
+    kept = set(zip(sx.tolist(), sy.tolist()))
+    assert kept <= set(zip(x.tolist(), y.tolist()))  # subset of input
+    # every dropped vertex within eps of the kept closed polyline
+    kx = np.concatenate([sx, sx[:1]]); ky = np.concatenate([sy, sy[:1]])
+    for px, py in zip(x, y):
+        if (px, py) in kept:
+            continue
+        d = np.inf
+        for i in range(len(kx) - 1):
+            ax, ay, bx, by = kx[i], ky[i], kx[i + 1], ky[i + 1]
+            t = ((px - ax) * (bx - ax) + (py - ay) * (by - ay)) / max(
+                (bx - ax) ** 2 + (by - ay) ** 2, 1e-30)
+            t = min(max(t, 0.0), 1.0)
+            d = min(d, np.hypot(px - (ax + t * (bx - ax)),
+                                py - (ay + t * (by - ay))))
+        assert d <= eps + 1e-9
+
+
+def test_vector_tiles_area_conservation(ray_session):
+    """Distributed vector tiling: per-tile net areas (holes subtracted)
+    sum to each polygon's whole net area in mercator space."""
+    from engine import fixtures
+    from engine.geo import clip
+    from engine.ops.geo import vector_tiles
+
+    poly = fixtures.polygons()
+    zoom = 8
+    out = vector_tiles(poly, zoom=zoom).to_pandas()
+    assert (out["n_vertices"] >= 3).all()
+    per_poly = out.groupby("admin_id")["area"].sum()
+    holes_all = poly.get("holes") or [[] for _ in poly["admin_id"]]
+    for i in range(len(poly["admin_id"])):
+        ex, ey = clip.lonlat_to_mercator_unit(
+            np.asarray(poly["ring_lon"][i]), np.asarray(poly["ring_lat"][i]), zoom)
+        net = abs(clip.shoelace_area(ex, ey))
+        for hx, hy in holes_all[i]:
+            mhx, mhy = clip.lonlat_to_mercator_unit(
+                np.asarray(hx), np.asarray(hy), zoom)
+            net -= abs(clip.shoelace_area(mhx, mhy))
+        got = float(per_poly.get(str(poly["admin_id"][i]), 0.0))
+        assert abs(got - net) <= 1e-6 * max(net, 1e-9), poly["admin_id"][i]
