@@ -421,6 +421,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["total"] = out["total"].round(4)
         return out
 
+    def orders_status_priority_cube(sf_dir: str):
+        # GROUP BY CUBE: all 2^k grouping sets from one distributed
+        # finest aggregate, coarser sets derived driver-side
+        ds = sf_table(sf_dir, "orders",
+                      ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        out = relational.cube_sum(
+            ds, ["o_orderstatus", "o_orderpriority"],
+            {"o_totalprice": "total"}, count_as="n_orders",
+        )
+        out["total"] = out["total"].round(4)
+        return out
+
     def order_pctrank_in_customer(sf_dir: str):
         # normalized window functions (PERCENT_RANK / CUME_DIST / NTILE),
         # same single sharded shuffle as the ranking query
@@ -916,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr_by_flag": qty_price_corr_by_flag,
         "order_rank_in_customer": order_rank_in_customer,
         "order_pctrank_in_customer": order_pctrank_in_customer,
+        "orders_status_priority_cube": orders_status_priority_cube,
         "orders_priority_rollup": orders_priority_rollup,
         "acctbal_var_by_segment": acctbal_var_by_segment,
         "orders_of_rich_customers": orders_of_rich_customers,
@@ -1248,6 +1261,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "orders_status_priority_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   ROUND(SUM(o_totalprice), 4) AS total,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "order_pctrank_in_customer": """
             SELECT o_custkey, o_orderkey,

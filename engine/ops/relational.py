@@ -193,6 +193,10 @@ def bloom_semi_join(
     (measured: 50+ blocked workers). Raise it with cluster size."""
     from engine.ops.sketch import _hash64
 
+    # the key pipeline feeds THREE consumers (count, bitmap pass,
+    # residual distinct) — pin its blocks once instead of recomputing
+    # the upstream read/filter per consumer
+    keys = keys.materialize()
     if expected_keys is None:
         expected_keys = max(1024, keys.count())
     m_bits = int(bits_per_key * expected_keys)
@@ -292,6 +296,42 @@ def rollup_sum(
         g = g[keys + vals]
         levels.append(g)
         cur = g
+    out = pd.concat(levels, ignore_index=True)
+    out[count_as] = out[count_as].astype(np.int64)
+    for v in sums.values():
+        out[v] = out[v].astype(np.float64)
+    return out.sort_values(keys, ignore_index=True)
+
+
+def cube_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    count_as: str = "n",
+    all_value: str = "ALL",
+) -> pd.DataFrame:
+    """``GROUP BY CUBE(keys)``: every subset of the keys aggregated.
+    Same one-distributed-pass discipline as ``rollup_sum`` — the finest
+    (all-keys) aggregate runs with the combiner, then each of the
+    2^k - 1 coarser grouping sets re-aggregates the finest's TINY result
+    driver-side (finest cardinality = product of key cardinalities;
+    keep k small and keys low-cardinality, as SQL CUBE users do)."""
+    from itertools import combinations
+
+    finest = partial_groupby_sum(ds, keys, sums, count_as=count_as).to_pandas()
+    vals = list(sums.values()) + [count_as]
+    levels = [finest[keys + vals]]
+    for r in range(len(keys) - 1, -1, -1):
+        for kept in combinations(keys, r):
+            kept = list(kept)
+            if kept:
+                g = finest.groupby(kept, as_index=False, sort=False)[vals].sum()
+            else:
+                g = finest[vals].sum().to_frame().T
+            for k in keys:
+                if k not in kept:
+                    g[k] = all_value
+            levels.append(g[keys + vals])
     out = pd.concat(levels, ignore_index=True)
     out[count_as] = out[count_as].astype(np.int64)
     for v in sums.values():
