@@ -582,6 +582,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out
 
+    def docs_vocab_diversity(sf_dir: str):
+        # per-doc distinct-token count + type/token ratio (degenerate
+        # repeated-token docs score near 0 — a dedup-adjacent filter)
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        out = ds.map_batches(text.distinct_token_batch, batch_format="pandas")
+        return out.select_columns(["doc_id", "n_distinct", "ttr"])
+
     def docs_quality(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
         out = ds.map_batches(text.quality_score_batch, batch_format="pandas")
@@ -948,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components_documents": dedup_components_documents,
         "docs_token_stats": docs_token_stats,
         "docs_quality": docs_quality,
+        "docs_vocab_diversity": docs_vocab_diversity,
         "dedup_documents_exact": dedup_documents_exact,
         "ann_cosine_topk": ann_cosine_topk,
         "lang_id_documents": lang_id_documents,
@@ -1227,6 +1235,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
                 SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
             )
+        """,
+        "docs_vocab_diversity": """
+            SELECT d.doc_id,
+                   COALESCE(s.n_distinct, 0) AS n_distinct,
+                   COALESCE(s.ttr, 0.0) AS ttr
+            FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       COUNT(DISTINCT t) AS n_distinct,
+                       ROUND(COUNT(DISTINCT t)::DOUBLE
+                             / GREATEST(COUNT(*), 1), 6) AS ttr
+                FROM (
+                    SELECT doc_id,
+                           UNNEST(regexp_split_to_array(text, '\s+')) AS t
+                    FROM documents
+                ) WHERE t <> '' GROUP BY doc_id
+            ) s USING (doc_id)
         """,
         "parts_never_ordered_heavy": """
             SELECT p_partkey, p_name FROM part

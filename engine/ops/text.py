@@ -76,6 +76,25 @@ def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def distinct_token_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-document vocabulary features: ``n_distinct`` (unique
+    whitespace tokens) and ``ttr`` (type/token ratio — the standard
+    lexical-diversity signal used by training-data quality filters;
+    near-0 means a degenerate repeated-token document)."""
+    texts = batch["text"].astype(str)
+    batch = batch.copy()
+    n_tok, n_dis = [], []
+    for s in texts:
+        toks = [t for t in _WS_RE.split(s) if t]
+        n_tok.append(len(toks))
+        n_dis.append(len(set(toks)))
+    batch["n_distinct"] = np.asarray(n_dis, dtype=np.int64)
+    batch["ttr"] = np.round(
+        np.asarray(n_dis, float) / np.maximum(np.asarray(n_tok, float), 1.0), 6
+    )
+    return batch
+
+
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Heuristic quality features: char length, mean word length,
     punctuation ratio, stopword ratio, upper ratio + a composite score."""

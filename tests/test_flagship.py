@@ -217,3 +217,57 @@ def test_resume_skips_completed_and_recomputes_missing(flagship_run):
     )
     assert key(after) == key(before)
     assert res3["joined_rows"] == flagship_run["res"]["joined_rows"]
+
+
+def test_run_tiling_salted_equals_unsalted_on_hot_tile(ray_session):
+    """Skew path (SURVEY §4.2): one deliberately hot tile fanned out by
+    salting must produce byte-identical tiles to the unsalted groupby —
+    owner-wins painting is associative, so the salt split is invisible
+    in the output."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(21)
+    zoom = tile.DEFAULT_ZOOM
+    hot_key = int(tile.tile_key(np.array([100]), np.array([90]), zoom)[0])
+    cold_keys = [
+        int(tile.tile_key(np.array([x]), np.array([91]), zoom)[0])
+        for x in (100, 101, 102)
+    ]
+    n_hot, n_cold = 1500, 40
+    keys = np.array(
+        [hot_key] * n_hot
+        + [k for k in cold_keys for _ in range(n_cold)], dtype=np.int64
+    )
+    n = len(keys)
+    thumbs = [
+        rng.integers(0, 256, (tile.THUMB, tile.THUMB, 3), dtype=np.uint8)
+        .tobytes()
+        for _ in range(n)
+    ]
+    t = pa.table(
+        {
+            "tile_key": pa.array(keys, pa.int64()),
+            "px": pa.array(rng.integers(8, 248, n), pa.int32()),
+            "py": pa.array(rng.integers(8, 248, n), pa.int32()),
+            "paint_order": pa.array(rng.permutation(n), pa.int64()),
+            "image_id": pa.array([f"img{i:07d}" for i in range(n)]),
+            "thumb": pa.array(thumbs, pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    def tiles_df(hot):
+        out = tile.run_tiling(ds, zoom=zoom, hot=hot).to_pandas()
+        return out.sort_values("tile_key", ignore_index=True)
+
+    unsalted = tiles_df(None)
+    salted = tiles_df({hot_key: 5})
+    assert unsalted["tile_key"].tolist() == salted["tile_key"].tolist()
+    assert len(unsalted) == 4
+    assert (
+        unsalted.loc[unsalted["tile_key"] == hot_key, "n_images"].iloc[0]
+        == n_hot
+    )
+    for c in ("n_images", "tile_bytes"):
+        assert unsalted[c].tolist() == salted[c].tolist(), c
