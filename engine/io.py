@@ -74,3 +74,40 @@ def read_table(uri: str | list[str], columns: list[str] | None = None) -> ray.da
 def sf_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """One of the driver's TPC-H-ish tables (TESTDATA.md)."""
     return read_table(f"{sf_dir}/{name}.parquet", columns)
+
+
+_FORMAT_READERS = {
+    "parquet": "read_parquet",
+    "csv": "read_csv",
+    "json": "read_json",
+}
+
+
+def read_any(
+    uri: str | list[str],
+    fmt: str = "parquet",
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Format-dispatching read seam (SURVEY S2 residue: the reference
+    ingests XML/CSV side files next to its main extract). Column
+    pruning is pushed into the reader only for parquet — csv/json are
+    row-major formats, so pruning happens right after the read via
+    ``select_columns`` (still before any wide op)."""
+    if fmt not in _FORMAT_READERS:
+        raise ValueError(f"unsupported format: {fmt!r}")
+    if fmt == "parquet":
+        return read_table(uri, columns)
+    ds = getattr(ray.data, _FORMAT_READERS[fmt])(uri)
+    return ds.select_columns(list(columns)) if columns else ds
+
+
+def write_any(ds: ray.data.Dataset, out_dir: str, fmt: str = "parquet") -> None:
+    """Format-dispatching sink twin of ``read_any``."""
+    if fmt == "parquet":
+        ds.write_parquet(out_dir)
+    elif fmt == "csv":
+        ds.write_csv(out_dir)
+    elif fmt == "json":
+        ds.write_json(out_dir)
+    else:
+        raise ValueError(f"unsupported format: {fmt!r}")

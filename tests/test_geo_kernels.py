@@ -366,3 +366,32 @@ def test_vector_tiles_area_conservation(ray_session):
             net -= abs(clip.shoelace_area(mhx, mhy))
         got = float(per_poly.get(str(poly["admin_id"][i]), 0.0))
         assert abs(got - net) <= 1e-6 * max(net, 1e-9), poly["admin_id"][i]
+
+
+def test_clip_conservation_hypothesis():
+    """Randomized conservation law via hypothesis: any simple
+    star-shaped ring, any grid offset — per-cell areas sum to the total."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.geo import clip
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        nv=st.integers(4, 60),
+        radius=st.floats(0.3, 3.0),
+        off=st.floats(-0.49, 0.49),
+    )
+    def inner(seed, nv, radius, off):
+        rng = np.random.default_rng(seed)
+        x, y = _random_simple_ring(rng, nv, cx=4.0 + off, cy=4.0 + off,
+                                   radius=radius)
+        total = abs(clip.shoelace_area(x, y))
+        acc = 0.0
+        for gx in range(0, 8):
+            for gy in range(0, 8):
+                cx, cy = clip.clip_ring_rect(x, y, gx, gy, gx + 1, gy + 1)
+                acc += abs(clip.shoelace_area(cx, cy))
+        assert abs(acc - total) <= 1e-9 * max(total, 1.0)
+
+    inner()

@@ -423,3 +423,25 @@ def test_bloom_semi_join_exact_under_high_fp(ray_session):
     )
     assert out["v"].tolist() == expected["v"].tolist()
     assert out["k"].tolist() == expected["k"].tolist()
+
+
+def test_io_roundtrip_csv_json(ray_session, tmp_path):
+    """Format seam (S2): parquet -> csv -> json roundtrip preserves
+    values (csv/json are row-major; column pruning happens post-read)."""
+    from engine import io
+
+    src = io.sf_table("/root/testdata/sf0.001", "nation")
+    exp = src.to_pandas().sort_values("n_nationkey", ignore_index=True)
+
+    csv_dir = str(tmp_path / "csv")
+    io.write_any(src, csv_dir, fmt="csv")
+    back_csv = io.read_any(csv_dir, fmt="csv").to_pandas().sort_values(
+        "n_nationkey", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(back_csv[exp.columns], exp, check_dtype=False)
+
+    json_dir = str(tmp_path / "json")
+    io.write_any(io.read_any(csv_dir, fmt="csv"), json_dir, fmt="json")
+    back = io.read_any(json_dir, fmt="json", columns=["n_nationkey", "n_name"])
+    bdf = back.to_pandas().sort_values("n_nationkey", ignore_index=True)
+    assert bdf["n_name"].tolist() == exp["n_name"].tolist()
