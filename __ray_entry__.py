@@ -893,6 +893,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt"])
         return multimodal.image_features(ds, concurrency=(1, 4))
 
+    def image_augment(sf_dir: str):
+        # deterministic augmentation: hash(image_id)-seeded hflip /
+        # rot90 / center-crop, re-encoded; exactness pytest-oracled
+        from engine.io import read_images
+        import zlib
+
+        ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt"])
+        out = multimodal.augment_images(ds, concurrency=(1, 4))
+
+        def crc(b: pd.DataFrame) -> pd.DataFrame:
+            b["aug_crc"] = [zlib.crc32(x) for x in b["aug_bytes"]]
+            return b[["image_id", "aug_w", "aug_h", "aug_hflip",
+                      "aug_rot90", "aug_crop", "aug_crc"]]
+
+        return out.map_batches(crc, batch_format="pandas")
+
     def image_resize(sf_dir: str):
         from engine.io import read_images
         import zlib
@@ -976,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
         "geo_vector_tiles": geo_vector_tiles,
+        "image_augment": image_augment,
         "geo_admin_rollup": geo_admin_rollup,
         "geo_article_match": geo_article_match,
         "geo_articles_untagged": geo_articles_untagged,

@@ -175,3 +175,62 @@ def resize_images(ds: ray.data.Dataset, size: int = 16, *, batch_size: int = 512
         Resize, fn_constructor_kwargs={"size": size}, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency, num_cpus=1,
     )
+
+
+class Augment:
+    """Deterministic per-image augmentation (T3-family actor stage):
+    seed = hash64(image_id) drives an hflip bit, a rotate90 count, and a
+    centered crop fraction — no RNG state, so every run and every worker
+    produces identical bytes (the determinism rule that makes augmented
+    corpora resumable and dedupable). Emits the applied params as
+    columns for auditability, plus the re-encoded payload."""
+
+    def __init__(self, crop_fracs=(1.0, 0.875, 0.75), out_fmt: str = "raw16"):
+        self.crop_fracs = tuple(crop_fracs)
+        self.out_fmt = out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.ops.sketch import _hash64
+
+        ids = batch["image_id"].to_pylist()
+        h = _hash64(np.asarray(ids, dtype=object))
+        flip = (h & np.uint64(1)).astype(bool)
+        rot = ((h >> np.uint64(1)) % np.uint64(4)).astype(np.int64)
+        cix = ((h >> np.uint64(3)) % np.uint64(len(self.crop_fracs))).astype(int)
+        blobs, ws, hs = [], [], []
+        for i, (data, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            px = _decode_or_raise(data, fmt)
+            if flip[i]:
+                px = px[:, ::-1]
+            if rot[i]:
+                px = np.rot90(px, k=int(rot[i]))
+            f = self.crop_fracs[cix[i]]
+            if f < 1.0:
+                ch, cw = max(1, int(px.shape[0] * f)), max(1, int(px.shape[1] * f))
+                y0 = (px.shape[0] - ch) // 2
+                x0 = (px.shape[1] - cw) // 2
+                px = px[y0 : y0 + ch, x0 : x0 + cw]
+            px = np.ascontiguousarray(px)
+            blobs.append(codec.encode(px, self.out_fmt))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("aug_bytes", pa.array(blobs, pa.binary()))
+        out = out.append_column("aug_w", pa.array(ws, pa.int32()))
+        out = out.append_column("aug_h", pa.array(hs, pa.int32()))
+        out = out.append_column("aug_hflip", pa.array(flip.tolist()))
+        out = out.append_column("aug_rot90", pa.array(rot, pa.int64()))
+        out = out.append_column(
+            "aug_crop", pa.array([self.crop_fracs[i] for i in cix], pa.float64())
+        )
+        return out
+
+
+def augment_images(ds: ray.data.Dataset, *, batch_size: int = 512,
+                   concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        Augment, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

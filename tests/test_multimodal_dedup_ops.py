@@ -104,3 +104,45 @@ def test_external_codec_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError, match="external codec"):
         multimodal._decode_or_raise(b"\x00", "jpeg")
+
+
+def test_augment_exactness_and_determinism(ray_session, tmp_path):
+    """Augment params derive from hash(image_id): re-deriving the same
+    transform on the decoded original must reproduce aug_bytes exactly,
+    and a second run is byte-identical."""
+    import ray.data
+
+    from engine import codec, fixtures
+    from engine.ops.multimodal import Augment, augment_images
+    from engine.ops.sketch import _hash64
+
+    d = str(tmp_path / "imgs")
+    fixtures.write_images_parquet(60, d, num_files=2)
+    ds = ray.data.read_parquet(d, columns=["image_id", "bytes", "fmt"])
+    out = augment_images(ds, concurrency=(1, 2)).to_pandas().sort_values(
+        "image_id", ignore_index=True
+    )
+    out2 = augment_images(ds, concurrency=(1, 2)).to_pandas().sort_values(
+        "image_id", ignore_index=True
+    )
+    assert out["aug_bytes"].tolist() == out2["aug_bytes"].tolist()
+
+    src = ds.to_pandas().set_index("image_id")
+    aug = Augment()
+    for _, row in out.head(12).iterrows():
+        px = codec.decode(src.loc[row["image_id"], "bytes"],
+                          src.loc[row["image_id"], "fmt"])
+        h = int(_hash64(np.asarray([row["image_id"]], dtype=object))[0])
+        assert bool(h & 1) == bool(row["aug_hflip"])
+        if row["aug_hflip"]:
+            px = px[:, ::-1]
+        if row["aug_rot90"]:
+            px = np.rot90(px, k=int(row["aug_rot90"]))
+        f = float(row["aug_crop"])
+        if f < 1.0:
+            ch, cw = max(1, int(px.shape[0] * f)), max(1, int(px.shape[1] * f))
+            y0, x0 = (px.shape[0] - ch) // 2, (px.shape[1] - cw) // 2
+            px = px[y0:y0 + ch, x0:x0 + cw]
+        got = codec.decode(row["aug_bytes"], "raw16")
+        assert got.shape == (row["aug_h"], row["aug_w"], 3)
+        np.testing.assert_array_equal(got, np.ascontiguousarray(px))
