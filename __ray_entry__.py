@@ -497,6 +497,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out.rename(columns={"event_type": "top_type"})
 
+    def event_value_window(sf_dir: str):
+        # LEAD / FIRST_VALUE / LAST_VALUE per user, whole-partition
+        # frame, one sharded shuffle
+        ev = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        out = relational.window_value(
+            ev, "user_id", ["ts", "event_id"], "value",
+            {"next_value": "lead:1", "first_value": "first",
+             "last_value": "last"},
+        ).to_pandas()
+        for c in ("next_value", "first_value", "last_value"):
+            out[c] = out[c].round(4)
+        return out[["event_id", "user_id", "next_value",
+                    "first_value", "last_value"]]
+
     def acctbal_qcont_by_segment(sf_dir: str):
         # continuous (interpolated) quantiles, DuckDB quantile_cont parity
         cust = sf_table(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
@@ -959,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_type_seq": user_event_type_seq,
         "top_event_type_per_user": top_event_type_per_user,
         "event_value_delta": event_value_delta,
+        "event_value_window": event_value_window,
         "acctbal_qcont_by_segment": acctbal_qcont_by_segment,
         "distinct_users_per_event_type": distinct_users_per_event_type,
         "customer_big_order_counts": customer_big_order_counts,
@@ -1326,6 +1341,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(value - LAG(value) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id), 0), 4) AS delta
             FROM events
+        """,
+        "event_value_window": """
+            SELECT event_id, user_id,
+                   ROUND(LEAD(value, 1) OVER w, 4) AS next_value,
+                   ROUND(FIRST_VALUE(value) OVER w, 4) AS first_value,
+                   ROUND(LAST_VALUE(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING), 4) AS last_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "acctbal_qcont_by_segment": """
             SELECT c_mktsegment,

@@ -888,6 +888,65 @@ def window_rank(
     )
 
 
+def window_value(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    col: str,
+    outs: dict[str, str],
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Value-carrying window functions per group in ONE shuffle:
+    ``outs`` maps output column -> ``lag:k`` / ``lead:k`` (NaN outside
+    the partition, SQL default) / ``first`` / ``last`` (whole-partition
+    frame, i.e. ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING). Same segmented-numpy shard pass as ``window_rank`` —
+    all groups of a shard computed together, no per-group dispatch.
+    ``order_cols`` must be a total order for deterministic results."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        gk = g[group_key].to_numpy()
+        starts = np.zeros(n, dtype=bool)
+        if n:
+            starts[0] = True
+            starts[1:] = gk[1:] != gk[:-1]
+        gstart = np.maximum.accumulate(np.where(starts, idx, 0))
+        s_idx = np.flatnonzero(starts)
+        sizes = np.diff(np.r_[s_idx, n])
+        gs = np.repeat(sizes, sizes) if n else sizes
+        pos = idx - gstart
+        v = g[col].to_numpy(dtype=np.float64)
+        for out, spec in outs.items():
+            if spec == "first":
+                g[out] = v[gstart]
+            elif spec == "last":
+                g[out] = v[gstart + gs - 1]
+            elif spec.startswith(("lag:", "lead:")):
+                kind, k = spec.split(":", 1)
+                k = int(k)
+                if kind == "lag":
+                    src = idx - k
+                    valid = pos >= k
+                else:
+                    src = idx + k
+                    valid = pos + k < gs
+                g[out] = np.where(valid, v[np.clip(src, 0, n - 1)], np.nan)
+            else:
+                raise ValueError(f"unknown window_value spec: {spec}")
+        return g
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )
+
+
 def grouped_string_agg(
     ds: ray.data.Dataset,
     group_key: str,
