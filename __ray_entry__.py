@@ -181,6 +181,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_qty"] = out["sum_qty"].round(4)
         return out
 
+    def supplier_stats_by_region(sf_dir: str):
+        # 3-table star join (J5 hierarchy lookup): the two tiny
+        # dimension tables pre-merge driver-side into ONE broadcast map,
+        # the fact scan never shuffles; AVG = sum/count from the combiner
+        sup = sf_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+        nation = sf_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+        region = sf_table(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+        dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+            ["n_nationkey", "r_name"]
+        ].rename(columns={"n_nationkey": "s_nationkey"})
+        joined = relational.broadcast_hash_join(sup, dim, on="s_nationkey")
+        out = relational.partial_groupby_sum(
+            joined, ["r_name"], {"s_acctbal": "sum_bal"}, count_as="n_suppliers"
+        ).to_pandas()
+        out["avg_bal"] = (out["sum_bal"] / out["n_suppliers"]).round(4)
+        return out[["r_name", "n_suppliers", "avg_bal"]]
+
     def union_order_status(sf_dir: str):
         o = sf_table(sf_dir, "orders", ["o_orderstatus", "o_orderkey"])
         a = o.filter(expr="o_orderstatus == 'O'")
@@ -946,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_revenue_rows": lineitem_revenue_rows,
         "orders_by_month": orders_by_month,
         "part_supplier_join": part_supplier_join,
+        "supplier_stats_by_region": supplier_stats_by_region,
         "union_order_status": union_order_status,
         "events_json_stats": events_json_stats,
         "running_total_by_user": running_total_by_user,
@@ -1065,6 +1083,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                    ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "supplier_stats_by_region": """
+            SELECT r_name,
+                   COUNT(*) AS n_suppliers,
+                   ROUND(SUM(s_acctbal) / COUNT(*), 4) AS avg_bal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "part_supplier_join": """
             SELECT p_brand, ROUND(SUM(l_quantity), 4) AS sum_qty,
