@@ -297,6 +297,11 @@ def rollup_sum(
         levels.append(g)
         cur = g
     out = pd.concat(levels, ignore_index=True)
+    # super-aggregate rows put the string sentinel into the key columns,
+    # so keys canonicalize to string (matches the SQL COALESCE twin and
+    # keeps the final sort comparable for numeric keys)
+    for k in keys:
+        out[k] = out[k].astype(str)
     out[count_as] = out[count_as].astype(np.int64)
     for v in sums.values():
         out[v] = out[v].astype(np.float64)
@@ -333,6 +338,8 @@ def cube_sum(
                     g[k] = all_value
             levels.append(g[keys + vals])
     out = pd.concat(levels, ignore_index=True)
+    for k in keys:  # string-canonical keys, same rationale as rollup_sum
+        out[k] = out[k].astype(str)
     out[count_as] = out[count_as].astype(np.int64)
     for v in sums.values():
         out[v] = out[v].astype(np.float64)

@@ -445,3 +445,41 @@ def test_io_roundtrip_csv_json(ray_session, tmp_path):
     back = io.read_any(json_dir, fmt="json", columns=["n_nationkey", "n_name"])
     bdf = back.to_pandas().sort_values("n_nationkey", ignore_index=True)
     assert bdf["n_name"].tolist() == exp["n_name"].tolist()
+
+
+def test_window_value_edges_and_cube(ray_session):
+    """lag/lead beyond group size -> all-NaN; first/last on singletons;
+    cube_sum over one key == groupby + grand total."""
+    import ray.data
+    from engine.ops.relational import cube_sum, window_value
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 3, 3],
+            "o": [1, 2, 3, 1, 2, 1],
+            "v": [10.0, 20.0, 30.0, 5.0, 7.0, 6.0],
+        }
+    )
+    out = (
+        window_value(
+            ray.data.from_pandas(df).repartition(3),
+            "g", ["o"], "v",
+            {"nxt": "lead:1", "prev5": "lag:5", "fv": "first", "lv": "last"},
+            num_shards=2,
+        )
+        .to_pandas()
+        .sort_values(["g", "o"], ignore_index=True)
+    )
+    assert out["prev5"].isna().all()
+    assert out["nxt"].tolist()[:3] == [20.0, 30.0] + [None] or np.isnan(out["nxt"][2])
+    assert out.loc[out["g"] == 2, "fv"].tolist() == [5.0]
+    assert out.loc[out["g"] == 2, "lv"].tolist() == [5.0]
+    assert out.loc[out["g"] == 3, "lv"].tolist() == [7.0, 7.0]
+
+    cube = cube_sum(
+        ray.data.from_pandas(df).repartition(2), ["g"], {"v": "sv"}, count_as="n"
+    )
+    got = {(r["g"]): (r["sv"], r["n"]) for _, r in cube.iterrows()}
+    # numeric keys canonicalize to string (the "ALL" sentinel rule)
+    assert got["1"] == (60.0, 3) and got["2"] == (5.0, 1) and got["3"] == (13.0, 2)
+    assert got["ALL"] == (78.0, 6)
