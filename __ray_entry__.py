@@ -181,6 +181,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_qty"] = out["sum_qty"].round(4)
         return out
 
+    def orders_with_delta_applied(sf_dir: str):
+        # Delta-style MERGE (the reference's incremental-update pass):
+        # a deterministic changefile (price bump on keys %10==3,
+        # deletes on %10==7) applied latest-wins in one shuffle
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        base = sf_table(sf_dir, "orders", cols)
+
+        def make_delta(b: pd.DataFrame) -> pd.DataFrame:
+            m = b["o_orderkey"] % 10
+            up = b[m == 3].copy()
+            up["o_totalprice"] = up["o_totalprice"] + 1000.0
+            up["__op"] = "U"
+            de = b[m == 7].copy()
+            de["__op"] = "D"
+            return pd.concat([up, de], ignore_index=True)
+
+        delta = sf_table(sf_dir, "orders", cols).map_batches(
+            make_delta, batch_format="pandas"
+        )
+        out = relational.merge_upserts(base, delta, "o_orderkey").to_pandas()
+        out["o_totalprice"] = out["o_totalprice"].round(4)
+        return out[cols]
+
     def supplier_stats_by_region(sf_dir: str):
         # 3-table star join (J5 hierarchy lookup): the two tiny
         # dimension tables pre-merge driver-side into ONE broadcast map,
@@ -964,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": orders_by_month,
         "part_supplier_join": part_supplier_join,
         "supplier_stats_by_region": supplier_stats_by_region,
+        "orders_with_delta_applied": orders_with_delta_applied,
         "union_order_status": union_order_status,
         "events_json_stats": events_json_stats,
         "running_total_by_user": running_total_by_user,
@@ -1083,6 +1107,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                    ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "orders_with_delta_applied": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(CASE WHEN o_orderkey % 10 = 3
+                              THEN o_totalprice + 1000.0
+                              ELSE o_totalprice END, 4) AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 <> 7
         """,
         "supplier_stats_by_region": """
             SELECT r_name,

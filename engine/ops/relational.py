@@ -308,6 +308,41 @@ def rollup_sum(
     return out.sort_values(keys, ignore_index=True)
 
 
+def merge_upserts(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    key: str,
+    op_col: str = "__op",
+) -> ray.data.Dataset:
+    """Delta-style MERGE — the reference's incremental OSM update
+    (osmupdate applies a changefile of modified/deleted objects to the
+    previous extract): ``delta`` rows carry ``op_col`` = 'U' (upsert) or
+    'D' (delete); the result is base with deltas applied, latest-wins
+    per key. ONE shuffle: both sides get a version column (base 0,
+    delta 1), union, argmax per key by (version, op), then delete rows
+    drop. Multiple delta rows per key resolve deterministically
+    ('U' > 'D' at equal version never happens: one delta generation =
+    one op per key is the caller's contract, documented here)."""
+
+    def tag(v: int, with_op: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__v"] = np.int64(v)
+            if not with_op:
+                b[op_col] = "U"
+            return b
+        return f
+
+    b2 = base.map_batches(tag(0, False), batch_format="pandas")
+    d2 = delta.map_batches(tag(1, True), batch_format="pandas")
+    merged = argmax_per_group(b2.union(d2), key, "__v", op_col)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[op_col] != "D"].drop(columns=["__v", op_col])
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
 def cube_sum(
     ds: ray.data.Dataset,
     keys: list[str],
