@@ -923,6 +923,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _geo_indexed(columns=["image_id", "caption"])
         return geo_ops.articles_untagged(idx, fixtures.articles(_GEO_N))
 
+    def geo_suggestions(sf_dir: str):
+        # the reference's suggestion lists: k nearest images for each
+        # untagged geolocated article; exactness pytest-oracled
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        out = geo_ops.suggestions(idx, fixtures.articles(_GEO_N), k=3)
+        return out.to_pandas().sort_values(
+            ["article_id", "rank"], ignore_index=True
+        )
+
     def geo_area_tag_stats(sf_dir: str):
         # A2: per-admin-area located/tagged counts + percentage
         idx = _geo_indexed(columns=["image_id", "caption"])
@@ -1053,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_admin_rollup": geo_admin_rollup,
         "geo_article_match": geo_article_match,
         "geo_articles_untagged": geo_articles_untagged,
+        "geo_suggestions": geo_suggestions,
         "geo_area_tag_stats": geo_area_tag_stats,
         "geo_phash_near_dups": geo_phash_near_dups,
         "geo_dedup_phash": geo_dedup_phash,

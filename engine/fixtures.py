@@ -345,4 +345,9 @@ def articles(n_images: int = 1500, extra: int = 200) -> "pd.DataFrame":
     df["theme"] = [
         ("monuments", "nature", "transport")[k % 3] for k in range(len(df))
     ]
-    return df[["article_id", "title_canon", "theme"]]
+    # coordinates "harvested from article templates" (reference S3):
+    # deterministic function of the article index, same lon/lat box
+    j = np.arange(len(df), dtype=np.int64) + 1_000_000
+    df["lon"] = LON0 + LON_SPAN * _uniform(j, 5)
+    df["lat"] = LAT0 + LAT_SPAN * _uniform(j, 6)
+    return df[["article_id", "title_canon", "theme", "lon", "lat"]]

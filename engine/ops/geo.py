@@ -395,3 +395,65 @@ def vector_tiles(
         return pd.DataFrame(out)
 
     return ds.map_batches(clip_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- suggestions
+
+def suggestions(
+    indexed: ray.data.Dataset,
+    articles: pd.DataFrame,
+    k: int = 3,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """The reference's suggestion lists (nuts4nuts semantics): for each
+    UNTAGGED article — geolocated from its template coordinates — the k
+    nearest located images, as "objects you could tag with this title".
+
+    Exact without shuffling the image side: the small article set is
+    broadcast once; every image batch computes its per-article local
+    top-k (one chord-distance matmul per batch — the batch IS the
+    candidate set), and ``grouped_topk(ascending=True)`` merges the
+    bounded partials (≤ k rows per article per batch move). Per-article
+    exactness holds because min-k over a partition of the candidates is
+    associative."""
+    from engine.geo.knn import knn_chord_topk
+    from engine.ops.relational import grouped_topk
+    from engine.state import cached_get
+
+    unt = articles_untagged(indexed, articles)
+    q_ref = ray.put(
+        {
+            "id": unt["article_id"].to_numpy(),
+            "lon": unt["lon"].to_numpy(dtype=np.float64),
+            "lat": unt["lat"].to_numpy(dtype=np.float64),
+        }
+    )
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        q = cached_get(q_ref)
+        # candidates = THIS batch's image points
+        nn, nd = knn_chord_topk(
+            np.asarray(batch["lon"], dtype=np.float64),
+            np.asarray(batch["lat"], dtype=np.float64),
+            q["lon"], q["lat"], k=k,
+        )
+        ids = np.asarray(batch["image_id"]).astype(object)
+        n, kk = nn.shape
+        valid = (nn >= 0).ravel()
+        art = np.repeat(q["id"], kk)[valid]
+        img = ids[np.where(nn >= 0, nn, 0).ravel()[valid]]
+        return pd.DataFrame(
+            {
+                "article_id": art,
+                "image_id": img,
+                "dist_m": np.round(nd.ravel()[valid], 6),
+            }
+        )
+
+    partials = indexed.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=batch_size
+    )
+    return grouped_topk(
+        partials, "article_id", "dist_m", k, "image_id",
+        rank_as="rank", ascending=True,
+    )

@@ -526,17 +526,19 @@ def grouped_topk(
     k: int,
     tie_col: str,
     rank_as: str | None = "rank",
+    ascending: bool = False,
 ) -> ray.data.Dataset:
-    """Top-k rows per group by (col DESC, tie_col ASC), with 1-based
+    """Top-k rows per group by (col DESC, tie_col ASC) — or bottom-k
+    with ``ascending=True`` (nearest-neighbor merges) — with 1-based
     rank. Per-batch combiner keeps only k rows per key per batch, so
     the shuffle moves at most k * n_batches rows per key."""
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values([col, tie_col], ascending=[False, True], kind="stable")
+        b = b.sort_values([col, tie_col], ascending=[ascending, True], kind="stable")
         return b.groupby(group_key, sort=False).head(k)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([col, tie_col], ascending=[False, True],
+        g = g.sort_values([col, tie_col], ascending=[ascending, True],
                           kind="stable").head(k)
         if rank_as:
             g = g.copy()

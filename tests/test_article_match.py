@@ -72,7 +72,7 @@ def test_articles_untagged_vs_sql(setup):
     idx, arts, con = setup
     got = geo_ops.articles_untagged(idx, arts)
     want = con.execute(
-        """SELECT article_id, title_canon, theme FROM arts
+        """SELECT article_id, title_canon, theme, lon, lat FROM arts
            WHERE title_canon NOT IN (SELECT caption_canon FROM img)
            ORDER BY article_id"""
     ).df()
@@ -106,3 +106,42 @@ def test_area_tag_stats_vs_sql(setup):
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
     assert (got["n_tagged"] <= got["n_images"]).all()
+
+
+def test_suggestions_match_bruteforce(ray_session, tmp_path):
+    """Per-untagged-article k nearest images == O(n*m) haversine oracle
+    (min-k over a candidate partition is associative, so batch-local
+    top-k + grouped merge must be exact)."""
+    import ray.data
+
+    from engine import fixtures
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import articles_untagged, suggestions
+    from engine.pipeline import ingest
+
+    d = str(tmp_path / "imgs")
+    fixtures.write_images_parquet(400, d, num_files=3)
+    idx = ingest.run_ingest(
+        ray.data.read_parquet(d, columns=["image_id", "caption"])
+    )
+    arts = fixtures.articles(400)
+    got = (
+        suggestions(idx, arts, k=3, batch_size=64)
+        .to_pandas()
+        .sort_values(["article_id", "rank"], ignore_index=True)
+    )
+    pts = idx.select_columns(["image_id", "lon", "lat"]).to_pandas()
+    unt = articles_untagged(idx, arts)
+    assert got["article_id"].nunique() == len(unt)
+    for _, a in unt.head(25).iterrows():
+        d_m = haversine_m(
+            pts["lon"].to_numpy(), pts["lat"].to_numpy(),
+            float(a["lon"]), float(a["lat"]),
+        )
+        order = np.lexsort((pts["image_id"].to_numpy(), d_m))[:3]
+        want = pts["image_id"].to_numpy()[order].tolist()
+        sub = got[got["article_id"] == a["article_id"]]
+        assert sub["image_id"].tolist() == want, a["article_id"]
+        np.testing.assert_allclose(
+            sub["dist_m"].to_numpy(), np.sort(d_m)[:3], rtol=1e-6
+        )
