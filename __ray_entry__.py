@@ -932,6 +932,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["article_id", "rank"], ignore_index=True
         )
 
+    def geo_tile_boundary_masks(sf_dir: str):
+        # vector->raster: each clipped boundary ring scanline-filled
+        # into its tile mask; pixel area tracks the clipped vector area
+        out = geo_ops.vector_tile_masks(fixtures.polygons(), zoom=8).to_pandas()
+        out["area"] = out["area"].round(9)
+        return out.sort_values(["tile_key", "admin_id"], ignore_index=True)
+
     def geo_area_tag_stats(sf_dir: str):
         # A2: per-admin-area located/tagged counts + percentage
         idx = _geo_indexed(columns=["image_id", "caption"])
@@ -1063,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_article_match": geo_article_match,
         "geo_articles_untagged": geo_articles_untagged,
         "geo_suggestions": geo_suggestions,
+        "geo_tile_boundary_masks": geo_tile_boundary_masks,
         "geo_area_tag_stats": geo_area_tag_stats,
         "geo_phash_near_dups": geo_phash_near_dups,
         "geo_dedup_phash": geo_dedup_phash,

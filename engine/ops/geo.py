@@ -457,3 +457,33 @@ def suggestions(
         partials, "article_id", "dist_m", k, "image_id",
         rank_as="rank", ascending=True,
     )
+
+
+def vector_tile_masks(
+    poly: dict, zoom: int = 8
+) -> ray.data.Dataset:
+    """Raster half applied to the vector half: every (polygon, tile)
+    clip ring from ``vector_tiles`` scanline-fills a 256px tile mask —
+    the reference's per-tile boundary overlay raster. Emits mask pixel
+    count and a crc for parity checks; masks themselves stay worker-side
+    (wide binary never enters a shuffle, SURVEY §7.4)."""
+    import zlib
+
+    from engine.geo.raster import fill_rings_mask
+
+    tiles = vector_tiles(poly, zoom=zoom)
+
+    def rasterize(b: pd.DataFrame) -> pd.DataFrame:
+        areas, crcs = [], []
+        for px, py in zip(b["ring_px"], b["ring_py"]):
+            m = fill_rings_mask(
+                [(np.asarray(px, np.float64), np.asarray(py, np.float64))]
+            )
+            areas.append(int(m.sum()))
+            crcs.append(zlib.crc32(m.tobytes()))
+        out = b[["tile_key", "z", "x", "y", "admin_id", "level", "area"]].copy()
+        out["mask_px"] = np.asarray(areas, np.int64)
+        out["mask_crc"] = np.asarray(crcs, np.int64)
+        return out
+
+    return tiles.map_batches(rasterize, batch_format="pandas")

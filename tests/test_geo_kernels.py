@@ -395,3 +395,68 @@ def test_clip_conservation_hypothesis():
         assert abs(acc - total) <= 1e-9 * max(total, 1.0)
 
     inner()
+
+
+# ------------------------------------------------------------------ raster
+
+def test_fill_rings_mask_matches_pip_and_area():
+    """Rasterized membership at pixel centers == exact even-odd PIP;
+    pixel count -> shoelace area as resolution grows."""
+    from engine.geo import clip, raster
+    from engine.geo.pip import points_in_ring
+
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        x, y = _random_simple_ring(rng, int(rng.integers(6, 30)),
+                                   cx=128.0, cy=128.0, radius=100.0)
+        size = 256
+        mask = raster.fill_rings_mask([(x, y)], size=size)
+        # membership parity at a sample of pixel centers
+        rr = rng.integers(0, size, 400)
+        cc = rng.integers(0, size, 400)
+        want = points_in_ring(cc + 0.5, rr + 0.5, x, y)
+        got = mask[rr, cc].astype(bool)
+        agree = (want == got).mean()
+        assert agree >= 0.995, agree  # boundary pixels may differ
+        # area convergence: |pixels - |shoelace|| small vs perimeter band
+        area = abs(clip.shoelace_area(x, y))
+        per = np.hypot(np.diff(np.r_[x, x[:1]]), np.diff(np.r_[y, y[:1]])).sum()
+        assert abs(raster.mask_area(mask) - area) <= per + 16
+
+
+def test_fill_rings_mask_hole_carves_out():
+    from engine.geo import raster
+
+    sq = lambda c0, c1: (np.array([c0, c1, c1, c0], float),
+                         np.array([c0, c0, c1, c1], float))
+    outer = sq(16, 240)
+    hole = sq(96, 160)
+    m = raster.fill_rings_mask([outer, hole], size=256)
+    assert m[128, 128] == 0          # inside hole
+    assert m[40, 40] == 1            # inside outer only
+    assert m[8, 8] == 0              # outside
+    assert raster.mask_area(m) == (224 * 224) - (64 * 64)
+
+
+def test_vector_tile_masks_track_clip_area(ray_session):
+    """Distributed vector->raster: per-tile mask pixel area must track
+    the clipped vector area (tile units^2 * 256^2 px), within a
+    perimeter-proportional quantization band."""
+    from engine import fixtures
+    from engine.ops.geo import vector_tile_masks
+
+    out = vector_tile_masks(fixtures.polygons(), zoom=8).to_pandas()
+    assert len(out) > 0
+    px_expected = out["area"].to_numpy() * 256.0 * 256.0
+    got = out["mask_px"].to_numpy(dtype=np.float64)
+    # band: boundary pixels scale with sqrt(area)*4*256 worst case; use
+    # a loose relative+absolute gate that still catches fill bugs
+    err = np.abs(got - px_expected)
+    band = 4.0 * 256.0 * np.sqrt(np.maximum(out["area"].to_numpy(), 0)) + 64.0
+    frac_ok = (err <= band).mean()
+    assert frac_ok >= 0.98, (frac_ok, err.max())
+    # determinism
+    out2 = vector_tile_masks(fixtures.polygons(), zoom=8).to_pandas()
+    a = out.sort_values(["tile_key", "admin_id"], ignore_index=True)
+    b = out2.sort_values(["tile_key", "admin_id"], ignore_index=True)
+    assert a["mask_crc"].tolist() == b["mask_crc"].tolist()
