@@ -932,6 +932,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["article_id", "rank"], ignore_index=True
         )
 
+    def geo_vector_tiles_simplified(sf_dir: str):
+        # per-zoom detail knob: Douglas-Peucker at 0.05 tile units
+        # before the clip; deviation bound pytest-oracled
+        out = geo_ops.vector_tiles(
+            fixtures.polygons(), zoom=8, epsilon=0.05
+        ).to_pandas()
+        out["area"] = out["area"].round(9)
+        return (
+            out[["tile_key", "z", "x", "y", "admin_id", "level",
+                 "n_vertices", "area"]]
+            .sort_values(["tile_key", "admin_id"], ignore_index=True)
+        )
+
     def geo_tile_boundary_masks(sf_dir: str):
         # vector->raster: each clipped boundary ring scanline-filled
         # into its tile mask; pixel area tracks the clipped vector area
@@ -1071,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_articles_untagged": geo_articles_untagged,
         "geo_suggestions": geo_suggestions,
         "geo_tile_boundary_masks": geo_tile_boundary_masks,
+        "geo_vector_tiles_simplified": geo_vector_tiles_simplified,
         "geo_area_tag_stats": geo_area_tag_stats,
         "geo_phash_near_dups": geo_phash_near_dups,
         "geo_dedup_phash": geo_dedup_phash,

@@ -460,3 +460,23 @@ def test_vector_tile_masks_track_clip_area(ray_session):
     a = out.sort_values(["tile_key", "admin_id"], ignore_index=True)
     b = out2.sort_values(["tile_key", "admin_id"], ignore_index=True)
     assert a["mask_crc"].tolist() == b["mask_crc"].tolist()
+
+
+def test_vector_tiles_simplified_fewer_vertices_close_area(ray_session):
+    """epsilon>0 must reduce total vertices while each polygon's summed
+    tile area stays within a perimeter*epsilon band of the exact run."""
+    from engine import fixtures
+    from engine.ops.geo import vector_tiles
+
+    poly = fixtures.polygons()
+    exact = vector_tiles(poly, zoom=8).to_pandas()
+    simp = vector_tiles(poly, zoom=8, epsilon=0.05).to_pandas()
+    assert simp["n_vertices"].sum() < exact["n_vertices"].sum()
+    a = exact.groupby("admin_id")["area"].sum()
+    b = simp.groupby("admin_id")["area"].sum()
+    for aid in a.index:
+        # DP guarantees every dropped vertex within eps of the kept
+        # chord; area drift is bounded by perimeter * eps (loose: 3x)
+        assert abs(a[aid] - b.get(aid, 0.0)) <= 3.0 * 0.05 * max(
+            np.sqrt(a[aid]) * 4, 1.0
+        ), aid
