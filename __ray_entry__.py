@@ -1005,8 +1005,124 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(crc, batch_format="pandas")
 
+    def q3_shipping_priority(sf_dir: str):
+        # TPC-H Q3 shape, composed from the engine's join primitives:
+        # filtered dimension -> semi-join orders -> broadcast order
+        # attrs into the lineitem scan -> combiner groupby -> top-10.
+        # The big lineitem side never shuffles.
+        cust = (
+            sf_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'")
+            .to_pandas()
+            .rename(columns={"c_custkey": "o_custkey"})
+        )
+        orders = sf_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def fo(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["o_orderdate"] < pd.Timestamp("1995-03-15")].copy()
+            b["o_orderdate"] = b["o_orderdate"].dt.strftime("%Y-%m-%d")
+            return b
+
+        small = (
+            relational.semi_join(
+                orders.map_batches(fo, batch_format="pandas"), cust, on="o_custkey"
+            )
+            .to_pandas()[["o_orderkey", "o_orderdate"]]
+            .rename(columns={"o_orderkey": "l_orderkey"})
+        )
+        li = sf_table(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+
+        def fl(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["l_shipdate"] > pd.Timestamp("1995-03-15")].copy()
+            b["rev"] = b["l_extendedprice"] * (1 - b["l_discount"])
+            return b[["l_orderkey", "rev"]]
+
+        joined = relational.broadcast_hash_join(
+            li.map_batches(fl, batch_format="pandas"), small, on="l_orderkey"
+        )
+        out = relational.partial_groupby_sum(
+            joined, ["l_orderkey", "o_orderdate"], {"rev": "revenue"}
+        ).to_pandas()
+        out["revenue"] = out["revenue"].round(4)
+        out = out.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True], kind="stable"
+        ).head(10)
+        return out[["l_orderkey", "o_orderdate", "revenue"]]
+
+    def custkeys_big_and_urgent(sf_dir: str):
+        # SQL INTERSECT (distinct semantics, D4): one tagged-union shuffle
+        o = sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+        a = o.filter(expr="o_totalprice > 200000")
+        b = o.filter(expr="o_orderpriority == '1-URGENT'")
+        return relational.intersect_distinct(a, b, ["o_custkey"])
+
+    def custkeys_never_urgent(sf_dir: str):
+        # SQL EXCEPT (distinct semantics, D4)
+        o = sf_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        b = o.filter(expr="o_orderpriority == '1-URGENT'")
+        return relational.except_distinct(o, b, ["o_custkey"])
+
+    def qty_price_regression_by_flag(sf_dir: str):
+        ds = sf_table(
+            sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+        )
+        out = relational.grouped_cov_slope(
+            ds, "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+        # covar sums ~1e9: parallel-order float error ~1e-4 absolute,
+        # so 2 decimals; slope/intercept are O(1e2-1e3) -> 4 is safe
+        out["covar_samp"] = out["covar_samp"].round(2)
+        out["slope"] = out["slope"].round(4)
+        out["icept"] = out["icept"].round(4)
+        return out
+
+    def docs_packed_by_chars(sf_dir: str):
+        # token-budget corpus packing via the distributed ordered
+        # prefix sum: pack_id = exclusive running chars // budget
+        ds = sf_table(sf_dir, "documents", ["doc_id", "n_chars"])
+        out = relational.ordered_prefix_sum(
+            ds, "doc_id", "n_chars", out_col="running_chars"
+        )
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["pack_id"] = (b["running_chars"] - b["n_chars"]) // 20000
+            return b[["doc_id", "running_chars", "pack_id"]]
+
+        return out.map_batches(f, batch_format="pandas")
+
+    def decontaminate_documents(sf_dir: str):
+        # test-set decontamination: benchmark = doc_id % 53 == 1,
+        # 8-gram shingle index broadcast once; exactness pytest-oracled
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+
+        def pick_bench(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 53 == 1]
+
+        bench = docs.map_batches(pick_bench, batch_format="pandas")
+        idx = text.build_contamination_index(bench, ngram=8)
+        out = text.flag_contaminated(docs, idx, ngram=8)
+        return out.select_columns(["doc_id", "contaminated", "n_hits"])
+
+    def docs_tfidf_top_terms(sf_dir: str):
+        # two-pass TF-IDF: distributed DF table broadcast into a
+        # streaming scoring pass; exactness pytest-oracled
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        n = docs.count()
+        df = text.doc_frequency(docs)
+        return text.tfidf_top_terms(docs, n, df, k=3)
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "custkeys_big_and_urgent": custkeys_big_and_urgent,
+        "custkeys_never_urgent": custkeys_never_urgent,
+        "qty_price_regression_by_flag": qty_price_regression_by_flag,
+        "docs_packed_by_chars": docs_packed_by_chars,
+        "decontaminate_documents": decontaminate_documents,
+        "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "revenue_by_nation": revenue_by_nation,
         "top_customers_by_acctbal": top_customers_by_acctbal,
         "customers_with_orders": customers_with_orders,
@@ -1107,6 +1223,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "custkeys_big_and_urgent": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "custkeys_never_urgent": """
+            SELECT o_custkey FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "qty_price_regression_by_flag": """
+            SELECT l_returnflag,
+                   ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_samp,
+                   ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+                   ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "docs_packed_by_chars": """
+            SELECT doc_id,
+                   CAST(SUM(n_chars) OVER w AS BIGINT) AS running_chars,
+                   CAST(FLOOR((SUM(n_chars) OVER w - n_chars) / 20000) AS BIGINT)
+                       AS pack_id
+            FROM documents
+            WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
         """,
         "revenue_by_nation": """
             SELECT n_name, ROUND(SUM(o_totalprice), 4) AS revenue,

@@ -1155,3 +1155,161 @@ def bucketed_join(
     return left.join(
         right, join_type=how, num_partitions=num_partitions, on=on_t
     )
+
+
+def intersect_distinct(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    cols: list[str],
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT`` (distinct-row semantics, D4): rows present in
+    BOTH inputs. Per-batch ``drop_duplicates`` combiner tags each side
+    with an indicator column, one union + one groupby-sum shuffle of
+    the (already-distinct-per-batch) partials, keep rows seen on both
+    sides. Never moves more than distinct_keys x blocks rows."""
+    return _set_op_distinct(a, b, cols, keep="both")
+
+
+def except_distinct(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    cols: list[str],
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT`` (distinct-row semantics, D4): distinct rows of
+    ``a`` absent from ``b``. Same one-shuffle tagged-union plan as
+    ``intersect_distinct``."""
+    return _set_op_distinct(a, b, cols, keep="left_only")
+
+
+def _set_op_distinct(
+    a: ray.data.Dataset, b: ray.data.Dataset, cols: list[str], keep: str
+) -> ray.data.Dataset:
+    def tag(side_a: int, side_b: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[cols].drop_duplicates()
+            out["__a"] = side_a
+            out["__b"] = side_b
+            return out
+
+        return f
+
+    tagged = a.map_batches(tag(1, 0), batch_format="pandas").union(
+        b.map_batches(tag(0, 1), batch_format="pandas")
+    )
+    merged = sum_final(tagged, cols)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        if keep == "both":
+            m = (batch["__a"] > 0) & (batch["__b"] > 0)
+        else:
+            m = (batch["__a"] > 0) & (batch["__b"] == 0)
+        return batch.loc[m, cols]
+
+    return merged.map_batches(pick, batch_format="pandas")
+
+
+def grouped_cov_slope(
+    ds: ray.data.Dataset,
+    group_key: str,
+    x: str,
+    y: str,
+    cov_out: str = "covar_samp",
+    slope_out: str = "slope",
+    icept_out: str = "icept",
+) -> pd.DataFrame:
+    """Sample covariance + least-squares regression slope/intercept of
+    y on x per group (DuckDB ``covar_samp`` / ``regr_slope`` /
+    ``regr_intercept`` semantics). Same stable two-pass centered plan
+    as ``grouped_corr``: pass 1 per-group means, pass 2 broadcasts them
+    and sums centered products per batch."""
+    sums = partial_groupby_sum(
+        ds, [group_key], {x: "__sx", y: "__sy"}, count_as="__n"
+    ).to_pandas()
+    mdf = pd.DataFrame(
+        {group_key: sums[group_key],
+         "__mx": sums["__sx"] / sums["__n"],
+         "__my": sums["__sy"] / sums["__n"]}
+    )
+    ref = ray.put(mdf)
+
+    def centered(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        b = b.merge(cached_get(ref), on=group_key)
+        dx = b[x].to_numpy() - b["__mx"].to_numpy()
+        dy = b[y].to_numpy() - b["__my"].to_numpy()
+        return pd.DataFrame(
+            {group_key: b[group_key], "__sxy": dx * dy, "__sxx": dx * dx}
+        ).groupby(group_key, as_index=False, sort=False).sum()
+
+    parts = ds.map_batches(centered, batch_format="pandas")
+    tot = sum_final(parts, [group_key]).to_pandas()
+    tot = tot.merge(
+        pd.DataFrame({group_key: sums[group_key], "__n": sums["__n"],
+                      "__mx": mdf["__mx"], "__my": mdf["__my"]}),
+        on=group_key,
+    )
+    tot[cov_out] = tot["__sxy"] / (tot["__n"] - 1)
+    tot[slope_out] = tot["__sxy"] / tot["__sxx"]
+    tot[icept_out] = tot["__my"] - tot[slope_out] * tot["__mx"]
+    return tot[[group_key, cov_out, slope_out, icept_out]]
+
+
+def ordered_prefix_sum(
+    ds: ray.data.Dataset,
+    order_key: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Global ordered running sum of ``value_col`` by ``order_key`` —
+    the distributed scan primitive (SQL ``SUM(v) OVER (ORDER BY k)``),
+    exact for unique integer keys. Classic two-phase parallel prefix:
+
+    1. one cheap pass finds the key range and per-range-bucket sums
+       (combiner groupby on the bucket id — tiny shuffle of partials);
+    2. the driver exclusive-scans the ~``num_buckets`` bucket totals and
+       broadcasts the offsets;
+    3. one shuffle co-locates each bucket, which is sorted and
+       cumsummed locally, + its offset.
+
+    Nothing materializes: the wide data crosses exactly one shuffle,
+    keyed by a RANGE bucket so output blocks stay globally ordered —
+    this is how a 10^12-row corpus gets a deterministic linear layout
+    (token-budget packing, §2.10) without a global ``sort``."""
+
+    def key_span(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[order_key]
+        return pd.DataFrame({"__lo": [k.min()], "__hi": [k.max()]})
+
+    span = ds.map_batches(key_span, batch_format="pandas").to_pandas()
+    lo, hi = int(span["__lo"].min()), int(span["__hi"].max())
+    width = max(1, (hi - lo + num_buckets) // num_buckets)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (b[order_key].to_numpy() - lo) // width
+        return b
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    bucket_sums = partial_groupby_sum(
+        bucketed, ["__bucket"], {value_col: "__bsum"}
+    ).to_pandas().sort_values("__bucket")
+    bsum = bucket_sums["__bsum"].to_numpy()
+    offsets = dict(zip(
+        bucket_sums["__bucket"],
+        np.concatenate([np.zeros(1, dtype=bsum.dtype), np.cumsum(bsum)[:-1]]),
+    ))
+    ref = ray.put(offsets)
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        g = g.sort_values(order_key, kind="stable")
+        off = cached_get(ref)[g["__bucket"].iloc[0]]
+        g[out_col] = np.cumsum(g[value_col].to_numpy()) + off
+        return g.drop(columns="__bucket")
+
+    return bucketed.groupby("__bucket").map_groups(
+        scan_bucket, batch_format="pandas"
+    )

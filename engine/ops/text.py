@@ -196,3 +196,126 @@ def token_topk(
         ["n", "token"], ascending=[False, True], kind="stable", ignore_index=True
     )
     return counts.head(k)
+
+
+# ------------------------------------------------------------ decontamination
+
+def _shingle_hashes(text: str, n: int = 8) -> np.ndarray:
+    """64-bit fingerprints of every n-token (whitespace, lowercased)
+    shingle of ``text``. At 100 TB the index stores these hashes, not
+    strings; 64-bit collisions (~1e-8 at 10^9 shingles) only ever ADD a
+    flag, never drop one, which is the safe direction for test-set
+    decontamination."""
+    toks = [t for t in _WS_RE.split(text.lower()) if t]
+    if len(toks) < n:
+        # short doc: one shingle of the whole text, so nothing is exempt
+        return np.asarray([fingerprint64(" ".join(toks))], dtype=np.int64)
+    return np.asarray(
+        [fingerprint64(" ".join(toks[i:i + n])) for i in range(len(toks) - n + 1)],
+        dtype=np.int64,
+    )
+
+
+def build_contamination_index(
+    bench: ray.data.Dataset, ngram: int = 8
+) -> "ray.ObjectRef":
+    """Distributed build of the benchmark-shingle set: each batch emits
+    its unique shingle hashes (tiny vs text), the driver unions the
+    partials once and broadcasts ONE frozen set via ``ray.put``. The
+    benchmark side is small by definition (eval sets, not the corpus)."""
+    import ray
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [_shingle_hashes(s, ngram) for s in b["text"].astype(str)]
+        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+        return pd.DataFrame({"h": u})
+
+    parts = bench.map_batches(local, batch_format="pandas").to_pandas()
+    return ray.put(frozenset(parts["h"].tolist()))
+
+
+def flag_contaminated(
+    ds: ray.data.Dataset, index_ref: "ray.ObjectRef", ngram: int = 8
+) -> ray.data.Dataset:
+    """Test-set decontamination sweep: mark every corpus document that
+    shares >= 1 n-token shingle with the broadcast benchmark index.
+    One streaming pass, no shuffle; emits ``contaminated`` (0/1) and
+    ``n_hits`` per doc."""
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        idx = cached_get(index_ref)
+        hits = []
+        for s in b["text"].astype(str):
+            hs = _shingle_hashes(s, ngram)
+            hits.append(int(np.sum([h in idx for h in hs])))
+        b = b.copy()
+        b["n_hits"] = np.asarray(hits, dtype=np.int64)
+        b["contaminated"] = (b["n_hits"] > 0).astype(np.int64)
+        return b
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- TF-IDF
+
+def doc_frequency(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Document frequency per token (``_ALPHA_RE`` tokenizer): each
+    batch counts each token once per doc via per-doc ``set``s, one
+    ``np.unique`` partial per batch, merged by ``sum_final`` — the
+    vocabulary-sized pass 1 of TF-IDF."""
+    from engine.ops import relational
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for s in b["text"].astype(str):
+            toks.extend(set(_ALPHA_RE.findall(s.lower())))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "df": pd.Series(dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({"token": u, "df": c.astype(np.int64)})
+
+    return relational.sum_final(
+        ds.map_batches(local, batch_format="pandas"), ["token"]
+    ).to_pandas()
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset, n_docs: int, df: pd.DataFrame, k: int = 3
+) -> ray.data.Dataset:
+    """Pass 2 of TF-IDF: broadcast the (vocabulary-sized) DF table once,
+    then per doc score tf * ln(N/df) and keep the top-k terms
+    (score desc, token asc tie-break). Streaming, no shuffle. Emits
+    (doc_id, term, score, trank)."""
+    import ray
+
+    ref = ray.put({t: d for t, d in zip(df["token"], df["df"])})
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        dfm = cached_get(ref)
+        out_id, out_t, out_s, out_r = [], [], [], []
+        for did, s in zip(b["doc_id"], b["text"].astype(str)):
+            toks = _ALPHA_RE.findall(s.lower())
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            tf = c / len(toks)
+            idf = np.asarray([np.log(n_docs / dfm[t]) for t in u])
+            sc = np.round(tf * idf, 6)
+            order = sorted(range(len(u)), key=lambda i: (-sc[i], u[i]))[:k]
+            for r, i in enumerate(order, 1):
+                out_id.append(did)
+                out_t.append(u[i])
+                out_s.append(sc[i])
+                out_r.append(r)
+        return pd.DataFrame({
+            "doc_id": np.asarray(out_id, dtype=np.int64), "term": out_t,
+            "score": np.asarray(out_s, dtype=np.float64),
+            "trank": np.asarray(out_r, dtype=np.int64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -483,3 +483,124 @@ def test_window_value_edges_and_cube(ray_session):
     # numeric keys canonicalize to string (the "ALL" sentinel rule)
     assert got["1"] == (60.0, 3) and got["2"] == (5.0, 1) and got["3"] == (13.0, 2)
     assert got["ALL"] == (78.0, 6)
+
+
+def test_ordered_prefix_sum_matches_pandas(ray_session):
+    import ray.data
+
+    from engine.ops.relational import ordered_prefix_sum
+
+    rng = np.random.default_rng(7)
+    # non-contiguous, shuffled unique keys; skewed values
+    keys = rng.permutation(np.arange(0, 5000, 3))
+    vals = rng.integers(1, 900, size=len(keys)).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = (
+        ordered_prefix_sum(ds, "k", "v", out_col="run", num_buckets=16)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = df.sort_values("k", ignore_index=True)
+    want["run"] = want["v"].cumsum()
+    assert got["run"].tolist() == want["run"].tolist()
+    assert got["run"].dtype == np.int64  # int in -> int out (packing math)
+
+
+def test_set_ops_distinct_match_pandas(ray_session):
+    import ray.data
+
+    from engine.ops.relational import except_distinct, intersect_distinct
+
+    rng = np.random.default_rng(11)
+    a = pd.DataFrame({"k": rng.integers(0, 60, 500)})  # heavy duplicates
+    b = pd.DataFrame({"k": rng.integers(30, 90, 500)})
+    dsa = ray.data.from_pandas(a).repartition(5)
+    dsb = ray.data.from_pandas(b).repartition(4)
+    inter = sorted(intersect_distinct(dsa, dsb, ["k"]).to_pandas()["k"])
+    exc = sorted(except_distinct(dsa, dsb, ["k"]).to_pandas()["k"])
+    assert inter == sorted(set(a["k"]) & set(b["k"]))
+    assert exc == sorted(set(a["k"]) - set(b["k"]))
+
+
+def test_decontamination_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.text import (
+        _WS_RE, build_contamination_index, flag_contaminated,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 30)))
+        for _ in range(200)
+    ]
+    # plant exact 8-gram overlaps: doc i copies a window from bench doc
+    for i in range(0, 200, 17):
+        src = docs[i % 7]  # bench member (see mask below)
+        docs[i] = docs[i] + " " + " ".join(src.split()[:8])
+    df = pd.DataFrame({"doc_id": np.arange(200), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(4)
+    bench_mask = df["doc_id"] % 7 == 0
+    bench = ray.data.from_pandas(df[bench_mask])
+
+    idx = build_contamination_index(bench, ngram=8)
+    got = (
+        flag_contaminated(ds, idx, ngram=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    def shingles(text):
+        toks = [t for t in _WS_RE.split(text.lower()) if t]
+        if len(toks) < 8:
+            return {tuple(toks)}
+        return {tuple(toks[i:i + 8]) for i in range(len(toks) - 7)}
+
+    bench_set = set().union(*(shingles(t) for t in df.loc[bench_mask, "text"]))
+    want = [int(bool(shingles(t) & bench_set)) for t in df["text"]]
+    assert got["contaminated"].tolist() == want
+    # every bench doc flags itself; planted copies are caught
+    assert got.loc[bench_mask.to_numpy(), "contaminated"].eq(1).all()
+
+
+def test_tfidf_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from engine.ops.text import _ALPHA_RE, doc_frequency, tfidf_top_terms
+
+    docs = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "cherry date elder apple",
+        "fig fig fig banana",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(4), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(2)
+    dft = doc_frequency(ds)
+    got = (
+        tfidf_top_terms(ds, 4, dft, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "trank"], ignore_index=True)
+    )
+
+    dfm: dict[str, int] = {}
+    for t in docs:
+        for tok in set(_ALPHA_RE.findall(t.lower())):
+            dfm[tok] = dfm.get(tok, 0) + 1
+    assert dict(zip(dft["token"], dft["df"])) == dfm
+    for did, t in enumerate(docs):
+        toks = _ALPHA_RE.findall(t.lower())
+        scores = {}
+        for tok in set(toks):
+            scores[tok] = round(
+                toks.count(tok) / len(toks) * math.log(4 / dfm[tok]), 6
+            )
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        sub = got[got["doc_id"] == did]
+        assert list(zip(sub["term"], sub["score"])) == [
+            (t_, pytest.approx(s_, abs=1e-6)) for t_, s_ in want
+        ]
