@@ -1114,9 +1114,117 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = text.doc_frequency(docs)
         return text.tfidf_top_terms(docs, n, df, k=3)
 
+    def embedding_dim_stats(sf_dir: str):
+        # list-column UNNEST analog: zero-copy Arrow flatten ->
+        # (rows x dim) numpy view -> per-dim partial sums (one tiny
+        # shuffle of d-sized partials, never element rows)
+        import pyarrow as pa
+
+        ds = sf_table(sf_dir, "embeddings", ["embedding"])
+
+        def f(t: pa.Table) -> pd.DataFrame:
+            col = t.column("embedding").combine_chunks()
+            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+            return pd.DataFrame({
+                "dim": np.arange(1, mat.shape[1] + 1, dtype=np.int64),
+                "__s": mat.sum(axis=0, dtype=np.float64),
+                "__n": np.int64(len(t)),
+            })
+
+        tot = relational.sum_final(
+            ds.map_batches(f, batch_format="pyarrow"), ["dim"]
+        ).to_pandas()
+        tot["avg_val"] = (tot["__s"] / tot["__n"]).round(6)
+        return tot[["dim", "avg_val"]]
+
+    def orders_above_cust_avg(sf_dir: str):
+        # correlated-subquery pattern: grouped avg (combiner) broadcast
+        # BACK into the same scan — two passes, zero row shuffles
+        o = sf_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        sums = relational.partial_groupby_sum(
+            o, ["o_custkey"], {"o_totalprice": "__s"}, count_as="__n"
+        ).to_pandas()
+        sums["__avg"] = sums["__s"] / sums["__n"]
+        joined = relational.broadcast_hash_join(
+            o, sums[["o_custkey", "__avg"]], on="o_custkey"
+        )
+
+        def pick(b: pd.DataFrame) -> pd.DataFrame:
+            # +1e-6 guard so float summation order can't flip boundary
+            # rows (single-order customers sit exactly ON their avg)
+            return b.loc[b["o_totalprice"] > b["__avg"] + 1e-6, ["o_orderkey"]]
+
+        return joined.map_batches(pick, batch_format="pandas")
+
+    def orders_price_histogram(sf_dir: str):
+        # equi-width histogram: bucket id derived per batch, count
+        # partials combined before one tiny shuffle
+        o = sf_table(sf_dir, "orders", ["o_totalprice"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["bucket_id"] = np.floor(
+                b["o_totalprice"].to_numpy() / 50000.0
+            ).astype(np.int64)
+            return b[["bucket_id"]]
+
+        return relational.partial_groupby_sum(
+            o.map_batches(f, batch_format="pandas"), ["bucket_id"], {},
+            count_as="n",
+        )
+
+    def colocated_order_customer_revenue(sf_dir: str):
+        # shuffle-free co-located join over a bucketed storage layout:
+        # both tables written hash-bucketed on custkey ONCE (cached per
+        # sf_dir), then task k joins bucket k of each side locally
+        from engine.io import write_bucketed
+
+        nb = 8
+        base = f"/tmp/graft_bucketed_{abs(hash(sf_dir)) % 10**8}"
+        marker = os.path.join(base, "_COMPLETE")
+        if not os.path.exists(marker):
+            os.makedirs(base, exist_ok=True)
+            o = sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+            def ren(b: pd.DataFrame) -> pd.DataFrame:
+                return b.rename(columns={"c_custkey": "o_custkey"})
+
+            c = sf_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                ren, batch_format="pandas"
+            )
+            write_bucketed(o, f"{base}/orders", "o_custkey", nb)
+            write_bucketed(c, f"{base}/customer", "o_custkey", nb)
+            open(marker, "w").write("ok")
+
+        joined = relational.colocated_join(
+            f"{base}/orders", f"{base}/customer", on="o_custkey", num_buckets=nb,
+            columns_left=["o_custkey", "o_totalprice"],
+            columns_right=["o_custkey", "c_nationkey"],
+        )
+        out = relational.partial_groupby_sum(
+            joined, ["c_nationkey"], {"o_totalprice": "revenue"}, count_as="n_orders"
+        ).to_pandas()
+        out["revenue"] = out["revenue"].round(4)
+        return out
+
+    def events_user_count_skew_join(sf_dir: str):
+        # skew-aware hybrid join: hot users' dim rows broadcast, cold
+        # tail co-shuffles; exact union of the two disjoint joins
+        ev = sf_table(sf_dir, "events", ["event_id", "user_id"])
+        dim = relational.partial_groupby_sum(
+            ev, ["user_id"], {}, count_as="u_n"
+        )
+        return relational.skew_hybrid_join(
+            ev, dim, on="user_id", hot_threshold=40, num_partitions=8
+        ).select_columns(["event_id", "user_id", "u_n"])
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        "colocated_order_customer_revenue": colocated_order_customer_revenue,
+        "events_user_count_skew_join": events_user_count_skew_join,
+        "embedding_dim_stats": embedding_dim_stats,
+        "orders_above_cust_avg": orders_above_cust_avg,
+        "orders_price_histogram": orders_price_histogram,
         "custkeys_big_and_urgent": custkeys_big_and_urgent,
         "custkeys_never_urgent": custkeys_never_urgent,
         "qty_price_regression_by_flag": qty_price_regression_by_flag,
@@ -1223,6 +1331,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "colocated_order_customer_revenue": """
+            SELECT c_nationkey, ROUND(SUM(o_totalprice), 4) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "events_user_count_skew_join": """
+            SELECT event_id, user_id, u_n FROM events
+            JOIN (SELECT user_id, COUNT(*) AS u_n FROM events
+                  GROUP BY user_id) USING (user_id)
+        """,
+        "embedding_dim_stats": """
+            SELECT i AS dim, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS avg_val
+            FROM (SELECT UNNEST(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY i
+        """,
+        "orders_above_cust_avg": """
+            SELECT o_orderkey FROM orders
+            JOIN (SELECT o_custkey, AVG(o_totalprice) AS a
+                  FROM orders GROUP BY o_custkey) t USING (o_custkey)
+            WHERE o_totalprice > t.a + 1e-6
+        """,
+        "orders_price_histogram": """
+            SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket_id,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

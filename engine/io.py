@@ -111,3 +111,53 @@ def write_any(ds: ray.data.Dataset, out_dir: str, fmt: str = "parquet") -> None:
         ds.write_json(out_dir)
     else:
         raise ValueError(f"unsupported format: {fmt!r}")
+
+
+def bucket_of(values, num_buckets: int):
+    """Deterministic storage-bucket id of a key array: pandas
+    ``hash_array`` (fixed-key siphash — stable across processes and
+    nodes, unlike Python's randomized ``hash``) mod ``num_buckets``.
+    ONE function so every writer and every reader agrees on the
+    layout."""
+    import numpy as np
+    from pandas.util import hash_array
+
+    return (hash_array(values, categorize=False) % num_buckets).astype(np.int32)
+
+
+def write_bucketed(
+    ds: ray.data.Dataset, out_dir: str, key: str, num_buckets: int
+) -> None:
+    """Materialize a table hash-bucketed by ``key`` (hive layout
+    ``bucket=<k>/``). The point at 100 TB: pay the partitioning ONCE at
+    write time, then every later equi-join/groupby on the same key is
+    shuffle-free — tasks read bucket k of each side and join locally
+    (``ops.relational.colocated_join``). The "pick ONE partitioning key
+    and reuse it across stages" rule, made durable."""
+    import pandas as pd
+
+    def add_bucket(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        b["bucket"] = bucket_of(b[key].to_numpy(), num_buckets)
+        return b
+
+    ds.map_batches(add_bucket, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+
+
+def read_bucket_pandas(bucketed_dir: str, bucket: int, columns=None):
+    """All rows of one storage bucket as pandas (task-local read)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{bucketed_dir}/bucket={bucket}/*.parquet"))
+    if not files:
+        return None
+    tabs = [pq.read_table(f, columns=list(columns) if columns else None)
+            for f in files]
+    import pyarrow as pa
+
+    return pa.concat_tables(tabs).to_pandas()

@@ -1313,3 +1313,92 @@ def ordered_prefix_sum(
     return bucketed.groupby("__bucket").map_groups(
         scan_bucket, batch_format="pandas"
     )
+
+
+def colocated_join(
+    dir_left: str,
+    dir_right: str,
+    on: str | list[str],
+    num_buckets: int,
+    how: str = "inner",
+    columns_left: Sequence[str] | None = None,
+    columns_right: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """Shuffle-FREE equi-join of two tables pre-bucketed on the join
+    key by ``engine.io.write_bucketed`` (same ``num_buckets``). Task k
+    reads ``bucket=k`` of each side from shared storage and merges
+    locally — co-partitioned layout means no all-to-all at query time;
+    the exchange happened once, at write time. This is the scale path
+    for join keys reused across many pipelines (e.g. image_id:
+    bytes-join, dedup, stats all reuse one layout).
+
+    Bucket tasks fan out as a Dataset of bucket ids, so the streaming
+    executor schedules/pipelines them like any other stage."""
+    on_l = [on] if isinstance(on, str) else list(on)
+
+    def join_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.io import read_bucket_pandas
+
+        outs = []
+        for k in b["bucket_id"]:
+            lt = read_bucket_pandas(dir_left, int(k), columns_left)
+            rt = read_bucket_pandas(dir_right, int(k), columns_right)
+            if lt is None or rt is None:
+                if how == "inner" or lt is None:
+                    continue
+                rt = pd.DataFrame(columns=on_l)
+            outs.append(lt.merge(rt, on=on_l, how=how))
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    buckets = ray.data.from_items(
+        [{"bucket_id": k} for k in range(num_buckets)]
+    )
+    return buckets.map_batches(
+        join_bucket, batch_size=1, batch_format="pandas"
+    )
+
+
+def skew_hybrid_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    hot_threshold: int,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Skew-aware equi-join: keys hotter than ``hot_threshold`` on the
+    left are handled by BROADCASTING their (few) right-side rows —
+    they never enter the shuffle — while the cold long tail takes the
+    normal hash-partitioned co-shuffle. A single pathological key (half
+    the fact table) would otherwise pin one join partition; here it
+    costs one map-side probe. Exact: hot/cold row sets are disjoint by
+    key, union of the two joins = the full join.
+
+    The hot-key census is an exact per-batch count combiner (partials
+    bounded by keys x blocks); at open-ended key spaces swap in a
+    sampled or Misra-Gries census — the split stays correct for ANY
+    hot set, only the routing changes."""
+    counts = partial_groupby_sum(left, [on], {}, count_as="__n").to_pandas()
+    hot_keys = set(counts.loc[counts["__n"] > hot_threshold, on])
+
+    if not hot_keys:
+        return bucketed_join(left, right, on=on, num_partitions=num_partitions)
+
+    hot_df = pd.DataFrame({on: sorted(hot_keys)})
+    right_hot = semi_join(right, hot_df, on=on).to_pandas()
+    left_hot = semi_join(left, hot_df, on=on)
+    hot_joined = broadcast_hash_join(left_hot, right_hot, on=on)
+
+    if len(hot_keys) == len(counts):
+        # every left key is hot (tiny key spaces): the cold side is
+        # empty, and Ray's native JoinOperator rejects a zero-block
+        # input — the census already proves there is nothing to join
+        return hot_joined
+
+    left_cold = anti_join(left, hot_df, on=on)
+    right_cold = anti_join(right, hot_df, on=on)
+    cold_joined = bucketed_join(
+        left_cold, right_cold, on=on, num_partitions=num_partitions
+    )
+    return hot_joined.union(cold_joined)

@@ -604,3 +604,57 @@ def test_tfidf_matches_bruteforce(ray_session):
         assert list(zip(sub["term"], sub["score"])) == [
             (t_, pytest.approx(s_, abs=1e-6)) for t_, s_ in want
         ]
+
+
+def test_colocated_join_matches_pandas(ray_session, tmp_path):
+    import ray.data
+
+    from engine.io import write_bucketed
+    from engine.ops.relational import colocated_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 80, 600), "lv": rng.integers(0, 100, 600)})
+    right = pd.DataFrame({
+        "k": rng.permutation(np.arange(100))[:70],
+        "rv": rng.integers(0, 9, 70)})
+    dl, dr = str(tmp_path / "left"), str(tmp_path / "right")
+    write_bucketed(ray.data.from_pandas(left).repartition(4), dl, "k", 8)
+    write_bucketed(ray.data.from_pandas(right).repartition(3), dr, "k", 8)
+
+    got = (
+        colocated_join(dl, dr, on="k", num_buckets=8,
+                       columns_left=["k", "lv"], columns_right=["k", "rv"])
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], ignore_index=True)
+    )
+    want = left.merge(right, on="k").sort_values(
+        ["k", "lv", "rv"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], want[["k", "lv", "rv"]], check_dtype=False
+    )
+
+
+def test_skew_hybrid_join_matches_pandas(ray_session):
+    import ray.data
+
+    from engine.ops.relational import skew_hybrid_join
+
+    rng = np.random.default_rng(9)
+    # key 0 is pathological: 60% of the left side
+    keys = np.where(rng.random(2000) < 0.6, 0, rng.integers(1, 50, 2000))
+    left = pd.DataFrame({"k": keys, "lv": np.arange(2000)})
+    right = pd.DataFrame({"k": np.arange(50), "rv": np.arange(50) * 10})
+    got = (
+        skew_hybrid_join(
+            ray.data.from_pandas(left).repartition(6),
+            ray.data.from_pandas(right).repartition(2),
+            on="k", hot_threshold=200, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"], ignore_index=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "lv"], ignore_index=True)
+    assert got["lv"].tolist() == want["lv"].tolist()
+    assert got["rv"].tolist() == want["rv"].tolist()
