@@ -202,18 +202,29 @@ def token_topk(
 
 def _shingle_hashes(text: str, n: int = 8) -> np.ndarray:
     """64-bit fingerprints of every n-token (whitespace, lowercased)
-    shingle of ``text``. At 100 TB the index stores these hashes, not
-    strings; 64-bit collisions (~1e-8 at 10^9 shingles) only ever ADD a
-    flag, never drop one, which is the safe direction for test-set
-    decontamination."""
+    shingle of ``text``, fully vectorized: tokens are siphashed once
+    (``pandas.util.hash_array`` — process-stable), then each window
+    collapses to a rolling polynomial sum(t_j * B^(n-1-j)) mod 2^64 in
+    n numpy passes over the whole doc (no per-shingle Python work).
+    At 100 TB the index stores these hashes, not strings; 64-bit
+    collisions (~1e-8 at 10^9 shingles) only ever ADD a flag, never
+    drop one, which is the safe direction for decontamination."""
+    from pandas.util import hash_array
+
     toks = [t for t in _WS_RE.split(text.lower()) if t]
-    if len(toks) < n:
-        # short doc: one shingle of the whole text, so nothing is exempt
-        return np.asarray([fingerprint64(" ".join(toks))], dtype=np.int64)
-    return np.asarray(
-        [fingerprint64(" ".join(toks[i:i + n])) for i in range(len(toks) - n + 1)],
-        dtype=np.int64,
-    )
+    if not toks:
+        return np.zeros(1, dtype=np.int64)
+    th = hash_array(np.asarray(toks, dtype=object), categorize=False)
+    m = min(n, len(th))  # short doc: one shingle of the whole text
+    powers = np.empty(m, dtype=np.uint64)
+    powers[m - 1] = 1
+    for j in range(m - 2, -1, -1):
+        powers[j] = powers[j + 1] * np.uint64(_FP_BASE)
+    with np.errstate(over="ignore"):
+        out = np.zeros(len(th) - m + 1, dtype=np.uint64)
+        for j in range(m):
+            out += th[j:len(th) - m + 1 + j] * powers[j]
+    return out.view(np.int64)
 
 
 def build_contamination_index(
@@ -231,7 +242,9 @@ def build_contamination_index(
         return pd.DataFrame({"h": u})
 
     parts = bench.map_batches(local, batch_format="pandas").to_pandas()
-    return ray.put(frozenset(parts["h"].tolist()))
+    # sorted array, not a Python set: probes use np.isin (binary
+    # search, vectorized) and the broadcast is one flat buffer
+    return ray.put(np.unique(parts["h"].to_numpy()))
 
 
 def flag_contaminated(
@@ -249,7 +262,7 @@ def flag_contaminated(
         hits = []
         for s in b["text"].astype(str):
             hs = _shingle_hashes(s, ngram)
-            hits.append(int(np.sum([h in idx for h in hs])))
+            hits.append(int(np.isin(hs, idx, assume_unique=False).sum()))
         b = b.copy()
         b["n_hits"] = np.asarray(hits, dtype=np.int64)
         b["contaminated"] = (b["n_hits"] > 0).astype(np.int64)
