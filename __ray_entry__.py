@@ -1217,9 +1217,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, dim, on="user_id", hot_threshold=40, num_partitions=8
         ).select_columns(["event_id", "user_id", "u_n"])
 
+    def profile_lineitem(sf_dir: str):
+        # one-pass ANALYZE: per-column count/nulls/min/max partials
+        cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+        out = relational.profile_table(sf_table(sf_dir, "lineitem", cols), cols)
+        out["min_val"] = out["min_val"].round(4)
+        out["max_val"] = out["max_val"].round(4)
+        return out
+
+    def approx_price_quantiles(sf_dir: str):
+        # mergeable DDSketch: rows-only here; the <=1% relative error
+        # guarantee is pytest-oracled against exact numpy quantiles
+        from engine.ops import sketch
+
+        o = sf_table(sf_dir, "orders", ["o_totalprice"])
+        out = sketch.ddsketch_quantiles(
+            o, "o_totalprice", qs=(0.5, 0.9, 0.99), rel_err=0.01
+        )
+        out["est"] = out["est"].round(4)
+        return out
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        "profile_lineitem": profile_lineitem,
+        "approx_price_quantiles": approx_price_quantiles,
         "colocated_order_customer_revenue": colocated_order_customer_revenue,
         "events_user_count_skew_join": events_user_count_skew_join,
         "embedding_dim_stats": embedding_dim_stats,
@@ -1331,6 +1353,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "profile_lineitem": """
+            SELECT col, n, nulls, min_val, max_val FROM (
+              SELECT 'l_discount' AS col, COUNT(*) AS n,
+                     COUNT(*) - COUNT(l_discount) AS nulls,
+                     ROUND(MIN(l_discount), 4) AS min_val,
+                     ROUND(MAX(l_discount), 4) AS max_val FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', COUNT(*),
+                     COUNT(*) - COUNT(l_extendedprice),
+                     ROUND(MIN(l_extendedprice), 4),
+                     ROUND(MAX(l_extendedprice), 4) FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+                     ROUND(MIN(l_quantity), 4),
+                     ROUND(MAX(l_quantity), 4) FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+                     ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4) FROM lineitem
+            )
         """,
         "colocated_order_customer_revenue": """
             SELECT c_nationkey, ROUND(SUM(o_totalprice), 4) AS revenue,

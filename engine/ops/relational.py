@@ -1402,3 +1402,42 @@ def skew_hybrid_join(
         left_cold, right_cold, on=on, num_partitions=num_partitions
     )
     return hot_joined.union(cold_joined)
+
+
+def profile_table(
+    ds: ray.data.Dataset, cols: Sequence[str]
+) -> pd.DataFrame:
+    """One-pass ANALYZE-style column statistics: per numeric column,
+    row count, null count, min, max — per-batch partials (one row per
+    column per batch) merged by a single min/max/sum reduce; the input
+    crosses the wire as |cols| x blocks stat rows only. Approximate
+    distinct counts compose via ``ops.sketch.hll_count_distinct``
+    (mergeable registers) when ndv is needed too. This is the stats
+    pass a planner runs before choosing broadcast vs co-shuffle joins."""
+    cols_l = list(cols)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols_l:
+            v = b[c]
+            vv = v.dropna()
+            rows.append({
+                "col": c, "n": len(v), "nulls": int(v.isna().sum()),
+                "min_val": float(vv.min()) if len(vv) else np.nan,
+                "max_val": float(vv.max()) if len(vv) else np.nan,
+            })
+        return pd.DataFrame(rows)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("col", as_index=False).agg(
+            n=("n", "sum"), nulls=("nulls", "sum"),
+            min_val=("min_val", "min"), max_val=("max_val", "max"),
+        )
+        return g.sort_values("col", ignore_index=True)
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )

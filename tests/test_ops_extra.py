@@ -658,3 +658,45 @@ def test_skew_hybrid_join_matches_pandas(ray_session):
     want = left.merge(right, on="k").sort_values(["k", "lv"], ignore_index=True)
     assert got["lv"].tolist() == want["lv"].tolist()
     assert got["rv"].tolist() == want["rv"].tolist()
+
+
+def test_ddsketch_quantiles_within_rel_err(ray_session):
+    import ray.data
+
+    from engine.ops.sketch import ddsketch_quantiles
+
+    rng = np.random.default_rng(13)
+    # log-normal: heavy tail, the shape DDSketch exists for
+    v = np.exp(rng.normal(5, 2, 20000))
+    ds = ray.data.from_pandas(pd.DataFrame({"v": v})).repartition(8)
+    qs = (0.5, 0.9, 0.99)
+    got = ddsketch_quantiles(ds, "v", qs=qs, rel_err=0.01)
+    for q, est in zip(got["q"], got["est"]):
+        exact = np.quantile(v, q, method="inverted_cdf")
+        assert abs(est - exact) <= 0.0101 * exact + 1e-12, (q, est, exact)
+
+    # zeros route to the sentinel bin and q low enough lands on 0
+    v2 = np.concatenate([np.zeros(500), np.full(500, 100.0)])
+    ds2 = ray.data.from_pandas(pd.DataFrame({"v": v2})).repartition(4)
+    got2 = ddsketch_quantiles(ds2, "v", qs=(0.25, 0.75), rel_err=0.01)
+    assert got2["est"].iloc[0] == 0.0
+    assert abs(got2["est"].iloc[1] - 100.0) <= 1.01
+
+
+def test_profile_table_matches_pandas(ray_session):
+    import ray.data
+
+    from engine.ops.relational import profile_table
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "a": rng.normal(size=300),
+        "b": rng.integers(-5, 5, 300).astype(float),
+    })
+    df.loc[df.index % 7 == 0, "b"] = np.nan
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = profile_table(ds, ["a", "b"]).set_index("col")
+    assert got.loc["a", "n"] == 300 and got.loc["a", "nulls"] == 0
+    assert got.loc["b", "nulls"] == int(df["b"].isna().sum())
+    assert got.loc["a", "min_val"] == pytest.approx(df["a"].min())
+    assert got.loc["b", "max_val"] == pytest.approx(df["b"].max())
