@@ -1237,9 +1237,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["est"] = out["est"].round(4)
         return out
 
+    def click_view_value_overlaps(sf_dir: str):
+        # interval-overlap (non-equi) join: grid-cell fan-out shuffle,
+        # owner-cell rule guarantees no duplicate pairs
+        ev = sf_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+        def mk(et: str):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                b = b[b["event_type"] == et].copy()
+                b["lo"] = b["value"]
+                b["hi"] = b["value"] + 0.1
+                return b[["event_id", "lo", "hi"]]
+
+            return f
+
+        left = ev.map_batches(mk("click"), batch_format="pandas")
+        right = ev.map_batches(mk("view"), batch_format="pandas")
+        out = relational.interval_overlap_join(left, right, grid=0.5)
+        return out.select_columns(["event_id_a", "event_id_b"])
+
+    def docs_above_p75_chars(sf_dir: str):
+        # global-quantile gate: exact P75 from a counts CDF walk
+        # (distinct-value footprint), broadcast as a plain float
+        ds = sf_table(sf_dir, "documents", ["doc_id", "n_chars"])
+        counts = relational.partial_groupby_sum(
+            ds, ["n_chars"], {}, count_as="__n"
+        ).to_pandas().sort_values("n_chars", ignore_index=True)
+        cum = counts["__n"].cumsum()
+        total = int(cum.iloc[-1])
+        import math
+        thr = float(counts["n_chars"].iloc[int(np.searchsorted(cum, math.ceil(0.75 * total)))])
+        return ds.filter(expr=f"n_chars > {thr}").select_columns(["doc_id"])
+
+    def docs_zscore_chars(sf_dir: str):
+        # global standardization: one stats pass broadcast back
+        ds = sf_table(sf_dir, "documents", ["doc_id", "n_chars"])
+        stats = ds.map_batches(
+            lambda b: pd.DataFrame({
+                "s": [b["n_chars"].sum()],
+                "s2": [(b["n_chars"].astype(np.float64) ** 2).sum()],
+                "n": [len(b)],
+            }),
+            batch_format="pandas",
+        ).to_pandas().sum()
+        mean = stats["s"] / stats["n"]
+        std = float(np.sqrt(stats["s2"] / stats["n"] - mean * mean))
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["z"] = ((b["n_chars"] - mean) / std).round(4)
+            return b[["doc_id", "z"]]
+
+        return ds.map_batches(f, batch_format="pandas")
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        "click_view_value_overlaps": click_view_value_overlaps,
+        "docs_above_p75_chars": docs_above_p75_chars,
+        "docs_zscore_chars": docs_zscore_chars,
         "profile_lineitem": profile_lineitem,
         "approx_price_quantiles": approx_price_quantiles,
         "colocated_order_customer_revenue": colocated_order_customer_revenue,
@@ -1353,6 +1408,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "click_view_value_overlaps": """
+            SELECT a.event_id AS event_id_a, b.event_id AS event_id_b
+            FROM (SELECT event_id, value AS lo, value + 0.1 AS hi
+                  FROM events WHERE event_type = 'click') a
+            JOIN (SELECT event_id, value AS lo, value + 0.1 AS hi
+                  FROM events WHERE event_type = 'view') b
+              ON a.lo < b.hi AND b.lo < a.hi
+        """,
+        "docs_above_p75_chars": """
+            SELECT doc_id FROM documents
+            WHERE n_chars > (SELECT quantile_disc(n_chars, 0.75)
+                             FROM documents)
+        """,
+        "docs_zscore_chars": """
+            SELECT doc_id,
+                   ROUND((n_chars - AVG(n_chars) OVER ())
+                         / STDDEV_POP(n_chars) OVER (), 4) AS z
+            FROM documents
         """,
         "profile_lineitem": """
             SELECT col, n, nulls, min_val, max_val FROM (

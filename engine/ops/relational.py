@@ -1441,3 +1441,77 @@ def profile_table(
         .map_batches(final, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
+
+
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    lo: str = "lo",
+    hi: str = "hi",
+    grid: float | None = None,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> ray.data.Dataset:
+    """Join two interval tables on OVERLAP (``a.lo < b.hi AND b.lo <
+    a.hi``, half-open) — the 1-D spatial join. No equi-key exists, so
+    a hash join can't express it; the scale plan is the same as the
+    2-D PIP join's cell cover: each interval fans out to every
+    ``grid``-sized cell it touches (``flat_map``-style per batch), the
+    cell id becomes the shuffle key, each cell is joined locally, and
+    a pair is emitted ONLY by the cell containing ``max(a.lo, b.lo)``
+    so duplicates never exist (no global dedup pass). ``grid``
+    defaults to the mean left-interval width — a few cells per
+    interval.
+
+    Skew note: a cell holding n_a x n_b intervals does n_a*n_b work;
+    pick ``grid`` >= typical width so fan-out stays O(1) per interval,
+    and salt pathological cells like A1 tiles if one cell dominates."""
+    if grid is None:
+        span = left.map_batches(
+            lambda b: pd.DataFrame({"w": [float((b[hi] - b[lo]).mean())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        grid = max(float(span["w"].mean()), 1e-9)
+
+    g = float(grid)
+
+    def fan_out(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            lo_v = b[lo].to_numpy(dtype=np.float64)
+            hi_v = b[hi].to_numpy(dtype=np.float64)
+            c0 = np.floor(lo_v / g).astype(np.int64)
+            c1 = np.floor(np.nextafter(hi_v, -np.inf) / g).astype(np.int64)
+            reps = (c1 - c0 + 1).clip(min=1)
+            idx = np.repeat(np.arange(len(b)), reps)
+            out = b.iloc[idx].reset_index(drop=True)
+            cells = np.concatenate(
+                [np.arange(a, a + r) for a, r in zip(c0, reps)]
+            ) if len(b) else np.empty(0, np.int64)
+            out["__cell"] = cells
+            out["__side"] = np.int8(side)
+            return out
+
+        return f
+
+    both = left.map_batches(fan_out(0), batch_format="pandas").union(
+        right.map_batches(fan_out(1), batch_format="pandas")
+    )
+
+    def join_cell(grp: pd.DataFrame) -> pd.DataFrame:
+        cell = int(grp["__cell"].iloc[0])
+        a = grp[grp["__side"] == 0]
+        b = grp[grp["__side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame()
+        pairs = a.drop(columns=["__cell", "__side"]).merge(
+            b.drop(columns=["__cell", "__side"]), how="cross",
+            suffixes=suffixes,
+        )
+        la, ha = lo + suffixes[0], hi + suffixes[0]
+        lb, hb = lo + suffixes[1], hi + suffixes[1]
+        ov = (pairs[la] < pairs[hb]) & (pairs[lb] < pairs[ha])
+        owner = np.floor(
+            np.maximum(pairs[la], pairs[lb]).to_numpy(np.float64) / g
+        ).astype(np.int64) == cell
+        return pairs[ov & owner]
+
+    return both.groupby("__cell").map_groups(join_cell, batch_format="pandas")

@@ -700,3 +700,30 @@ def test_profile_table_matches_pandas(ray_session):
     assert got.loc["b", "nulls"] == int(df["b"].isna().sum())
     assert got.loc["a", "min_val"] == pytest.approx(df["a"].min())
     assert got.loc["b", "max_val"] == pytest.approx(df["b"].max())
+
+
+def test_interval_overlap_join_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import interval_overlap_join
+
+    rng = np.random.default_rng(21)
+    la = rng.uniform(0, 100, 300)
+    lb = rng.uniform(0, 100, 250)
+    left = pd.DataFrame({"id": np.arange(300), "lo": la,
+                         "hi": la + rng.uniform(0.1, 5, 300)})
+    right = pd.DataFrame({"id": np.arange(250), "lo": lb,
+                          "hi": lb + rng.uniform(0.1, 5, 250)})
+    got = interval_overlap_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        grid=2.5,
+    ).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    want = set()
+    for i, (l1, h1) in enumerate(zip(left["lo"], left["hi"])):
+        m = (l1 < right["hi"].to_numpy()) & (right["lo"].to_numpy() < h1)
+        for j in right.loc[m, "id"]:
+            want.add((i, j))
+    assert pairs == want
+    assert len(got) == len(pairs)  # owner-cell rule: no duplicates
