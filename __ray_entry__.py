@@ -835,6 +835,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _geo_indexed(columns=["image_id"])
         return idx.groupby("h3_r5").aggregate(Count(alias_name="n"))
 
+    def geo_s2_cell_counts(sf_dir: str):
+        # S2-like covering path (M3): per-cell counts at the ingest
+        # level via a parent rollup — self-consistency pytest-oracled
+        # in tests/test_geo_kernels.py
+        from engine.geo import s2like
+
+        idx = _geo_indexed(columns=["image_id"])
+
+        def parent_cell(b: pd.DataFrame) -> pd.DataFrame:
+            cells = b["s2_cell"].to_numpy(dtype=np.uint64)
+            b = b[[]].copy()
+            b["s2_parent"] = s2like.parent(cells, steps=6).astype(np.int64)
+            return b
+
+        return relational.partial_groupby_sum(
+            idx.map_batches(parent_cell, batch_format="pandas"),
+            ["s2_parent"], {}, count_as="n",
+        )
+
+    def prepare_corpus_pipeline(sf_dir: str):
+        # the text flagship: lang-id -> quality gate -> exact dedup ->
+        # token counting -> token-budget packing, one streaming plan
+        # (two exchanges total); determinism pytest-oracled
+        from engine.pipeline.corpus import prepare_corpus
+
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return prepare_corpus(docs, quality_min=0.3, pack_budget_tokens=4096)
+
     def geo_pip_join(sf_dir: str):
         idx = _geo_indexed(columns=["image_id", "caption"])
         j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
@@ -1371,6 +1399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_chunk_plan": audio_chunk_plan,
         "ann_ivf_topk": ann_ivf_topk,
         "geo_h3_cell_counts": geo_h3_cell_counts,
+        "geo_s2_cell_counts": geo_s2_cell_counts,
+        "prepare_corpus_pipeline": prepare_corpus_pipeline,
         "geo_pip_join": geo_pip_join,
         "geo_knn": geo_knn,
         "geo_self_knn": geo_self_knn,

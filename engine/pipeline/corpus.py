@@ -1,0 +1,57 @@
+"""End-to-end training-corpus preparation pipeline (SURVEY §2.10).
+
+The geo flagship proves the spatial stack; this is its text twin — the
+standard LLM-data prep chain composed from the operator pack as ONE
+streaming Dataset plan (no mid-pipeline materialization):
+
+    lang-id -> quality score -> quality gate -> exact dedup by content
+    fingerprint -> token counting -> token-budget packing
+
+Every stage is a ``map_batches`` transform except the dedup shuffle
+(hash on fingerprint) and the packing scan (one range shuffle); the
+whole plan therefore moves the corpus through exactly two exchanges.
+At 100 TB each stage scales independently: lang-id/quality are
+embarrassingly parallel, dedup shuffles 64-bit keys (not text), and
+packing's prefix sum exchanges only range-bucket partials.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+
+def prepare_corpus(
+    docs: ray.data.Dataset,
+    quality_min: float = 0.3,
+    pack_budget_tokens: int = 4096,
+) -> ray.data.Dataset:
+    """``docs`` needs (doc_id, text). Returns one row per surviving
+    document: doc_id, lang_pred, quality, n_tokens, run_tokens,
+    pack_id — deterministic (hash keep-rules, no RNG), so re-runs and
+    resumed runs produce byte-identical corpora."""
+    from engine.ops import dedup, relational, text
+
+    ds = text.run_lang_id(docs)
+    ds = ds.map_batches(text.quality_score_batch, batch_format="pandas")
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["quality"] >= quality_min]
+
+    ds = ds.map_batches(gate, batch_format="pandas")
+    ds = ds.map_batches(text.fingerprint_batch, batch_format="pandas")
+    ds = dedup.exact_dedup(ds, key="fingerprint", order_col="doc_id")
+    ds = ds.map_batches(text.token_count_batch, batch_format="pandas")
+    ds = ds.select_columns(
+        ["doc_id", "lang_pred", "quality", "n_tokens"]
+    )
+    ds = relational.ordered_prefix_sum(
+        ds, "doc_id", "n_tokens", out_col="run_tokens"
+    )
+
+    def assign_pack(b: pd.DataFrame) -> pd.DataFrame:
+        b["pack_id"] = (b["run_tokens"] - b["n_tokens"]) // pack_budget_tokens
+        return b
+
+    return ds.map_batches(assign_pack, batch_format="pandas")

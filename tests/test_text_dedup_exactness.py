@@ -119,3 +119,34 @@ def test_minhash_lsh_dedup_finds_planted_dups(ray_session, docs_df):
         # labelled by the min doc_id of the component
         assert cl.get(did + 1_000_000) == cl.get(did), did
         assert cl.get(did) <= did
+
+
+def test_prepare_corpus_deterministic_and_packed(ray_session):
+    import ray.data
+
+    from engine.pipeline.corpus import prepare_corpus
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = prepare_corpus(docs, quality_min=0.3, pack_budget_tokens=512) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    b = prepare_corpus(docs, quality_min=0.3, pack_budget_tokens=512) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)  # re-run => byte-identical corpus
+
+    assert (a["quality"] >= 0.3).all()
+    assert a["doc_id"].is_unique
+    # packs are contiguous in doc order and respect the running budget
+    assert (a["pack_id"].to_numpy() ==
+            (a["run_tokens"] - a["n_tokens"]).to_numpy() // 512).all()
+    assert (np.diff(a["pack_id"].to_numpy()) >= 0).all()
+    # exact dedup actually deduplicates: fingerprints are unique
+    from engine.ops.text import fingerprint64
+
+    # spot-check: no two surviving docs share identical text
+    texts = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id").loc[a["doc_id"]]["text"]
+    fps = texts.map(fingerprint64)
+    assert fps.is_unique
