@@ -854,6 +854,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["s2_parent"], {}, count_as="n",
         )
 
+    def docs_ngram_span_dups(sf_dir: str):
+        # cross-document duplicated 12-gram spans (substring-dedup
+        # family); exactness pytest-oracled vs brute force
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.ngram_span_dups(docs, ngram=12)
+
+    def orders_grouping_sets(sf_dir: str):
+        # GROUPING SETS ((status), (priority)) — two independent
+        # combiner aggregates of one scan, unioned; NULL slot = "ALL"
+        o = sf_table(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        by_s = relational.partial_groupby_sum(
+            o, ["o_orderstatus"], {"o_totalprice": "total"}, count_as="n"
+        ).to_pandas()
+        by_s["o_orderpriority"] = "ALL"
+        by_p = relational.partial_groupby_sum(
+            o, ["o_orderpriority"], {"o_totalprice": "total"}, count_as="n"
+        ).to_pandas()
+        by_p["o_orderstatus"] = "ALL"
+        out = pd.concat([by_s, by_p], ignore_index=True)
+        out["total"] = out["total"].round(4)
+        return out[["o_orderstatus", "o_orderpriority", "total", "n"]]
+
     def prepare_corpus_pipeline(sf_dir: str):
         # the text flagship: lang-id -> quality gate -> exact dedup ->
         # token counting -> token-budget packing, one streaming plan
@@ -1400,6 +1422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "geo_h3_cell_counts": geo_h3_cell_counts,
         "geo_s2_cell_counts": geo_s2_cell_counts,
+        "docs_ngram_span_dups": docs_ngram_span_dups,
+        "orders_grouping_sets": orders_grouping_sets,
         "prepare_corpus_pipeline": prepare_corpus_pipeline,
         "geo_pip_join": geo_pip_join,
         "geo_knn": geo_knn,
@@ -1451,6 +1475,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE n_chars > (SELECT quantile_disc(n_chars, 0.75)
                              FROM documents)
+        """,
+        "orders_grouping_sets": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
         "docs_zscore_chars": """
             SELECT doc_id,

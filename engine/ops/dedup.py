@@ -597,3 +597,65 @@ def connected_components_distributed(
 
     out = labels.to_pandas().astype({"node": np.int64, "label": np.int64})
     return out.sort_values("node", ignore_index=True)
+
+
+def ngram_span_dups(
+    docs: ray.data.Dataset, ngram: int = 16, min_shared: int = 1
+) -> ray.data.Dataset:
+    """Cross-document duplicated-span detection — the n-gram-level
+    analog of "deduplicating training data" substring dedup (Lee et
+    al. 2022 semantics at n-gram granularity, public method): a doc is
+    flagged when >= ``min_shared`` of its n-token shingles also occur
+    in ANOTHER doc. Unlike MinHash (whole-doc similarity) this catches
+    boilerplate spans inside otherwise-unique docs.
+
+    Plan: per batch emit DISTINCT (shingle-hash, doc_id) pairs (the
+    combiner — repeats inside a doc collapse locally), ONE hash
+    shuffle of the pairs, per-shingle groups flag docs when the group
+    holds >1 distinct doc. The exchange moves 16 bytes per distinct
+    shingle occurrence — the honest cost of exact span matching; at
+    100 TB shard this shuffle by hash range and process ranges
+    independently (shingle groups never span ranges)."""
+    from engine.ops import relational
+    from engine.ops.text import _shingle_hashes
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        hs, ids = [], []
+        for did, s in zip(b["doc_id"], b["text"].astype(str)):
+            u = np.unique(_shingle_hashes(s, ngram))
+            hs.append(u)
+            ids.append(np.full(len(u), did, dtype=np.int64))
+        if not hs:
+            return pd.DataFrame({"h": pd.Series(dtype=np.int64),
+                                 "doc_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"h": np.concatenate(hs),
+                             "doc_id": np.concatenate(ids)})
+
+    pair_ds = docs.map_batches(pairs, batch_format="pandas")
+
+    # shingle-id groups are tiny and astronomically many: route whole
+    # hash SHARDS to tasks (the window_rank pattern) and process every
+    # group in a shard with one segmented pandas pass — never one
+    # Python dispatch per shingle
+    sharded = relational._sharded_by_key(pair_ds, "h", 256)
+
+    def flag_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # (h, doc_id) pairs are globally distinct (each doc lives in
+        # one input row), so group size == distinct docs per shingle
+        sizes = g.groupby("h")["doc_id"].transform("size")
+        hit = g[sizes.to_numpy() > 1]
+        if hit.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "n_shared": pd.Series(dtype=np.int64)})
+        return hit.groupby("doc_id", as_index=False).agg(n_shared=("h", "size"))
+
+    shared = sharded.groupby("__shard").map_groups(
+        flag_shard, batch_format="pandas"
+    )
+    counts = relational.sum_final(shared, ["doc_id"])
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_shared"] >= min_shared]
+        return b.rename(columns={"n_shared": "n_shared_spans"})
+
+    return counts.map_batches(gate, batch_format="pandas")

@@ -150,3 +150,41 @@ def test_prepare_corpus_deterministic_and_packed(ray_session):
     ).to_pandas().set_index("doc_id").loc[a["doc_id"]]["text"]
     fps = texts.map(fingerprint64)
     assert fps.is_unique
+
+
+def test_ngram_span_dups_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.dedup import ngram_span_dups
+    from engine.ops.text import _WS_RE
+
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(60)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(10, 40)))
+            for _ in range(120)]
+    # plant shared 6-gram spans between doc pairs (i, i+1)
+    for i in range(0, 120, 11):
+        span = " ".join(rng.choice(vocab, size=6))
+        docs[i] += " " + span
+        docs[(i + 1) % 120] += " " + span
+    df = pd.DataFrame({"doc_id": np.arange(120), "text": docs})
+    got = (
+        ngram_span_dups(ray.data.from_pandas(df).repartition(4), ngram=6)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+
+    def sh(text):
+        toks = [t for t in _WS_RE.split(text.lower()) if t]
+        if len(toks) < 6:
+            return {tuple(toks)}
+        return {tuple(toks[i:i + 6]) for i in range(len(toks) - 5)}
+
+    all_sh = [sh(t) for t in docs]
+    want = {}
+    for i in range(120):
+        others = set().union(*(s for j, s in enumerate(all_sh) if j != i))
+        n = len(all_sh[i] & others)
+        if n:
+            want[i] = n
+    assert dict(zip(got["doc_id"], got["n_shared_spans"])) == want
+    assert len(want) >= 20  # planted pairs are detected
