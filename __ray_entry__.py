@@ -909,6 +909,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = keyed.groupby("tile_key").aggregate(Count(alias_name="n_images"))
         return out
 
+    def geo_tile_pyramid(sf_dir: str):
+        # overzoom cascade: rendered z8 tiles -> z7/z6 parents, each
+        # composed from <=4 children by 2x2 box-downsample (groupby on
+        # parent tile_key); quadrant/count exactness pytest-oracled
+        idx = _geo_indexed(columns=["image_id", "bytes", "fmt"])
+        keyed = idx.map_batches(
+            lambda b: tile.add_tile_keys(b, tile.DEFAULT_ZOOM),
+            batch_format="pyarrow",
+        ).map_batches(tile.thumb_decode_batch, batch_format="pyarrow")
+        tiles = tile.run_tiling(keyed, zoom=tile.DEFAULT_ZOOM)
+        pyr = tile.build_pyramid(tiles, zoom=tile.DEFAULT_ZOOM,
+                                 min_zoom=tile.DEFAULT_ZOOM - 2)
+        frames = []
+        for z in sorted(pyr):
+            if z == tile.DEFAULT_ZOOM:
+                continue
+            frames.append(
+                pyr[z].select_columns(["z", "x", "y", "n_images"]).to_pandas()
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.sort_values(["z", "x", "y"], ignore_index=True)
+
     def run_history_series(sf_dir: str):
         # S7/A6: per-run global stats appended to a history partition,
         # read back as a series (run_ts injected; deterministic)
@@ -1429,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn": geo_knn,
         "geo_self_knn": geo_self_knn,
         "geo_tile_assignments": geo_tile_assignments,
+        "geo_tile_pyramid": geo_tile_pyramid,
         "run_history_series": run_history_series,
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,

@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -677,3 +678,70 @@ def count_tiles(images_uri, zoom: int = DEFAULT_ZOOM) -> dict[int, int]:
     )
     agg = parts.groupby("tile_key")["n"].sum()
     return {int(k): int(v) for k, v in agg.items()}
+
+
+# --------------------------------------------------------------- tile pyramid
+
+def build_parent_tiles(tiles: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
+    """One pyramid step: zoom ``z`` tiles -> zoom ``z-1`` tiles, each
+    parent composed from its <=4 children (2x2 box-downsample into the
+    matching quadrant — the associative overzoom cascade a slippy map
+    serves between rendered levels). Shuffle key = parent tile_key;
+    groups are <=4 rows, so the exchange moves each tile once and the
+    whole pyramid costs sum_z(tiles_z) tile moves. Missing children
+    leave black (zero) quadrants, matching an empty-cell render."""
+
+    def add_parent(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        pk = tile_key(
+            (x // 2).astype(np.int64), (y // 2).astype(np.int64), zoom - 1
+        )
+        return batch.append_column("parent_key", pa.array(pk, pa.int64()))
+
+    def compose_parent(group: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
+        members: set[str] = set()
+        n = 0
+        for _, row in group.iterrows():
+            child = codec.decode(row["tile_bytes"], "raw16")
+            # 2x2 box mean, computed in uint16 to avoid overflow
+            small = (
+                child.astype(np.uint16)
+                .reshape(TILE_SIZE // 2, 2, TILE_SIZE // 2, 2, 3)
+                .mean(axis=(1, 3))
+                .astype(np.uint8)
+            )
+            qx = (int(row["x"]) % 2) * (TILE_SIZE // 2)
+            qy = (int(row["y"]) % 2) * (TILE_SIZE // 2)
+            canvas[qy:qy + TILE_SIZE // 2, qx:qx + TILE_SIZE // 2] = small
+            members.update(row["members"])
+            n += int(row["n_images"])
+        key = int(group["parent_key"].iloc[0])
+        z, x, y = unpack_tile_key(np.array([key]))
+        return pd.DataFrame([{
+            "z": int(z[0]), "x": int(x[0]), "y": int(y[0]),
+            "tile_key": key,
+            "tile_bytes": codec.encode(canvas, "raw16"),
+            "n_images": n, "members": sorted(members),
+        }])
+
+    return (
+        tiles.map_batches(add_parent, batch_format="pyarrow")
+        .groupby("parent_key")
+        .map_groups(compose_parent, batch_format="pandas")
+    )
+
+
+def build_pyramid(
+    tiles: ray.data.Dataset, zoom: int, min_zoom: int
+) -> dict[int, ray.data.Dataset]:
+    """Cascade ``build_parent_tiles`` from ``zoom`` down to
+    ``min_zoom``; returns {z: tiles_z}. Each level is its own (lazy)
+    Dataset so sinks can write levels as they materialize."""
+    out = {zoom: tiles}
+    cur = tiles
+    for z in range(zoom, min_zoom, -1):
+        cur = build_parent_tiles(cur, z)
+        out[z - 1] = cur
+    return out

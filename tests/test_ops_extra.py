@@ -727,3 +727,49 @@ def test_interval_overlap_join_matches_bruteforce(ray_session):
             want.add((i, j))
     assert pairs == want
     assert len(got) == len(pairs)  # owner-cell rule: no duplicates
+
+
+def test_tile_pyramid_quadrants_and_counts(ray_session):
+    import ray.data
+
+    from engine import codec
+    from engine.pipeline.tile import (
+        TILE_SIZE, build_parent_tiles, build_pyramid, tile_key,
+    )
+
+    def mk(z, x, y, color, members):
+        c = np.full((TILE_SIZE, TILE_SIZE, 3), color, dtype=np.uint8)
+        return {
+            "z": z, "x": x, "y": y,
+            "tile_key": int(tile_key(np.array([x]), np.array([y]), z)[0]),
+            "tile_bytes": codec.encode(c, "raw16"),
+            "n_images": len(members), "members": members,
+        }
+
+    z = 6
+    rows = [
+        mk(z, 10, 20, 40, ["a"]),    # parent (5,10) quadrant (0,0)
+        mk(z, 11, 20, 80, ["b"]),    # quadrant (1,0)
+        mk(z, 10, 21, 120, ["a", "c"]),  # quadrant (0,1)
+        mk(z, 13, 20, 200, ["d"]),   # different parent (6,10)
+    ]
+    tiles = ray.data.from_items(rows)
+    parents = build_parent_tiles(tiles, z).to_pandas()
+    parents = parents.sort_values(["x", "y"], ignore_index=True)
+    assert parents["z"].tolist() == [z - 1, z - 1]
+    p = parents.iloc[0]
+    assert (p["x"], p["y"]) == (5, 10)
+    canvas = codec.decode(p["tile_bytes"], "raw16")
+    h = TILE_SIZE // 2
+    assert (canvas[:h, :h] == 40).all()      # child (10,20) -> top-left
+    assert (canvas[:h, h:] == 80).all()      # child (11,20) -> top-right
+    assert (canvas[h:, :h] == 120).all()     # child (10,21) -> bottom-left
+    assert (canvas[h:, h:] == 0).all()       # missing child stays black
+    assert p["n_images"] == 4
+    assert list(p["members"]) == ["a", "b", "c"]
+
+    pyr = build_pyramid(tiles, zoom=z, min_zoom=z - 2)
+    assert sorted(pyr) == [z - 2, z - 1, z]
+    top = pyr[z - 2].to_pandas()
+    # z5 parents x=5 and x=6 straddle a z4 boundary: 5//2=2, 6//2=3
+    assert len(top) == 2 and top["n_images"].sum() == 5
