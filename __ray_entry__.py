@@ -1124,6 +1124,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).head(10)
         return out[["l_orderkey", "o_orderdate", "revenue"]]
 
+    def nation_region_cross(sf_dir: str):
+        # cross join: tiny x tiny cartesian via broadcast (a constant
+        # join key on both sides); big x big cross joins are refused by
+        # design — at 10^12 rows they are always a modeling error
+        n = sf_table(sf_dir, "nation", ["n_name"])
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            b["__one"] = 1
+            return b
+
+        r = sf_table(sf_dir, "region", ["r_name"]).to_pandas()
+        r["__one"] = 1
+        out = relational.broadcast_hash_join(
+            n.map_batches(tag, batch_format="pandas"), r, on="__one"
+        )
+        return out.select_columns(["n_name", "r_name"])
+
+    def custkeys_any_big_or_urgent(sf_dir: str):
+        # SQL UNION (distinct semantics): same tagged-union plan,
+        # keep rows seen on EITHER side
+        o = sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
+        a = o.filter(expr="o_totalprice > 200000")
+        b = o.filter(expr="o_orderpriority == '1-URGENT'")
+        return relational.union_distinct(a, b, ["o_custkey"])
+
     def custkeys_big_and_urgent(sf_dir: str):
         # SQL INTERSECT (distinct semantics, D4): one tagged-union shuffle
         o = sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"])
@@ -1374,6 +1399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": embedding_dim_stats,
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
+        "nation_region_cross": nation_region_cross,
+        "custkeys_any_big_or_urgent": custkeys_any_big_or_urgent,
         "custkeys_big_and_urgent": custkeys_big_and_urgent,
         "custkeys_never_urgent": custkeys_never_urgent,
         "qty_price_regression_by_flag": qty_price_regression_by_flag,
@@ -1573,6 +1600,14 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "nation_region_cross": """
+            SELECT n_name, r_name FROM nation CROSS JOIN region
+        """,
+        "custkeys_any_big_or_urgent": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         """,
         "custkeys_big_and_urgent": """
             SELECT o_custkey FROM orders WHERE o_totalprice > 200000

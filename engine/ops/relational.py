@@ -1201,6 +1201,8 @@ def _set_op_distinct(
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
         if keep == "both":
             m = (batch["__a"] > 0) & (batch["__b"] > 0)
+        elif keep == "any":
+            m = (batch["__a"] > 0) | (batch["__b"] > 0)
         else:
             m = (batch["__a"] > 0) & (batch["__b"] == 0)
         return batch.loc[m, cols]
@@ -1515,3 +1517,14 @@ def interval_overlap_join(
         return pairs[ov & owner]
 
     return both.groupby("__cell").map_groups(join_cell, batch_format="pandas")
+
+
+def union_distinct(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    cols: list[str],
+) -> ray.data.Dataset:
+    """SQL ``UNION`` (distinct-row semantics, D4): rows present in
+    EITHER input, once. Same one-shuffle tagged-union plan as
+    ``intersect_distinct``."""
+    return _set_op_distinct(a, b, cols, keep="any")
