@@ -1124,6 +1124,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).head(10)
         return out[["l_orderkey", "o_orderdate", "revenue"]]
 
+    def ranged_orders_scan(sf_dir: str):
+        # zone-map pruned scan: orders written range-partitioned on
+        # o_orderkey ONCE (cached), then a key-range read opens only
+        # the overlapping rbucket dirs before any task is scheduled
+        from engine.io import read_key_range, write_range_partitioned
+
+        base = f"/tmp/graft_ranged_{abs(hash(sf_dir)) % 10**8}"
+        marker = os.path.join(base, "_COMPLETE")
+        if not os.path.exists(marker):
+            os.makedirs(base, exist_ok=True)
+            o = sf_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            write_range_partitioned(o, f"{base}/orders", "o_orderkey", 16)
+            open(marker, "w").write("ok")
+        ds = read_key_range(
+            f"{base}/orders", 1000, 5000, columns=["o_orderkey", "o_totalprice"]
+        )
+        out = ds.map_batches(
+            lambda b: pd.DataFrame({
+                "n": [len(b)], "total": [b["o_totalprice"].sum()]}),
+            batch_format="pandas",
+        ).to_pandas().sum()
+        return pd.DataFrame([{"n": int(out["n"]),
+                              "total": round(float(out["total"]), 4)}])
+
     def nation_region_cross(sf_dir: str):
         # cross join: tiny x tiny cartesian via broadcast (a constant
         # join key on both sides); big x big cross joins are refused by
@@ -1399,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": embedding_dim_stats,
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
+        "ranged_orders_scan": ranged_orders_scan,
         "nation_region_cross": nation_region_cross,
         "custkeys_any_big_or_urgent": custkeys_any_big_or_urgent,
         "custkeys_big_and_urgent": custkeys_big_and_urgent,
@@ -1600,6 +1625,10 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "ranged_orders_scan": """
+            SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+            FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         """,
         "nation_region_cross": """
             SELECT n_name, r_name FROM nation CROSS JOIN region

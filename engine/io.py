@@ -161,3 +161,73 @@ def read_bucket_pandas(bucketed_dir: str, bucket: int, columns=None):
     import pyarrow as pa
 
     return pa.concat_tables(tabs).to_pandas()
+
+
+def write_range_partitioned(
+    ds: ray.data.Dataset, out_dir: str, key: str, num_buckets: int
+) -> None:
+    """Materialize a table RANGE-partitioned on an integer ``key``
+    (hive layout ``rbucket=<k>/``, rows inside each bucket sorted by
+    the key) plus a ``_zonemap.json`` of per-bucket (lo, hi, rows).
+    The ordered twin of ``write_bucketed``: hash buckets serve
+    equi-joins, range buckets serve scans — a later key-range read
+    opens ONLY overlapping buckets (zone-map pruning), and ordered
+    consumers (merges, as-of probes, packing) read each bucket
+    pre-sorted. One span pass + one range shuffle, same plan as
+    ``ops.relational.ordered_prefix_sum``."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    def key_span(b: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"__lo": [b[key].min()], "__hi": [b[key].max()]})
+
+    span = ds.map_batches(key_span, batch_format="pandas").to_pandas()
+    lo, hi = int(span["__lo"].min()), int(span["__hi"].max())
+    width = max(1, (hi - lo + num_buckets) // num_buckets)
+
+    def add_bucket(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        b["rbucket"] = (b[key].to_numpy() - lo) // width
+        return b
+
+    def sort_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.sort_values(key, kind="stable", ignore_index=True)
+
+    (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("rbucket")
+        .map_groups(sort_bucket, batch_format="pandas")
+        .write_parquet(out_dir, partition_cols=["rbucket"])
+    )
+    zonemap = {"key": key, "lo": lo, "width": width,
+               "num_buckets": num_buckets}
+    with open(f"{out_dir}/_zonemap.json", "w") as f:
+        json.dump(zonemap, f)
+
+
+def read_key_range(
+    dir_: str, lo: int, hi: int, columns=None
+) -> ray.data.Dataset:
+    """Scan of ``[lo, hi]`` (inclusive) over a ``write_range_
+    partitioned`` layout: the zone map turns the range into bucket
+    ids, ONLY those hive dirs are listed/read, and the residual
+    row filter runs inside the (column-pruned) read. At 100 TB a
+    1% key range touches ~1% of files — pruning at the directory
+    level, before any task is scheduled."""
+    import glob
+    import json
+
+    with open(f"{dir_}/_zonemap.json") as f:
+        zm = json.load(f)
+    b0 = max(0, (lo - zm["lo"]) // zm["width"])
+    b1 = (hi - zm["lo"]) // zm["width"]
+    files: list[str] = []
+    for k in range(int(b0), int(b1) + 1):
+        files.extend(sorted(glob.glob(f"{dir_}/rbucket={k}/*.parquet")))
+    key = zm["key"]
+    ds = ray.data.read_parquet(
+        files, columns=list(columns) if columns else None
+    )
+    return ds.filter(expr=f"{key} >= {lo} and {key} <= {hi}")

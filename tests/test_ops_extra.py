@@ -773,3 +773,37 @@ def test_tile_pyramid_quadrants_and_counts(ray_session):
     top = pyr[z - 2].to_pandas()
     # z5 parents x=5 and x=6 straddle a z4 boundary: 5//2=2, 6//2=3
     assert len(top) == 2 and top["n_images"].sum() == 5
+
+
+def test_range_partitioned_write_and_pruned_read(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    from engine.io import read_key_range, write_range_partitioned
+
+    rng = np.random.default_rng(29)
+    keys = rng.permutation(10000)
+    df = pd.DataFrame({"k": keys, "v": keys * 3})
+    d = str(tmp_path / "ranged")
+    write_range_partitioned(
+        ray.data.from_pandas(df).repartition(6), d, "k", num_buckets=16
+    )
+    # all buckets exist, rows inside each bucket file are sorted
+    dirs = sorted(glob.glob(f"{d}/rbucket=*"))
+    assert len(dirs) == 16
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(glob.glob(f"{dirs[0]}/*.parquet")[0]).to_pandas()
+    assert (np.diff(t0["k"].to_numpy()) >= 0).all()
+
+    got = read_key_range(d, 2000, 2500, columns=["k", "v"]).to_pandas()
+    want = df[(df["k"] >= 2000) & (df["k"] <= 2500)].sort_values("k")
+    assert sorted(got["k"]) == want["k"].tolist()
+    assert got["v"].sum() == want["v"].sum()
+    # zone map prunes: the range spans ~2 of 16 buckets
+    import json
+
+    zm = json.load(open(f"{d}/_zonemap.json"))
+    b0, b1 = (2000 - zm["lo"]) // zm["width"], (2500 - zm["lo"]) // zm["width"]
+    assert (b1 - b0 + 1) <= 2
