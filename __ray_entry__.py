@@ -1235,6 +1235,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = text.doc_frequency(docs)
         return text.tfidf_top_terms(docs, n, df, k=3)
 
+    def embedding_centroid_by_label(sf_dir: str):
+        # list-column GROUP BY: per-batch (labels x d) partial-sum
+        # matrix via np.add.at; exchange moves label x dim partials
+        from engine.ops.simsearch import embedding_centroid_by_label as _cent
+
+        ds = sf_table(sf_dir, "embeddings", ["label", "embedding"])
+        out = _cent(ds)
+        out["avg_val"] = out["avg_val"].round(6)
+        return out
+
     def embedding_dim_stats(sf_dir: str):
         # list-column UNNEST analog: zero-copy Arrow flatten ->
         # (rows x dim) numpy view -> per-dim partial sums (one tiny
@@ -1420,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_price_quantiles": approx_price_quantiles,
         "colocated_order_customer_revenue": colocated_order_customer_revenue,
         "events_user_count_skew_join": events_user_count_skew_join,
+        "embedding_centroid_by_label": embedding_centroid_by_label,
         "embedding_dim_stats": embedding_dim_stats,
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
@@ -1594,6 +1605,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, u_n FROM events
             JOIN (SELECT user_id, COUNT(*) AS u_n FROM events
                   GROUP BY user_id) USING (user_id)
+        """,
+        "embedding_centroid_by_label": """
+            SELECT label, i AS dim, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS avg_val
+            FROM (SELECT label, UNNEST(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY label, i
         """,
         "embedding_dim_stats": """
             SELECT i AS dim, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS avg_val

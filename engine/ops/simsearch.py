@@ -206,3 +206,43 @@ def kmeans_assign(
             )
 
     return corpus.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
+
+
+def embedding_centroid_by_label(
+    corpus: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Mean vector per label — the list-column GROUP BY. Each batch
+    flattens its Arrow list column zero-copy into a (rows x d) view
+    and collapses to ONE (labels_in_batch x d) partial sum matrix via
+    np.add.at; the exchange moves |labels| x d floats per block, never
+    vectors. Returns long form (label, dim, avg_val) so a DuckDB
+    UNNEST oracle can name identical columns. dim is 1-based to match
+    generate_subscripts."""
+    from engine.ops import relational
+
+    def local(t) -> pd.DataFrame:
+        import pyarrow as pa  # noqa: F401
+
+        col = t.column(vec_col).combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        labels = t.column(label_col).to_numpy()
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv)
+        d = mat.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(u, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(u)),
+            "__s": sums.ravel(),
+            "__n": np.repeat(cnt, d).astype(np.int64),
+        })
+
+    tot = relational.sum_final(
+        corpus.map_batches(local, batch_format="pyarrow"), ["label", "dim"]
+    ).to_pandas()
+    tot["avg_val"] = tot["__s"] / tot["__n"]
+    return tot[["label", "dim", "avg_val"]]
