@@ -1130,7 +1130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the overlapping rbucket dirs before any task is scheduled
         from engine.io import read_key_range, write_range_partitioned
 
-        base = f"/tmp/graft_ranged_{abs(hash(sf_dir)) % 10**8}"
+        import zlib
+        base = f"/tmp/graft_ranged_{zlib.crc32(sf_dir.encode())}"
         marker = os.path.join(base, "_COMPLETE")
         if not os.path.exists(marker):
             os.makedirs(base, exist_ok=True)
@@ -1310,7 +1311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.io import write_bucketed
 
         nb = 8
-        base = f"/tmp/graft_bucketed_{abs(hash(sf_dir)) % 10**8}"
+        import zlib
+        base = f"/tmp/graft_bucketed_{zlib.crc32(sf_dir.encode())}"
         marker = os.path.join(base, "_COMPLETE")
         if not os.path.exists(marker):
             os.makedirs(base, exist_ok=True)
