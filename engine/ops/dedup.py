@@ -30,15 +30,25 @@ _M61 = (1 << 61) - 1
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, key: str, order_col: str
+    ds: ray.data.Dataset, key: str, order_col: str, num_shards: int = 256
 ) -> ray.data.Dataset:
     """Keep exactly one row per ``key``: the one with the smallest
-    ``order_col`` (deterministic keep-rule, SURVEY D2)."""
+    ``order_col`` (deterministic keep-rule, SURVEY D2).
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="stable").head(1)
+    Dedup keys are near-unique by construction (groups of 1-2 rows),
+    so per-key ``map_groups`` would pay one Python dispatch per row
+    (measured ~4s of a 5k-doc pipeline); instead hash SHARDS co-locate
+    (the window_rank pattern) and one sorted ``drop_duplicates`` pass
+    dedups every key in a shard."""
+    from engine.ops.relational import _sharded_by_key
 
-    return ds.groupby(key).map_groups(keep_first, batch_format="pandas")
+    def keep_first_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="stable")
+        return g.drop_duplicates(key, keep="first").drop(columns="__shard")
+
+    return _sharded_by_key(ds, key, num_shards).groupby("__shard").map_groups(
+        keep_first_shard, batch_format="pandas"
+    )
 
 
 _SHINGLE_P = np.uint64(1099511628211)  # FNV prime; wraps mod 2^64

@@ -1280,6 +1280,14 @@ def ordered_prefix_sum(
     this is how a 10^12-row corpus gets a deterministic linear layout
     (token-budget packing, §2.10) without a global ``sort``."""
 
+    # this op consumes its input THREE times (span pass, bucket sums,
+    # final scan); Ray Data has no common-subexpression caching, so an
+    # unmaterialized upstream chain would re-execute per pass (measured
+    # 29s -> 9s on the corpus-prep pipeline). Pin the blocks once —
+    # scan inputs are narrow post-projection tables (key + value), and
+    # the object store spills if they exceed memory.
+    ds = ds.materialize()
+
     def key_span(b: pd.DataFrame) -> pd.DataFrame:
         k = b[order_key]
         return pd.DataFrame({"__lo": [k.min()], "__hi": [k.max()]})
