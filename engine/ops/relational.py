@@ -1389,6 +1389,11 @@ def skew_hybrid_join(
     bounded by keys x blocks); at open-ended key spaces swap in a
     sampled or Misra-Gries census — the split stays correct for ANY
     hot set, only the routing changes."""
+    # left feeds three consumers (census, hot semi, cold anti) and
+    # right two; pin blocks once so a derived upstream chain is not
+    # re-executed per consumer (same rationale as ordered_prefix_sum)
+    left = left.materialize()
+    right = right.materialize()
     counts = partial_groupby_sum(left, [on], {}, count_as="__n").to_pandas()
     hot_keys = set(counts.loc[counts["__n"] > hot_threshold, on])
 
