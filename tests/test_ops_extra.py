@@ -807,3 +807,45 @@ def test_range_partitioned_write_and_pruned_read(ray_session, tmp_path):
     zm = json.load(open(f"{d}/_zonemap.json"))
     b0, b1 = (2000 - zm["lo"]) // zm["width"], (2500 - zm["lo"]) // zm["width"]
     assert (b1 - b0 + 1) <= 2
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    import ray.data
+
+    from engine.ops.graph import pagerank
+
+    rng = np.random.default_rng(31)
+    n = 40
+    pairs = set()
+    while len(pairs) < 150:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((int(a), int(b)))
+    # node 39 kept dangling (no out-edges)
+    pairs = {(a, b) for a, b in pairs if a != 39}
+    edges = pd.DataFrame(sorted(pairs), columns=["src", "dst"])
+    got = pagerank(
+        ray.data.from_pandas(edges).repartition(4),
+        damping=0.85, iters=20,
+    )
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+    # dense power iteration oracle over the same universe
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    pos = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    A = np.zeros((m, m))
+    for a, b in pairs:
+        A[pos[b], pos[a]] = 1.0
+    outd = A.sum(axis=0)
+    r = np.full(m, 1.0 / m)
+    for _ in range(20):
+        contrib = np.where(outd > 0, r / np.maximum(outd, 1.0), 0.0)
+        dangling = r[outd == 0].sum()
+        r = (1 - 0.85) / m + 0.85 * (A @ contrib + dangling / m)
+    want = pd.DataFrame({"node": nodes, "rank": r}).sort_values(
+        "node", ignore_index=True
+    )
+    np.testing.assert_allclose(
+        got["rank"].to_numpy(), want["rank"].to_numpy(), rtol=1e-9
+    )
