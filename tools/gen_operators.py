@@ -1,0 +1,47 @@
+"""Regenerate OPERATORS.md from __ray_entry__.py (static parse, no Ray).
+
+Run: python tools/gen_operators.py
+"""
+import ast
+import re
+
+src = open("__ray_entry__.py").read()
+tree = ast.parse(src)
+oracle_keys = set(re.findall(r'^\s{8}"([a-z0-9_]+)": """', src, re.M))
+qfun = next(
+    n for n in ast.walk(tree)
+    if isinstance(n, ast.FunctionDef) and n.name == "queries"
+)
+defs = {}
+for node in qfun.body:
+    if isinstance(node, ast.FunctionDef):
+        body = ast.get_source_segment(src, node)
+        ops = set(re.findall(
+            r"\b(?:relational|dedup|geo_ops|multimodal|simsearch|text|sketch"
+            r"|tile|ingest|join|history|codec)\.(\w+)", body))
+        for _m, f in re.findall(r"from engine\.(\S+) import (\w+)", body):
+            ops.add(f.split(" as ")[0])
+        defs[node.name] = sorted(ops)
+ret = re.search(r"return \{(.*?)\n    \}\n", src, re.S).group(1)
+names = re.findall(r'"([a-z0-9_]+)": (\w+)', ret)
+lines = [
+    "# OPERATORS — query inventory (generated: python tools/gen_operators.py)",
+    "",
+    "One row per `queries()` entry. Oracle: SQL = DuckDB twin in",
+    "`oracle_sql()` (driver value-hash check); pytest = brute-force /",
+    "planted-fixture self-oracle in `tests/`; both gates run at every",
+    "round. Ops column lists the engine functions the query composes.",
+    "",
+    "| query | oracle | engine ops used |",
+    "|---|---|---|",
+]
+n_sql = 0
+for qname, fname in names:
+    o = "SQL" if qname in oracle_keys else "pytest"
+    n_sql += o == "SQL"
+    ops = ", ".join(f"`{x}`" for x in defs.get(fname, [])) or "—"
+    lines.append(f"| `{qname}` | {o} | {ops} |")
+lines += ["", f"Totals: {len(names)} queries, {n_sql} SQL-oracled, "
+          f"{len(names) - n_sql} pytest/self-oracled."]
+open("OPERATORS.md", "w").write("\n".join(lines) + "\n")
+print(f"{len(names)} queries, {n_sql} SQL-oracled")
