@@ -885,6 +885,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
         return prepare_corpus(docs, quality_min=0.3, pack_budget_tokens=4096)
 
+    def prepare_image_corpus_pipeline(sf_dir: str):
+        # the multimodal flagship twin: key-projection phash dedup ->
+        # resize -> deterministic augment; bytes never shuffle
+        from engine.io import read_images
+        from engine.pipeline.corpus import prepare_image_corpus
+
+        ds = read_images(
+            _geo_fixture_dir(), columns=["image_id", "bytes", "fmt", "phash"]
+        )
+        return prepare_image_corpus(ds, concurrency=(1, 4))
+
     def geo_pip_join(sf_dir: str):
         idx = _geo_indexed(columns=["image_id", "caption"])
         j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
@@ -1567,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_span_dups": docs_ngram_span_dups,
         "orders_grouping_sets": orders_grouping_sets,
         "prepare_corpus_pipeline": prepare_corpus_pipeline,
+        "prepare_image_corpus_pipeline": prepare_image_corpus_pipeline,
         "geo_pip_join": geo_pip_join,
         "geo_knn": geo_knn,
         "geo_self_knn": geo_self_knn,

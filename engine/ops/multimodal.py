@@ -68,12 +68,16 @@ class ImageFeatures:
 class Resize:
     """bytes/fmt -> re-encoded thumbnail bytes at (size x size)."""
 
-    def __init__(self, size: int = 16, out_fmt: str = "raw16"):
+    def __init__(self, size: int = 16, out_fmt: str = "raw16",
+                 keep_bytes: bool = False):
         from engine.codec.phash import _resize_area
 
         self.size = size
         self.out_fmt = out_fmt
         self._resize = _resize_area
+        # keep_bytes=True lets a later decode-bearing stage (augment)
+        # chain in the same streaming plan
+        self.keep_bytes = keep_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = []
@@ -85,7 +89,7 @@ class Resize:
             )
             t = np.clip(np.rint(t), 0, 255).astype(np.uint8)
             blobs.append(codec.encode(t, self.out_fmt))
-        out = batch.drop_columns(["bytes"])
+        out = batch if self.keep_bytes else batch.drop_columns(["bytes"])
         out = out.append_column("resized_bytes", pa.array(blobs, pa.binary()))
         out = out.append_column(
             "resized_w", pa.array([self.size] * len(blobs), pa.int32())
@@ -170,9 +174,11 @@ def image_features(ds: ray.data.Dataset, *, batch_size: int = 512,
 
 
 def resize_images(ds: ray.data.Dataset, size: int = 16, *, batch_size: int = 512,
-                  concurrency=(1, 8)) -> ray.data.Dataset:
+                  concurrency=(1, 8), keep_bytes: bool = False) -> ray.data.Dataset:
     return ds.map_batches(
-        Resize, fn_constructor_kwargs={"size": size}, batch_format="pyarrow",
+        Resize,
+        fn_constructor_kwargs={"size": size, "keep_bytes": keep_bytes},
+        batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency, num_cpus=1,
     )
 

@@ -55,3 +55,49 @@ def prepare_corpus(
         return b
 
     return ds.map_batches(assign_pack, batch_format="pandas")
+
+
+def prepare_image_corpus(
+    images: ray.data.Dataset,
+    *,
+    thumb_size: int = 16,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """The multimodal twin of ``prepare_corpus``: decode-verify ->
+    exact phash dedup -> thumbnail resize -> deterministic
+    augmentation, one streaming plan whose only exchange is the dedup
+    hash shuffle on the 8-byte phash key (bytes never shuffle — decode,
+    resize and augment all run inside actor-pool ``map_batches``
+    stages on whatever block the row already lives in).
+
+    ``images`` needs (image_id, bytes, fmt, phash). Emits one row per
+    surviving image: image_id, phash, resized thumbnail crc + dims,
+    augmentation params + crc — the manifest a training-data loader
+    shards from, with pixels re-derivable deterministically."""
+    import zlib
+
+    from engine.ops import dedup, multimodal, relational
+
+    # dedup the (phash, image_id) PROJECTION — the shuffle moves 8-byte
+    # keys, never pixels — then filter the byte-bearing rows by the
+    # surviving ids (broadcast here; bloom_semi_join at 10^12 scale)
+    keys = images.select_columns(["image_id", "phash"])
+    survivors = dedup.exact_dedup(
+        keys, key="phash", order_col="image_id"
+    ).to_pandas()[["image_id"]]
+    ds = relational.semi_join(images, survivors, on="image_id")
+    ds = multimodal.resize_images(ds, size=thumb_size, concurrency=concurrency, keep_bytes=True)
+    ds = multimodal.augment_images(ds, concurrency=concurrency)
+
+    def manifest(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_id": b["image_id"],
+            "phash": b["phash"],
+            "resized_w": b["resized_w"], "resized_h": b["resized_h"],
+            "resized_crc": [zlib.crc32(x) for x in b["resized_bytes"]],
+            "aug_hflip": b["aug_hflip"], "aug_rot90": b["aug_rot90"],
+            "aug_crop": b["aug_crop"],
+            "aug_crc": [zlib.crc32(x) for x in b["aug_bytes"]],
+        })
+
+    return ds.map_batches(manifest, batch_format="pandas")

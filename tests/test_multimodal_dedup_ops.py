@@ -146,3 +146,29 @@ def test_augment_exactness_and_determinism(ray_session, tmp_path):
         got = codec.decode(row["aug_bytes"], "raw16")
         assert got.shape == (row["aug_h"], row["aug_w"], 3)
         np.testing.assert_array_equal(got, np.ascontiguousarray(px))
+
+
+def test_prepare_image_corpus_dedups_and_is_deterministic(ray_session, tmp_path):
+    import ray.data
+
+    from engine import fixtures
+    from engine.pipeline.corpus import prepare_image_corpus
+
+    d = str(tmp_path / "imgs")
+    fixtures.write_images_parquet(300, d, num_files=2)
+    src = ray.data.read_parquet(d, columns=["image_id", "bytes", "fmt", "phash"])
+    a = prepare_image_corpus(src).to_pandas().sort_values(
+        "image_id", ignore_index=True)
+    b = prepare_image_corpus(src).to_pandas().sort_values(
+        "image_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)  # byte-identical manifests
+
+    full = src.to_pandas()
+    assert a["phash"].is_unique
+    # keep-rule: the smallest image_id per phash survives
+    want_ids = set(
+        full.sort_values("image_id").drop_duplicates("phash")["image_id"]
+    )
+    assert set(a["image_id"]) == want_ids
+    # fixture plants exact duplicates, so dedup actually dropped rows
+    assert len(a) < len(full)
