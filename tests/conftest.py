@@ -27,4 +27,7 @@ def ray_session():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return "/root/testdata/sf0.001"
+    import os
+
+    # override to sweep at the driver's scale: GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+    return os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

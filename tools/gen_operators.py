@@ -7,7 +7,17 @@ import re
 
 src = open("__ray_entry__.py").read()
 tree = ast.parse(src)
-oracle_keys = set(re.findall(r'^\s{8}"([a-z0-9_]+)": """', src, re.M))
+_ofun = None
+for _n in ast.walk(tree):
+    if isinstance(_n, ast.FunctionDef) and _n.name == "oracle_sql":
+        _ofun = _n
+oracle_keys = set()
+for _n in ast.walk(_ofun):
+    if isinstance(_n, ast.Dict):
+        oracle_keys |= {
+            k.value for k in _n.keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        }
 qfun = next(
     n for n in ast.walk(tree)
     if isinstance(n, ast.FunctionDef) and n.name == "queries"
