@@ -849,3 +849,44 @@ def test_pagerank_matches_power_iteration(ray_session):
     np.testing.assert_allclose(
         got["rank"].to_numpy(), want["rank"].to_numpy(), rtol=1e-9
     )
+
+
+def test_prefix_sum_and_setops_hypothesis(ray_session):
+    """Property-based (SURVEY §5.2 layer 1): random key/value tables,
+    few examples (each spins Ray stages) with shrinking on failure."""
+    import ray.data
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.relational import (
+        except_distinct, intersect_distinct, ordered_prefix_sum,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.integers(0, 500), min_size=2, max_size=60, unique=True),
+        st.data(),
+    )
+    def run(keys, data):
+        vals = [
+            data.draw(st.integers(-50, 50), label=f"v{i}")
+            for i in range(len(keys))
+        ]
+        df = pd.DataFrame({"k": keys, "v": vals})
+        ds = ray.data.from_pandas(df).repartition(3)
+        got = (
+            ordered_prefix_sum(ds, "k", "v", out_col="run", num_buckets=4)
+            .to_pandas().sort_values("k", ignore_index=True)
+        )
+        want = df.sort_values("k", ignore_index=True)["v"].cumsum()
+        assert got["run"].tolist() == want.tolist()
+
+        half = len(keys) // 2
+        a = pd.DataFrame({"k": keys[: half + 1]})
+        b = pd.DataFrame({"k": keys[half:]})
+        dsa, dsb = ray.data.from_pandas(a), ray.data.from_pandas(b)
+        inter = sorted(intersect_distinct(dsa, dsb, ["k"]).to_pandas()["k"])
+        exc = sorted(except_distinct(dsa, dsb, ["k"]).to_pandas()["k"])
+        assert inter == sorted(set(a["k"]) & set(b["k"]))
+        assert exc == sorted(set(a["k"]) - set(b["k"]))
+
+    run()
