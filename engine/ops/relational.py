@@ -1552,3 +1552,39 @@ def union_distinct(
     EITHER input, once. Same one-shuffle tagged-union plan as
     ``intersect_distinct``."""
     return _set_op_distinct(a, b, cols, keep="any")
+
+
+def auto_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    broadcast_max_rows: int = 2_000_000,
+    skew_threshold: int | None = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Stats-driven equi-join strategy pick — the one-rule planner a
+    pipeline author otherwise applies by hand:
+
+    1. either side's row count (cheap: parquet metadata / cached block
+       counts, no scan) <= ``broadcast_max_rows`` -> broadcast it, the
+       big side never shuffles;
+    2. both big and ``skew_threshold`` given -> ``skew_hybrid_join``
+       (hot keys broadcast, cold tail co-shuffled);
+    3. both big -> native hash-partitioned co-shuffle.
+
+    ``broadcast_max_rows`` approximates "fits one worker's heap next
+    to a batch"; tune with row width. At 100 TB the same rule holds
+    per-stage — the count is metadata, so the pick costs nothing."""
+    n_left = left.count()
+    n_right = right.count()
+    if n_right <= broadcast_max_rows and n_right <= n_left:
+        return broadcast_hash_join(left, right.to_pandas(), on=on)
+    if n_left <= broadcast_max_rows:
+        return broadcast_hash_join(right, left.to_pandas(), on=on)
+    if skew_threshold is not None:
+        return skew_hybrid_join(
+            left, right, on=on, hot_threshold=skew_threshold,
+            num_partitions=num_partitions,
+        )
+    return bucketed_join(left, right, on=on, num_partitions=num_partitions)

@@ -890,3 +890,25 @@ def test_prefix_sum_and_setops_hypothesis(ray_session):
         assert exc == sorted(set(a["k"]) - set(b["k"]))
 
     run()
+
+
+def test_auto_join_strategy_and_equivalence(ray_session):
+    import ray.data
+
+    from engine.ops.relational import auto_join
+
+    rng = np.random.default_rng(37)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 800), "lv": np.arange(800)})
+    right = pd.DataFrame({"k": np.arange(40), "rv": np.arange(40) * 2})
+    want = left.merge(right, on="k").sort_values(["lv"], ignore_index=True)
+
+    dl = ray.data.from_pandas(left).repartition(4)
+    dr = ray.data.from_pandas(right).repartition(2)
+    # small right -> broadcast; tiny threshold -> both-big co-shuffle
+    for kw in ({}, {"broadcast_max_rows": 10},
+               {"broadcast_max_rows": 10, "skew_threshold": 100}):
+        got = (
+            auto_join(dl, dr, "k", num_partitions=4, **kw)
+            .to_pandas().sort_values(["lv"], ignore_index=True)
+        )
+        assert got["rv"].tolist() == want["rv"].tolist(), kw
