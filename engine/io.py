@@ -231,3 +231,81 @@ def read_key_range(
         files, columns=list(columns) if columns else None
     )
     return ds.filter(expr=f"{key} >= {lo} and {key} <= {hi}")
+
+
+def write_tar_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    key_col: str,
+    payload_cols: Sequence[str],
+    order_col: str,
+    shard_budget_bytes: int = 1 << 20,
+) -> pd.DataFrame:
+    """WebDataset-style sink: pack rows into sequential ``.tar`` shards
+    (one member per payload column, named ``<key>.<col>``) — the file
+    layout multimodal training loaders stream. Shard assignment is the
+    byte-budget analog of token packing: one distributed ordered
+    prefix sum over per-row payload sizes, ``shard = excl_cumsum //
+    budget``, then ONE range shuffle co-locates each shard, which is
+    written atomically (tmp + rename, idempotent on re-run — the
+    resumable-output rule). Deterministic: same input -> byte-identical
+    shards. Returns the shard manifest (shard_id, path, rows, bytes).
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from engine.ops import relational
+
+    def sizes(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__nbytes"] = sum(
+            b[c].map(len).to_numpy(dtype=np.int64) for c in payload_cols
+        )
+        return b
+
+    sized = ds.map_batches(sizes, batch_format="pandas")
+    scanned = relational.ordered_prefix_sum(
+        sized, order_col, "__nbytes", out_col="__run"
+    )
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b["__shard"] = (b["__run"] - b["__nbytes"]) // shard_budget_bytes
+        return b
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+
+        g = g.sort_values(order_col, kind="stable")
+        sid = int(g["__shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{sid:06d}.tar")
+        tmp = path + ".tmp"
+        total = 0
+        with tarfile.open(tmp, "w") as tar:
+            for _, row in g.iterrows():
+                for c in payload_cols:
+                    data = bytes(row[c])
+                    info = tarfile.TarInfo(name=f"{row[key_col]}.{c}")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic archive bytes
+                    tar.addfile(info, io.BytesIO(data))
+                    total += len(data)
+        os.replace(tmp, path)
+        return pd.DataFrame([{
+            "shard_id": sid, "path": path, "rows": len(g),
+            "bytes": int(total),
+        }])
+
+    manifest = (
+        scanned.map_batches(assign, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+        .sort_values("shard_id", ignore_index=True)
+    )
+    return manifest

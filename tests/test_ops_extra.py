@@ -912,3 +912,57 @@ def test_auto_join_strategy_and_equivalence(ray_session):
             .to_pandas().sort_values(["lv"], ignore_index=True)
         )
         assert got["rv"].tolist() == want["rv"].tolist(), kw
+
+
+def test_tar_shards_deterministic_and_readable(ray_session, tmp_path):
+    import glob
+    import hashlib
+    import tarfile
+
+    import ray.data
+
+    from engine.io import write_tar_shards
+
+    rng = np.random.default_rng(41)
+    n = 120
+    df = pd.DataFrame({
+        "item_id": [f"img{i:04d}" for i in range(n)],
+        "ord": np.arange(n),
+        "payload": [bytes(rng.integers(0, 256, rng.integers(200, 2000),
+                                       dtype=np.uint8).tobytes())
+                    for _ in range(n)],
+        "caption": [f"caption {i}".encode() for i in range(n)],
+    })
+
+    def run(d):
+        man = write_tar_shards(
+            ray.data.from_pandas(df).repartition(5), d,
+            key_col="item_id", payload_cols=["payload", "caption"],
+            order_col="ord", shard_budget_bytes=20_000,
+        )
+        return man
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1, m2 = run(d1), run(d2)
+    pd.testing.assert_frame_equal(
+        m1.drop(columns="path"), m2.drop(columns="path"))
+    # byte-identical shards across runs
+    for p1, p2 in zip(sorted(glob.glob(f"{d1}/*.tar")),
+                      sorted(glob.glob(f"{d2}/*.tar"))):
+        h1 = hashlib.sha256(open(p1, "rb").read()).hexdigest()
+        h2 = hashlib.sha256(open(p2, "rb").read()).hexdigest()
+        assert h1 == h2
+    assert m1["rows"].sum() == n and len(m1) > 1
+
+    # every payload readable back, in global ord order across shards
+    seen = []
+    for p in sorted(glob.glob(f"{d1}/*.tar")):
+        with tarfile.open(p) as tar:
+            for member in tar.getmembers():
+                if member.name.endswith(".payload"):
+                    seen.append((member.name.split(".")[0],
+                                 tar.extractfile(member).read()))
+    want = {i: b for i, b in zip(df["item_id"], df["payload"])}
+    assert len(seen) == n
+    assert all(want[k] == v for k, v in seen)
+    assert [k for k, _ in seen] == sorted(df["item_id"])  # ord == id order
