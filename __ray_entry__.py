@@ -896,6 +896,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return prepare_image_corpus(ds, concurrency=(1, 4))
 
+    def geo_article_fuzzy_match(sf_dir: str):
+        # typo-tolerant title matching (edit distance <= 1) via the
+        # SymSpell deletion-variant band index, broadcast once;
+        # exactness pytest-oracled vs brute-force DP edit distance
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        arts = fixtures.articles(_GEO_N)
+        out = text.fuzzy_match_join(
+            idx, arts["title_canon"], "caption_canon"
+        )
+        return out.select_columns(["image_id", "matched_title"])
+
     def geo_pip_join(sf_dir: str):
         idx = _geo_indexed(columns=["image_id", "caption"])
         j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
@@ -1591,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": image_augment,
         "geo_admin_rollup": geo_admin_rollup,
         "geo_article_match": geo_article_match,
+        "geo_article_fuzzy_match": geo_article_fuzzy_match,
         "geo_articles_untagged": geo_articles_untagged,
         "geo_suggestions": geo_suggestions,
         "geo_tile_boundary_masks": geo_tile_boundary_masks,

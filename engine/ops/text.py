@@ -332,3 +332,76 @@ def tfidf_top_terms(
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ------------------------------------------------------- fuzzy match join
+
+def _deletion_variants(s: str) -> list[str]:
+    """s plus every single-character deletion — the SymSpell banding
+    key set: two strings within edit distance 1 ALWAYS share a
+    variant (substitution -> shared deletion at that index; insertion/
+    deletion -> one side's deletion equals the other; equality ->
+    identity), so the band lookup has no false negatives and a cheap
+    verify removes false positives."""
+    return [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+
+
+def _edit_distance_leq1(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution allowed
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a shorter by 1: one insertion into a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_match_join(
+    ds: ray.data.Dataset,
+    titles: "pd.Series | list[str]",
+    col: str,
+    out: str = "matched_title",
+) -> ray.data.Dataset:
+    """Approximate-equality join: each row of ``ds`` matched to any
+    reference title within edit distance <= 1 of ``ds[col]`` — the
+    typo-tolerant version of the reference's canonical-title equality
+    (redirect resolution catches renames; this catches misspellings).
+    The (small) title side expands to a deletion-variant dict broadcast
+    ONCE; each batch probes its own variants — no shuffle, exact after
+    the in-batch verify. Deterministic tie-break: lexicographically
+    smallest matching title. Output adds ``out`` (empty = no match)."""
+    import ray
+
+    index: dict[str, list[str]] = {}
+    for t in sorted(set(titles)):
+        for v in _deletion_variants(t):
+            index.setdefault(v, []).append(t)
+    ref = ray.put(index)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        idx = cached_get(ref)
+        out_vals = []
+        for s in b[col].astype(str):
+            cands: set[str] = set()
+            for v in _deletion_variants(s):
+                cands.update(idx.get(v, ()))
+            best = ""
+            for t in sorted(cands):
+                if _edit_distance_leq1(s, t):
+                    best = t
+                    break
+            out_vals.append(best)
+        b = b.copy()
+        b[out] = out_vals
+        return b
+
+    return ds.map_batches(probe, batch_format="pandas")

@@ -188,3 +188,56 @@ def test_ngram_span_dups_matches_bruteforce(ray_session):
             want[i] = n
     assert dict(zip(got["doc_id"], got["n_shared_spans"])) == want
     assert len(want) >= 20  # planted pairs are detected
+
+
+def test_fuzzy_match_join_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.text import _edit_distance_leq1, fuzzy_match_join
+
+    rng = np.random.default_rng(43)
+    titles = ["rome", "milan", "naples", "turin", "florence", "bologna"]
+    # queries: exact, one substitution, one deletion, one insertion, junk
+    qs = []
+    for i in range(200):
+        t = titles[i % len(titles)]
+        kind = i % 5
+        if kind == 0:
+            qs.append(t)
+        elif kind == 1:
+            j = rng.integers(0, len(t))
+            qs.append(t[:j] + "x" + t[j + 1:])
+        elif kind == 2:
+            j = rng.integers(0, len(t))
+            qs.append(t[:j] + t[j + 1:])
+        elif kind == 3:
+            j = rng.integers(0, len(t) + 1)
+            qs.append(t[:j] + "z" + t[j:])
+        else:
+            qs.append(f"unrelated{i}")
+    df = pd.DataFrame({"qid": np.arange(len(qs)), "q": qs})
+    got = (
+        fuzzy_match_join(ray.data.from_pandas(df).repartition(4), titles, "q")
+        .to_pandas().sort_values("qid", ignore_index=True)
+    )
+
+    def brute(s):
+        m = sorted(t for t in titles if _edit_distance_leq1(s, t))
+        return m[0] if m else ""
+
+    # oracle edit distance: full DP, independent of the fast path
+    def dp_ed(a, b):
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[-1]
+
+    for s in qs[:40]:  # cross-check the <=1 predicate itself
+        for t in titles:
+            assert _edit_distance_leq1(s, t) == (dp_ed(s, t) <= 1), (s, t)
+    want = [brute(s) for s in qs]
+    assert got["matched_title"].tolist() == want
+    assert sum(1 for w in want if w) >= 150  # planted matches found
