@@ -1168,6 +1168,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["rank"] = out["rank"].round(8)
         return out
 
+    def user_funnel_counts(sf_dir: str):
+        # funnel: first view < first click < first purchase per user;
+        # per-stage first-timestamps via the min combiner (one tiny
+        # shuffle of per-batch minima), ordering check on the result
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+        def stage_ts(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"].isin(["view", "click", "purchase"])]
+            return b
+
+        mins = relational.partial_groupby_agg(
+            ev.map_batches(stage_ts, batch_format="pandas"),
+            ["user_id", "event_type"], {"first_ts": ("ts", "min")},
+        ).to_pandas()
+        wide = mins.pivot(index="user_id", columns="event_type",
+                          values="first_ts")
+        ok = wide.dropna(subset=["view", "click", "purchase"])
+        n = int(((ok["view"] < ok["click"]) & (ok["click"] < ok["purchase"])).sum())
+        return pd.DataFrame([{"n_users": n}])
+
+    def weighted_sample_orders(sf_dir: str):
+        # deterministic A-Res weighted sample: price-weighted top-100;
+        # exactness (vs single-process A-Res) pytest-oracled
+        o = sf_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        out = relational.weighted_sample(o, "o_orderkey", "o_totalprice", k=100)
+        return out[["o_orderkey"]]
+
     def orders_page3_by_price(sf_dir: str):
         # ORDER BY ... LIMIT/OFFSET pagination: combiner prunes to the
         # top (offset+limit) per batch, tiny final sort, slice
@@ -1511,6 +1538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
         "supplier_part_pagerank": supplier_part_pagerank,
+        "user_funnel_counts": user_funnel_counts,
+        "weighted_sample_orders": weighted_sample_orders,
         "orders_page3_by_price": orders_page3_by_price,
         "busy_users_event_totals": busy_users_event_totals,
         "ranged_orders_scan": ranged_orders_scan,
@@ -1724,6 +1753,16 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "user_funnel_counts": """
+            SELECT COUNT(*) AS n_users FROM (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+                     MIN(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+                     MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+              FROM events GROUP BY user_id)
+            WHERE tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+              AND tv < tc AND tc < tp
         """,
         "orders_page3_by_price": """
             SELECT o_orderkey, o_totalprice FROM orders

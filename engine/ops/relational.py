@@ -1588,3 +1588,67 @@ def auto_join(
             num_partitions=num_partitions,
         )
     return bucketed_join(left, right, on=on, num_partitions=num_partitions)
+
+
+def partial_groupby_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> ray.data.Dataset:
+    """Generalized combiner groupby: ``aggs`` maps output column ->
+    (input column, fn) with fn in {sum, min, max} — all associative,
+    so per-batch partials + one tiny final are exact. The min/max
+    sibling of ``partial_groupby_sum`` (funnels, extremes-per-key,
+    zone maps)."""
+    fns = {out: fn for out, (_c, fn) in aggs.items()}
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False, sort=False).agg(
+            **{out: (col, fn) for out, (col, fn) in aggs.items()}
+        )
+
+    partials = ds.map_batches(combine, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(keys, as_index=False, sort=False).agg(
+            **{out_c: (out_c, fn) for out_c, fn in fns.items()}
+        )
+        return out.sort_values(keys, ignore_index=True)
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> pd.DataFrame:
+    """Weighted sampling without replacement, DETERMINISTIC and
+    mergeable: A-Res priorities (Efraimidis & Spirakis 2006, public
+    algorithm) with the uniform draw replaced by a stable hash of the
+    id — ``u = hash64(id)/2^64``, ``priority = u^(1/w)`` — so every
+    worker computes identical priorities and the global top-k by
+    priority is exact via per-batch top-k partials + one tiny final
+    (k-selection under a total order is associative). Same input ->
+    same sample on any cluster shape; heavier rows win
+    proportionally."""
+    from engine.ops.sketch import _hash64
+
+    def prio(b: pd.DataFrame) -> pd.DataFrame:
+        h = _hash64(b[id_col].to_numpy())
+        u = (h.astype(np.float64) + 0.5) / 2.0**64
+        w = np.maximum(b[weight_col].to_numpy(dtype=np.float64), 1e-300)
+        b = b.copy()
+        b["__prio"] = u ** (1.0 / w)
+        return b.sort_values(
+            ["__prio", id_col], ascending=[False, True]
+        ).head(k)
+
+    parts = ds.map_batches(prio, batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["__prio", id_col], ascending=[False, True], kind="stable"
+    ).head(k)
+    return out.drop(columns="__prio").reset_index(drop=True)

@@ -966,3 +966,52 @@ def test_tar_shards_deterministic_and_readable(ray_session, tmp_path):
     assert len(seen) == n
     assert all(want[k] == v for k, v in seen)
     assert [k for k, _ in seen] == sorted(df["item_id"])  # ord == id order
+
+
+def test_weighted_sample_matches_bruteforce_ares(ray_session):
+    import ray.data
+
+    from engine.ops.relational import weighted_sample
+    from engine.ops.sketch import _hash64
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "w": np.where(rng.random(n) < 0.1, 10.0, 1.0),
+    })
+    got = weighted_sample(
+        ray.data.from_pandas(df).repartition(7), "rid", "w", k=300
+    )
+    # brute-force identical A-Res priorities
+    h = _hash64(df["rid"].to_numpy())
+    u = (h.astype(np.float64) + 0.5) / 2.0**64
+    p = u ** (1.0 / df["w"].to_numpy())
+    want = df.assign(p=p).sort_values(
+        ["p", "rid"], ascending=[False, True]).head(300)
+    assert got["rid"].tolist() == want["rid"].tolist()
+    # heavy rows (10x weight, 10% of pop) are strongly over-represented
+    heavy_rate = (got["w"] == 10.0).mean()
+    assert heavy_rate > 0.3
+
+
+def test_partial_groupby_agg_min_max(ray_session):
+    import ray.data
+
+    from engine.ops.relational import partial_groupby_agg
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 9, 1000),
+        "v": rng.normal(size=1000),
+    })
+    got = partial_groupby_agg(
+        ray.data.from_pandas(df).repartition(6), ["g"],
+        {"lo": ("v", "min"), "hi": ("v", "max"), "s": ("v", "sum")},
+    ).to_pandas().sort_values("g", ignore_index=True)
+    want = df.groupby("g", as_index=False).agg(
+        lo=("v", "min"), hi=("v", "max"), s=("v", "sum")
+    ).sort_values("g", ignore_index=True)
+    np.testing.assert_allclose(got["lo"], want["lo"])
+    np.testing.assert_allclose(got["hi"], want["hi"])
+    np.testing.assert_allclose(got["s"], want["s"], rtol=1e-9)
