@@ -1168,6 +1168,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["rank"] = out["rank"].round(8)
         return out
 
+    def approx_user_event_counts(sf_dir: str):
+        # Count-Min point estimates (never undercount; bound pytest-
+        # oracled): per-batch local matrices merged by sum
+        from engine.ops import sketch as sketch_ops
+
+        ev = sf_table(sf_dir, "events", ["user_id"])
+        sk = sketch_ops.count_min(ev, "user_id", depth=4, width=4096)
+        keys = np.arange(1, 11, dtype=np.int64)
+        est = sketch_ops.count_min_query(sk, keys)
+        return pd.DataFrame({"user_id": keys, "est": est})
+
+    def event_trailing_hour_sum(sf_dir: str):
+        # time-RANGE window: trailing 1h sum per user, peers included
+        ev = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        out = relational.rolling_sum_range(
+            ev, "user_id", "ts", "value", window_seconds=3600
+        )
+
+        def r(b: pd.DataFrame) -> pd.DataFrame:
+            b["trailing_sum"] = b["trailing_sum"].round(4)
+            return b[["event_id", "trailing_sum"]]
+
+        return out.map_batches(r, batch_format="pandas")
+
     def user_funnel_counts(sf_dir: str):
         # funnel: first view < first click < first purchase per user;
         # per-stage first-timestamps via the min combiner (one tiny
@@ -1538,6 +1562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
         "supplier_part_pagerank": supplier_part_pagerank,
+        "approx_user_event_counts": approx_user_event_counts,
+        "event_trailing_hour_sum": event_trailing_hour_sum,
         "user_funnel_counts": user_funnel_counts,
         "weighted_sample_orders": weighted_sample_orders,
         "orders_page3_by_price": orders_page3_by_price,
@@ -1753,6 +1779,13 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "event_trailing_hour_sum": """
+            SELECT event_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW), 4) AS trailing_sum
+            FROM events
         """,
         "user_funnel_counts": """
             SELECT COUNT(*) AS n_users FROM (

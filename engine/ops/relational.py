@@ -1652,3 +1652,44 @@ def weighted_sample(
         ["__prio", id_col], ascending=[False, True], kind="stable"
     ).head(k)
     return out.drop(columns="__prio").reset_index(drop=True)
+
+
+def rolling_sum_range(
+    ds: ray.data.Dataset,
+    group_key: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    out: str = "trailing_sum",
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Time-RANGE-frame trailing sum per group (SQL ``SUM(v) OVER
+    (PARTITION BY g ORDER BY ts RANGE BETWEEN INTERVAL s PRECEDING AND
+    CURRENT ROW)``, peers included on both frame edges, so output is
+    independent of tie order). One shuffle on hash SHARDS of the group
+    key; inside a shard EVERY group is processed by one vectorized
+    pass: timestamps are offset per group onto disjoint ranges so a
+    single global searchsorted yields all frame bounds, and the frame
+    sum is a cumsum difference — no per-group Python dispatch (the
+    window_rank lesson)."""
+    w_ns = np.int64(window_seconds) * np.int64(1_000_000_000)
+
+    def shard_pass(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_key, ts_col], kind="stable").copy()
+        ts = g[ts_col].astype("datetime64[ns]").astype(np.int64).to_numpy()
+        keys = g[group_key].to_numpy()
+        # per-group disjoint offsets: frames can never cross a boundary
+        change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        gid = np.cumsum(change) - 1
+        span = (ts.max() - ts.min()) + w_ns + np.int64(2)
+        ts_off = ts - ts.min() + gid * span
+        v = g[value_col].to_numpy(dtype=np.float64)
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        lo = np.searchsorted(ts_off, ts_off - w_ns, side="left")
+        hi = np.searchsorted(ts_off, ts_off, side="right")
+        g[out] = cum[hi] - cum[lo]
+        return g.drop(columns="__shard")
+
+    return _sharded_by_key(ds, group_key, num_shards).groupby(
+        "__shard"
+    ).map_groups(shard_pass, batch_format="pandas")

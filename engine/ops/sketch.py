@@ -275,3 +275,53 @@ def ddsketch_quantiles(
         est = 0.0 if b == zero_sent else gamma ** b * 2.0 / (1.0 + gamma)
         rows.append({"q": q, "est": est})
     return pd.DataFrame(rows)
+
+
+_CM_SEEDS = np.uint64([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5])
+
+
+def count_min(
+    ds: ray.data.Dataset,
+    col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> np.ndarray:
+    """Count-Min sketch of a key column (Cormode & Muthukrishnan 2005,
+    public algorithm): a (depth x width) counter matrix where row d
+    increments at ``h_d(key) % width``. Each batch builds its LOCAL
+    matrix (two vectorized passes), matrices merge by element-wise SUM
+    — associative, so the exchange moves depth*width int64s per block
+    regardless of input size. Point lookups (``count_min_query``)
+    return min over rows: never an undercount, overcount <= 2N/width
+    with prob >= 1 - 2^-depth. The approximate dual of the exact
+    Misra-Gries heavy hitters above."""
+    if depth > len(_CM_SEEDS):
+        raise ValueError(f"depth <= {len(_CM_SEEDS)}")
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        h = _hash64(b[col].to_numpy())
+        m = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            hd = (h * _CM_SEEDS[d]) >> np.uint64(32)
+            np.add.at(m[d], (hd % np.uint64(width)).astype(np.int64), 1)
+        return pd.DataFrame({"m": [m.ravel().tolist()]})
+
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    total = np.zeros(depth * width, dtype=np.int64)
+    for row in parts["m"]:
+        total += np.asarray(row, dtype=np.int64)
+    return total.reshape(depth, width)
+
+
+def count_min_query(
+    sketch: np.ndarray, keys: np.ndarray
+) -> np.ndarray:
+    """Point estimates for ``keys`` from a ``count_min`` matrix."""
+    depth, width = sketch.shape
+    h = _hash64(np.asarray(keys))
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        hd = ((h * _CM_SEEDS[d]) >> np.uint64(32)) % np.uint64(width)
+        est = np.minimum(est, sketch[d, hd.astype(np.int64)])
+    return est

@@ -1015,3 +1015,58 @@ def test_partial_groupby_agg_min_max(ray_session):
     np.testing.assert_allclose(got["lo"], want["lo"])
     np.testing.assert_allclose(got["hi"], want["hi"])
     np.testing.assert_allclose(got["s"], want["s"], rtol=1e-9)
+
+
+def test_rolling_sum_range_matches_pandas(ray_session):
+    import ray.data
+
+    from engine.ops.relational import rolling_sum_range
+
+    rng = np.random.default_rng(59)
+    n = 2000
+    df = pd.DataFrame({
+        "eid": np.arange(n),
+        "u": rng.integers(0, 25, n),
+        "ts": pd.to_datetime(rng.integers(0, 7200, n), unit="s"),
+        "v": rng.integers(1, 10, n).astype(float),
+    })
+    # planted ties: duplicate timestamps within a user (peer rows)
+    df.loc[5, ["u", "ts"]] = df.loc[4, ["u", "ts"]]
+    got = (
+        rolling_sum_range(
+            ray.data.from_pandas(df).repartition(6), "u", "ts", "v", 600
+        )
+        .to_pandas().sort_values("eid", ignore_index=True)
+    )
+    want = []
+    for _, r in df.iterrows():
+        m = (df["u"] == r["u"]) & (df["ts"] <= r["ts"]) & (
+            df["ts"] >= r["ts"] - pd.Timedelta(seconds=600))
+        want.append(df.loc[m, "v"].sum())
+    want = df.assign(w=want).sort_values("eid", ignore_index=True)["w"]
+    np.testing.assert_allclose(got["trailing_sum"].to_numpy(),
+                               want.to_numpy(), rtol=1e-12)
+
+
+def test_count_min_bounds(ray_session):
+    import ray.data
+
+    from engine.ops.sketch import count_min, count_min_query
+
+    rng = np.random.default_rng(61)
+    # zipf-ish: token 0 very hot, long tail
+    vals = np.concatenate([
+        np.zeros(5000, dtype=np.int64),
+        rng.integers(1, 20000, 15000),
+    ])
+    df = pd.DataFrame({"k": vals})
+    sk = count_min(ray.data.from_pandas(df).repartition(8), "k",
+                   depth=4, width=4096)
+    assert sk.sum() == 4 * len(vals)  # every row counted in every band
+    keys = np.array([0, 1, 2, 12345], dtype=np.int64)
+    true = np.array([(vals == k).sum() for k in keys])
+    est = count_min_query(sk, keys)
+    assert (est >= true).all()  # never undercounts
+    # overcount bounded by 2N/width (loose deterministic check)
+    assert (est - true <= 2 * len(vals) / 4096 * 4).all()
+    assert est[0] >= 5000
