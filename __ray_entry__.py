@@ -1168,6 +1168,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["rank"] = out["rank"].round(8)
         return out
 
+    def order_share_of_customer(sf_dir: str):
+        # ratio-to-report: each order's share of its customer's total —
+        # grouped totals (combiner) broadcast back into the same scan
+        o = sf_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        sums = relational.partial_groupby_sum(
+            o, ["o_custkey"], {"o_totalprice": "__tot"}
+        ).to_pandas()
+        joined = relational.broadcast_hash_join(o, sums, on="o_custkey")
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["share"] = (b["o_totalprice"] / b["__tot"]).round(6)
+            return b[["o_orderkey", "share"]]
+
+        return joined.map_batches(f, batch_format="pandas")
+
     def approx_user_event_counts(sf_dir: str):
         # Count-Min point estimates (never undercount; bound pytest-
         # oracled): per-batch local matrices merged by sum
@@ -1562,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
         "supplier_part_pagerank": supplier_part_pagerank,
+        "order_share_of_customer": order_share_of_customer,
         "approx_user_event_counts": approx_user_event_counts,
         "event_trailing_hour_sum": event_trailing_hour_sum,
         "user_funnel_counts": user_funnel_counts,
@@ -1779,6 +1795,12 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "order_share_of_customer": """
+            SELECT o_orderkey,
+                   ROUND(o_totalprice / SUM(o_totalprice)
+                         OVER (PARTITION BY o_custkey), 6) AS share
+            FROM orders
         """,
         "event_trailing_hour_sum": """
             SELECT event_id,
