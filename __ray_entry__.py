@@ -1376,6 +1376,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = text.doc_frequency(docs)
         return text.tfidf_top_terms(docs, n, df, k=3)
 
+    def ann_pq_topk(sf_dir: str):
+        # product-quantization ANN (ADC lookup-table scoring);
+        # recall-vs-exact pytest-oracled
+        from engine.ops.simsearch import pq_topk
+
+        emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        qdf = emb.limit(4).to_pandas()
+        queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        out = pq_topk(emb, queries, k=10, m=16, ks=64)
+        out["adist"] = out["adist"].round(6)
+        return out
+
     def embedding_centroid_by_label(sf_dir: str):
         # list-column GROUP BY: per-batch (labels x d) partial-sum
         # matrix via np.add.at; exchange moves label x dim partials
@@ -1572,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_price_quantiles": approx_price_quantiles,
         "colocated_order_customer_revenue": colocated_order_customer_revenue,
         "events_user_count_skew_join": events_user_count_skew_join,
+        "ann_pq_topk": ann_pq_topk,
         "embedding_centroid_by_label": embedding_centroid_by_label,
         "embedding_dim_stats": embedding_dim_stats,
         "orders_above_cust_avg": orders_above_cust_avg,

@@ -246,3 +246,136 @@ def embedding_centroid_by_label(
     ).to_pandas()
     tot["avg_val"] = tot["__s"] / tot["__n"]
     return tot[["label", "dim", "avg_val"]]
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42):
+    """Plain-Euclidean Lloyd on a driver-side sample (no normalization
+    — PQ quantizes raw subvectors)."""
+    rng = np.random.default_rng(seed)
+    x = sample.astype(np.float64)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def pq_fit(
+    sample: np.ndarray, m: int = 8, ks: int = 32, iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, public
+    method): split dims into ``m`` subspaces, k-means each on a
+    driver-side sample. Returns (m, ks, d/m) float64."""
+    n, d = sample.shape
+    assert d % m == 0, "dim must divide into m subspaces"
+    sub = d // m
+    return np.stack([
+        _kmeans_l2(sample[:, j * sub:(j + 1) * sub], ks, iters, seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    corpus: ray.data.Dataset,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Compress each vector to ``m`` uint8 codes (argmin-L2 per
+    subspace) — 10^12 x 64 float32 vectors (256 TB) become m bytes
+    each (8 TB at m=8): the memory path that makes corpus-scale ANN
+    fit a cluster. Codebooks broadcast once; assignment is one matmul
+    per subspace per batch."""
+    import ray
+
+    ref = ray.put(codebooks)
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        cb = cached_get(ref)
+        m, ks, sub = cb.shape
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            # argmin ||x-c||^2 = argmax 2xc - ||c||^2 (one matmul)
+            d = 2.0 * (xj @ cb[j].T) - (cb[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmax(d, axis=1)
+        return pd.DataFrame({id_col: b[id_col],
+                             "codes": [c.tobytes() for c in codes]})
+
+    return corpus.map_batches(enc, batch_format="pandas")
+
+
+def pq_topk(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    m: int = 8,
+    ks: int = 32,
+    train_sample: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): per query a
+    (m x ks) lookup table of subspace distances to every centroid is
+    broadcast with the codebooks; each batch encodes its vectors and
+    scores them with ``m`` table lookups instead of a d-dim dot —
+    per-batch top-k partials merge exactly (min-k is associative).
+    Recall vs exact L2 is pytest-verified. Returns (qid, vec_id, rank,
+    adist)."""
+    import ray
+
+    sample = np.stack(
+        corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    cb = pq_fit(sample, m=m, ks=ks)
+    sub = cb.shape[2]
+    q = np.asarray(queries, dtype=np.float64)
+    # LUT[qi, j, c] = ||q_sub - centroid||^2
+    lut = np.stack([
+        ((q[:, j * sub:(j + 1) * sub][:, None, :] - cb[j][None, :, :]) ** 2)
+        .sum(axis=2)
+        for j in range(cb.shape[0])
+    ], axis=1)
+    ref = ray.put((cb, lut))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        cb_, lut_ = cached_get(ref)
+        m_, ks_, sub_ = cb_.shape
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), m_), dtype=np.int64)
+        for j in range(m_):
+            xj = x[:, j * sub_:(j + 1) * sub_]
+            d = 2.0 * (xj @ cb_[j].T) - (cb_[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmax(d, axis=1)
+        # adist[qi, row] = sum_j lut[qi, j, codes[row, j]]
+        nq = lut_.shape[0]
+        ids = b[id_col].to_numpy()
+        out = {"qid": [], id_col: [], "adist": []}
+        for qi in range(nq):
+            dist = lut_[qi, np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+            take = np.argsort(dist, kind="stable")[:k]
+            out["qid"].extend([qi] * len(take))
+            out[id_col].extend(ids[take])
+            out["adist"].extend(dist[take])
+        return pd.DataFrame(out)
+
+    parts = corpus.map_batches(score, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, g in parts.groupby("qid"):
+        g = g.sort_values(["adist", id_col], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        rows.append(g)
+    return pd.concat(rows, ignore_index=True)[["qid", id_col, "rank", "adist"]]

@@ -53,3 +53,37 @@ def test_brute_force_matches_numpy_oracle(emb_ds):
         want = ids[order].tolist()
         got = res[res["query_ix"] == qi].sort_values("rank")["vec_id"].tolist()
         assert got == want, (qi, got, want)
+
+
+def test_pq_topk_recall_beats_random(ray_session):
+    import ray.data
+
+    from engine.ops.simsearch import pq_topk
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    df = emb.to_pandas()
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    queries = X[:8] + 0.01  # near-copies of corpus vectors
+    got = pq_topk(emb, queries, k=10, m=16, ks=64)
+
+    # exact L2 top-10 oracle
+    recalls = []
+    for qi in range(len(queries)):
+        d = ((X - queries[qi]) ** 2).sum(axis=1)
+        exact = set(df["vec_id"].to_numpy()[np.argsort(d, kind="stable")[:10]])
+        mine = set(got.loc[got["qid"] == qi, "vec_id"])
+        recalls.append(len(exact & mine) / 10)
+    mean_r = float(np.mean(recalls))
+    n = len(df)
+    random_baseline = 10 / n
+    assert mean_r >= 0.5, recalls            # useful approximation
+    assert mean_r > 20 * random_baseline     # far above chance
+    # the planted near-copy itself is found for most queries
+    hits = sum(
+        int(df["vec_id"].iloc[qi] in set(got.loc[got["qid"] == qi, "vec_id"]))
+        for qi in range(len(queries))
+    )
+    assert hits >= 6
