@@ -571,12 +571,19 @@ def argmax_per_group(
         b = b.sort_values([col, tie_col], ascending=False, kind="stable")
         return b.groupby(group_key, sort=False).head(1)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([col, tie_col], ascending=False,
-                             kind="stable").head(1)
+    # final on hash SHARDS, not per-key map_groups: at high-cardinality
+    # keys (every order key in a MERGE) per-group dispatch dominated —
+    # one sorted drop_duplicates pass per shard finals every key in it
+    def final_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_key, col, tie_col],
+                          ascending=[True, False, False], kind="stable")
+        return g.drop_duplicates(group_key, keep="first").drop(
+            columns="__shard")
 
     partials = ds.map_batches(local, batch_format="pandas")
-    return partials.groupby(group_key).map_groups(final, batch_format="pandas")
+    return _sharded_by_key(partials, group_key, 256).groupby(
+        "__shard"
+    ).map_groups(final_shard, batch_format="pandas")
 
 
 def grouped_quantile_disc(
@@ -1136,14 +1143,18 @@ def grouped_count_distinct(
             merge, batch_format="pandas", batch_size=None
         )
 
-    dedup_pairs = partials.groupby(
-        pair_cols[0] if len(pair_cols) == 1 else pair_cols
-    ).map_groups(lambda g: g.head(1), batch_format="pandas")
-    from ray.data.aggregate import Count
+    # shuffle final: shard on the GROUP key so a shard holds whole
+    # groups; one drop_duplicates + size pass finals every group in it
+    # (per-pair map_groups dispatch was the distinct-30s bug family)
+    def shard_final(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.drop(columns="__shard").drop_duplicates()
+        return pairs.groupby(keys, as_index=False, sort=True).agg(
+            **{out: (col, "size")}
+        )
 
-    return dedup_pairs.groupby(keys[0] if len(keys) == 1 else keys).aggregate(
-        Count(alias_name=out)
-    )
+    return _sharded_by_key(partials, keys[0], 256).groupby(
+        "__shard"
+    ).map_groups(shard_final, batch_format="pandas")
 
 
 def bucketed_join(
