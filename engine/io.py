@@ -309,3 +309,115 @@ def write_tar_shards(
         .sort_values("shard_id", ignore_index=True)
     )
     return manifest
+
+
+def _interleave_bits16(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Morton/Z-value of two uint16 arrays (vectorized bit spread)."""
+    import numpy as np
+
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    return (spread(a) | (spread(b) << np.uint64(1))).astype(np.int64)
+
+
+def write_zordered(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    col_a: str,
+    col_b: str,
+    num_buckets: int = 64,
+) -> None:
+    """Z-order-clustered layout over TWO numeric columns: rows sort by
+    the Morton interleave of their (quantized) coordinates, range-
+    bucket into hive dirs, and a 2-D zone map (per-bucket min/max of
+    BOTH columns) lands in ``_zonemap2.json``. Because Z-order keeps
+    2-D-close rows in the same bucket, the per-bucket boxes are TIGHT,
+    so a rectangle query (``read_rect``) skips most buckets — the
+    data-skipping layout for geo scans (Delta/Iceberg OPTIMIZE ZORDER
+    semantics, public technique). Two passes: span + the one range
+    shuffle that also computes the zone map."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    def span(b: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "alo": [float(b[col_a].min())], "ahi": [float(b[col_a].max())],
+            "blo": [float(b[col_b].min())], "bhi": [float(b[col_b].max())],
+        })
+
+    ds = ds.materialize()  # consumed by span pass + write pass
+    s = ds.map_batches(span, batch_format="pandas").to_pandas()
+    alo, ahi = float(s["alo"].min()), float(s["ahi"].max())
+    blo, bhi = float(s["blo"].min()), float(s["bhi"].max())
+
+    def quant(v, lo, hi):
+        import numpy as np
+
+        x = (np.asarray(v, dtype=np.float64) - lo) / max(hi - lo, 1e-300)
+        return np.clip((x * 65535.0).astype(np.int64), 0, 65535).astype("uint16")
+
+    def add_z(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        z = _interleave_bits16(quant(b[col_a], alo, ahi),
+                               quant(b[col_b], blo, bhi))
+        b["zbucket"] = (z // max(1, (1 << 32) // num_buckets)).astype(np.int64)
+        b["__z"] = z
+        return b
+
+    def sort_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.sort_values("__z", kind="stable").drop(columns="__z")
+
+    zed = ds.map_batches(add_z, batch_format="pandas")
+    zed.groupby("zbucket").map_groups(
+        sort_bucket, batch_format="pandas"
+    ).write_parquet(out_dir, partition_cols=["zbucket"])
+
+    from engine.ops.relational import partial_groupby_agg
+
+    zm = partial_groupby_agg(
+        zed, ["zbucket"],
+        {"amin": (col_a, "min"), "amax": (col_a, "max"),
+         "bmin": (col_b, "min"), "bmax": (col_b, "max")},
+    ).to_pandas()
+    with open(f"{out_dir}/_zonemap2.json", "w") as f:
+        json.dump({"col_a": col_a, "col_b": col_b,
+                   "buckets": zm.to_dict("records")}, f)
+
+
+def read_rect(
+    dir_: str,
+    a_range: tuple[float, float],
+    b_range: tuple[float, float],
+    columns=None,
+) -> ray.data.Dataset:
+    """Rectangle scan over a ``write_zordered`` layout: the 2-D zone
+    map drops every bucket whose box misses the rectangle BEFORE any
+    task schedules; the residual row filter runs inside the read."""
+    import glob
+    import json
+
+    with open(f"{dir_}/_zonemap2.json") as f:
+        zm = json.load(f)
+    (a0, a1), (b0, b1) = a_range, b_range
+    files: list[str] = []
+    for e in zm["buckets"]:
+        if e["amax"] >= a0 and e["amin"] <= a1 and \
+           e["bmax"] >= b0 and e["bmin"] <= b1:
+            files.extend(sorted(
+                glob.glob(f"{dir_}/zbucket={e['zbucket']}/*.parquet")))
+    ca, cb = zm["col_a"], zm["col_b"]
+    ds = ray.data.read_parquet(
+        files, columns=list(columns) if columns else None
+    )
+    return ds.filter(
+        expr=f"{ca} >= {a0} and {ca} <= {a1} and {cb} >= {b0} and {cb} <= {b1}"
+    )

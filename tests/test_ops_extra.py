@@ -1070,3 +1070,38 @@ def test_count_min_bounds(ray_session):
     # overcount bounded by 2N/width (loose deterministic check)
     assert (est - true <= 2 * len(vals) / 4096 * 4).all()
     assert est[0] >= 5000
+
+
+def test_zordered_layout_prunes_and_is_exact(ray_session, tmp_path):
+    import glob
+    import json
+
+    import ray.data
+
+    from engine.io import read_rect, write_zordered
+
+    rng = np.random.default_rng(67)
+    n = 8000
+    df = pd.DataFrame({
+        "x": rng.uniform(0, 100, n),
+        "y": rng.uniform(0, 100, n),
+        "v": np.arange(n),
+    })
+    d = str(tmp_path / "zed")
+    write_zordered(ray.data.from_pandas(df).repartition(6), d, "x", "y",
+                   num_buckets=64)
+    total_buckets = len(glob.glob(f"{d}/zbucket=*"))
+    assert total_buckets > 16
+
+    got = read_rect(d, (10.0, 20.0), (30.0, 40.0),
+                    columns=["x", "y", "v"]).to_pandas()
+    want = df[(df.x >= 10) & (df.x <= 20) & (df.y >= 30) & (df.y <= 40)]
+    assert sorted(got["v"]) == sorted(want["v"])
+
+    # data skipping: a 10x10 rectangle of a 100x100 space touches few
+    # buckets because z-order keeps 2-D-close rows co-located
+    zm = json.load(open(f"{d}/_zonemap2.json"))
+    touched = [e for e in zm["buckets"]
+               if e["amax"] >= 10 and e["amin"] <= 20
+               and e["bmax"] >= 30 and e["bmin"] <= 40]
+    assert len(touched) <= total_buckets // 3
