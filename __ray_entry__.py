@@ -1289,6 +1289,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame([{"n": int(out["n"]),
                               "total": round(float(out["total"]), 4)}])
 
+    def zordered_orders_rect(sf_dir: str):
+        # 2-D data-skipping scan: orders Z-order-clustered on
+        # (custkey, totalprice) ONCE (cached); the rectangle read drops
+        # non-intersecting buckets via the 2-D zone map
+        import zlib
+
+        from engine.io import read_rect, write_zordered
+
+        base = f"/tmp/graft_zorder_{zlib.crc32(sf_dir.encode())}"
+        marker = os.path.join(base, "_COMPLETE")
+        if not os.path.exists(marker):
+            os.makedirs(base, exist_ok=True)
+            o = sf_table(sf_dir, "orders",
+                         ["o_orderkey", "o_custkey", "o_totalprice"])
+            write_zordered(o, f"{base}/orders", "o_custkey", "o_totalprice",
+                           num_buckets=64)
+            open(marker, "w").write("ok")
+        ds = read_rect(
+            f"{base}/orders", (100.0, 500.0), (50000.0, 150000.0),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        out = ds.map_batches(
+            lambda b: pd.DataFrame({
+                "n": [len(b)], "total": [b["o_totalprice"].sum()]}),
+            batch_format="pandas",
+        ).to_pandas().sum()
+        return pd.DataFrame([{"n": int(out["n"]),
+                              "total": round(float(out["total"]), 4)}])
+
     def nation_region_cross(sf_dir: str):
         # cross join: tiny x tiny cartesian via broadcast (a constant
         # join key on both sides); big x big cross joins are refused by
@@ -1598,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_page3_by_price": orders_page3_by_price,
         "busy_users_event_totals": busy_users_event_totals,
         "ranged_orders_scan": ranged_orders_scan,
+        "zordered_orders_rect": zordered_orders_rect,
         "nation_region_cross": nation_region_cross,
         "custkeys_any_big_or_urgent": custkeys_any_big_or_urgent,
         "custkeys_big_and_urgent": custkeys_big_and_urgent,
@@ -1844,6 +1874,12 @@ def oracle_sql() -> dict[str, str]:
         "ranged_orders_scan": """
             SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
             FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        """,
+        "zordered_orders_rect": """
+            SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+            FROM orders
+            WHERE o_custkey BETWEEN 100 AND 500
+              AND o_totalprice BETWEEN 50000 AND 150000
         """,
         "nation_region_cross": """
             SELECT n_name, r_name FROM nation CROSS JOIN region
