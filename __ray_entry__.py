@@ -854,6 +854,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["s2_parent"], {}, count_as="n",
         )
 
+    def docs_banned_terms(sf_dir: str):
+        # multi-pattern content filter: Aho-Corasick automaton built
+        # once per actor; occurrence counts brute-force pytest-oracled
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        terms = ["the quick", "lorem", "error", "click here", "qq"]
+        out = text.flag_banned_terms(docs, terms)
+        return out.select_columns(["doc_id", "banned", "n_banned_hits"])
+
     def docs_ngram_span_dups(sf_dir: str):
         # cross-document duplicated 12-gram spans (substring-dedup
         # family); exactness pytest-oracled vs brute force
@@ -1700,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "geo_h3_cell_counts": geo_h3_cell_counts,
         "geo_s2_cell_counts": geo_s2_cell_counts,
+        "docs_banned_terms": docs_banned_terms,
         "docs_ngram_span_dups": docs_ngram_span_dups,
         "orders_grouping_sets": orders_grouping_sets,
         "prepare_corpus_pipeline": prepare_corpus_pipeline,

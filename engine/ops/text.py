@@ -405,3 +405,81 @@ def fuzzy_match_join(
         return b
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+# --------------------------------------------------- multi-pattern filtering
+
+class AhoCorasick:
+    """Multi-pattern substring matcher (Aho & Corasick 1975, public
+    algorithm) — the content-filter primitive when the banned-term
+    list is thousands of phrases and one regex alternation would
+    backtrack. Build cost is paid ONCE PER ACTOR (T4 pattern); match
+    is a single pass over the text regardless of pattern count."""
+
+    def __init__(self, patterns: list[str]):
+        self.patterns = sorted(set(patterns))
+        # trie as dicts: goto[state][ch] -> state
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[set[int]] = [set()]
+        for pi, p in enumerate(self.patterns):
+            s = 0
+            for ch in p:
+                if ch not in self.goto[s]:
+                    self.goto.append({})
+                    self.out.append(set())
+                    self.goto[s][ch] = len(self.goto) - 1
+                s = self.goto[s][ch]
+            self.out[s].add(pi)
+        # BFS failure links
+        from collections import deque
+
+        self.fail = [0] * len(self.goto)
+        dq = deque(self.goto[0].values())
+        while dq:
+            s = dq.popleft()
+            for ch, t in self.goto[s].items():
+                dq.append(t)
+                f = self.fail[s]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[t] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != t else 0
+                self.out[t] |= self.out[self.fail[t]]
+
+    def count_matches(self, text: str) -> int:
+        """Number of pattern OCCURRENCES in text (overlaps counted)."""
+        s, n = 0, 0
+        for ch in text:
+            while s and ch not in self.goto[s]:
+                s = self.fail[s]
+            s = self.goto[s].get(ch, 0)
+            n += len(self.out[s])
+        return n
+
+
+class BannedTermsFilter:
+    """map_batches actor: flags docs containing any banned phrase.
+    Automaton built once per actor from the broadcast term list."""
+
+    def __init__(self, terms_ref):
+        import ray
+
+        self.ac = AhoCorasick([t.lower() for t in ray.get(terms_ref)])
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        hits = [self.ac.count_matches(s.lower()) for s in b["text"].astype(str)]
+        b["n_banned_hits"] = np.asarray(hits, dtype=np.int64)
+        b["banned"] = (b["n_banned_hits"] > 0).astype(np.int64)
+        return b
+
+
+def flag_banned_terms(
+    ds: ray.data.Dataset, terms: list[str], concurrency=(1, 4)
+) -> ray.data.Dataset:
+    import ray
+
+    ref = ray.put(list(terms))
+    return ds.map_batches(
+        BannedTermsFilter, fn_constructor_kwargs={"terms_ref": ref},
+        batch_format="pandas", concurrency=concurrency,
+    )

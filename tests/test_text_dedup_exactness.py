@@ -241,3 +241,39 @@ def test_fuzzy_match_join_matches_bruteforce(ray_session):
     want = [brute(s) for s in qs]
     assert got["matched_title"].tolist() == want
     assert sum(1 for w in want if w) >= 150  # planted matches found
+
+
+def test_banned_terms_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.text import AhoCorasick, flag_banned_terms
+
+    terms = ["bad apple", "rot", "spamspam", "aa"]
+    rng = np.random.default_rng(71)
+    base = ["the quick brown fox", "a bad apple spoils", "carrot soup",
+            "aaa", "spamspamspam", "clean text here", "parrot"]
+    docs = [base[i % len(base)] + f" tail{i}" for i in range(150)]
+    df = pd.DataFrame({"doc_id": np.arange(150), "text": docs})
+    got = (
+        flag_banned_terms(ray.data.from_pandas(df).repartition(3), terms)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+
+    def brute(s):
+        s = s.lower()
+        n = 0
+        for p in terms:
+            n += sum(1 for i in range(len(s) - len(p) + 1)
+                     if s[i:i + len(p)] == p)
+        return n
+
+    want = [brute(s) for s in docs]
+    assert got["n_banned_hits"].tolist() == want
+    # overlap semantics: "aaa" holds two "aa" occurrences; "carrot"
+    # and "parrot" contain "rot"
+    assert brute("aaa") == 2 and brute("carrot") == 1
+    # randomized automaton cross-check on adversarial strings
+    ac = AhoCorasick(terms)
+    for _ in range(200):
+        s = "".join(rng.choice(list("abrotspm l"), size=rng.integers(1, 30)))
+        assert ac.count_matches(s) == brute(s), s
