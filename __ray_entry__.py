@@ -1297,6 +1297,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame([{"n": int(out["n"]),
                               "total": round(float(out["total"]), 4)}])
 
+    def auto_join_lineitem_orders(sf_dir: str):
+        # stats-driven strategy pick (J14): metadata row counts route
+        # this to broadcast (orders side) without the caller choosing
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_extendedprice", "l_discount"])
+        o = sf_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+        def ren(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={"o_orderkey": "l_orderkey"})
+
+        joined = relational.auto_join(
+            li, o.map_batches(ren, batch_format="pandas"), "l_orderkey"
+        )
+
+        def rev(b: pd.DataFrame) -> pd.DataFrame:
+            b["rev"] = b["l_extendedprice"] * (1 - b["l_discount"])
+            return b[["o_orderpriority", "rev"]]
+
+        out = relational.partial_groupby_sum(
+            joined.map_batches(rev, batch_format="pandas"),
+            ["o_orderpriority"], {"rev": "revenue"}, count_as="n_items",
+        ).to_pandas()
+        out["revenue"] = out["revenue"].round(4)
+        return out
+
     def zordered_orders_rect(sf_dir: str):
         # 2-D data-skipping scan: orders Z-order-clustered on
         # (custkey, totalprice) ONCE (cached); the rectangle read drops
@@ -1635,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_page3_by_price": orders_page3_by_price,
         "busy_users_event_totals": busy_users_event_totals,
         "ranged_orders_scan": ranged_orders_scan,
+        "auto_join_lineitem_orders": auto_join_lineitem_orders,
         "zordered_orders_rect": zordered_orders_rect,
         "nation_region_cross": nation_region_cross,
         "custkeys_any_big_or_urgent": custkeys_any_big_or_urgent,
@@ -1883,6 +1909,14 @@ def oracle_sql() -> dict[str, str]:
         "ranged_orders_scan": """
             SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
             FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        """,
+        "auto_join_lineitem_orders": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "zordered_orders_rect": """
             SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
