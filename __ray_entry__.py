@@ -92,8 +92,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "disc_price": "sum_disc_price"},
             count_as="count_order",
         ).to_pandas()
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            out[c] = out[c].round(4)
+        out["sum_qty"] = out["sum_qty"].round(4)
+        # price sums reach ~2e11 at sf0.1: 4 decimals sits at the edge
+        # of double precision and summation order flips the last digit;
+        # 2 decimals keeps the comparison stable at any sf
+        for c in ("sum_base_price", "sum_disc_price"):
+            out[c] = out[c].round(2)
         return out
 
     def revenue_by_nation(sf_dir: str):
@@ -354,7 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = relational.partial_groupby_sum(
             joined, ["bucket"], {"l_extendedprice": "sum_price"}, count_as="n"
         ).to_pandas()
-        out["sum_price"] = out["sum_price"].round(4)
+        out["sum_price"] = out["sum_price"].round(2)
         return out
 
     def top3_orders_per_customer(sf_dir: str):
@@ -458,7 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, ["o_orderstatus", "o_orderpriority"],
             {"o_totalprice": "total"}, count_as="n_orders",
         )
-        out["total"] = out["total"].round(4)
+        out["total"] = out["total"].round(2)
         return out
 
     def orders_status_priority_cube(sf_dir: str):
@@ -470,7 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, ["o_orderstatus", "o_orderpriority"],
             {"o_totalprice": "total"}, count_as="n_orders",
         )
-        out["total"] = out["total"].round(4)
+        out["total"] = out["total"].round(2)
         return out
 
     def order_pctrank_in_customer(sf_dir: str):
@@ -881,7 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         by_p["o_orderstatus"] = "ALL"
         out = pd.concat([by_s, by_p], ignore_index=True)
-        out["total"] = out["total"].round(4)
+        out["total"] = out["total"].round(2)
         return out[["o_orderstatus", "o_orderpriority", "total", "n"]]
 
     def prepare_corpus_pipeline(sf_dir: str):
@@ -903,6 +907,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _geo_fixture_dir(), columns=["image_id", "bytes", "fmt", "phash"]
         )
         return prepare_image_corpus(ds, concurrency=(1, 4))
+
+    def geo_radius_join(sf_dir: str):
+        # ST_DWithin: images within 30km of any polygon centroid;
+        # exactness vs brute-force haversine pytest-oracled
+        from engine.ops.geo import polygon_centroids, radius_join
+
+        idx = _geo_indexed(columns=["image_id"])
+        cents = polygon_centroids(fixtures.polygons()).to_pandas()
+        out = radius_join(
+            idx.select_columns(["image_id", "lon", "lat"]),
+            cents["admin_id"].to_numpy(),
+            cents["centroid_lon"].to_numpy(),
+            cents["centroid_lat"].to_numpy(),
+            radius_m=30_000.0, concurrency=(1, 4),
+        )
+        return out
 
     def geo_article_fuzzy_match(sf_dir: str):
         # typo-tolerant title matching (edit distance <= 1) via the
@@ -1751,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": image_augment,
         "geo_admin_rollup": geo_admin_rollup,
         "geo_article_match": geo_article_match,
+        "geo_radius_join": geo_radius_join,
         "geo_article_fuzzy_match": geo_article_fuzzy_match,
         "geo_articles_untagged": geo_articles_untagged,
         "geo_suggestions": geo_suggestions,
@@ -1774,8 +1795,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 4) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -1795,7 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_grouping_sets": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
                    COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
-                   ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n
+                   ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
@@ -1987,7 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_by_month": """
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-                   ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n_orders
+                   ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n_orders
             FROM orders GROUP BY 1
         """,
         "orders_with_delta_applied": """
@@ -2080,7 +2101,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "quantity_range_buckets": """
-            SELECT bucket, ROUND(SUM(l_extendedprice), 4) AS sum_price,
+            SELECT bucket, ROUND(SUM(l_extendedprice), 2) AS sum_price,
                    COUNT(*) AS n
             FROM lineitem
             JOIN (VALUES (1.0, 11.0, 'q1'), (11.0, 21.0, 'q2'),
@@ -2253,7 +2274,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
                    COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
-                   ROUND(SUM(o_totalprice), 4) AS total,
+                   ROUND(SUM(o_totalprice), 2) AS total,
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -2261,7 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_status_priority_cube": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
                    COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
-                   ROUND(SUM(o_totalprice), 4) AS total,
+                   ROUND(SUM(o_totalprice), 2) AS total,
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)

@@ -487,3 +487,74 @@ def vector_tile_masks(
         return out
 
     return tiles.map_batches(rasterize, batch_format="pandas")
+
+
+def radius_join(
+    points: ray.data.Dataset,
+    poi_ids: np.ndarray,
+    poi_lon: np.ndarray,
+    poi_lat: np.ndarray,
+    radius_m: float,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Spatial DWithin join (PostGIS ``ST_DWithin`` semantics): every
+    (point, poi) pair within ``radius_m`` meters, exact after a
+    haversine verify. The POI side broadcasts once as a ``CellIndex``
+    whose resolution is chosen so one hex covers the radius — then a
+    2-ring disk around each point's cell PROVABLY covers the search
+    circle (cell circumradius >= radius ⇒ any POI within radius is at
+    grid distance <= 2), keeping candidates O(POIs in ~19 cells). The
+    big point side streams; unique point cells share expansion work.
+    Exactness vs brute force is pytest-oracled across radii."""
+    import ray
+
+    from engine.geo import h3like
+    from engine.geo.knn import CellIndex, haversine_m
+
+    lat_max = float(np.abs(np.asarray(poi_lat)).max())
+    rad_deg = radius_m / 111_000.0 / max(0.2, np.cos(np.deg2rad(lat_max)))
+    res = 0
+    for r in range(15, -1, -1):  # finest res whose hex covers the radius
+        if h3like.res_size(r) >= rad_deg:
+            res = r
+            break
+    ref = ray.put((np.asarray(poi_ids), np.asarray(poi_lon, np.float64),
+                   np.asarray(poi_lat, np.float64)))
+
+    class Probe:
+        def __init__(self):
+            ids, lon, lat = ray.get(ref)
+            self.ids = ids
+            self.index = CellIndex(lon, lat, res=res)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            px = b["lon"].to_numpy(np.float64)
+            py = b["lat"].to_numpy(np.float64)
+            cells = h3like.encode(px, py, res)
+            out_p, out_q, out_d = [], [], []
+            ids_np = b.iloc[:, 0].to_numpy()  # first col = point id
+            for cell in np.unique(cells):
+                disk = np.concatenate(
+                    [h3like.ring(int(cell), k) for k in range(3)]
+                )
+                cand = self.index.rows_in_cells(disk)
+                if not len(cand):
+                    continue
+                rows = np.flatnonzero(cells == cell)
+                d = haversine_m(
+                    px[rows][:, None], py[rows][:, None],
+                    self.index.lon[cand][None, :],
+                    self.index.lat[cand][None, :],
+                )
+                pi, qi = np.nonzero(d <= radius_m)
+                out_p.extend(ids_np[rows[pi]])
+                out_q.extend(self.ids[cand[qi]])
+                out_d.extend(np.round(d[pi, qi], 3))
+            return pd.DataFrame({
+                "point_id": out_p, "poi_id": out_q,
+                "dist_m": np.asarray(out_d, dtype=np.float64),
+            })
+
+    return points.map_batches(
+        Probe, batch_format="pandas", concurrency=concurrency
+    )

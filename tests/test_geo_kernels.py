@@ -480,3 +480,33 @@ def test_vector_tiles_simplified_fewer_vertices_close_area(ray_session):
         assert abs(a[aid] - b.get(aid, 0.0)) <= 3.0 * 0.05 * max(
             np.sqrt(a[aid]) * 4, 1.0
         ), aid
+
+
+def test_radius_join_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import radius_join
+
+    rng = np.random.default_rng(73)
+    npts, npoi = 800, 60
+    plon = rng.uniform(7, 18, npts)
+    plat = rng.uniform(36, 47, npts)
+    qlon = rng.uniform(7, 18, npoi)
+    qlat = rng.uniform(36, 47, npoi)
+    pts = ray.data.from_pandas(pd.DataFrame({
+        "pid": np.arange(npts), "lon": plon, "lat": plat,
+    })).repartition(4)
+    for radius in (20_000.0, 120_000.0):
+        got = radius_join(
+            pts, np.arange(npoi) + 900, qlon, qlat, radius,
+            concurrency=(1, 2),
+        ).to_pandas()
+        pairs = set(zip(got["point_id"], got["poi_id"]))
+        d = haversine_m(plon[:, None], plat[:, None],
+                        qlon[None, :], qlat[None, :])
+        pi, qi = np.nonzero(d <= radius)
+        want = set(zip(pi, qi + 900))
+        assert pairs == want, (radius, len(pairs), len(want))
+        assert len(got) == len(pairs)  # no duplicate pairs
