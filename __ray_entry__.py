@@ -1235,6 +1235,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(r, batch_format="pandas")
 
+    def user_retention_cohorts(sf_dir: str):
+        # cohort retention matrix: per-user first epoch-week (min
+        # combiner) broadcast back, then COUNT(DISTINCT user) per
+        # (cohort_week, week). Week id = epoch seconds // 604800 so
+        # pandas and DuckDB bucket identically.
+        ev = sf_table(sf_dir, "events", ["user_id", "ts"])
+
+        def week(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["week"] = (
+                b["ts"].astype("datetime64[ns]").astype(np.int64)
+                // (604800 * 10**9)
+            ).astype(np.int64)
+            return b[["user_id", "week"]]
+
+        weekly = ev.map_batches(week, batch_format="pandas")
+        first = relational.partial_groupby_agg(
+            weekly, ["user_id"], {"cohort_week": ("week", "min")}
+        ).to_pandas()
+        joined = relational.broadcast_hash_join(weekly, first, on="user_id")
+        out = relational.grouped_count_distinct(
+            joined, ["cohort_week", "week"], "user_id", out="n_users"
+        ).to_pandas()
+        return out.sort_values(["cohort_week", "week"], ignore_index=True)
+
     def user_funnel_counts(sf_dir: str):
         # funnel: first view < first click < first purchase per user;
         # per-stage first-timestamps via the min combiner (one tiny
@@ -1675,6 +1700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_share_of_customer": order_share_of_customer,
         "approx_user_event_counts": approx_user_event_counts,
         "event_trailing_hour_sum": event_trailing_hour_sum,
+        "user_retention_cohorts": user_retention_cohorts,
         "user_funnel_counts": user_funnel_counts,
         "weighted_sample_orders": weighted_sample_orders,
         "orders_page3_by_price": orders_page3_by_price,
@@ -1907,6 +1933,17 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                          AND CURRENT ROW), 4) AS trailing_sum
             FROM events
+        """,
+        "user_retention_cohorts": """
+            SELECT f.cohort_week, w.week, COUNT(DISTINCT w.user_id) AS n_users
+            FROM (SELECT user_id,
+                         CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+                  FROM events) w
+            JOIN (SELECT user_id,
+                         MIN(CAST(FLOOR(epoch(ts) / 604800) AS BIGINT))
+                             AS cohort_week
+                  FROM events GROUP BY user_id) f USING (user_id)
+            GROUP BY f.cohort_week, w.week
         """,
         "user_funnel_counts": """
             SELECT COUNT(*) AS n_users FROM (
