@@ -61,6 +61,8 @@ FIXTURE_ROOT = os.path.join(_scratch_root(), "graft_bench_images")
 BASELINE_MD = os.path.join(REPO, "BASELINE.md")
 MARK_BEGIN = "<!-- BENCH:BEGIN -->"
 MARK_END = "<!-- BENCH:END -->"
+CORPUS_MARK_BEGIN = "<!-- CORPUS-BENCH:BEGIN -->"
+CORPUS_MARK_END = "<!-- CORPUS-BENCH:END -->"
 
 
 def parse_sf(sf_dir: str) -> float | None:
@@ -261,12 +263,13 @@ def run_queries_bench(sf_dir: str, cpus: int | None = None) -> tuple[dict, dict]
     return qtimes, qrows
 
 
-def update_baseline_md(block: str) -> None:
+def update_baseline_md(block: str, begin: str = MARK_BEGIN,
+                       end: str = MARK_END) -> None:
     text = open(BASELINE_MD).read()
-    section = f"{MARK_BEGIN}\n{block}\n{MARK_END}"
-    if MARK_BEGIN in text:
-        pre = text.split(MARK_BEGIN)[0]
-        post = text.split(MARK_END)[-1]
+    section = f"{begin}\n{block}\n{end}"
+    if begin in text:
+        pre = text.split(begin)[0]
+        post = text.split(end)[-1]
         text = pre + section + post
     else:
         text = text.rstrip() + "\n\n" + section + "\n"
@@ -357,6 +360,134 @@ def scaling_mode(args) -> dict:
     return report
 
 
+
+
+def synth_docs_parquet(n_docs: int, out_dir: str, num_files: int = 8) -> None:
+    """Deterministic large documents fixture for the corpus-prep
+    scaling bench (the sf tables top out at 5k docs): zipf-ish word
+    mix over a 4k vocabulary, doc lengths 20-200 tokens, ~3% exact
+    duplicates so the dedup stage has real work. Cached by marker;
+    lives on tmpfs (the virtio disk is ~160MB/s)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    vocab = np.array([f"w{i:04d}" for i in range(4000)], dtype=object)
+    zipf_p = 1.0 / np.arange(1, len(vocab) + 1)
+    zipf_p /= zipf_p.sum()
+    per = n_docs // num_files
+    doc_id = 0
+    for f_ix in range(num_files):
+        n = per if f_ix < num_files - 1 else n_docs - per * (num_files - 1)
+        lens = rng.integers(20, 200, n)
+        texts = []
+        for L in lens:
+            texts.append(" ".join(rng.choice(vocab, size=L, p=zipf_p)))
+        # ~3% exact duplicates of earlier docs in the same file
+        dup_ix = rng.integers(0, n, max(1, n // 33))
+        for di in dup_ix:
+            texts[di] = texts[int(di) // 2]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(
+                    np.arange(doc_id, doc_id + n, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }),
+            os.path.join(out_dir, f"docs-{f_ix}.parquet"),
+        )
+        doc_id += n
+    open(marker, "w").write("ok")
+
+
+def run_corpus_bench(
+    n_docs: int, cpus: int, pre_seconds: float = 20.0, series: int = 1,
+) -> dict:
+    """prepare_corpus (lang-id -> quality gate -> dedup -> tokens ->
+    packing) over the synthetic docs fixture; same ramp + untimed
+    steady-state pre-run + min-of-series discipline as the flagship."""
+    import ray.data
+
+    from engine.pipeline.corpus import prepare_corpus
+
+    d = f"/dev/shm/graft_docs_{n_docs}"
+    synth_docs_parquet(n_docs, d)
+    _ramp_warmup(cpus)
+
+    def once() -> tuple[float, int]:
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(d, columns=["doc_id", "text"])
+        rows = prepare_corpus(ds).count()
+        return time.perf_counter() - t0, rows
+
+    t_pre = 0.0
+    while t_pre < pre_seconds:  # equal steady-state budget per level
+        dt, _ = once()
+        t_pre += dt
+    secs, rows = [], 0
+    for _ in range(series):
+        dt, rows = once()
+        secs.append(round(dt, 3))
+    best = min(secs)
+    return {
+        "docs": n_docs, "rows_out": rows, "sec": best,
+        "docs_per_s": round(n_docs / best, 1), "series_secs": secs,
+    }
+
+
+def scaling_corpus_mode(args) -> dict:
+    """Two-level fresh-process protocol for the corpus-prep pipeline —
+    the training-data twin of ``scaling_mode`` (same ramp/series/min
+    rules); writes the CORPUS-BENCH block in BASELINE.md."""
+    levels = sorted({args.scale_lo, args.scale_hi})
+    n = args.corpus_n or 120_000
+    series = max(3, args.repeats)
+    results = {}
+    for cpus in levels:
+        out = tempfile.mktemp(prefix="graft_cscaling_", suffix=".json")
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--corpus-only", "--cpus", str(cpus), "--corpus-n", str(n),
+            "--json-out", out, "--pre-seconds", "60",
+            "--series", str(series),
+        ]
+        subprocess.run(cmd, check=True, cwd=REPO)
+        with open(out) as f:
+            results[cpus] = json.load(f)
+        os.remove(out)
+    lo, hi = levels[0], levels[-1]
+    eff = (results[hi]["corpus"]["docs_per_s"]
+           / results[lo]["corpus"]["docs_per_s"]) / (hi / lo)
+    report = {
+        "metric": "corpus_scaling_efficiency", "value": round(eff, 4),
+        "unit": "ratio", "num_cpus": hi, "docs": n, "target": 0.8,
+        "levels": {str(c): results[c]["corpus"] for c in levels},
+    }
+    block = (
+        "## Corpus-prep pipeline scaling (second data point)\n\n"
+        f"`prepare_corpus` (lang-id -> quality gate -> exact dedup -> "
+        f"token count -> packing) over {n} synthetic docs (tmpfs), "
+        "same fresh-process / equal-ramp / min-of-series protocol as "
+        "the flagship block above:\n\n"
+        "| num_cpus | wall sec (min of series) | docs/s | series secs |\n"
+        "|---|---|---|---|\n"
+        + "".join(
+            f"| {c} | {report['levels'][str(c)]['sec']} | "
+            f"{report['levels'][str(c)]['docs_per_s']} | "
+            f"{report['levels'][str(c)]['series_secs']} |\n"
+            for c in levels
+        )
+        + f"\nCorpus scaling efficiency {lo}->{hi} cpus: "
+        f"**{report['value']}** (target >= 0.8)\n"
+    )
+    update_baseline_md(block, CORPUS_MARK_BEGIN, CORPUS_MARK_END)
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -364,6 +495,9 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=0, help="flagship fixture rows (0 = auto from sf)")
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--queries-only", action="store_true")
+    ap.add_argument("--corpus-only", action="store_true")
+    ap.add_argument("--corpus-n", type=int, default=0)
+    ap.add_argument("--scaling-corpus", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     # N vs 4N protocol levels. 4->16 keeps BOTH levels under the
     # sandbox VM's ~13GB/s memory-bandwidth ceiling (measured: the
@@ -386,6 +520,10 @@ def main() -> None:
         report = scaling_mode(args)
         print(json.dumps(report))
         return
+    if args.scaling_corpus:
+        report = scaling_corpus_mode(args)
+        print(json.dumps(report))
+        return
 
     import ray
 
@@ -402,6 +540,20 @@ def main() -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
     try:
         sf = parse_sf(args.sf_dir)
+        if args.corpus_only:
+            rep = run_corpus_bench(
+                args.corpus_n or 120_000, args.cpus,
+                pre_seconds=args.pre_seconds, series=args.series,
+            )
+            line = {"metric": "corpus_prep_sec", "value": rep["sec"],
+                    "unit": "sec", "queries": {}, "sf": sf,
+                    "num_cpus": args.cpus, "corpus": rep}
+            out = json.dumps(line)
+            print(out)
+            if args.json_out:
+                with open(args.json_out, "w") as f:
+                    f.write(out)
+            return
         n = args.n or fixture_rows(sf)
         t_all = time.perf_counter()
         flag = (
