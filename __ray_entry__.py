@@ -153,6 +153,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(f, batch_format="pandas")
 
+    def parts_name_like(sf_dir: str):
+        # LIKE predicate pushdown analog: vectorized substring filter
+        p = sf_table(sf_dir, "part", ["p_partkey", "p_name"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["p_name"].str.contains("re", regex=False)]
+
+        return p.map_batches(f, batch_format="pandas")
+
+    def orders_by_weekday(sf_dir: str):
+        # EXTRACT(dow): ISO day number computed identically both sides
+        ds = sf_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["dow"] = b["o_orderdate"].dt.isocalendar().day.astype(np.int64)
+            return b[["dow", "o_totalprice"]]
+
+        out = relational.partial_groupby_sum(
+            ds.map_batches(f, batch_format="pandas"),
+            ["dow"], {"o_totalprice": "total"}, count_as="n",
+        ).to_pandas()
+        out["total"] = out["total"].round(2)
+        return out
+
     def orders_by_month(sf_dir: str):
         ds = sf_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
@@ -1211,6 +1235,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return joined.map_batches(f, batch_format="pandas")
 
+    def approx_value_quantiles_by_type(sf_dir: str):
+        # grouped DDSketch: (group, bin) combiner partials; <=1%
+        # relative error per group pytest-oracled
+        from engine.ops import sketch as sketch_ops
+
+        ev = sf_table(sf_dir, "events", ["event_type", "value"])
+        out = sketch_ops.grouped_ddsketch_quantiles(
+            ev, "event_type", "value", qs=(0.5, 0.9), rel_err=0.01
+        )
+        out["est"] = out["est"].round(4)
+        return out
+
     def approx_user_event_counts(sf_dir: str):
         # Count-Min point estimates (never undercount; bound pytest-
         # oracled): per-batch local matrices merged by sum
@@ -1698,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_histogram": orders_price_histogram,
         "supplier_part_pagerank": supplier_part_pagerank,
         "order_share_of_customer": order_share_of_customer,
+        "approx_value_quantiles_by_type": approx_value_quantiles_by_type,
         "approx_user_event_counts": approx_user_event_counts,
         "event_trailing_hour_sum": event_trailing_hour_sum,
         "user_retention_cohorts": user_retention_cohorts,
@@ -1722,6 +1759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": customers_without_big_orders,
         "distinct_mktsegment": distinct_mktsegment,
         "lineitem_revenue_rows": lineitem_revenue_rows,
+        "parts_name_like": parts_name_like,
+        "orders_by_weekday": orders_by_weekday,
         "orders_by_month": orders_by_month,
         "part_supplier_join": part_supplier_join,
         "supplier_stats_by_region": supplier_stats_by_region,
@@ -1906,6 +1945,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_histogram": """
             SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket_id,
                    COUNT(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "parts_name_like": """
+            SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%re%'
+        """,
+        "orders_by_weekday": """
+            SELECT isodow(o_orderdate) AS dow,
+                   ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
             FROM orders GROUP BY 1
         """,
         "q3_shipping_priority": """

@@ -325,3 +325,48 @@ def count_min_query(
         hd = ((h * _CM_SEEDS[d]) >> np.uint64(32)) % np.uint64(width)
         est = np.minimum(est, sketch[d, hd.astype(np.int64)])
     return est
+
+
+def grouped_ddsketch_quantiles(
+    ds: ray.data.Dataset,
+    group_key: str,
+    col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    rel_err: float = 0.01,
+) -> pd.DataFrame:
+    """Per-group DDSketch quantiles: the (group, bin) count frame is
+    the per-batch combiner state — SUM-mergeable like the global
+    sketch, so the exchange moves groups x ~hundreds-of-bins partials.
+    Returns one row per (group, q). Same <=rel_err guarantee per
+    group; pytest-oracled."""
+    from engine.ops import relational
+
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    lg = np.log(gamma)
+    zero_sent = np.int64(np.iinfo(np.int64).min)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        bins = np.full(len(v), zero_sent, dtype=np.int64)
+        pos = v > 0
+        bins[pos] = np.ceil(np.log(v[pos]) / lg).astype(np.int64)
+        out = pd.DataFrame({group_key: b[group_key], "bin": bins})
+        return out.groupby([group_key, "bin"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    merged = relational.sum_final(
+        ds.map_batches(local, batch_format="pandas"), [group_key, "bin"]
+    ).to_pandas()
+    rows = []
+    for key, g in merged.groupby(group_key, sort=True):
+        g = g.sort_values("bin", ignore_index=True)
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(1, int(np.ceil(q * total)))
+            i = int(np.searchsorted(cum, rank))
+            b = int(g["bin"].iloc[i])
+            est = 0.0 if b == zero_sent else gamma ** b * 2.0 / (1.0 + gamma)
+            rows.append({group_key: key, "q": q, "est": est})
+    return pd.DataFrame(rows)

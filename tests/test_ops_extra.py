@@ -1105,3 +1105,23 @@ def test_zordered_layout_prunes_and_is_exact(ray_session, tmp_path):
                if e["amax"] >= 10 and e["amin"] <= 20
                and e["bmax"] >= 30 and e["bmin"] <= 40]
     assert len(touched) <= total_buckets // 3
+
+
+def test_grouped_ddsketch_within_rel_err(ray_session):
+    import ray.data
+
+    from engine.ops.sketch import grouped_ddsketch_quantiles
+
+    rng = np.random.default_rng(79)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, 20000),
+        "v": np.exp(rng.normal(4, 1.5, 20000)),
+    })
+    got = grouped_ddsketch_quantiles(
+        ray.data.from_pandas(df).repartition(8), "g", "v",
+        qs=(0.5, 0.95), rel_err=0.01,
+    )
+    for _, r in got.iterrows():
+        vals = df.loc[df["g"] == r["g"], "v"].to_numpy()
+        exact = np.quantile(vals, r["q"], method="inverted_cdf")
+        assert abs(r["est"] - exact) <= 0.0101 * exact + 1e-12, dict(r)
