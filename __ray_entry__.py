@@ -153,6 +153,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(f, batch_format="pandas")
 
+    def orders_from_csv_by_status(sf_dir: str):
+        # format seam (S2 residue): the same rows round-tripped through
+        # CSV must aggregate identically to the parquet oracle
+        import zlib
+
+        from engine.io import read_any, write_any
+
+        base = f"/tmp/graft_csv_{zlib.crc32(sf_dir.encode())}"
+        marker = os.path.join(base, "_COMPLETE")
+        if not os.path.exists(marker):
+            os.makedirs(base, exist_ok=True)
+            o = sf_table(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+            write_any(o, f"{base}/orders_csv", fmt="csv")
+            open(marker, "w").write("ok")
+        import glob as _glob
+
+        ds = read_any(sorted(_glob.glob(f"{base}/orders_csv/*")), fmt="csv")
+        out = relational.partial_groupby_sum(
+            ds, ["o_orderstatus"], {"o_totalprice": "total"}, count_as="n"
+        ).to_pandas()
+        out["total"] = out["total"].round(2)
+        return out
+
     def parts_name_like(sf_dir: str):
         # LIKE predicate pushdown analog: vectorized substring filter
         p = sf_table(sf_dir, "part", ["p_partkey", "p_name"])
@@ -1759,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": customers_without_big_orders,
         "distinct_mktsegment": distinct_mktsegment,
         "lineitem_revenue_rows": lineitem_revenue_rows,
+        "orders_from_csv_by_status": orders_from_csv_by_status,
         "parts_name_like": parts_name_like,
         "orders_by_weekday": orders_by_weekday,
         "orders_by_month": orders_by_month,
@@ -1946,6 +1970,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket_id,
                    COUNT(*) AS n
             FROM orders GROUP BY 1
+        """,
+        "orders_from_csv_by_status": """
+            SELECT o_orderstatus, ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus
         """,
         "parts_name_like": """
             SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%re%'
