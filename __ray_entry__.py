@@ -1423,7 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             joined.map_batches(rev, batch_format="pandas"),
             ["o_orderpriority"], {"rev": "revenue"}, count_as="n_items",
         ).to_pandas()
-        out["revenue"] = out["revenue"].round(4)
+        out["revenue"] = out["revenue"].round(2)  # big-sum rule
         return out
 
     def zordered_orders_rect(sf_dir: str):
@@ -2046,7 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "auto_join_lineitem_orders": """
             SELECT o_orderpriority,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
                        AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
