@@ -779,6 +779,8 @@ def grouped_corr(
     sums = partial_groupby_sum(
         ds, [group_key], {x: "__sx", y: "__sy"}, count_as="__n"
     ).to_pandas()
+    if sums.empty:
+        return pd.DataFrame({group_key: [], out: []})
     mdf = pd.DataFrame(
         {group_key: sums[group_key],
          "__mx": sums["__sx"] / sums["__n"],
@@ -817,6 +819,8 @@ def grouped_var_std(
     sums = partial_groupby_sum(
         ds, [group_key], {x: "__sx"}, count_as="__n"
     ).to_pandas()
+    if sums.empty:
+        return pd.DataFrame({group_key: [], var_out: [], std_out: []})
     mdf = pd.DataFrame(
         {group_key: sums[group_key], "__mx": sums["__sx"] / sums["__n"]}
     )
@@ -1245,10 +1249,17 @@ def grouped_cov_slope(
     y on x per group (DuckDB ``covar_samp`` / ``regr_slope`` /
     ``regr_intercept`` semantics). Same stable two-pass centered plan
     as ``grouped_corr``: pass 1 per-group means, pass 2 broadcasts them
-    and sums centered products per batch."""
+    and sums centered products per batch. ``x`` and ``y`` must be
+    distinct columns (the combiner maps input cols uniquely; for
+    var(x) use ``grouped_var_std``)."""
+    if x == y:
+        raise ValueError("x and y must differ; use grouped_var_std for var(x)")
     sums = partial_groupby_sum(
         ds, [group_key], {x: "__sx", y: "__sy"}, count_as="__n"
     ).to_pandas()
+    if sums.empty:
+        return pd.DataFrame(
+            {group_key: [], cov_out: [], slope_out: [], icept_out: []})
     mdf = pd.DataFrame(
         {group_key: sums[group_key],
          "__mx": sums["__sx"] / sums["__n"],
@@ -1315,6 +1326,12 @@ def ordered_prefix_sum(
         return pd.DataFrame({"__lo": [k.min()], "__hi": [k.max()]})
 
     span = ds.map_batches(key_span, batch_format="pandas").to_pandas()
+    if span.empty or "__lo" not in span.columns:  # empty input: no scan
+        def add_empty(b: pd.DataFrame) -> pd.DataFrame:
+            b[out_col] = b[value_col]
+            return b
+
+        return ds.map_batches(add_empty, batch_format="pandas")
     lo, hi = int(span["__lo"].min()), int(span["__hi"].max())
     width = max(1, (hi - lo + num_buckets) // num_buckets)
 
