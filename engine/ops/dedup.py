@@ -180,6 +180,9 @@ def minhash_lsh_dedup(
 
     cand = banded.groupby("shard").map_groups(pairs_sharded, batch_format="pandas")
     cand_pd = cand.to_pandas().drop_duplicates()
+    if "a" not in cand_pd.columns:  # all-empty blocks lose the schema
+        cand_pd = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                "b": pd.Series(dtype=np.int64)})
     # verify candidates: fetch ONLY candidate texts (small set) with a
     # distributed membership filter — never materialize the corpus
     if len(cand_pd) and text_lookup is None:
@@ -213,7 +216,9 @@ def minhash_lsh_dedup(
         cand_pd = cand_pd[np.asarray(keep, dtype=bool)]
     # connected components via min-label propagation on the edge list
     # (ids only — the text column never reaches the driver)
-    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    _idf = docs.select_columns(["doc_id"]).to_pandas()
+    all_ids = (_idf["doc_id"].to_numpy() if "doc_id" in _idf.columns
+               else np.empty(0, dtype=np.int64))
     label = {int(i): int(i) for i in all_ids}
 
     def find(x: int) -> int:

@@ -1676,6 +1676,8 @@ def weighted_sample(
         ).head(k)
 
     parts = ds.map_batches(prio, batch_format="pandas").to_pandas()
+    if "__prio" not in parts.columns:  # empty input
+        return parts
     out = parts.sort_values(
         ["__prio", id_col], ascending=[False, True], kind="stable"
     ).head(k)

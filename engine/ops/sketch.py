@@ -195,6 +195,9 @@ def heavy_hitters_exact(
         )
         .to_pandas()
     )
+    if out_col not in merged.columns:  # empty input: nothing frequent
+        return pd.DataFrame({out_col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
     total = int(merged.loc[merged[out_col] == _TOTAL_SENTINEL, "__c"].iloc[0])
     cand = merged[merged[out_col] != _TOTAL_SENTINEL]
     if len(cand) > k:  # final MG prune of the merged summary
@@ -263,7 +266,10 @@ def ddsketch_quantiles(
 
     merged = relational.sum_final(
         ds.map_batches(local, batch_format="pandas"), ["bin"]
-    ).to_pandas().sort_values("bin", ignore_index=True)
+    ).to_pandas()
+    if "bin" not in merged.columns:  # empty input: no quantiles
+        return pd.DataFrame({"q": list(qs), "est": [np.nan] * len(qs)})
+    merged = merged.sort_values("bin", ignore_index=True)
     total = int(merged["n"].sum())
     cum = merged["n"].cumsum().to_numpy()
     zero_sent = np.int64(np.iinfo(np.int64).min)
@@ -309,6 +315,8 @@ def count_min(
 
     parts = ds.map_batches(local, batch_format="pandas").to_pandas()
     total = np.zeros(depth * width, dtype=np.int64)
+    if "m" not in parts.columns:  # empty input: zero sketch
+        return total.reshape(depth, width)
     for row in parts["m"]:
         total += np.asarray(row, dtype=np.int64)
     return total.reshape(depth, width)
@@ -358,6 +366,8 @@ def grouped_ddsketch_quantiles(
     merged = relational.sum_final(
         ds.map_batches(local, batch_format="pandas"), [group_key, "bin"]
     ).to_pandas()
+    if group_key not in merged.columns:  # empty input
+        return pd.DataFrame({group_key: [], "q": [], "est": []})
     rows = []
     for key, g in merged.groupby(group_key, sort=True):
         g = g.sort_values("bin", ignore_index=True)

@@ -184,6 +184,9 @@ def token_topk(
     partials = ds.map_batches(local, batch_format="pandas")
     if final == "small":
         counts = relational.sum_final(partials, ["token"]).to_pandas()
+        if "token" not in counts.columns:  # empty corpus
+            counts = pd.DataFrame({"token": pd.Series(dtype=str),
+                                   "n": pd.Series(dtype=np.int64)})
     else:
         from ray.data.aggregate import Sum
 

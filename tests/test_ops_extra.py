@@ -1158,3 +1158,31 @@ def test_degenerate_inputs_empty_and_single_row(ray_session):
         ) == min(n, 1) * n
     with pytest.raises(ValueError):
         R.grouped_cov_slope(ray.data.from_pandas(one), "k", "v", "v")
+
+
+def test_degenerate_inputs_sketch_text_dedup(ray_session):
+    """Tier-2 degenerate sweep: empty/one-row corpora flow through the
+    sketch / text / dedup families (empty Ray datasets lose their
+    pandas schema on to_pandas — every driver-side consumer guards)."""
+    import ray.data
+
+    from engine.ops import dedup as D, relational as R, sketch as S, text as T
+
+    docs_empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                               "text": pd.Series(dtype=str)})
+    docs_one = pd.DataFrame({"doc_id": [1], "text": ["hello world foo"]})
+    kv_empty = pd.DataFrame({"k": pd.Series(dtype=np.int64),
+                             "v": pd.Series(dtype=np.float64)})
+
+    def mk(df):
+        return ray.data.from_pandas(df)
+
+    assert len(D.minhash_lsh_dedup(mk(docs_one), threshold=0.7)) == 1
+    assert len(D.minhash_lsh_dedup(mk(docs_empty), threshold=0.7)) == 0
+    assert len(T.token_topk(mk(docs_empty), k=5)) == 0
+    assert S.ddsketch_quantiles(mk(kv_empty), "v")["est"].isna().all()
+    assert len(S.grouped_ddsketch_quantiles(mk(kv_empty), "k", "v")) == 0
+    assert S.count_min(mk(kv_empty), "k").sum() == 0
+    assert len(S.heavy_hitters_exact(
+        mk(kv_empty), 0.1, lambda b: b["k"].to_numpy())) == 0
+    assert len(R.weighted_sample(mk(kv_empty), "k", "v", 5)) == 0
