@@ -511,6 +511,15 @@ def radius_join(
     from engine.geo import h3like
     from engine.geo.knn import CellIndex, haversine_m
 
+    if len(np.asarray(poi_ids)) == 0:  # no POIs: no pairs, no index
+        def empty(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "point_id": b.iloc[:0, 0],
+                "poi_id": pd.Series(dtype=object),
+                "dist_m": pd.Series(dtype=np.float64),
+            })
+
+        return points.map_batches(empty, batch_format="pandas")
     lat_max = float(np.abs(np.asarray(poi_lat)).max())
     rad_deg = radius_m / 111_000.0 / max(0.2, np.cos(np.deg2rad(lat_max)))
     res = 0
