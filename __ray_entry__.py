@@ -1294,6 +1294,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(r, batch_format="pandas")
 
+    def event_type_transitions(sf_dir: str):
+        # sequence bigrams: (LAG(type), type) counts per user order —
+        # one sharded shuffle, every user's sequence diffed in one
+        # segmented pass, then a combiner count of the pairs
+        ev = sf_table(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+        def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
+            g = shard.sort_values(["user_id", "ts", "event_id"],
+                                  kind="stable").drop(columns="__shard")
+            uk = g["user_id"].to_numpy()
+            et = g["event_type"].to_numpy()
+            prev = np.empty_like(et)
+            if len(et):
+                prev[0] = ""
+                prev[1:] = np.where(uk[1:] != uk[:-1], "", et[:-1])
+            g = g.assign(prev_type=prev)
+            g = g[g["prev_type"] != ""]
+            return g.groupby(["prev_type", "event_type"], as_index=False) \
+                    .size().rename(columns={"size": "n"})
+
+        from engine.ops.relational import _sharded_by_key
+
+        partials = _sharded_by_key(ev, "user_id", 256).groupby(
+            "__shard"
+        ).map_groups(per_shard, batch_format="pandas")
+        return relational.sum_final(partials, ["prev_type", "event_type"])
+
     def user_retention_cohorts(sf_dir: str):
         # cohort retention matrix: per-user first epoch-week (min
         # combiner) broadcast back, then COUNT(DISTINCT user) per
@@ -1760,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles_by_type": approx_value_quantiles_by_type,
         "approx_user_event_counts": approx_user_event_counts,
         "event_trailing_hour_sum": event_trailing_hour_sum,
+        "event_type_transitions": event_type_transitions,
         "user_retention_cohorts": user_retention_cohorts,
         "user_funnel_counts": user_funnel_counts,
         "weighted_sample_orders": weighted_sample_orders,
@@ -2009,6 +2037,15 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                          AND CURRENT ROW), 4) AS trailing_sum
             FROM events
+        """,
+        "event_type_transitions": """
+            SELECT prev_type, event_type, COUNT(*) AS n FROM (
+              SELECT LAG(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type,
+                     event_type
+              FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "user_retention_cohorts": """
             SELECT f.cohort_week, w.week, COUNT(DISTINCT w.user_id) AS n_users
