@@ -1186,3 +1186,21 @@ def test_degenerate_inputs_sketch_text_dedup(ray_session):
     assert len(S.heavy_hitters_exact(
         mk(kv_empty), 0.1, lambda b: b["k"].to_numpy())) == 0
     assert len(R.weighted_sample(mk(kv_empty), "k", "v", 5)) == 0
+
+
+def test_coalesce_to_target_blocks(ray_session):
+    import ray.data
+
+    from engine.io import coalesce_to_target
+
+    df = pd.DataFrame({
+        "a": np.arange(200000),
+        "b": np.random.default_rng(1).normal(size=200000),
+    })
+    ds = ray.data.from_pandas(df).repartition(64).materialize()
+    out = coalesce_to_target(ds, target_mb=2).materialize()
+    assert out.count() == 200000
+    assert out.num_blocks() < 64  # coalesced toward ~2MB blocks
+    # already-right-sized input is a no-op
+    again = coalesce_to_target(out, target_mb=2)
+    assert again is out
