@@ -905,6 +905,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["s2_parent"], {}, count_as="n",
         )
 
+    def docs_unigram_logprob(sf_dir: str):
+        # perplexity-family quality filter: corpus unigram LM broadcast
+        # once, per-doc mean log-prob; brute-force pytest-oracled
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        counts = text.unigram_counts(docs)
+        out = text.unigram_logprob(docs, counts)
+        return out.select_columns(["doc_id", "mean_logp"])
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -1871,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "geo_h3_cell_counts": geo_h3_cell_counts,
         "geo_s2_cell_counts": geo_s2_cell_counts,
+        "docs_unigram_logprob": docs_unigram_logprob,
         "docs_banned_terms": docs_banned_terms,
         "docs_ngram_span_dups": docs_ngram_span_dups,
         "orders_grouping_sets": orders_grouping_sets,

@@ -486,3 +486,67 @@ def flag_banned_terms(
         BannedTermsFilter, fn_constructor_kwargs={"terms_ref": ref},
         batch_format="pandas", concurrency=concurrency,
     )
+
+
+# ----------------------------------------------------- unigram LM scoring
+
+def unigram_counts(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Corpus unigram counts (``_ALPHA_RE`` tokenizer): per-batch
+    ``np.unique`` partials merged once — pass 1 of the unigram-LM
+    quality filter."""
+    from engine.ops import relational
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for s in b["text"].astype(str):
+            toks.extend(_ALPHA_RE.findall(s.lower()))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({"token": u, "n": c.astype(np.int64)})
+
+    out = relational.sum_final(
+        ds.map_batches(local, batch_format="pandas"), ["token"]
+    ).to_pandas()
+    if "token" not in out.columns:
+        out = pd.DataFrame({"token": pd.Series(dtype=str),
+                            "n": pd.Series(dtype=np.int64)})
+    return out
+
+
+def unigram_logprob(
+    ds: ray.data.Dataset, counts: pd.DataFrame, alpha: float = 1.0
+) -> ray.data.Dataset:
+    """Per-doc mean unigram log-probability under the corpus LM
+    (add-``alpha`` smoothing) — the cheap stand-in for a perplexity
+    quality filter: gibberish and out-of-distribution docs score low,
+    repetitive boilerplate scores suspiciously high. Pass 2: the
+    vocabulary table broadcasts once; each doc scores with one
+    dict-lookup pass. Emits ``mean_logp`` (0.0 for token-less docs)."""
+    import ray
+
+    total = float(counts["n"].sum())
+    vsize = max(1, len(counts))
+    denom = total + alpha * (vsize + 1)
+    logp = {t: float(np.log((n + alpha) / denom))
+            for t, n in zip(counts["token"], counts["n"])}
+    oov = float(np.log(alpha / denom))
+    ref = ray.put((logp, oov))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        lp, oo = cached_get(ref)
+        out = []
+        for s in b["text"].astype(str):
+            toks = _ALPHA_RE.findall(s.lower())
+            if not toks:
+                out.append(0.0)
+                continue
+            out.append(sum(lp.get(t, oo) for t in toks) / len(toks))
+        b = b.copy()
+        b["mean_logp"] = np.round(out, 6)
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -277,3 +277,36 @@ def test_banned_terms_matches_bruteforce(ray_session):
     for _ in range(200):
         s = "".join(rng.choice(list("abrotspm l"), size=rng.integers(1, 30)))
         assert ac.count_matches(s) == brute(s), s
+
+
+def test_unigram_logprob_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from engine.ops.text import _ALPHA_RE, unigram_counts, unigram_logprob
+
+    docs = ["the cat sat", "the the the", "zzz qqq unknownword", "cat dog"]
+    df = pd.DataFrame({"doc_id": np.arange(4), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(2)
+    counts = unigram_counts(ds)
+    got = (
+        unigram_logprob(ds, counts, alpha=1.0)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+
+    cnt: dict[str, int] = {}
+    for t in docs:
+        for tok in _ALPHA_RE.findall(t.lower()):
+            cnt[tok] = cnt.get(tok, 0) + 1
+    total = sum(cnt.values())
+    denom = total + 1.0 * (len(cnt) + 1)
+    for did, t in enumerate(docs):
+        toks = _ALPHA_RE.findall(t.lower())
+        want = sum(
+            math.log((cnt.get(tok, 0) + 1.0) / denom) if tok in cnt
+            else math.log(1.0 / denom) for tok in toks
+        ) / len(toks)
+        assert got["mean_logp"].iloc[did] == pytest.approx(want, abs=1e-5)
+    # repetitive common-token doc scores higher than the OOV doc
+    assert got["mean_logp"].iloc[1] > got["mean_logp"].iloc[2]
