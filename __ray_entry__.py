@@ -921,6 +921,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = text.flag_banned_terms(docs, terms)
         return out.select_columns(["doc_id", "banned", "n_banned_hits"])
 
+    def docs_incremental_dedup(sf_dir: str):
+        # day-2 ingestion: dedup a new batch against a durable bucketed
+        # fingerprint index; cost scales with the batch, not the corpus
+        import shutil
+
+        from engine.ops.dedup import incremental_dedup
+
+        idx = "/tmp/graft_fpindex_demo"
+        shutil.rmtree(idx, ignore_errors=True)
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+
+        def day1(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == 0]
+
+        def day2(b: pd.DataFrame) -> pd.DataFrame:
+            return b  # half are already indexed from day 1
+
+        incremental_dedup(docs.map_batches(day1, batch_format="pandas"), idx)\
+            .materialize()
+        admitted = incremental_dedup(
+            docs.map_batches(day2, batch_format="pandas"), idx
+        )
+        return admitted.select_columns(["doc_id"])
+
     def docs_ngram_span_dups(sf_dir: str):
         # cross-document duplicated 12-gram spans (substring-dedup
         # family); exactness pytest-oracled vs brute force
@@ -1881,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_s2_cell_counts": geo_s2_cell_counts,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_banned_terms": docs_banned_terms,
+        "docs_incremental_dedup": docs_incremental_dedup,
         "docs_ngram_span_dups": docs_ngram_span_dups,
         "orders_grouping_sets": orders_grouping_sets,
         "prepare_corpus_pipeline": prepare_corpus_pipeline,

@@ -674,3 +674,78 @@ def ngram_span_dups(
         return b.rename(columns={"n_shared": "n_shared_spans"})
 
     return counts.map_batches(gate, batch_format="pandas")
+
+
+def incremental_dedup(
+    new_docs: ray.data.Dataset,
+    index_dir: str,
+    num_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Incremental corpus ingestion: dedup a NEW batch of documents
+    against a durable fingerprint index WITHOUT rescanning the corpus
+    — the day-2 workflow of a 100 TB pipeline (the reference's nightly
+    incremental OSM update, content-level). The index is a
+    ``write_bucketed``-style hive layout of 64-bit content
+    fingerprints; a new doc reads ONLY its fingerprint's hash bucket
+    (task-local file read), so ingest cost scales with the batch, not
+    the corpus. Steps:
+
+    1. fingerprint new docs (one streaming pass);
+    2. dedup the batch internally (keep smallest id per fingerprint);
+    3. per bucket, anti-join survivors against the stored fingerprints;
+    4. append the accepted fingerprints to the index (atomic per-batch
+       files named by content, so re-runs are idempotent).
+
+    Returns the accepted new docs. Deterministic: same batch against
+    the same index always admits the same rows."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.io import bucket_of
+    from engine.ops import text as text_ops
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    fp = new_docs.map_batches(text_ops.fingerprint_batch, batch_format="pandas")
+    fp = exact_dedup(fp, key="fingerprint", order_col=id_col)
+
+    def probe_and_append(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = bucket_of(b["fingerprint"].to_numpy(), num_buckets)
+        keep_parts = []
+        for bk, g in b.groupby("__bucket", sort=False):
+            bdir = os.path.join(index_dir, f"bucket={int(bk)}")
+            existing: set[int] = set()
+            for f in glob.glob(os.path.join(bdir, "*.parquet")):
+                existing.update(
+                    pq.read_table(f, columns=["fingerprint"])
+                    ["fingerprint"].to_pylist()
+                )
+            g = g[~g["fingerprint"].isin(existing)]
+            if g.empty:
+                continue
+            os.makedirs(bdir, exist_ok=True)
+            # content-named file => idempotent re-runs (resume rule)
+            import zlib
+
+            tag = zlib.crc32(g["fingerprint"].to_numpy().tobytes())
+            path = os.path.join(bdir, f"fp-{tag:08x}-{len(g)}.parquet")
+            if not os.path.exists(path):
+                tmp = path + ".tmp"
+                pq.write_table(
+                    pa.table({"fingerprint": pa.array(
+                        g["fingerprint"].to_numpy(), pa.int64())}),
+                    tmp,
+                )
+                os.replace(tmp, path)
+            keep_parts.append(g)
+        if not keep_parts:
+            return b.head(0).drop(columns="__bucket")
+        return pd.concat(keep_parts, ignore_index=True).drop(columns="__bucket")
+
+    return fp.map_batches(probe_and_append, batch_format="pandas")

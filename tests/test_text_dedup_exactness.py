@@ -310,3 +310,37 @@ def test_unigram_logprob_matches_bruteforce(ray_session):
         assert got["mean_logp"].iloc[did] == pytest.approx(want, abs=1e-5)
     # repetitive common-token doc scores higher than the OOV doc
     assert got["mean_logp"].iloc[1] > got["mean_logp"].iloc[2]
+
+
+def test_incremental_dedup_against_durable_index(ray_session, tmp_path):
+    import ray.data
+
+    from engine.ops.dedup import incremental_dedup
+
+    idx = str(tmp_path / "fpindex")
+    day1 = pd.DataFrame({
+        "doc_id": np.arange(100),
+        "text": [f"doc number {i} body" for i in range(100)],
+    })
+    a1 = incremental_dedup(
+        ray.data.from_pandas(day1).repartition(3), idx
+    ).to_pandas()
+    assert sorted(a1["doc_id"]) == list(range(100))  # fresh index: all in
+
+    # day 2: 30 exact dups of day-1 texts, 20 new, plus an internal dup
+    day2 = pd.DataFrame({
+        "doc_id": np.arange(1000, 1051),
+        "text": [f"doc number {i} body" for i in range(30)]
+        + [f"new doc {i}" for i in range(20)]
+        + ["new doc 0"],  # internal dup of doc 1030
+    })
+    a2 = incremental_dedup(
+        ray.data.from_pandas(day2).repartition(2), idx
+    ).to_pandas()
+    assert sorted(a2["doc_id"]) == list(range(1030, 1050))  # 20 new only
+
+    # idempotent re-ingest: everything now known
+    a3 = incremental_dedup(
+        ray.data.from_pandas(day2).repartition(2), idx
+    ).to_pandas()
+    assert len(a3) == 0
