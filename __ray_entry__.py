@@ -905,6 +905,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["s2_parent"], {}, count_as="n",
         )
 
+    def docs_chunked(sf_dir: str):
+        # context-window chunking (flat_map): 128-token windows with
+        # 16-token overlap; reconstruction invariant pytest-oracled
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        out = text.chunk_documents(docs, chunk_tokens=128, overlap=16)
+        return out.select_columns(["doc_id", "chunk_ix", "n_tokens"])
+
+    def docs_token_ids(sf_dir: str):
+        # vocab-id encoding: top-2000 corpus tokens broadcast as the
+        # vocabulary, docs -> list<int32> ids; exactness pytest-oracled
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        vocab = text.token_topk(docs, k=2000)["token"].tolist()
+        out = text.encode_token_ids(docs, vocab)
+
+        def summ(b: pd.DataFrame) -> pd.DataFrame:
+            b["n_ids"] = [len(x) for x in b["token_ids"]]
+            return b[["doc_id", "n_ids", "n_unk"]]
+
+        return out.map_batches(summ, batch_format="pandas")
+
     def docs_unigram_logprob(sf_dir: str):
         # perplexity-family quality filter: corpus unigram LM broadcast
         # once, per-doc mean log-prob; brute-force pytest-oracled
@@ -1903,6 +1923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "geo_h3_cell_counts": geo_h3_cell_counts,
         "geo_s2_cell_counts": geo_s2_cell_counts,
+        "docs_chunked": docs_chunked,
+        "docs_token_ids": docs_token_ids,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_banned_terms": docs_banned_terms,
         "docs_incremental_dedup": docs_incremental_dedup,

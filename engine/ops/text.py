@@ -550,3 +550,79 @@ def unigram_logprob(
         return b
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# --------------------------------------------------- chunking + id encoding
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> ray.data.Dataset:
+    """Context-window chunking: split each doc's whitespace tokens into
+    windows of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``
+    — the flat_map every LLM pretraining/RAG pipeline runs before
+    packing. Deterministic boundaries from token counts only. Emits
+    (doc_id, chunk_ix, chunk_text, n_tokens); short docs yield one
+    chunk. Reconstruction invariant (strides tile the doc) is
+    pytest-oracled."""
+    step = max(1, chunk_tokens - overlap)
+
+    def split(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ixs, texts, ns = [], [], [], []
+        for did, s in zip(b["doc_id"], b["text"].astype(str)):
+            toks = [t for t in _WS_RE.split(s) if t]
+            if not toks:
+                continue
+            ix = 0
+            for start in range(0, max(1, len(toks) - overlap), step):
+                w = toks[start:start + chunk_tokens]
+                if not w:
+                    break
+                ids.append(did)
+                ixs.append(ix)
+                texts.append(" ".join(w))
+                ns.append(len(w))
+                ix += 1
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "chunk_ix": np.asarray(ixs, dtype=np.int64),
+            "chunk_text": texts,
+            "n_tokens": np.asarray(ns, dtype=np.int64),
+        })
+
+    return ds.map_batches(split, batch_format="pandas")
+
+
+def encode_token_ids(
+    ds: ray.data.Dataset,
+    vocab: "pd.Series | list[str]",
+    text_col: str = "text",
+    unk_id: int = 0,
+) -> ray.data.Dataset:
+    """Vocabulary lookup: whitespace tokens -> int32 id lists (ids are
+    1-based by vocab order; OOV -> ``unk_id``) — the final encode step
+    before tensorization. The vocab dict broadcasts once; each batch
+    encodes with one lookup pass and emits an Arrow ``list<int32>``
+    column (``token_ids``) plus ``n_unk``."""
+    import ray
+
+    vlist = sorted(set(vocab))
+    ref = ray.put({t: i + 1 for i, t in enumerate(vlist)})
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        vmap = cached_get(ref)
+        out_ids, out_unk = [], []
+        for s in b[text_col].astype(str):
+            toks = [t for t in _WS_RE.split(s) if t]
+            ids = [vmap.get(t, unk_id) for t in toks]
+            out_ids.append(np.asarray(ids, dtype=np.int32))
+            out_unk.append(sum(1 for i in ids if i == unk_id))
+        b = b.copy()
+        b["token_ids"] = out_ids
+        b["n_unk"] = np.asarray(out_unk, dtype=np.int64)
+        return b
+
+    return ds.map_batches(enc, batch_format="pandas")

@@ -344,3 +344,42 @@ def test_incremental_dedup_against_durable_index(ray_session, tmp_path):
         ray.data.from_pandas(day2).repartition(2), idx
     ).to_pandas()
     assert len(a3) == 0
+
+
+def test_chunk_documents_reconstruction_and_encode(ray_session):
+    import ray.data
+
+    from engine.ops.text import _WS_RE, chunk_documents, encode_token_ids
+
+    rng = np.random.default_rng(83)
+    vocab = [f"t{i}" for i in range(50)]
+    docs = [" ".join(rng.choice(vocab, size=n))
+            for n in [5, 64, 100, 300, 777]]
+    df = pd.DataFrame({"doc_id": np.arange(5), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(2)
+    chunks = (
+        chunk_documents(ds, chunk_tokens=64, overlap=16)
+        .to_pandas().sort_values(["doc_id", "chunk_ix"], ignore_index=True)
+    )
+    step = 64 - 16
+    for did, s in zip(df["doc_id"], df["text"]):
+        toks = s.split()
+        sub = chunks[chunks["doc_id"] == did]
+        assert len(sub) >= 1
+        # reconstruction: chunk k holds tokens [k*step : k*step+64]
+        for _, r in sub.iterrows():
+            start = r["chunk_ix"] * step
+            assert r["chunk_text"].split() == toks[start:start + 64]
+        # coverage: last chunk reaches the final token
+        last = sub.iloc[-1]
+        assert last["chunk_ix"] * step + last["n_tokens"] == len(toks)
+
+    enc = (
+        encode_token_ids(ds, vocab + ["extra"], text_col="text")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    vmap = {t: i + 1 for i, t in enumerate(sorted(set(vocab + ["extra"])))}
+    for did, s in zip(df["doc_id"], df["text"]):
+        ids = enc.loc[enc["doc_id"] == did, "token_ids"].iloc[0]
+        assert list(ids) == [vmap[t] for t in s.split()]
+    assert enc["n_unk"].sum() == 0
