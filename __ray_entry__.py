@@ -996,6 +996,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
         return prepare_corpus(docs, quality_min=0.3, pack_budget_tokens=4096)
 
+    def corpus_to_shards_pipeline(sf_dir: str):
+        # the COMPLETE text path: curate -> chunk -> encode -> pack ->
+        # tar shards; returns the shard manifest (byte-identical
+        # re-runs pytest-oracled)
+        import shutil
+
+        from engine.pipeline.corpus import corpus_to_shards
+
+        out = "/tmp/graft_shards_demo"
+        shutil.rmtree(out, ignore_errors=True)
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        man = corpus_to_shards(docs, out, shard_budget_bytes=1 << 20)
+        return man[["shard_id", "rows", "bytes"]]
+
     def prepare_image_corpus_pipeline(sf_dir: str):
         # the multimodal flagship twin: key-projection phash dedup ->
         # resize -> deterministic augment; bytes never shuffle
@@ -1931,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_span_dups": docs_ngram_span_dups,
         "orders_grouping_sets": orders_grouping_sets,
         "prepare_corpus_pipeline": prepare_corpus_pipeline,
+        "corpus_to_shards_pipeline": corpus_to_shards_pipeline,
         "prepare_image_corpus_pipeline": prepare_image_corpus_pipeline,
         "geo_pip_join": geo_pip_join,
         "geo_knn": geo_knn,

@@ -101,3 +101,55 @@ def prepare_image_corpus(
         })
 
     return ds.map_batches(manifest, batch_format="pandas")
+
+
+def corpus_to_shards(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    *,
+    quality_min: float = 0.3,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    shard_budget_bytes: int = 1 << 20,
+) -> "pd.DataFrame":
+    """The COMPLETE text path, curation to training shards:
+
+        prepare_corpus (lang-id, quality gate, exact dedup)
+          -> chunk_documents (overlapping context windows)
+          -> encode_token_ids (corpus top-vocab, list<int32>)
+          -> write_tar_shards (byte-budget packing, atomic tars)
+
+    Returns the shard manifest. Every stage is the already-tested
+    operator; this function is the end-to-end composition a user of
+    the engine actually ships — deterministic, so re-runs produce
+    byte-identical shards (the resumable-output rule end to end)."""
+    import numpy as np
+
+    from engine.io import write_tar_shards
+    from engine.ops import relational, text
+
+    kept = prepare_corpus(docs, quality_min=quality_min)
+    kept_ids = kept.select_columns(["doc_id"]).to_pandas()
+    survivors = relational.semi_join(docs, kept_ids, on="doc_id")
+
+    chunks = text.chunk_documents(
+        survivors, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    vocab = text.token_topk(survivors, k=4000)["token"].tolist()
+    encoded = text.encode_token_ids(chunks, vocab, text_col="chunk_text")
+
+    def pack_payload(b: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "chunk_key": [f"{d:09d}-{i:04d}" for d, i in
+                          zip(b["doc_id"], b["chunk_ix"])],
+            "ord": b["doc_id"].to_numpy(np.int64) * 100000
+            + b["chunk_ix"].to_numpy(np.int64),
+            "ids": [np.asarray(x, dtype=np.int32).tobytes()
+                    for x in b["token_ids"]],
+        })
+
+    payload = encoded.map_batches(pack_payload, batch_format="pandas")
+    return write_tar_shards(
+        payload, out_dir, key_col="chunk_key", payload_cols=["ids"],
+        order_col="ord", shard_budget_bytes=shard_budget_bytes,
+    )

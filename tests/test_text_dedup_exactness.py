@@ -383,3 +383,34 @@ def test_chunk_documents_reconstruction_and_encode(ray_session):
         ids = enc.loc[enc["doc_id"] == did, "token_ids"].iloc[0]
         assert list(ids) == [vmap[t] for t in s.split()]
     assert enc["n_unk"].sum() == 0
+
+
+def test_corpus_to_shards_end_to_end(ray_session, tmp_path):
+    import glob
+    import hashlib
+    import tarfile
+
+    import ray.data
+
+    from engine.pipeline.corpus import corpus_to_shards
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = corpus_to_shards(docs, d1, chunk_tokens=64, overlap=8,
+                          shard_budget_bytes=50_000)
+    m2 = corpus_to_shards(docs, d2, chunk_tokens=64, overlap=8,
+                          shard_budget_bytes=50_000)
+    assert len(m1) >= 2 and m1["rows"].sum() > 0
+    pd.testing.assert_frame_equal(m1.drop(columns="path"),
+                                  m2.drop(columns="path"))
+    for p1, p2 in zip(sorted(glob.glob(f"{d1}/*.tar")),
+                      sorted(glob.glob(f"{d2}/*.tar"))):
+        assert (hashlib.sha256(open(p1, "rb").read()).hexdigest()
+                == hashlib.sha256(open(p2, "rb").read()).hexdigest())
+    # shard members decode back to int32 id arrays
+    with tarfile.open(sorted(glob.glob(f"{d1}/*.tar"))[0]) as tar:
+        m = tar.getmembers()[0]
+        ids = np.frombuffer(tar.extractfile(m).read(), dtype=np.int32)
+        assert len(ids) > 0 and (ids >= 0).all()
