@@ -1459,6 +1459,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return top.iloc[20:30].reset_index(drop=True)
 
+    def weighted_avg_discount_by_flag(sf_dir: str):
+        # grouped weighted mean: SUM(w*x)/SUM(w) from one combiner pass
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_returnflag", "l_quantity", "l_discount"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["__wx"] = b["l_quantity"] * b["l_discount"]
+            return b[["l_returnflag", "__wx", "l_quantity"]]
+
+        out = relational.partial_groupby_sum(
+            li.map_batches(f, batch_format="pandas"),
+            ["l_returnflag"], {"__wx": "__swx", "l_quantity": "__sw"},
+        ).to_pandas()
+        out["wavg_discount"] = (out["__swx"] / out["__sw"]).round(6)
+        return out[["l_returnflag", "wavg_discount"]]
+
+    def priciest_order_per_status(sf_dir: str):
+        # arg_max: whole best row per group (combiner prune, sharded
+        # final) vs DuckDB's arg_max pair
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderstatus", "o_orderkey", "o_totalprice"])
+        out = relational.argmax_per_group(
+            o, "o_orderstatus", "o_totalprice", "o_orderkey"
+        ).to_pandas()
+        return out[["o_orderstatus", "o_orderkey", "o_totalprice"]]
+
+    def distinct_users_per_hour(sf_dir: str):
+        # windowed distinct: exact COUNT(DISTINCT) per hour bucket
+        ev = sf_table(sf_dir, "events", ["user_id", "ts"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b["hour"] = (
+                b["ts"].astype("datetime64[ns]").astype(np.int64)
+                // (3600 * 10**9)
+            ).astype(np.int64)
+            return b[["hour", "user_id"]]
+
+        return relational.grouped_count_distinct(
+            ev.map_batches(f, batch_format="pandas"),
+            ["hour"], "user_id", out="n_users",
+        )
+
     def busy_users_event_totals(sf_dir: str):
         # GROUP BY ... HAVING: the gate runs on the tiny aggregate
         ev = sf_table(sf_dir, "events", ["user_id", "value"])
@@ -1858,6 +1900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_counts": user_funnel_counts,
         "weighted_sample_orders": weighted_sample_orders,
         "orders_page3_by_price": orders_page3_by_price,
+        "weighted_avg_discount_by_flag": weighted_avg_discount_by_flag,
+        "priciest_order_per_status": priciest_order_per_status,
+        "distinct_users_per_hour": distinct_users_per_hour,
         "busy_users_event_totals": busy_users_event_totals,
         "ranged_orders_scan": ranged_orders_scan,
         "auto_join_lineitem_orders": auto_join_lineitem_orders,
@@ -2142,6 +2187,23 @@ def oracle_sql() -> dict[str, str]:
         "orders_page3_by_price": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20
+        """,
+        "weighted_avg_discount_by_flag": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity * l_discount) / SUM(l_quantity), 6)
+                       AS wavg_discount
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "priciest_order_per_status": """
+            SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "distinct_users_per_hour": """
+            SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "busy_users_event_totals": """
             SELECT user_id, ROUND(SUM(value), 4) AS total_value,
