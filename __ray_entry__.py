@@ -1459,6 +1459,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return top.iloc[20:30].reset_index(drop=True)
 
+    def events_value_range_by_type(sf_dir: str):
+        # generic associative combiner (A22) as an oracled aggregate
+        ev = sf_table(sf_dir, "events", ["event_type", "value"])
+        out = relational.partial_groupby_agg(
+            ev, ["event_type"],
+            {"lo": ("value", "min"), "hi": ("value", "max"),
+             "total": ("value", "sum")},
+        ).to_pandas()
+        for c in ("lo", "hi", "total"):
+            out[c] = out[c].round(4)
+        return out
+
+    def lineitem_quarterly_volume(sf_dir: str):
+        # date_trunc('quarter') bucketing, identical on both sides
+        li = sf_table(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            p = b["l_shipdate"].dt.to_period("Q")
+            b["quarter"] = p.dt.start_time.dt.strftime("%Y-%m-%d")
+            return b[["quarter", "l_quantity"]]
+
+        out = relational.partial_groupby_sum(
+            li.map_batches(f, batch_format="pandas"),
+            ["quarter"], {"l_quantity": "qty"}, count_as="n",
+        ).to_pandas()
+        out["qty"] = out["qty"].round(4)
+        return out
+
     def weighted_avg_discount_by_flag(sf_dir: str):
         # grouped weighted mean: SUM(w*x)/SUM(w) from one combiner pass
         li = sf_table(sf_dir, "lineitem",
