@@ -26,18 +26,41 @@ import pandas as pd
 _GEO_N = 1500  # geo fixture rows used by the geo_* queries (any sf_dir)
 
 
+def _cached_dir(base: str, populate: Callable[[str], None]) -> str:
+    """Crash-safe cached layout: populate a temp sibling dir, mark it
+    complete, and ``os.rename`` it into place atomically. A crashed or
+    interrupted first attempt used to leave partial output files in the
+    final dir that a retry silently duplicated (Ray writers emit
+    uniquely-named files); stale partials are now cleared and a
+    half-built temp dir can never be read."""
+    import shutil
+
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)  # stale partial from a crash
+    tmp = f"{base}.building.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    populate(tmp)
+    open(os.path.join(tmp, "_COMPLETE"), "w").write("ok")
+    try:
+        os.rename(tmp, base)
+    except OSError:  # concurrent process won the rename race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
 # --------------------------------------------------------------------- geo fixture
 
 def _geo_fixture_dir(n: int = _GEO_N) -> str:
     """Deterministic on-disk geo fixture, generated once per machine."""
     from engine import fixtures
 
-    d = f"/tmp/graft_geo_fixture_{n}"
-    marker = os.path.join(d, "_COMPLETE")
-    if not os.path.exists(marker):
-        fixtures.write_images_parquet(n, d, num_files=4)
-        open(marker, "w").write("ok")
-    return d
+    return _cached_dir(
+        f"/tmp/graft_geo_fixture_{n}",
+        lambda d: fixtures.write_images_parquet(n, d, num_files=4),
+    )
 
 
 def _geo_indexed(columns=None):
@@ -160,13 +183,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from engine.io import read_any, write_any
 
-        base = f"/tmp/graft_csv_{zlib.crc32(sf_dir.encode())}"
-        marker = os.path.join(base, "_COMPLETE")
-        if not os.path.exists(marker):
-            os.makedirs(base, exist_ok=True)
+        def pop(d: str) -> None:
             o = sf_table(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
-            write_any(o, f"{base}/orders_csv", fmt="csv")
-            open(marker, "w").write("ok")
+            write_any(o, f"{d}/orders_csv", fmt="csv")
+
+        base = _cached_dir(f"/tmp/graft_csv_{zlib.crc32(sf_dir.encode())}", pop)
         import glob as _glob
 
         ds = read_any(sorted(_glob.glob(f"{base}/orders_csv/*")), fmt="csv")
@@ -1546,13 +1567,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.io import read_key_range, write_range_partitioned
 
         import zlib
-        base = f"/tmp/graft_ranged_{zlib.crc32(sf_dir.encode())}"
-        marker = os.path.join(base, "_COMPLETE")
-        if not os.path.exists(marker):
-            os.makedirs(base, exist_ok=True)
+
+        def pop(d: str) -> None:
             o = sf_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-            write_range_partitioned(o, f"{base}/orders", "o_orderkey", 16)
-            open(marker, "w").write("ok")
+            write_range_partitioned(o, f"{d}/orders", "o_orderkey", 16)
+
+        base = _cached_dir(f"/tmp/graft_ranged_{zlib.crc32(sf_dir.encode())}", pop)
         ds = read_key_range(
             f"{base}/orders", 1000, 5000, columns=["o_orderkey", "o_totalprice"]
         )
@@ -1597,15 +1617,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from engine.io import read_rect, write_zordered
 
-        base = f"/tmp/graft_zorder_{zlib.crc32(sf_dir.encode())}"
-        marker = os.path.join(base, "_COMPLETE")
-        if not os.path.exists(marker):
-            os.makedirs(base, exist_ok=True)
+        def pop(d: str) -> None:
             o = sf_table(sf_dir, "orders",
                          ["o_orderkey", "o_custkey", "o_totalprice"])
-            write_zordered(o, f"{base}/orders", "o_custkey", "o_totalprice",
+            write_zordered(o, f"{d}/orders", "o_custkey", "o_totalprice",
                            num_buckets=64)
-            open(marker, "w").write("ok")
+
+        base = _cached_dir(f"/tmp/graft_zorder_{zlib.crc32(sf_dir.encode())}", pop)
         ds = read_rect(
             f"{base}/orders", (100.0, 500.0), (50000.0, 150000.0),
             columns=["o_orderkey", "o_custkey", "o_totalprice"],
@@ -1793,10 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         nb = 8
         import zlib
-        base = f"/tmp/graft_bucketed_{zlib.crc32(sf_dir.encode())}"
-        marker = os.path.join(base, "_COMPLETE")
-        if not os.path.exists(marker):
-            os.makedirs(base, exist_ok=True)
+        def pop(d: str) -> None:
             o = sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
             def ren(b: pd.DataFrame) -> pd.DataFrame:
@@ -1805,9 +1820,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             c = sf_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
                 ren, batch_format="pandas"
             )
-            write_bucketed(o, f"{base}/orders", "o_custkey", nb)
-            write_bucketed(c, f"{base}/customer", "o_custkey", nb)
-            open(marker, "w").write("ok")
+            write_bucketed(o, f"{d}/orders", "o_custkey", nb)
+            write_bucketed(c, f"{d}/customer", "o_custkey", nb)
+
+        base = _cached_dir(f"/tmp/graft_bucketed_{zlib.crc32(sf_dir.encode())}", pop)
 
         joined = relational.colocated_join(
             f"{base}/orders", f"{base}/customer", on="o_custkey", num_buckets=nb,

@@ -580,12 +580,57 @@ def main() -> None:
             "query_rows": qrows,
         }
         out = json.dumps(line)
-        print(out)
+        # Full detail goes to a file (and a non-final stdout line for
+        # humans); the driver's stdout capture keeps only a ~3KB tail, so
+        # the LAST line must be compact or the driver records
+        # `parsed: null` (round 1 failure mode: the 139-query line was
+        # ~5KB and its head fell off the tail buffer).
+        with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+            f.write(out)
         if args.json_out:
             with open(args.json_out, "w") as f:
                 f.write(out)
+        print(out)
+        print(json.dumps(compact_line(line)))
     finally:
         ray.shutdown()
+
+
+def compact_line(line: dict) -> dict:
+    """Driver-parseable summary (< ~1.5KB): aggregate query stats, the
+    slowest queries by name, flagship throughput, and the last measured
+    scaling efficiency from BASELINE.md."""
+    qtimes = line.get("queries") or {}
+    top = dict(sorted(qtimes.items(), key=lambda kv: -kv[1])[:8])
+    return {
+        "metric": line["metric"],
+        "value": line["value"],
+        "unit": line["unit"],
+        "queries": top,
+        "queries_total_sec": round(sum(qtimes.values()), 3),
+        "queries_count": len(qtimes),
+        "sf": line.get("sf"),
+        "num_cpus": line.get("num_cpus"),
+        "flagship": line.get("flagship"),
+        "scaling_efficiency": read_scaling_efficiency(),
+        "detail": "bench_detail.json",
+    }
+
+
+def read_scaling_efficiency() -> float | None:
+    """Last measured flagship scaling efficiency recorded between the
+    BENCH markers in BASELINE.md by `--scaling` (None if absent)."""
+    import re
+
+    try:
+        text = open(BASELINE_MD).read()
+    except OSError:
+        return None
+    if MARK_BEGIN not in text:
+        return None
+    block = text.split(MARK_BEGIN, 1)[1].split(MARK_END, 1)[0]
+    m = re.search(r"Scaling efficiency[^*]*\*\*([0-9.]+)\*\*", block)
+    return float(m.group(1)) if m else None
 
 
 if __name__ == "__main__":

@@ -146,6 +146,19 @@ def write_bucketed(
     )
 
 
+def bucketed_schema(bucketed_dir: str):
+    """Arrow schema of a bucketed layout — one parquet-footer read of
+    the first file found (all files share the write schema)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{bucketed_dir}/bucket=*/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no bucket files under {bucketed_dir}")
+    return pq.read_schema(files[0])
+
+
 def read_bucket_pandas(bucketed_dir: str, bucket: int, columns=None):
     """All rows of one storage bucket as pandas (task-local read)."""
     import glob

@@ -258,6 +258,24 @@ def lsh_params(num_perm: int, threshold: float) -> tuple[int, int]:
     return best[1], best[2]
 
 
+def lsh_params_recall(
+    num_perm: int, threshold: float, recall_floor: float = 0.95
+) -> tuple[int, int]:
+    """(bands, rows_per_band) with the LARGEST rows-per-band (fewest
+    bands -> fewest candidates) whose candidate recall at the threshold
+    itself, ``1-(1-t^r)^b``, still meets ``recall_floor``. Use when the
+    contract is "return pairs with sim >= t" (boundary pairs count);
+    ``lsh_params``' inflection rule optimizes the precision/recall
+    balance AROUND t instead and can drop boundary recall to ~64%."""
+    for r in (64, 32, 16, 8, 4, 2, 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        if 1.0 - (1.0 - threshold ** r) ** b >= recall_floor:
+            return b, r
+    return num_perm, 1  # r=1: recall 1-(1-t)^num_perm, the max possible
+
+
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset,
     *,
@@ -272,11 +290,15 @@ def ngram_jaccard_pairs(
     DataFrame(a, b, jaccard) with a < b, sorted — only shingle-set
     hashes of candidate docs are recomputed; payloads never shuffle.
 
-    ``bands=None`` (default) picks (bands, rows) from ``threshold`` via
-    ``lsh_params``; pass ``bands`` explicitly to trade recall at the
-    threshold boundary against candidate volume."""
+    ``bands=None`` (default) picks (bands, rows) as the FEWEST bands
+    (cheapest candidate volume) whose S-curve recall at the threshold
+    itself stays >= 0.95 (``lsh_params_recall``) — the op's contract is
+    "pairs with jaccard >= threshold", so boundary pairs must still be
+    candidates; the pure inflection rule (``lsh_params``) dropped
+    recall at exactly t=0.5 to ~64% with (16,4). Pass ``bands``
+    explicitly to trade recall against candidate volume."""
     if bands is None:
-        bands, _ = lsh_params(num_perm, threshold)
+        bands, _ = lsh_params_recall(num_perm, threshold)
     rows_per_band = num_perm // bands
     _state: dict[tuple, MinHasher] = {}
 

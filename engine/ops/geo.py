@@ -520,13 +520,27 @@ def radius_join(
             })
 
         return points.map_batches(empty, batch_format="pandas")
-    lat_max = float(np.abs(np.asarray(poi_lat)).max())
-    rad_deg = radius_m / 111_000.0 / max(0.2, np.cos(np.deg2rad(lat_max)))
+    # Worst-case latitude for the longitudinal degree width: any point
+    # that can MATCH a POI lies within radius of one, so its |lat| is at
+    # most max|poi_lat| + the radius in latitude degrees. The old
+    # max(0.2, cos) clamp understated the needed width above ~78.5°
+    # and broke the 2-ring cover guarantee near the poles.
+    lat_worst = min(
+        90.0,
+        float(np.abs(np.asarray(poi_lat)).max()) + radius_m / 111_000.0,
+    )
+    cos_w = float(np.cos(np.deg2rad(lat_worst)))
+    rad_deg = (radius_m / 111_000.0 / cos_w) if cos_w > 1e-9 else float("inf")
     res = 0
     for r in range(15, -1, -1):  # finest res whose hex covers the radius
         if h3like.res_size(r) >= rad_deg:
             res = r
             break
+    # Circle touches/overlaps a pole or is wider than the coarsest hex:
+    # no planar 2-ring disk can cover it — stay exact by brute-force
+    # verifying every (point, POI) pair (POIs are broadcast anyway;
+    # only polar/continental-radius data ever lands here).
+    brute = rad_deg > h3like.res_size(0)
     ref = ray.put((np.asarray(poi_ids), np.asarray(poi_lon, np.float64),
                    np.asarray(poi_lat, np.float64)))
 
@@ -539,9 +553,19 @@ def radius_join(
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             px = b["lon"].to_numpy(np.float64)
             py = b["lat"].to_numpy(np.float64)
+            ids_np = b.iloc[:, 0].to_numpy()  # first col = point id
+            if brute:
+                d = haversine_m(
+                    px[:, None], py[:, None],
+                    self.index.lon[None, :], self.index.lat[None, :],
+                )
+                pi, qi = np.nonzero(d <= radius_m)
+                return pd.DataFrame({
+                    "point_id": ids_np[pi], "poi_id": self.ids[qi],
+                    "dist_m": np.round(d[pi, qi], 3).astype(np.float64),
+                })
             cells = h3like.encode(px, py, res)
             out_p, out_q, out_d = [], [], []
-            ids_np = b.iloc[:, 0].to_numpy()  # first col = point id
             for cell in np.unique(cells):
                 disk = np.concatenate(
                     [h3like.ring(int(cell), k) for k in range(3)]

@@ -66,7 +66,9 @@ def semi_join(
                   else set(keys_df[on_l[0]]))
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(ref)
+        from engine.state import cached_get
+
+        keys = cached_get(ref)  # deserialized once per worker, not per batch
         if len(on_l) > 1:
             mask = pd.MultiIndex.from_frame(batch[on_l]).isin(keys)
         else:
@@ -86,7 +88,9 @@ def anti_join(
                   else set(keys_df[on_l[0]]))
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(ref)
+        from engine.state import cached_get
+
+        keys = cached_get(ref)  # deserialized once per worker, not per batch
         if len(on_l) > 1:
             mask = pd.MultiIndex.from_frame(batch[on_l]).isin(keys)
         else:
@@ -519,7 +523,9 @@ def range_join_broadcast(
     ref = ray.put((lo, hi, r))
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        lo_, hi_, rdf = ray.get(ref)
+        from engine.state import cached_get
+
+        lo_, hi_, rdf = cached_get(ref)  # once per worker, not per batch
         v = batch[col].to_numpy()
         ix = np.searchsorted(lo_, v, side="right") - 1
         ok = (ix >= 0) & (v < hi_[np.clip(ix, 0, len(hi_) - 1)])
@@ -789,7 +795,9 @@ def grouped_corr(
     ref = ray.put(mdf)
 
     def centered(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.merge(ray.get(ref), on=group_key)
+        from engine.state import cached_get
+
+        b = b.merge(cached_get(ref), on=group_key)
         dx = b[x].to_numpy() - b["__mx"].to_numpy()
         dy = b[y].to_numpy() - b["__my"].to_numpy()
         return pd.DataFrame(
@@ -1382,23 +1390,60 @@ def colocated_join(
     bytes-join, dedup, stats all reuse one layout).
 
     Bucket tasks fan out as a Dataset of bucket ids, so the streaming
-    executor schedules/pipelines them like any other stage."""
+    executor schedules/pipelines them like any other stage.
+
+    ``how`` is 'inner' (default) or 'left'/'left_outer' (synonyms, the
+    repo's Ray-style name translated for pandas). Other join types are
+    refused — a right/full outer over a bucketed layout should swap the
+    sides / use ``bucketed_join``. Left-join blocks keep a consistent
+    schema across buckets: right-side value columns are nullable, so
+    integer ones are emitted as float64 in EVERY bucket (pandas NaN
+    semantics), not just the buckets that happened to have misses."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"colocated_join supports how='inner'|'left'|'left_outer', got {how!r}"
+        )
+    pd_how = "inner" if how == "inner" else "left"
     on_l = [on] if isinstance(on, str) else list(on)
+
+    from engine.io import bucketed_schema
+
+    # resolve both sides' column lists + right dtypes ONCE on the driver
+    # (one parquet-footer read per side), so every bucket task emits the
+    # same schema even for empty/missing buckets
+    sch_l, sch_r = bucketed_schema(dir_left), bucketed_schema(dir_right)
+    cols_l = list(columns_left) if columns_left else list(sch_l.names)
+    cols_r = list(columns_right) if columns_right else list(sch_r.names)
+    out_cols = cols_l + [c for c in cols_r if c not in cols_l]
+    empty_l = sch_l.empty_table().select(cols_l).to_pandas()
+    empty_r = sch_r.empty_table().select(cols_r).to_pandas()
+    r_value_cols = [c for c in cols_r if c not in on_l]
+
+    def merge_one(lt: pd.DataFrame, rt: pd.DataFrame) -> pd.DataFrame:
+        m = lt.merge(rt, on=on_l, how=pd_how)
+        if pd_how == "left":
+            for c in r_value_cols:  # nullable → uniform float64
+                if pd.api.types.is_integer_dtype(m[c]):
+                    m[c] = m[c].astype(np.float64)
+        return m[out_cols]
 
     def join_bucket(b: pd.DataFrame) -> pd.DataFrame:
         from engine.io import read_bucket_pandas
 
         outs = []
         for k in b["bucket_id"]:
-            lt = read_bucket_pandas(dir_left, int(k), columns_left)
-            rt = read_bucket_pandas(dir_right, int(k), columns_right)
-            if lt is None or rt is None:
-                if how == "inner" or lt is None:
+            lt = read_bucket_pandas(dir_left, int(k), cols_l)
+            if lt is None:
+                continue
+            rt = read_bucket_pandas(dir_right, int(k), cols_r)
+            if rt is None:
+                if pd_how == "inner":
                     continue
-                rt = pd.DataFrame(columns=on_l)
-            outs.append(lt.merge(rt, on=on_l, how=how))
+                rt = empty_r
+            outs.append(merge_one(lt, rt))
         if not outs:
-            return pd.DataFrame()
+            # same code path as a real merge → identical empty schema
+            return merge_one(empty_l, empty_r)
         return pd.concat(outs, ignore_index=True)
 
     buckets = ray.data.from_items(
@@ -1711,12 +1756,28 @@ def rolling_sum_range(
         # per-group disjoint offsets: frames can never cross a boundary
         change = np.concatenate([[True], keys[1:] != keys[:-1]])
         gid = np.cumsum(change) - 1
-        span = (ts.max() - ts.min()) + w_ns + np.int64(2)
-        ts_off = ts - ts.min() + gid * span
+        span = (ts.max() - ts.min()) + w_ns + np.int64(2) if len(ts) else np.int64(1)
+        n_groups = int(gid[-1]) + 1 if len(ts) else 0
         v = g[value_col].to_numpy(dtype=np.float64)
         cum = np.concatenate([[0.0], np.cumsum(v)])
-        lo = np.searchsorted(ts_off, ts_off - w_ns, side="left")
-        hi = np.searchsorted(ts_off, ts_off, side="right")
+        # gid*span must stay in int64 — with ~4M groups/shard over a
+        # multi-day range it silently wraps and corrupts frame bounds,
+        # so the offset trick is guarded and the rare overflow case
+        # falls back to per-group searchsorted on group slices (each
+        # iteration still a vectorized kernel)
+        if n_groups == 0 or int(n_groups) * int(span) < 2 ** 62:
+            ts_off = ts - ts.min() + gid * span
+            lo = np.searchsorted(ts_off, ts_off - w_ns, side="left")
+            hi = np.searchsorted(ts_off, ts_off, side="right")
+        else:
+            starts = np.flatnonzero(change)
+            ends = np.concatenate([starts[1:], [len(ts)]])
+            lo = np.empty(len(ts), dtype=np.int64)
+            hi = np.empty(len(ts), dtype=np.int64)
+            for s, e in zip(starts, ends):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - w_ns, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
         g[out] = cum[hi] - cum[lo]
         return g.drop(columns="__shard")
 

@@ -510,3 +510,36 @@ def test_radius_join_matches_bruteforce(ray_session):
         want = set(zip(pi, qi + 900))
         assert pairs == want, (radius, len(pairs), len(want))
         assert len(got) == len(pairs)  # no duplicate pairs
+
+
+def test_radius_join_polar_exact(ray_session):
+    # ADVICE r1: the old max(0.2, cos) clamp understated the needed
+    # longitudinal cover above ~78.5° latitude — polar data must still
+    # be exact (finer cos-derived cover, brute fallback at the pole)
+    import pandas as pd
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import radius_join
+
+    rng = np.random.default_rng(7)
+    npts, npoi = 400, 40
+    plon = rng.uniform(-180, 180, npts)
+    plat = rng.uniform(82, 89.9, npts)
+    qlon = rng.uniform(-180, 180, npoi)
+    qlat = rng.uniform(82, 89.9, npoi)
+    pts = ray.data.from_pandas(pd.DataFrame({
+        "pid": np.arange(npts), "lon": plon, "lat": plat,
+    })).repartition(2)
+    for radius in (30_000.0, 200_000.0):
+        got = radius_join(
+            pts, np.arange(npoi) + 900, qlon, qlat, radius,
+            concurrency=(1, 2),
+        ).to_pandas()
+        pairs = set(zip(got["point_id"], got["poi_id"]))
+        d = haversine_m(plon[:, None], plat[:, None],
+                        qlon[None, :], qlat[None, :])
+        pi, qi = np.nonzero(d <= radius)
+        want = set(zip(pi, qi + 900))
+        assert pairs == want, (radius, len(pairs), len(want))
+        assert len(got) == len(pairs)

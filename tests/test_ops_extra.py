@@ -636,6 +636,42 @@ def test_colocated_join_matches_pandas(ray_session, tmp_path):
     )
 
 
+def test_colocated_join_left_outer(ray_session, tmp_path):
+    # ADVICE r1: the non-inner path used to crash on Ray-style names and
+    # emit inconsistent block schemas for missing/empty right buckets
+    import pytest
+    import ray.data
+
+    from engine.io import write_bucketed
+    from engine.ops.relational import colocated_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 120, 500), "lv": rng.integers(0, 100, 500)})
+    # sparse right side: several hash buckets have NO right rows at all
+    right = pd.DataFrame({"k": np.arange(0, 120, 17), "rv": np.arange(8)})
+    dl, dr = str(tmp_path / "l2"), str(tmp_path / "r2")
+    write_bucketed(ray.data.from_pandas(left).repartition(4), dl, "k", 16)
+    write_bucketed(ray.data.from_pandas(right), dr, "k", 16)
+
+    for how in ("left", "left_outer"):
+        got = (
+            colocated_join(dl, dr, on="k", num_buckets=16, how=how)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], ignore_index=True)
+        )
+        want = left.merge(right, on="k", how="left").sort_values(
+            ["k", "lv", "rv"], ignore_index=True
+        )
+        assert list(got.columns) == ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            got, want[["k", "lv", "rv"]], check_dtype=False
+        )
+
+    with pytest.raises(ValueError):
+        colocated_join(dl, dr, on="k", num_buckets=16, how="full_outer")
+
+
 def test_skew_hybrid_join_matches_pandas(ray_session):
     import ray.data
 
