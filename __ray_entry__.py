@@ -2066,6 +2066,248 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _STOPWORDS_SQL = "('the','and','of','to','a','in','is','that','it','for','with','was','il','la','di','e','che','un','una','per','con','del','della','non','der','die','das','und','ist','ein','eine','mit','von','nicht','den')"
 
+# ---- SQL twins of the engine's deterministic hash/sketch kernels -------
+# DuckDB has no 64-bit wrap-around multiply, so (x*c) mod 2^64 is built
+# from HUGEINT-safe 32-bit partial products; XOR/shift run in UBIGINT.
+# These reproduce engine.ops.sketch._hash64 (splitmix64) BIT-EXACTLY for
+# integer keys, which is what makes the sampling / CMS / HLL queries
+# SQL-oracle-able at all (round-1 verdict item #1).
+
+_M64_SQL = "18446744073709551616"  # 2**64
+_M32_SQL = "4294967296"  # 2**32
+
+
+def _sql_mulmod64(x: str, c: str) -> str:
+    """(x*c) mod 2^64; x < 2^64 HUGEINT expr, c a < 2^64 constant."""
+    return (
+        f"((({x}) % {_M32_SQL}) * CAST({c} AS HUGEINT) + "
+        f"(((({x}) // {_M32_SQL}) * CAST({c} AS HUGEINT)) % {_M32_SQL}) * {_M32_SQL}) "
+        f"% {_M64_SQL}"
+    )
+
+
+def _sql_xorshift(x: str, s: int) -> str:
+    """x XOR (x >> s) for x < 2^64, returned as HUGEINT."""
+    return (
+        f"CAST(xor(CAST(({x}) AS UBIGINT), CAST(({x}) AS UBIGINT) >> {s}) "
+        f"AS HUGEINT)"
+    )
+
+
+def _sql_splitmix64(v: str) -> str:
+    """engine.ops.sketch._hash64 for integer inputs, bit-exact."""
+    x = (
+        f"((CAST({v} AS HUGEINT) % {_M64_SQL} + {_M64_SQL}) % {_M64_SQL} "
+        f"+ 11400714819323198485) % {_M64_SQL}"
+    )
+    x = _sql_mulmod64(_sql_xorshift(x, 30), "13787848793156543929")
+    x = _sql_mulmod64(_sql_xorshift(x, 27), "10723151780598845931")
+    return _sql_xorshift(x, 31)
+
+
+def _sql_pagerank(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled power iteration over the supplier->part digraph —
+    chained CTEs r0..r{iters}, one per iteration (fixed iteration
+    count, so no recursive-CTE aggregation restrictions apply).
+    Mirrors engine.ops.graph.pagerank: dangling (zero-outdeg) mass is
+    redistributed uniformly each step."""
+    head = f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src,
+                   CAST(l_partkey + 10000000 AS BIGINT) AS dst
+            FROM lineitem
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+        ),
+        odeg AS (
+            SELECT n.node, COALESCE(o.c, 0) AS outdeg
+            FROM nodes n LEFT JOIN (
+                SELECT src, COUNT(*) AS c FROM edges GROUP BY src
+            ) o ON o.src = n.node
+        ),
+        np_ AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, outdeg, 1.0 / (SELECT n FROM np_) AS rank
+               FROM odeg)
+    """
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+        , r{i + 1} AS (
+            SELECT d.node, d.outdeg,
+                   (1.0 - {damping}) / (SELECT n FROM np_) + {damping} * (
+                       COALESCE(inc.s, 0.0)
+                       + (SELECT COALESCE(SUM(rank), 0.0) FROM r{i}
+                          WHERE outdeg = 0) / (SELECT n FROM np_)
+                   ) AS rank
+            FROM odeg d LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS s
+                FROM edges e JOIN r{i} r ON r.node = e.src
+                GROUP BY e.dst
+            ) inc ON inc.node = d.node
+        )""")
+    return (
+        head + "".join(steps)
+        + f" SELECT node, ROUND(rank, 8) AS rank FROM r{iters}"
+    )
+
+
+def _sql_ddsketch(table: str, col: str, qs: tuple, rel_err: float,
+                  group: str | None = None) -> str:
+    """DDSketch quantile read-back (engine.ops.sketch.ddsketch_quantiles
+    / grouped_*): log-gamma bins, cumulative-count rank walk, bin-
+    midpoint estimate — all closed-form, so the sketch IS SQL."""
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    sent = "-9223372036854775808"
+    # e0 suffix: parse as DOUBLE, not DECIMAL — the engine's rank
+    # ceil(q*total) is float64 (0.9*500 = 450.0000000000000056 -> 451),
+    # and a DECIMAL q would ceil to 450 instead
+    g = repr(gamma) + "e0"
+    qs_sql = "[" + ", ".join(repr(float(q)) + "e0" for q in qs) + "]"
+    gcol = f"{group}, " if group else ""
+    gpart = f"PARTITION BY {group} " if group else ""
+    return f"""
+        WITH binned AS (
+            SELECT {gcol}CASE WHEN {col} > 0
+                   THEN CAST(CEIL(LN({col}) / LN({g})) AS BIGINT)
+                   ELSE {sent} END AS bin
+            FROM {table}
+        ),
+        cnt AS (SELECT {gcol}bin, COUNT(*) AS n FROM binned
+                GROUP BY {gcol}bin),
+        cum AS (SELECT {gcol}bin,
+                       SUM(n) OVER ({gpart}ORDER BY bin) AS cumn,
+                       SUM(n) OVER ({gpart}) AS total
+                FROM cnt),
+        qs AS (SELECT UNNEST({qs_sql}) AS q),
+        pick AS (
+            SELECT {gcol}q, MIN(bin) AS b FROM qs JOIN cum
+              ON cumn >= GREATEST(1, CAST(CEIL(q * total) AS BIGINT))
+            GROUP BY {gcol}q
+        )
+        SELECT {gcol}q,
+               ROUND(CASE WHEN b = {sent} THEN 0.0
+                     ELSE POW({g}, b) * 2.0 / (1.0 + {g}) END, 4) AS est
+        FROM pick
+    """
+
+
+# splitmix seed constants of engine.ops.sketch._CM_SEEDS
+_CM_SEEDS_SQL = ("11400714819323198485", "14029467366897019727",
+                 "1609587929392839161", "2870177450012600261")
+
+
+def _sql_count_min(keys_hi: int = 10, width: int = 4096) -> str:
+    """Count-Min point estimates for user_id 1..keys_hi (engine
+    count_min/count_min_query): cell_d(k) = ((h(k)*seed_d) mod 2^64
+    >> 32) mod width; est = min over d of the cell's total count."""
+    seeds = " UNION ALL ".join(
+        f"SELECT {d} AS d, '{s}' AS seed" for d, s in enumerate(_CM_SEEDS_SQL)
+    )
+    h_ev = _sql_splitmix64("user_id")
+    # (h*seed >> 32) % width, seed substituted per row from the seeds CTE
+    cell = (f"(({_sql_mulmod64(f'({h_ev})', 'seed')}) // {_M32_SQL}) "
+            f"% {width}")
+    return f"""
+        WITH seeds AS ({seeds}),
+        cells AS (
+            SELECT d, {cell} AS cell, COUNT(*) AS n
+            FROM events CROSS JOIN seeds GROUP BY d, cell
+        ),
+        keys AS (SELECT UNNEST(range(1, {keys_hi + 1})) AS user_id),
+        kc AS (
+            SELECT user_id, d, {cell} AS cell
+            FROM keys CROSS JOIN seeds
+        )
+        SELECT user_id, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
+        FROM kc LEFT JOIN cells c USING (d, cell)
+        GROUP BY user_id
+    """
+
+
+def _sql_hll(p: int = 12) -> str:
+    """HyperLogLog distinct-user estimate per event_type + global
+    (engine hll_count_distinct / grouped_hll_count_distinct): bucket =
+    top p hash bits, rank = leading zeros of the remaining bits + 1,
+    bias-corrected harmonic mean with the small-range linear-counting
+    fallback."""
+    m = 1 << p
+    # exponent suffix forces DOUBLE — a bare decimal literal parses as
+    # DECIMAL(17,16) in DuckDB and overflows when multiplied by m*m
+    alpha = repr(0.7213 / (1 + 1.079 / m)) + "e0"
+    h = _sql_splitmix64("user_id")
+    rank = (f"MAX(CASE WHEN rest = 0 THEN {64 - p + 1} "
+            f"ELSE CAST(63 - FLOOR(LOG2(CAST(rest AS DOUBLE))) AS BIGINT) + 1 "
+            f"END)")
+    est = (f"CASE WHEN {alpha} * {m} * {m} / denom <= 2.5 * {m} "
+           f"AND zeros > 0 THEN {m} * LN({m} / CAST(zeros AS DOUBLE)) "
+           f"ELSE {alpha} * {m} * {m} / denom END")
+    body = f"""
+        h AS (
+            SELECT event_type, CAST({h} AS UBIGINT) AS hv FROM events
+        ),
+        parts AS (
+            SELECT event_type, hv >> {64 - p} AS idx,
+                   CAST((CAST(hv AS HUGEINT) * {m}) % {_M64_SQL}
+                        AS UBIGINT) AS rest
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, idx, {rank} AS rank
+            FROM parts GROUP BY event_type, idx
+        ),
+        agg AS (
+            SELECT event_type,
+                   SUM(POW(2.0, -rank)) + ({m} - COUNT(*)) AS denom,
+                   {m} - COUNT(*) AS zeros
+            FROM regs GROUP BY event_type
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(ROUND({est}) AS BIGINT) AS approx_users
+            FROM agg
+        ),
+        gregs AS (SELECT idx, {rank} AS rank FROM parts GROUP BY idx),
+        gagg AS (
+            SELECT SUM(POW(2.0, -rank)) + ({m} - COUNT(*)) AS denom,
+                   {m} - COUNT(*) AS zeros
+            FROM gregs
+        ),
+        gest AS (SELECT CAST(ROUND({est}) AS BIGINT)
+                 AS global_approx_users FROM gagg)
+    """
+    return (f"WITH {body} SELECT event_type, approx_users, "
+            f"global_approx_users FROM per_type CROSS JOIN gest")
+
+
+# whitespace tokens of lower(text), empties dropped (the engine's
+# `[t for t in _WS_RE.split(s.lower()) if t]`)
+_SQL_WS_TOKENS_LOWER = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+_SQL_WS_TOKENS_RAW = (
+    "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+)
+
+
+def _sql_shingles(ngram: int, source: str = "documents",
+                  where: str = "") -> str:
+    """Per-doc n-token shingle STRINGS (chr(31)-joined) of lowercased
+    whitespace tokens — the collision-free twin of the engine's
+    _shingle_hashes windows (short docs: one shingle of the whole
+    text, same min(n, len) rule)."""
+    return f"""
+        SELECT doc_id, array_to_string(tk[i : i + m - 1], chr(31)) AS sg
+        FROM (
+            SELECT doc_id, tk, LEAST({ngram}, len(tk)) AS m
+            FROM (SELECT doc_id, {_SQL_WS_TOKENS_LOWER} AS tk
+                  FROM {source}{where})
+            WHERE len(tk) > 0
+        ), UNNEST(range(1, len(tk) - m + 2)) AS u(i)
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2714,5 +2956,197 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_vec_id, CAST(rank AS INT) AS rank, vec_id,
                    ROUND(c, 6) AS cos
             FROM ranked WHERE rank < 10
+        """,
+        # ---- round-2 twins for formerly rows-only queries ------------
+        "weighted_sample_orders": f"""
+            SELECT o_orderkey FROM (
+                SELECT o_orderkey,
+                       POW((CAST(CAST({_sql_splitmix64("o_orderkey")}
+                                 AS UBIGINT) AS DOUBLE) + 0.5)
+                           / 18446744073709551616.0,
+                           1.0 / GREATEST(o_totalprice, 1e-300)) AS prio
+                FROM orders)
+            ORDER BY prio DESC, o_orderkey LIMIT 100
+        """,
+        "supplier_part_pagerank": _sql_pagerank(iters=8, damping=0.85),
+        "approx_price_quantiles": _sql_ddsketch(
+            "orders", "o_totalprice", (0.5, 0.9, 0.99), 0.01),
+        "approx_value_quantiles_by_type": _sql_ddsketch(
+            "events", "value", (0.5, 0.9), 0.01, group="event_type"),
+        "approx_user_event_counts": _sql_count_min(keys_hi=10, width=4096),
+        "approx_distinct_users": _sql_hll(p=12),
+        "docs_tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(text), '[^a-z]+'))
+                           AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            dl AS (SELECT doc_id, COUNT(*) AS n_toks FROM tok2
+                   GROUP BY doc_id),
+            tf AS (SELECT doc_id, token, COUNT(*) AS c FROM tok2
+                   GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tok2
+                   GROUP BY token),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token AS term,
+                       ROUND((CAST(tf.c AS DOUBLE) / dl.n_toks)
+                             * LN((SELECT n FROM nd) / df.dfreq), 6)
+                           AS score
+                FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+            )
+            SELECT doc_id, term, score, trank FROM (
+                SELECT doc_id, term, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term)
+                           AS trank
+                FROM scored
+            ) WHERE trank <= 3
+        """,
+        "docs_unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(text), '[^a-z]+'))
+                           AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            vocab AS (SELECT token, COUNT(*) AS n FROM tok2 GROUP BY token),
+            par AS (SELECT CAST(SUM(n) + COUNT(*) + 1 AS DOUBLE) AS denom
+                    FROM vocab),
+            lp AS (SELECT token,
+                          LN(CAST(n + 1 AS DOUBLE)
+                             / (SELECT denom FROM par)) AS logp
+                   FROM vocab),
+            per AS (SELECT t.doc_id, SUM(lp.logp) / COUNT(*) AS m
+                    FROM tok2 t JOIN lp USING (token) GROUP BY t.doc_id)
+            SELECT d.doc_id, ROUND(COALESCE(per.m, 0.0), 6) AS mean_logp
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "docs_chunked": f"""
+            WITH toks AS (
+                SELECT doc_id, len({_SQL_WS_TOKENS_RAW}) AS n
+                FROM documents
+            )
+            SELECT doc_id, CAST(i // 112 AS BIGINT) AS chunk_ix,
+                   CAST(LEAST(128, n - i) AS BIGINT) AS n_tokens
+            FROM toks, UNNEST(range(0, GREATEST(n - 16, 1), 112)) AS u(i)
+            WHERE n > 0
+        """,
+        "docs_token_ids": f"""
+            WITH tok AS (
+                SELECT doc_id, UNNEST({_SQL_WS_TOKENS_RAW}) AS t
+                FROM documents
+            ),
+            vocab AS (
+                SELECT token FROM (
+                    SELECT token, COUNT(*) AS n FROM (
+                        SELECT UNNEST(string_split_regex(lower(text),
+                                                         '[^a-z]+')) AS token
+                        FROM documents
+                    ) WHERE token <> '' GROUP BY token
+                ) ORDER BY n DESC, token LIMIT 2000
+            ),
+            per AS (
+                SELECT doc_id, COUNT(*) AS n_ids,
+                       SUM(CASE WHEN t IN (SELECT token FROM vocab)
+                           THEN 0 ELSE 1 END) AS n_unk
+                FROM tok GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(per.n_ids, 0) AS BIGINT) AS n_ids,
+                   CAST(COALESCE(per.n_unk, 0) AS BIGINT) AS n_unk
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "docs_banned_terms": """
+            WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+            terms AS (SELECT UNNEST(['the quick', 'lorem', 'error',
+                                     'click here', 'qq']) AS term),
+            hits AS (
+                SELECT doc_id, COUNT(*) AS n
+                FROM t, terms,
+                     UNNEST(range(1, length(s) - length(term) + 2)) AS u(i)
+                WHERE length(s) >= length(term)
+                  AND substr(s, CAST(i AS INT), length(term)) = term
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS banned,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_banned_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # stopword-overlap lang-id (engine text.LangId); the CJK script
+        # rule never fires on the driver's ASCII corpus, so the SQL twin
+        # needs only the stopword path. Tie-break: smallest lang name.
+        "lang_id_documents": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(lower(text), '\\s+'))
+                           AS words
+                FROM documents
+            ),
+            sc AS (
+                SELECT doc_id, len(words) AS nw,
+                       len(list_filter(words, t -> t IN ('the','and','of','to','a','in','is','that','it','for','with','was'))) AS s_en,
+                       len(list_filter(words, t -> t IN ('il','la','di','e','che','un','una','per','con','del','della','non'))) AS s_it,
+                       len(list_filter(words, t -> t IN ('der','die','das','und','ist','ein','eine','mit','von','nicht','den'))) AS s_de,
+                       len(list_filter(words, t -> t IN ('le','la','de','et','un','une','est','que','pour','dans','avec','pas'))) AS s_fr,
+                       len(list_filter(words, t -> t IN ('el','la','de','y','que','un','una','es','en','por','con','para'))) AS s_es
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(s_en,s_it,s_de,s_fr,s_es) = 0 THEN 'unk'
+                        WHEN s_de = GREATEST(s_en,s_it,s_de,s_fr,s_es) THEN 'de'
+                        WHEN s_en = GREATEST(s_en,s_it,s_de,s_fr,s_es) THEN 'en'
+                        WHEN s_es = GREATEST(s_en,s_it,s_de,s_fr,s_es) THEN 'es'
+                        WHEN s_fr = GREATEST(s_en,s_it,s_de,s_fr,s_es) THEN 'fr'
+                        ELSE 'it' END AS lang_pred,
+                   ROUND(CAST(GREATEST(s_en,s_it,s_de,s_fr,s_es) AS DOUBLE)
+                         / GREATEST(nw, 1), 6) AS lang_score
+            FROM sc
+        """,
+        # FNV-style rolling hash over utf-8 bytes (engine
+        # text.fingerprint64); the driver corpus is ASCII so code point
+        # == byte and split('') enumerates bytes exactly.
+        "fingerprint_documents": f"""
+            SELECT doc_id,
+                   CASE WHEN f >= 9223372036854775808
+                        THEN CAST(f - {_M64_SQL} AS BIGINT)
+                        ELSE CAST(f AS BIGINT) END AS fingerprint
+            FROM (
+                SELECT doc_id, list_reduce(
+                    list_prepend(CAST(1469598103934665603 AS HUGEINT),
+                        list_transform(
+                            list_filter(split(text, ''), c -> c <> ''),
+                            c -> CAST(ord(c) AS HUGEINT))),
+                    (h, b) -> CAST(xor(
+                        CAST({_sql_mulmod64("h", "1000003")} AS UBIGINT),
+                        CAST(b AS UBIGINT)) AS HUGEINT)) AS f
+                FROM documents
+            )
+        """,
+        "docs_ngram_span_dups": f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id, sg FROM ({_sql_shingles(12)})
+            ),
+            shared AS (SELECT sg FROM sh GROUP BY sg HAVING COUNT(*) > 1)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+            FROM sh WHERE sg IN (SELECT sg FROM shared)
+            GROUP BY doc_id
+        """,
+        "decontaminate_documents": f"""
+            WITH sh AS ({_sql_shingles(8)}),
+            bench AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 53 = 1),
+            hits AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh
+                WHERE sg IN (SELECT sg FROM bench) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS contaminated,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
     }
