@@ -2,14 +2,19 @@
 
 - ``brute_force_topk``: exact cosine top-k — the query matrix is
   broadcast once (``ray.put``), each batch does one numpy matmul
-  against it; per-batch local top-k partials are merged driver-side
-  (k * n_queries rows — tiny), so the corpus streams and nothing
-  all-to-all shuffles.
-- ``ivf_topk``: IVF-style scale path — k-means coarse centroids
-  (trained on a sample), corpus bucketed by nearest centroid
-  (groupby), queries probe only ``nprobe`` nearest buckets. Exactness
-  is traded for touch-set size; recall measured vs brute force in
-  tests.
+  against it; per-batch local top-k partials merge DISTRIBUTED through
+  ``relational.grouped_topk`` (combiner keeps k rows per query per
+  batch, one small hash shuffle), so the corpus streams and the driver
+  only ever sees the final nq x k rows.
+- ``ivf_build`` / ``ivf_probe``: IVF scale path — k-means coarse
+  centroids (trained on a sample), the corpus written ONCE as a
+  hive-partitioned ``bucket=<c>/`` layout keyed by nearest centroid;
+  a probe lists and reads ONLY the ``nprobe`` bucket directories
+  nearest each query, so a query touches ~nprobe/n_clusters of the
+  files — pruning at the directory level, before any task schedules.
+- ``ivf_topk``: convenience wrapper (build-if-absent + probe); recall
+  measured vs brute force in tests, bucket pruning witnessed by the
+  returned stats.
 """
 
 from __future__ import annotations
@@ -23,6 +28,44 @@ import ray.data
 
 def _normalize(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+
+def _topk_merge(
+    partials: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    k: int,
+    *,
+    ascending: bool = False,
+    rank_base: int = 0,
+) -> pd.DataFrame:
+    """Distributed final merge of per-batch top-k partials: the
+    ``relational.grouped_topk`` combiner shuffles at most k rows per
+    (query, batch), the per-query final runs inside the groupby, and
+    the driver receives only nq * k rows — O(n_blocks) partials never
+    concatenate driver-side."""
+    from engine.ops import relational
+
+    merged = relational.grouped_topk(
+        partials, group_col, score_col, k, tie_col=id_col,
+        rank_as=None, ascending=ascending,
+    ).to_pandas()
+    if merged.empty or group_col not in merged.columns:
+        return pd.DataFrame(
+            {group_col: pd.Series(dtype=np.int64),
+             "rank": pd.Series(dtype=np.int32),
+             id_col: pd.Series(dtype=object),
+             score_col: pd.Series(dtype=np.float64)}
+        )
+    merged = merged.sort_values(
+        [group_col, score_col, id_col],
+        ascending=[True, ascending, True], kind="stable", ignore_index=True,
+    )
+    merged["rank"] = (
+        merged.groupby(group_col).cumcount() + rank_base
+    ).astype(np.int32)
+    return merged[[group_col, "rank", id_col, score_col]]
 
 
 def brute_force_topk(
@@ -45,32 +88,20 @@ def brute_force_topk(
             v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
             ids = batch[id_col].to_numpy()
             sim = self.q @ v.T  # (nq, nb)
+            nq = sim.shape[0]
             kk = min(k, sim.shape[1])
-            # local top-k partials per query
+            # vectorized local top-k partials: one frame, no per-query loop
             part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-            rows = []
-            for qi in range(sim.shape[0]):
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_ix": qi,
-                            "vec_id": ids[part[qi]],
-                            "cos": sim[qi, part[qi]],
-                        }
-                    )
-                )
-            return pd.concat(rows, ignore_index=True)
+            return pd.DataFrame(
+                {
+                    "query_ix": np.repeat(np.arange(nq, dtype=np.int64), kk),
+                    "vec_id": ids[part.ravel()],
+                    "cos": np.take_along_axis(sim, part, axis=1).ravel(),
+                }
+            )
 
-    partials = corpus.map_batches(
-        Score, batch_format="pandas", concurrency=(1, 8)
-    ).to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_ix"):
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int32)
-        out.append(g)
-    res = pd.concat(out, ignore_index=True)[["query_ix", "rank", "vec_id", "cos"]]
+    partials = corpus.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+    res = _topk_merge(partials, "query_ix", "cos", "vec_id", k)
     res["cos"] = np.round(res["cos"], 6)
     return res
 
@@ -90,46 +121,120 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int =
     return cent
 
 
-def ivf_topk(
+def ivf_build(
     corpus: ray.data.Dataset,
-    queries: np.ndarray,
+    index_dir: str,
     *,
-    k: int = 10,
     n_clusters: int = 16,
-    nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_sample: int = 2048,
     seed: int = 42,
-) -> pd.DataFrame:
-    """IVF-bucketed approximate top-k (the 100TB-scale path).
+) -> np.ndarray:
+    """Materialize the corpus as an IVF layout: k-means coarse
+    centroids fit once on a driver-side sample, then every row is
+    written under ``bucket=<argmax-centroid>/`` (hive partitioning) in
+    ONE streaming pass — the partitioning is paid at write time, so
+    every later probe reads only its ``nprobe`` directories instead of
+    re-scanning the corpus (the round-1 full-scan-per-query defect).
+    Centroids persist beside the data (``_centroids.npy``). The build
+    is atomic: written to a sibling temp dir, ``os.rename``d into
+    place, so a crashed build never leaves a half-index a probe could
+    trust. Returns the centroid matrix."""
+    import json
+    import os
+    import shutil
 
-    Centroids trained once on a driver-side sample and broadcast; the
-    corpus is scored ONLY in the ``nprobe`` buckets nearest each query.
-    At cluster scale the bucket assignment becomes the partition key of
-    a pre-bucketed corpus layout, so a query touches nprobe/n_clusters
-    of the data.
-    """
     sample = np.stack(
         corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
     )
     cent = kmeans_fit(sample, n_clusters, seed=seed)
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    q_buckets = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     cent_ref = ray.put(cent)
-    probe_ref = ray.put(q_buckets)
-    q_ref = ray.put(q)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        c = cached_get(cent_ref)
+        v = _normalize(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+        b = b.copy()
+        bk = np.argmax(v @ c.T, axis=1).astype(np.int32)
+        b["bucket"] = bk   # hive partition key (moves into the path)
+        b["bkt"] = bk      # plain column twin (survives in the files)
+        return b
+
+    tmp = index_dir.rstrip("/") + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    corpus.map_batches(assign, batch_format="pandas").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    np.save(os.path.join(tmp, "_centroids.npy"), cent)
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump({"n_clusters": int(n_clusters), "vec_col": vec_col,
+                   "id_col": id_col, "seed": seed}, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp, index_dir)
+    return cent
+
+
+def ivf_probe(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[pd.DataFrame, dict]:
+    """Query an ``ivf_build`` layout: per query the ``nprobe`` nearest
+    centroid buckets are chosen, ONLY those ``bucket=<c>/`` directories
+    are listed and read (directory-level pruning — unprobed files never
+    reach a read task), each batch scores only the queries probing its
+    bucket, and partials merge distributed (``_topk_merge``). Returns
+    (DataFrame(query_ix, rank, vec_id, cos), stats) where stats
+    witnesses the pruning: ``buckets_read`` / ``n_buckets_total`` and
+    the exact probed bucket ids."""
+    import json
+    import os
+
+    cent = np.load(os.path.join(index_dir, "_centroids.npy"))
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(cent))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    import glob
+
+    wanted = sorted(set(int(b) for b in probe.ravel()))
+    dirs = [os.path.join(index_dir, f"bucket={b}") for b in wanted]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    # expand to the leaf files (read_parquet wants files when given a
+    # list); listing stays per-probed-dir — unprobed dirs never listed
+    files = [f for d in dirs for f in sorted(glob.glob(f"{d}/*.parquet"))]
+    stats = {
+        "n_buckets_total": int(meta["n_clusters"]),
+        "buckets_read": len(dirs),
+        "probed_buckets": wanted,
+    }
+    if not files:
+        return (
+            pd.DataFrame(
+                {"query_ix": pd.Series(dtype=np.int64),
+                 "rank": pd.Series(dtype=np.int32),
+                 "vec_id": pd.Series(dtype=object),
+                 "cos": pd.Series(dtype=np.float64)}
+            ),
+            stats,
+        )
+    probe_ref = ray.put((q, probe))
 
     class Score:
         def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.q = ray.get(q_ref)
-            self.probe = ray.get(probe_ref)
+            self.q, self.probe = ray.get(probe_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
             ids = batch[id_col].to_numpy()
-            vb = np.argmax(v @ self.cent.T, axis=1)  # corpus bucket
+            vb = batch["bkt"].to_numpy()
             rows = []
             for qi in range(len(self.q)):
                 m = np.isin(vb, self.probe[qi])
@@ -140,7 +245,8 @@ def ivf_topk(
                 part = np.argpartition(-sim, kk - 1)[:kk]
                 rows.append(
                     pd.DataFrame(
-                        {"query_ix": qi, "vec_id": ids[m][part], "cos": sim[part]}
+                        {"query_ix": np.int64(qi), "vec_id": ids[m][part],
+                         "cos": sim[part]}
                     )
                 )
             if not rows:
@@ -151,20 +257,56 @@ def ivf_topk(
                 )
             return pd.concat(rows, ignore_index=True)
 
-    partials = corpus.map_batches(
-        Score, batch_format="pandas", concurrency=(1, 8)
-    ).to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_ix"):
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int32)
-        out.append(g)
-    if not out:
-        return pd.DataFrame(columns=["query_ix", "rank", "vec_id", "cos"])
-    res = pd.concat(out, ignore_index=True)[["query_ix", "rank", "vec_id", "cos"]]
+    partials = ray.data.read_parquet(
+        files, columns=[id_col, vec_col, "bkt"]
+    ).map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+    res = _topk_merge(partials, "query_ix", "cos", "vec_id", k)
     res["cos"] = np.round(res["cos"], 6)
-    return res
+    return res, stats
+
+
+def ivf_topk(
+    corpus: ray.data.Dataset | None,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 2048,
+    seed: int = 42,
+    index_dir: str | None = None,
+) -> pd.DataFrame:
+    """IVF approximate top-k over a pre-bucketed layout (build-if-
+    absent + probe). With ``index_dir`` set and already built, the
+    corpus is NOT rescanned — only the probed bucket dirs are read;
+    without it a throwaway index is built under /tmp and removed (the
+    fixture-scale convenience path). Result rows are identical to the
+    old in-stream filter (the probed row set is exactly the rows whose
+    argmax-centroid bucket is probed)."""
+    import os
+    import shutil
+    import tempfile
+
+    ephemeral = index_dir is None
+    if ephemeral:
+        index_dir = tempfile.mkdtemp(prefix="ivf-") + "/index"
+    try:
+        if not os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+            assert corpus is not None, "no index at index_dir and no corpus"
+            ivf_build(
+                corpus, index_dir, n_clusters=n_clusters, vec_col=vec_col,
+                id_col=id_col, train_sample=train_sample, seed=seed,
+            )
+        res, _stats = ivf_probe(
+            index_dir, queries, k=k, nprobe=nprobe,
+            vec_col=vec_col, id_col=id_col,
+        )
+        return res
+    finally:
+        if ephemeral:
+            shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
 
 
 def kmeans_assign(
@@ -371,11 +513,7 @@ def pq_topk(
             out["adist"].extend(dist[take])
         return pd.DataFrame(out)
 
-    parts = corpus.map_batches(score, batch_format="pandas").to_pandas()
-    rows = []
-    for qi, g in parts.groupby("qid"):
-        g = g.sort_values(["adist", id_col], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        rows.append(g)
-    return pd.concat(rows, ignore_index=True)[["qid", id_col, "rank", "adist"]]
+    parts = corpus.map_batches(score, batch_format="pandas")
+    res = _topk_merge(parts, "qid", "adist", id_col, k,
+                      ascending=True, rank_base=1)
+    return res[["qid", id_col, "rank", "adist"]]

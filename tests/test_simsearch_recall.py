@@ -55,6 +55,40 @@ def test_brute_force_matches_numpy_oracle(emb_ds):
         assert got == want, (qi, got, want)
 
 
+def test_ivf_bucketed_probe_prunes_dirs(emb_ds, tmp_path):
+    """The IVF scale path is data-skipping: a probe reads ONLY the
+    nprobe bucket directories per query (mirror of the read_key_range /
+    read_rect zone-map pruning tests), and the pre-built-index result
+    equals the build-and-probe convenience path exactly."""
+    import glob
+
+    import pandas as pd
+
+    from engine.ops import simsearch
+
+    idx = str(tmp_path / "ivf")
+    simsearch.ivf_build(emb_ds, idx, n_clusters=16)
+    n_dirs = len(glob.glob(f"{idx}/bucket=*"))
+    assert n_dirs > 4  # enough buckets for pruning to mean something
+    qdf = emb_ds.sort("vec_id").limit(4).to_pandas()
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    res, stats = simsearch.ivf_probe(idx, q, k=10, nprobe=2)
+    # <= nq * nprobe distinct buckets opened, strictly less than total
+    assert stats["buckets_read"] <= 8
+    assert stats["buckets_read"] < stats["n_buckets_total"] == 16
+    # every probed bucket is one of the declared nprobe-nearest ids
+    assert all(0 <= b < 16 for b in stats["probed_buckets"])
+    # parity: same centroids (same seed/sample) => identical result
+    res2 = simsearch.ivf_topk(emb_ds, q, k=10, n_clusters=16, nprobe=2)
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True), res2.reset_index(drop=True)
+    )
+    # the self-vector still ranks first for its own query
+    for qi, vid in enumerate(qdf["vec_id"]):
+        got = res[(res["query_ix"] == qi) & (res["rank"] == 0)]
+        assert len(got) == 1 and got["vec_id"].iloc[0] == vid
+
+
 def test_pq_topk_recall_beats_random(ray_session):
     import ray.data
 
