@@ -104,6 +104,177 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+_MH_STATE: dict[tuple, MinHasher] = {}
+
+
+def _sign_and_band_fn(num_perm: int, bands: int, shingle_k: int):
+    """Batch fn: signatures + banding in one vectorized stage (hash
+    family cached per worker process — no actor spawn for tiny state).
+    Emits (bucket, doc_id) rows, one per (doc, band); the bucket key
+    folds (band index, band hash) into one int64."""
+    rows_per_band = num_perm // bands
+
+    def sign_and_band(batch: pd.DataFrame) -> pd.DataFrame:
+        key = (num_perm, shingle_k)
+        mh = _MH_STATE.get(key)
+        if mh is None:
+            mh = _MH_STATE[key] = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        n = len(batch)
+        sig = np.stack([mh.signature(s) for s in batch["text"].astype(str)])
+        s = sig.reshape(n, bands, rows_per_band)
+        bh = (s * np.arange(1, rows_per_band + 1)).sum(axis=2) % _M61
+        bucket = (bh.astype(np.int64) ^ (np.arange(bands, dtype=np.int64) << 56)).ravel()
+        return pd.DataFrame(
+            {"bucket": bucket, "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands)}
+        )
+
+    return sign_and_band
+
+
+def _add_shard256(b: pd.DataFrame) -> pd.DataFrame:
+    """Shard buckets so the pair-gen groupby sees ~256 groups, not one
+    per bucket (per-group pandas overhead dominates at 10^4+ buckets);
+    within a shard the per-bucket pairing is vectorized."""
+    b["shard"] = (b["bucket"].to_numpy() % 256).astype(np.int32)
+    return b
+
+
+def _pairs_sharded(g: pd.DataFrame) -> pd.DataFrame:
+    """All same-bucket (a < b) candidate pairs of one shard, via one
+    sorted pass + triu indices per bucket run."""
+    d = g.sort_values(["bucket", "doc_id"], kind="stable")
+    bk = d["bucket"].to_numpy()
+    ids = d["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+    ends = np.r_[starts[1:], len(bk)]
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        a, b = np.triu_indices(e - s, k=1)
+        out_a.append(ids[s + a])
+        out_b.append(ids[s + b])
+    if not out_a:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+        )
+    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+
+def minhash_lsh_dedup_ds(
+    docs: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-dup clustering, finalized DISTRIBUTED ->
+    Dataset(doc_id, cluster_id). No driver-side O(corpus) structure
+    anywhere: candidate pairs stay a Dataset, texts reach the verify
+    stage through two hash equi-joins (co-shuffle — each candidate
+    pair row picks up its two texts in the join, the corpus itself is
+    never broadcast or materialized), and components come from
+    ``connected_components_distributed`` (iterated min-label
+    propagation) instead of a Python union-find. The driver holds only
+    the component label map (O(docs incident to a verified dup edge) —
+    the dup set, not the corpus), broadcast once for the final
+    labeling pass.
+
+    Pipeline: signatures -> (band, band-hash) buckets -> sharded pair
+    generation -> distributed distinct -> join texts (x2) -> vectorized
+    per-batch Jaccard verify -> distributed CC -> label attach.
+    cluster_id = min doc_id of the verified component; singletons label
+    themselves — identical semantics to the round-1 union-find path."""
+    from engine.ops import relational
+
+    banded = docs.map_batches(
+        _sign_and_band_fn(num_perm, bands, shingle_k), batch_format="pandas"
+    ).map_batches(_add_shard256, batch_format="pandas")
+    cand = banded.groupby("shard").map_groups(
+        _pairs_sharded, batch_format="pandas"
+    )
+    cand = relational.distinct(cand, ["a", "b"]).materialize()
+    if cand.count() == 0:
+        # no candidates at all (e.g. single-doc corpus): every doc is a
+        # singleton; skip the join path (all-empty blocks lose schema)
+        def self_label(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["doc_id"].to_numpy()
+            return pd.DataFrame({"doc_id": ids,
+                                 "cluster_id": ids.astype(np.int64)})
+
+        return docs.select_columns(["doc_id"]).map_batches(
+            self_label, batch_format="pandas"
+        )
+
+    # co-shuffle verify: two equi-joins route each pair row to its two
+    # texts; a doc's text moves once per candidate pair it appears in —
+    # bounded by the (rare) candidate volume, never the corpus
+    def _as_side(side: str, text_col: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[["doc_id", "text"]].rename(
+                columns={"doc_id": side, "text": text_col}
+            )
+        return f
+
+    # (map_batches rename: Dataset.rename_columns breaks on pandas blocks)
+    docs_a = docs.map_batches(_as_side("a", "__text_a"), batch_format="pandas")
+    docs_b = docs.map_batches(_as_side("b", "__text_b"), batch_format="pandas")
+    j = cand.join(docs_a, join_type="inner",
+                  num_partitions=num_partitions, on=("a",))
+    j = j.join(docs_b, join_type="inner",
+               num_partitions=num_partitions, on=("b",))
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "a" not in b.columns:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        # shingle sets once per unique text in the batch, then cheap
+        # set intersections per pair
+        cache: dict[str, set] = {}
+
+        def sset(t: str) -> set:
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = set(_shingles(t, shingle_k).tolist())
+            return s
+
+        keep = np.empty(len(b), dtype=bool)
+        for i, (ta, tb) in enumerate(zip(b["__text_a"].astype(str),
+                                         b["__text_b"].astype(str))):
+            sa, sb = sset(ta), sset(tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            keep[i] = (inter / union if union else 1.0) >= threshold
+        return b.loc[keep, ["a", "b"]].astype(np.int64)
+
+    edges = j.map_batches(verify, batch_format="pandas").materialize()
+    if edges.count() > 0:
+        labels = connected_components_distributed(edges)
+        label_map = dict(zip(labels["node"].astype(np.int64),
+                             labels["label"].astype(np.int64)))
+    else:
+        label_map = {}
+    lab_ref = ray.put(label_map)
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        lab = cached_get(lab_ref)
+        ids = b["doc_id"].to_numpy()
+        if lab:
+            cl = np.fromiter((lab.get(int(i), int(i)) for i in ids),
+                             np.int64, len(ids))
+        else:
+            cl = ids.astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "cluster_id": cl})
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        attach, batch_format="pandas"
+    )
+
+
 def minhash_lsh_dedup(
     docs: ray.data.Dataset,
     *,
@@ -111,130 +282,18 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     shingle_k: int = 5,
-    text_lookup: dict[int, str] | None = None,
 ) -> pd.DataFrame:
-    """MinHash+LSH near-dup clustering -> DataFrame(doc_id, cluster_id).
-
-    Pipeline: signatures (actor pool) -> explode to (band, band_hash,
-    doc_id) rows -> groupby band bucket -> candidate pairs -> verify
-    n-gram Jaccard >= threshold -> connected components by iterated
-    min-label propagation (pairs are few; propagation runs driver-side
-    on the candidate edge list — documented small-result assumption).
-    ``text_lookup`` (doc_id -> text) is broadcast for verification.
-    """
-    rows_per_band = num_perm // bands
-    _state: dict[tuple, MinHasher] = {}
-
-    def sign_and_band(batch: pd.DataFrame) -> pd.DataFrame:
-        """signatures + banding in one vectorized stage (cached hash
-        family per worker process — no actor spawn for a tiny state)."""
-        key = (num_perm, shingle_k)
-        mh = _state.get(key)
-        if mh is None:
-            mh = _state[key] = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
-        n = len(batch)
-        sig = np.stack([mh.signature(s) for s in batch["text"].astype(str)])
-        s = sig.reshape(n, bands, rows_per_band)
-        bh = (s * np.arange(1, rows_per_band + 1)).sum(axis=2) % _M61
-        # one int64 bucket key folding (band index, band hash)
-        bucket = (bh.astype(np.int64) ^ (np.arange(bands, dtype=np.int64) << 56)).ravel()
-        return pd.DataFrame(
-            {
-                "bucket": bucket,
-                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-            }
-        )
-
-    # shard buckets so the pair-gen groupby sees ~256 groups, not one
-    # per bucket (per-group pandas overhead dominates at 10^4+ buckets);
-    # within a shard the per-bucket pairing is vectorized over sorted arrays
-    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
-        b["shard"] = (b["bucket"].to_numpy() % 256).astype(np.int32)
-        return b
-
-    banded = docs.map_batches(sign_and_band, batch_format="pandas").map_batches(
-        add_shard, batch_format="pandas"
-    )
-
-    def pairs_sharded(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.sort_values(["bucket", "doc_id"], kind="stable")
-        bk = d["bucket"].to_numpy()
-        ids = d["doc_id"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        ends = np.r_[starts[1:], len(bk)]
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            a, b = np.triu_indices(m, k=1)
-            out_a.append(ids[s + a])
-            out_b.append(ids[s + b])
-        if not out_a:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
-            )
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-        )
-
-    cand = banded.groupby("shard").map_groups(pairs_sharded, batch_format="pandas")
-    cand_pd = cand.to_pandas().drop_duplicates()
-    if "a" not in cand_pd.columns:  # all-empty blocks lose the schema
-        cand_pd = pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                "b": pd.Series(dtype=np.int64)})
-    # verify candidates: fetch ONLY candidate texts (small set) with a
-    # distributed membership filter — never materialize the corpus
-    if len(cand_pd) and text_lookup is None:
-        cand_ids = np.union1d(cand_pd["a"].to_numpy(), cand_pd["b"].to_numpy())
-        id_set_ref = ray.put(set(int(x) for x in cand_ids))
-
-        def only_candidates(b: pd.DataFrame) -> pd.DataFrame:
-            from engine.state import cached_get
-
-            ids = cached_get(id_set_ref)
-            return b[b["doc_id"].isin(ids)]
-
-        cand_texts = docs.map_batches(
-            only_candidates, batch_format="pandas"
-        ).to_pandas()
-        text_lookup = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
-    if text_lookup is not None and len(cand_pd):
-        # shingle sets computed ONCE per candidate doc, then cheap set
-        # intersections per pair (the naive per-pair recompute was the
-        # dominant cost: 2 shingle passes x |pairs|)
-        sets = {
-            did: set(_shingles(text_lookup[did], shingle_k).tolist())
-            for did in set(cand_pd["a"]).union(cand_pd["b"])
-        }
-        keep = []
-        for a, b in zip(cand_pd["a"], cand_pd["b"]):
-            sa, sb = sets[a], sets[b]
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            keep.append((inter / union if union else 1.0) >= threshold)
-        cand_pd = cand_pd[np.asarray(keep, dtype=bool)]
-    # connected components via min-label propagation on the edge list
-    # (ids only — the text column never reaches the driver)
-    _idf = docs.select_columns(["doc_id"]).to_pandas()
-    all_ids = (_idf["doc_id"].to_numpy() if "doc_id" in _idf.columns
-               else np.empty(0, dtype=np.int64))
-    label = {int(i): int(i) for i in all_ids}
-
-    def find(x: int) -> int:
-        while label[x] != x:
-            label[x] = label[label[x]]
-            x = label[x]
-        return x
-
-    for a, b in zip(cand_pd["a"], cand_pd["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            label[hi] = lo
-    out = pd.DataFrame(
-        {"doc_id": all_ids, "cluster_id": [find(int(i)) for i in all_ids]}
-    )
+    """Fixture-scale convenience wrapper over ``minhash_lsh_dedup_ds``:
+    same distributed plan, collected and sorted at the end (the output
+    is O(corpus) rows by definition; at cluster scale consume the
+    Dataset form with ``write_parquet`` instead)."""
+    out = minhash_lsh_dedup_ds(
+        docs, num_perm=num_perm, bands=bands,
+        threshold=threshold, shingle_k=shingle_k,
+    ).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "cluster_id": pd.Series(dtype=np.int64)})
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -299,50 +358,13 @@ def ngram_jaccard_pairs(
     explicitly to trade recall against candidate volume."""
     if bands is None:
         bands, _ = lsh_params_recall(num_perm, threshold)
-    rows_per_band = num_perm // bands
-    _state: dict[tuple, MinHasher] = {}
-
-    def sign_and_band(batch: pd.DataFrame) -> pd.DataFrame:
-        key = (num_perm, shingle_k)
-        mh = _state.get(key)
-        if mh is None:
-            mh = _state[key] = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
-        n = len(batch)
-        sig = np.stack([mh.signature(s) for s in batch["text"].astype(str)])
-        s = sig.reshape(n, bands, rows_per_band)
-        bh = (s * np.arange(1, rows_per_band + 1)).sum(axis=2) % _M61
-        bucket = (bh.astype(np.int64) ^ (np.arange(bands, dtype=np.int64) << 56)).ravel()
-        return pd.DataFrame(
-            {"bucket": bucket, "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands)}
-        )
-
-    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
-        b["shard"] = (b["bucket"].to_numpy() % 256).astype(np.int32)
-        return b
-
-    def pairs_sharded(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.sort_values(["bucket", "doc_id"], kind="stable")
-        bk, ids = d["bucket"].to_numpy(), d["doc_id"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        ends = np.r_[starts[1:], len(bk)]
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            a, b = np.triu_indices(e - s, k=1)
-            out_a.append(ids[s + a])
-            out_b.append(ids[s + b])
-        if not out_a:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
-            )
-        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
     cand_pd = (
-        docs.map_batches(sign_and_band, batch_format="pandas")
-        .map_batches(add_shard, batch_format="pandas")
+        docs.map_batches(_sign_and_band_fn(num_perm, bands, shingle_k),
+                         batch_format="pandas")
+        .map_batches(_add_shard256, batch_format="pandas")
         .groupby("shard")
-        .map_groups(pairs_sharded, batch_format="pandas")
+        .map_groups(_pairs_sharded, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
