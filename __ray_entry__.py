@@ -1091,6 +1091,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
         return j.select_columns(["image_id", "admin_id", "level", "is_primary"])
 
+    def geo_pip_join_from_osm_xml(sf_dir: str):
+        # the reference's phase-1 OSM ingest seam: polygons arrive as
+        # OSM XML (nodes/ways/boundary relations), parsed by the
+        # streaming read_osm_xml source; join rows equal geo_pip_join
+        # exactly (pytest-verified roundtrip)
+        from engine.io import read_osm_xml
+
+        xml_dir = _cached_dir(
+            "/tmp/graft_osm_xml_fixture",
+            lambda d: fixtures.polygons_to_osm_xml(
+                fixtures.polygons(), os.path.join(d, "fixture.osm.xml")
+            ),
+        )
+        poly = read_osm_xml(os.path.join(xml_dir, "fixture.osm.xml"))
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        j = join.run_pip_join(idx, poly, concurrency=(1, 4))
+        return j.select_columns(["image_id", "admin_id", "level", "is_primary"])
+
     def geo_knn(sf_dir: str):
         from engine.pipeline.flagship import _poly_centroids
 
@@ -1230,6 +1248,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _geo_indexed(columns=["image_id", "caption"])
         j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
         return geo_ops.area_tag_stats(j, fixtures.articles(_GEO_N))
+
+    def geo_area_export_rows(sf_dir: str):
+        # reference phase-3 export content [PK]: one row per (admin
+        # area, untagged geolocated article) — the rows behind the
+        # per-area GPX/CSV files editors download
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        return geo_ops.untagged_by_area(
+            idx, fixtures.articles(_GEO_N), fixtures.polygons()
+        )
+
+    def geo_area_export_files(sf_dir: str):
+        # GPX + per-area CSV sinks over the export rows (distributed
+        # per-area write, atomic, byte-deterministic); returns the two
+        # write manifests — crc32 doubles as the idempotency witness
+        import ray.data as rd
+
+        from engine import sinks
+
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        rows = geo_ops.untagged_by_area(
+            idx, fixtures.articles(_GEO_N), fixtures.polygons()
+        )
+        ds = rd.from_pandas(rows)
+        g = sinks.write_gpx_per_area(
+            ds, "/tmp/graft_export_gpx", area_col="admin_id",
+            name_col="title_canon",
+        )
+        c = sinks.write_csv_per_area(
+            ds, "/tmp/graft_export_csv", area_col="admin_id",
+            columns=["article_id", "title_canon", "theme", "lon", "lat"],
+            sort_by=["article_id"],
+        )
+        g, c = g.assign(kind="gpx"), c.assign(kind="csv")
+        out = pd.concat([g, c], ignore_index=True)
+        return out[["kind", "area", "n_rows", "crc32"]].sort_values(
+            ["kind", "area"], ignore_index=True
+        )
 
     def geo_phash_near_dups(sf_dir: str):
         from engine.io import read_images
@@ -2054,6 +2109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_to_shards_pipeline": corpus_to_shards_pipeline,
         "prepare_image_corpus_pipeline": prepare_image_corpus_pipeline,
         "geo_pip_join": geo_pip_join,
+        "geo_pip_join_from_osm_xml": geo_pip_join_from_osm_xml,
         "geo_knn": geo_knn,
         "geo_self_knn": geo_self_knn,
         "geo_tile_assignments": geo_tile_assignments,
@@ -2072,6 +2128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_boundary_masks": geo_tile_boundary_masks,
         "geo_vector_tiles_simplified": geo_vector_tiles_simplified,
         "geo_area_tag_stats": geo_area_tag_stats,
+        "geo_area_export_rows": geo_area_export_rows,
+        "geo_area_export_files": geo_area_export_files,
         "geo_phash_near_dups": geo_phash_near_dups,
         "geo_dedup_phash": geo_dedup_phash,
         "image_features": image_features,

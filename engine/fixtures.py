@@ -351,3 +351,63 @@ def articles(n_images: int = 1500, extra: int = 200) -> "pd.DataFrame":
     df["lon"] = LON0 + LON_SPAN * _uniform(j, 5)
     df["lat"] = LAT0 + LAT_SPAN * _uniform(j, 6)
     return df[["article_id", "title_canon", "theme", "lon", "lat"]]
+
+
+# ------------------------------------------------------------------ OSM XML
+
+def polygons_to_osm_xml(poly: dict, path: str) -> None:
+    """Serialize the polygons fixture as OSM XML (the reference's
+    phase-1 input format [PK]: admin boundaries arrive as nodes /
+    ways / type=boundary relations). Deterministic: node/way ids are
+    sequential in fixture order, coordinates printed at 9 decimals.
+    ``engine.io.read_osm_xml`` parses it back; roundtrip equality is
+    pytest-verified (closing the reference's OSM-ingest seam without
+    network access)."""
+    import os
+    from xml.sax.saxutils import quoteattr
+
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<osm version="0.6" generator="ray-geo-engine-fixture">']
+    node_id = 0
+    way_id = 0
+    ways: list[str] = []
+    rels: list[str] = []
+    n = len(poly["admin_id"])
+    for i in range(n):
+        ring_ways = []  # (role, way_id)
+        rings = [("outer", poly["ring_lon"][i], poly["ring_lat"][i])]
+        for hx, hy in (poly.get("holes") or [[] for _ in range(n)])[i]:
+            rings.append(("inner", hx, hy))
+        for role, xs, ys in rings:
+            way_id += 1
+            refs = []
+            for x, y in zip(xs, ys):
+                node_id += 1
+                lines.append(
+                    f'  <node id="{node_id}" lat="{y:.9f}" lon="{x:.9f}"/>'
+                )
+                refs.append(node_id)
+            refs.append(refs[0])  # closed ring
+            nd = "".join(f'<nd ref="{r}"/>' for r in refs)
+            ways.append(f'  <way id="{way_id}">{nd}</way>')
+            ring_ways.append((role, way_id))
+        members = "".join(
+            f'<member type="way" ref="{w}" role="{role}"/>'
+            for role, w in ring_ways
+        )
+        tags = (
+            '<tag k="type" v="boundary"/>'
+            '<tag k="boundary" v="administrative"/>'
+            f'<tag k="admin_level" v="{int(poly["level"][i])}"/>'
+            f'<tag k="name" v={quoteattr(str(poly["name"][i]))}/>'
+            f'<tag k="ref" v={quoteattr(str(poly["admin_id"][i]))}/>'
+            f'<tag k="parent_ref" v={quoteattr(str(poly["parent_id"][i]))}/>'
+        )
+        rels.append(f'  <relation id="{i + 1}">{members}{tags}</relation>')
+    lines.extend(ways)
+    lines.extend(rels)
+    lines.append("</osm>")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)

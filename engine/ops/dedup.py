@@ -208,6 +208,12 @@ def minhash_lsh_dedup_ds(
             self_label, batch_format="pandas"
         )
 
+    # join fan-out sized to the candidate volume (same rule as
+    # connected_components_distributed): every extra hash-shuffle
+    # partition is aggregator-actor overhead, pure waste at small n
+    num_partitions = int(min(num_partitions,
+                             max(2, cand.count() // 200_000 + 1)))
+
     # co-shuffle verify: two equi-joins route each pair row to its two
     # texts; a doc's text moves once per candidate pair it appears in —
     # bounded by the (rare) candidate volume, never the corpus

@@ -240,6 +240,36 @@ def articles_untagged(
     return out.sort_values("article_id", ignore_index=True)
 
 
+def untagged_by_area(
+    indexed: ray.data.Dataset, articles: pd.DataFrame, poly: dict
+) -> pd.DataFrame:
+    """Per-area "articles still to tag" rows — the content of the
+    reference's per-area GPX/CSV exports (phase 3 [PK], SURVEY §1.1
+    S6): every untagged article (anti-join vs canonical captions,
+    ``articles_untagged``) is located into EACH containing admin
+    polygon with the same PIP kernel as the image join, one row per
+    (admin area, article). The distinct-caption aggregation is
+    distributed; the PIP of the small article table runs driver-side
+    (same documented small-side assumption as ``articles_untagged``).
+    Feed the result to ``engine.sinks.write_gpx_per_area`` /
+    ``write_csv_per_area`` keyed on admin_id."""
+    from engine.pipeline.join import build_polygon_set
+
+    un = articles_untagged(indexed, articles)
+    polys = build_polygon_set(poly)
+    p_idx, g_idx = polys.contains_pairs(
+        un["lon"].to_numpy(dtype=np.float64),
+        un["lat"].to_numpy(dtype=np.float64),
+    )
+    out = un.iloc[p_idx].reset_index(drop=True)
+    out["admin_id"] = polys.admin_ids[g_idx]
+    out["level"] = polys.levels[g_idx].astype(np.int32)
+    return out[
+        ["admin_id", "level", "article_id", "title_canon", "theme",
+         "lon", "lat"]
+    ].sort_values(["admin_id", "article_id"], ignore_index=True)
+
+
 def area_tag_stats(
     joined: ray.data.Dataset, articles: pd.DataFrame
 ) -> pd.DataFrame:

@@ -1,0 +1,139 @@
+"""Report/export sinks — the reference's phase-3 outputs re-expressed
+as distributed datasinks (public knowledge of simone-f/
+wikipedia-tags-in-osm [PK]: it writes GPX waypoint files of articles
+still to tag and per-area CSV lists for editors; SURVEY.md §1.1 S6).
+
+Both sinks follow the same plan: ``groupby(area).map_groups`` routes
+every area's rows to ONE task, the task renders the file (rows sorted
+— byte-deterministic), writes it atomically (tmp + ``os.rename``) and
+emits a manifest row. Re-runs are idempotent: same input, same bytes,
+same crc. At 100 TB the per-area fan-out is the partitioning — each
+file is owned by exactly one task and a resumed run can skip areas
+whose manifest row already exists.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from xml.sax.saxutils import escape
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+_GPX_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<gpx version="1.1" creator="ray-geo-engine" '
+    'xmlns="http://www.topografix.com/GPX/1/1">\n'
+)
+
+
+def gpx_document(
+    rows: pd.DataFrame, *, name_col: str, lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> str:
+    """Render waypoint rows as a GPX 1.1 document (deterministic: rows
+    sorted by name then lat/lon; coordinates fixed to 7 decimals —
+    ~1 cm, the GPX-community convention)."""
+    rows = rows.sort_values([name_col, lat_col, lon_col], kind="stable")
+    parts = [_GPX_HEADER]
+    for name, lat, lon in zip(rows[name_col].astype(str),
+                              rows[lat_col], rows[lon_col]):
+        parts.append(
+            f'  <wpt lat="{lat:.7f}" lon="{lon:.7f}">'
+            f"<name>{escape(name)}</name></wpt>\n"
+        )
+    parts.append("</gpx>\n")
+    return "".join(parts)
+
+
+def _atomic_write(path: str, data: bytes) -> int:
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return zlib.crc32(data)
+
+
+def _manifest_schema() -> pd.DataFrame:
+    return pd.DataFrame({
+        "area": pd.Series(dtype=object),
+        "path": pd.Series(dtype=object),
+        "n_rows": pd.Series(dtype=np.int64),
+        "crc32": pd.Series(dtype=np.int64),
+    })
+
+
+def write_gpx_per_area(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    area_col: str,
+    name_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> pd.DataFrame:
+    """One GPX waypoint file per area (``<out_dir>/<area>.gpx``),
+    written distributed — each area's rows co-locate in one groupby
+    task that renders and atomically writes its file. Returns the
+    manifest (area, path, n_rows, crc32) sorted by area."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _manifest_schema()
+        area = str(g[area_col].iloc[0])
+        doc = gpx_document(g, name_col=name_col,
+                           lat_col=lat_col, lon_col=lon_col)
+        path = os.path.join(out_dir, f"{area}.gpx")
+        crc = _atomic_write(path, doc.encode("utf-8"))
+        return pd.DataFrame({"area": [area], "path": [path],
+                             "n_rows": [np.int64(len(g))],
+                             "crc32": [np.int64(crc)]})
+
+    out = ds.groupby(area_col).map_groups(
+        write_one, batch_format="pandas"
+    ).to_pandas()
+    if "area" not in out.columns:
+        return _manifest_schema()
+    return out.sort_values("area", ignore_index=True)
+
+
+def write_csv_per_area(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    area_col: str,
+    columns: list[str],
+    sort_by: list[str] | None = None,
+) -> pd.DataFrame:
+    """One CSV file per area (``<out_dir>/<area>.csv``, header +
+    ``columns`` in order, rows sorted — byte-deterministic), written
+    distributed with the same ownership/atomicity rules as the GPX
+    sink. Returns the manifest (area, path, n_rows, crc32)."""
+    os.makedirs(out_dir, exist_ok=True)
+    sort_cols = list(sort_by or columns)
+
+    def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _manifest_schema()
+        area = str(g[area_col].iloc[0])
+        body = (
+            g.sort_values(sort_cols, kind="stable")[columns]
+            .to_csv(index=False, lineterminator="\n")
+        )
+        path = os.path.join(out_dir, f"{area}.csv")
+        crc = _atomic_write(path, body.encode("utf-8"))
+        return pd.DataFrame({"area": [area], "path": [path],
+                             "n_rows": [np.int64(len(g))],
+                             "crc32": [np.int64(crc)]})
+
+    out = ds.groupby(area_col).map_groups(
+        write_one, batch_format="pandas"
+    ).to_pandas()
+    if "area" not in out.columns:
+        return _manifest_schema()
+    return out.sort_values("area", ignore_index=True)

@@ -543,3 +543,55 @@ def test_radius_join_polar_exact(ray_session):
         want = set(zip(pi, qi + 900))
         assert pairs == want, (radius, len(pairs), len(want))
         assert len(got) == len(pairs)
+
+
+def test_osm_xml_roundtrip_equals_fixture(tmp_path):
+    """The OSM-XML source closes the reference's phase-1 ingest seam:
+    polygons serialized as nodes/ways/boundary-relations parse back
+    into the exact fixture shape (ids, levels, parents, rings, holes)."""
+    import numpy as np
+
+    from engine import fixtures
+    from engine.io import read_osm_xml
+
+    poly = fixtures.polygons()
+    path = str(tmp_path / "fixture.osm.xml")
+    fixtures.polygons_to_osm_xml(poly, path)
+    got = read_osm_xml(path)
+    assert list(got["admin_id"]) == list(poly["admin_id"])
+    assert list(got["name"]) == list(poly["name"])
+    assert list(got["level"]) == list(poly["level"])
+    assert list(got["parent_id"]) == list(poly["parent_id"])
+    for i in range(len(poly["admin_id"])):
+        np.testing.assert_allclose(got["ring_lon"][i], poly["ring_lon"][i],
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_allclose(got["ring_lat"][i], poly["ring_lat"][i],
+                                   rtol=0, atol=1e-9)
+        assert len(got["holes"][i]) == len(poly["holes"][i])
+        for (gx, gy), (px, py) in zip(got["holes"][i], poly["holes"][i]):
+            np.testing.assert_allclose(gx, px, rtol=0, atol=1e-9)
+            np.testing.assert_allclose(gy, py, rtol=0, atol=1e-9)
+
+
+def test_pip_join_from_osm_xml_matches_fixture_join(ray_session, tmp_path):
+    """PIP join over XML-ingested polygons equals the synthesized-
+    fixture join row-for-row (9-decimal serialization is ~0.1 mm —
+    no fixture point sits that close to a boundary)."""
+    import __ray_entry__
+
+    from engine import fixtures
+    from engine.io import read_images, read_osm_xml
+    from engine.pipeline import ingest, join
+
+    path = str(tmp_path / "fixture.osm.xml")
+    fixtures.polygons_to_osm_xml(fixtures.polygons(), path)
+    idx = ingest.run_ingest(read_images(
+        __ray_entry__._geo_fixture_dir(), columns=["image_id", "caption"]
+    ))
+    a = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4)) \
+        .select_columns(["image_id", "admin_id", "level", "is_primary"]) \
+        .to_pandas().sort_values(["image_id", "admin_id"], ignore_index=True)
+    b = join.run_pip_join(idx, read_osm_xml(path), concurrency=(1, 4)) \
+        .select_columns(["image_id", "admin_id", "level", "is_primary"]) \
+        .to_pandas().sort_values(["image_id", "admin_id"], ignore_index=True)
+    assert a.equals(b)
