@@ -117,6 +117,25 @@ def run_flagship(
             os.path.join(out_dir, "tile_partials", pid),
         )
 
+    def _list_tile_partials(pdir: str) -> dict:
+        """ONE partition-local listing of the partials this partition
+        wrote, recorded into its manifest row's metrics — the global
+        merge is then lineage-driven instead of a cluster-wide glob
+        (O(files of one partition) metadata per writer, zero listing
+        on the merge driver)."""
+        out: dict = {"shard_files": {}, "files": []}
+        if not os.path.isdir(pdir):
+            return out
+        for entry in sorted(os.listdir(pdir)):
+            p = os.path.join(pdir, entry)
+            if os.path.isdir(p) and entry.startswith("s"):
+                out["shard_files"][entry] = sorted(
+                    f for f in os.listdir(p) if f.endswith(".parquet")
+                )
+            elif entry.endswith(".parquet"):
+                out["files"].append(entry)
+        return out
+
     def run_partition_fused(pid: str, frags: list[str]) -> None:
         import shutil
 
@@ -201,6 +220,7 @@ def run_flagship(
         manifest.write_manifest_row(
             man_dir, partition_id=pid, stage="tile_partials",
             input_fragment_ids=frags, row_count=int(prows), run_id=run_id,
+            metrics=_list_tile_partials(pdir),
         )
         manifest.write_manifest_row(
             man_dir, partition_id=pid, stage="knn", input_fragment_ids=frags,
@@ -264,6 +284,7 @@ def run_flagship(
         manifest.write_manifest_row(
             man_dir, partition_id=pid, stage="tile_partials",
             input_fragment_ids=frags, row_count=_count_rows(pdir), run_id=run_id,
+            metrics=_list_tile_partials(pdir),
         )
         manifest.write_manifest_row(
             man_dir, partition_id=pid, stage="knn", input_fragment_ids=frags,
@@ -298,12 +319,40 @@ def run_flagship(
         import shutil
 
         shutil.rmtree(tdir, ignore_errors=True)  # idempotent remerge
-        sharded = sorted(
-            glob.glob(os.path.join(out_dir, "tile_partials", "*", "s*", "*.parquet"))
-        )
-        pglob = sorted(
-            glob.glob(os.path.join(out_dir, "tile_partials", "*", "*.parquet"))
-        )
+        # lineage-driven listing: each partition's manifest row carries
+        # the exact partial files it wrote (metrics.shard_files/files),
+        # so the merge reads lineage instead of walking the output tree
+        import json as _json
+
+        sharded: list[str] = []
+        pglob: list[str] = []
+        mtab = manifest.read_manifest(man_dir)
+        seen_manifest = set()
+        if mtab.num_rows:
+            for rec in mtab.to_pylist():
+                if (rec["stage"] != "tile_partials"
+                        or rec["status"] != "done"
+                        or rec["partition_id"] not in planned):
+                    continue
+                seen_manifest.add(rec["partition_id"])
+                met = _json.loads(rec["metrics"] or "{}")
+                base = os.path.join(out_dir, "tile_partials",
+                                    rec["partition_id"])
+                for shard, files in sorted(met.get("shard_files", {}).items()):
+                    sharded.extend(os.path.join(base, shard, f) for f in files)
+                pglob.extend(os.path.join(base, f)
+                             for f in met.get("files", []))
+        if seen_manifest != set(planned):
+            # back-compat: manifests predating the metrics listing
+            # (or partial coverage) fall back to the directory walk
+            sharded = sorted(glob.glob(
+                os.path.join(out_dir, "tile_partials", "*", "s*", "*.parquet")
+            ))
+            pglob = sorted(glob.glob(
+                os.path.join(out_dir, "tile_partials", "*", "*.parquet")
+            ))
+        else:
+            sharded, pglob = sorted(sharded), sorted(pglob)
         if sharded:
             # fused path: packs pre-scattered by tile shard; one raw Ray
             # task per shard accumulates + writes its tiles directly
