@@ -103,17 +103,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
         )
 
-        def add_disc(b: pd.DataFrame) -> pd.DataFrame:
-            b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
-            return b
+        def add_disc(t):
+            # zero-copy Arrow elementwise: no pandas conversion on the
+            # wide input (round-1 verdict: the pandas add_disc stage
+            # paid a conversion tax for one multiply)
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-        ds = ds.map_batches(add_disc, batch_format="pandas")
-        out = relational.partial_groupby_sum(
+            disc = pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+            return t.append_column("disc_price", disc)
+
+        out = relational.partial_groupby_sum_arrow(
             ds,
             ["l_returnflag", "l_linestatus"],
             {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
              "disc_price": "sum_disc_price"},
             count_as="count_order",
+            derive=add_disc,
         ).to_pandas()
         out["sum_qty"] = out["sum_qty"].round(4)
         # price sums reach ~2e11 at sf0.1: 4 decimals sits at the edge
@@ -169,12 +178,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
         )
 
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[b["l_discount"] > 0.08].copy()
-            b["revenue"] = (b["l_extendedprice"] * (1 - b["l_discount"])).round(4)
-            return b[["l_orderkey", "l_linenumber", "revenue"]]
+        def f(t):
+            # zero-copy Arrow filter + elementwise (no pandas tax on
+            # the widest table)
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-        return ds.map_batches(f, batch_format="pandas")
+            t = t.filter(pc.greater(t["l_discount"], pa.scalar(0.08)))
+            rev = pc.round(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                ndigits=4,
+            )
+            return t.select(["l_orderkey", "l_linenumber"]).append_column(
+                "revenue", rev
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
 
     def orders_from_csv_by_status(sf_dir: str):
         # format seam (S2 residue): the same rows round-tripped through
@@ -1363,13 +1383,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         )
 
-        def fl(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[b["l_shipdate"] > pd.Timestamp("1995-03-15")].copy()
-            b["rev"] = b["l_extendedprice"] * (1 - b["l_discount"])
-            return b[["l_orderkey", "rev"]]
+        def fl(t):
+            # Arrow-native filter + elementwise on the widest scan
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.greater(
+                t["l_shipdate"], pa.scalar(pd.Timestamp("1995-03-15"))
+            ))
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return t.select(["l_orderkey"]).append_column("rev", rev)
 
         joined = relational.broadcast_hash_join(
-            li.map_batches(fl, batch_format="pandas"), small, on="l_orderkey"
+            li.map_batches(fl, batch_format="pyarrow"), small, on="l_orderkey"
         )
         out = relational.partial_groupby_sum(
             joined, ["l_orderkey", "o_orderdate"], {"rev": "revenue"}
@@ -1585,13 +1612,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li = sf_table(sf_dir, "lineitem",
                       ["l_returnflag", "l_quantity", "l_discount"])
 
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            b["__wx"] = b["l_quantity"] * b["l_discount"]
-            return b[["l_returnflag", "__wx", "l_quantity"]]
+        def derive(t):
+            import pyarrow.compute as pc
 
-        out = relational.partial_groupby_sum(
-            li.map_batches(f, batch_format="pandas"),
-            ["l_returnflag"], {"__wx": "__swx", "l_quantity": "__sw"},
+            return t.append_column(
+                "__wx", pc.multiply(t["l_quantity"], t["l_discount"])
+            )
+
+        out = relational.partial_groupby_sum_arrow(
+            li, ["l_returnflag"], {"__wx": "__swx", "l_quantity": "__sw"},
+            derive=derive,
         ).to_pandas()
         out["wavg_discount"] = (out["__swx"] / out["__sw"]).round(6)
         return out[["l_returnflag", "wavg_discount"]]

@@ -167,6 +167,53 @@ def partial_groupby_sum(
     return out
 
 
+def partial_groupby_sum_arrow(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    count_as: str | None = None,
+    derive=None,
+    final: str = "small",
+) -> ray.data.Dataset:
+    """Arrow-native twin of ``partial_groupby_sum``: the per-batch
+    combiner runs entirely on the zero-copy pyarrow block —
+    ``derive(table) -> table`` optionally appends computed columns
+    with ``pyarrow.compute`` kernels first, then ``Table.group_by``
+    (C++ hash aggregate) emits the partial sums. No Arrow->pandas
+    conversion ever happens on the wide input, only on the tiny
+    partials at the final. Semantics identical to the pandas twin."""
+    import pyarrow as pa
+
+    cnt = count_as or "__count"
+
+    def combine(t: "pa.Table") -> "pa.Table":
+        if derive is not None:
+            t = derive(t)
+        gb = t.group_by(keys, use_threads=False).aggregate(
+            [(col, "sum") for col in sums] + [(keys[0], "count")]
+        )
+        rename = {f"{col}_sum": out for col, out in sums.items()}
+        rename[f"{keys[0]}_count"] = cnt
+        return gb.rename_columns(
+            [rename.get(n, n) for n in gb.column_names]
+        )
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    if final == "small":
+        out = sum_final(partials, keys)
+    else:
+        from ray.data.aggregate import Sum
+
+        aggs = [Sum(out, alias_name=out) for out in sums.values()]
+        aggs.append(Sum(cnt, alias_name=cnt))
+        out = partials.groupby(
+            keys[0] if len(keys) == 1 else keys
+        ).aggregate(*aggs)
+    if count_as is None:
+        out = out.drop_columns([cnt])
+    return out
+
+
 def bloom_semi_join(
     big: ray.data.Dataset,
     keys: ray.data.Dataset,
