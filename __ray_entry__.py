@@ -71,6 +71,56 @@ def _geo_indexed(columns=None):
     return ingest.run_ingest(ds)
 
 
+def _geo_aux_dir() -> str:
+    """Geo fixture SIDE-tables materialized as parquet (articles list,
+    admin-polygon vertices) so the DuckDB oracles read the same inputs
+    the geo queries consume — the oracle then recomputes the TRANSFORM
+    (join / dedup / centroid / radius) independently in SQL. Created
+    eagerly by ``queries()`` so the files exist whichever side the
+    driver runs first. Pure driver-side writes, cached, atomic."""
+    from engine import fixtures
+
+    def pop(d: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arts = fixtures.articles(_GEO_N)
+        pq.write_table(
+            pa.Table.from_pandas(arts, preserve_index=False),
+            os.path.join(d, "articles.parquet"),
+        )
+        poly = fixtures.polygons()
+        rows: dict[str, list] = {
+            "admin_id": [], "level": [], "ring_ix": [],
+            "vertex_ix": [], "lon": [], "lat": [],
+        }
+        for i in range(len(poly["admin_id"])):
+            rings = [(0, poly["ring_lon"][i], poly["ring_lat"][i])]
+            for hix, (hx, hy) in enumerate(poly["holes"][i], start=1):
+                rings.append((hix, hx, hy))
+            for rix, xs, ys in rings:
+                for vix, (x, y) in enumerate(zip(xs, ys)):
+                    rows["admin_id"].append(str(poly["admin_id"][i]))
+                    rows["level"].append(int(poly["level"][i]))
+                    rows["ring_ix"].append(rix)
+                    rows["vertex_ix"].append(vix)
+                    rows["lon"].append(float(x))
+                    rows["lat"].append(float(y))
+        pq.write_table(pa.table(rows),
+                       os.path.join(d, "polygon_vertices.parquet"))
+        pq.write_table(
+            pa.table({
+                "admin_id": [str(a) for a in poly["admin_id"]],
+                "level": [int(v) for v in poly["level"]],
+                "parent_id": [str(p) for p in poly["parent_id"]],
+                "name": [str(nm) for nm in poly["name"]],
+            }),
+            os.path.join(d, "polygon_meta.parquet"),
+        )
+
+    return _cached_dir("/tmp/graft_geo_aux_v2", pop)
+
+
 # --------------------------------------------------------------------- entry
 
 def entry() -> Any:
@@ -94,6 +144,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from engine.io import sf_table
     from engine.ops import dedup, geo as geo_ops, multimodal, relational, simsearch, text
     from engine.pipeline import ingest, join, tile
+
+    # materialize the geo fixture + its side-tables up front: several
+    # oracle_sql twins read these parquet files, and the driver may run
+    # the oracle before the Ray query
+    _geo_fixture_dir()
+    _geo_aux_dir()
 
     # ---- relational over the driver tables -----------------------------
 
@@ -1133,8 +1189,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.pipeline.flagship import _poly_centroids
 
         idx = _geo_indexed(columns=["image_id"])
-        return join.run_knn(idx, _poly_centroids(fixtures.polygons()), k=5,
-                            concurrency=(1, 4))
+        out = join.run_knn(idx, _poly_centroids(fixtures.polygons()), k=5,
+                           concurrency=(1, 4))
+
+        def rnd(b: pd.DataFrame) -> pd.DataFrame:
+            # micro-meter rounding so the DuckDB twin hash-compares
+            # (ranks stay computed on unrounded distances)
+            b["dist_m"] = b["dist_m"].round(6)
+            return b
+
+        return out.map_batches(rnd, batch_format="pandas")
 
     def geo_self_knn(sf_dir: str):
         idx = _geo_indexed(columns=["image_id"])
@@ -1180,7 +1244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hdir = "/tmp/graft_history_demo"
         shutil.rmtree(hdir, ignore_errors=True)
         orders = sf_table(sf_dir, "orders", ["o_totalprice"])
-        stats = history.global_stats(orders, ["o_totalprice"])
+        stats = history.global_stats(orders, ["o_totalprice"], decimals=2)
         for run_ts in ("2026-08-15", "2026-08-16", "2026-08-17"):
             history.append_run_stats(hdir, run_ts, stats)
         # idempotency: re-append of an existing run overwrites, not dupes
@@ -2210,6 +2274,222 @@ def _sql_splitmix64(v: str) -> str:
     return _sql_xorshift(x, 31)
 
 
+# ---- geo-fixture SQL regeneration -----------------------------------
+# The geo fixture is a pure function of (seed=42, row index) through
+# the SAME splitmix64 mix (engine/fixtures.py), so DuckDB can rebuild
+# lon/lat/captions bit-exactly and oracle the geo transforms. Hash
+# chains run as CTE steps (columns, not nested expressions — a nested
+# splitmix expansion explodes exponentially).
+
+def _sql_geo_hashes(n: int, streams: list[int], seed: int = 42) -> str:
+    """CTE chain: gi(i) -> ... -> ghash(i, h<s> UBIGINT per stream),
+    h<s> = fixtures._hash_stream(i, s) bit-exactly."""
+    seed_c = seed << 48
+    cols0 = ", ".join(
+        f"CAST(xor(xor(CAST(i AS UBIGINT), CAST({s << 40} AS UBIGINT)), "
+        f"CAST({seed_c} AS UBIGINT)) AS HUGEINT) AS h{s}_0"
+        for s in streams
+    )
+    step1 = ", ".join(
+        f"(h{s}_0 + 11400714819323198485) % {_M64_SQL} AS h{s}_1"
+        for s in streams
+    )
+    step2 = ", ".join(
+        f"{_sql_mulmod64(_sql_xorshift(f'h{s}_1', 30), '13787848793156543929')}"
+        f" AS h{s}_2"
+        for s in streams
+    )
+    step3 = ", ".join(
+        f"{_sql_mulmod64(_sql_xorshift(f'h{s}_2', 27), '10723151780598845931')}"
+        f" AS h{s}_3"
+        for s in streams
+    )
+    stepf = ", ".join(
+        f"CAST({_sql_xorshift(f'h{s}_3', 31)} AS UBIGINT) AS h{s}"
+        for s in streams
+    )
+    return f"""
+        gi AS (SELECT CAST(range AS BIGINT) AS i FROM range({n})),
+        gh0 AS (SELECT i, {cols0} FROM gi),
+        gh1 AS (SELECT i, {step1} FROM gh0),
+        gh2 AS (SELECT i, {step2} FROM gh1),
+        gh3 AS (SELECT i, {step3} FROM gh2),
+        ghash AS (SELECT i, {stepf} FROM gh3)
+    """
+
+
+def _sql_gll_body() -> str:
+    """gll(i, lon, lat) = fixtures.row_lonlat(i); expects ghash with
+    h1..h4 in scope."""
+    u = {s: f"(CAST(h{s} AS DOUBLE) / 18446744073709551616e0)"
+         for s in (1, 2, 3, 4)}
+    return f"""
+        gll AS (SELECT i,
+            CASE WHEN i % 10 = 0
+                 THEN 9.05e0 + (0.045e0 * sqrt({u[4]}))
+                      * cos(2e0 * pi() * {u[3]})
+                 ELSE -12e0 + 24e0 * {u[1]} END AS lon,
+            CASE WHEN i % 10 = 0
+                 THEN 41.05e0 + (0.045e0 * sqrt({u[4]}))
+                      * sin(2e0 * pi() * {u[3]})
+                 ELSE 35e0 + 12e0 * {u[2]} END AS lat
+          FROM ghash)
+    """
+
+
+def _sql_geo_lonlat(n: int) -> str:
+    """CTE chain ending in gll(i, lon, lat) = fixtures.row_lonlat(i)."""
+    return f"{_sql_geo_hashes(n, [1, 2, 3, 4])}, {_sql_gll_body()}"
+
+
+def _sql_geo_h3(res: int) -> str:
+    """CTE chain gll -> gcell(i, h3_r<res>) = engine.geo.h3like.encode
+    (aperture-4 axial grid: fractional axial coords, cube round, pack).
+    Bit-for-bit except np.rint half-even vs SQL round half-away — a
+    measure-zero difference for irrational axial coordinates."""
+    size = 16.0 / (1 << res)
+    off = 1 << 27
+    return f"""
+        gax AS (SELECT i,
+            (lon / sqrt(3e0) - lat / 3e0) / {size!r}e0 AS qf,
+            ((2e0 / 3e0) * lat) / {size!r}e0 AS rf
+          FROM gll),
+        grnd AS (SELECT i, qf, rf, -qf - rf AS sf,
+            round(qf) AS q0, round(rf) AS r0, round(-qf - rf) AS s0
+          FROM gax),
+        gfix AS (SELECT i,
+            CASE WHEN abs(q0 - qf) > abs(r0 - rf)
+                      AND abs(q0 - qf) > abs(s0 - sf)
+                 THEN -r0 - s0 ELSE q0 END AS q,
+            CASE WHEN NOT (abs(q0 - qf) > abs(r0 - rf)
+                           AND abs(q0 - qf) > abs(s0 - sf))
+                      AND abs(r0 - rf) > abs(s0 - sf)
+                 THEN -q0 - s0 ELSE r0 END AS r
+          FROM grnd),
+        gcell AS (SELECT i, CAST(
+            {res} * 72057594037927936
+            + (CAST(q AS BIGINT) + {off}) * 268435456
+            + (CAST(r AS BIGINT) + {off}) AS UBIGINT) AS h3_r{res}
+          FROM gfix)
+    """
+
+
+def _sql_gcanon_body() -> str:
+    """gcanon(i, image_id, caption_canon) — the CANONICAL caption
+    (fixtures.row_caption + ingest.canonicalize: the ~5% denormalized
+    variants fold back to the same canon, so the denorm stream never
+    enters). Expects ghash with h5..h8 in scope."""
+    words = ("castello torre ponte chiesa museo piazza fontana palazzo "
+             "teatro monte lago fiume isola porto borgo rocca abbazia "
+             "duomo villa parco").split()
+    warr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"""
+        gwords AS (SELECT {warr} AS ws),
+        gcanon AS (SELECT i,
+            'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+            (['it', 'en', 'de'][CAST(h5 % 3 AS INT) + 1]) || ':' ||
+            upper(substr(ws[CAST(h6 % 20 AS INT) + 1], 1, 1)) ||
+            substr(ws[CAST(h6 % 20 AS INT) + 1], 2) || ' ' ||
+            ws[CAST(h7 % 20 AS INT) + 1] || ' ' ||
+            CAST(h8 % 97 AS VARCHAR) AS caption_canon
+          FROM ghash CROSS JOIN gwords)
+    """
+
+
+def _sql_geo_canon(n: int) -> str:
+    """CTE chain ending in gcanon (see _sql_gcanon_body)."""
+    return f"{_sql_geo_hashes(n, [5, 6, 7, 8])}, {_sql_gcanon_body()}"
+
+
+def _sql_geo_full(n: int) -> str:
+    """ONE shared hash chain (streams 1-8) + both gll and gcanon —
+    for oracles that need geotags AND canonical captions together."""
+    return (f"{_sql_geo_hashes(n, [1, 2, 3, 4, 5, 6, 7, 8])}, "
+            f"{_sql_gll_body()}, {_sql_gcanon_body()}")
+
+
+_GEO_FIXTURE_SQL = "/tmp/graft_geo_fixture_1500/*.parquet"
+_GEO_AUX_ARTICLES = "/tmp/graft_geo_aux_v2/articles.parquet"
+_GEO_AUX_VERTICES = "/tmp/graft_geo_aux_v2/polygon_vertices.parquet"
+_GEO_AUX_POLYMETA = "/tmp/graft_geo_aux_v2/polygon_meta.parquet"
+
+# shoelace centroid of each polygon's OUTER ring, rounded like
+# engine.ops.geo.polygon_centroids (the engine feeds these rounded
+# centroids to the radius join, so the oracle must too)
+_SQL_GEO_CENTROIDS = f"""
+    gv AS (SELECT admin_id, level, vertex_ix, lon AS x, lat AS y,
+               COUNT(*) OVER (PARTITION BY admin_id) AS nv
+           FROM read_parquet('{_GEO_AUX_VERTICES}') WHERE ring_ix = 0),
+    ge AS (SELECT admin_id, level, x, y,
+               COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS x1,
+               COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS y1
+           FROM gv
+           WINDOW w AS (PARTITION BY admin_id ORDER BY vertex_ix
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)),
+    gcent AS (SELECT admin_id, ANY_VALUE(level) AS level,
+               round(SUM((x + x1) * (x * y1 - x1 * y))
+                     / (6e0 * (SUM(x * y1 - x1 * y) / 2e0)), 9)
+                   AS centroid_lon,
+               round(SUM((y + y1) * (x * y1 - x1 * y))
+                     / (6e0 * (SUM(x * y1 - x1 * y) / 2e0)), 9)
+                   AS centroid_lat
+           FROM ge GROUP BY admin_id)
+"""
+
+
+def _sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """engine.geo.knn.haversine_m, operation-for-operation."""
+    return (
+        f"2e0 * 6371008.8e0 * asin(sqrt(LEAST(GREATEST("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2e0), 2) "
+        f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+        f"* pow(sin((radians({lon2}) - radians({lon1})) / 2e0), 2), "
+        f"0e0), 1e0)))"
+    )
+
+
+# even-odd ray cast of every point in gpts(image_id, lon, lat) against
+# every polygon ring (engine.geo.pip.points_in_ring crossing rule:
+# edge straddles the horizontal AND the +x ray passes left of the
+# intersection), holes subtract membership. DuckDB returns NULL for
+# 0/0 division, which the crossing CASE folds to 0 — matching the
+# engine, where a horizontal edge can never satisfy the straddle test.
+_SQL_GEO_PIP = f"""
+    gvx AS (SELECT admin_id, level, ring_ix, lon AS x, lat AS y,
+            COALESCE(LEAD(lon) OVER w, FIRST_VALUE(lon) OVER w) AS x1,
+            COALESCE(LEAD(lat) OVER w, FIRST_VALUE(lat) OVER w) AS y1
+        FROM read_parquet('{_GEO_AUX_VERTICES}')
+        WINDOW w AS (PARTITION BY admin_id, ring_ix ORDER BY vertex_ix
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)),
+    gpar AS (SELECT p.image_id, v.admin_id, v.ring_ix,
+            ANY_VALUE(v.level) AS level,
+            SUM(CASE WHEN (v.y > p.lat) != (v.y1 > p.lat)
+                          AND p.lon < v.x + (p.lat - v.y) * (v.x1 - v.x)
+                                            / (v.y1 - v.y)
+                     THEN 1 ELSE 0 END) % 2 AS par
+        FROM gpts p CROSS JOIN gvx v
+        GROUP BY p.image_id, v.admin_id, v.ring_ix),
+    ghits AS (SELECT image_id, admin_id,
+            CAST(ANY_VALUE(level) AS INT) AS level
+        FROM gpar GROUP BY image_id, admin_id
+        HAVING MAX(CASE WHEN ring_ix = 0 THEN par ELSE 0 END) = 1
+           AND MAX(CASE WHEN ring_ix > 0 THEN par ELSE 0 END) = 0)
+"""
+
+_SQL_GEO_PIP_JOIN = f"""
+    WITH __BASE__,
+    gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+                    lon, lat FROM gll),
+    {_SQL_GEO_PIP}
+    SELECT image_id, admin_id, level,
+           (ROW_NUMBER() OVER (PARTITION BY image_id, level
+                               ORDER BY admin_id) = 1) AS is_primary
+    FROM ghits ORDER BY image_id, admin_id
+"""
+
+
 def _sql_pagerank(iters: int = 8, damping: float = 0.85) -> str:
     """Unrolled power iteration over the supplier->part digraph —
     chained CTEs r0..r{iters}, one per iteration (fixed iteration
@@ -2914,7 +3194,7 @@ def oracle_sql() -> dict[str, str]:
                              / GREATEST(COUNT(*), 1), 6) AS ttr
                 FROM (
                     SELECT doc_id,
-                           UNNEST(regexp_split_to_array(text, '\s+')) AS t
+                           UNNEST(regexp_split_to_array(text, '\\s+')) AS t
                     FROM documents
                 ) WHERE t <> '' GROUP BY doc_id
             ) s USING (doc_id)
@@ -3253,5 +3533,230 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS contaminated,
                    CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # ---- geo fixture twins: lon/lat/captions regenerated in SQL
+        # through the same splitmix64 streams; side-tables read from
+        # the /tmp parquet the queries consume (_geo_aux_dir)
+        "geo_h3_cell_counts": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            {_sql_geo_h3(5)}
+            SELECT h3_r5, COUNT(*) AS n FROM gcell GROUP BY h3_r5
+        """,
+        "geo_tile_assignments": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT lon,
+                tan(radians(LEAST(GREATEST(lat, -85.0511e0), 85.0511e0)))
+                    AS tphi
+              FROM gll)
+            SELECT CAST(36028797018963968
+                + CAST(LEAST(floor((lon + 180e0) / 360e0 * 256e0), 255e0)
+                       AS BIGINT) * 67108864
+                -- asinh(x) = ln(x + sqrt(x*x + 1)) (DuckDB has no asinh)
+                + CAST(LEAST(floor((1e0 - ln(tphi + sqrt(tphi * tphi + 1e0))
+                      / pi()) / 2e0 * 256e0), 255e0) AS BIGINT)
+              AS BIGINT) AS tile_key, COUNT(*) AS n_images
+            FROM gt GROUP BY tile_key
+        """,
+        "geo_dedup_phash": f"""
+            SELECT image_id, phash FROM (
+                SELECT image_id, phash,
+                       ROW_NUMBER() OVER (PARTITION BY phash
+                                          ORDER BY image_id) AS rn
+                FROM read_parquet('{_GEO_FIXTURE_SQL}'))
+            WHERE rn = 1
+        """,
+        "geo_phash_near_dups": f"""
+            WITH t AS (SELECT image_id,
+                    CAST((CAST(phash AS HUGEINT) + {_M64_SQL})
+                         % {_M64_SQL} AS UBIGINT) AS h
+                 FROM read_parquet('{_GEO_FIXTURE_SQL}'))
+            SELECT a.image_id AS a, b.image_id AS b,
+                   CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+            FROM t a JOIN t b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.h, b.h)) <= 6
+            ORDER BY a, b
+        """,
+        "geo_article_match": f"""
+            WITH {_sql_geo_canon(_GEO_N)}
+            SELECT g.image_id, a.article_id, g.caption_canon, a.theme
+            FROM gcanon g
+            JOIN read_parquet('{_GEO_AUX_ARTICLES}') a
+              ON a.title_canon = g.caption_canon
+        """,
+        "geo_articles_untagged": f"""
+            WITH {_sql_geo_canon(_GEO_N)}
+            SELECT article_id, title_canon, theme, lon, lat
+            FROM read_parquet('{_GEO_AUX_ARTICLES}')
+            WHERE title_canon NOT IN (SELECT caption_canon FROM gcanon)
+            ORDER BY article_id
+        """,
+        "geo_article_fuzzy_match": f"""
+            WITH {_sql_geo_canon(_GEO_N)},
+            garts AS (SELECT DISTINCT title_canon
+                      FROM read_parquet('{_GEO_AUX_ARTICLES}'))
+            SELECT g.image_id,
+                   COALESCE(MIN(CASE WHEN levenshtein(g.caption_canon,
+                                                      a.title_canon) <= 1
+                                     THEN a.title_canon END),
+                            '') AS matched_title
+            FROM gcanon g CROSS JOIN garts a
+            GROUP BY g.image_id
+        """,
+        "geo_area_export_rows": f"""
+            WITH {_sql_geo_canon(_GEO_N)},
+            gunt AS (SELECT article_id, title_canon, theme, lon, lat
+                     FROM read_parquet('{_GEO_AUX_ARTICLES}')
+                     WHERE title_canon NOT IN
+                           (SELECT caption_canon FROM gcanon)),
+            gpts AS (SELECT article_id AS image_id, lon, lat FROM gunt),
+            {_SQL_GEO_PIP}
+            SELECT h.admin_id, h.level, u.article_id, u.title_canon,
+                   u.theme, u.lon, u.lat
+            FROM ghits h JOIN gunt u ON u.article_id = h.image_id
+            ORDER BY h.admin_id, u.article_id
+        """,
+        "geo_polygon_centroids": f"""
+            WITH {_SQL_GEO_CENTROIDS}
+            SELECT admin_id, level, centroid_lon, centroid_lat
+            FROM gcent ORDER BY admin_id
+        """,
+        "run_history_series": """
+            WITH s AS (SELECT COUNT(*) AS n_rows,
+                              round(SUM(o_totalprice), 2)
+                                  AS sum_o_totalprice
+                       FROM orders)
+            SELECT run_ts, n_rows, sum_o_totalprice
+            FROM (VALUES ('2026-08-15'), ('2026-08-16'), ('2026-08-17'))
+                 AS t(run_ts)
+            CROSS JOIN s ORDER BY run_ts
+        """,
+        "geo_suggestions": f"""
+            WITH {_sql_geo_full(_GEO_N)},
+            gimgs AS (SELECT c.image_id, g.lon, g.lat
+                      FROM gll g JOIN gcanon c USING (i)),
+            gunt AS (SELECT article_id, lon, lat
+                     FROM read_parquet('{_GEO_AUX_ARTICLES}')
+                     WHERE title_canon NOT IN
+                           (SELECT caption_canon FROM gcanon)),
+            gd AS (SELECT u.article_id, i.image_id,
+                round(2e0 * 6371008.8e0 * asin(sqrt(LEAST(GREATEST(
+                    pow(sin((radians(i.lat) - radians(u.lat)) / 2e0), 2)
+                    + cos(radians(u.lat)) * cos(radians(i.lat))
+                      * pow(sin((radians(i.lon) - radians(u.lon)) / 2e0),
+                            2), 0e0), 1e0))), 6) AS dist_m
+              FROM gunt u CROSS JOIN gimgs i),
+            gr AS (SELECT article_id, image_id, dist_m,
+                ROW_NUMBER() OVER (PARTITION BY article_id
+                                   ORDER BY dist_m, image_id) AS rank
+              FROM gd)
+            SELECT article_id, image_id, dist_m, rank
+            FROM gr WHERE rank <= 3
+            ORDER BY article_id, rank
+        """,
+        "geo_knn": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            gc AS (SELECT admin_id,
+                    CAST(substr(admin_id, 6) AS INT) AS ord,
+                    AVG(lon) AS clon, AVG(lat) AS clat
+                FROM read_parquet('{_GEO_AUX_VERTICES}')
+                WHERE ring_ix = 0 GROUP BY admin_id),
+            gd AS (SELECT p.image_id, c.admin_id AS neighbor_id, c.ord,
+                    {_sql_haversine('p.lat', 'p.lon', 'c.clat', 'c.clon')}
+                        AS dm
+                FROM gpts p CROSS JOIN gc c),
+            gr AS (SELECT image_id, neighbor_id, dm,
+                    ROW_NUMBER() OVER (PARTITION BY image_id
+                                       ORDER BY dm, ord) AS rn
+                FROM gd)
+            SELECT image_id, neighbor_id, CAST(rn - 1 AS INT) AS rank,
+                   round(dm, 6) AS dist_m
+            FROM gr WHERE rn <= 5
+        """,
+        "geo_self_knn": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gp AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS id,
+                          lon, lat FROM gll),
+            gd AS (SELECT a.id AS image_id, b.id AS neighbor_id,
+                    {_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')}
+                        AS dm
+                FROM gp a JOIN gp b ON a.id <> b.id),
+            gr AS (SELECT image_id, neighbor_id, dm,
+                    ROW_NUMBER() OVER (PARTITION BY image_id
+                                       ORDER BY dm, neighbor_id) AS rn
+                FROM gd)
+            SELECT image_id, neighbor_id, CAST(rn - 1 AS INT) AS rank,
+                   round(dm, 6) AS dist_m
+            FROM gr WHERE rn <= 3
+        """,
+        "geo_pip_join": _SQL_GEO_PIP_JOIN.replace("__BASE__", _sql_geo_lonlat(_GEO_N)),
+        "geo_pip_join_from_osm_xml":
+            _SQL_GEO_PIP_JOIN.replace("__BASE__", _sql_geo_lonlat(_GEO_N)),
+        "geo_admin_rollup": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            {_SQL_GEO_PIP},
+            gown AS (SELECT admin_id, COUNT(*) AS own_count
+                     FROM ghits GROUP BY admin_id),
+            gbase AS (SELECT m.admin_id, CAST(m.level AS BIGINT) AS level,
+                    m.parent_id,
+                    CAST(COALESCE(o.own_count, 0) AS BIGINT) AS own_count
+                FROM read_parquet('{_GEO_AUX_POLYMETA}') m
+                LEFT JOIN gown o USING (admin_id)),
+            gs3 AS (SELECT admin_id, parent_id, own_count AS subtree
+                    FROM gbase WHERE level = 3),
+            gs2 AS (SELECT b.admin_id, b.parent_id,
+                    b.own_count + COALESCE((SELECT SUM(s.subtree) FROM gs3 s
+                        WHERE s.parent_id = b.admin_id), 0) AS subtree
+                FROM gbase b WHERE b.level = 2),
+            gs1 AS (SELECT b.admin_id,
+                    b.own_count
+                    + COALESCE((SELECT SUM(s.subtree) FROM gs2 s
+                        WHERE s.parent_id = b.admin_id), 0)
+                    + COALESCE((SELECT SUM(s.subtree) FROM gs3 s
+                        WHERE s.parent_id = b.admin_id), 0) AS subtree
+                FROM gbase b WHERE b.level = 1),
+            gsubs AS (SELECT admin_id, subtree FROM gs1
+                      UNION ALL SELECT admin_id, subtree FROM gs2
+                      UNION ALL SELECT admin_id, subtree FROM gs3)
+            SELECT b.admin_id, b.level, b.own_count,
+                   CAST(s.subtree AS BIGINT) AS subtree_count
+            FROM gbase b JOIN gsubs s USING (admin_id)
+            ORDER BY b.admin_id
+        """,
+        "geo_area_tag_stats": f"""
+            WITH {_sql_geo_full(_GEO_N)},
+            gpts AS (SELECT c.image_id, g.lon, g.lat
+                     FROM gll g JOIN gcanon c USING (i)),
+            {_SQL_GEO_PIP},
+            gflag AS (SELECT h.admin_id,
+                    CASE WHEN c.caption_canon IN
+                         (SELECT title_canon
+                          FROM read_parquet('{_GEO_AUX_ARTICLES}'))
+                         THEN 1 ELSE 0 END AS m
+                FROM ghits h JOIN gcanon c USING (image_id))
+            SELECT admin_id, COUNT(*) AS n_images,
+                   CAST(SUM(m) AS BIGINT) AS n_tagged,
+                   round(100e0 * SUM(m) / GREATEST(COUNT(*), 1), 4)
+                       AS pct_tagged
+            FROM gflag GROUP BY admin_id ORDER BY admin_id
+        """,
+        "geo_radius_join": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            {_SQL_GEO_CENTROIDS},
+            d AS (SELECT
+                'img' || lpad(CAST(g.i AS VARCHAR), 9, '0') AS point_id,
+                c.admin_id AS poi_id,
+                2e0 * 6371008.8e0 * asin(sqrt(LEAST(GREATEST(
+                    pow(sin((radians(c.centroid_lat) - radians(g.lat))
+                            / 2e0), 2)
+                    + cos(radians(g.lat)) * cos(radians(c.centroid_lat))
+                      * pow(sin((radians(c.centroid_lon) - radians(g.lon))
+                                / 2e0), 2), 0e0), 1e0))) AS dm
+              FROM gll g CROSS JOIN gcent c)
+            SELECT point_id, poi_id, round(dm, 3) AS dist_m
+            FROM d WHERE dm <= 30000e0
         """,
     }

@@ -65,51 +65,132 @@ def self_knn_halo(
     coarse_res: int = 5,
     halo_rings: int = 1,
 ) -> ray.data.Dataset:
-    """image table with lon/lat -> (image_id, neighbor_id, rank, dist_m).
+    """image table with lon/lat -> (image_id, neighbor_id, rank, dist_m)
+    — EXACT global self-kNN, adaptively escalated.
 
-    One shuffle (groupby coarse cell); ghosts multiply rows by
-    ~1 + 6*halo_rings * (boundary fraction), the explicit cost of
-    exactness without an all-to-all.
+    Round r runs the halo-shuffle kNN at ``coarse_res - r``: one
+    groupby(cell) co-locates each point with every candidate within
+    ``halo_rings`` rings. A query is CERTIFIED when it found all k
+    neighbors and its k-th distance sits inside the halo's guaranteed
+    covered radius. The tight bound: a query at a cell VERTEX reaches a
+    grid-distance-(h+1) cell after h vertex hops of one edge length, so
+    the union of cells within h rings is only guaranteed to cover
+    h * cell_size degrees around the query (NOT the ~1.6x apothem-based
+    figure a centered query would enjoy — the vertex case is exactly
+    where round-2's oracle caught a missed true neighbor). Degrees
+    convert to meters with the conservative global min-meters-per-
+    degree bound.
+    Uncertified queries — the sparse tail the round-2 oracle exposed:
+    isolated points whose true neighbors live outside the halo — re-run
+    at the next-coarser res against the full candidate set until
+    certified; res 0 is the terminal whole-lattice fallback where any
+    result is globally exact. Dense data certifies ~everything in round
+    one, so the escalation cost is bounded by the sparse-tail size (the
+    pending id set is the only driver-side state, and it only shrinks).
     """
+    import ray
 
-    def explode(batch: pa.Table) -> pa.Table:
-        return _halo_explode(batch, coarse_res, halo_rings)
+    from engine.state import cached_get
 
-    def local_knn(g: pd.DataFrame) -> pd.DataFrame:
-        own = g[~g["ghost"]]
-        if own.empty:
-            return pd.DataFrame(
-                {"image_id": pd.Series(dtype=str),
-                 "neighbor_id": pd.Series(dtype=str),
-                 "rank": pd.Series(dtype=np.int32),
-                 "dist_m": pd.Series(dtype=np.float64)}
+    def abs_lat(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"m": [float(np.abs(b["lat"].to_numpy()).max())]})
+
+    max_abs_lat = float(
+        ds.map_batches(abs_lat, batch_format="pandas").max("m") or 0.0
+    )
+    coslat = max(np.cos(np.deg2rad(min(max_abs_lat, 89.9))), 1e-6)
+    ring_cover = float(halo_rings)  # h vertex hops of one edge length
+
+    def one_pass(res: int, pending_ref, final_round: bool) -> ray.data.Dataset:
+        safe_m = ring_cover * h3like.res_size(res) * 110_000.0 * coslat * 0.95
+
+        def explode(batch: pa.Table) -> pa.Table:
+            return _halo_explode(batch, res, halo_rings)
+
+        def local_knn(g: pd.DataFrame) -> pd.DataFrame:
+            own = g[~g["ghost"]]
+            if pending_ref is not None and not own.empty:
+                pend = cached_get(pending_ref)
+                own = own[own["image_id"].isin(pend)]
+            if own.empty:
+                return pd.DataFrame(
+                    {"image_id": pd.Series(dtype=str),
+                     "neighbor_id": pd.Series(dtype=str),
+                     "rank": pd.Series(dtype=np.int32),
+                     "dist_m": pd.Series(dtype=np.float64),
+                     "satisfied": pd.Series(dtype=bool)}
+                )
+            # candidates: every row in the group (dedup ghosts of same id)
+            cand = g.drop_duplicates("image_id")
+            c_lon, c_lat = cand["lon"].to_numpy(), cand["lat"].to_numpy()
+            c_ids = cand["image_id"].to_numpy()
+            order = np.argsort(c_ids, kind="stable")
+            c_lon, c_lat, c_ids = c_lon[order], c_lat[order], c_ids[order]
+            q_ids = own["image_id"].to_numpy()
+            self_rows = np.searchsorted(c_ids, q_ids)
+            nn, nd = knn_mod.knn_chord_topk(
+                c_lon, c_lat, own["lon"].to_numpy(), own["lat"].to_numpy(),
+                k, exclude_self_rows=self_rows,
             )
-        # candidates: every row in the group (dedup ghosts of same id)
-        cand = g.drop_duplicates("image_id")
-        c_lon, c_lat = cand["lon"].to_numpy(), cand["lat"].to_numpy()
-        c_ids = cand["image_id"].to_numpy()
-        order = np.argsort(c_ids, kind="stable")
-        c_lon, c_lat, c_ids = c_lon[order], c_lat[order], c_ids[order]
-        q_ids = own["image_id"].to_numpy()
-        self_rows = np.searchsorted(c_ids, q_ids)
-        nn, nd = knn_mod.knn_chord_topk(
-            c_lon, c_lat, own["lon"].to_numpy(), own["lat"].to_numpy(),
-            k, exclude_self_rows=self_rows,
-        )
-        valid = nn >= 0
-        n, kk = nn.shape
-        rep = np.repeat(q_ids, kk)[valid.ravel()]
-        return pd.DataFrame(
-            {
-                "image_id": rep,
-                "neighbor_id": c_ids[np.where(valid, nn, 0)].ravel()[valid.ravel()],
-                "rank": np.tile(np.arange(kk, dtype=np.int32), n)[valid.ravel()],
-                "dist_m": np.round(nd.ravel()[valid.ravel()], 6),
-            }
+            valid = nn >= 0
+            n, kk = nn.shape
+            found = valid.sum(axis=1)
+            kth = np.where(found > 0,
+                           np.max(np.where(valid, nd, -np.inf), axis=1), 0.0)
+            sat = (found >= kk) & (kth <= safe_m)
+            if final_round:
+                sat[:] = True
+            rep_mask = valid.ravel()
+            frame = pd.DataFrame(
+                {
+                    "image_id": np.repeat(q_ids, kk)[rep_mask],
+                    "neighbor_id":
+                        c_ids[np.where(valid, nn, 0)].ravel()[rep_mask],
+                    "rank": np.tile(np.arange(kk, dtype=np.int32), n)[rep_mask],
+                    "dist_m": np.round(nd.ravel()[rep_mask], 6),
+                    "satisfied": np.repeat(sat, kk)[rep_mask],
+                }
+            )
+            # a pending query with ZERO in-group neighbors would emit no
+            # rows and silently fall out of the pending set — emit a
+            # marker row (never satisfied, filtered from final output)
+            zero = (found == 0) & ~sat
+            if zero.any():
+                frame = pd.concat([frame, pd.DataFrame({
+                    "image_id": q_ids[zero],
+                    "neighbor_id": "",
+                    "rank": np.int32(-1),
+                    "dist_m": 0.0,
+                    "satisfied": False,
+                })], ignore_index=True)
+            return frame
+
+        exploded = ds.map_batches(explode, batch_format="pyarrow")
+        return exploded.groupby("cell").map_groups(
+            local_knn, batch_format="pandas"
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
-    return exploded.groupby("cell").map_groups(local_knn, batch_format="pandas")
+    parts: list[ray.data.Dataset] = []
+    pending_ref = None
+    res = coarse_res
+    while True:
+        final_round = res <= 0
+        rows = one_pass(res, pending_ref, final_round).materialize()
+        done = rows.filter(expr="satisfied == True").drop_columns(["satisfied"])
+        parts.append(done)
+        if final_round:
+            break
+        unsat = rows.filter(expr="satisfied == False")
+        uniq = unsat.select_columns(["image_id"]).unique("image_id")
+        pend_ids = set(uniq) if uniq is not None and len(uniq) else set()
+        if not pend_ids:
+            break
+        pending_ref = ray.put(pend_ids)
+        res -= 1
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def polygon_centroids(poly: dict) -> ray.data.Dataset:

@@ -42,10 +42,15 @@ def read_history(history_dir: str) -> pd.DataFrame:
     return out.sort_values("run_ts", ignore_index=True)
 
 
-def global_stats(ds: ray.data.Dataset, sum_cols: list[str]) -> dict:
-    """One-row global aggregate (count + sums) computed distributed."""
+def global_stats(
+    ds: ray.data.Dataset, sum_cols: list[str], decimals: int = 4
+) -> dict:
+    """One-row global aggregate (count + sums) computed distributed.
+    ``decimals``: float sums of large-magnitude columns (~1e10 price
+    totals at sf0.1) carry summation-order noise past the 4th decimal —
+    callers comparing against a serial oracle pass 2."""
     n = ds.count()
     out = {"n_rows": int(n)}
     for c in sum_cols:
-        out[f"sum_{c}"] = round(float(ds.sum(c) or 0.0), 4)
+        out[f"sum_{c}"] = round(float(ds.sum(c) or 0.0), decimals)
     return out

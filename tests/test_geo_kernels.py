@@ -280,8 +280,15 @@ def test_knn_clustered_skewed_candidates():
 # ------------------------------------------------------------------ clip
 
 def _random_simple_ring(rng, nv, cx=0.0, cy=0.0, radius=1.0):
-    # star-shaped around (cx,cy): sorted angles guarantee a simple ring
-    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    # simple ring: polar-sorted vertices are only guaranteed
+    # non-self-intersecting when EVERY consecutive angular gap
+    # (including the wrap-around) is < pi — with varying radii and a
+    # >pi gap the closing chord can cross interior edges (hypothesis
+    # found seed=5154/nv=4: all four angles in a 103-degree arc).
+    # Gaps drawn from [0.5, 1] keep the max gap <= 2*pi/(0.5*(nv-1)+1)
+    # < pi for nv >= 4.
+    gaps = rng.uniform(0.5, 1.0, nv)
+    ang = 2.0 * np.pi * np.cumsum(gaps) / gaps.sum()
     rad = radius * (0.5 + 0.5 * rng.random(nv))
     return cx + rad * np.cos(ang), cy + rad * np.sin(ang)
 
@@ -595,3 +602,45 @@ def test_pip_join_from_osm_xml_matches_fixture_join(ray_session, tmp_path):
         .select_columns(["image_id", "admin_id", "level", "is_primary"]) \
         .to_pandas().sort_values(["image_id", "admin_id"], ignore_index=True)
     assert a.equals(b)
+
+
+def test_self_knn_halo_exact_vs_bruteforce_with_sparse_tail(ray_session):
+    """self_knn_halo is globally exact: the per-query halo certificate
+    escalates sparse/isolated points (whose true neighbors sit outside
+    the first halo) to coarser resolutions instead of silently
+    returning the in-halo approximation — the round-2 defect where an
+    isolated fixture point got a 54km 'neighbor' while the true one
+    sat 52km away in a non-adjacent cell."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from engine import fixtures
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import self_knn_halo
+
+    i = np.arange(220, dtype=np.int64)
+    lon, lat = fixtures.row_lonlat(i)
+    # plant an isolated pair far outside the fixture box: their true
+    # nearest neighbors are hundreds of km away, guaranteed outside a
+    # res-5 halo
+    lon = np.concatenate([lon, [24.0, 24.4]])
+    lat = np.concatenate([lat, [61.0, 61.2]])
+    ids = np.array([f"img{x:09d}" for x in range(len(lon))])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"image_id": ids, "lon": lon, "lat": lat})
+    ).repartition(4)
+    got = self_knn_halo(ds, k=3, coarse_res=5, halo_rings=1).to_pandas()
+    got = got.sort_values(["image_id", "rank"], ignore_index=True)
+
+    d = haversine_m(lon[:, None], lat[:, None], lon[None, :], lat[None, :])
+    np.fill_diagonal(d, np.inf)
+    for qi, qid in enumerate(ids):
+        order = np.lexsort((ids, d[qi]))[:3]
+        want = ids[order].tolist()
+        mine = got.loc[got["image_id"] == qid].sort_values("rank")
+        assert mine["neighbor_id"].tolist() == want, (qid, want)
+        np.testing.assert_allclose(
+            mine["dist_m"].to_numpy(), np.round(d[qi][order], 6),
+            rtol=0, atol=1e-6,
+        )
