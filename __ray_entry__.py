@@ -118,7 +118,7 @@ def _geo_aux_dir() -> str:
             os.path.join(d, "polygon_meta.parquet"),
         )
 
-    return _cached_dir("/tmp/graft_geo_aux_v2", pop)
+    return _cached_dir("/tmp/graft_geo_aux_v3", pop)
 
 
 # --------------------------------------------------------------------- entry
@@ -1162,6 +1162,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["image_id", "matched_title"])
 
+    def geo_toponym_infer(sf_dir: str):
+        # nuts4nuts analog (reference S3 fallback [PK]): infer a
+        # location for articles from gazetteer mentions in their
+        # summary text; leftmost-longest match at polygon centroid
+        import ray.data as rd
+
+        arts = rd.from_pandas(
+            fixtures.articles(_GEO_N)[["article_id", "summary"]]
+        ).repartition(2)
+        return geo_ops.toponym_infer(arts, fixtures.polygons())
+
+    def geo_josm_links(sf_dir: str):
+        # reference phase-3 editor handoff [PK]: JOSM remote-control +
+        # Overpass links for every matched image (broadcast title-set
+        # semi-join keeps lon/lat, then vectorized string templating)
+        import ray
+
+        from engine.state import cached_get
+
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        titles_ref = ray.put(set(fixtures.articles(_GEO_N)["title_canon"]))
+
+        def semi(b: pd.DataFrame) -> pd.DataFrame:
+            t = cached_get(titles_ref)
+            return b.loc[b["caption_canon"].isin(t),
+                         ["image_id", "lon", "lat"]]
+
+        return geo_ops.josm_links(
+            idx.map_batches(semi, batch_format="pandas")
+        )
+
     def geo_pip_join(sf_dir: str):
         idx = _geo_indexed(columns=["image_id", "caption"])
         j = join.run_pip_join(idx, fixtures.polygons(), concurrency=(1, 4))
@@ -1295,8 +1326,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def geo_articles_untagged(sf_dir: str):
         # J3 anti side: the reference's "articles still to tag" list
+        # (export columns only — the fixture's summary text feeds the
+        # toponym query, not this list)
         idx = _geo_indexed(columns=["image_id", "caption"])
-        return geo_ops.articles_untagged(idx, fixtures.articles(_GEO_N))
+        return geo_ops.articles_untagged(idx, fixtures.articles(_GEO_N))[
+            ["article_id", "title_canon", "theme", "lon", "lat"]
+        ]
 
     def geo_suggestions(sf_dir: str):
         # the reference's suggestion lists: k nearest images for each
@@ -1364,8 +1399,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["article_id", "title_canon", "theme", "lon", "lat"],
             sort_by=["article_id"],
         )
-        g, c = g.assign(kind="gpx"), c.assign(kind="csv")
-        out = pd.concat([g, c], ignore_index=True)
+        h = sinks.write_html_per_area(
+            ds, "/tmp/graft_export_html", area_col="admin_id",
+            columns=["article_id", "title_canon", "theme"],
+        )
+        g, c, h = (g.assign(kind="gpx"), c.assign(kind="csv"),
+                   h.assign(kind="html"))
+        out = pd.concat([g, c, h], ignore_index=True)
         return out[["kind", "area", "n_rows", "crc32"]].sort_values(
             ["kind", "area"], ignore_index=True
         )
@@ -2203,6 +2243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_to_shards_pipeline": corpus_to_shards_pipeline,
         "prepare_image_corpus_pipeline": prepare_image_corpus_pipeline,
         "geo_pip_join": geo_pip_join,
+        "geo_toponym_infer": geo_toponym_infer,
+        "geo_josm_links": geo_josm_links,
         "geo_pip_join_from_osm_xml": geo_pip_join_from_osm_xml,
         "geo_knn": geo_knn,
         "geo_self_knn": geo_self_knn,
@@ -2409,9 +2451,9 @@ def _sql_geo_full(n: int) -> str:
 
 
 _GEO_FIXTURE_SQL = "/tmp/graft_geo_fixture_1500/*.parquet"
-_GEO_AUX_ARTICLES = "/tmp/graft_geo_aux_v2/articles.parquet"
-_GEO_AUX_VERTICES = "/tmp/graft_geo_aux_v2/polygon_vertices.parquet"
-_GEO_AUX_POLYMETA = "/tmp/graft_geo_aux_v2/polygon_meta.parquet"
+_GEO_AUX_ARTICLES = "/tmp/graft_geo_aux_v3/articles.parquet"
+_GEO_AUX_VERTICES = "/tmp/graft_geo_aux_v3/polygon_vertices.parquet"
+_GEO_AUX_POLYMETA = "/tmp/graft_geo_aux_v3/polygon_meta.parquet"
 
 # shoelace centroid of each polygon's OUTER ring, rounded like
 # engine.ops.geo.polygon_centroids (the engine feeds these rounded
@@ -3601,6 +3643,46 @@ def oracle_sql() -> dict[str, str]:
                             '') AS matched_title
             FROM gcanon g CROSS JOIN garts a
             GROUP BY g.image_id
+        """,
+        "geo_toponym_infer": f"""
+            WITH {_SQL_GEO_CENTROIDS},
+            gaz AS (SELECT p.admin_id, p.name,
+                       ROW_NUMBER() OVER (ORDER BY length(p.name) DESC,
+                                          p.admin_id) AS rnk
+                    FROM read_parquet('{_GEO_AUX_POLYMETA}') p),
+            gm AS (SELECT a.article_id, g.admin_id, g.name, g.rnk,
+                          strpos(a.summary, g.name) AS pos
+                   FROM read_parquet('{_GEO_AUX_ARTICLES}') a
+                   CROSS JOIN gaz g
+                   WHERE strpos(a.summary, g.name) > 0),
+            gb AS (SELECT article_id, admin_id, name,
+                       ROW_NUMBER() OVER (PARTITION BY article_id
+                                          ORDER BY pos, rnk) AS rn
+                   FROM gm)
+            SELECT b.article_id, b.admin_id, b.name,
+                   CAST(c.level AS INT) AS level,
+                   c.centroid_lon AS inferred_lon,
+                   c.centroid_lat AS inferred_lat
+            FROM gb b JOIN gcent c USING (admin_id)
+            WHERE b.rn = 1 ORDER BY b.article_id
+        """,
+        "geo_josm_links": f"""
+            WITH {_sql_geo_full(_GEO_N)},
+            gm AS (SELECT c.image_id, g.lon, g.lat
+                   FROM gcanon c JOIN gll g USING (i)
+                   WHERE c.caption_canon IN
+                         (SELECT title_canon
+                          FROM read_parquet('{_GEO_AUX_ARTICLES}')))
+            SELECT image_id,
+                   'http://localhost:8111/load_and_zoom?left='
+                   || printf('%.6f', lon - 0.001)
+                   || '&right=' || printf('%.6f', lon + 0.001)
+                   || '&top=' || printf('%.6f', lat + 0.001)
+                   || '&bottom=' || printf('%.6f', lat - 0.001)
+                       AS josm_url,
+                   'node(around:100,' || printf('%.6f', lat) || ','
+                   || printf('%.6f', lon) || ');out;' AS overpass_query
+            FROM gm ORDER BY image_id
         """,
         "geo_area_export_rows": f"""
             WITH {_sql_geo_canon(_GEO_N)},

@@ -350,7 +350,23 @@ def articles(n_images: int = 1500, extra: int = 200) -> "pd.DataFrame":
     j = np.arange(len(df), dtype=np.int64) + 1_000_000
     df["lon"] = LON0 + LON_SPAN * _uniform(j, 5)
     df["lat"] = LAT0 + LAT_SPAN * _uniform(j, 6)
-    return df[["article_id", "title_canon", "theme", "lon", "lat"]]
+    # toponym-inference analog (reference nuts4nuts [PK]): a short
+    # article summary; ~60% mention an admin-area name from the
+    # polygon gazetteer verbatim, the rest carry no toponym. The
+    # filler vocabulary is disjoint from every gazetteer name so a
+    # mention is present iff planted.
+    names = [str(nm) for nm in polygons()["name"]]
+    h_m = _hash_stream(j, 9)
+    h_n = _hash_stream(j, 10)
+    mention = (h_m % 5) < 3
+    df["summary"] = [
+        (f"Voce {aid}: monumenti e luoghi presso "
+         f"{names[int(h_n[k] % len(names))]}, con note storiche."
+         if mention[k] else
+         f"Voce {aid}: note generali senza riferimenti territoriali.")
+        for k, aid in enumerate(df["article_id"])
+    ]
+    return df[["article_id", "title_canon", "theme", "lon", "lat", "summary"]]
 
 
 # ------------------------------------------------------------------ OSM XML

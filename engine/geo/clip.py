@@ -168,8 +168,13 @@ def simplify_ring(
         if seg2 == 0.0:
             d2 = (px - sx) ** 2 + (py - sy) ** 2
         else:
-            # perpendicular distance to the infinite chord (standard DP)
-            d2 = ((px - sx) * dy - (py - sy) * dx) ** 2 / seg2
+            # distance to the chord SEGMENT (projection clamped to
+            # [0,1]) — the textbook infinite-line variant silently
+            # breaks the documented "within epsilon of the kept
+            # polyline" guarantee when a vertex projects beyond an
+            # anchor (concave spans near the anchor do exactly that)
+            t = np.clip(((px - sx) * dx + (py - sy) * dy) / seg2, 0.0, 1.0)
+            d2 = (px - (sx + t * dx)) ** 2 + (py - (sy + t * dy)) ** 2
         k = int(np.argmax(d2))
         if d2[k] > epsilon * epsilon:
             m = i + 1 + k

@@ -10,12 +10,12 @@ co-locates every point with all candidates that could be among its k
 nearest, and ``map_groups`` runs an exact local kNN for the group's
 non-ghost members.
 
-PARTITIONING ASSUMPTION (documented per the brief): results are exact
-iff each point's true k-th neighbor lies within ``halo_rings`` rings of
-its coarse cell — i.e. local density ensures >= k candidates within
-``(1.5*halo_rings - 2) * cell_size`` degrees. Choose ``coarse_res`` so
-the expected per-cell count >> k. The fixture test verifies exactness
-vs brute force at the chosen setting.
+PARTITIONING ASSUMPTION (documented per the brief): a single halo pass
+is exact only for queries whose true k-th neighbor lies within the
+halo's certified radius; ``self_knn_halo`` therefore certifies each
+query per pass and escalates the uncertified sparse tail to coarser
+resolutions until exact (see its docstring). Choose ``coarse_res`` so
+the expected per-cell count >> k and round one certifies ~everything.
 """
 
 from __future__ import annotations
@@ -702,3 +702,107 @@ def radius_join(
     return points.map_batches(
         Probe, batch_format="pandas", concurrency=concurrency
     )
+
+
+def toponym_infer(
+    articles: ray.data.Dataset, poly: dict
+) -> ray.data.Dataset:
+    """Toponym inference (the reference's nuts4nuts fallback [PK],
+    SURVEY S3): articles WITHOUT a usable coordinate template get a
+    location inferred from the article text — here, the leftmost
+    gazetteer (admin-polygon name) mention in the ``summary`` column,
+    located at that polygon's shoelace centroid.
+
+    Deterministic match rule (mirrored verbatim by the SQL oracle):
+    smallest mention position, then longest name, then smallest
+    admin_id. The 77-entry gazetteer plus centroid table broadcast
+    once (``ray.put`` + per-worker ``cached_get``); the scan is a
+    vectorized ``str.find`` per gazetteer name — O(G) Arrow kernel
+    passes per batch, no shuffle. Output: one row per article with a
+    mention: (article_id, admin_id, name, level, inferred_lon,
+    inferred_lat)."""
+    import ray
+
+    from engine.state import cached_get
+
+    cent = polygon_centroids(poly).to_pandas()  # 77 rows, driver-side
+    names = [str(nm) for nm in poly["name"]]
+    admin = [str(a) for a in poly["admin_id"]]
+    # tie-break rank: longest name first, then smallest admin_id
+    rank_order = sorted(
+        range(len(names)), key=lambda g: (-len(names[g]), admin[g])
+    )
+    rank = np.empty(len(names), dtype=np.int64)
+    rank[rank_order] = np.arange(len(names))
+    gaz_ref = ray.put({
+        "names": names,
+        "admin": np.asarray(admin, dtype=object),
+        "rank": rank,
+        "cent": cent.set_index("admin_id"),
+    })
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        gaz = cached_get(gaz_ref)
+        s = b["summary"].astype(str)
+        n, G = len(b), len(gaz["names"])
+        # position matrix: -1 -> +inf so argmin picks real mentions
+        pos = np.full((n, G), np.inf)
+        for g, nm in enumerate(gaz["names"]):
+            p = s.str.find(nm).to_numpy(dtype=np.float64)
+            pos[:, g] = np.where(p < 0, np.inf, p)
+        # lexicographic (pos, rank) argmin: G is small, positions are
+        # bounded by the summary length, so pos*G+rank is collision-free
+        key = np.where(np.isinf(pos), np.inf, pos * G + gaz["rank"])
+        best = np.argmin(key, axis=1)
+        hit = ~np.isinf(key[np.arange(n), best])
+        if not hit.any():
+            return pd.DataFrame({
+                "article_id": pd.Series(dtype=str),
+                "admin_id": pd.Series(dtype=str),
+                "name": pd.Series(dtype=str),
+                "level": pd.Series(dtype=np.int32),
+                "inferred_lon": pd.Series(dtype=np.float64),
+                "inferred_lat": pd.Series(dtype=np.float64),
+            })
+        aid = gaz["admin"][best[hit]]
+        c = gaz["cent"].loc[aid]
+        return pd.DataFrame({
+            "article_id": b["article_id"].to_numpy()[hit],
+            "admin_id": aid,
+            "name": np.asarray(gaz["names"], dtype=object)[best[hit]],
+            "level": c["level"].to_numpy(dtype=np.int32),
+            "inferred_lon": c["centroid_lon"].to_numpy(),
+            "inferred_lat": c["centroid_lat"].to_numpy(),
+        })
+
+    return articles.map_batches(probe, batch_format="pandas")
+
+
+def josm_links(matched: ray.data.Dataset, pad: float = 0.001) -> ray.data.Dataset:
+    """Editor-handoff link generation (reference phase 3 [PK]: JOSM
+    remote-control and Overpass query links per matched row). Pure
+    vectorized string templating over (image_id, lon, lat) — numpy
+    ``%.6f`` formatting matches SQL ``printf('%.6f', ...)`` digit for
+    digit, so the oracle twin hash-compares."""
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        lon = b["lon"].to_numpy(dtype=np.float64)
+        lat = b["lat"].to_numpy(dtype=np.float64)
+        ix = b.index
+        left = pd.Series(np.char.mod("%.6f", lon - pad), index=ix)
+        right = pd.Series(np.char.mod("%.6f", lon + pad), index=ix)
+        top = pd.Series(np.char.mod("%.6f", lat + pad), index=ix)
+        bottom = pd.Series(np.char.mod("%.6f", lat - pad), index=ix)
+        clon = pd.Series(np.char.mod("%.6f", lon), index=ix)
+        clat = pd.Series(np.char.mod("%.6f", lat), index=ix)
+        out = b[["image_id"]].copy()
+        out["josm_url"] = (
+            "http://localhost:8111/load_and_zoom?left=" + left
+            + "&right=" + right + "&top=" + top + "&bottom=" + bottom
+        )
+        out["overpass_query"] = (
+            "node(around:100," + clat + "," + clon + ");out;"
+        )
+        return out
+
+    return matched.map_batches(fmt, batch_format="pandas")

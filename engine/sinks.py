@@ -137,3 +137,73 @@ def write_csv_per_area(
     if "area" not in out.columns:
         return _manifest_schema()
     return out.sort_values("area", ignore_index=True)
+
+
+_HTML_HEADER = (
+    "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
+    "<title>{title}</title></head>\n<body>\n<h1>{title}</h1>\n"
+)
+
+
+def html_document(
+    rows: pd.DataFrame, *, title: str, columns: list[str],
+    link_col: str | None = None,
+) -> str:
+    """Render rows as a static report page (reference phase-3 HTML
+    pages [PK]: per-area lists of articles to tag, with editor links).
+    Deterministic: rows sorted by ``columns``; cells HTML-escaped;
+    ``link_col`` (if given) renders as an anchor. No JS, no external
+    assets — a plain table any browser renders."""
+    rows = rows.sort_values(columns, kind="stable")
+    parts = [_HTML_HEADER.format(title=escape(title))]
+    parts.append("<table>\n<tr>")
+    for c in columns:
+        parts.append(f"<th>{escape(c)}</th>")
+    parts.append("</tr>\n")
+    for _, r in rows.iterrows():
+        parts.append("<tr>")
+        for c in columns:
+            v = escape(str(r[c]))
+            if c == link_col:
+                parts.append(f'<td><a href="{v}">link</a></td>')
+            else:
+                parts.append(f"<td>{v}</td>")
+        parts.append("</tr>\n")
+    parts.append("</table>\n</body></html>\n")
+    return "".join(parts)
+
+
+def write_html_per_area(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    area_col: str,
+    columns: list[str],
+    link_col: str | None = None,
+) -> pd.DataFrame:
+    """One static HTML report page per area
+    (``<out_dir>/<area>.html``), written distributed with the same
+    ownership/atomicity/idempotency rules as the GPX/CSV sinks.
+    Returns the manifest (area, path, n_rows, crc32)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _manifest_schema()
+        area = str(g[area_col].iloc[0])
+        doc = html_document(
+            g, title=f"Articles to tag — {area}", columns=columns,
+            link_col=link_col,
+        )
+        path = os.path.join(out_dir, f"{area}.html")
+        crc = _atomic_write(path, doc.encode("utf-8"))
+        return pd.DataFrame({"area": [area], "path": [path],
+                             "n_rows": [np.int64(len(g))],
+                             "crc32": [np.int64(crc)]})
+
+    out = ds.groupby(area_col).map_groups(
+        write_one, batch_format="pandas"
+    ).to_pandas()
+    if "area" not in out.columns:
+        return _manifest_schema()
+    return out.sort_values("area", ignore_index=True)

@@ -72,7 +72,7 @@ def test_articles_untagged_vs_sql(setup):
     idx, arts, con = setup
     got = geo_ops.articles_untagged(idx, arts)
     want = con.execute(
-        """SELECT article_id, title_canon, theme, lon, lat FROM arts
+        """SELECT * FROM arts
            WHERE title_canon NOT IN (SELECT caption_canon FROM img)
            ORDER BY article_id"""
     ).df()

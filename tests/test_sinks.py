@@ -122,3 +122,49 @@ def test_empty_input_yields_empty_manifest(ray_session, tmp_path):
     )
     assert len(man) == 0
     assert list(man.columns) == ["area", "path", "n_rows", "crc32"]
+
+
+def test_html_sink_readback_and_idempotency(ray_session, export_rows, tmp_path):
+    import ray.data as rd
+
+    from engine import sinks
+
+    rows, _, _ = export_rows
+    cols = ["article_id", "title_canon", "theme"]
+    out = str(tmp_path / "html")
+    man1 = sinks.write_html_per_area(
+        rd.from_pandas(rows), out, area_col="admin_id", columns=cols,
+    )
+    assert len(man1) == rows["admin_id"].nunique()
+    for _, m in man1.iterrows():
+        body = open(m["path"], encoding="utf-8").read()
+        assert body.startswith("<!DOCTYPE html>")
+        want = rows.loc[rows["admin_id"] == m["area"]]
+        assert int(m["n_rows"]) == len(want)
+        # every article row renders, escaped, in document order
+        pos = -1
+        for aid in sorted(want["article_id"]):
+            nxt = body.find(f"<td>{aid}</td>")
+            assert nxt > pos, (m["area"], aid)
+            pos = nxt
+    # byte-determinism: shuffled input, same bytes, same crcs
+    man2 = sinks.write_html_per_area(
+        rd.from_pandas(rows.sample(frac=1.0, random_state=5)),
+        out, area_col="admin_id", columns=cols,
+    )
+    pd.testing.assert_frame_equal(man1, man2)
+
+
+def test_html_escaping():
+    from engine import sinks
+
+    rows = pd.DataFrame({
+        "a": ["x<script>alert(1)</script>", "b&c"],
+        "u": ["http://e/?x=1&y=2", "http://e/2"],
+    })
+    doc = sinks.html_document(rows, title="t<&>", columns=["a", "u"],
+                              link_col="u")
+    assert "<script>alert" not in doc
+    assert "x&lt;script&gt;" in doc
+    assert 'href="http://e/?x=1&amp;y=2"' in doc
+    assert "t&lt;&amp;&gt;" in doc
