@@ -3735,6 +3735,23 @@ def oracle_sql() -> dict[str, str]:
             FROM gr WHERE rank <= 3
             ORDER BY article_id, rank
         """,
+        "geo_tile_pyramid": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            t8 AS (SELECT
+                CAST(LEAST(floor((lon + 180.0) / 360.0 * 256.0),
+                           255) AS INT) AS x8,
+                CAST(LEAST(floor((1.0 - ln(tan(radians(lat))
+                        + sqrt(tan(radians(lat)) * tan(radians(lat))
+                               + 1.0)) / pi()) / 2.0 * 256.0),
+                           255) AS INT) AS y8
+                FROM gll),
+            p AS (SELECT 7 AS z, x8 // 2 AS x, y8 // 2 AS y FROM t8
+                  UNION ALL
+                  SELECT 6 AS z, x8 // 4 AS x, y8 // 4 AS y FROM t8)
+            SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
+                   CAST(y AS BIGINT) AS y, COUNT(*) AS n_images
+            FROM p GROUP BY z, x, y ORDER BY z, x, y
+        """,
         "geo_knn": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},
             gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')

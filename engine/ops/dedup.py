@@ -346,61 +346,98 @@ def ngram_jaccard_pairs(
     *,
     threshold: float = 0.5,
     shingle_k: int = 5,
-    num_perm: int = 64,
+    num_perm: int | None = None,
     bands: int | None = None,
+    num_partitions: int = 8,
 ) -> pd.DataFrame:
     """Standalone n-gram Jaccard near-dup op (SURVEY §2.7 D3 family):
     MinHash banding surfaces candidate pairs, then each pair is verified
     with the EXACT char-k-shingle Jaccard. Returns
-    DataFrame(a, b, jaccard) with a < b, sorted — only shingle-set
-    hashes of candidate docs are recomputed; payloads never shuffle.
+    DataFrame(a, b, jaccard) with a < b, sorted.
 
-    ``bands=None`` (default) picks (bands, rows) as the FEWEST bands
-    (cheapest candidate volume) whose S-curve recall at the threshold
-    itself stays >= 0.95 (``lsh_params_recall``) — the op's contract is
-    "pairs with jaccard >= threshold", so boundary pairs must still be
-    candidates; the pure inflection rule (``lsh_params``) dropped
-    recall at exactly t=0.5 to ~64% with (16,4). Pass ``bands``
-    explicitly to trade recall against candidate volume."""
+    ``num_perm=None`` (default) escalates the signature width until the
+    recall-floor banding (``lsh_params_recall``, >=0.95 at the threshold
+    itself) lands on rows-per-band >= 4: at 64 perms a t=0.5 contract
+    forces r=2, and a 2-row band collides on every moderately-similar
+    pair — measured 13.7M bucket pairs over 5k template-heavy docs vs
+    1.5M at (256 perms, 64 bands, r=4), a 9x candidate cut for a 4x
+    signature cost. Pass ``num_perm``/``bands`` explicitly to override.
+
+    The whole path is distributed (same plan as
+    ``minhash_lsh_dedup_ds``): sharded pair-gen -> distributed distinct
+    -> two hash equi-joins route each candidate pair to its two texts
+    -> per-batch vectorized verify. Only the verified pairs (the
+    near-dup set, not the candidate set) ever reach the driver — the
+    round-1 form shipped EVERY bucket pair to the driver and verified
+    in a Python loop, the measured 85s/5k-docs hot spot of the suite."""
+    from engine.ops import relational
+
+    if num_perm is None:
+        for cand_np in (64, 128, 256):
+            _, r = lsh_params_recall(cand_np, threshold)
+            num_perm = cand_np
+            if r >= 4:
+                break
     if bands is None:
         bands, _ = lsh_params_recall(num_perm, threshold)
 
-    cand_pd = (
-        docs.map_batches(_sign_and_band_fn(num_perm, bands, shingle_k),
-                         batch_format="pandas")
-        .map_batches(_add_shard256, batch_format="pandas")
-        .groupby("shard")
-        .map_groups(_pairs_sharded, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+         "jaccard": pd.Series(dtype=np.float64)}
     )
-    if not len(cand_pd):
-        return pd.DataFrame(
-            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-             "jaccard": pd.Series(dtype=np.float64)}
-        )
-    cand_ids = np.union1d(cand_pd["a"].to_numpy(), cand_pd["b"].to_numpy())
-    id_set_ref = ray.put(set(int(x) for x in cand_ids))
+    banded = docs.map_batches(
+        _sign_and_band_fn(num_perm, bands, shingle_k), batch_format="pandas"
+    ).map_batches(_add_shard256, batch_format="pandas")
+    cand = banded.groupby("shard").map_groups(
+        _pairs_sharded, batch_format="pandas"
+    )
+    cand = relational.distinct(cand, ["a", "b"]).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+    num_partitions = int(min(num_partitions,
+                             max(2, n_cand // 200_000 + 1)))
 
-    def only_candidates(b: pd.DataFrame) -> pd.DataFrame:
-        from engine.state import cached_get
+    def _as_side(side: str, text_col: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[["doc_id", "text"]].rename(
+                columns={"doc_id": side, "text": text_col}
+            )
+        return f
 
-        return b[b["doc_id"].isin(cached_get(id_set_ref))]
+    docs_a = docs.map_batches(_as_side("a", "__text_a"), batch_format="pandas")
+    docs_b = docs.map_batches(_as_side("b", "__text_b"), batch_format="pandas")
+    j = cand.join(docs_a, join_type="inner",
+                  num_partitions=num_partitions, on=("a",))
+    j = j.join(docs_b, join_type="inner",
+               num_partitions=num_partitions, on=("b",))
 
-    cand_texts = docs.map_batches(only_candidates, batch_format="pandas").to_pandas()
-    sets = {
-        int(did): set(_shingles(t, shingle_k).tolist())
-        for did, t in zip(cand_texts["doc_id"], cand_texts["text"].astype(str))
-    }
-    jac = []
-    for a, b in zip(cand_pd["a"], cand_pd["b"]):
-        sa, sb = sets[int(a)], sets[int(b)]
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        jac.append(inter / union if union else 1.0)
-    cand_pd = cand_pd.copy()
-    cand_pd["jaccard"] = np.round(jac, 6)
-    out = cand_pd[cand_pd["jaccard"] >= threshold]
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "a" not in b.columns:
+            return empty
+        cache: dict[str, set] = {}
+
+        def sset(t: str) -> set:
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = set(_shingles(t, shingle_k).tolist())
+            return s
+
+        jac = np.empty(len(b), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(b["__text_a"].astype(str),
+                                         b["__text_b"].astype(str))):
+            sa, sb_ = sset(ta), sset(tb)
+            inter = len(sa & sb_)
+            union = len(sa) + len(sb_) - inter
+            jac[i] = inter / union if union else 1.0
+        keep = np.round(jac, 6) >= threshold
+        out = b.loc[keep, ["a", "b"]].astype(np.int64)
+        out["jaccard"] = np.round(jac[keep], 6)
+        return out
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if not len(out):
+        return empty
     lo = np.minimum(out["a"].to_numpy(), out["b"].to_numpy())
     hi = np.maximum(out["a"].to_numpy(), out["b"].to_numpy())
     out = pd.DataFrame({"a": lo, "b": hi, "jaccard": out["jaccard"].to_numpy()})
