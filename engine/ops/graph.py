@@ -68,28 +68,49 @@ def pagerank(
     rank = np.full(n, 1.0 / n)
     node_pos = pd.Series(np.arange(n), index=nodes)
 
+    # re-key edges to dense node POSITIONS once (broadcast the id->pos
+    # map, one pass), so every iteration's gather/scatter is a pure
+    # np.bincount — the round-1 loop re-did a pandas hash merge on the
+    # raw int64 keys plus a sum_final shuffle EVERY iteration, ~2s of
+    # dispatch+join overhead per round at sf0.1 vs ~0.2s for this form.
+    # Broadcast assumption (same as the contrib map before): the rank
+    # vector (n doubles) fits one worker's heap.
+    pos_ref = ray.put(node_pos)
+
+    def to_pos(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        p = cached_get(pos_ref)
+        return pd.DataFrame({
+            "s": p[b[src].to_numpy()].to_numpy().astype(np.int64),
+            "d": p[b[dst].to_numpy()].to_numpy().astype(np.int64),
+        })
+
+    pos_ds = edges.map_batches(
+        to_pos, batch_format="pandas"
+    ).repartition(8).materialize()
+
     for _ in range(iters):
         # contribution of each node along each out-edge
         contrib = np.where(out_deg > 0, rank / np.maximum(out_deg, 1.0), 0.0)
         dangling = rank[out_deg == 0].sum()
-        cmap = pd.DataFrame({src: nodes, "__c": contrib})
-        ref = ray.put(cmap)
+        c_ref = ray.put(contrib)
 
         def push(b: pd.DataFrame) -> pd.DataFrame:
             from engine.state import cached_get
 
-            m = b.merge(cached_get(ref), on=src)
-            return (
-                pd.DataFrame({"node": m[dst], "__sum": m["__c"]})
-                .groupby("node", as_index=False)
-                .sum()
-            )
+            c = cached_get(c_ref)
+            v = np.bincount(b["d"].to_numpy(),
+                            weights=c[b["s"].to_numpy()], minlength=n)
+            nz = np.flatnonzero(v)
+            return pd.DataFrame({"node_pos": nz, "__sum": v[nz]})
 
-        sums = relational.sum_final(
-            edges.map_batches(push, batch_format="pandas"), ["node"]
-        ).to_pandas()
+        parts = pos_ds.map_batches(push, batch_format="pandas").to_pandas()
+        # deterministic partial-merge order (float sums)
+        parts = parts.sort_values(["node_pos", "__sum"], kind="stable")
         incoming = np.zeros(n)
-        incoming[node_pos[sums["node"]].to_numpy()] = sums["__sum"].to_numpy()
+        np.add.at(incoming, parts["node_pos"].to_numpy(),
+                  parts["__sum"].to_numpy())
         rank = (1 - damping) / n + damping * (incoming + dangling / n)
 
     return pd.DataFrame({"node": nodes, "rank": rank}).sort_values(
