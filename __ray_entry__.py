@@ -791,6 +791,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(text.distinct_token_batch, batch_format="pandas")
         return out.select_columns(["doc_id", "n_distinct", "ttr"])
 
+    def docs_repetition_ratio(sf_dir: str):
+        # Gopher-style duplicate-bigram fraction: boilerplate / looping
+        # docs that length and TTR filters miss
+        ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        out = ds.map_batches(text.repetition_ratio_batch,
+                             batch_format="pandas")
+        return out.select_columns(["doc_id", "n_bigrams", "rep_ratio"])
+
     def docs_quality(sf_dir: str):
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
         out = ds.map_batches(text.quality_score_batch, batch_format="pandas")
@@ -2219,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": docs_token_stats,
         "docs_quality": docs_quality,
         "docs_vocab_diversity": docs_vocab_diversity,
+        "docs_repetition_ratio": docs_repetition_ratio,
         "dedup_documents_exact": dedup_documents_exact,
         "ann_cosine_topk": ann_cosine_topk,
         "lang_id_documents": lang_id_documents,
@@ -3240,6 +3249,21 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 ) WHERE t <> '' GROUP BY doc_id
             ) s USING (doc_id)
+        """,
+        "docs_repetition_ratio": """
+            WITH t AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '') AS ts
+                FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN len(ts) < 2 THEN 0
+                             ELSE len(ts) - 1 END AS BIGINT) AS n_bigrams,
+                   ROUND(CASE WHEN len(ts) < 2 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(list_transform(
+                                  range(1, len(ts)),
+                                  i -> ts[i] || ' ' || ts[i + 1])))
+                              / (len(ts) - 1.0) END, 6) AS rep_ratio
+            FROM t ORDER BY doc_id
         """,
         "parts_never_ordered_heavy": """
             SELECT p_partkey, p_name FROM part

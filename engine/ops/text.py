@@ -95,6 +95,34 @@ def distinct_token_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def repetition_ratio_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signal: per-doc duplicate-bigram
+    fraction ``rep_ratio = 1 - distinct_bigrams / total_bigrams`` over
+    lowercased whitespace tokens (0.0 for docs with < 2 tokens). High
+    values mark boilerplate / looping generations that length and TTR
+    filters miss. Mirrored exactly by a DuckDB list-comprehension twin
+    (``docs_repetition_ratio``)."""
+    texts = batch["text"].astype(str)
+    batch = batch.copy()
+    n_bi, n_dis = [], []
+    for s in texts:
+        toks = [t for t in _WS_RE.split(s.lower()) if t]
+        if len(toks) < 2:
+            n_bi.append(0)
+            n_dis.append(0)
+            continue
+        bis = list(zip(toks[:-1], toks[1:]))
+        n_bi.append(len(bis))
+        n_dis.append(len(set(bis)))
+    n_bi = np.asarray(n_bi, dtype=np.int64)
+    n_dis = np.asarray(n_dis, dtype=np.int64)
+    batch["n_bigrams"] = n_bi
+    batch["rep_ratio"] = np.round(
+        1.0 - n_dis / np.maximum(n_bi, 1), 6
+    )
+    return batch
+
+
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Heuristic quality features: char length, mean word length,
     punctuation ratio, stopword ratio, upper ratio + a composite score."""
