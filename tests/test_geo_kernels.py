@@ -644,3 +644,36 @@ def test_self_knn_halo_exact_vs_bruteforce_with_sparse_tail(ray_session):
             mine["dist_m"].to_numpy(), np.round(d[qi][order], 6),
             rtol=0, atol=1e-6,
         )
+
+
+def test_toponym_infer_leftmost_and_exclusion(ray_session):
+    """Toponym inference: leftmost gazetteer mention wins; articles
+    with no mention are excluded; inferred location equals the named
+    polygon's centroid row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine import fixtures
+    from engine.ops.geo import polygon_centroids, toponym_infer
+
+    poly = fixtures.polygons()
+    names = [str(n) for n in poly["name"]]
+    n0, n1 = names[2], names[3]  # two distinct muni names
+    arts = pd.DataFrame({
+        "article_id": ["A1", "A2", "A3"],
+        "summary": [
+            f"storia presso {n0} e poi {n1} assieme.",   # n0 leftmost
+            f"prima {n1}, molto dopo {n0}.",              # n1 leftmost
+            "nessun riferimento territoriale qui.",       # no mention
+        ],
+    })
+    got = toponym_infer(rd.from_pandas(arts), poly).to_pandas()
+    got = got.sort_values("article_id", ignore_index=True)
+    assert got["article_id"].tolist() == ["A1", "A2"]
+    assert got["name"].tolist() == [n0, n1]
+    cent = polygon_centroids(poly).to_pandas().set_index("admin_id")
+    for _, r in got.iterrows():
+        c = cent.loc[r["admin_id"]]
+        assert r["inferred_lon"] == c["centroid_lon"]
+        assert r["inferred_lat"] == c["centroid_lat"]
+        assert int(r["level"]) == int(c["level"])
