@@ -627,6 +627,7 @@ def connected_components_distributed(
     *,
     max_rounds: int = 25,
     num_partitions: int | None = None,
+    small_graph_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """Connected components over a near-dup pair list WITHOUT the
     driver-side union-find of ``minhash_lsh_dedup`` — the scale path
@@ -658,10 +659,47 @@ def connected_components_distributed(
         return out.drop_duplicates()
 
     sym_edges = edges.map_batches(sym, batch_format="pandas").materialize()
+    n_sym = sym_edges.count()
+    if n_sym <= small_graph_rows:
+        # small-graph fast path: the whole edge set fits one worker
+        # task comfortably, and each propagation round below costs
+        # ~2.5s of join/groupby/materialize dispatch — a planted
+        # 500-edge graph was paying ~12s of pure round overhead. One
+        # repartition(1) task runs path-compressed union-find with
+        # identical min-label semantics (still off-driver; the
+        # distributed rounds remain the path for edge sets past one
+        # worker's heap).
+        def cc_single(b: pd.DataFrame) -> pd.DataFrame:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a_, b_ in zip(b["node"].to_numpy(), b["nbr"].to_numpy()):
+                ra, rb = find(int(a_)), find(int(b_))
+                if ra != rb:
+                    # union by min: smaller root wins (min-label law)
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = np.unique(b["node"].to_numpy())
+            lab = np.fromiter((find(int(x)) for x in nodes),
+                              np.int64, len(nodes))
+            return pd.DataFrame({"node": nodes.astype(np.int64),
+                                 "label": lab})
+
+        out = sym_edges.repartition(1).map_batches(
+            cc_single, batch_format="pandas", batch_size=None
+        ).to_pandas().astype({"node": np.int64, "label": np.int64})
+        return out.sort_values("node", ignore_index=True)
     if num_partitions is None:
         # join fan-out sized to the edge set: every extra partition is
         # per-round task overhead, pure waste below ~200k edges/partition
-        num_partitions = int(min(16, max(2, sym_edges.count() // 200_000 + 1)))
+        num_partitions = int(min(16, max(2, n_sym // 200_000 + 1)))
 
     def seed(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

@@ -282,11 +282,16 @@ def test_connected_components_distributed_matches_unionfind(ray_session):
         comp.setdefault(find(v), v)  # nodes ascending -> min id first
     want = {v: comp[find(v)] for v in nodes}
 
-    got = connected_components_distributed(
-        ray.data.from_pandas(edges).repartition(4)
-    )
-    assert got["node"].tolist() == nodes
-    assert got["label"].tolist() == [want[v] for v in nodes]
+    # both execution paths: the single-task small-graph fast path and
+    # the iterated min-label propagation rounds (forced via
+    # small_graph_rows=0) must agree with the union-find oracle
+    for small_rows in (2_000_000, 0):
+        got = connected_components_distributed(
+            ray.data.from_pandas(edges).repartition(4),
+            small_graph_rows=small_rows,
+        )
+        assert got["node"].tolist() == nodes, small_rows
+        assert got["label"].tolist() == [want[v] for v in nodes], small_rows
 
 
 def test_token_topk_small(ray_session):
