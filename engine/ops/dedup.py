@@ -161,6 +161,110 @@ def _pairs_sharded(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
+def _verify_candidate_pairs(
+    cand: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    threshold: float,
+    shingle_k: int,
+    num_partitions: int,
+    small_ids: int = 50_000,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of a candidate-pair Dataset ->
+    Dataset(a, b, jaccard) with only pairs >= threshold. Two execution
+    paths, chosen by the number of DISTINCT candidate docs:
+
+    - <= ``small_ids``: the candidate docs' shingle SETS are built once
+      and broadcast (~2.4KB per 300-token doc — 50k docs is ~120MB,
+      one plasma object); the pair stream then verifies with pure set
+      intersections and never carries text. Measured at sf0.1 (5k
+      docs, 1.45M candidate pairs): ~6s vs ~15s for the join path —
+      the two hash equi-joins were the dominant cost of the op.
+    - above: two hash equi-joins co-locate each pair with its two
+      texts (no driver/broadcast structure bounded by the corpus),
+      shingle sets cached per batch — the 10^9-doc path.
+    """
+    from engine.state import cached_get
+
+    def ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        })
+
+    cand_ids = cand.map_batches(ends, batch_format="pandas").unique("doc_id")
+    if len(cand_ids) <= small_ids:
+        id_ref = ray.put(set(int(x) for x in cand_ids))
+
+        def keep(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"].isin(cached_get(id_ref))]
+
+        texts = docs.map_batches(keep, batch_format="pandas").to_pandas()
+        sets_ref = ray.put({
+            int(d): frozenset(_shingles(t, shingle_k).tolist())
+            for d, t in zip(texts["doc_id"], texts["text"].astype(str))
+        })
+
+        def verify_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            ss = cached_get(sets_ref)
+            a = b["a"].to_numpy()
+            bb = b["b"].to_numpy()
+            jac = np.empty(len(b), dtype=np.float64)
+            for i in range(len(b)):
+                sa, sb_ = ss[int(a[i])], ss[int(bb[i])]
+                inter = len(sa & sb_)
+                union = len(sa) + len(sb_) - inter
+                jac[i] = inter / union if union else 1.0
+            keep_m = np.round(jac, 6) >= threshold
+            out = b.loc[keep_m, ["a", "b"]].astype(np.int64)
+            out["jaccard"] = np.round(jac[keep_m], 6)
+            return out
+
+        return cand.map_batches(verify_bcast, batch_format="pandas")
+
+    def _as_side(side: str, text_col: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[["doc_id", "text"]].rename(
+                columns={"doc_id": side, "text": text_col}
+            )
+        return f
+
+    docs_a = docs.map_batches(_as_side("a", "__text_a"), batch_format="pandas")
+    docs_b = docs.map_batches(_as_side("b", "__text_b"), batch_format="pandas")
+    j = cand.join(docs_a, join_type="inner",
+                  num_partitions=num_partitions, on=("a",))
+    j = j.join(docs_b, join_type="inner",
+               num_partitions=num_partitions, on=("b",))
+
+    def verify_join(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "a" not in b.columns:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64),
+                 "b": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        cache: dict[str, frozenset] = {}
+
+        def sset(t: str) -> frozenset:
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = frozenset(_shingles(t, shingle_k).tolist())
+            return s
+
+        jac = np.empty(len(b), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(b["__text_a"].astype(str),
+                                         b["__text_b"].astype(str))):
+            sa, sb_ = sset(ta), sset(tb)
+            inter = len(sa & sb_)
+            union = len(sa) + len(sb_) - inter
+            jac[i] = inter / union if union else 1.0
+        keep_m = np.round(jac, 6) >= threshold
+        out = b.loc[keep_m, ["a", "b"]].astype(np.int64)
+        out["jaccard"] = np.round(jac[keep_m], 6)
+        return out
+
+    return j.map_batches(verify_join, batch_format="pandas")
+
+
 def minhash_lsh_dedup_ds(
     docs: ray.data.Dataset,
     *,
@@ -214,48 +318,12 @@ def minhash_lsh_dedup_ds(
     num_partitions = int(min(num_partitions,
                              max(2, cand.count() // 200_000 + 1)))
 
-    # co-shuffle verify: two equi-joins route each pair row to its two
-    # texts; a doc's text moves once per candidate pair it appears in —
-    # bounded by the (rare) candidate volume, never the corpus
-    def _as_side(side: str, text_col: str):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            return b[["doc_id", "text"]].rename(
-                columns={"doc_id": side, "text": text_col}
-            )
-        return f
-
-    # (map_batches rename: Dataset.rename_columns breaks on pandas blocks)
-    docs_a = docs.map_batches(_as_side("a", "__text_a"), batch_format="pandas")
-    docs_b = docs.map_batches(_as_side("b", "__text_b"), batch_format="pandas")
-    j = cand.join(docs_a, join_type="inner",
-                  num_partitions=num_partitions, on=("a",))
-    j = j.join(docs_b, join_type="inner",
-               num_partitions=num_partitions, on=("b",))
-
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        if b.empty or "a" not in b.columns:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        # shingle sets once per unique text in the batch, then cheap
-        # set intersections per pair
-        cache: dict[str, set] = {}
-
-        def sset(t: str) -> set:
-            s = cache.get(t)
-            if s is None:
-                s = cache[t] = set(_shingles(t, shingle_k).tolist())
-            return s
-
-        keep = np.empty(len(b), dtype=bool)
-        for i, (ta, tb) in enumerate(zip(b["__text_a"].astype(str),
-                                         b["__text_b"].astype(str))):
-            sa, sb = sset(ta), sset(tb)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            keep[i] = (inter / union if union else 1.0) >= threshold
-        return b.loc[keep, ["a", "b"]].astype(np.int64)
-
-    edges = j.map_batches(verify, batch_format="pandas").materialize()
+    # verify: broadcast shingle sets below the small_ids gate, two
+    # co-shuffle equi-joins above it (see _verify_candidate_pairs)
+    edges = _verify_candidate_pairs(
+        cand, docs, threshold=threshold, shingle_k=shingle_k,
+        num_partitions=num_partitions,
+    ).select_columns(["a", "b"]).materialize()
     if edges.count() > 0:
         labels = connected_components_distributed(edges)
         label_map = dict(zip(labels["node"].astype(np.int64),
@@ -398,51 +466,16 @@ def ngram_jaccard_pairs(
     num_partitions = int(min(num_partitions,
                              max(2, n_cand // 200_000 + 1)))
 
-    def _as_side(side: str, text_col: str):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            return b[["doc_id", "text"]].rename(
-                columns={"doc_id": side, "text": text_col}
-            )
-        return f
-
-    docs_a = docs.map_batches(_as_side("a", "__text_a"), batch_format="pandas")
-    docs_b = docs.map_batches(_as_side("b", "__text_b"), batch_format="pandas")
-    j = cand.join(docs_a, join_type="inner",
-                  num_partitions=num_partitions, on=("a",))
-    j = j.join(docs_b, join_type="inner",
-               num_partitions=num_partitions, on=("b",))
-
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        if b.empty or "a" not in b.columns:
-            return empty
-        cache: dict[str, set] = {}
-
-        def sset(t: str) -> set:
-            s = cache.get(t)
-            if s is None:
-                s = cache[t] = set(_shingles(t, shingle_k).tolist())
-            return s
-
-        jac = np.empty(len(b), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(b["__text_a"].astype(str),
-                                         b["__text_b"].astype(str))):
-            sa, sb_ = sset(ta), sset(tb)
-            inter = len(sa & sb_)
-            union = len(sa) + len(sb_) - inter
-            jac[i] = inter / union if union else 1.0
-        keep = np.round(jac, 6) >= threshold
-        out = b.loc[keep, ["a", "b"]].astype(np.int64)
-        out["jaccard"] = np.round(jac[keep], 6)
-        return out
-
-    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    out = _verify_candidate_pairs(
+        cand, docs, threshold=threshold, shingle_k=shingle_k,
+        num_partitions=num_partitions,
+    ).to_pandas()
     if not len(out):
         return empty
     lo = np.minimum(out["a"].to_numpy(), out["b"].to_numpy())
     hi = np.maximum(out["a"].to_numpy(), out["b"].to_numpy())
     out = pd.DataFrame({"a": lo, "b": hi, "jaccard": out["jaccard"].to_numpy()})
     return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"], ignore_index=True)
-
 
 class SimHasher:
     """64-bit simhash over whitespace tokens (per-actor hash state)."""
