@@ -1430,6 +1430,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_images(_geo_fixture_dir(), columns=["image_id", "phash"])
         return dedup.exact_dedup(ds, key="phash", order_col="image_id")
 
+    def image_similar_topk(sf_dir: str):
+        # image-axis similarity search composition: per-image qdct/
+        # gradient feature vector (actor-pool decode) -> exact cosine
+        # top-k against 5 query images via the distributed top-k merge.
+        # Features come from the native decoder (non-SQL) — exactness
+        # pytest-oracled vs a numpy brute force with the same tie rule.
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+        feats = multimodal.image_features(ds, concurrency=(1, 4))
+        fcols = ["mean_r", "mean_g", "mean_b",
+                 "lum_mean", "lum_std", "edge_energy"]
+
+        def to_vec(b: pd.DataFrame) -> pd.DataFrame:
+            v = np.stack([b[c].to_numpy(dtype=np.float64) for c in fcols],
+                         axis=1)
+            return pd.DataFrame({"vec_id": b["image_id"],
+                                 "embedding": list(v)})
+
+        corp = feats.map_batches(to_vec, batch_format="pandas").materialize()
+        qids = [f"img{i:09d}" for i in range(5)]
+        qdf = corp.filter(
+            expr=f"vec_id in {qids!r}"
+        ).to_pandas().sort_values("vec_id", ignore_index=True)
+        out = simsearch.brute_force_topk(
+            corp, np.stack(qdf["embedding"].to_numpy()), k=5,
+        )
+        return out
+
     def image_features(sf_dir: str):
         from engine.io import read_images
 
@@ -2278,6 +2308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_phash_near_dups": geo_phash_near_dups,
         "geo_dedup_phash": geo_dedup_phash,
         "image_features": image_features,
+        "image_similar_topk": image_similar_topk,
         "image_resize": image_resize,
     }
 

@@ -172,3 +172,47 @@ def test_prepare_image_corpus_dedups_and_is_deterministic(ray_session, tmp_path)
     assert set(a["image_id"]) == want_ids
     # fixture plants exact duplicates, so dedup actually dropped rows
     assert len(a) < len(full)
+
+
+def test_image_similar_topk_matches_bruteforce(ray_session):
+    """Image-feature similarity search: the distributed cosine top-k
+    over decoded-image feature vectors equals a numpy brute force with
+    the same (score desc, id asc) tie rule."""
+    import __ray_entry__ as em
+
+    q = em.queries()
+    got = q["image_similar_topk"]("/root/testdata/sf0.001")
+    got = got.sort_values(["query_ix", "rank"], ignore_index=True)
+    assert set(got.columns) >= {"query_ix", "rank", "vec_id", "cos"}
+    assert got["query_ix"].nunique() == 5
+    assert (got.groupby("query_ix").size() == 5).all()
+
+    # rebuild the full feature matrix driver-side as the oracle
+    import ray.data as rd
+
+    from engine.io import read_images
+    from engine.ops import multimodal
+
+    ds = read_images(em._geo_fixture_dir(),
+                     columns=["image_id", "bytes", "fmt"])
+    f = multimodal.image_features(ds, concurrency=(1, 2)).to_pandas()
+    fcols = ["mean_r", "mean_g", "mean_b", "lum_mean", "lum_std",
+             "edge_energy"]
+    v = f[fcols].to_numpy(dtype=np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    ids = f["image_id"].to_numpy()
+    order = np.argsort(ids)
+    v, ids = v[order], ids[order]
+    qids = [f"img{i:09d}" for i in range(5)]
+    qv = v[np.searchsorted(ids, qids)]
+    sim = qv @ v.T
+    for qi in range(5):
+        row = np.round(sim[qi], 12)
+        best = sorted(zip(-row, ids))[:5]
+        want_ids = [b[1] for b in best]
+        mine = got[got["query_ix"] == qi].sort_values("rank")
+        assert mine["vec_id"].tolist() == want_ids, qi
+        np.testing.assert_allclose(
+            mine["cos"].to_numpy(),
+            [round(-b[0], 6) for b in best], rtol=0, atol=2e-6,
+        )
