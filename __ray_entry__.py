@@ -1495,6 +1495,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(crc, batch_format="pandas")
 
+    def image_dims_by_fmt(sf_dir: str):
+        # image-axis per-codec stats: count, mean dims, total megapixels.
+        # Oracle regenerates w/h/fmt from splitmix64 streams 10-12 over
+        # the dup source-row rule entirely in SQL — the strongest twin
+        # form (proves the fixture streams AND the aggregate).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(), columns=["w", "h", "fmt"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            w = pc.cast(t["w"], pa.float64())
+            h = pc.cast(t["h"], pa.float64())
+            return t.append_column(
+                "mpx", pc.divide(pc.multiply(w, h), 1e6))
+
+        out = relational.partial_groupby_sum_arrow(
+            ds, ["fmt"], {"w": "sum_w", "h": "sum_h", "mpx": "sum_mpx"},
+            count_as="n", derive=derive,
+        ).to_pandas()
+        out["avg_w"] = (out["sum_w"] / out["n"]).round(4)
+        out["avg_h"] = (out["sum_h"] / out["n"]).round(4)
+        out["sum_mpx"] = out["sum_mpx"].round(4)
+        return out[["fmt", "n", "avg_w", "avg_h", "sum_mpx"]]
+
+    def image_mpx_by_cell(sf_dir: str):
+        # pixel-volume skew map: per-H3-res5-cell image count + total
+        # megapixels (the quantity the tile codec stage actually pays
+        # for). Geotags AND dims both regenerate in the SQL twin.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        idx = _geo_indexed(columns=["image_id", "w", "h"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            w = pc.cast(t["w"], pa.float64())
+            h = pc.cast(t["h"], pa.float64())
+            return t.append_column(
+                "mpx", pc.divide(pc.multiply(w, h), 1e6))
+
+        out = relational.partial_groupby_sum_arrow(
+            idx, ["h3_r5"], {"mpx": "sum_mpx"}, count_as="n",
+            derive=derive,
+        ).to_pandas()
+        out["sum_mpx"] = out["sum_mpx"].round(4)
+        return out[["h3_r5", "n", "sum_mpx"]]
+
+    def image_payload_bytes_by_fmt(sf_dir: str):
+        # encoded payload budget per codec: total/avg blob bytes by fmt
+        # (drives batch-size sizing for the decode actor pool). Oracle
+        # reads the same parquet and recomputes with octet_length.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(), columns=["bytes", "fmt"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "blen", pc.cast(pc.binary_length(t["bytes"]), pa.int64()))
+
+        out = relational.partial_groupby_sum_arrow(
+            ds, ["fmt"], {"blen": "total_bytes"}, count_as="n",
+            derive=derive,
+        ).to_pandas()
+        out["avg_bytes"] = (out["total_bytes"] / out["n"]).round(4)
+        return out[["fmt", "n", "total_bytes", "avg_bytes"]]
+
     def q3_shipping_priority(sf_dir: str):
         # TPC-H Q3 shape, composed from the engine's join primitives:
         # filtered dimension -> semi-join orders -> broadcast order
@@ -2310,6 +2379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": image_features,
         "image_similar_topk": image_similar_topk,
         "image_resize": image_resize,
+        "image_dims_by_fmt": image_dims_by_fmt,
+        "image_mpx_by_cell": image_mpx_by_cell,
+        "image_payload_bytes_by_fmt": image_payload_bytes_by_fmt,
     }
 
 
@@ -2481,6 +2553,25 @@ def _sql_gcanon_body() -> str:
 def _sql_geo_canon(n: int) -> str:
     """CTE chain ending in gcanon (see _sql_gcanon_body)."""
     return f"{_sql_geo_hashes(n, [5, 6, 7, 8])}, {_sql_gcanon_body()}"
+
+
+def _sql_gdims_body() -> str:
+    """gdim(i, w, h, fmt) = the fixture's dims/fmt columns (streams
+    10-12 evaluated at pixel_source_row(i): exact duplicates carry the
+    SOURCE row's dims/fmt so pixels match — engine/fixtures.py:107-141).
+    Expects ghash with h10..h12 in scope."""
+    return """
+        gsrc AS (SELECT i, CASE WHEN i % 100 = 7 AND i > 0
+                                THEN GREATEST(0, i - 1 - (i % 13))
+                                ELSE i END AS src
+                 FROM ghash),
+        gdim AS (SELECT s.i,
+                    16 + 8 * CAST(g.h10 % 3 AS INT) AS w,
+                    16 + 8 * CAST(g.h11 % 3 AS INT) AS h,
+                    CASE WHEN g.h12 % 10 < 7
+                         THEN 'raw16' ELSE 'qdct' END AS fmt
+                 FROM gsrc s JOIN ghash g ON g.i = s.src)
+    """
 
 
 def _sql_geo_full(n: int) -> str:
@@ -3672,6 +3763,33 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.h, b.h)) <= 6
             ORDER BY a, b
+        """,
+        "image_dims_by_fmt": f"""
+            WITH {_sql_geo_hashes(_GEO_N, [10, 11, 12])},
+            {_sql_gdims_body()}
+            SELECT fmt, COUNT(*) AS n,
+                   round(AVG(CAST(w AS DOUBLE)), 4) AS avg_w,
+                   round(AVG(CAST(h AS DOUBLE)), 4) AS avg_h,
+                   round(SUM(CAST(w AS DOUBLE) * CAST(h AS DOUBLE)
+                             / 1e6), 4) AS sum_mpx
+            FROM gdim GROUP BY fmt
+        """,
+        "image_mpx_by_cell": f"""
+            WITH {_sql_geo_hashes(_GEO_N, [1, 2, 3, 4, 10, 11, 12])},
+            {_sql_gll_body()},
+            {_sql_geo_h3(5)},
+            {_sql_gdims_body()}
+            SELECT c.h3_r5, COUNT(*) AS n,
+                   round(SUM(CAST(d.w AS DOUBLE) * CAST(d.h AS DOUBLE)
+                             / 1e6), 4) AS sum_mpx
+            FROM gcell c JOIN gdim d USING (i) GROUP BY c.h3_r5
+        """,
+        "image_payload_bytes_by_fmt": f"""
+            SELECT fmt, COUNT(*) AS n,
+                   CAST(SUM(octet_length(bytes)) AS BIGINT) AS total_bytes,
+                   round(AVG(CAST(octet_length(bytes) AS DOUBLE)), 4)
+                       AS avg_bytes
+            FROM read_parquet('{_GEO_FIXTURE_SQL}') GROUP BY fmt
         """,
         "geo_article_match": f"""
             WITH {_sql_geo_canon(_GEO_N)}
