@@ -1310,6 +1310,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def geo_polygon_centroids(sf_dir: str):
         return geo_ops.polygon_centroids(fixtures.polygons())
 
+    def geo_polygon_areas(sf_dir: str):
+        # shoelace area with hole subtraction; the SQL twin recomputes
+        # per-ring cross products with LEAD/FIRST_VALUE windows over the
+        # shared polygon_vertices parquet
+        out = geo_ops.polygon_areas(fixtures.polygons()).to_pandas()
+        out["area_deg2"] = out["area_deg2"].round(6)
+        return out[["admin_id", "level", "area_deg2"]]
+
+    def geo_cell_ring_density(sf_dir: str):
+        # hex focal sum: per occupied res-5 cell, own count + ring-1
+        # neighbor total (packed-id arithmetic scatter, one grouped sum)
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.cell_ring_density(idx, res=5).to_pandas()
+        return out[["h3_r5", "n", "ring1_n", "disk_n"]]
+
     def geo_vector_tiles(sf_dir: str):
         # vector half of raster<->vector tiling: admin polygons clipped
         # to z/x/y tile rects (Sutherland-Hodgman), per-tile net area;
@@ -2361,6 +2376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "run_history_series": run_history_series,
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
+        "geo_polygon_areas": geo_polygon_areas,
+        "geo_cell_ring_density": geo_cell_ring_density,
         "geo_vector_tiles": geo_vector_tiles,
         "image_augment": image_augment,
         "geo_admin_rollup": geo_admin_rollup,
@@ -3874,6 +3891,45 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SQL_GEO_CENTROIDS}
             SELECT admin_id, level, centroid_lon, centroid_lat
             FROM gcent ORDER BY admin_id
+        """,
+        "geo_polygon_areas": f"""
+            WITH v AS (SELECT admin_id, level, ring_ix, vertex_ix,
+                              lon, lat
+                       FROM read_parquet('{_GEO_AUX_VERTICES}')),
+            w AS (SELECT admin_id, level, ring_ix,
+                     lon * COALESCE(LEAD(lat) OVER rw,
+                                    FIRST_VALUE(lat) OVER rw)
+                   - COALESCE(LEAD(lon) OVER rw,
+                              FIRST_VALUE(lon) OVER rw) * lat AS cr
+                  FROM v WINDOW rw AS (PARTITION BY admin_id, ring_ix
+                                       ORDER BY vertex_ix)),
+            r AS (SELECT admin_id, level, ring_ix,
+                         ABS(SUM(cr)) / 2e0 AS a
+                  FROM w GROUP BY admin_id, level, ring_ix)
+            SELECT admin_id, level,
+                   round(SUM(CASE WHEN ring_ix = 0 THEN a ELSE -a END),
+                         6) AS area_deg2
+            FROM r GROUP BY admin_id, level
+        """,
+        "geo_cell_ring_density": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            {_sql_geo_h3(5)},
+            gcnt AS (SELECT CAST(h3_r5 AS BIGINT) AS cell, COUNT(*) AS n
+                     FROM gcell GROUP BY 1),
+            goff AS (SELECT * FROM (VALUES (268435456), (268435455),
+                                           (-1), (-268435456),
+                                           (-268435455), (1)) AS t(d)),
+            gex AS (
+                SELECT cell, n AS own_n, 0 AS ring_n FROM gcnt
+                UNION ALL
+                SELECT cell + d, 0, n FROM gcnt CROSS JOIN goff
+            ),
+            gagg AS (SELECT cell, SUM(own_n) AS n, SUM(ring_n) AS r1
+                     FROM gex GROUP BY cell)
+            SELECT cell AS h3_r5, CAST(n AS BIGINT) AS n,
+                   CAST(r1 AS BIGINT) AS ring1_n,
+                   CAST(n + r1 AS BIGINT) AS disk_n
+            FROM gagg WHERE n > 0
         """,
         "run_history_series": """
             WITH s AS (SELECT COUNT(*) AS n_rows,

@@ -806,3 +806,109 @@ def josm_links(matched: ray.data.Dataset, pad: float = 0.001) -> ray.data.Datase
         return out
 
     return matched.map_batches(fmt, batch_format="pandas")
+
+
+def polygon_areas(poly: dict) -> ray.data.Dataset:
+    """Planar polygon areas (deg^2): outer-ring shoelace minus holes.
+
+    The reference computes per-boundary statistics over OSM admin
+    polygons [PK]; this is the area analog of ``polygon_centroids``
+    with hole subtraction. Each ring is one row into ``map_batches``
+    (vectorized shoelace per ring), then a tiny grouped sum folds
+    rings into polygons — ring partials move, vertices never shuffle.
+    """
+    from engine.ops import relational
+
+    rows = []
+    for i in range(len(poly["admin_id"])):
+        rings = [(0, poly["ring_lon"][i], poly["ring_lat"][i])]
+        for hix, (hx, hy) in enumerate(poly["holes"][i], start=1):
+            rings.append((hix, hx, hy))
+        for rix, xs, ys in rings:
+            rows.append(
+                {
+                    "admin_id": str(poly["admin_id"][i]),
+                    "level": int(poly["level"][i]),
+                    "ring_ix": rix,
+                    "ring_lon": np.asarray(xs, dtype=np.float64).tolist(),
+                    "ring_lat": np.asarray(ys, dtype=np.float64).tolist(),
+                }
+            )
+    ds = ray.data.from_items(rows)
+
+    def ring_area(b: pa.Table) -> pa.Table:
+        lons = b["ring_lon"].to_pylist()
+        lats = b["ring_lat"].to_pylist()
+        rix = np.asarray(b["ring_ix"])
+        signed = np.empty(len(lons))
+        for i, (xs, ys) in enumerate(zip(lons, lats)):
+            x = np.asarray(xs)
+            y = np.asarray(ys)
+            x1, y1 = np.roll(x, -1), np.roll(y, -1)
+            a = np.abs((x * y1 - x1 * y).sum()) / 2.0
+            signed[i] = a if rix[i] == 0 else -a  # holes subtract
+        return pa.table(
+            {
+                "admin_id": b["admin_id"],
+                "level": b["level"],
+                "ring_area": pa.array(signed, pa.float64()),
+            }
+        )
+
+    rings_ds = ds.map_batches(ring_area, batch_format="pyarrow")
+    return relational.partial_groupby_sum(
+        rings_ds, ["admin_id", "level"], {"ring_area": "area_deg2"}
+    )
+
+
+# dq*2^28 + dr for the 6 axial hex directions (h3like.DIRECTIONS) —
+# neighbor cell ids differ from the center by exactly these packed
+# deltas at equal resolution (id = res<<56 | (q+off)<<28 | (r+off))
+_HEX_PACKED_DELTAS = np.array(
+    [(dq << 28) + dr for dq, dr in h3like.DIRECTIONS], dtype=np.int64
+)
+
+
+def cell_ring_density(
+    indexed: ray.data.Dataset, res: int = 5
+) -> ray.data.Dataset:
+    """Hex focal sum (neighborhood density smoothing): for every
+    OCCUPIED cell at ``res``, its own image count plus the total over
+    its 6 ring-1 neighbors (``disk_n`` = the filled 1-disk count).
+
+    Scale path: the explode runs over the per-cell PARTIALS (|cells|
+    rows, not |images|) — each cell count scatters to itself (own) and
+    its 6 neighbor ids (ring contribution) by pure packed-id
+    arithmetic, then ONE grouped sum folds both columns and empty
+    cells are dropped. No joins, no row-level shuffle.
+    """
+    from engine.ops import relational
+
+    col = f"h3_r{res}"
+    counts = relational.partial_groupby_sum_arrow(
+        indexed.select_columns([col]), [col], {}, count_as="n"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        cells = np.asarray(t[col]).astype(np.int64)
+        n = np.asarray(t["n"]).astype(np.int64)
+        m = len(cells)
+        tgt = np.concatenate(
+            [cells, (cells[:, None] + _HEX_PACKED_DELTAS[None, :]).ravel()]
+        )
+        own = np.concatenate([n, np.zeros(6 * m, dtype=np.int64)])
+        ring = np.concatenate([np.zeros(m, dtype=np.int64), np.repeat(n, 6)])
+        return pa.table({col: tgt, "own_n": own, "ring_n": ring})
+
+    exploded = counts.map_batches(explode, batch_format="pyarrow")
+    agg = relational.partial_groupby_sum_arrow(
+        exploded, [col], {"own_n": "n", "ring_n": "ring1_n"}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t["n"], 0))
+        return t.append_column("disk_n", pc.add(t["n"], t["ring1_n"]))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

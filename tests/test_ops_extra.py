@@ -1245,3 +1245,63 @@ def test_coalesce_to_target_blocks(ray_session):
     # already-right-sized input is a no-op
     again = coalesce_to_target(out, target_mb=2)
     assert again is out
+
+
+def test_polygon_areas_square_with_hole_exact(ray_session):
+    # independent ground truth: a 4x4 square with a 1x1 hole has area 15
+    from engine.ops.geo import polygon_areas
+
+    sq = lambda cx, cy, s: (
+        np.array([cx - s, cx + s, cx + s, cx - s]),
+        np.array([cy - s, cy - s, cy + s, cy + s]),
+    )
+    ox, oy = sq(0.0, 0.0, 2.0)
+    hx, hy = sq(0.5, 0.5, 0.5)
+    poly = {
+        "admin_id": np.array(["sq1"]),
+        "level": np.array([1]),
+        "ring_lon": [ox], "ring_lat": [oy],
+        "holes": [[(hx, hy)]],
+    }
+    df = polygon_areas(poly).to_pandas()
+    assert len(df) == 1
+    assert abs(df["area_deg2"].iloc[0] - 15.0) < 1e-9
+
+    # fixture polygons: every area positive and bounded by the ring bbox
+    poly = fixtures.polygons()
+    df = polygon_areas(poly).to_pandas().set_index("admin_id")
+    for i, a in enumerate(poly["admin_id"]):
+        x, y = poly["ring_lon"][i], poly["ring_lat"][i]
+        area = df.loc[str(a), "area_deg2"]
+        assert 0 < area <= (x.max() - x.min()) * (y.max() - y.min())
+
+
+def test_cell_ring_density_matches_bruteforce(ray_session):
+    # brute force: per-cell counts + h3like.ring(cell, 1) neighbor sums
+    import ray.data
+
+    from engine.geo import h3like
+    from engine.ops.geo import cell_ring_density
+
+    i = np.arange(400)
+    lon, lat = fixtures.row_lonlat(i)
+    cells = h3like.encode(lon, lat, 5)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"image_id": i.astype(str),
+                      "h3_r5": cells.astype(np.uint64)})
+    )
+    got = (
+        cell_ring_density(ds, res=5).to_pandas()
+        .sort_values("h3_r5", ignore_index=True)
+    )
+    uniq, counts = np.unique(cells, return_counts=True)
+    cnt = dict(zip(uniq.tolist(), counts.tolist()))
+    want = []
+    for c in sorted(uniq.tolist()):
+        ring = h3like.ring(int(c), 1)
+        want.append((int(c), cnt[c],
+                     sum(cnt.get(int(x), 0) for x in ring)))
+    assert got["h3_r5"].tolist() == [w[0] for w in want]
+    assert got["n"].tolist() == [w[1] for w in want]
+    assert got["ring1_n"].tolist() == [w[2] for w in want]
+    assert (got["disk_n"] == got["n"] + got["ring1_n"]).all()
