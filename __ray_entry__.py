@@ -3892,50 +3892,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT admin_id, level, centroid_lon, centroid_lat
             FROM gcent ORDER BY admin_id
         """,
-        "geo_pip_join": f"""
-            WITH {_sql_geo_lonlat(_GEO_N)},
-            -- even-odd ray cast, boundary-in, holes subtract: the exact
-            -- engine/geo/pip.py semantics replicated edge-by-edge
-            e AS (SELECT admin_id, level, ring_ix, lon AS x1, lat AS y1,
-                     COALESCE(LEAD(lon) OVER rw,
-                              FIRST_VALUE(lon) OVER rw) AS x2,
-                     COALESCE(LEAD(lat) OVER rw,
-                              FIRST_VALUE(lat) OVER rw) AS y2
-                  FROM read_parquet('{_GEO_AUX_VERTICES}')
-                  WINDOW rw AS (PARTITION BY admin_id, ring_ix
-                                ORDER BY vertex_ix)),
-            c AS (SELECT g.i, e.admin_id, e.level, e.ring_ix,
-                     SUM(CASE WHEN ((e.y1 > g.lat) <> (e.y2 > g.lat))
-                              AND g.lon < e.x1 + (g.lat - e.y1)
-                                  * (e.x2 - e.x1) / (e.y2 - e.y1)
-                              THEN 1 ELSE 0 END) AS crossings,
-                     MAX(CASE WHEN abs((g.lon - e.x1) * (e.y2 - e.y1)
-                                     - (g.lat - e.y1) * (e.x2 - e.x1))
-                                  < 1e-12
-                              AND ((g.lon - e.x1) * (e.x2 - e.x1)
-                                 + (g.lat - e.y1) * (e.y2 - e.y1))
-                                  / GREATEST((e.x2 - e.x1) * (e.x2 - e.x1)
-                                      + (e.y2 - e.y1) * (e.y2 - e.y1),
-                                      1e-300)
-                                  BETWEEN 0.0 AND 1.0
-                              THEN 1 ELSE 0 END) AS on_edge
-                  FROM gll g CROSS JOIN e
-                  GROUP BY g.i, e.admin_id, e.level, e.ring_ix),
-            rin AS (SELECT i, admin_id, level, ring_ix,
-                       (crossings % 2 = 1) OR (on_edge = 1) AS in_ring
-                    FROM c),
-            pin AS (SELECT i, admin_id, level,
-                       BOOL_OR(ring_ix = 0 AND in_ring) AS in_outer,
-                       BOOL_OR(ring_ix > 0 AND in_ring) AS in_hole
-                    FROM rin GROUP BY i, admin_id, level),
-            m AS (SELECT i, admin_id, level FROM pin
-                  WHERE in_outer AND NOT in_hole)
-            SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
-                   admin_id, CAST(level AS INT) AS level,
-                   ROW_NUMBER() OVER (PARTITION BY i, level
-                                      ORDER BY admin_id) = 1 AS is_primary
-            FROM m
-        """,
         "geo_polygon_areas": f"""
             WITH v AS (SELECT admin_id, level, ring_ix, vertex_ix,
                               lon, lat
