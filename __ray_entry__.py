@@ -1318,6 +1318,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["area_deg2"] = out["area_deg2"].round(6)
         return out[["admin_id", "level", "area_deg2"]]
 
+    def geo_zonal_image_stats(sf_dir: str):
+        # zonal statistics: per-admin image count + total megapixels via
+        # broadcast PIP containment + combiner — only |admins| partials
+        # move; SQL twin composes the ray-cast PIP CTE with the dims
+        # regeneration chain
+        idx = _geo_indexed(columns=["image_id", "w", "h"])
+        out = geo_ops.zonal_image_stats(
+            idx, fixtures.polygons()
+        ).to_pandas()
+        out["sum_mpx"] = out["sum_mpx"].round(4)
+        return out[["admin_id", "level", "n_images", "sum_mpx"]]
+
     def geo_cell_ring_density(sf_dir: str):
         # hex focal sum: per occupied res-5 cell, own count + ring-1
         # neighbor total (packed-id arithmetic scatter, one grouped sum)
@@ -2377,6 +2389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
         "geo_polygon_areas": geo_polygon_areas,
+        "geo_zonal_image_stats": geo_zonal_image_stats,
         "geo_cell_ring_density": geo_cell_ring_density,
         "geo_vector_tiles": geo_vector_tiles,
         "image_augment": image_augment,
@@ -3910,6 +3923,24 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CASE WHEN ring_ix = 0 THEN a ELSE -a END),
                          6) AS area_deg2
             FROM r GROUP BY admin_id, level
+        """,
+        "geo_zonal_image_stats": f"""
+            WITH {_sql_geo_hashes(_GEO_N, [1, 2, 3, 4, 10, 11, 12])},
+            {_sql_gll_body()},
+            {_sql_gdims_body()},
+            gpts AS (SELECT i,
+                        'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                            AS image_id,
+                        lon, lat FROM gll),
+            {_SQL_GEO_PIP},
+            gstat AS (SELECT h.admin_id, h.level,
+                             d.w * d.h / 1e6 AS mpx
+                      FROM ghits h
+                      JOIN gpts p USING (image_id)
+                      JOIN gdim d ON d.i = p.i)
+            SELECT admin_id, level, COUNT(*) AS n_images,
+                   round(SUM(mpx), 4) AS sum_mpx
+            FROM gstat GROUP BY admin_id, level
         """,
         "geo_cell_ring_density": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

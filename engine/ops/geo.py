@@ -912,3 +912,60 @@ def cell_ring_density(
         return t.append_column("disk_n", pc.add(t["n"], t["ring1_n"]))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zonal_image_stats(
+    indexed: ray.data.Dataset, poly: dict
+) -> ray.data.Dataset:
+    """Zonal statistics: per admin polygon, the count and total
+    megapixels of the images it contains (the per-area payload budget
+    the reference's per-area reports summarize [PK]).
+
+    Scale path: the polygon set broadcasts ONCE (``ray.put`` +
+    ``cached_get``); each batch runs the exact PIP containment and
+    emits one (admin, n, sum_mpx) partial per admin it touched — only
+    |admins|-sized partials move, the image table never shuffles.
+    """
+    from engine.ops import relational
+    from engine.pipeline.join import build_polygon_set
+    from engine.state import cached_get
+
+    poly_ref = ray.put(build_polygon_set(poly))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        polys = cached_get(poly_ref)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        mpx = (
+            np.asarray(batch["w"], dtype=np.float64)
+            * np.asarray(batch["h"], dtype=np.float64) / 1e6
+        )
+        p_idx, g_idx = polys.contains_pairs(lon, lat)
+        order = np.argsort(g_idx, kind="stable")
+        g_s = g_idx[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(g_s)) + 1, [len(g_s)]]
+        ) if len(g_s) else np.array([0, 0])
+        gids, ns, sums, lvls = [], [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if a == b:
+                continue
+            gi = int(g_s[a])
+            gids.append(str(polys.admin_ids[gi]))
+            lvls.append(int(polys.levels[gi]))
+            ns.append(b - a)
+            sums.append(mpx[p_idx[order[a:b]]].sum())
+        return pa.table(
+            {
+                "admin_id": pa.array(gids, pa.string()),
+                "level": pa.array(lvls, pa.int32()),
+                "n_images": pa.array(ns, pa.int64()),
+                "sum_mpx": pa.array(sums, pa.float64()),
+            }
+        )
+
+    partials = indexed.map_batches(combine, batch_format="pyarrow")
+    return relational.partial_groupby_sum_arrow(
+        partials, ["admin_id", "level"],
+        {"n_images": "n_images", "sum_mpx": "sum_mpx"},
+    )

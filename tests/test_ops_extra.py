@@ -1305,3 +1305,35 @@ def test_cell_ring_density_matches_bruteforce(ray_session):
     assert got["n"].tolist() == [w[1] for w in want]
     assert got["ring1_n"].tolist() == [w[2] for w in want]
     assert (got["disk_n"] == got["n"] + got["ring1_n"]).all()
+
+
+def test_zonal_image_stats_matches_pip_join_counts(ray_session):
+    # zonal n_images must equal per-admin group counts of the
+    # (independently SQL-oracled) PIP join on the same input
+    from engine.io import read_images
+    from engine.ops.geo import zonal_image_stats
+    from engine.pipeline import ingest, join
+
+    import __ray_entry__ as entrymod
+
+    idx = ingest.run_ingest(
+        read_images(entrymod._geo_fixture_dir(),
+                    columns=["image_id", "w", "h"])
+    )
+    zonal = (
+        zonal_image_stats(idx, fixtures.polygons())
+        .to_pandas().sort_values("admin_id", ignore_index=True)
+    )
+    idx_cap = ingest.run_ingest(
+        read_images(entrymod._geo_fixture_dir(),
+                    columns=["image_id", "caption"])
+    )
+    j = join.run_pip_join(idx_cap, fixtures.polygons(), concurrency=(1, 4))
+    want = (
+        j.to_pandas().groupby("admin_id", as_index=False)
+        .size().rename(columns={"size": "n_images"})
+        .sort_values("admin_id", ignore_index=True)
+    )
+    assert zonal["admin_id"].tolist() == want["admin_id"].tolist()
+    assert zonal["n_images"].tolist() == want["n_images"].tolist()
+    assert (zonal["sum_mpx"] > 0).all()
