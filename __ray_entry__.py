@@ -1318,6 +1318,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["area_deg2"] = out["area_deg2"].round(6)
         return out[["admin_id", "level", "area_deg2"]]
 
+    def geo_reverse_geocode(sf_dir: str):
+        # deepest containing polygon + ancestor breadcrumb per image;
+        # SQL twin: PIP CTE -> per-image argmax(level) -> bounded
+        # depth-3 self-joins over the polygon meta parquet
+        idx = _geo_indexed(columns=["image_id"])
+        return geo_ops.reverse_geocode(idx, fixtures.polygons())
+
     def geo_zonal_image_stats(sf_dir: str):
         # zonal statistics: per-admin image count + total megapixels via
         # broadcast PIP containment + combiner — only |admins| partials
@@ -2389,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
         "geo_polygon_areas": geo_polygon_areas,
+        "geo_reverse_geocode": geo_reverse_geocode,
         "geo_zonal_image_stats": geo_zonal_image_stats,
         "geo_cell_ring_density": geo_cell_ring_density,
         "geo_vector_tiles": geo_vector_tiles,
@@ -3923,6 +3931,33 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CASE WHEN ring_ix = 0 THEN a ELSE -a END),
                          6) AS area_deg2
             FROM r GROUP BY admin_id, level
+        """,
+        "geo_reverse_geocode": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            {_SQL_GEO_PIP},
+            gdeep AS (SELECT image_id, admin_id, level,
+                         ROW_NUMBER() OVER (PARTITION BY image_id
+                                            ORDER BY level DESC,
+                                                     admin_id) AS rn
+                      FROM ghits),
+            gsel AS (SELECT image_id, admin_id, level
+                     FROM gdeep WHERE rn = 1),
+            meta AS (SELECT admin_id, parent_id, name
+                     FROM read_parquet('{_GEO_AUX_POLYMETA}'))
+            SELECT s.image_id, s.admin_id, s.level,
+                   CASE WHEN m2.name IS NOT NULL
+                        THEN m2.name || ' > ' ELSE '' END
+                 || CASE WHEN m1.name IS NOT NULL
+                         THEN m1.name || ' > ' ELSE '' END
+                 || m0.name AS path
+            FROM gsel s
+            JOIN meta m0 ON m0.admin_id = s.admin_id
+            LEFT JOIN meta m1 ON m1.admin_id = m0.parent_id
+                             AND m0.parent_id <> ''
+            LEFT JOIN meta m2 ON m2.admin_id = m1.parent_id
+                             AND m1.parent_id <> ''
         """,
         "geo_zonal_image_stats": f"""
             WITH {_sql_geo_hashes(_GEO_N, [1, 2, 3, 4, 10, 11, 12])},

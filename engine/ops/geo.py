@@ -969,3 +969,60 @@ def zonal_image_stats(
         partials, ["admin_id", "level"],
         {"n_images": "n_images", "sum_mpx": "sum_mpx"},
     )
+
+
+def reverse_geocode(
+    indexed: ray.data.Dataset, poly: dict
+) -> ray.data.Dataset:
+    """Reverse geocode: each image's DEEPEST containing admin polygon
+    (max level; smallest admin_id breaks ties) plus the full ancestor
+    breadcrumb ``Region > Province > Municipality`` (the reference's
+    per-area page breadcrumbs [PK]).
+
+    The polygon set broadcasts once; breadcrumb strings precompute
+    driver-side over the TINY admin meta (bounded depth 3) and ship
+    inside the UDF closure. Images with no containing polygon are
+    dropped (inner semantics, same as the PIP join).
+    """
+    from engine.pipeline.join import build_polygon_set
+    from engine.state import cached_get
+
+    admin_ids = [str(a) for a in poly["admin_id"]]
+    name = dict(zip(admin_ids, [str(n) for n in poly["name"]]))
+    parent = dict(zip(admin_ids, [str(p) for p in poly["parent_id"]]))
+
+    def path_of(a: str) -> str:
+        chain = [a]
+        while parent.get(chain[-1], ""):
+            chain.append(parent[chain[-1]])
+        return " > ".join(name[c] for c in reversed(chain))
+
+    paths = {a: path_of(a) for a in admin_ids}
+    poly_ref = ray.put(build_polygon_set(poly))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        polys = cached_get(poly_ref)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        p_idx, g_idx = polys.contains_pairs(lon, lat)
+        lv = polys.levels[g_idx]
+        adm = polys.admin_ids[g_idx].astype(object)
+        # deepest level per point, then smallest admin_id — lexsort
+        # (primary key LAST in numpy)
+        order = np.lexsort((adm, -lv, p_idx))
+        ps = p_idx[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = ps[1:] != ps[:-1]
+        sel = order[first]
+        pts = pa.array(p_idx[sel], pa.int64())
+        chosen = adm[sel]
+        return pa.table(
+            {
+                "image_id": pa.compute.take(batch["image_id"], pts),
+                "admin_id": pa.array(chosen.astype(str), pa.string()),
+                "level": pa.array(lv[sel], pa.int32()),
+                "path": pa.array([paths[a] for a in chosen], pa.string()),
+            }
+        )
+
+    return indexed.map_batches(fn, batch_format="pyarrow")

@@ -1337,3 +1337,45 @@ def test_zonal_image_stats_matches_pip_join_counts(ray_session):
     assert zonal["admin_id"].tolist() == want["admin_id"].tolist()
     assert zonal["n_images"].tolist() == want["n_images"].tolist()
     assert (zonal["sum_mpx"] > 0).all()
+
+
+def test_reverse_geocode_deepest_and_breadcrumb(ray_session):
+    # deepest-level choice and breadcrumb depth must agree with the
+    # raw PIP pairs and the parent map
+    from engine.io import read_images
+    from engine.ops.geo import reverse_geocode
+    from engine.pipeline import ingest, join
+
+    import __ray_entry__ as entrymod
+
+    poly = fixtures.polygons()
+    idx = ingest.run_ingest(
+        read_images(entrymod._geo_fixture_dir(), columns=["image_id"])
+    )
+    got = reverse_geocode(idx, poly).to_pandas()
+    assert got["image_id"].is_unique
+    # breadcrumb depth equals the parent-chain depth (NOT the level:
+    # the hotspot muni hangs directly off its region)
+    parent = dict(zip([str(a) for a in poly["admin_id"]],
+                      [str(p) for p in poly["parent_id"]]))
+
+    def depth(a: str) -> int:
+        d = 1
+        while parent.get(a, ""):
+            a = parent[a]
+            d += 1
+        return d
+
+    assert (
+        got["path"].str.split(" > ").str.len()
+        == got["admin_id"].map(depth)
+    ).all()
+    # per-image level equals the max level among all containing polys
+    idx_cap = ingest.run_ingest(
+        read_images(entrymod._geo_fixture_dir(),
+                    columns=["image_id", "caption"])
+    )
+    pairs = join.run_pip_join(idx_cap, poly, concurrency=(1, 4)).to_pandas()
+    deepest = pairs.groupby("image_id")["level"].max()
+    merged = got.set_index("image_id")["level"]
+    assert merged.sort_index().equals(deepest.sort_index().astype(merged.dtype))
