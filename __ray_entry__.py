@@ -1318,6 +1318,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["area_deg2"] = out["area_deg2"].round(6)
         return out[["admin_id", "level", "area_deg2"]]
 
+    def geo_idw_mpx_at_centroids(sf_dir: str):
+        # IDW spatial interpolation: megapixel field sampled at the
+        # polygon centroids from each centroid's 5 nearest images;
+        # SQL twin ranks the full cross join by (haversine, image_id)
+        idx = _geo_indexed(columns=["image_id", "w", "h"])
+
+        def mpx(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            w = pc.cast(t["w"], pa.float64())
+            h = pc.cast(t["h"], pa.float64())
+            return t.append_column(
+                "mpx", pc.divide(pc.multiply(w, h), 1e6))
+
+        poly = fixtures.polygons()
+        pts = pd.DataFrame({
+            "poi_id": [str(a) for a in poly["admin_id"]],
+            "lon": [r.mean() for r in poly["ring_lon"]],
+            "lat": [r.mean() for r in poly["ring_lat"]],
+        })
+        out = geo_ops.idw_interpolate(
+            idx.map_batches(mpx, batch_format="pyarrow"), pts, "mpx",
+            k=5, power=2,
+        ).to_pandas()
+        out["idw_val"] = out["idw_val"].round(6)
+        return out[["poi_id", "n_used", "idw_val"]]
+
     def geo_reverse_geocode(sf_dir: str):
         # deepest containing polygon + ancestor breadcrumb per image;
         # SQL twin: PIP CTE -> per-image argmax(level) -> bounded
@@ -2396,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
         "geo_polygon_areas": geo_polygon_areas,
+        "geo_idw_mpx_at_centroids": geo_idw_mpx_at_centroids,
         "geo_reverse_geocode": geo_reverse_geocode,
         "geo_zonal_image_stats": geo_zonal_image_stats,
         "geo_cell_ring_density": geo_cell_ring_density,
@@ -3931,6 +3960,33 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(CASE WHEN ring_ix = 0 THEN a ELSE -a END),
                          6) AS area_deg2
             FROM r GROUP BY admin_id, level
+        """,
+        "geo_idw_mpx_at_centroids": f"""
+            WITH {_sql_geo_hashes(_GEO_N, [1, 2, 3, 4, 10, 11, 12])},
+            {_sql_gll_body()},
+            {_sql_gdims_body()},
+            gimg AS (SELECT 'img' || lpad(CAST(g.i AS VARCHAR), 9, '0')
+                         AS image_id,
+                        g.lon, g.lat, d.w * d.h / 1e6 AS mpx
+                     FROM gll g JOIN gdim d ON d.i = g.i),
+            qpts AS (SELECT admin_id AS poi_id,
+                            AVG(lon) AS qlon, AVG(lat) AS qlat
+                     FROM read_parquet('{_GEO_AUX_VERTICES}')
+                     WHERE ring_ix = 0 GROUP BY admin_id),
+            gd AS (SELECT q.poi_id, g.image_id, g.mpx,
+                      GREATEST({_sql_haversine('q.qlat', 'q.qlon',
+                                               'g.lat', 'g.lon')},
+                               1e-9) AS dist_m
+                   FROM qpts q CROSS JOIN gimg g),
+            gr AS (SELECT poi_id, mpx, dist_m,
+                      ROW_NUMBER() OVER (PARTITION BY poi_id
+                                         ORDER BY dist_m, image_id)
+                          AS rn
+                   FROM gd)
+            SELECT poi_id, COUNT(*) AS n_used,
+                   round(SUM(mpx / pow(dist_m, 2))
+                         / SUM(1e0 / pow(dist_m, 2)), 6) AS idw_val
+            FROM gr WHERE rn <= 5 GROUP BY poi_id
         """,
         "geo_reverse_geocode": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

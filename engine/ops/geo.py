@@ -1026,3 +1026,74 @@ def reverse_geocode(
         )
 
     return indexed.map_batches(fn, batch_format="pyarrow")
+
+
+def idw_interpolate(
+    indexed: ray.data.Dataset,
+    points: "pd.DataFrame",
+    value_col: str,
+    *,
+    k: int = 5,
+    power: int = 2,
+) -> ray.data.Dataset:
+    """IDW spatial interpolation: the value at each query point is the
+    1/d^power-weighted mean of its k nearest images' ``value_col``.
+
+    Query points ride in the UDF closure (tiny side, ships once per
+    worker). Each batch emits its LOCAL k nearest per point — the
+    shuffle moves at most k * n_batches rows per point — then
+    ``grouped_topk`` merges by (dist, image_id) and a per-point fold
+    computes the weighted mean. Distances clamp at 1e-9 m so an image
+    exactly on a query point dominates without dividing by zero (the
+    SQL twin applies the same clamp).
+    """
+    from engine.geo import knn as knn_mod
+    from engine.ops import relational
+
+    q_ids = points["poi_id"].to_numpy().astype(object)
+    q_lon = points["lon"].to_numpy(dtype=np.float64)
+    q_lat = points["lat"].to_numpy(dtype=np.float64)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        val = np.asarray(b[value_col], dtype=np.float64)
+        ids = np.asarray(b["image_id"]).astype(object)
+        d = knn_mod.haversine_m(
+            lon[None, :], lat[None, :], q_lon[:, None], q_lat[:, None]
+        )
+        kk = min(k, d.shape[1])
+        sel = np.empty((len(q_ids), kk), dtype=np.int64)
+        for qi in range(len(q_ids)):  # 1 lexsort per (tiny) point set
+            sel[qi] = np.lexsort((ids, d[qi]))[:kk]
+        return pa.table(
+            {
+                "poi_id": pa.array(
+                    np.repeat(q_ids, kk).astype(str), pa.string()),
+                "image_id": pa.array(
+                    ids[sel].ravel().astype(str), pa.string()),
+                "dist_m": pa.array(
+                    np.take_along_axis(d, sel, axis=1).ravel(),
+                    pa.float64()),
+                "val": pa.array(val[sel].ravel(), pa.float64()),
+            }
+        )
+
+    partials = indexed.map_batches(local_topk, batch_format="pyarrow")
+    top = relational.grouped_topk(
+        partials, "poi_id", "dist_m", k, tie_col="image_id",
+        rank_as=None, ascending=True,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = 1.0 / np.maximum(g["dist_m"].to_numpy(), 1e-9) ** power
+        v = g["val"].to_numpy()
+        return pd.DataFrame(
+            {
+                "poi_id": [g["poi_id"].iloc[0]],
+                "n_used": [np.int64(len(g))],
+                "idw_val": [float((w * v).sum() / w.sum())],
+            }
+        )
+
+    return top.groupby("poi_id").map_groups(fold, batch_format="pandas")

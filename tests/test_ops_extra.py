@@ -1379,3 +1379,38 @@ def test_reverse_geocode_deepest_and_breadcrumb(ray_session):
     deepest = pairs.groupby("image_id")["level"].max()
     merged = got.set_index("image_id")["level"]
     assert merged.sort_index().equals(deepest.sort_index().astype(merged.dtype))
+
+
+def test_idw_interpolate_exact_hit_and_weights(ray_session):
+    # a query point sitting exactly on an image must return (to 1e-9
+    # clamp precision) that image's value; an off-point query must
+    # equal the hand-computed 1/d^2 weighted mean of its k nearest
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import idw_interpolate
+
+    df = pd.DataFrame({
+        "image_id": [f"i{j}" for j in range(6)],
+        "lon": [9.0, 9.001, 9.002, 9.01, 9.02, 9.03],
+        "lat": [41.0, 41.0, 41.0, 41.0, 41.0, 41.0],
+        "v": [5.0, 1.0, 2.0, 3.0, 4.0, 6.0],
+    })
+    pts = pd.DataFrame({
+        "poi_id": ["hit", "off"],
+        "lon": [9.0, 9.0005],
+        "lat": [41.0, 41.0],
+    })
+    out = (
+        idw_interpolate(ray.data.from_pandas(df).repartition(3), pts,
+                        "v", k=3, power=2)
+        .to_pandas().set_index("poi_id")
+    )
+    assert out.loc["hit", "idw_val"] == pytest.approx(5.0, abs=1e-6)
+    assert int(out.loc["hit", "n_used"]) == 3
+    d = haversine_m(df["lon"].to_numpy(), df["lat"].to_numpy(),
+                    9.0005, 41.0).ravel()
+    sel = np.argsort(d)[:3]
+    w = 1.0 / np.maximum(d[sel], 1e-9) ** 2
+    expect = float((w * df["v"].to_numpy()[sel]).sum() / w.sum())
+    assert out.loc["off", "idw_val"] == pytest.approx(expect, rel=1e-12)
