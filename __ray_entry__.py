@@ -1346,6 +1346,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["idw_val"] = out["idw_val"].round(6)
         return out[["poi_id", "n_used", "idw_val"]]
 
+    def geo_coverage_gaps(sf_dir: str):
+        # spatial ANTI-join: images inside NO admin polygon; SQL twin
+        # is the PIP CTE's complement (NOT IN over ghits)
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.coverage_gaps(idx, fixtures.polygons()).to_pandas()
+        out["lon"] = out["lon"].round(6)
+        out["lat"] = out["lat"].round(6)
+        return out[["image_id", "lon", "lat"]]
+
+    def geo_ring_perimeters(sf_dir: str):
+        # ST_Perimeter over the shared polygon-vertices parquet (outer
+        # ring + holes); SQL twin closes each ring with LEAD/FIRST_VALUE
+        import ray.data
+
+        _geo_aux_dir()
+        verts = ray.data.read_parquet(_GEO_AUX_VERTICES)
+        out = geo_ops.ring_perimeters(verts, num_shards=16).to_pandas()
+        out["perimeter_m"] = out["perimeter_m"].round(4)
+        return out[["admin_id", "level", "perimeter_m"]]
+
+    def geo_voronoi_assign(sf_dir: str):
+        # nearest-site (Voronoi) classification of every image against
+        # the polygon-centroid sites; per-site member count + mean dist
+        idx = _geo_indexed(columns=["image_id"])
+        poly = fixtures.polygons()
+        sites = pd.DataFrame({
+            "site_id": [str(a) for a in poly["admin_id"]],
+            "lon": [r.mean() for r in poly["ring_lon"]],
+            "lat": [r.mean() for r in poly["ring_lat"]],
+        }).sort_values("site_id", ignore_index=True)
+        out = geo_ops.voronoi_assign(idx, sites).to_pandas()
+        out["mean_dist_m"] = out["mean_dist_m"].round(4)
+        return out[["site_id", "n_points", "mean_dist_m"]]
+
     def geo_reverse_geocode(sf_dir: str):
         # deepest containing polygon + ancestor breadcrumb per image;
         # SQL twin: PIP CTE -> per-image argmax(level) -> bounded
@@ -2425,6 +2459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_centroids": geo_polygon_centroids,
         "geo_polygon_areas": geo_polygon_areas,
         "geo_idw_mpx_at_centroids": geo_idw_mpx_at_centroids,
+        "geo_coverage_gaps": geo_coverage_gaps,
+        "geo_ring_perimeters": geo_ring_perimeters,
+        "geo_voronoi_assign": geo_voronoi_assign,
         "geo_reverse_geocode": geo_reverse_geocode,
         "geo_zonal_image_stats": geo_zonal_image_stats,
         "geo_cell_ring_density": geo_cell_ring_density,
@@ -3987,6 +4024,53 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(mpx / pow(dist_m, 2))
                          / SUM(1e0 / pow(dist_m, 2)), 6) AS idw_val
             FROM gr WHERE rn <= 5 GROUP BY poi_id
+        """,
+        "geo_coverage_gaps": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            {_SQL_GEO_PIP}
+            SELECT image_id, round(lon, 6) AS lon, round(lat, 6) AS lat
+            FROM gpts
+            WHERE image_id NOT IN (SELECT image_id FROM ghits)
+        """,
+        "geo_ring_perimeters": f"""
+            WITH v AS (SELECT admin_id, level, ring_ix, vertex_ix,
+                              lon, lat
+                       FROM read_parquet('{_GEO_AUX_VERTICES}')),
+            e AS (SELECT admin_id, level, lon, lat,
+                     COALESCE(LEAD(lon) OVER w,
+                              FIRST_VALUE(lon) OVER w) AS x1,
+                     COALESCE(LEAD(lat) OVER w,
+                              FIRST_VALUE(lat) OVER w) AS y1
+                  FROM v WINDOW w AS (PARTITION BY admin_id, ring_ix
+                      ORDER BY vertex_ix
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING))
+            SELECT admin_id, level,
+                   round(SUM({_sql_haversine('lat', 'lon', 'y1', 'x1')}),
+                         4) AS perimeter_m
+            FROM e GROUP BY admin_id, level
+        """,
+        "geo_voronoi_assign": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gimg AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            qs AS (SELECT admin_id AS site_id,
+                          AVG(lon) AS slon, AVG(lat) AS slat
+                   FROM read_parquet('{_GEO_AUX_VERTICES}')
+                   WHERE ring_ix = 0 GROUP BY admin_id),
+            gd AS (SELECT g.image_id, q.site_id,
+                      {_sql_haversine('q.slat', 'q.slon',
+                                      'g.lat', 'g.lon')} AS d,
+                      ROW_NUMBER() OVER (PARTITION BY g.image_id
+                          ORDER BY {_sql_haversine('q.slat', 'q.slon',
+                                                   'g.lat', 'g.lon')},
+                                   q.site_id) AS rn
+                   FROM gimg g CROSS JOIN qs q)
+            SELECT site_id, COUNT(*) AS n_points,
+                   round(AVG(d), 4) AS mean_dist_m
+            FROM gd WHERE rn = 1 GROUP BY site_id
         """,
         "geo_reverse_geocode": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

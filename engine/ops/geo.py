@@ -1097,3 +1097,128 @@ def idw_interpolate(
         )
 
     return top.groupby("poi_id").map_groups(fold, batch_format="pandas")
+
+
+def coverage_gaps(
+    indexed: ray.data.Dataset, poly: dict
+) -> ray.data.Dataset:
+    """Spatial ANTI-join: images contained in NO admin polygon — the
+    reference's "unmapped object" / coverage-gap report [PK]. Pure
+    streaming filter: the polygon set broadcasts once per worker and
+    each batch drops its contained points; nothing shuffles.
+    """
+    from engine.pipeline.join import build_polygon_set
+    from engine.state import cached_get
+
+    poly_ref = ray.put(build_polygon_set(poly))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        polys = cached_get(poly_ref)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        p_idx, _ = polys.contains_pairs(lon, lat)
+        keep = np.ones(len(lon), dtype=bool)
+        keep[p_idx] = False
+        sel = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "image_id": pa.compute.take(
+                    batch["image_id"], pa.array(sel, pa.int64())),
+                "lon": pa.array(lon[sel], pa.float64()),
+                "lat": pa.array(lat[sel], pa.float64()),
+            }
+        )
+
+    return indexed.map_batches(fn, batch_format="pyarrow")
+
+
+def ring_perimeters(
+    vertices: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-polygon total ring perimeter in meters (outer + holes) —
+    the line-geometry length op (ST_Perimeter).
+
+    Vertex rows of one polygon must meet to close its rings, so this
+    hash-shards by ``admin_id`` (a polygon's vertex count is tiny and
+    bounded; polygons per shard are many — per-SHARD vectorized
+    segments, not per-polygon Python dispatch). Each shard sorts by
+    (admin_id, ring_ix, vertex_ix), computes haversine edge lengths
+    with a roll-within-segment trick, and sums per polygon.
+    """
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_perims(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["admin_id", "ring_ix", "vertex_ix"],
+                          kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        ring_key = (
+            g["admin_id"].astype(str) + "\x00"
+            + g["ring_ix"].astype(str)
+        ).to_numpy()
+        # index of each vertex's ring-successor (wraps to ring start)
+        nxt = np.arange(1, len(g) + 1)
+        starts = np.flatnonzero(
+            np.r_[True, ring_key[1:] != ring_key[:-1]])
+        ends = np.r_[starts[1:], len(g)] - 1
+        nxt[ends] = starts
+        d = knn_mod.haversine_m(lon, lat, lon[nxt], lat[nxt])
+        out = pd.DataFrame({"admin_id": g["admin_id"].to_numpy(),
+                            "level": g["level"].to_numpy(), "d": d})
+        agg = out.groupby(["admin_id", "level"], sort=False, as_index=False)["d"].sum()
+        return agg.rename(columns={"d": "perimeter_m"})
+
+    sharded = _sharded_by_key(vertices, "admin_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_perims(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+
+
+def voronoi_assign(
+    indexed: ray.data.Dataset, sites: "pd.DataFrame"
+) -> ray.data.Dataset:
+    """Assign every image to its nearest site (Voronoi cell by
+    haversine distance, site_id ascending breaks ties) and aggregate
+    per site: member count + mean distance.
+
+    Sites ride in the UDF closure (tiny side); per-batch argmin is one
+    vectorized (batch x sites) distance matrix; only |sites| partial
+    rows per batch shuffle to the final combine.
+    """
+    site_ids = sites["site_id"].to_numpy().astype(object)
+    s_lon = sites["lon"].to_numpy(np.float64)
+    s_lat = sites["lat"].to_numpy(np.float64)
+
+    def local(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        d = knn_mod.haversine_m(
+            lon[:, None], lat[:, None], s_lon[None, :], s_lat[None, :])
+        best = np.argmin(d, axis=1)  # ties: first (lowest index) —
+        # sites are pre-sorted by site_id so this IS site_id ascending
+        bd = d[np.arange(len(lon)), best]
+        cnt = np.bincount(best, minlength=len(site_ids))
+        sm = np.bincount(best, weights=bd, minlength=len(site_ids))
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "site_id": pa.array(
+                    site_ids[nz].astype(str), pa.string()),
+                "n": pa.array(cnt[nz], pa.int64()),
+                "dist_sum": pa.array(sm[nz], pa.float64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "site_id": [g["site_id"].iloc[0]],
+                "n_points": [np.int64(g["n"].sum())],
+                "mean_dist_m": [float(g["dist_sum"].sum() / g["n"].sum())],
+            }
+        )
+
+    partials = indexed.map_batches(local, batch_format="pyarrow")
+    return partials.groupby("site_id").map_groups(
+        final, batch_format="pandas")

@@ -1414,3 +1414,80 @@ def test_idw_interpolate_exact_hit_and_weights(ray_session):
     w = 1.0 / np.maximum(d[sel], 1e-9) ** 2
     expect = float((w * df["v"].to_numpy()[sel]).sum() / w.sum())
     assert out.loc["off", "idw_val"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_coverage_gaps_complement_of_pip(ray_session):
+    # gaps ∪ pip-hit images == all images, and the two sets are disjoint
+    from engine.io import read_images
+    from engine.ops.geo import coverage_gaps
+    from engine.pipeline import ingest, join
+
+    import __ray_entry__ as entrymod
+
+    poly = fixtures.polygons()
+    idx = ingest.run_ingest(
+        read_images(entrymod._geo_fixture_dir(),
+                    columns=["image_id", "caption"])
+    )
+    gaps = set(coverage_gaps(idx, poly).to_pandas()["image_id"])
+    hits = set(
+        join.run_pip_join(idx, poly, concurrency=(1, 4))
+        .to_pandas()["image_id"]
+    )
+    all_ids = set(idx.to_pandas()["image_id"])
+    assert gaps.isdisjoint(hits)
+    assert gaps | hits == all_ids
+
+
+def test_ring_perimeters_square_with_hole(ray_session):
+    # 1°x1° square at the equator with a 0.5°-side hole: perimeter is
+    # the sum of both rings' haversine edge lengths
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import ring_perimeters
+
+    def ring_rows(rix, xs, ys):
+        return [
+            {"admin_id": "sq", "level": 1, "ring_ix": rix,
+             "vertex_ix": v, "lon": x, "lat": y}
+            for v, (x, y) in enumerate(zip(xs, ys))
+        ]
+
+    outer = ring_rows(0, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])
+    hole = ring_rows(1, [0.25, 0.75, 0.75, 0.25],
+                     [0.25, 0.25, 0.75, 0.75])
+    ds = ray.data.from_pandas(pd.DataFrame(outer + hole)).repartition(3)
+    out = ring_perimeters(ds, num_shards=4).to_pandas()
+    assert len(out) == 1
+
+    def ring_len(xs, ys):
+        xs2 = np.r_[xs[1:], xs[0]]
+        ys2 = np.r_[ys[1:], ys[0]]
+        return float(haversine_m(np.array(xs), np.array(ys), xs2, ys2).sum())
+
+    expect = (ring_len([0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])
+              + ring_len([0.25, 0.75, 0.75, 0.25],
+                         [0.25, 0.25, 0.75, 0.75]))
+    assert out["perimeter_m"].iloc[0] == pytest.approx(expect, rel=1e-12)
+
+
+def test_voronoi_assign_conserves_points(ray_session):
+    # every image lands in exactly one cell; counts sum to the input
+    from engine.io import read_images
+    from engine.ops.geo import voronoi_assign
+    from engine.pipeline import ingest
+
+    import __ray_entry__ as entrymod
+
+    idx = ingest.run_ingest(
+        read_images(entrymod._geo_fixture_dir(), columns=["image_id"])
+    )
+    sites = pd.DataFrame({
+        "site_id": ["a", "b", "c"],
+        "lon": [-6.0, 0.0, 6.0],
+        "lat": [41.0, 41.0, 41.0],
+    })
+    out = voronoi_assign(idx, sites).to_pandas()
+    assert int(out["n_points"].sum()) == idx.count()
+    assert (out["mean_dist_m"] > 0).all()
