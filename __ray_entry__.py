@@ -1380,6 +1380,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["mean_dist_m"] = out["mean_dist_m"].round(4)
         return out[["site_id", "n_points", "mean_dist_m"]]
 
+    def geo_polygon_pruned_scan(sf_dir: str):
+        # spatial predicate pushdown: images inside the first level-1
+        # admin polygon, scanned off a cell-partitioned layout — only
+        # the polygon's s2-cover dirs are read, then exact PIP filters;
+        # SQL twin is the PIP CTE restricted to that admin_id
+        from engine.io import write_cell_partitioned
+
+        def pop(d: str) -> None:
+            write_cell_partitioned(
+                _geo_indexed(columns=["image_id"]), d, level=6)
+
+        layout = _cached_dir("/tmp/graft_geo_cells_l6", pop)
+        poly = fixtures.polygons()
+        lvl1 = [i for i in range(len(poly["admin_id"]))
+                if int(poly["level"][i]) == 1]
+        j = min(lvl1, key=lambda i: str(poly["admin_id"][i]))
+        out = geo_ops.polygon_scan(
+            layout, poly["ring_lon"][j], poly["ring_lat"][j],
+            holes=poly["holes"][j], columns=["image_id"],
+        ).to_pandas()
+        return out[["image_id"]]
+
     def geo_reverse_geocode(sf_dir: str):
         # deepest containing polygon + ancestor breadcrumb per image;
         # SQL twin: PIP CTE -> per-image argmax(level) -> bounded
@@ -2460,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_areas": geo_polygon_areas,
         "geo_idw_mpx_at_centroids": geo_idw_mpx_at_centroids,
         "geo_coverage_gaps": geo_coverage_gaps,
+        "geo_polygon_pruned_scan": geo_polygon_pruned_scan,
         "geo_ring_perimeters": geo_ring_perimeters,
         "geo_voronoi_assign": geo_voronoi_assign,
         "geo_reverse_geocode": geo_reverse_geocode,
@@ -4033,6 +4056,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, round(lon, 6) AS lon, round(lat, 6) AS lat
             FROM gpts
             WHERE image_id NOT IN (SELECT image_id FROM ghits)
+        """,
+        "geo_polygon_pruned_scan": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            {_SQL_GEO_PIP},
+            sel AS (SELECT MIN(admin_id) AS a
+                    FROM read_parquet('{_GEO_AUX_POLYMETA}')
+                    WHERE level = 1)
+            SELECT image_id FROM ghits
+            WHERE admin_id = (SELECT a FROM sel)
         """,
         "geo_ring_perimeters": f"""
             WITH v AS (SELECT admin_id, level, ring_ix, vertex_ix,

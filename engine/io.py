@@ -457,6 +457,81 @@ def coalesce_to_target(
     return ds.repartition(want)
 
 
+def write_cell_partitioned(
+    ds: ray.data.Dataset, out_dir: str, level: int = 4
+) -> None:
+    """Materialize a point table SPATIALLY partitioned by its S2-like
+    cell at ``level`` (hive layout ``cell=<id>/``). The geo twin of
+    ``write_bucketed``: pay the spatial clustering ONCE at write time,
+    then every later spatial-predicate scan (polygon containment,
+    radius, bbox) prunes to the predicate's cell cover at the
+    DIRECTORY level — at 100 TB a city-sized polygon touches a handful
+    of the planet's cells, before any task schedules."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from engine.geo import s2like
+
+    def add_cell(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        cells = s2like.encode(
+            b["lon"].to_numpy(np.float64),
+            b["lat"].to_numpy(np.float64), level)
+        # uint64 ids don't survive hive-partition round-trips; the dir
+        # name is the decimal string (readers parse it back)
+        b["cell"] = np.char.mod("%d", cells)
+        return b
+
+    ds.map_batches(add_cell, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    with open(f"{out_dir}/_cellmap.json", "w") as f:
+        json.dump({"level": level}, f)
+
+
+def read_cell_cover(
+    dir_: str, cover: "np.ndarray", columns=None
+) -> ray.data.Dataset:
+    """Scan of a ``write_cell_partitioned`` layout pruned to a cell
+    cover (e.g. ``s2like.covering`` of a polygon): only hive dirs whose
+    cell is contained in some cover cell are listed/read. Over-coverage
+    is safe — the caller applies its exact residual predicate (PIP,
+    haversine) on the surviving rows."""
+    import glob
+    import json
+    import os
+
+    import numpy as np
+
+    from engine.geo import s2like
+
+    with open(f"{dir_}/_cellmap.json") as f:
+        json.load(f)  # layout marker; level is implicit in the ids
+    dirs = sorted(glob.glob(f"{dir_}/cell=*"))
+    cell_ids = np.array(
+        [np.uint64(os.path.basename(d).split("=", 1)[1]) for d in dirs],
+        dtype=np.uint64,
+    )
+    cover = np.asarray(cover, dtype=np.uint64)
+    keep = np.zeros(len(cell_ids), dtype=bool)
+    for c in cover:  # |cover| <= 64 — tiny driver-side loop
+        keep |= s2like.contains(np.array([c], dtype=np.uint64), cell_ids)
+    files: list[str] = []
+    for d in np.asarray(dirs, dtype=object)[keep]:
+        files.extend(sorted(glob.glob(f"{d}/*.parquet")))
+    if not files:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([], pa.string()) for c in (columns or [])})
+        )
+    return ray.data.read_parquet(
+        files, columns=list(columns) if columns else None
+    )
+
+
 def read_osm_xml(path: str) -> dict:
     """Parse an OSM XML file of admin-boundary relations into the
     polygons dict shape (admin_id, name, level, parent_id, ring_lon,

@@ -1222,3 +1222,52 @@ def voronoi_assign(
     partials = indexed.map_batches(local, batch_format="pyarrow")
     return partials.groupby("site_id").map_groups(
         final, batch_format="pandas")
+
+
+def polygon_scan(
+    layout_dir: str,
+    ring_lon: np.ndarray,
+    ring_lat: np.ndarray,
+    holes: list | None = None,
+    columns: list[str] | None = None,
+    max_cells: int = 64,
+) -> ray.data.Dataset:
+    """Exact points-in-ONE-polygon scan over a ``write_cell_
+    partitioned`` layout: spatial predicate PUSHDOWN. The polygon's
+    conservative cell cover (``s2like.covering``, capped at the
+    layout's cell level so cover cells are never finer than data
+    dirs) prunes whole hive directories before any task schedules;
+    the exact even-odd PIP filter runs per batch on the survivors.
+    """
+    import json
+
+    from engine.geo import pip, s2like
+
+    with open(f"{layout_dir}/_cellmap.json") as f:
+        level = json.load(f)["level"]
+    cover = s2like.covering(
+        np.asarray(ring_lon, np.float64), np.asarray(ring_lat, np.float64),
+        max_level=level, max_cells=max_cells)
+    from engine import io as io_mod
+
+    cols = None
+    if columns is not None:
+        cols = sorted(set(columns) | {"lon", "lat"})
+    ds = io_mod.read_cell_cover(layout_dir, cover, columns=cols)
+    rx = np.asarray(ring_lon, np.float64)
+    ry = np.asarray(ring_lat, np.float64)
+    hs = [(np.asarray(hx, np.float64), np.asarray(hy, np.float64))
+          for hx, hy in (holes or [])]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        inside = pip.points_in_ring(lon, lat, rx, ry)
+        for hx, hy in hs:
+            inside &= ~pip.points_in_ring(lon, lat, hx, hy)
+        return batch.filter(pa.array(inside))
+
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    if columns is not None:
+        out = out.select_columns(columns)
+    return out

@@ -1491,3 +1491,53 @@ def test_voronoi_assign_conserves_points(ray_session):
     out = voronoi_assign(idx, sites).to_pandas()
     assert int(out["n_points"].sum()) == idx.count()
     assert (out["mean_dist_m"] > 0).all()
+
+
+def test_cell_partitioned_polygon_scan_prunes_and_is_exact(
+    ray_session, tmp_path
+):
+    # spatial pushdown: the polygon's s2-cover must open strictly fewer
+    # cell dirs than the layout holds, and the result must equal the
+    # brute-force PIP filter over the whole table
+    import glob
+
+    import ray.data
+
+    from engine.geo import s2like
+    from engine.geo.pip import points_in_ring
+    from engine.io import read_cell_cover, write_cell_partitioned
+    from engine.ops.geo import polygon_scan
+
+    rng = np.random.default_rng(41)
+    n = 6000
+    df = pd.DataFrame({
+        "image_id": [f"p{j}" for j in range(n)],
+        "lon": rng.uniform(-12, 12, n),
+        "lat": rng.uniform(35, 47, n),
+    })
+    d = str(tmp_path / "cells")
+    write_cell_partitioned(
+        ray.data.from_pandas(df).repartition(6), d, level=6)
+    total = len(glob.glob(f"{d}/cell=*"))
+    assert total > 8
+
+    ring_lon = np.array([1.0, 4.0, 4.0, 1.0])
+    ring_lat = np.array([40.0, 40.0, 43.0, 43.0])
+    got = polygon_scan(d, ring_lon, ring_lat,
+                       columns=["image_id"]).to_pandas()
+    inside = points_in_ring(
+        df["lon"].to_numpy(), df["lat"].to_numpy(), ring_lon, ring_lat)
+    assert sorted(got["image_id"]) == sorted(df["image_id"][inside])
+
+    cover = s2like.covering(ring_lon, ring_lat, max_level=6)
+    pruned = read_cell_cover(d, cover, columns=["image_id"])
+    assert pruned.count() < len(df)
+    # the cover region is a small fraction of the fixture extent
+    dirs = len(glob.glob(f"{d}/cell=*"))
+    kept = 0
+    for dd in glob.glob(f"{d}/cell=*"):
+        cid = np.array([np.uint64(dd.split("=")[1])])
+        if any(s2like.contains(np.array([c], dtype=np.uint64), cid)[0]
+               for c in cover):
+            kept += 1
+    assert kept <= dirs // 2
