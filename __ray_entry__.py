@@ -1402,6 +1402,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["image_id"]]
 
+    def geo_track_stats(sf_dir: str):
+        # trajectory analytics: the fixture's points form 50 tracks
+        # (track_id = i mod 50, seq = i); per track: point count,
+        # polyline length, net start->end displacement
+        idx = _geo_indexed(columns=["image_id"])
+
+        def keyed(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            i = pc.cast(
+                pc.utf8_slice_codeunits(t["image_id"], 3, 12),
+                pa.int64())
+            iv = i.combine_chunks().to_numpy() if isinstance(
+                i, pa.ChunkedArray) else i.to_numpy()
+            t = t.append_column(
+                "track_id", pa.array(iv % 50, pa.int64()))
+            return t.append_column("seq", pa.array(iv, pa.int64()))
+
+        out = geo_ops.track_stats(
+            idx.map_batches(keyed, batch_format="pyarrow"),
+            num_shards=16,
+        ).to_pandas()
+        out["track_m"] = out["track_m"].round(4)
+        out["net_m"] = out["net_m"].round(4)
+        return out[["track_id", "n_points", "track_m", "net_m"]]
+
+    def geo_dist_to_boundary(sf_dir: str):
+        # ST_Distance to the nearest polygon boundary edge (equirect
+        # local projection, (d, admin_id) tie-break); SQL twin runs the
+        # same clamped point-to-segment arithmetic over a cross join
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.dist_to_boundary(
+            idx, fixtures.polygons()).to_pandas()
+        out["dist_m"] = out["dist_m"].round(4)
+        return out[["image_id", "boundary_admin", "dist_m"]]
+
     def geo_reverse_geocode(sf_dir: str):
         # deepest containing polygon + ancestor breadcrumb per image;
         # SQL twin: PIP CTE -> per-image argmax(level) -> bounded
@@ -2483,6 +2520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_idw_mpx_at_centroids": geo_idw_mpx_at_centroids,
         "geo_coverage_gaps": geo_coverage_gaps,
         "geo_polygon_pruned_scan": geo_polygon_pruned_scan,
+        "geo_track_stats": geo_track_stats,
+        "geo_dist_to_boundary": geo_dist_to_boundary,
         "geo_ring_perimeters": geo_ring_perimeters,
         "geo_voronoi_assign": geo_voronoi_assign,
         "geo_reverse_geocode": geo_reverse_geocode,
@@ -4067,6 +4106,62 @@ def oracle_sql() -> dict[str, str]:
                     WHERE level = 1)
             SELECT image_id FROM ghits
             WHERE admin_id = (SELECT a FROM sel)
+        """,
+        "geo_track_stats": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq))
+            SELECT track_id, COUNT(*) AS n_points,
+                   round(COALESCE(SUM(
+                       {_sql_haversine('plat', 'plon', 'lat', 'lon')}),
+                       0), 4) AS track_m,
+                   round({_sql_haversine(
+                       'arg_min(lat, seq)', 'arg_min(lon, seq)',
+                       'arg_max(lat, seq)', 'arg_max(lon, seq)')},
+                       4) AS net_m
+            FROM gs GROUP BY track_id
+        """,
+        "geo_dist_to_boundary": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            gvx AS (SELECT admin_id, lon AS x, lat AS y,
+                    COALESCE(LEAD(lon) OVER w,
+                             FIRST_VALUE(lon) OVER w) AS x1,
+                    COALESCE(LEAD(lat) OVER w,
+                             FIRST_VALUE(lat) OVER w) AS y1
+                FROM read_parquet('{_GEO_AUX_VERTICES}')
+                WINDOW w AS (PARTITION BY admin_id, ring_ix
+                             ORDER BY vertex_ix
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)),
+            gc1 AS (SELECT p.image_id, e.admin_id,
+                       (e.x - p.lon) * cos(radians(p.lat)) AS rax,
+                       e.y - p.lat AS ray_,
+                       (e.x1 - e.x) * cos(radians(p.lat)) AS vx,
+                       e.y1 - e.y AS vy
+                    FROM gpts p CROSS JOIN gvx e),
+            gc2 AS (SELECT image_id, admin_id, rax, ray_, vx, vy,
+                       LEAST(GREATEST(COALESCE(
+                           -(rax * vx + ray_ * vy)
+                           / (vx * vx + vy * vy), 0e0), 0e0), 1e0) AS t
+                    FROM gc1),
+            gc3 AS (SELECT image_id, admin_id,
+                       sqrt((rax + t * vx) * (rax + t * vx)
+                            + (ray_ + t * vy) * (ray_ + t * vy))
+                       * (6371008.8e0 * pi() / 180e0) AS d
+                    FROM gc2),
+            gr AS (SELECT image_id, admin_id, d,
+                      ROW_NUMBER() OVER (PARTITION BY image_id
+                                         ORDER BY d, admin_id) AS rn
+                   FROM gc3)
+            SELECT image_id, admin_id AS boundary_admin,
+                   round(d, 4) AS dist_m
+            FROM gr WHERE rn = 1
         """,
         "geo_ring_perimeters": f"""
             WITH v AS (SELECT admin_id, level, ring_ix, vertex_ix,

@@ -1271,3 +1271,116 @@ def polygon_scan(
     if columns is not None:
         out = out.select_columns(columns)
     return out
+
+
+def track_stats(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track trajectory statistics over (track_id, seq, lon, lat)
+    rows: point count, polyline length in meters (haversine between
+    seq-consecutive points) and net start-to-end displacement — the
+    GPS-track / movement-analytics op.
+
+    A track's points must meet in seq order, so this hash-shards by
+    ``track_id`` (many tracks per shard — per-SHARD vectorized
+    segment math, no per-track dispatch; the same discipline as
+    ``ring_perimeters``).
+    """
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_tracks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        d = knn_mod.haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+        same = tid[1:] == tid[:-1]
+        seg = pd.DataFrame({"track_id": tid[1:][same], "d": d[same]})
+        lens = seg.groupby("track_id", sort=False)["d"].sum()
+        starts = np.flatnonzero(np.r_[True, ~same])
+        ends = np.r_[starts[1:], len(g)] - 1
+        net = knn_mod.haversine_m(
+            lon[starts], lat[starts], lon[ends], lat[ends])
+        out = pd.DataFrame({
+            "track_id": tid[starts],
+            "n_points": (ends - starts + 1).astype(np.int64),
+            "net_m": net,
+        })
+        out["track_m"] = out["track_id"].map(lens).fillna(0.0)
+        return out[["track_id", "n_points", "track_m", "net_m"]]
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_tracks(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+
+
+_M_PER_DEG = 6371008.8 * np.pi / 180.0
+
+
+def dist_to_boundary(
+    indexed: ray.data.Dataset, poly: dict
+) -> ray.data.Dataset:
+    """Per-image distance to the NEAREST polygon boundary edge
+    (ST_Distance to the boundary, equirectangular local projection —
+    exact arithmetic twin of the SQL oracle) plus that edge's
+    admin_id ((dist, admin_id) ascending breaks ties).
+
+    Edge endpoints broadcast once per worker as flat arrays; each
+    batch computes the (points x edges) clamped point-to-segment
+    distance matrix vectorized — nothing shuffles.
+    """
+    from engine.state import cached_get
+
+    ax, ay, bx, by, eadm = [], [], [], [], []
+    for i in range(len(poly["admin_id"])):
+        rings = [(poly["ring_lon"][i], poly["ring_lat"][i])]
+        rings += list(poly["holes"][i])
+        for xs, ys in rings:
+            xs = np.asarray(xs, np.float64)
+            ys = np.asarray(ys, np.float64)
+            ax.append(xs)
+            ay.append(ys)
+            bx.append(np.roll(xs, -1))
+            by.append(np.roll(ys, -1))
+            eadm.append(np.full(len(xs), str(poly["admin_id"][i]),
+                                dtype=object))
+    edges = (np.concatenate(ax), np.concatenate(ay),
+             np.concatenate(bx), np.concatenate(by),
+             np.concatenate(eadm))
+    edges_ref = ray.put(edges)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        eax, eay, ebx, eby, adm = cached_get(edges_ref)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        kx = np.cos(np.deg2rad(lat))[:, None]
+        rax = (eax[None, :] - lon[:, None]) * kx
+        ray_ = eay[None, :] - lat[:, None]
+        vx = (ebx[None, :] - eax[None, :]) * kx
+        vy = np.broadcast_to(eby - eay, vx.shape)
+        vv = vx * vx + vy * vy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = -(rax * vx + ray_ * vy) / vv
+        t = np.clip(np.nan_to_num(t, nan=0.0), 0.0, 1.0)
+        cx = rax + t * vx
+        cy = ray_ + t * vy
+        d = np.sqrt(cx * cx + cy * cy) * _M_PER_DEG
+        bd = d.min(axis=1)
+        # (d, admin_id) ascending tie-break, vectorized: exact double
+        # ties (shared parent/child boundary edges compute identical
+        # arithmetic) resolve to the lexicographically smallest admin
+        uniq, codes = np.unique(adm, return_inverse=True)
+        tied = d == bd[:, None]
+        code_min = np.where(tied, codes[None, :], len(uniq)).min(axis=1)
+        badm = uniq[code_min]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "boundary_admin": pa.array(badm.astype(str), pa.string()),
+                "dist_m": pa.array(bd, pa.float64()),
+            }
+        )
+
+    return indexed.map_batches(fn, batch_format="pyarrow")

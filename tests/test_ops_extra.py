@@ -1541,3 +1541,52 @@ def test_cell_partitioned_polygon_scan_prunes_and_is_exact(
                for c in cover):
             kept += 1
     assert kept <= dirs // 2
+
+
+def test_track_stats_two_hand_tracks(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import track_stats
+
+    # track A: 3 points in a line; track B: 2 points; shuffled input
+    df = pd.DataFrame({
+        "track_id": ["b", "a", "a", "b", "a"],
+        "seq": [10, 2, 0, 11, 1],
+        "lon": [5.0, 1.0, 0.0, 5.5, 0.5],
+        "lat": [45.0, 40.0, 40.0, 45.0, 40.0],
+    })
+    out = (track_stats(ray.data.from_pandas(df).repartition(3),
+                       num_shards=4)
+           .to_pandas().set_index("track_id"))
+    la = (haversine_m(0.0, 40.0, 0.5, 40.0)
+          + haversine_m(0.5, 40.0, 1.0, 40.0))
+    na = haversine_m(0.0, 40.0, 1.0, 40.0)
+    assert int(out.loc["a", "n_points"]) == 3
+    assert out.loc["a", "track_m"] == pytest.approx(float(la), rel=1e-12)
+    assert out.loc["a", "net_m"] == pytest.approx(float(na), rel=1e-12)
+    assert int(out.loc["b", "n_points"]) == 2
+    assert out.loc["b", "track_m"] == pytest.approx(
+        float(haversine_m(5.0, 45.0, 5.5, 45.0)), rel=1e-12)
+
+
+def test_dist_to_boundary_square_known_distance(ray_session):
+    import ray.data
+
+    from engine.ops.geo import _M_PER_DEG, dist_to_boundary
+
+    poly = {
+        "admin_id": ["sq"], "level": [1], "name": ["Sq"],
+        "parent_id": [""],
+        "ring_lon": [np.array([0.0, 10.0, 10.0, 0.0])],
+        "ring_lat": [np.array([-5.0, -5.0, 5.0, -5.0 + 10.0])],
+        "holes": [[]],
+    }
+    # at the equator the equirect projection is isometric: a point at
+    # (3, 0) is 3 deg from the west edge, 5 deg from the south/north
+    df = pd.DataFrame({"image_id": ["p"], "lon": [3.0], "lat": [0.0]})
+    out = dist_to_boundary(
+        ray.data.from_pandas(df), poly).to_pandas()
+    assert out["boundary_admin"].iloc[0] == "sq"
+    assert out["dist_m"].iloc[0] == pytest.approx(3.0 * _M_PER_DEG,
+                                                  rel=1e-9)
