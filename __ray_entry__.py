@@ -1402,10 +1402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["image_id"]]
 
-    def geo_track_stats(sf_dir: str):
-        # trajectory analytics: the fixture's points form 50 tracks
-        # (track_id = i mod 50, seq = i); per track: point count,
-        # polyline length, net start->end displacement
+    def _geo_tracked():
+        # the fixture's points as 50 GPS tracks (track_id = i mod 50,
+        # seq = i) — shared input of the trajectory-analytics queries
         idx = _geo_indexed(columns=["image_id"])
 
         def keyed(t):
@@ -1421,13 +1420,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "track_id", pa.array(iv % 50, pa.int64()))
             return t.append_column("seq", pa.array(iv, pa.int64()))
 
+        return idx.map_batches(keyed, batch_format="pyarrow")
+
+    def geo_track_stats(sf_dir: str):
+        # trajectory analytics: per track point count, polyline
+        # length, net start->end displacement
         out = geo_ops.track_stats(
-            idx.map_batches(keyed, batch_format="pyarrow"),
-            num_shards=16,
-        ).to_pandas()
+            _geo_tracked(), num_shards=16).to_pandas()
         out["track_m"] = out["track_m"].round(4)
         out["net_m"] = out["net_m"].round(4)
         return out[["track_id", "n_points", "track_m", "net_m"]]
+
+    def geo_track_bearings(sf_dir: str):
+        # circular bearing stats per track: mean resultant length of
+        # the great-circle segment bearings + sinuosity; SQL twin
+        # recomputes atan2 bearings via LAG windows
+        out = geo_ops.track_bearings(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out["bearing_concentration"] = (
+            out["bearing_concentration"].round(4))
+        out["sinuosity"] = out["sinuosity"].round(4)
+        return out[["track_id", "n_segs", "bearing_concentration",
+                    "sinuosity"]]
+
+    def geo_boundary_crossings(sf_dir: str):
+        # ST_Crosses event detection: per track, how many times do its
+        # segments properly cross an admin boundary edge; exact integer
+        # counts, oracled via orientation sign tests in a cross join
+        out = geo_ops.boundary_crossings(
+            _geo_tracked(), fixtures.polygons(), num_shards=16,
+        ).to_pandas()
+        return out[["track_id", "n_segs", "n_crossings"]]
+
+    def geo_kde_heatmap(sf_dir: str):
+        # gaussian kernel-density hotspot grid (24x12 one-degree
+        # cells, h=1.5deg, equirect at cell latitude); combiner emits
+        # 288 partial rows per block, nothing else moves
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.kde_heatmap(idx).to_pandas()
+        out["density"] = out["density"].round(4)
+        return out[["gx", "gy", "density"]]
 
     def geo_dist_to_boundary(sf_dir: str):
         # ST_Distance to the nearest polygon boundary edge (equirect
@@ -2521,6 +2553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_coverage_gaps": geo_coverage_gaps,
         "geo_polygon_pruned_scan": geo_polygon_pruned_scan,
         "geo_track_stats": geo_track_stats,
+        "geo_track_bearings": geo_track_bearings,
+        "geo_boundary_crossings": geo_boundary_crossings,
+        "geo_kde_heatmap": geo_kde_heatmap,
         "geo_dist_to_boundary": geo_dist_to_boundary,
         "geo_ring_perimeters": geo_ring_perimeters,
         "geo_voronoi_assign": geo_voronoi_assign,
@@ -4124,6 +4159,96 @@ def oracle_sql() -> dict[str, str]:
                        'arg_max(lat, seq)', 'arg_max(lon, seq)')},
                        4) AS net_m
             FROM gs GROUP BY track_id
+        """,
+        "geo_track_bearings": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gb AS (SELECT track_id,
+                      atan2(sin(radians(lon - plon)) * cos(radians(lat)),
+                            cos(radians(plat)) * sin(radians(lat))
+                            - sin(radians(plat)) * cos(radians(lat))
+                              * cos(radians(lon - plon))) AS theta,
+                      {_sql_haversine('plat', 'plon', 'lat', 'lon')} AS d
+                   FROM gs WHERE plon IS NOT NULL),
+            ga AS (SELECT track_id, COUNT(*) AS n_segs,
+                      AVG(sin(theta)) AS ms, AVG(cos(theta)) AS mc,
+                      SUM(d) AS track_m
+                   FROM gb GROUP BY track_id),
+            gn AS (SELECT track_id,
+                      {_sql_haversine(
+                          'arg_min(lat, seq)', 'arg_min(lon, seq)',
+                          'arg_max(lat, seq)', 'arg_max(lon, seq)')}
+                          AS net_m
+                   FROM gt GROUP BY track_id)
+            SELECT a.track_id, a.n_segs,
+                   round(sqrt(ms * ms + mc * mc), 4)
+                       AS bearing_concentration,
+                   round(CASE WHEN n.net_m > 0e0
+                              THEN a.track_m / n.net_m
+                              ELSE 0e0 END, 4) AS sinuosity
+            FROM ga a JOIN gn n USING (track_id)
+        """,
+        "geo_boundary_crossings": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gsg AS (SELECT track_id, lon AS bx, lat AS by,
+                       LAG(lon) OVER w AS ax, LAG(lat) OVER w AS ay
+                    FROM gt
+                    WINDOW w AS (PARTITION BY track_id ORDER BY seq)
+                    QUALIFY ax IS NOT NULL),
+            gvx AS (SELECT lon AS x, lat AS y,
+                       COALESCE(LEAD(lon) OVER w,
+                                FIRST_VALUE(lon) OVER w) AS x1,
+                       COALESCE(LEAD(lat) OVER w,
+                                FIRST_VALUE(lat) OVER w) AS y1
+                    FROM read_parquet('{_GEO_AUX_VERTICES}')
+                    WINDOW w AS (PARTITION BY admin_id, ring_ix
+                                 ORDER BY vertex_ix
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)),
+            go AS (SELECT s.track_id,
+                      (s.bx - s.ax) * (e.y - s.ay)
+                      - (s.by - s.ay) * (e.x - s.ax) AS o1,
+                      (s.bx - s.ax) * (e.y1 - s.ay)
+                      - (s.by - s.ay) * (e.x1 - s.ax) AS o2,
+                      (e.x1 - e.x) * (s.ay - e.y)
+                      - (e.y1 - e.y) * (s.ax - e.x) AS o3,
+                      (e.x1 - e.x) * (s.by - e.y)
+                      - (e.y1 - e.y) * (s.bx - e.x) AS o4
+                   FROM gsg s CROSS JOIN gvx e),
+            gcnt AS (SELECT track_id, COUNT(*) AS n_segs
+                     FROM gsg GROUP BY track_id),
+            ghit AS (SELECT track_id,
+                        CAST(SUM(CASE WHEN o1 * o2 < 0e0
+                                       AND o3 * o4 < 0e0
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_crossings
+                     FROM go GROUP BY track_id)
+            SELECT c.track_id, c.n_segs, h.n_crossings
+            FROM gcnt c JOIN ghit h USING (track_id)
+        """,
+        "geo_kde_heatmap": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            ggrid AS (SELECT CAST(x.range AS BIGINT) AS gx,
+                             CAST(y.range AS BIGINT) AS gy,
+                             -12e0 + (CAST(x.range AS DOUBLE) + 0.5e0)
+                                 * 1e0 AS lonc,
+                             35e0 + (CAST(y.range AS DOUBLE) + 0.5e0)
+                                 * 1e0 AS latc
+                      FROM range(24) x CROSS JOIN range(12) y)
+            SELECT gx, gy,
+                   round(SUM(exp(-(
+                       pow((lonc - lon) * cos(radians(latc)), 2)
+                       + pow(latc - lat, 2))
+                       * {1.0 / (2.0 * 1.5 * 1.5)!r}e0)), 4) AS density
+            FROM ggrid CROSS JOIN gll
+            GROUP BY gx, gy
         """,
         "geo_dist_to_boundary": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

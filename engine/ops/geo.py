@@ -1384,3 +1384,185 @@ def dist_to_boundary(
         )
 
     return indexed.map_batches(fn, batch_format="pyarrow")
+
+
+def track_bearings(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track circular bearing statistics over (track_id, seq, lon,
+    lat) rows: segment count, mean resultant length of the great-circle
+    initial bearings (circular concentration in [0, 1] — 1.0 = all
+    segments head the same way) and sinuosity (polyline length over
+    net displacement, >= 1) — movement-pattern analytics over GPS
+    tracks.
+
+    Same hash-shard-by-track discipline as ``track_stats``: many
+    tracks per shard, per-SHARD vectorized trig, no per-track
+    dispatch. The bearing is the standard great-circle initial course
+    ``atan2(sin dl * cos p2, cos p1 * sin p2 - sin p1 * cos p2 * cos
+    dl)`` — operation-for-operation the SQL oracle's arithmetic.
+    """
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_tracks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lond = g["lon"].to_numpy(np.float64)
+        latd = g["lat"].to_numpy(np.float64)
+        lon = np.deg2rad(lond)
+        lat = np.deg2rad(latd)
+        tid = g["track_id"].to_numpy()
+        same = tid[1:] == tid[:-1]
+        p1, p2 = lat[:-1][same], lat[1:][same]
+        dl = lon[1:][same] - lon[:-1][same]
+        theta = np.arctan2(
+            np.sin(dl) * np.cos(p2),
+            np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl),
+        )
+        d = knn_mod.haversine_m(
+            lond[:-1][same], latd[:-1][same],
+            lond[1:][same], latd[1:][same])
+        seg = pd.DataFrame({
+            "track_id": tid[1:][same],
+            "s": np.sin(theta), "c": np.cos(theta), "d": d,
+        })
+        agg = seg.groupby("track_id", sort=False).agg(
+            n_segs=("s", "size"), s=("s", "mean"), c=("c", "mean"),
+            track_m=("d", "sum"))
+        starts = np.flatnonzero(np.r_[True, ~same])
+        ends = np.r_[starts[1:], len(g)] - 1
+        net = pd.Series(
+            knn_mod.haversine_m(lond[starts], latd[starts],
+                                lond[ends], latd[ends]),
+            index=tid[starts])
+        agg = agg[agg["n_segs"] > 0]
+        out = pd.DataFrame({
+            "track_id": agg.index,
+            "n_segs": agg["n_segs"].to_numpy(np.int64),
+            "bearing_concentration": np.hypot(
+                agg["s"].to_numpy(), agg["c"].to_numpy()),
+            "sinuosity": np.where(
+                net.reindex(agg.index).to_numpy() > 0,
+                agg["track_m"].to_numpy()
+                / net.reindex(agg.index).to_numpy(), 0.0),
+        })
+        return out.reset_index(drop=True)
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_tracks(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+
+
+def kde_heatmap(
+    indexed: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0, bandwidth_deg: float = 1.5,
+) -> ray.data.Dataset:
+    """Gaussian kernel-density heatmap on a fixed lon/lat grid — the
+    density-surface / hotspot-map op. Each grid-cell center accumulates
+    ``sum(exp(-d2 / (2 h^2)))`` over every point, with ``d2`` the
+    squared equirectangular degree distance at the CELL's latitude.
+
+    Scale shape: each batch computes its (points x cells) kernel matrix
+    vectorized and emits ONE partial row per grid cell — only
+    ``nx * ny`` rows per block ever move (classic combiner), merged by
+    ``sum_final``. The grid is a closure constant; nothing broadcasts,
+    nothing shuffles."""
+    from engine.ops.relational import sum_final
+
+    gy, gx = np.mgrid[0:ny, 0:nx]
+    gx = gx.ravel().astype(np.int64)
+    gy = gy.ravel().astype(np.int64)
+    lonc = lon0 + (gx + 0.5) * cell_deg
+    latc = lat0 + (gy + 0.5) * cell_deg
+    kx = np.cos(np.deg2rad(latc))
+    inv2h2 = 1.0 / (2.0 * bandwidth_deg * bandwidth_deg)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        dx = (lonc[None, :] - lon[:, None]) * kx[None, :]
+        dy = latc[None, :] - lat[:, None]
+        dens = np.exp(-(dx * dx + dy * dy) * inv2h2).sum(axis=0)
+        return pa.table({
+            "gx": pa.array(gx), "gy": pa.array(gy),
+            "density": pa.array(dens, pa.float64()),
+        })
+
+    partials = indexed.map_batches(partial, batch_format="pyarrow")
+    return sum_final(partials, ["gx", "gy"])
+
+
+def boundary_crossings(
+    points: ray.data.Dataset, poly: dict, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track count of PROPER intersections between the track's
+    seq-consecutive segments and any polygon boundary edge (the
+    ST_Crosses trajectory/boundary event-detection op: how many times
+    does each GPS track cross an admin border).
+
+    Proper crossing = the two segments strictly straddle each other:
+    ``cross(B-A, C-A) * cross(B-A, D-A) < 0 AND cross(D-C, A-C) *
+    cross(D-C, B-C) < 0`` in plain lon/lat coordinates — exact float
+    twin of the SQL oracle; endpoint-touching / collinear overlap
+    (measure-zero for the irrational fixture) does not count.
+
+    Boundary edges (all rings, holes included) are a closure constant
+    (~1k edges for the fixture; broadcast once per worker via task
+    closure). Segments assemble per-SHARD (hash by track_id, sorted by
+    seq) and the (segments x edges) orientation tests run as one
+    vectorized block; only one row per track leaves the shard."""
+    from engine.ops.relational import _sharded_by_key
+
+    ax, ay, bx, by = [], [], [], []
+    for i in range(len(poly["admin_id"])):
+        rings = [(poly["ring_lon"][i], poly["ring_lat"][i])]
+        rings += list(poly["holes"][i])
+        for xs, ys in rings:
+            xs = np.asarray(xs, np.float64)
+            ys = np.asarray(ys, np.float64)
+            ax.append(xs)
+            ay.append(ys)
+            bx.append(np.roll(xs, -1))
+            by.append(np.roll(ys, -1))
+    cx0 = np.concatenate(ax)
+    cy0 = np.concatenate(ay)
+    cx1 = np.concatenate(bx)
+    cy1 = np.concatenate(by)
+    evx = cx1 - cx0
+    evy = cy1 - cy0
+
+    def shard_tracks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        same = tid[1:] == tid[:-1]
+        sax, say = lon[:-1][same], lat[:-1][same]
+        sbx, sby = lon[1:][same], lat[1:][same]
+        svx, svy = sbx - sax, sby - say
+        # o1/o2: edge endpoints vs the segment's line; o3/o4: segment
+        # endpoints vs the edge's line — (n_segs x n_edges) each
+        o1 = (svx[:, None] * (cy0[None, :] - say[:, None])
+              - svy[:, None] * (cx0[None, :] - sax[:, None]))
+        o2 = (svx[:, None] * (cy1[None, :] - say[:, None])
+              - svy[:, None] * (cx1[None, :] - sax[:, None]))
+        o3 = (evx[None, :] * (say[:, None] - cy0[None, :])
+              - evy[None, :] * (sax[:, None] - cx0[None, :]))
+        o4 = (evx[None, :] * (sby[:, None] - cy0[None, :])
+              - evy[None, :] * (sbx[:, None] - cx0[None, :]))
+        hits = ((o1 * o2 < 0) & (o3 * o4 < 0)).sum(axis=1)
+        seg = pd.DataFrame({"track_id": tid[1:][same],
+                            "n_crossings": hits.astype(np.int64)})
+        out = seg.groupby("track_id", as_index=False, sort=False).agg(
+            n_segs=("n_crossings", "size"),
+            n_crossings=("n_crossings", "sum"))
+        return out[["track_id", "n_segs", "n_crossings"]]
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_tracks(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

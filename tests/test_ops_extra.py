@@ -1590,3 +1590,75 @@ def test_dist_to_boundary_square_known_distance(ray_session):
     assert out["boundary_admin"].iloc[0] == "sq"
     assert out["dist_m"].iloc[0] == pytest.approx(3.0 * _M_PER_DEG,
                                                   rel=1e-9)
+
+
+def test_track_bearings_straight_and_l_shape(ray_session):
+    import ray.data
+
+    from engine.ops.geo import track_bearings
+
+    # track s: two eastward equator segments (bearing 90, 90) ->
+    # concentration 1, sinuosity 1; track l: east then north ->
+    # bearings 90 and 0, concentration hypot(.5,.5), sinuosity > 1
+    df = pd.DataFrame({
+        "track_id": ["s", "s", "s", "l", "l", "l"],
+        "seq": [0, 1, 2, 0, 1, 2],
+        "lon": [0.0, 1.0, 2.0, 10.0, 11.0, 11.0],
+        "lat": [0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+    })
+    out = (track_bearings(ray.data.from_pandas(df).repartition(2),
+                          num_shards=4)
+           .to_pandas().set_index("track_id"))
+    assert int(out.loc["s", "n_segs"]) == 2
+    assert out.loc["s", "bearing_concentration"] == pytest.approx(
+        1.0, abs=1e-12)
+    assert out.loc["s", "sinuosity"] == pytest.approx(1.0, rel=1e-12)
+    assert int(out.loc["l", "n_segs"]) == 2
+    assert out.loc["l", "bearing_concentration"] == pytest.approx(
+        np.hypot(0.5, 0.5), abs=1e-9)
+    assert out.loc["l", "sinuosity"] > 1.0
+
+
+def test_kde_heatmap_single_point_known_density(ray_session):
+    import ray.data
+
+    from engine.ops.geo import kde_heatmap
+
+    # one point at the equator; 2x1 grid of 1-degree cells starting at
+    # lon 0: centers (0.5, 0.5) and (1.5, 0.5); h = 1 deg
+    df = pd.DataFrame({"image_id": ["p"], "lon": [0.5], "lat": [0.5]})
+    out = (kde_heatmap(ray.data.from_pandas(df), lon0=0.0, lat0=0.0,
+                       nx=2, ny=1, cell_deg=1.0, bandwidth_deg=1.0)
+           .to_pandas().sort_values("gx"))
+    assert out["density"].iloc[0] == pytest.approx(1.0, abs=1e-12)
+    d2 = (1.0 * np.cos(np.deg2rad(0.5))) ** 2
+    assert out["density"].iloc[1] == pytest.approx(
+        float(np.exp(-d2 / 2.0)), rel=1e-12)
+
+
+def test_boundary_crossings_square(ray_session):
+    import ray.data
+
+    from engine.ops.geo import boundary_crossings
+
+    poly = {
+        "admin_id": ["sq"], "level": [1], "name": ["Sq"],
+        "parent_id": [""],
+        "ring_lon": [np.array([0.0, 10.0, 10.0, 0.0])],
+        "ring_lat": [np.array([-5.0, -5.0, 5.0, 5.0])],
+        "holes": [[]],
+    }
+    # track a crosses the west edge once; track b stays fully inside
+    df = pd.DataFrame({
+        "track_id": ["a", "a", "b", "b", "b"],
+        "seq": [0, 1, 0, 1, 2],
+        "lon": [-2.0, 2.0, 1.0, 2.0, 2.0],
+        "lat": [0.5, 0.5, 1.0, 1.0, 2.0],
+    })
+    out = (boundary_crossings(
+        ray.data.from_pandas(df).repartition(2), poly, num_shards=4)
+        .to_pandas().set_index("track_id"))
+    assert int(out.loc["a", "n_segs"]) == 1
+    assert int(out.loc["a", "n_crossings"]) == 1
+    assert int(out.loc["b", "n_segs"]) == 2
+    assert int(out.loc["b", "n_crossings"]) == 0
