@@ -1452,6 +1452,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["track_id", "n_segs", "n_crossings"]]
 
+    def geo_dbscan_clusters(sf_dir: str):
+        # density-based spatial clustering (DBSCAN, eps 2km, minPts 5):
+        # the fixture's 10% planted hotspot condenses into one cluster,
+        # the uniform background is noise; SQL twin recomputes the
+        # eps-graph via a cross join and the components via a
+        # recursive min-label CTE
+        idx = _geo_indexed(columns=["image_id"])
+
+        def keyed(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            i = pc.cast(
+                pc.utf8_slice_codeunits(t["image_id"], 3, 12),
+                pa.int64())
+            return t.append_column("node", i)
+
+        out = geo_ops.dbscan(
+            idx.map_batches(keyed, batch_format="pyarrow"),
+            eps_m=2000.0, min_pts=5,
+        ).to_pandas()
+        return out[["node", "cluster", "is_core"]]
+
     def geo_kde_heatmap(sf_dir: str):
         # gaussian kernel-density hotspot grid (24x12 one-degree
         # cells, h=1.5deg, equirect at cell latitude); combiner emits
@@ -2556,6 +2579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_bearings": geo_track_bearings,
         "geo_boundary_crossings": geo_boundary_crossings,
         "geo_kde_heatmap": geo_kde_heatmap,
+        "geo_dbscan_clusters": geo_dbscan_clusters,
         "geo_dist_to_boundary": geo_dist_to_boundary,
         "geo_ring_perimeters": geo_ring_perimeters,
         "geo_voronoi_assign": geo_voronoi_assign,
@@ -4232,6 +4256,36 @@ def oracle_sql() -> dict[str, str]:
                      FROM go GROUP BY track_id)
             SELECT c.track_id, c.n_segs, h.n_crossings
             FROM gcnt c JOIN ghit h USING (track_id)
+        """,
+        "geo_dbscan_clusters": f"""
+            WITH RECURSIVE {_sql_geo_lonlat(_GEO_N)},
+            gp AS (SELECT i AS node, lon, lat FROM gll),
+            gd AS (SELECT a.node AS src, b.node AS dst
+                   FROM gp a JOIN gp b ON a.node <> b.node
+                   WHERE {_sql_haversine('a.lat', 'a.lon',
+                                         'b.lat', 'b.lon')} <= 2000e0),
+            gcore AS (SELECT src AS node FROM gd
+                      GROUP BY src HAVING COUNT(*) + 1 >= 5),
+            gcc AS (SELECT d.src, d.dst FROM gd d
+                    JOIN gcore c1 ON d.src = c1.node
+                    JOIN gcore c2 ON d.dst = c2.node),
+            cc(node, lbl) AS (
+                SELECT node, node FROM gcore
+                UNION
+                SELECT e.dst, c.lbl FROM cc c
+                JOIN gcc e ON e.src = c.node),
+            glab AS (SELECT node, MIN(lbl) AS cluster
+                     FROM cc GROUP BY node),
+            gbord AS (SELECT d.src AS node, MIN(l.cluster) AS cluster
+                      FROM gd d JOIN glab l ON d.dst = l.node
+                      WHERE d.src NOT IN (SELECT node FROM gcore)
+                      GROUP BY d.src)
+            SELECT p.node,
+                   COALESCE(c.cluster, b.cluster, -1) AS cluster,
+                   CASE WHEN c.node IS NULL THEN 0 ELSE 1 END AS is_core
+            FROM gp p
+            LEFT JOIN glab c ON c.node = p.node
+            LEFT JOIN gbord b ON b.node = p.node
         """,
         "geo_kde_heatmap": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -1566,3 +1566,190 @@ def boundary_crossings(
         lambda g: shard_tracks(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def dbscan(
+    points: ray.data.Dataset,
+    eps_m: float,
+    min_pts: int,
+    *,
+    max_abs_lat: float = 80.0,
+    small_broadcast_ids: int = 2_000_000,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Distributed grid-based DBSCAN over (node:int64, lon, lat) rows
+    with haversine-meter eps — the density-based spatial-clustering op
+    (hotspot extraction over image geotags).
+
+    Returns Dataset(node, cluster, is_core): ``cluster`` = min node id
+    of the point's core component (classic DBSCAN up to the
+    deterministic border tie-break: a border point within eps of
+    SEVERAL clusters takes the smallest label, not the
+    scan-order-dependent one), ``is_core`` 0/1, noise cluster = -1.
+
+    Scale shape: points explode into their 3x3 grid neighborhood
+    (cell edge sized so eps can never cross a non-adjacent cell —
+    requires ``|lat| <= max_abs_lat``, validated per batch); ONE
+    groupby(cell) co-locates every eps-ball, per-group vectorized
+    haversine emits the (src, dst) eps-edge list; neighbor counts are
+    a combiner groupby over edges. Core flags attach back to edges by
+    broadcast set below ``small_broadcast_ids`` distinct ids, else by
+    two hash equi-joins (the ``_verify_candidate_pairs`` discipline).
+    Components run on ``connected_components_distributed``; the final
+    label table is O(clustered points) — broadcast for the per-point
+    assignment, the one documented small side."""
+    import ray as _ray
+
+    from engine.ops.dedup import connected_components_distributed
+    from engine.ops.relational import partial_groupby_sum
+    from engine.state import cached_get
+
+    if max_abs_lat >= 89.0:
+        raise ValueError("dbscan grid cover needs max_abs_lat < 89")
+    cos_w = float(np.cos(np.deg2rad(max_abs_lat)))
+    cd = eps_m / (110_000.0 * cos_w)  # conservative deg/cell edge
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        lat = b["lat"].to_numpy(np.float64)
+        if len(lat) and float(np.abs(lat).max()) > max_abs_lat:
+            raise ValueError(
+                f"dbscan: |lat| > max_abs_lat={max_abs_lat}; raise it "
+                "(the grid cover guarantee is latitude-bounded)")
+        lon = b["lon"].to_numpy(np.float64)
+        cx = np.floor(lon / cd).astype(np.int64)
+        cy = np.floor(lat / cd).astype(np.int64)
+        n = len(b)
+        off = np.array([-1, 0, 1], np.int64)
+        ox = np.repeat(np.tile(off, 3), n)  # 9 copies per point
+        oy = np.repeat(np.repeat(off, 3), n)
+        cell = ((np.tile(cx, 9) + ox) * 4_294_967_296
+                + (np.tile(cy, 9) + oy) + 2_147_483_648)
+        return pd.DataFrame({
+            "cell": cell,
+            "node": np.tile(b["node"].to_numpy(np.int64), 9),
+            "lon": np.tile(lon, 9), "lat": np.tile(lat, 9),
+            "real": (ox == 0) & (oy == 0),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["real"]]
+        if not len(real):
+            return pd.DataFrame({
+                "src": pd.Series(dtype=np.int64),
+                "dst": pd.Series(dtype=np.int64)})
+        d = knn_mod.haversine_m(
+            real["lon"].to_numpy()[:, None],
+            real["lat"].to_numpy()[:, None],
+            g["lon"].to_numpy()[None, :],
+            g["lat"].to_numpy()[None, :])
+        si, di = np.nonzero(d <= eps_m)
+        sn = real["node"].to_numpy(np.int64)[si]
+        dn = g["node"].to_numpy(np.int64)[di]
+        keep = sn != dn
+        return pd.DataFrame({"src": sn[keep], "dst": dn[keep]})
+
+    exploded = points.map_batches(explode, batch_format="pandas")
+    edges = exploded.groupby("cell").map_groups(
+        lambda g: pairs(g), batch_format="pandas").materialize()
+
+    counts = partial_groupby_sum(
+        edges, ["src"], {}, count_as="n_neigh").materialize()
+    n_counted = counts.count()
+
+    def core_only(b: pd.DataFrame) -> pd.DataFrame:
+        # |N_eps| includes the point itself (scikit semantics)
+        return b.loc[b["n_neigh"] + 1 >= min_pts, ["src"]].rename(
+            columns={"src": "node"})
+
+    core_ds = counts.map_batches(core_only, batch_format="pandas")
+
+    if n_counted <= small_broadcast_ids:
+        core_set = frozenset(
+            core_ds.to_pandas()["node"].astype(np.int64))
+        ref = _ray.put(core_set)
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            cs = cached_get(ref)
+            b = b.copy()
+            b["src_core"] = b["src"].isin(cs)
+            b["dst_core"] = b["dst"].isin(cs)
+            return b
+
+        tagged = edges.map_batches(tag, batch_format="pandas")
+    else:  # co-shuffle flag attach: two hash equi-joins
+        def flagged(side: str):
+            return core_ds.map_batches(
+                lambda b, s=side: b.rename(columns={"node": s})
+                .assign(**{f"{s}_core_j": True}),
+                batch_format="pandas")
+
+        tagged = edges.join(
+            flagged("src"), join_type="left_outer", on=("src",),
+            right_on=("src",), num_partitions=num_partitions,
+        ).join(
+            flagged("dst"), join_type="left_outer", on=("dst",),
+            right_on=("dst",), num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: b.assign(
+                src_core=b["src_core_j"].fillna(False).astype(bool),
+                dst_core=b["dst_core_j"].fillna(False).astype(bool),
+            ).drop(columns=["src_core_j", "dst_core_j"]),
+            batch_format="pandas")
+    tagged = tagged.materialize()
+
+    cc_edges = tagged.map_batches(
+        lambda b: b.loc[b["src_core"] & b["dst_core"],
+                        ["src", "dst"]].rename(
+            columns={"src": "a", "dst": "b"}),
+        batch_format="pandas")
+    lab = connected_components_distributed(cc_edges)
+    label_map = dict(zip(lab["node"].astype(np.int64),
+                         lab["label"].astype(np.int64)))
+    # singleton cores (no core-core edge) label themselves; the label
+    # table is O(clustered points), the documented small side
+    core_nodes = core_ds.to_pandas()["node"].astype(np.int64)
+    for nd in core_nodes:
+        label_map.setdefault(int(nd), int(nd))
+
+    # border points: non-core src with a core dst -> min core label
+    lref = _ray.put(label_map)
+
+    def border_partial(b: pd.DataFrame) -> pd.DataFrame:
+        lm = cached_get(lref)
+        m = b.loc[~b["src_core"] & b["dst_core"], ["src", "dst"]]
+        if not len(m):
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "cluster": pd.Series(dtype=np.int64)})
+        lab_ = m["dst"].map(lm).astype(np.int64)
+        out = pd.DataFrame({"src": m["src"].to_numpy(np.int64),
+                            "cluster": lab_.to_numpy()})
+        return out.groupby("src", as_index=False, sort=False).min()
+
+    def border_final(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "src" not in b.columns:  # all-empty blocks lose schema
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "cluster": pd.Series(dtype=np.int64)})
+        return b.groupby("src", as_index=False, sort=False).min()
+
+    border = tagged.map_batches(
+        border_partial, batch_format="pandas"
+    ).repartition(1).map_batches(
+        border_final, batch_format="pandas", batch_size=None).to_pandas()
+    border_map = {} if "src" not in border.columns else dict(
+        zip(border["src"].astype(np.int64),
+            border["cluster"].astype(np.int64)))
+    aref = _ray.put((frozenset(int(n) for n in core_nodes),
+                     label_map, border_map))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        cs, lm, bm = cached_get(aref)
+        nodes = pd.Series(b["node"].to_numpy(np.int64))
+        clus = nodes.map(lm)
+        clus = clus.fillna(nodes.map(bm)).fillna(-1).astype(np.int64)
+        return pd.DataFrame({
+            "node": nodes.to_numpy(),
+            "cluster": clus.to_numpy(),
+            "is_core": nodes.isin(cs).to_numpy().astype(np.int64),
+        })
+
+    return points.map_batches(assign, batch_format="pandas")

@@ -1662,3 +1662,121 @@ def test_boundary_crossings_square(ray_session):
     assert int(out.loc["a", "n_crossings"]) == 1
     assert int(out.loc["b", "n_segs"]) == 2
     assert int(out.loc["b", "n_crossings"]) == 0
+
+
+def _brute_dbscan(df, eps_m, min_pts):
+    """Single-process reference DBSCAN with the engine's deterministic
+    border tie-break (min core label) — the self-oracle."""
+    from engine.geo.knn import haversine_m
+
+    lon = df["lon"].to_numpy(np.float64)
+    lat = df["lat"].to_numpy(np.float64)
+    nodes = df["node"].to_numpy(np.int64)
+    n = len(df)
+    d = haversine_m(lon[:, None], lat[:, None], lon[None, :], lat[None, :])
+    neigh = d <= eps_m
+    core = neigh.sum(axis=1) >= min_pts  # includes self
+    parent = {int(x): int(x) for x in nodes[core]}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(i + 1, n):
+            if core[j] and neigh[i, j]:
+                ri, rj = find(int(nodes[i])), find(int(nodes[j]))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    lab = {int(nodes[i]): find(int(nodes[i]))
+           for i in range(n) if core[i]}
+    res = {}
+    for i in range(n):
+        nd = int(nodes[i])
+        if core[i]:
+            res[nd] = (lab[nd], 1)
+        else:
+            cands = [lab[int(nodes[j])] for j in range(n)
+                     if j != i and core[j] and neigh[i, j]]
+            res[nd] = (min(cands), 0) if cands else (-1, 0)
+    return res
+
+
+def _dbscan_fixture():
+    rng = np.random.default_rng(7)
+    # two planted 300m-radius clusters 4.7km apart + scattered noise
+    def disk(cx, cy, n, r_deg):
+        t = rng.uniform(0, 2 * np.pi, n)
+        r = r_deg * np.sqrt(rng.uniform(0, 1, n))
+        return cx + r * np.cos(t), cy + r * np.sin(t)
+
+    ax, ay = disk(9.0, 41.0, 40, 0.003)
+    bx, by = disk(9.05, 41.02, 40, 0.003)
+    nx_, ny_ = rng.uniform(8.3, 9.7, 40), rng.uniform(40.3, 41.7, 40)
+    return pd.DataFrame({
+        "node": np.arange(120, dtype=np.int64),
+        "lon": np.concatenate([ax, bx, nx_]),
+        "lat": np.concatenate([ay, by, ny_]),
+    })
+
+
+def test_dbscan_matches_brute_force(ray_session):
+    import ray.data
+
+    from engine.ops.geo import dbscan
+
+    df = _dbscan_fixture()
+    out = dbscan(ray.data.from_pandas(df).repartition(4),
+                 eps_m=500.0, min_pts=5).to_pandas()
+    want = _brute_dbscan(df, 500.0, 5)
+    got = {int(r.node): (int(r.cluster), int(r.is_core))
+           for r in out.itertuples()}
+    assert got == want
+    labels = {v[0] for v in want.values() if v[0] >= 0}
+    assert len(labels) == 2  # the two planted clusters stay separate
+
+
+def test_dbscan_join_path_equals_broadcast_path(ray_session):
+    import ray.data
+
+    from engine.ops.geo import dbscan
+
+    df = _dbscan_fixture()
+    a = dbscan(ray.data.from_pandas(df).repartition(4),
+               eps_m=500.0, min_pts=5).to_pandas()
+    b = dbscan(ray.data.from_pandas(df).repartition(4),
+               eps_m=500.0, min_pts=5,
+               small_broadcast_ids=0).to_pandas()
+    key = lambda d: d.sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(key(a), key(b))
+
+
+def test_dbscan_border_and_noise_semantics(ray_session):
+    import ray.data
+
+    from engine.ops.geo import dbscan
+
+    # hand-built at the equator (1 deg lat ~= 111.195 km): an 8-point
+    # blob split +-25m around x=0, a satellite at 490m (within eps=500
+    # of only the 4 east points -> |N|=5 < min_pts=8 -> BORDER), and a
+    # far noise point
+    m = 1.0 / 111_194.93  # deg per meter at the equator (approx)
+    lon = np.array([-25.0] * 4 + [25.0] * 4 + [490.0, 50_000.0]) * m
+    lat = np.array([0.0, 1.0, 2.0, 3.0, 0.0, 1.0, 2.0, 3.0, 0.0, 0.0]) * m
+    df = pd.DataFrame({
+        "node": np.arange(10, dtype=np.int64), "lon": lon, "lat": lat})
+    out = (dbscan(ray.data.from_pandas(df).repartition(3),
+                  eps_m=500.0, min_pts=8)
+           .to_pandas().set_index("node").sort_index())
+    assert out.loc[0:7, "is_core"].tolist() == [1] * 8
+    assert out.loc[0:7, "cluster"].tolist() == [0] * 8
+    assert int(out.loc[8, "is_core"]) == 0
+    assert int(out.loc[8, "cluster"]) == 0  # border attaches to blob
+    assert int(out.loc[9, "is_core"]) == 0
+    assert int(out.loc[9, "cluster"]) == -1  # noise
+    got = _brute_dbscan(df, 500.0, 8)
+    assert got == {int(i): (int(r.cluster), int(r.is_core))
+                   for i, r in out.iterrows()}
