@@ -1452,6 +1452,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["track_id", "n_segs", "n_crossings"]]
 
+    def geo_track_hulls(sf_dir: str):
+        # ST_ConvexHull per track: hull vertex count + shoelace area;
+        # SQL twin detects hull edges via the all-pairs strict-left
+        # rule (edge p->q is on the CCW hull iff every other point is
+        # strictly left) and sums the same shoelace terms
+        out = geo_ops.convex_hulls(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out["hull_area"] = out["hull_area"].round(6)
+        return out[["track_id", "n_hull", "hull_area"]]
+
+    def geo_bbox_candidates(sf_dir: str):
+        # filter stage of the filter-refine spatial join: image boxes
+        # (point +- 0.01 deg) x admin outer-ring bboxes, both sides
+        # streaming through the PBSM owner-cell grid join
+        idx = _geo_indexed(columns=["image_id"])
+
+        def boxify(b):
+            import pandas as pd
+
+            return pd.DataFrame({
+                "id": b["image_id"],
+                "minx": b["lon"] - 0.01, "maxx": b["lon"] + 0.01,
+                "miny": b["lat"] - 0.01, "maxy": b["lat"] + 0.01,
+            })
+
+        poly = fixtures.polygons()
+        pb = pd.DataFrame({
+            "id": [str(a) for a in poly["admin_id"]],
+            "minx": [float(np.min(x)) for x in poly["ring_lon"]],
+            "maxx": [float(np.max(x)) for x in poly["ring_lon"]],
+            "miny": [float(np.min(y)) for y in poly["ring_lat"]],
+            "maxy": [float(np.max(y)) for y in poly["ring_lat"]],
+        })
+        out = geo_ops.bbox_overlap_join(
+            idx.map_batches(boxify, batch_format="pandas"),
+            ray.data.from_pandas(pb),
+            cell_deg=1.0,
+        ).to_pandas()
+        out = out.rename(columns={"a_id": "image_id",
+                                  "b_id": "admin_id"})
+        return out[["image_id", "admin_id"]]
+
     def geo_dbscan_clusters(sf_dir: str):
         # density-based spatial clustering (DBSCAN, eps 2km, minPts 5):
         # the fixture's 10% planted hotspot condenses into one cluster,
@@ -2580,6 +2622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_boundary_crossings": geo_boundary_crossings,
         "geo_kde_heatmap": geo_kde_heatmap,
         "geo_dbscan_clusters": geo_dbscan_clusters,
+        "geo_bbox_candidates": geo_bbox_candidates,
+        "geo_track_hulls": geo_track_hulls,
         "geo_dist_to_boundary": geo_dist_to_boundary,
         "geo_ring_perimeters": geo_ring_perimeters,
         "geo_voronoi_assign": geo_voronoi_assign,
@@ -4256,6 +4300,45 @@ def oracle_sql() -> dict[str, str]:
                      FROM go GROUP BY track_id)
             SELECT c.track_id, c.n_segs, h.n_crossings
             FROM gcnt c JOIN ghit h USING (track_id)
+        """,
+        "geo_track_hulls": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gpair AS (SELECT p.track_id, p.seq AS ps, q.seq AS qs,
+                             p.lon AS px, p.lat AS py,
+                             q.lon AS qx, q.lat AS qy
+                      FROM gt p JOIN gt q
+                        ON p.track_id = q.track_id AND p.seq <> q.seq),
+            ghull AS (SELECT e.track_id, e.px, e.py, e.qx, e.qy
+                      FROM gpair e JOIN gt r
+                        ON r.track_id = e.track_id
+                       AND r.seq <> e.ps AND r.seq <> e.qs
+                      GROUP BY e.track_id, e.ps, e.qs,
+                               e.px, e.py, e.qx, e.qy
+                      HAVING MIN((e.qx - e.px) * (r.lat - e.py)
+                                 - (e.qy - e.py) * (r.lon - e.px))
+                             > 0e0)
+            SELECT track_id, COUNT(*) AS n_hull,
+                   round(SUM(px * qy - qx * py) / 2e0, 6) AS hull_area
+            FROM ghull GROUP BY track_id
+        """,
+        "geo_bbox_candidates": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            ga AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                       AS image_id,
+                       lon - 0.01e0 AS aminx, lon + 0.01e0 AS amaxx,
+                       lat - 0.01e0 AS aminy, lat + 0.01e0 AS amaxy
+                   FROM gll),
+            gb AS (SELECT admin_id,
+                       MIN(lon) AS bminx, MAX(lon) AS bmaxx,
+                       MIN(lat) AS bminy, MAX(lat) AS bmaxy
+                   FROM read_parquet('{_GEO_AUX_VERTICES}')
+                   WHERE ring_ix = 0 GROUP BY admin_id)
+            SELECT image_id, admin_id
+            FROM ga JOIN gb
+              ON aminx <= bmaxx AND bminx <= amaxx
+             AND aminy <= bmaxy AND bminy <= amaxy
         """,
         "geo_dbscan_clusters": f"""
             WITH RECURSIVE {_sql_geo_lonlat(_GEO_N)},

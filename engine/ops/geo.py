@@ -1753,3 +1753,162 @@ def dbscan(
         })
 
     return points.map_batches(assign, batch_format="pandas")
+
+
+def bbox_overlap_join(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    cell_deg: float = 1.0,
+) -> ray.data.Dataset:
+    """Rectangle-intersection spatial join (the FILTER stage of the
+    classic filter-refine spatial join; ST_Intersects on envelopes):
+    every (a_id, b_id) pair whose [minx,maxx]x[miny,maxy] boxes
+    overlap, touching included. Both inputs carry columns
+    (id, minx, miny, maxx, maxy); BOTH sides stream — neither
+    broadcasts.
+
+    Scale shape: each box explodes into every ``cell_deg`` grid cell
+    it covers; ONE groupby(cell) co-locates candidates; the per-group
+    (na x nb) interval test is vectorized. A pair overlapping many
+    cells is emitted exactly once WITHOUT a distinct-shuffle: only the
+    cell containing the intersection's min corner reports it (that
+    corner lies in both boxes, so both sides are present in that
+    group — the standard PBSM / owner-cell de-duplication rule).
+    Grid skew follows box skew; pick ``cell_deg`` near the median box
+    size so wide boxes fan out boundedly."""
+
+    def explode(side: str):
+        def fn(d: pd.DataFrame) -> pd.DataFrame:
+            x0 = np.floor(d["minx"].to_numpy(np.float64) / cell_deg)
+            x1 = np.floor(d["maxx"].to_numpy(np.float64) / cell_deg)
+            y0 = np.floor(d["miny"].to_numpy(np.float64) / cell_deg)
+            y1 = np.floor(d["maxy"].to_numpy(np.float64) / cell_deg)
+            nx = (x1 - x0 + 1).astype(np.int64)
+            ny = (y1 - y0 + 1).astype(np.int64)
+            reps = nx * ny
+            ri = np.repeat(np.arange(len(d)), reps)
+            # per-copy (cx, cy) offsets, fully vectorized: k-th copy of
+            # row i is (x0[i] + k // ny[i], y0[i] + k % ny[i])
+            k = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+            cx = x0.astype(np.int64)[ri] + k // ny[ri]
+            cy = y0.astype(np.int64)[ri] + k % ny[ri]
+            out = d.iloc[ri].reset_index(drop=True)
+            out["cell"] = cx * 4_294_967_296 + (cy + 2_147_483_648)
+            out["side"] = side
+            return out
+
+        return fn
+
+    # both sides share ONE schema (id, minx..maxy, cell, side) so the
+    # union's blocks stay homogeneous for the groupby sort
+    ea = a.map_batches(explode("a"), batch_format="pandas")
+    eb = b.map_batches(explode("b"), batch_format="pandas")
+
+    def join_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series(dtype=object),
+                              "b_id": pd.Series(dtype=object)})
+        if "side" not in g.columns:
+            return empty
+        ga = g[g["side"] == "a"]
+        gb = g[g["side"] == "b"]
+        if not len(ga) or not len(gb):
+            return empty
+        ax0 = ga["minx"].to_numpy(np.float64)[:, None]
+        ax1 = ga["maxx"].to_numpy(np.float64)[:, None]
+        ay0 = ga["miny"].to_numpy(np.float64)[:, None]
+        ay1 = ga["maxy"].to_numpy(np.float64)[:, None]
+        bx0 = gb["minx"].to_numpy(np.float64)[None, :]
+        bx1 = gb["maxx"].to_numpy(np.float64)[None, :]
+        by0 = gb["miny"].to_numpy(np.float64)[None, :]
+        by1 = gb["maxy"].to_numpy(np.float64)[None, :]
+        hit = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+        # owner-cell rule: report only where the intersection's min
+        # corner falls in THIS cell
+        packed = np.int64(g["cell"].iloc[0])
+        ocx = packed // 4_294_967_296
+        ocy = packed % 4_294_967_296 - 2_147_483_648
+        ix = np.maximum(ax0, bx0)
+        iy = np.maximum(ay0, by0)
+        hit &= (np.floor(ix / cell_deg) == ocx) \
+            & (np.floor(iy / cell_deg) == ocy)
+        ai, bi = np.nonzero(hit)
+        return pd.DataFrame({
+            "a_id": ga["id"].to_numpy()[ai],
+            "b_id": gb["id"].to_numpy()[bi],
+        })
+
+    both = ea.union(eb)
+    return both.groupby("cell").map_groups(
+        join_cell, batch_format="pandas")
+
+
+def _hull_ccw(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull, CCW vertex indices; strict
+    turns, so collinear boundary points are excluded (matching the
+    all-pairs strict-left SQL hull-edge rule)."""
+    order = np.lexsort((y, x))
+
+    def cross(o, a, b):
+        return ((x[a] - x[o]) * (y[b] - y[o])
+                - (y[a] - y[o]) * (x[b] - x[o]))
+
+    def half(idx):
+        h: list[int] = []
+        for p in idx:
+            while len(h) >= 2 and cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    if len(order) == 1:
+        return order.astype(np.int64)
+    lower = half(order)
+    upper = half(order[::-1])
+    # collinear inputs collapse to [first, last] automatically
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def convex_hulls(
+    points: ray.data.Dataset,
+    group_key: str = "track_id",
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-group convex hull summary (ST_ConvexHull): hull vertex
+    count and shoelace hull area in degree^2 for each group of
+    (group_key, lon, lat) rows — e.g. the activity envelope of each
+    GPS track or image cluster.
+
+    Hash-shards by group (many groups per shard); the monotone chain
+    runs per GROUP but each group is small by construction — the
+    partitioning assumption is bounded per-group cardinality, same as
+    every map_groups op here. Degenerate groups (<3 points or all
+    collinear) report their chain length and area 0."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_hulls(g: pd.DataFrame) -> pd.DataFrame:
+        keys, counts, areas = [], [], []
+        for key, sub in g.groupby(group_key, sort=False):
+            x = sub["lon"].to_numpy(np.float64)
+            y = sub["lat"].to_numpy(np.float64)
+            h = _hull_ccw(x, y)
+            keys.append(key)
+            counts.append(len(h))
+            if len(h) >= 3:
+                hx, hy = x[h], y[h]
+                areas.append(float(
+                    (hx * np.roll(hy, -1) - np.roll(hx, -1) * hy).sum()
+                    / 2.0))
+            else:
+                areas.append(0.0)
+        return pd.DataFrame({
+            group_key: keys,
+            "n_hull": np.asarray(counts, np.int64),
+            "hull_area": np.asarray(areas, np.float64),
+        })
+
+    sharded = _sharded_by_key(points, group_key, num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_hulls(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

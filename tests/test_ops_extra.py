@@ -1780,3 +1780,65 @@ def test_dbscan_border_and_noise_semantics(ray_session):
     got = _brute_dbscan(df, 500.0, 8)
     assert got == {int(i): (int(r.cluster), int(r.is_core))
                    for i, r in out.iterrows()}
+
+
+def test_bbox_overlap_join_matches_brute_force(ray_session):
+    import ray.data
+
+    from engine.ops.geo import bbox_overlap_join
+
+    rng = np.random.default_rng(11)
+    # boxes straddling negative coordinates and several grid cells
+    def boxes(n, pref, wmax):
+        x = rng.uniform(-5, 5, n)
+        y = rng.uniform(-3, 3, n)
+        w = rng.uniform(0.01, wmax, n)
+        h = rng.uniform(0.01, wmax, n)
+        return pd.DataFrame({
+            "id": [f"{pref}{i}" for i in range(n)],
+            "minx": x, "miny": y, "maxx": x + w, "maxy": y + h,
+        })
+
+    da = boxes(80, "a", 2.5)
+    db = boxes(60, "b", 1.2)
+    out = bbox_overlap_join(
+        ray.data.from_pandas(da).repartition(3),
+        ray.data.from_pandas(db).repartition(2),
+        cell_deg=1.0,
+    ).to_pandas()
+    got = set(zip(out["a_id"], out["b_id"]))
+    want = set()
+    for ra in da.itertuples():
+        for rb in db.itertuples():
+            if (ra.minx <= rb.maxx and rb.minx <= ra.maxx
+                    and ra.miny <= rb.maxy and rb.miny <= ra.maxy):
+                want.add((ra.id, rb.id))
+    assert got == want
+    assert len(out) == len(got)  # owner-cell rule: no duplicate pairs
+
+
+def test_convex_hulls_known_shapes(ray_session):
+    import ray.data
+
+    from engine.ops.geo import convex_hulls
+
+    # square with interior + edge-midpoint points (strict hull drops
+    # the collinear midpoint), a triangle, and a degenerate line
+    df = pd.DataFrame({
+        "track_id": (["sq"] * 7) + (["tr"] * 3) + (["ln"] * 3),
+        "lon": [0.0, 10.0, 10.0, 0.0, 5.0, 3.0, 5.0,
+                0.0, 4.0, 0.0,
+                1.0, 2.0, 3.0],
+        "lat": [0.0, 0.0, 10.0, 10.0, 5.0, 7.0, 0.0,
+                0.0, 0.0, 3.0,
+                1.0, 2.0, 3.0],
+    })
+    out = (convex_hulls(ray.data.from_pandas(df).repartition(3),
+                        num_shards=4)
+           .to_pandas().set_index("track_id"))
+    assert int(out.loc["sq", "n_hull"]) == 4  # midpoint (5,0) excluded
+    assert out.loc["sq", "hull_area"] == pytest.approx(100.0)
+    assert int(out.loc["tr", "n_hull"]) == 3
+    assert out.loc["tr", "hull_area"] == pytest.approx(6.0)
+    assert int(out.loc["ln", "n_hull"]) == 2
+    assert out.loc["ln", "hull_area"] == 0.0
