@@ -1452,6 +1452,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["track_id", "n_segs", "n_crossings"]]
 
+    def geo_trip_segments(sf_dir: str):
+        # spatial sessionization: a track opens a new trip wherever
+        # the inter-fix jump exceeds 800 km (the fixture hops the
+        # whole region between uniform points, so trips vary); SQL
+        # twin: LAG + conditional running SUM window
+        out = geo_ops.trip_segments(
+            _geo_tracked(), jump_m=800_000.0, num_shards=16,
+        ).to_pandas()
+        out["trip_m"] = out["trip_m"].round(4)
+        return out[["track_id", "trip_ix", "n_points", "trip_m"]]
+
+    def geo_cell_best_image(sf_dir: str):
+        # mosaic-plan argmax: per H3-res5 cell the single best image
+        # by pixel count (ties -> smallest image_id); classic grouped
+        # top-1 with a per-batch combiner before the shuffle
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        idx = _geo_indexed(columns=["image_id", "w", "h"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            w = pc.cast(t["w"], pa.int64())
+            h = pc.cast(t["h"], pa.int64())
+            return t.append_column("mpx_px", pc.multiply(w, h))
+
+        ds = idx.map_batches(
+            derive, batch_format="pyarrow"
+        ).select_columns(["h3_r5", "image_id", "mpx_px"])
+        out = relational.grouped_topk(
+            ds, "h3_r5", "mpx_px", 1, "image_id", rank_as=None,
+        ).to_pandas()
+        return out[["h3_r5", "image_id", "mpx_px"]]
+
     def geo_track_hulls(sf_dir: str):
         # ST_ConvexHull per track: hull vertex count + shoelace area;
         # SQL twin detects hull edges via the all-pairs strict-left
@@ -2624,6 +2657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_dbscan_clusters": geo_dbscan_clusters,
         "geo_bbox_candidates": geo_bbox_candidates,
         "geo_track_hulls": geo_track_hulls,
+        "geo_trip_segments": geo_trip_segments,
+        "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
         "geo_ring_perimeters": geo_ring_perimeters,
         "geo_voronoi_assign": geo_voronoi_assign,
@@ -4300,6 +4335,57 @@ def oracle_sql() -> dict[str, str]:
                      FROM go GROUP BY track_id)
             SELECT c.track_id, c.n_segs, h.n_crossings
             FROM gcnt c JOIN ghit h USING (track_id)
+        """,
+        "geo_trip_segments": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            -- NB: DuckDB's GREATEST/LEAST IGNORE NULLs, so a
+            -- haversine over a NULL LAG collapses to 0 instead of
+            -- NULL — gate on the LAG itself, never on d IS NULL
+            gf AS (SELECT track_id, seq,
+                      CASE WHEN plon IS NULL THEN NULL ELSE
+                          {_sql_haversine('plat', 'plon',
+                                          'lat', 'lon')} END AS d,
+                      CASE WHEN plon IS NULL
+                                OR {_sql_haversine('plat', 'plon',
+                                                   'lat', 'lon')}
+                                   > 800000e0
+                           THEN 1 ELSE 0 END AS newtrip
+                   FROM gs),
+            gtr AS (SELECT track_id, seq, d, newtrip,
+                       SUM(newtrip) OVER (PARTITION BY track_id
+                                          ORDER BY seq
+                                          ROWS BETWEEN UNBOUNDED
+                                          PRECEDING AND CURRENT ROW)
+                       - 1 AS trip_ix
+                    FROM gf)
+            SELECT track_id, CAST(trip_ix AS BIGINT) AS trip_ix,
+                   COUNT(*) AS n_points,
+                   round(COALESCE(SUM(CASE WHEN newtrip = 0
+                                           THEN d END), 0e0), 4)
+                       AS trip_m
+            FROM gtr GROUP BY track_id, trip_ix
+        """,
+        "geo_cell_best_image": f"""
+            WITH {_sql_geo_hashes(_GEO_N, [1, 2, 3, 4, 10, 11, 12])},
+            {_sql_gll_body()},
+            {_sql_geo_h3(5)},
+            {_sql_gdims_body()},
+            gbest AS (SELECT c.h3_r5,
+                         'img' || lpad(CAST(c.i AS VARCHAR), 9, '0')
+                             AS image_id,
+                         CAST(d.w AS BIGINT) * d.h AS mpx_px,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY c.h3_r5
+                             ORDER BY CAST(d.w AS BIGINT) * d.h DESC,
+                                      c.i) AS rn
+                      FROM gcell c JOIN gdim d USING (i))
+            SELECT h3_r5, image_id, mpx_px FROM gbest WHERE rn = 1
         """,
         "geo_track_hulls": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

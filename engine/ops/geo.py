@@ -1912,3 +1912,51 @@ def convex_hulls(
         lambda g: shard_hulls(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def trip_segments(
+    points: ray.data.Dataset,
+    jump_m: float,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Trajectory trip segmentation (sessionization in space): a track
+    splits into a new trip wherever the haversine jump between
+    seq-consecutive fixes exceeds ``jump_m`` — the GPS gap/teleport
+    splitter. Returns one row per (track_id, trip_ix) with point count
+    and within-trip polyline meters.
+
+    Same per-SHARD vectorized discipline as ``track_stats``: the trip
+    index is a cumulative sum of break flags (first-of-track counts as
+    a break), computed with one cumsum + one repeat — no per-track
+    dispatch."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_trips(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        d = knn_mod.haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+        same = tid[1:] == tid[:-1]
+        newtrip = np.r_[True, (~same) | (d > jump_m)]
+        # within-trip segment contribution: a row's incoming distance
+        # counts iff it did NOT open a new trip
+        contrib = np.r_[0.0, np.where(newtrip[1:], 0.0, d)]
+        cs = np.cumsum(newtrip)
+        starts = np.flatnonzero(np.r_[True, ~same])
+        lens = np.r_[starts[1:], len(g)] - starts
+        trip_ix = cs - np.repeat(cs[starts], lens)  # 0-based per track
+        out = pd.DataFrame({
+            "track_id": tid, "trip_ix": trip_ix.astype(np.int64),
+            "contrib": contrib,
+        })
+        agg = out.groupby(["track_id", "trip_ix"], as_index=False,
+                          sort=False).agg(
+            n_points=("contrib", "size"), trip_m=("contrib", "sum"))
+        return agg[["track_id", "trip_ix", "n_points", "trip_m"]]
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_trips(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

@@ -1842,3 +1842,29 @@ def test_convex_hulls_known_shapes(ray_session):
     assert out.loc["tr", "hull_area"] == pytest.approx(6.0)
     assert int(out.loc["ln", "n_hull"]) == 2
     assert out.loc["ln", "hull_area"] == 0.0
+
+
+def test_trip_segments_hand_built(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import trip_segments
+
+    # track a: 2 close fixes, a >100km teleport, 2 close fixes ->
+    # trips (2 pts) and (2 pts); track b: all close -> one 3-pt trip
+    df = pd.DataFrame({
+        "track_id": ["a"] * 4 + ["b"] * 3,
+        "seq": [0, 1, 2, 3, 0, 1, 2],
+        "lon": [0.0, 0.1, 5.0, 5.1, 8.0, 8.05, 8.1],
+        "lat": [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    })
+    out = (trip_segments(ray.data.from_pandas(df).repartition(3),
+                         jump_m=100_000.0, num_shards=4)
+           .to_pandas()
+           .set_index(["track_id", "trip_ix"]).sort_index())
+    assert out.loc[("a", 0), "n_points"] == 2
+    assert out.loc[("a", 0), "trip_m"] == pytest.approx(
+        float(haversine_m(0.0, 0.0, 0.1, 0.0)), rel=1e-12)
+    assert out.loc[("a", 1), "n_points"] == 2
+    assert out.loc[("b", 0), "n_points"] == 3
+    assert len(out) == 3
