@@ -1452,6 +1452,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["track_id", "n_segs", "n_crossings"]]
 
+    def geo_phash_spread(sf_dir: str):
+        # duplicate-image geo-consistency: the fixture's planted exact
+        # dups (i % 100 == 7 copies a source row's pixels => phash)
+        # sit at independent uniform locations — report each dup
+        # phash's copy count and max pairwise km
+        idx = _geo_indexed(columns=["image_id", "phash"])
+        out = geo_ops.phash_spread(idx, num_shards=16).to_pandas()
+        out["max_km"] = out["max_km"].round(4)
+        return out[["phash", "n", "max_km"]]
+
+    def geo_trip_od_matrix(sf_dir: str):
+        # origin-destination flow matrix: trips (same 800 km jump rule
+        # as geo_trip_segments) counted from first-fix cell to
+        # last-fix cell at H3-like res 4 (1-degree cells)
+        out = geo_ops.trip_od_matrix(
+            _geo_tracked(), jump_m=800_000.0, res=4, num_shards=16,
+        ).to_pandas()
+        return out[["o_cell", "d_cell", "n_trips"]]
+
     def geo_trip_segments(sf_dir: str):
         # spatial sessionization: a track opens a new trip wherever
         # the inter-fix jump exceeds 800 km (the fixture hops the
@@ -2658,6 +2677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox_candidates": geo_bbox_candidates,
         "geo_track_hulls": geo_track_hulls,
         "geo_trip_segments": geo_trip_segments,
+        "geo_phash_spread": geo_phash_spread,
+        "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
         "geo_ring_perimeters": geo_ring_perimeters,
@@ -4335,6 +4356,58 @@ def oracle_sql() -> dict[str, str]:
                      FROM go GROUP BY track_id)
             SELECT c.track_id, c.n_segs, h.n_crossings
             FROM gcnt c JOIN ghit h USING (track_id)
+        """,
+        "geo_phash_spread": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpx AS (SELECT f.image_id, f.phash, g.lon, g.lat
+                    FROM read_parquet('{_GEO_FIXTURE_SQL}') f
+                    JOIN gll g
+                      ON g.i = CAST(substr(f.image_id, 4) AS BIGINT)),
+            gcnt AS (SELECT phash, COUNT(*) AS n FROM gpx
+                     GROUP BY phash HAVING COUNT(*) >= 2),
+            gpair AS (SELECT a.phash,
+                         {_sql_haversine('a.lat', 'a.lon',
+                                         'b.lat', 'b.lon')} AS d
+                      FROM gpx a JOIN gpx b
+                        ON a.phash = b.phash
+                       AND a.image_id < b.image_id)
+            SELECT c.phash, c.n,
+                   round(MAX(p.d) / 1000e0, 4) AS max_km
+            FROM gcnt c JOIN gpair p ON p.phash = c.phash
+            GROUP BY c.phash, c.n
+        """,
+        "geo_trip_od_matrix": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gf AS (SELECT track_id, seq,
+                      CASE WHEN plon IS NULL
+                                OR {_sql_haversine('plat', 'plon',
+                                                   'lat', 'lon')}
+                                   > 800000e0
+                           THEN 1 ELSE 0 END AS newtrip
+                   FROM gs),
+            gtr AS (SELECT track_id, seq,
+                       SUM(newtrip) OVER (PARTITION BY track_id
+                                          ORDER BY seq
+                                          ROWS BETWEEN UNBOUNDED
+                                          PRECEDING AND CURRENT ROW)
+                           AS trip_id
+                    FROM gf),
+            gends AS (SELECT track_id, trip_id,
+                             MIN(seq) AS s0, MAX(seq) AS s1
+                      FROM gtr GROUP BY track_id, trip_id),
+            {_sql_geo_h3(4)}
+            SELECT c0.h3_r4 AS o_cell, c1.h3_r4 AS d_cell,
+                   COUNT(*) AS n_trips
+            FROM gends e
+            JOIN gcell c0 ON c0.i = e.s0
+            JOIN gcell c1 ON c1.i = e.s1
+            GROUP BY o_cell, d_cell
         """,
         "geo_trip_segments": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -1960,3 +1960,88 @@ def trip_segments(
         lambda g: shard_trips(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def phash_spread(
+    images: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Duplicate-image geo-consistency check: for every phash carried
+    by >= 2 images, the copy count and the MAX pairwise haversine km
+    between its locations — the "same picture uploaded for places
+    1000 km apart" anomaly report.
+
+    Hash-shards by phash; duplicate groups are tiny (planted-dup rate
+    ~1%), so the per-shard self-merge materializes only the dup
+    groups' pairs, all distance math in one vectorized call."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_spread(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("phash", sort=False)["image_id"].size()
+        kept = cnt[cnt >= 2]
+        sub = g[g["phash"].isin(kept.index)]
+        if not len(sub):
+            return pd.DataFrame({
+                "phash": pd.Series(dtype=g["phash"].dtype),
+                "n": pd.Series(dtype=np.int64),
+                "max_km": pd.Series(dtype=np.float64)})
+        p = sub.merge(sub, on="phash", suffixes=("_a", "_b"))
+        p = p[p["image_id_a"] < p["image_id_b"]]
+        d = knn_mod.haversine_m(
+            p["lon_a"].to_numpy(np.float64),
+            p["lat_a"].to_numpy(np.float64),
+            p["lon_b"].to_numpy(np.float64),
+            p["lat_b"].to_numpy(np.float64))
+        agg = (pd.DataFrame({"phash": p["phash"].to_numpy(),
+                             "km": d / 1000.0})
+               .groupby("phash", sort=False, as_index=False)["km"]
+               .max().rename(columns={"km": "max_km"}))
+        agg["n"] = agg["phash"].map(kept).astype(np.int64)
+        return agg[["phash", "n", "max_km"]]
+
+    sharded = _sharded_by_key(images, "phash", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_spread(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+
+
+def trip_od_matrix(
+    points: ray.data.Dataset,
+    jump_m: float,
+    res: int = 4,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Origin-destination matrix over segmented trips: count of trips
+    from the H3-like cell of each trip's FIRST fix to the cell of its
+    LAST fix (movement-flow analytics). Trip segmentation rule is
+    identical to ``trip_segments`` (break when the inter-fix jump
+    exceeds ``jump_m``; first-of-track breaks).
+
+    Per-shard the trips collapse to one (o_cell, d_cell) partial row
+    each, pre-aggregated per shard before the tiny final merge —
+    only distinct OD pairs ever leave a shard."""
+    from engine.ops.relational import _sharded_by_key, sum_final
+
+    def shard_od(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        d = knn_mod.haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+        same = tid[1:] == tid[:-1]
+        newtrip = np.r_[True, (~same) | (d > jump_m)]
+        starts = np.flatnonzero(newtrip)
+        ends = np.r_[starts[1:], len(g)] - 1
+        o_cell = h3like.encode(lon[starts], lat[starts], res)
+        d_cell = h3like.encode(lon[ends], lat[ends], res)
+        out = pd.DataFrame({"o_cell": o_cell, "d_cell": d_cell})
+        return out.groupby(["o_cell", "d_cell"], as_index=False,
+                           sort=False).agg(
+            n_trips=("o_cell", "size"))
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    partials = sharded.groupby("__shard").map_groups(
+        lambda g: shard_od(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+    return sum_final(partials, ["o_cell", "d_cell"])
