@@ -1452,6 +1452,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["track_id", "n_segs", "n_crossings"]]
 
+    def geo_resample_tracks(sf_dir: str):
+        # equal-spacing GPS resampler: one interpolated fix every
+        # 2000 km of path per track; SQL twin reproduces the
+        # searchsorted boundary rule as an inequality join against a
+        # range() ladder
+        out = geo_ops.resample_tracks(
+            _geo_tracked(), step_m=2_000_000.0, num_shards=16,
+        ).to_pandas()
+        out["lon"] = out["lon"].round(4)
+        out["lat"] = out["lat"].round(4)
+        return out[["track_id", "k", "lon", "lat"]]
+
+    def geo_track_medoids(sf_dir: str):
+        # representative point per track: the fix minimizing total
+        # haversine distance to its trackmates ((sum, seq) tie-break);
+        # SQL twin: all-pairs sum + ROW_NUMBER argmin
+        out = geo_ops.track_medoids(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out["sum_km"] = out["sum_km"].round(4)
+        return out[["track_id", "medoid_seq", "sum_km"]]
+
     def geo_phash_spread(sf_dir: str):
         # duplicate-image geo-consistency: the fixture's planted exact
         # dups (i % 100 == 7 copies a source row's pixels => phash)
@@ -2678,6 +2699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_hulls": geo_track_hulls,
         "geo_trip_segments": geo_trip_segments,
         "geo_phash_spread": geo_phash_spread,
+        "geo_track_medoids": geo_track_medoids,
+        "geo_resample_tracks": geo_resample_tracks,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4356,6 +4379,50 @@ def oracle_sql() -> dict[str, str]:
                      FROM go GROUP BY track_id)
             SELECT c.track_id, c.n_segs, h.n_crossings
             FROM gcnt c JOIN ghit h USING (track_id)
+        """,
+        "geo_resample_tracks": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gseg AS (SELECT track_id, seq, plon, plat, lon, lat,
+                        {_sql_haversine('plat', 'plon',
+                                        'lat', 'lon')} AS d,
+                        COALESCE(SUM({_sql_haversine('plat', 'plon',
+                                                     'lat', 'lon')})
+                            OVER (PARTITION BY track_id ORDER BY seq
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0e0) AS c0
+                     FROM gs WHERE plon IS NOT NULL)
+            SELECT s.track_id, CAST(r.range AS BIGINT) AS k,
+                   round(s.plon + ((r.range * 2000000e0 - s.c0) / s.d)
+                         * (s.lon - s.plon), 4) AS lon,
+                   round(s.plat + ((r.range * 2000000e0 - s.c0) / s.d)
+                         * (s.lat - s.plat), 4) AS lat
+            FROM gseg s JOIN range(256) r
+              ON r.range * 2000000e0 >= s.c0
+             AND r.range * 2000000e0 < s.c0 + s.d
+        """,
+        "geo_track_medoids": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gsum AS (SELECT p.track_id, p.seq,
+                        SUM({_sql_haversine('p.lat', 'p.lon',
+                                            'q.lat', 'q.lon')}) AS s
+                     FROM gt p JOIN gt q
+                       ON p.track_id = q.track_id
+                     GROUP BY p.track_id, p.seq),
+            grk AS (SELECT track_id, seq, s,
+                       ROW_NUMBER() OVER (PARTITION BY track_id
+                                          ORDER BY s, seq) AS rn
+                    FROM gsum)
+            SELECT track_id, seq AS medoid_seq,
+                   round(s / 1000e0, 4) AS sum_km
+            FROM grk WHERE rn = 1
         """,
         "geo_phash_spread": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -2045,3 +2045,97 @@ def trip_od_matrix(
         batch_format="pandas",
     )
     return sum_final(partials, ["o_cell", "d_cell"])
+
+
+def track_medoids(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track medoid: the fix minimizing the SUM of haversine
+    distances to every other fix of its track (the representative-
+    point / geomedian-on-the-set op), with (sum, seq) ascending
+    tie-break. Returns (track_id, medoid_seq, sum_km).
+
+    Hash-shards by track; each track's full pairwise matrix is one
+    vectorized call — the bounded-group-cardinality assumption shared
+    by every map_groups op here (a 10^6-fix single track would need
+    the sampled approximate variant instead)."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_medoids(g: pd.DataFrame) -> pd.DataFrame:
+        keys, seqs, sums = [], [], []
+        for key, sub in g.groupby("track_id", sort=False):
+            lon = sub["lon"].to_numpy(np.float64)
+            lat = sub["lat"].to_numpy(np.float64)
+            seq = sub["seq"].to_numpy(np.int64)
+            d = knn_mod.haversine_m(
+                lon[:, None], lat[:, None], lon[None, :], lat[None, :])
+            s = d.sum(axis=1)
+            best = np.lexsort((seq, s))[0]
+            keys.append(key)
+            seqs.append(seq[best])
+            sums.append(s[best] / 1000.0)
+        return pd.DataFrame({
+            "track_id": keys,
+            "medoid_seq": np.asarray(seqs, np.int64),
+            "sum_km": np.asarray(sums, np.float64),
+        })
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_medoids(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+
+
+def resample_tracks(
+    points: ray.data.Dataset,
+    step_m: float,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Resample each track's polyline at a fixed arc-length step:
+    emit an interpolated fix at path offsets 0, step, 2*step, ... < L
+    (linear interpolation in lon/lat within a segment, segment length
+    by haversine — the standard GPS equal-spacing resampler).
+    Returns (track_id, k, lon, lat) with k the sample index.
+
+    Per-shard: cumulative segment lengths once per track, then one
+    searchsorted over all sample offsets — boundary rule is
+    ``c_j <= s < c_j + d_j`` (side='right'), mirrored exactly by the
+    SQL twin's inequality join."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_resample(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        outs = []
+        for key, sub in g.groupby("track_id", sort=False):
+            lon = sub["lon"].to_numpy(np.float64)
+            lat = sub["lat"].to_numpy(np.float64)
+            if len(lon) < 2:
+                outs.append(pd.DataFrame({
+                    "track_id": [key], "k": np.zeros(1, np.int64),
+                    "lon": lon[:1], "lat": lat[:1]}))
+                continue
+            d = knn_mod.haversine_m(lon[:-1], lat[:-1],
+                                    lon[1:], lat[1:])
+            ends = np.cumsum(d)
+            total = ends[-1]
+            ks = np.arange(int(np.floor(total / step_m)) + 1,
+                           dtype=np.int64)
+            s = ks.astype(np.float64) * step_m
+            j = np.searchsorted(ends, s, side="right")
+            j = np.minimum(j, len(d) - 1)  # s == total edge guard
+            c0 = np.r_[0.0, ends[:-1]][j]
+            t = (s - c0) / d[j]
+            outs.append(pd.DataFrame({
+                "track_id": key,
+                "k": ks,
+                "lon": lon[j] + t * (lon[j + 1] - lon[j]),
+                "lat": lat[j] + t * (lat[j + 1] - lat[j]),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_resample(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

@@ -1868,3 +1868,43 @@ def test_trip_segments_hand_built(ray_session):
     assert out.loc[("a", 1), "n_points"] == 2
     assert out.loc[("b", 0), "n_points"] == 3
     assert len(out) == 3
+
+
+def test_track_medoids_hand_built(ray_session):
+    import ray.data
+
+    from engine.ops.geo import track_medoids
+
+    # 3 equator fixes at lon 0, 1, 5: the middle one (seq 1) minimizes
+    # total distance (1 + 4 < 1 + 5 < 4 + 5 degrees)
+    df = pd.DataFrame({
+        "track_id": ["t"] * 3, "seq": [0, 1, 2],
+        "lon": [0.0, 1.0, 5.0], "lat": [0.0, 0.0, 0.0],
+    })
+    out = track_medoids(ray.data.from_pandas(df).repartition(2),
+                        num_shards=2).to_pandas()
+    assert int(out["medoid_seq"].iloc[0]) == 1
+    assert out["sum_km"].iloc[0] == pytest.approx(
+        5.0 * 111.19493, rel=1e-3)
+
+
+def test_resample_tracks_equator_line(ray_session):
+    import ray.data
+
+    from engine.ops.geo import resample_tracks
+
+    # straight equator line lon 0..4 (engine haversine: 111195.08 m
+    # per degree): a step just past one degree lands samples at
+    # ~1-degree marks and floor(total/step)=3; k=0 is the exact start
+    df = pd.DataFrame({
+        "track_id": ["t"] * 5, "seq": range(5),
+        "lon": [0.0, 1.0, 2.0, 3.0, 4.0], "lat": [0.0] * 5,
+    })
+    step = 111_195.1
+    out = (resample_tracks(ray.data.from_pandas(df).repartition(2),
+                           step_m=step, num_shards=2)
+           .to_pandas().sort_values("k", ignore_index=True))
+    assert out["k"].tolist() == [0, 1, 2, 3]
+    assert out["lon"].iloc[0] == 0.0
+    assert np.allclose(out["lon"], [0.0, 1.0, 2.0, 3.0], atol=1e-4)
+    assert (out["lat"] == 0.0).all()
