@@ -1452,6 +1452,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["track_id", "n_segs", "n_crossings"]]
 
+    def geo_simplify_tracks(sf_dir: str):
+        # Douglas-Peucker track thinning summary (eps 0.5 deg).
+        # Non-SQL (recursive farthest-point selection); the epsilon
+        # guarantee is the pytest self-oracle
+        # (test_simplify_tracks_epsilon_guarantee).
+        out = geo_ops.simplify_tracks(
+            _geo_tracked(), epsilon_deg=0.5, num_shards=16,
+        ).to_pandas()
+        out["max_dev_deg"] = out["max_dev_deg"].round(6)
+        return out[["track_id", "n_in", "n_kept", "max_dev_deg"]]
+
+    def geo_morans_i(sf_dir: str):
+        # global spatial autocorrelation of per-cell image counts
+        # (rook adjacency, binary weights) — strongly positive here
+        # because of the planted hotspot; SQL twin recomputes counts,
+        # deviations, and the neighbor-pair sums over the same grid
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.morans_i_grid(idx)
+        out["moran_i"] = out["moran_i"].round(6)
+        return out[["n_cells", "s0_pairs", "moran_i"]]
+
     def geo_resample_tracks(sf_dir: str):
         # equal-spacing GPS resampler: one interpolated fix every
         # 2000 km of path per track; SQL twin reproduces the
@@ -2701,6 +2722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_phash_spread": geo_phash_spread,
         "geo_track_medoids": geo_track_medoids,
         "geo_resample_tracks": geo_resample_tracks,
+        "geo_morans_i": geo_morans_i,
+        "geo_simplify_tracks": geo_simplify_tracks,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4379,6 +4402,36 @@ def oracle_sql() -> dict[str, str]:
                      FROM go GROUP BY track_id)
             SELECT c.track_id, c.n_segs, h.n_crossings
             FROM gcnt c JOIN ghit h USING (track_id)
+        """,
+        "geo_morans_i": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                        AS gx,
+                        CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                        AS gy
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy),
+            ggrid AS (SELECT CAST(x.range AS BIGINT) AS gx,
+                             CAST(y.range AS BIGINT) AS gy
+                      FROM range(24) x CROSS JOIN range(12) y),
+            gx0 AS (SELECT g.gx, g.gy,
+                       CAST(COALESCE(c.n, 0) AS DOUBLE) AS v
+                    FROM ggrid g LEFT JOIN gcnt c USING (gx, gy)),
+            gdev AS (SELECT gx, gy,
+                        v - (SELECT AVG(v) FROM gx0) AS xd
+                     FROM gx0),
+            gpair AS (SELECT a.xd AS xa, b.xd AS xb
+                      FROM gdev a JOIN gdev b
+                        ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1)
+            SELECT CAST(288 AS BIGINT) AS n_cells,
+                   (SELECT COUNT(*) FROM gpair) AS s0_pairs,
+                   round((288e0 / (SELECT COUNT(*) FROM gpair))
+                         * (SELECT SUM(xa * xb) FROM gpair)
+                         / (SELECT SUM(xd * xd) FROM gdev), 6)
+                       AS moran_i
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

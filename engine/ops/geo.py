@@ -2139,3 +2139,139 @@ def resample_tracks(
         lambda g: shard_resample(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def morans_i_grid(
+    indexed: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Global Moran's I spatial autocorrelation of per-grid-cell image
+    counts (rook adjacency, binary weights) — the clustered-vs-random
+    hotspot statistic: I = (N/S0) * sum_ij w_ij (x_i-xbar)(x_j-xbar)
+    / sum_i (x_i-xbar)^2 over ALL nx*ny cells (empty cells count 0).
+
+    The distributed stage is the per-cell count combiner (one partial
+    row per nonzero cell per block); the statistic itself runs on the
+    driver over the nx*ny cell table — the documented small side
+    (288 cells here; a planetary grid at res where cells ~ cluster
+    count would shard the shifted products instead)."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        flat = gx[ok] * ny + gy[ok]
+        cnt = np.bincount(flat, minlength=nx * ny)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    partials = indexed.map_batches(cells, batch_format="pyarrow")
+    counts = sum_final(partials, ["cell"]).to_pandas()
+    x = np.zeros(nx * ny, np.float64)
+    x[counts["cell"].to_numpy(np.int64)] = counts["n"].to_numpy()
+    grid = x.reshape(nx, ny)
+    xd = grid - x.mean()
+    num = ((xd[1:, :] * xd[:-1, :]).sum() * 2.0
+           + (xd[:, 1:] * xd[:, :-1]).sum() * 2.0)
+    s0 = 2 * ((nx - 1) * ny + nx * (ny - 1))
+    den = (xd * xd).sum()
+    moran = (nx * ny / float(s0)) * (num / den)
+    return pd.DataFrame({
+        "n_cells": np.asarray([nx * ny], np.int64),
+        "s0_pairs": np.asarray([s0], np.int64),
+        "moran_i": np.asarray([moran], np.float64),
+    })
+
+
+def _simplify_open(
+    x: np.ndarray, y: np.ndarray, epsilon: float
+) -> np.ndarray:
+    """Douglas-Peucker for an OPEN polyline (endpoints always kept),
+    clamped SEGMENT distance like ``engine.geo.clip.simplify_ring``
+    (the infinite-chord variant breaks the epsilon guarantee on
+    concave spans). Returns kept indices, ascending."""
+    n = len(x)
+    if n <= 2 or epsilon <= 0.0:
+        return np.arange(n, dtype=np.int64)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        sx, sy, ex, ey = x[i], y[i], x[j], y[j]
+        px = x[i + 1:j]
+        py = y[i + 1:j]
+        dx, dy = ex - sx, ey - sy
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            d2 = (px - sx) ** 2 + (py - sy) ** 2
+        else:
+            t = np.clip(((px - sx) * dx + (py - sy) * dy) / seg2,
+                        0.0, 1.0)
+            d2 = (px - (sx + t * dx)) ** 2 + (py - (sy + t * dy)) ** 2
+        k = int(np.argmax(d2))
+        if d2[k] > epsilon * epsilon:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return np.flatnonzero(keep).astype(np.int64)
+
+
+def simplify_tracks(
+    points: ray.data.Dataset,
+    epsilon_deg: float,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-track Douglas-Peucker polyline simplification summary:
+    input fix count, kept count, and the max planar-degree deviation
+    of any DROPPED fix from the kept polyline (always <= epsilon —
+    property-tested, this op's self-oracle; DP is not
+    SQL-expressible). The track-thinning step before rendering or
+    cheap storage."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_simplify(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in g.groupby("track_id", sort=False):
+            sub = sub.sort_values("seq", kind="stable")
+            x = sub["lon"].to_numpy(np.float64)
+            y = sub["lat"].to_numpy(np.float64)
+            kept = _simplify_open(x, y, epsilon_deg)
+            dropped = np.setdiff1d(
+                np.arange(len(x), dtype=np.int64), kept)
+            max_dev = 0.0
+            if len(dropped):
+                sx, sy = x[kept[:-1]], y[kept[:-1]]
+                ex, ey = x[kept[1:]], y[kept[1:]]
+                dx, dy = ex - sx, ey - sy
+                seg2 = dx * dx + dy * dy
+                px = x[dropped][:, None]
+                py = y[dropped][:, None]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    t = ((px - sx[None, :]) * dx[None, :]
+                         + (py - sy[None, :]) * dy[None, :]) / seg2
+                t = np.clip(np.nan_to_num(t, nan=0.0), 0.0, 1.0)
+                d2 = ((px - (sx[None, :] + t * dx[None, :])) ** 2
+                      + (py - (sy[None, :] + t * dy[None, :])) ** 2)
+                max_dev = float(np.sqrt(d2.min(axis=1)).max())
+            rows.append((key, len(x), len(kept), max_dev))
+        out = pd.DataFrame(rows, columns=[
+            "track_id", "n_in", "n_kept", "max_dev_deg"])
+        out["n_in"] = out["n_in"].astype(np.int64)
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_simplify(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

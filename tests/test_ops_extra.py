@@ -1908,3 +1908,53 @@ def test_resample_tracks_equator_line(ray_session):
     assert out["lon"].iloc[0] == 0.0
     assert np.allclose(out["lon"], [0.0, 1.0, 2.0, 3.0], atol=1e-4)
     assert (out["lat"] == 0.0).all()
+
+
+def test_morans_i_perfect_negative_checkerboard(ray_session):
+    import ray.data
+
+    from engine.ops.geo import morans_i_grid
+
+    # 2x2 grid, counts on one diagonal only: xd = [+1,-1,-1,+1],
+    # every rook neighbor pair is (+1,-1) -> Moran's I = -1 exactly
+    df = pd.DataFrame({
+        "image_id": ["a", "b", "c", "d"],
+        "lon": [0.5, 0.5, 1.5, 1.5],
+        "lat": [0.5, 0.5, 1.5, 1.5],
+    })
+    out = morans_i_grid(ray.data.from_pandas(df).repartition(2),
+                        lon0=0.0, lat0=0.0, nx=2, ny=2, cell_deg=1.0)
+    assert int(out["n_cells"].iloc[0]) == 4
+    assert int(out["s0_pairs"].iloc[0]) == 8
+    assert out["moran_i"].iloc[0] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_simplify_tracks_epsilon_guarantee(ray_session):
+    import ray.data
+
+    from engine.ops.geo import simplify_tracks
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for t in range(6):  # random wiggly tracks
+        n = 40
+        frames.append(pd.DataFrame({
+            "track_id": t, "seq": np.arange(n),
+            "lon": np.cumsum(rng.uniform(-1, 1, n)),
+            "lat": np.cumsum(rng.uniform(-1, 1, n)),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    eps = 0.4
+    out = (simplify_tracks(
+        ray.data.from_pandas(df).repartition(3), eps, num_shards=4)
+        .to_pandas())
+    assert len(out) == 6
+    assert (out["n_kept"] <= out["n_in"]).all()
+    assert (out["n_kept"] >= 2).all()
+    assert (out["max_dev_deg"] <= eps).all()  # the DP guarantee
+    assert (out["n_kept"] < out["n_in"]).any()  # it actually thins
+    # epsilon 0 keeps everything
+    out0 = (simplify_tracks(
+        ray.data.from_pandas(df).repartition(3), 0.0, num_shards=4)
+        .to_pandas())
+    assert (out0["n_kept"] == out0["n_in"]).all()
