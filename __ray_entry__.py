@@ -1473,6 +1473,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["moran_i"] = out["moran_i"].round(6)
         return out[["n_cells", "s0_pairs", "moran_i"]]
 
+    def geo_getis_ord(sf_dir: str):
+        # Getis-Ord Gi* local hotspot z-score per grid cell (rook +
+        # self, binary weights) — the local counterpart of
+        # geo_morans_i: the planted hotspot cell and its ring light
+        # up with large positive z; SQL twin recomputes the grid,
+        # neighbor sums, and the variance-normalized deviate
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.getis_ord_grid(idx)
+        out["gi_z"] = out["gi_z"].round(6)
+        return out[["gx", "gy", "n", "gi_z"]]
+
+    def geo_speed_outliers(sf_dir: str):
+        # GPS spike detection: per-track implied speed between
+        # consecutive fixes (meters per seq unit; the fixture's seq
+        # is the clock) vs a 10 km/unit ceiling — hotspot-only
+        # tracks are clean, random-walk tracks spike; SQL twin uses
+        # LAG + the same haversine, gated on the LAG column
+        out = geo_ops.speed_outliers(
+            _geo_tracked(), max_speed=10000.0, num_shards=16,
+        ).to_pandas()
+        out["max_speed_mps"] = out["max_speed_mps"].round(4)
+        return out[["track_id", "n_segs", "n_spikes", "max_speed_mps"]]
+
     def geo_resample_tracks(sf_dir: str):
         # equal-spacing GPS resampler: one interpolated fix every
         # 2000 km of path per track; SQL twin reproduces the
@@ -2724,6 +2747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_resample_tracks": geo_resample_tracks,
         "geo_morans_i": geo_morans_i,
         "geo_simplify_tracks": geo_simplify_tracks,
+        "geo_getis_ord": geo_getis_ord,
+        "geo_speed_outliers": geo_speed_outliers,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4432,6 +4457,57 @@ def oracle_sql() -> dict[str, str]:
                          * (SELECT SUM(xa * xb) FROM gpair)
                          / (SELECT SUM(xd * xd) FROM gdev), 6)
                        AS moran_i
+        """,
+        "geo_getis_ord": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                        AS gx,
+                        CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                        AS gy
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy),
+            ggrid AS (SELECT CAST(x.range AS BIGINT) AS gx,
+                             CAST(y.range AS BIGINT) AS gy
+                      FROM range(24) x CROSS JOIN range(12) y),
+            gx0 AS (SELECT g.gx, g.gy,
+                       CAST(COALESCE(c.n, 0) AS DOUBLE) AS v
+                    FROM ggrid g LEFT JOIN gcnt c USING (gx, gy)),
+            gstat AS (SELECT AVG(v) AS xbar,
+                             sqrt(AVG(v * v) - AVG(v) * AVG(v)) AS s
+                      FROM gx0),
+            gnbr AS (SELECT a.gx, a.gy,
+                        SUM(b.v) AS nbr_sum, COUNT(*) AS w
+                     FROM gx0 a JOIN gx0 b
+                       ON abs(a.gx - b.gx) + abs(a.gy - b.gy) <= 1
+                     GROUP BY a.gx, a.gy)
+            SELECT n.gx, n.gy, CAST(x.v AS BIGINT) AS n,
+                   round((n.nbr_sum - st.xbar * n.w)
+                         / (st.s * sqrt((288e0 * n.w - n.w * n.w)
+                                        / 287e0)), 6) AS gi_z
+            FROM gnbr n
+            JOIN gx0 x USING (gx, gy)
+            CROSS JOIN gstat st
+        """,
+        "geo_speed_outliers": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+                      LAG(seq) OVER w AS pseq
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gv AS (SELECT track_id,
+                      {_sql_haversine('plat', 'plon', 'lat', 'lon')}
+                          / (seq - pseq) AS v
+                   FROM gs WHERE plon IS NOT NULL)
+            SELECT track_id, COUNT(*) AS n_segs,
+                   COUNT(*) FILTER (WHERE v > 10000e0) AS n_spikes,
+                   round(MAX(v), 4) AS max_speed_mps
+            FROM gv GROUP BY track_id
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

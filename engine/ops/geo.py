@@ -2275,3 +2275,107 @@ def simplify_tracks(
         lambda g: shard_simplify(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def getis_ord_grid(
+    indexed: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Getis-Ord Gi* local hotspot z-score per grid cell (rook
+    adjacency INCLUDING self, binary weights) — the local counterpart
+    of ``morans_i_grid``: which cells are significantly hot/cold, not
+    just whether the surface clusters globally.
+
+    Gi* = (sum_j w_ij x_j - xbar W_i)
+          / (S sqrt((N W_i - W_i^2) / (N - 1)))
+    with W_i = |neighbors(i) ∪ {i}|, xbar/S the global mean and
+    population std over ALL N = nx*ny cells (empties count 0).
+
+    Distributed stage: the per-cell count combiner (one partial row
+    per nonzero cell per block); local sums run on the driver over the
+    small nx*ny grid via padded shifts — the documented small side."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        flat = gx[ok] * ny + gy[ok]
+        cnt = np.bincount(flat, minlength=nx * ny)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    partials = indexed.map_batches(cells, batch_format="pyarrow")
+    counts = sum_final(partials, ["cell"]).to_pandas()
+    x = np.zeros(nx * ny, np.float64)
+    x[counts["cell"].to_numpy(np.int64)] = counts["n"].to_numpy()
+    grid = x.reshape(nx, ny)
+    n_cells = nx * ny
+    xbar = grid.mean()
+    s = float(np.sqrt((grid * grid).mean() - xbar * xbar))
+
+    def shift_sum(a: np.ndarray) -> np.ndarray:
+        p = np.pad(a, 1)  # zero border: missing neighbors contribute 0
+        return (p[1:-1, 1:-1] + p[:-2, 1:-1] + p[2:, 1:-1]
+                + p[1:-1, :-2] + p[1:-1, 2:])
+
+    nbr_sum = shift_sum(grid)
+    w = shift_sum(np.ones_like(grid))  # W_i = self + rook neighbors
+    denom = s * np.sqrt((n_cells * w - w * w) / (n_cells - 1.0))
+    z = (nbr_sum - xbar * w) / denom
+    gxs, gys = np.divmod(np.arange(n_cells, dtype=np.int64), ny)
+    return pd.DataFrame({
+        "gx": gxs, "gy": gys,
+        "n": grid.reshape(-1).astype(np.int64),
+        "gi_z": z.reshape(-1),
+    })
+
+
+def speed_outliers(
+    points: ray.data.Dataset,
+    max_speed: float,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """GPS spike detection: per-track implied speed between
+    seq-consecutive fixes (haversine meters per unit of ``seq``; the
+    fixture has no timestamps, so seq is the clock). A segment faster
+    than ``max_speed`` is a spike — the teleporting-fix cleaning pass
+    every ingest of real GPS data needs before trajectory analytics.
+
+    Returns one row per track: segment count, spike count, max
+    implied speed. Hash-sharded by track_id, per-shard vectorized
+    (same discipline as ``track_stats``)."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_speeds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        seq = g["seq"].to_numpy(np.float64)
+        d = knn_mod.haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+        same = tid[1:] == tid[:-1]
+        dt = seq[1:] - seq[:-1]
+        sp = pd.DataFrame({
+            "track_id": tid[1:][same],
+            "v": d[same] / dt[same],
+        })
+        agg = sp.groupby("track_id", sort=False)["v"].agg(
+            n_segs="size",
+            n_spikes=lambda s: int((s > max_speed).sum()),
+            max_speed_mps="max",
+        ).reset_index()
+        agg["n_segs"] = agg["n_segs"].astype(np.int64)
+        agg["n_spikes"] = agg["n_spikes"].astype(np.int64)
+        return agg[["track_id", "n_segs", "n_spikes", "max_speed_mps"]]
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_speeds(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

@@ -1958,3 +1958,73 @@ def test_simplify_tracks_epsilon_guarantee(ray_session):
         ray.data.from_pandas(df).repartition(3), 0.0, num_shards=4)
         .to_pandas())
     assert (out0["n_kept"] == out0["n_in"]).all()
+
+
+def test_getis_ord_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.geo import getis_ord_grid
+
+    rng = np.random.default_rng(11)
+    nx, ny = 5, 4
+    pts = rng.uniform([0, 0], [nx, ny], size=(300, 2))
+    df = pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(len(pts))],
+        "lon": pts[:, 0], "lat": pts[:, 1],
+    })
+    out = getis_ord_grid(
+        ray.data.from_pandas(df).repartition(3),
+        lon0=0.0, lat0=0.0, nx=nx, ny=ny, cell_deg=1.0,
+    ).sort_values(["gx", "gy"], ignore_index=True)
+
+    # brute force: count per cell, then the Gi* formula cell by cell
+    x = np.zeros((nx, ny))
+    for px, py in pts:
+        x[int(px), int(py)] += 1
+    n = nx * ny
+    xbar = x.mean()
+    s = np.sqrt((x * x).mean() - xbar ** 2)
+    k = 0
+    for gx in range(nx):
+        for gy in range(ny):
+            nbr, w = 0.0, 0
+            for dx, dy in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)):
+                ax, ay = gx + dx, gy + dy
+                if 0 <= ax < nx and 0 <= ay < ny:
+                    nbr += x[ax, ay]
+                    w += 1
+            want = (nbr - xbar * w) / (
+                s * np.sqrt((n * w - w * w) / (n - 1)))
+            row = out.iloc[k]
+            assert (int(row["gx"]), int(row["gy"])) == (gx, gy)
+            assert int(row["n"]) == int(x[gx, gy])
+            assert row["gi_z"] == pytest.approx(want, rel=1e-12)
+            k += 1
+    assert len(out) == n
+
+
+def test_speed_outliers_planted_teleport(ray_session):
+    import ray.data
+
+    from engine.ops.geo import speed_outliers
+
+    # track 0 crawls along the equator (~111 m per step) except one
+    # teleport of ~10 degrees (~1.1e6 m); track 1 is all-crawl
+    lon0 = np.arange(10, dtype=np.float64) * 0.001
+    lon0[6:] += 10.0  # the teleport between seq 5 and 6
+    df = pd.DataFrame({
+        "track_id": [0] * 10 + [1] * 5,
+        "seq": list(range(10)) + list(range(5)),
+        "lon": np.r_[lon0, np.arange(5) * 0.001],
+        "lat": 0.0,
+    })
+    out = (speed_outliers(
+        ray.data.from_pandas(df).repartition(2),
+        max_speed=5000.0, num_shards=4)
+        .to_pandas().sort_values("track_id", ignore_index=True))
+    assert out["track_id"].tolist() == [0, 1]
+    assert out["n_segs"].tolist() == [9, 4]
+    assert out["n_spikes"].tolist() == [1, 0]
+    assert out["max_speed_mps"].iloc[0] == pytest.approx(
+        1112286.0, rel=0.01)  # ~10.001 deg haversine over 1 seq unit
+    assert out["max_speed_mps"].iloc[1] < 200.0
