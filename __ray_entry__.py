@@ -1452,6 +1452,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["track_id", "n_segs", "n_crossings"]]
 
+    def geo_geofence_dwell(sf_dir: str):
+        # geofence visit analytics: per (track, admin polygon), the
+        # number of distinct visit episodes (maximal runs of
+        # consecutive fixes inside) and total fix-dwell; SQL twin
+        # reuses the ray-casting PIP CTE and finds episode starts by
+        # probing the previous fix on the fixture's seq lattice
+        # (prev seq = seq - 50 within a track)
+        out = geo_ops.geofence_dwell(
+            _geo_tracked(), fixtures.polygons(), num_shards=16,
+        ).to_pandas()
+        out = out.sort_values(
+            ["track_id", "admin_id"], ignore_index=True)
+        return out[["track_id", "admin_id", "level",
+                    "n_episodes", "n_inside"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -2749,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_simplify_tracks": geo_simplify_tracks,
         "geo_getis_ord": geo_getis_ord,
         "geo_speed_outliers": geo_speed_outliers,
+        "geo_geofence_dwell": geo_geofence_dwell,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4508,6 +4524,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE v > 10000e0) AS n_spikes,
                    round(MAX(v), 4) AS max_speed_mps
             FROM gv GROUP BY track_id
+        """,
+        "geo_geofence_dwell": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            {_SQL_GEO_PIP},
+            gin AS (SELECT
+                       CAST(substr(image_id, 4) AS BIGINT) % 50
+                           AS track_id,
+                       CAST(substr(image_id, 4) AS BIGINT) AS seq,
+                       admin_id, CAST(level AS BIGINT) AS level
+                    FROM ghits),
+            gst AS (SELECT a.track_id, a.admin_id, a.level,
+                       CASE WHEN b.seq IS NULL THEN 1 ELSE 0 END AS st
+                    FROM gin a LEFT JOIN gin b
+                      ON b.track_id = a.track_id
+                     AND b.admin_id = a.admin_id
+                     AND b.seq = a.seq - 50)
+            SELECT track_id, admin_id, level,
+                   CAST(SUM(st) AS BIGINT) AS n_episodes,
+                   COUNT(*) AS n_inside
+            FROM gst GROUP BY track_id, admin_id, level
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

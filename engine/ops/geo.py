@@ -2379,3 +2379,63 @@ def speed_outliers(
         lambda g: shard_speeds(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def geofence_dwell(
+    points: ray.data.Dataset, poly: dict, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Geofence visit episodes: for every (track, admin polygon) pair,
+    how many distinct VISITS the track made (maximal runs of
+    seq-consecutive fixes inside the fence) and its total fix-dwell —
+    the enter/exit event op of fleet/geofence analytics, composing the
+    exact PIP containment with per-track run detection.
+
+    Scale path: the polygon set broadcasts ONCE (``ray.put`` +
+    ``cached_get``); fixes hash-shard by ``track_id`` so each track's
+    run structure assembles locally. Per shard, containment pairs come
+    from one ``contains_pairs`` call and episode starts are found with
+    a vectorized previous-row key probe — no per-fix Python."""
+    from engine.ops.relational import _sharded_by_key
+    from engine.pipeline.join import build_polygon_set
+    from engine.state import cached_get
+
+    poly_ref = ray.put(build_polygon_set(poly))
+
+    def shard_dwell(g: pd.DataFrame) -> pd.DataFrame:
+        polys = cached_get(poly_ref)
+        n_poly = len(polys)
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        first = np.r_[True, tid[1:] != tid[:-1]]
+        p_idx, g_idx = polys.contains_pairs(lon, lat)
+        if len(p_idx) == 0:
+            return pd.DataFrame({
+                "track_id": np.empty(0, tid.dtype),
+                "admin_id": pd.Series([], dtype=str),
+                "level": np.empty(0, np.int64),
+                "n_episodes": np.empty(0, np.int64),
+                "n_inside": np.empty(0, np.int64),
+            })
+        key = p_idx.astype(np.int64) * n_poly + g_idx
+        prev_key = key - n_poly  # same polygon, previous shard row
+        starts = first[p_idx] | ~np.isin(prev_key, key)
+        out = pd.DataFrame({
+            "track_id": tid[p_idx],
+            "admin_id": polys.admin_ids[g_idx].astype(str),
+            "level": polys.levels[g_idx].astype(np.int64),
+            "st": starts.astype(np.int64),
+        })
+        agg = out.groupby(
+            ["track_id", "admin_id", "level"], as_index=False, sort=False
+        ).agg(n_episodes=("st", "sum"), n_inside=("st", "size"))
+        agg["n_episodes"] = agg["n_episodes"].astype(np.int64)
+        agg["n_inside"] = agg["n_inside"].astype(np.int64)
+        return agg
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_dwell(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

@@ -2028,3 +2028,32 @@ def test_speed_outliers_planted_teleport(ray_session):
     assert out["max_speed_mps"].iloc[0] == pytest.approx(
         1112286.0, rel=0.01)  # ~10.001 deg haversine over 1 seq unit
     assert out["max_speed_mps"].iloc[1] < 200.0
+
+
+def test_geofence_dwell_planted_visits(ray_session):
+    import ray.data
+
+    from engine.ops.geo import geofence_dwell
+
+    # unit square fence; track 0 enters twice (rows 1-2 and 5),
+    # track 1 never enters, track 2 lives inside (one episode)
+    fence = {
+        "admin_id": np.array(["F1"]),
+        "level": np.array([1]),
+        "ring_lon": [np.array([0.0, 1.0, 1.0, 0.0])],
+        "ring_lat": [np.array([0.0, 0.0, 1.0, 1.0])],
+        "holes": [[]],
+    }
+    df = pd.DataFrame({
+        "track_id": [0, 0, 0, 0, 0, 0, 1, 1, 2, 2],
+        "seq": [0, 1, 2, 3, 4, 5, 0, 1, 0, 1],
+        "lon": [-1.0, 0.5, 0.6, 2.0, 2.1, 0.5, -1.0, -2.0, 0.2, 0.8],
+        "lat": [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5],
+    })
+    out = (geofence_dwell(
+        ray.data.from_pandas(df).repartition(2), fence, num_shards=4)
+        .to_pandas().sort_values("track_id", ignore_index=True))
+    assert out["track_id"].tolist() == [0, 2]
+    assert out["admin_id"].tolist() == ["F1", "F1"]
+    assert out["n_episodes"].tolist() == [2, 1]
+    assert out["n_inside"].tolist() == [3, 2]
