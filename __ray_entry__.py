@@ -1467,6 +1467,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["track_id", "admin_id", "level",
                     "n_episodes", "n_inside"]]
 
+    def geo_track_hausdorff(sf_dir: str):
+        # pairwise discrete Hausdorff distance between tracks with
+        # overlapping bboxes (route similarity matrix); SQL twin
+        # recomputes the bbox candidates and the max-of-directed
+        # min distances over the fix cross product
+        out = geo_ops.track_hausdorff(_geo_tracked()).to_pandas()
+        out["hausdorff_m"] = out["hausdorff_m"].round(4)
+        out = out.sort_values(["track_a", "track_b"],
+                              ignore_index=True)
+        return out[["track_a", "track_b", "hausdorff_m"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -2765,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_getis_ord": geo_getis_ord,
         "geo_speed_outliers": geo_speed_outliers,
         "geo_geofence_dwell": geo_geofence_dwell,
+        "geo_track_hausdorff": geo_track_hausdorff,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4546,6 +4558,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(st) AS BIGINT) AS n_episodes,
                    COUNT(*) AS n_inside
             FROM gst GROUP BY track_id, admin_id, level
+        """,
+        "geo_track_hausdorff": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS tid, i, lon, lat FROM gll),
+            gbb AS (SELECT tid, MIN(lon) AS minx, MAX(lon) AS maxx,
+                           MIN(lat) AS miny, MAX(lat) AS maxy
+                    FROM gt GROUP BY tid),
+            gpair AS (SELECT a.tid AS ta, b.tid AS tb
+                      FROM gbb a JOIN gbb b
+                        ON a.tid < b.tid
+                       AND a.minx <= b.maxx AND b.minx <= a.maxx
+                       AND a.miny <= b.maxy AND b.miny <= a.maxy),
+            gd AS (SELECT p.ta, p.tb, x.i AS ai, y.i AS bi,
+                      {_sql_haversine('x.lat', 'x.lon',
+                                      'y.lat', 'y.lon')} AS d
+                   FROM gpair p
+                   JOIN gt x ON x.tid = p.ta
+                   JOIN gt y ON y.tid = p.tb),
+            gm1 AS (SELECT ta, tb, ai, MIN(d) AS md FROM gd
+                    GROUP BY ta, tb, ai),
+            gm2 AS (SELECT ta, tb, bi, MIN(d) AS md FROM gd
+                    GROUP BY ta, tb, bi),
+            ghda AS (SELECT ta, tb, MAX(md) AS h FROM gm1
+                    GROUP BY ta, tb),
+            ghdb AS (SELECT ta, tb, MAX(md) AS h FROM gm2
+                    GROUP BY ta, tb)
+            SELECT ghda.ta AS track_a, ghda.tb AS track_b,
+                   round(GREATEST(ghda.h, ghdb.h), 4) AS hausdorff_m
+            FROM ghda JOIN ghdb ON ghda.ta = ghdb.ta AND ghda.tb = ghdb.tb
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

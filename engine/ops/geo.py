@@ -2439,3 +2439,95 @@ def geofence_dwell(
         lambda g: shard_dwell(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def track_hausdorff(
+    points: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Pairwise discrete Hausdorff distance between tracks whose
+    bounding boxes overlap — the track-similarity matrix behind
+    route-matching and near-duplicate-trajectory detection:
+    H(A,B) = max(max_a min_b d(a,b), max_b min_a d(a,b)) in haversine
+    meters, over candidate pairs from the bbox FILTER stage.
+
+    Scale shape: per-track bboxes come from a distributed min/max
+    combiner (one partial per track per block); the bbox table is the
+    documented small side (O(#tracks)), so candidate pairing runs on
+    the driver. Fixes then flat_map one copy per candidate pair of
+    their track and ONE groupby(pair) co-locates both tracks; the per
+    -pair (na x nb) distance matrix is a single vectorized call."""
+
+    def bbox_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "track_id": np.asarray(b["track_id"]),
+            "minx": np.asarray(b["lon"], np.float64),
+            "miny": np.asarray(b["lat"], np.float64),
+        })
+        df["maxx"] = df["minx"]
+        df["maxy"] = df["miny"]
+        agg = df.groupby("track_id", as_index=False, sort=False).agg(
+            minx=("minx", "min"), miny=("miny", "min"),
+            maxx=("maxx", "max"), maxy=("maxy", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    bb = (points.map_batches(bbox_partial, batch_format="pyarrow")
+          .to_pandas()
+          .groupby("track_id", as_index=False, sort=True)
+          .agg(minx=("minx", "min"), miny=("miny", "min"),
+               maxx=("maxx", "max"), maxy=("maxy", "max")))
+    tid = bb["track_id"].to_numpy()
+    minx, maxx = bb["minx"].to_numpy(), bb["maxx"].to_numpy()
+    miny, maxy = bb["miny"].to_numpy(), bb["maxy"].to_numpy()
+    ov = ((minx[:, None] <= maxx[None, :])
+          & (minx[None, :] <= maxx[:, None])
+          & (miny[:, None] <= maxy[None, :])
+          & (miny[None, :] <= maxy[:, None]))
+    ai, bi = np.nonzero(np.triu(ov, k=1))
+    pair_a, pair_b = tid[ai], tid[bi]
+    # track -> list of (pair_id, side) memberships, closure-broadcast
+    member: dict = {}
+    for pid in range(len(pair_a)):
+        member.setdefault(pair_a[pid], []).append((pid, 0))
+        member.setdefault(pair_b[pid], []).append((pid, 1))
+    member = {t: (np.array([p for p, _ in m], np.int64),
+                  np.array([s for _, s in m], np.int64))
+              for t, m in member.items()}
+
+    def explode(d: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t, sub in d.groupby("track_id", sort=False):
+            got = member.get(t)
+            if got is None:
+                continue
+            pids, sides = got
+            n, k = len(sub), len(pids)
+            outs.append(pd.DataFrame({
+                "pair": np.repeat(pids, n),
+                "side": np.repeat(sides, n),
+                "lon": np.tile(sub["lon"].to_numpy(np.float64), k),
+                "lat": np.tile(sub["lat"].to_numpy(np.float64), k),
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "pair": np.empty(0, np.int64),
+                "side": np.empty(0, np.int64),
+                "lon": np.empty(0, np.float64),
+                "lat": np.empty(0, np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    def pair_h(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pair"].iloc[0])
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        d = knn_mod.haversine_m(
+            a["lon"].to_numpy()[:, None], a["lat"].to_numpy()[:, None],
+            b["lon"].to_numpy()[None, :], b["lat"].to_numpy()[None, :])
+        h = max(float(d.min(axis=1).max()), float(d.min(axis=0).max()))
+        return pd.DataFrame({
+            "track_a": [pair_a[pid]], "track_b": [pair_b[pid]],
+            "hausdorff_m": [h],
+        })
+
+    exploded = points.map_batches(explode, batch_format="pandas")
+    return exploded.groupby("pair").map_groups(
+        pair_h, batch_format="pandas")

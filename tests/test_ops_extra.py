@@ -2057,3 +2057,54 @@ def test_geofence_dwell_planted_visits(ray_session):
     assert out["admin_id"].tolist() == ["F1", "F1"]
     assert out["n_episodes"].tolist() == [2, 1]
     assert out["n_inside"].tolist() == [3, 2]
+
+
+def test_track_hausdorff_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import track_hausdorff
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for t in range(5):
+        n = 12
+        frames.append(pd.DataFrame({
+            "track_id": t, "seq": np.arange(n),
+            "lon": rng.uniform(0, 3, n) + t * 0.5,
+            "lat": rng.uniform(0, 2, n),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    out = (track_hausdorff(ray.data.from_pandas(df).repartition(3))
+           .to_pandas()
+           .sort_values(["track_a", "track_b"], ignore_index=True))
+
+    # brute force over every bbox-overlapping pair
+    want = {}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            fa = df[df["track_id"] == a]
+            fb = df[df["track_id"] == b]
+            if (fa["lon"].min() > fb["lon"].max()
+                    or fb["lon"].min() > fa["lon"].max()
+                    or fa["lat"].min() > fb["lat"].max()
+                    or fb["lat"].min() > fa["lat"].max()):
+                continue
+            d = haversine_m(
+                fa["lon"].to_numpy()[:, None],
+                fa["lat"].to_numpy()[:, None],
+                fb["lon"].to_numpy()[None, :],
+                fb["lat"].to_numpy()[None, :])
+            want[(a, b)] = max(d.min(axis=1).max(), d.min(axis=0).max())
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        key = (int(r["track_a"]), int(r["track_b"]))
+        assert key in want
+        assert r["hausdorff_m"] == pytest.approx(want[key], rel=1e-9)
+    # identical tracks -> H == 0
+    dup = pd.concat([
+        df[df["track_id"] == 0],
+        df[df["track_id"] == 0].assign(track_id=9),
+    ], ignore_index=True)
+    out0 = track_hausdorff(ray.data.from_pandas(dup)).to_pandas()
+    assert out0["hausdorff_m"].iloc[0] == pytest.approx(0.0, abs=1e-9)
