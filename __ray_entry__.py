@@ -1478,6 +1478,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return out[["track_a", "track_b", "hausdorff_m"]]
 
+    def geo_ripley_k(sf_dir: str):
+        # Ripley's K multi-scale point-pattern statistic: exact pair
+        # counts within 100/300/600 km + pair fraction; grid-halo
+        # owner-rule counting, no broadcast; SQL twin is the all-pairs
+        # haversine count per radius
+        pts = _geo_tracked().map_batches(
+            lambda t: t.select(["seq", "lon", "lat"]).rename_columns(
+                ["node", "lon", "lat"]),
+            batch_format="pyarrow")
+        out = geo_ops.ripley_k(
+            pts, [100e3, 300e3, 600e3], max_abs_lat=50.0)
+        out["pair_frac"] = out["pair_frac"].round(6)
+        return out[["r_m", "n_pairs", "pair_frac"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -2777,6 +2791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_speed_outliers": geo_speed_outliers,
         "geo_geofence_dwell": geo_geofence_dwell,
         "geo_track_hausdorff": geo_track_hausdorff,
+        "geo_ripley_k": geo_ripley_k,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4587,6 +4602,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT ghda.ta AS track_a, ghda.tb AS track_b,
                    round(GREATEST(ghda.h, ghdb.h), 4) AS hausdorff_m
             FROM ghda JOIN ghdb ON ghda.ta = ghdb.ta AND ghda.tb = ghdb.tb
+        """,
+        "geo_ripley_k": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gp AS (SELECT i AS node, lon, lat FROM gll),
+            gd AS (SELECT {_sql_haversine('a.lat', 'a.lon',
+                                          'b.lat', 'b.lon')} AS d
+                   FROM gp a JOIN gp b ON b.node > a.node),
+            grd AS (SELECT r_m FROM (VALUES (100000e0), (300000e0),
+                                            (600000e0)) t(r_m))
+            SELECT g.r_m,
+                   COUNT(*) FILTER (WHERE d.d <= g.r_m) AS n_pairs,
+                   round(2e0 * COUNT(*) FILTER (WHERE d.d <= g.r_m)
+                         / ({_GEO_N}e0 * {_GEO_N - 1}e0), 6)
+                       AS pair_frac
+            FROM grd g CROSS JOIN gd d GROUP BY g.r_m
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

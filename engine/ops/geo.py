@@ -2531,3 +2531,89 @@ def track_hausdorff(
     exploded = points.map_batches(explode, batch_format="pandas")
     return exploded.groupby("pair").map_groups(
         pair_h, batch_format="pandas")
+
+
+def ripley_k(
+    points: ray.data.Dataset,
+    radii_m: list[float],
+    *,
+    max_abs_lat: float = 80.0,
+) -> pd.DataFrame:
+    """Ripley's K point-pattern statistic: for each radius r, the
+    exact count of unordered point pairs within haversine distance r,
+    plus the pair fraction 2*n_pairs/(n*(n-1)) — the
+    clustered/random/dispersed diagnostic over image geotags at
+    multiple scales (the multi-scale companion of ``morans_i_grid``).
+
+    Scale shape (both-big, no broadcast): points explode into their
+    3x3 grid neighborhood with the cell edge sized to the LARGEST
+    radius (same latitude-bounded cover guarantee as ``dbscan``); one
+    groupby(cell) co-locates every candidate pair; per group a single
+    vectorized (real x all) haversine matrix counts pairs once under
+    the owner rule (count only at the smaller node's home cell, via
+    node_b > node_a) and emits one partial row per radius. Only
+    |radii|-sized partials leave each group."""
+    from engine.geo.knn import haversine_m
+    from engine.ops.relational import sum_final
+
+    radii = sorted(float(r) for r in radii_m)
+    rmax = radii[-1]
+    if max_abs_lat >= 89.0:
+        raise ValueError("ripley_k grid cover needs max_abs_lat < 89")
+    cos_w = float(np.cos(np.deg2rad(max_abs_lat)))
+    cd = rmax / (110_000.0 * cos_w)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        lat = b["lat"].to_numpy(np.float64)
+        if len(lat) and float(np.abs(lat).max()) > max_abs_lat:
+            raise ValueError(
+                f"ripley_k: |lat| > max_abs_lat={max_abs_lat}")
+        lon = b["lon"].to_numpy(np.float64)
+        cx = np.floor(lon / cd).astype(np.int64)
+        cy = np.floor(lat / cd).astype(np.int64)
+        n = len(b)
+        off = np.array([-1, 0, 1], np.int64)
+        ox = np.repeat(np.tile(off, 3), n)
+        oy = np.repeat(np.repeat(off, 3), n)
+        return pd.DataFrame({
+            "cell": ((np.tile(cx, 9) + ox) * 4_294_967_296
+                     + (np.tile(cy, 9) + oy) + 2_147_483_648),
+            "node": np.tile(b["node"].to_numpy(np.int64), 9),
+            "lon": np.tile(lon, 9), "lat": np.tile(lat, 9),
+            "real": (ox == 0) & (oy == 0),
+        })
+
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["real"]]
+        if len(real) == 0:
+            return pd.DataFrame({
+                "r_ix": np.empty(0, np.int64),
+                "n": np.empty(0, np.int64)})
+        d = haversine_m(
+            real["lon"].to_numpy()[:, None],
+            real["lat"].to_numpy()[:, None],
+            g["lon"].to_numpy()[None, :],
+            g["lat"].to_numpy()[None, :])
+        newer = (g["node"].to_numpy()[None, :]
+                 > real["node"].to_numpy()[:, None])
+        rix = [len(radii)]  # sentinel row: real-point count
+        cnt = [len(real)]
+        for k, r in enumerate(radii):
+            rix.append(k)
+            cnt.append(int(((d <= r) & newer).sum()))
+        return pd.DataFrame({"r_ix": np.asarray(rix, np.int64),
+                             "n": np.asarray(cnt, np.int64)})
+
+    exploded = points.map_batches(explode, batch_format="pandas")
+    partials = exploded.groupby("cell").map_groups(
+        group_counts, batch_format="pandas")
+    tot = sum_final(partials, ["r_ix"]).to_pandas()
+    tot = tot.set_index("r_ix")["n"]
+    n_pts = int(tot[len(radii)])
+    n_pairs = np.array([int(tot.get(k, 0)) for k in range(len(radii))],
+                       np.int64)
+    return pd.DataFrame({
+        "r_m": np.asarray(radii, np.float64),
+        "n_pairs": n_pairs,
+        "pair_frac": 2.0 * n_pairs / (n_pts * (n_pts - 1.0)),
+    })

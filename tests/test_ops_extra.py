@@ -2108,3 +2108,31 @@ def test_track_hausdorff_bruteforce(ray_session):
     ], ignore_index=True)
     out0 = track_hausdorff(ray.data.from_pandas(dup)).to_pandas()
     assert out0["hausdorff_m"].iloc[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ripley_k_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import ripley_k
+
+    rng = np.random.default_rng(5)
+    n = 120
+    df = pd.DataFrame({
+        "node": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-3, 3, n),
+        "lat": rng.uniform(40, 44, n),
+    })
+    radii = [50e3, 150e3, 400e3]
+    out = ripley_k(ray.data.from_pandas(df).repartition(3), radii,
+                   max_abs_lat=50.0)
+    d = haversine_m(
+        df["lon"].to_numpy()[:, None], df["lat"].to_numpy()[:, None],
+        df["lon"].to_numpy()[None, :], df["lat"].to_numpy()[None, :])
+    iu = np.triu_indices(n, k=1)
+    for k, r in enumerate(sorted(radii)):
+        want = int((d[iu] <= r).sum())
+        assert int(out["n_pairs"].iloc[k]) == want
+        assert out["pair_frac"].iloc[k] == pytest.approx(
+            2 * want / (n * (n - 1)), rel=1e-12)
+    assert out["r_m"].tolist() == sorted(radii)
