@@ -1492,6 +1492,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["pair_frac"] = out["pair_frac"].round(6)
         return out[["r_m", "n_pairs", "pair_frac"]]
 
+    def geo_stay_points(sf_dir: str):
+        # Li/Zheng stay-point extraction (20 km anchor radius, >= 5
+        # fixes): the 5 hotspot-only tracks each collapse to one stay,
+        # random-walk tracks produce none. Non-SQL (greedy sequential
+        # anchor advance); brute-force pytest is the self-oracle.
+        out = geo_ops.stay_points(
+            _geo_tracked(), dist_m=20000.0, min_fixes=5, num_shards=16,
+        ).to_pandas()
+        out["c_lon"] = out["c_lon"].round(6)
+        out["c_lat"] = out["c_lat"].round(6)
+        out = out.sort_values(["track_id", "stay_ix"],
+                              ignore_index=True)
+        return out[["track_id", "stay_ix", "start_seq", "end_seq",
+                    "n_fixes", "c_lon", "c_lat"]]
+
+    def geo_bearing_rose(sf_dir: str):
+        # per-track compass rose: segment counts by 45-deg bearing
+        # sector; SQL twin recomputes the identical atan2 bearing
+        out = geo_ops.bearing_rose(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out = out.sort_values(["track_id", "sector"],
+                              ignore_index=True)
+        return out[["track_id", "sector", "n_segs"]]
+
+    def geo_track_self_x(sf_dir: str):
+        # per-track proper self-intersection count over non-adjacent
+        # segments (loop detection); SQL twin self-joins the segment
+        # list with the same orientation sign tests
+        out = geo_ops.track_self_intersections(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out = out.sort_values("track_id", ignore_index=True)
+        return out[["track_id", "n_segs", "n_self_x"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -2792,6 +2825,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_geofence_dwell": geo_geofence_dwell,
         "geo_track_hausdorff": geo_track_hausdorff,
         "geo_ripley_k": geo_ripley_k,
+        "geo_stay_points": geo_stay_points,
+        "geo_bearing_rose": geo_bearing_rose,
+        "geo_track_self_x": geo_track_self_x,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4617,6 +4653,61 @@ def oracle_sql() -> dict[str, str]:
                          / ({_GEO_N}e0 * {_GEO_N - 1}e0), 6)
                        AS pair_frac
             FROM grd g CROSS JOIN gd d GROUP BY g.r_m
+        """,
+        "geo_bearing_rose": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gb AS (SELECT track_id,
+                      degrees(atan2(
+                          sin(radians(lon - plon)) * cos(radians(lat)),
+                          cos(radians(plat)) * sin(radians(lat))
+                          - sin(radians(plat)) * cos(radians(lat))
+                            * cos(radians(lon - plon)))) AS deg
+                   FROM gs WHERE plon IS NOT NULL),
+            gn AS (SELECT track_id,
+                      CASE WHEN deg < 0 THEN deg + 360e0 ELSE deg END
+                          AS nd
+                   FROM gb)
+            SELECT track_id,
+                   LEAST(CAST(floor(nd / 45e0) AS BIGINT), 7)
+                       AS sector,
+                   COUNT(*) AS n_segs
+            FROM gn GROUP BY track_id, sector
+        """,
+        "geo_track_self_x": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gsx AS (SELECT track_id, lon AS x0, lat AS y0,
+                       LEAD(lon) OVER w AS x1, LEAD(lat) OVER w AS y1,
+                       ROW_NUMBER() OVER w AS six
+                    FROM gt
+                    WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gseg AS (SELECT track_id, six, x0, y0, x1, y1
+                     FROM gsx WHERE x1 IS NOT NULL),
+            gxp AS (SELECT a.track_id
+                    FROM gseg a JOIN gseg b
+                      ON b.track_id = a.track_id AND b.six > a.six + 1
+                    WHERE ((a.x1 - a.x0) * (b.y0 - a.y0)
+                           - (a.y1 - a.y0) * (b.x0 - a.x0))
+                          * ((a.x1 - a.x0) * (b.y1 - a.y0)
+                             - (a.y1 - a.y0) * (b.x1 - a.x0)) < 0
+                      AND ((b.x1 - b.x0) * (a.y0 - b.y0)
+                           - (b.y1 - b.y0) * (a.x0 - b.x0))
+                          * ((b.x1 - b.x0) * (a.y1 - b.y0)
+                             - (b.y1 - b.y0) * (a.x1 - b.x0)) < 0),
+            gcnt AS (SELECT track_id, COUNT(*) AS n_segs FROM gseg
+                     GROUP BY track_id),
+            ghx AS (SELECT track_id, COUNT(*) AS nx FROM gxp
+                    GROUP BY track_id)
+            SELECT c.track_id, c.n_segs,
+                   COALESCE(h.nx, 0) AS n_self_x
+            FROM gcnt c LEFT JOIN ghx h USING (track_id)
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -2617,3 +2617,137 @@ def ripley_k(
         "n_pairs": n_pairs,
         "pair_frac": 2.0 * n_pairs / (n_pts * (n_pts - 1.0)),
     })
+
+
+def stay_points(
+    points: ray.data.Dataset,
+    dist_m: float,
+    min_fixes: int,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Stay-point detection (the Li/Zheng GPS-trajectory algorithm):
+    greedily scan each track in seq order; a stay is a maximal run of
+    >= ``min_fixes`` consecutive fixes all within ``dist_m`` of the
+    run's FIRST fix (the anchor); after emitting a stay the scan
+    resumes at the first fix outside it. Emits one row per stay with
+    its fix span and centroid — the dwell-location extraction that
+    feeds POI mining.
+
+    Greedy anchor advance is inherently sequential per track (not
+    SQL-expressible); the pytest self-oracle is a brute-force
+    single-process reference. Tracks hash-shard by ``track_id``; the
+    per-anchor distance test is one vectorized haversine slice, so the
+    scan is O(stays + fixes) anchor steps, not O(n^2) Python."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_stays(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tid, sub in g.groupby("track_id", sort=False):
+            sub = sub.sort_values("seq", kind="stable")
+            lon = sub["lon"].to_numpy(np.float64)
+            lat = sub["lat"].to_numpy(np.float64)
+            seq = sub["seq"].to_numpy(np.int64)
+            n, i, k = len(sub), 0, 0
+            while i < n:
+                d = knn_mod.haversine_m(lon[i], lat[i], lon[i:], lat[i:])
+                far = np.flatnonzero(d > dist_m)
+                j = i + (int(far[0]) if len(far) else n - i)  # run end
+                if j - i >= min_fixes:
+                    rows.append((tid, k, int(seq[i]), int(seq[j - 1]),
+                                 j - i, float(lon[i:j].mean()),
+                                 float(lat[i:j].mean())))
+                    k += 1
+                    i = j
+                else:
+                    i += 1
+        return pd.DataFrame(rows, columns=[
+            "track_id", "stay_ix", "start_seq", "end_seq",
+            "n_fixes", "c_lon", "c_lat",
+        ]).astype({"stay_ix": np.int64, "start_seq": np.int64,
+                   "end_seq": np.int64, "n_fixes": np.int64})
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_stays(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+
+
+def bearing_rose(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track compass rose: segment counts by 45-degree bearing
+    sector (0 = north up to <45, ... 7 = NW) over seq-consecutive
+    great-circle bearings — the heading-distribution profile of
+    movement analytics. Hash-sharded by track, fully vectorized;
+    SQL twin recomputes the identical atan2 bearing and sector."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_rose(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = np.deg2rad(g["lon"].to_numpy(np.float64))
+        lat = np.deg2rad(g["lat"].to_numpy(np.float64))
+        tid = g["track_id"].to_numpy()
+        same = tid[1:] == tid[:-1]
+        dl = (lon[1:] - lon[:-1])[same]
+        la, lb = lat[:-1][same], lat[1:][same]
+        theta = np.arctan2(
+            np.sin(dl) * np.cos(lb),
+            np.cos(la) * np.sin(lb) - np.sin(la) * np.cos(lb) * np.cos(dl))
+        deg = (np.rad2deg(theta) + 360.0) % 360.0
+        sector = np.minimum((deg / 45.0).astype(np.int64), 7)
+        out = pd.DataFrame({"track_id": tid[1:][same],
+                            "sector": sector})
+        agg = out.groupby(["track_id", "sector"], as_index=False,
+                          sort=False).size()
+        agg = agg.rename(columns={"size": "n_segs"})
+        agg["n_segs"] = agg["n_segs"].astype(np.int64)
+        return agg
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_rose(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+
+
+def track_self_intersections(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track count of PROPER self-intersections: pairs of
+    NON-ADJACENT segments (j > i + 1) of the same track that strictly
+    straddle each other (same orientation sign tests as
+    ``boundary_crossings``) — the trajectory-quality / loop-detection
+    metric. Per-track (n_segs x n_segs) vectorized orientation
+    matrix; hash-sharded by track."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_self(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tid, sub in g.groupby("track_id", sort=False):
+            sub = sub.sort_values("seq", kind="stable")
+            x = sub["lon"].to_numpy(np.float64)
+            y = sub["lat"].to_numpy(np.float64)
+            m = len(x) - 1  # segments
+            if m < 3:
+                rows.append((tid, max(m, 0), 0))
+                continue
+            ax, ay = x[:-1], y[:-1]
+            vx, vy = x[1:] - ax, y[1:] - ay
+            o1 = (vx[:, None] * (ay[None, :] - ay[:, None])
+                  - vy[:, None] * (ax[None, :] - ax[:, None]))
+            o2 = (vx[:, None] * (ay[None, :] + vy[None, :] - ay[:, None])
+                  - vy[:, None] * (ax[None, :] + vx[None, :] - ax[:, None]))
+            c = o1 * o2 < 0  # j's endpoints straddle i's line
+            cross = c & c.T  # ... and i's endpoints straddle j's
+            ii, jj = np.triu_indices(m, k=2)
+            rows.append((tid, m, int(cross[ii, jj].sum())))
+        return pd.DataFrame(rows, columns=[
+            "track_id", "n_segs", "n_self_x",
+        ]).astype({"n_segs": np.int64, "n_self_x": np.int64})
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_self(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

@@ -2136,3 +2136,96 @@ def test_ripley_k_bruteforce(ray_session):
         assert out["pair_frac"].iloc[k] == pytest.approx(
             2 * want / (n * (n - 1)), rel=1e-12)
     assert out["r_m"].tolist() == sorted(radii)
+
+
+def test_stay_points_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import stay_points
+
+    rng = np.random.default_rng(13)
+    frames = []
+    for t in range(8):  # wander - dwell - wander tracks
+        segs = []
+        for blk in range(3):
+            if blk == 1:  # dwell: 6 fixes inside ~1 km
+                c = rng.uniform([0, 40], [5, 44])
+                segs.append(c + rng.uniform(-0.005, 0.005, (6, 2)))
+            else:
+                segs.append(rng.uniform([0, 40], [5, 44], (5, 2)))
+        pts = np.vstack(segs)
+        frames.append(pd.DataFrame({
+            "track_id": t, "seq": np.arange(len(pts)),
+            "lon": pts[:, 0], "lat": pts[:, 1]}))
+    df = pd.concat(frames, ignore_index=True)
+    dist, mf = 5000.0, 4
+    out = (stay_points(ray.data.from_pandas(df).repartition(3),
+                       dist, mf, num_shards=4)
+           .to_pandas()
+           .sort_values(["track_id", "stay_ix"], ignore_index=True))
+
+    # single-process greedy reference
+    want = []
+    for t, sub in df.groupby("track_id"):
+        sub = sub.sort_values("seq")
+        lon = sub["lon"].to_numpy()
+        lat = sub["lat"].to_numpy()
+        n, i, k = len(sub), 0, 0
+        while i < n:
+            j = i
+            while j < n and haversine_m(
+                    lon[i], lat[i], lon[j], lat[j]) <= dist:
+                j += 1
+            if j - i >= mf:
+                want.append((t, k, i, j - 1, j - i,
+                             lon[i:j].mean(), lat[i:j].mean()))
+                k += 1
+                i = j
+            else:
+                i += 1
+    assert len(out) == len(want) >= 8  # every dwell found
+    for row, w in zip(out.itertuples(index=False), want):
+        assert (row.track_id, row.stay_ix, row.start_seq,
+                row.end_seq, row.n_fixes) == w[:5]
+        assert row.c_lon == pytest.approx(w[5], rel=1e-12)
+        assert row.c_lat == pytest.approx(w[6], rel=1e-12)
+
+
+def test_bearing_rose_cardinals(ray_session):
+    import ray.data
+
+    from engine.ops.geo import bearing_rose
+
+    # four tracks, one exact cardinal segment each (meridian or
+    # equator, where the great-circle bearing is exactly 0/90/180/270)
+    df = pd.DataFrame({
+        "track_id": [0, 0, 1, 1, 2, 2, 3, 3],
+        "seq": [0, 1] * 4,
+        "lon": [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0],
+        "lat": [0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+    })
+    out = (bearing_rose(ray.data.from_pandas(df), num_shards=2)
+           .to_pandas().sort_values("track_id", ignore_index=True))
+    assert out["sector"].tolist() == [0, 2, 4, 6]  # N, E, S, W
+    assert out["n_segs"].tolist() == [1, 1, 1, 1]
+
+
+def test_track_self_intersections_bowtie(ray_session):
+    import ray.data
+
+    from engine.ops.geo import track_self_intersections
+
+    # track 0: bowtie (segment 0 crosses segment 2 once);
+    # track 1: straight line, no crossings
+    df = pd.DataFrame({
+        "track_id": [0] * 4 + [1] * 4,
+        "seq": list(range(4)) * 2,
+        "lon": [0.0, 2.0, 2.0, 0.0, 0.0, 1.0, 2.0, 3.0],
+        "lat": [0.0, 2.0, 0.0, 2.0, 0.0, 0.0, 0.0, 0.0],
+    })
+    out = (track_self_intersections(
+        ray.data.from_pandas(df).repartition(2), num_shards=4)
+        .to_pandas().sort_values("track_id", ignore_index=True))
+    assert out["n_segs"].tolist() == [3, 3]
+    assert out["n_self_x"].tolist() == [1, 0]
