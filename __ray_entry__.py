@@ -1908,6 +1908,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt"])
         return multimodal.image_features(ds, concurrency=(1, 4))
 
+    def image_pixel_histogram(sf_dir: str):
+        # corpus-wide per-channel 16-bin pixel histogram (decode in
+        # the actor pool, merge = one 48-key combiner). Non-SQL
+        # (pixel payloads are opaque to DuckDB); the pytest
+        # self-oracle bincounts the same decoded pixels directly.
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+        out = multimodal.pixel_histogram(
+            ds, bins=16, concurrency=(1, 4)).to_pandas()
+        return out.sort_values(["channel", "bin"], ignore_index=True)
+
+    def embedding_pca_components(sf_dir: str):
+        # distributed PCA: per-block Gram/moment partials -> driver
+        # covariance eigh; top-8 eigenvalues + explained variance.
+        # Non-SQL (eigendecomposition); pytest self-oracle vs a
+        # single-process numpy covariance eigh.
+        from engine.ops import simsearch
+
+        ds = sf_table(sf_dir, "embeddings", ["embedding"])
+        out = simsearch.embedding_pca(ds, k=8)
+        out["eigval"] = out["eigval"].round(6)
+        out["explained_var"] = out["explained_var"].round(6)
+        return out
+
     def image_augment(sf_dir: str):
         # deterministic augmentation: hash(image_id)-seeded hflip /
         # rot90 / center-crop, re-encoded; exactness pytest-oracled
@@ -2828,6 +2854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
         "geo_track_self_x": geo_track_self_x,
+        "image_pixel_histogram": image_pixel_histogram,
+        "embedding_pca_components": embedding_pca_components,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,

@@ -240,3 +240,49 @@ def augment_images(ds: ray.data.Dataset, *, batch_size: int = 512,
         Augment, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+class PixelHistogram:
+    """Corpus-wide pixel-value histogram partials (decode actor
+    stage): per batch, decode each image and bincount its pixels per
+    channel into ``bins`` equal-width buckets over [0, 256) — one
+    (channel, bin, n) partial row set per batch, so only O(3*bins)
+    rows ever leave a worker regardless of corpus size."""
+
+    def __init__(self, bins: int = 16):
+        self.bins = bins
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        acc = np.zeros((3, self.bins), np.int64)
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            b = (px.astype(np.int64) * self.bins) >> 8
+            for c in range(3):
+                acc[c] += np.bincount(
+                    b[:, :, c].ravel(), minlength=self.bins)
+        ch, bn = np.divmod(np.arange(3 * self.bins), self.bins)
+        return pa.table({
+            "channel": pa.array(ch, pa.int64()),
+            "bin": pa.array(bn, pa.int64()),
+            "n": pa.array(acc.ravel(), pa.int64()),
+        })
+
+
+def pixel_histogram(ds: ray.data.Dataset, bins: int = 16, *,
+                    batch_size: int = 512,
+                    concurrency=(1, 8)) -> ray.data.Dataset:
+    """Distributed per-channel pixel histogram over the whole image
+    corpus — the exposure/color-balance audit of an image-training
+    pipeline. Decode runs in the actor pool; the merge is one tiny
+    ``sum_final`` over 3*bins keys (histograms are the canonical
+    mergeable combiner)."""
+    from engine.ops.relational import sum_final
+
+    partials = ds.map_batches(
+        PixelHistogram, fn_constructor_kwargs={"bins": bins},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+    return sum_final(partials, ["channel", "bin"])

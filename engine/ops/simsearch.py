@@ -517,3 +517,44 @@ def pq_topk(
     res = _topk_merge(parts, "qid", "adist", id_col, k,
                       ascending=True, rank_base=1)
     return res[["qid", id_col, "rank", "adist"]]
+
+
+def embedding_pca(ds, k: int = 8) -> "pd.DataFrame":
+    """Distributed PCA over the embedding column: each block emits ONE
+    moment partial (count, sum vector, flattened X^T X Gram matrix);
+    the driver merges the O(blocks * d^2) partials, forms the
+    population covariance, and runs a d x d ``eigh`` — vectors never
+    shuffle, and d is small (64 here), so the eigensolve is the
+    documented small side. Returns the top-k components' eigenvalue
+    and explained-variance ratio (the corpus intrinsic-dimensionality
+    audit of an embedding-training pipeline)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        col = t.column("embedding").combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(t), -1).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "s": pa.array([mat.sum(axis=0)], pa.list_(pa.float64())),
+            "ss": pa.array([(mat.T @ mat).ravel()],
+                           pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    d = len(parts["s"].iloc[0])
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, _ = np.linalg.eigh(cov)
+    evals = evals[::-1]  # descending
+    total = float(evals.sum())
+    top = evals[:k]
+    return pd.DataFrame({
+        "comp": np.arange(1, len(top) + 1, dtype=np.int64),
+        "eigval": top.astype(np.float64),
+        "explained_var": (top / total).astype(np.float64),
+    })

@@ -216,3 +216,59 @@ def test_image_similar_topk_matches_bruteforce(ray_session):
             mine["cos"].to_numpy(),
             [round(-b[0], 6) for b in best], rtol=0, atol=2e-6,
         )
+
+
+def test_pixel_histogram_exact(ray_session):
+    import ray.data
+
+    from engine import codec
+    from engine.ops.multimodal import pixel_histogram
+
+    rng = np.random.default_rng(21)
+    imgs = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            for _ in range(12)]
+    df = pd.DataFrame({
+        "image_id": [f"i{k}" for k in range(len(imgs))],
+        "bytes": [codec.encode(px, "raw16") for px in imgs],
+        "fmt": "raw16",
+    })
+    out = (pixel_histogram(
+        ray.data.from_pandas(df).repartition(3), bins=16,
+        concurrency=(1, 2))
+        .to_pandas().sort_values(["channel", "bin"],
+                                 ignore_index=True))
+    want = np.zeros((3, 16), np.int64)
+    for px in imgs:
+        dec = codec.decode(codec.encode(px, "raw16"), "raw16")
+        for c in range(3):
+            want[c] += np.bincount((dec[:, :, c] // 16).ravel(), minlength=16)
+    assert len(out) == 48
+    assert (out["n"].to_numpy().reshape(3, 16) == want).all()
+    assert out["n"].sum() == 12 * 8 * 8 * 3
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.simsearch import embedding_pca
+
+    rng = np.random.default_rng(31)
+    # anisotropic cloud: variance concentrated in the first axes
+    d, n = 12, 400
+    scales = np.linspace(3.0, 0.1, d)
+    x = rng.normal(size=(n, d)) * scales
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(x.astype(np.float32)),
+                              pa.list_(pa.float32())),
+    })
+    out = embedding_pca(
+        ray.data.from_arrow(t).repartition(4), k=5)
+    xf = x.astype(np.float32).astype(np.float64)
+    cov = np.cov(xf.T, bias=True)
+    evals = np.sort(np.linalg.eigh(cov)[0])[::-1]
+    assert np.allclose(out["eigval"], evals[:5], rtol=1e-9)
+    assert np.allclose(
+        out["explained_var"], evals[:5] / evals.sum(), rtol=1e-9)
+    assert (np.diff(out["eigval"]) <= 0).all()
