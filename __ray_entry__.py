@@ -1525,6 +1525,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.sort_values("track_id", ignore_index=True)
         return out[["track_id", "n_segs", "n_self_x"]]
 
+    def geo_line_density(sf_dir: str):
+        # route-heatmap raster: per grid cell, how many track
+        # segments intersect it (Liang-Barsky slab test); SQL twin
+        # runs the identical slab interval test as a cross join
+        # against the cell grid
+        out = geo_ops.line_density_grid(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out = out.sort_values(["gx", "gy"], ignore_index=True)
+        return out[["gx", "gy", "n_segments"]]
+
+    def geo_enclosing_circles(sf_dir: str):
+        # per-track smallest enclosing circle (Welzl, planar deg).
+        # Non-SQL (geometric recursion); pytest self-oracle checks
+        # containment + minimality vs brute-force support circles.
+        out = geo_ops.enclosing_circles(
+            _geo_tracked(), num_shards=16).to_pandas()
+        for c in ("c_lon", "c_lat", "radius_deg"):
+            out[c] = out[c].round(6)
+        out = out.sort_values("track_id", ignore_index=True)
+        return out[["track_id", "n_fixes", "c_lon", "c_lat",
+                    "radius_deg"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -2856,6 +2878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_self_x": geo_track_self_x,
         "image_pixel_histogram": image_pixel_histogram,
         "embedding_pca_components": embedding_pca_components,
+        "geo_line_density": geo_line_density,
+        "geo_enclosing_circles": geo_enclosing_circles,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4736,6 +4760,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.track_id, c.n_segs,
                    COALESCE(h.nx, 0) AS n_self_x
             FROM gcnt c LEFT JOIN ghx h USING (track_id)
+        """,
+        "geo_line_density": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gsx AS (SELECT track_id, lon AS x0, lat AS y0,
+                       LEAD(lon) OVER w AS x1, LEAD(lat) OVER w AS y1
+                    FROM gt
+                    WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gseg AS (SELECT x0, y0, x1, y1 FROM gsx
+                     WHERE x1 IS NOT NULL),
+            ggrid AS (SELECT CAST(x.range AS BIGINT) AS gx,
+                             CAST(y.range AS BIGINT) AS gy,
+                             -12e0 + x.range * 1e0 AS cx0,
+                             35e0 + y.range * 1e0 AS cy0
+                      FROM range(24) x CROSS JOIN range(12) y),
+            gtt AS (SELECT g.gx, g.gy,
+                       CASE WHEN s.x1 = s.x0 THEN
+                            CASE WHEN s.x0 >= g.cx0
+                                  AND s.x0 <= g.cx0 + 1e0
+                                 THEN -1e308 ELSE 1e308 END
+                       ELSE LEAST((g.cx0 - s.x0) / (s.x1 - s.x0),
+                                  (g.cx0 + 1e0 - s.x0)
+                                      / (s.x1 - s.x0)) END AS tx_in,
+                       CASE WHEN s.x1 = s.x0 THEN
+                            CASE WHEN s.x0 >= g.cx0
+                                  AND s.x0 <= g.cx0 + 1e0
+                                 THEN 1e308 ELSE -1e308 END
+                       ELSE GREATEST((g.cx0 - s.x0) / (s.x1 - s.x0),
+                                     (g.cx0 + 1e0 - s.x0)
+                                         / (s.x1 - s.x0)) END
+                           AS tx_out,
+                       CASE WHEN s.y1 = s.y0 THEN
+                            CASE WHEN s.y0 >= g.cy0
+                                  AND s.y0 <= g.cy0 + 1e0
+                                 THEN -1e308 ELSE 1e308 END
+                       ELSE LEAST((g.cy0 - s.y0) / (s.y1 - s.y0),
+                                  (g.cy0 + 1e0 - s.y0)
+                                      / (s.y1 - s.y0)) END AS ty_in,
+                       CASE WHEN s.y1 = s.y0 THEN
+                            CASE WHEN s.y0 >= g.cy0
+                                  AND s.y0 <= g.cy0 + 1e0
+                                 THEN 1e308 ELSE -1e308 END
+                       ELSE GREATEST((g.cy0 - s.y0) / (s.y1 - s.y0),
+                                     (g.cy0 + 1e0 - s.y0)
+                                         / (s.y1 - s.y0)) END
+                           AS ty_out
+                    FROM gseg s CROSS JOIN ggrid g)
+            SELECT gx, gy, COUNT(*) AS n_segments
+            FROM gtt
+            WHERE GREATEST(tx_in, ty_in, 0e0)
+                  <= LEAST(tx_out, ty_out, 1e0)
+            GROUP BY gx, gy
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

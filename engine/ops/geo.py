@@ -2751,3 +2751,164 @@ def track_self_intersections(
         lambda g: shard_self(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def line_density_grid(
+    points: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Line-density raster: per grid cell, the number of track
+    SEGMENTS (seq-consecutive fix pairs) whose planar lon/lat chord
+    intersects the cell — the GPS route-heatmap op (vector-to-raster
+    for polylines, where ``kde_heatmap`` rasters points).
+
+    Per shard: segments assemble ordered (hash by track), each segment
+    enumerates only its bbox's candidate cell rectangle, and one
+    vectorized Liang-Barsky slab test keeps real intersections; only
+    (cell, n) combiner partials leave the shard. The SQL twin runs the
+    identical slab test as an inequality join against the cell grid."""
+    from engine.ops.relational import _sharded_by_key, sum_final
+
+    def shard_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        same = tid[1:] == tid[:-1]
+        x0, y0 = lon[:-1][same], lat[:-1][same]
+        x1, y1 = lon[1:][same], lat[1:][same]
+        # candidate cell ranges from each segment's bbox, clipped
+        cx0 = np.clip(np.floor((np.minimum(x0, x1) - lon0)
+                               / cell_deg), 0, nx - 1).astype(np.int64)
+        cx1 = np.clip(np.floor((np.maximum(x0, x1) - lon0)
+                               / cell_deg), 0, nx - 1).astype(np.int64)
+        cy0 = np.clip(np.floor((np.minimum(y0, y1) - lat0)
+                               / cell_deg), 0, ny - 1).astype(np.int64)
+        cy1 = np.clip(np.floor((np.maximum(y0, y1) - lat0)
+                               / cell_deg), 0, ny - 1).astype(np.int64)
+        ncell = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        seg_ix = np.repeat(np.arange(len(x0)), ncell)
+        # local cell offset within each segment's rectangle
+        local = np.arange(len(seg_ix)) - np.repeat(
+            np.cumsum(ncell) - ncell, ncell)
+        w = (cy1 - cy0 + 1)[seg_ix]
+        gx = cx0[seg_ix] + local // w
+        gy = cy0[seg_ix] + local % w
+        # Liang-Barsky: param interval of the segment inside the slab
+        ax0 = lon0 + gx * cell_deg
+        ay0 = lat0 + gy * cell_deg
+        sx, sy = x0[seg_ix], y0[seg_ix]
+        dx = (x1 - x0)[seg_ix]
+        dy = (y1 - y0)[seg_ix]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            txa = (ax0 - sx) / dx
+            txb = (ax0 + cell_deg - sx) / dx
+            tya = (ay0 - sy) / dy
+            tyb = (ay0 + cell_deg - sy) / dy
+        tx_in = np.minimum(txa, txb)
+        tx_out = np.maximum(txa, txb)
+        ty_in = np.minimum(tya, tyb)
+        ty_out = np.maximum(tya, tyb)
+        # degenerate axes: inside the slab -> (-inf, +inf), else empty
+        zx = dx == 0.0
+        in_x = (sx >= ax0) & (sx <= ax0 + cell_deg)
+        tx_in = np.where(zx, np.where(in_x, -np.inf, np.inf), tx_in)
+        tx_out = np.where(zx, np.where(in_x, np.inf, -np.inf), tx_out)
+        zy = dy == 0.0
+        in_y = (sy >= ay0) & (sy <= ay0 + cell_deg)
+        ty_in = np.where(zy, np.where(in_y, -np.inf, np.inf), ty_in)
+        ty_out = np.where(zy, np.where(in_y, np.inf, -np.inf), ty_out)
+        tmin = np.maximum(np.maximum(tx_in, ty_in), 0.0)
+        tmax = np.minimum(np.minimum(tx_out, ty_out), 1.0)
+        hit = tmin <= tmax
+        out = pd.DataFrame({"gx": gx[hit], "gy": gy[hit]})
+        agg = out.groupby(["gx", "gy"], as_index=False,
+                          sort=False).size()
+        agg = agg.rename(columns={"size": "n_segments"})
+        agg["n_segments"] = agg["n_segments"].astype(np.int64)
+        return agg
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    partials = sharded.groupby("__shard").map_groups(
+        lambda g: shard_cells(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+    return sum_final(partials, ["gx", "gy"])
+
+
+def _welzl_circle(x: np.ndarray, y: np.ndarray):
+    """Deterministic smallest enclosing circle (planar degrees):
+    incremental Welzl without randomization — input order is the
+    (deterministic) insertion order. O(n) expected on shuffled input,
+    O(n^2)-ish worst case; tracks are small, so determinism wins."""
+
+    def circ2(ax, ay, bx, by):
+        return ((ax + bx) / 2.0, (ay + by) / 2.0,
+                np.hypot(ax - bx, ay - by) / 2.0)
+
+    def circ3(ax, ay, bx, by, cx, cy):
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0.0:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy)
+              + (bx * bx + by * by) * (cy - ay)
+              + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx)
+              + (bx * bx + by * by) * (ax - cx)
+              + (cx * cx + cy * cy) * (bx - ax)) / d
+        return ux, uy, np.hypot(ax - ux, ay - uy)
+
+    def inside(c, px, py):
+        return np.hypot(px - c[0], py - c[1]) <= c[2] * (1 + 1e-12)
+
+    n = len(x)
+    c = (x[0], y[0], 0.0)
+    for i in range(1, n):
+        if inside(c, x[i], y[i]):
+            continue
+        c = (x[i], y[i], 0.0)
+        for j in range(i):
+            if inside(c, x[j], y[j]):
+                continue
+            c = circ2(x[i], y[i], x[j], y[j])
+            for k in range(j):
+                if inside(c, x[k], y[k]):
+                    continue
+                c3 = circ3(x[i], y[i], x[j], y[j], x[k], y[k])
+                if c3 is not None:
+                    c = c3
+    return c
+
+
+def enclosing_circles(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track smallest enclosing circle (Welzl) in planar degrees:
+    center, radius, and the fix count — the minimal-coverage-disk
+    summary (antenna placement / track-extent analytics). Non-SQL
+    (incremental geometric recursion); the pytest self-oracle checks
+    containment of every fix and minimality vs brute force over all
+    2- and 3-point support circles."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_circles(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tid, sub in g.groupby("track_id", sort=False):
+            sub = sub.sort_values("seq", kind="stable")
+            cx, cy, r = _welzl_circle(
+                sub["lon"].to_numpy(np.float64),
+                sub["lat"].to_numpy(np.float64))
+            rows.append((tid, len(sub), float(cx), float(cy),
+                         float(r)))
+        return pd.DataFrame(rows, columns=[
+            "track_id", "n_fixes", "c_lon", "c_lat", "radius_deg",
+        ]).astype({"n_fixes": np.int64})
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_circles(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

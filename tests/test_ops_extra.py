@@ -2229,3 +2229,102 @@ def test_track_self_intersections_bowtie(ray_session):
         .to_pandas().sort_values("track_id", ignore_index=True))
     assert out["n_segs"].tolist() == [3, 3]
     assert out["n_self_x"].tolist() == [1, 0]
+
+
+def test_line_density_grid_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.geo import line_density_grid
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for t in range(6):
+        n = 15
+        frames.append(pd.DataFrame({
+            "track_id": t, "seq": np.arange(n),
+            "lon": rng.uniform(-1, 6, n),
+            "lat": rng.uniform(-1, 5, n),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    nx, ny = 5, 4
+    out = (line_density_grid(
+        ray.data.from_pandas(df).repartition(3),
+        lon0=0.0, lat0=0.0, nx=nx, ny=ny, cell_deg=1.0, num_shards=4)
+        .to_pandas())
+    got = {(int(r.gx), int(r.gy)): int(r.n_segments)
+           for r in out.itertuples()}
+
+    def seg_hits_cell(x0, y0, x1, y1, cx, cy):
+        # dense param sampling as an independent reference
+        t = np.linspace(0, 1, 20001)
+        px = x0 + t * (x1 - x0)
+        py = y0 + t * (y1 - y0)
+        return bool(np.any((px >= cx) & (px <= cx + 1)
+                           & (py >= cy) & (py <= cy + 1)))
+
+    want = {}
+    for t, sub in df.groupby("track_id"):
+        sub = sub.sort_values("seq")
+        xs = sub["lon"].to_numpy()
+        ys = sub["lat"].to_numpy()
+        for i in range(len(xs) - 1):
+            for cx in range(nx):
+                for cy in range(ny):
+                    if seg_hits_cell(xs[i], ys[i], xs[i + 1],
+                                     ys[i + 1], cx, cy):
+                        want[(cx, cy)] = want.get((cx, cy), 0) + 1
+    assert got == want
+
+
+def test_enclosing_circles_welzl(ray_session):
+    import itertools
+
+    import ray.data
+
+    from engine.ops.geo import enclosing_circles
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for t in range(6):
+        n = 14
+        frames.append(pd.DataFrame({
+            "track_id": t, "seq": np.arange(n),
+            "lon": rng.uniform(0, 4, n),
+            "lat": rng.uniform(0, 3, n),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    out = (enclosing_circles(
+        ray.data.from_pandas(df).repartition(3), num_shards=4)
+        .to_pandas().sort_values("track_id", ignore_index=True))
+    for t, sub in df.groupby("track_id"):
+        row = out[out["track_id"] == t].iloc[0]
+        x = sub["lon"].to_numpy()
+        y = sub["lat"].to_numpy()
+        d = np.hypot(x - row["c_lon"], y - row["c_lat"])
+        assert d.max() <= row["radius_deg"] * (1 + 1e-9)  # contains
+
+        # minimality: brute force over all 2/3-point support circles
+        best = np.inf
+        n = len(x)
+        for i, j in itertools.combinations(range(n), 2):
+            cx, cy = (x[i] + x[j]) / 2, (y[i] + y[j]) / 2
+            r = np.hypot(x - cx, y - cy).max()
+            if np.isclose(r, np.hypot(x[i] - cx, y[i] - cy),
+                          rtol=1e-12):
+                best = min(best, r)
+        for i, j, k in itertools.combinations(range(n), 3):
+            dd = 2 * (x[i] * (y[j] - y[k]) + x[j] * (y[k] - y[i])
+                      + x[k] * (y[i] - y[j]))
+            if dd == 0:
+                continue
+            ux = ((x[i]**2 + y[i]**2) * (y[j] - y[k])
+                  + (x[j]**2 + y[j]**2) * (y[k] - y[i])
+                  + (x[k]**2 + y[k]**2) * (y[i] - y[j])) / dd
+            uy = ((x[i]**2 + y[i]**2) * (x[k] - x[j])
+                  + (x[j]**2 + y[j]**2) * (x[i] - x[k])
+                  + (x[k]**2 + y[k]**2) * (x[j] - x[i])) / dd
+            r = np.hypot(x - ux, y - uy).max()
+            if np.isclose(r, np.hypot(x[i] - ux, y[i] - uy),
+                          rtol=1e-9):
+                best = min(best, r)
+        assert row["radius_deg"] == pytest.approx(best, rel=1e-6)
