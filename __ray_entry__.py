@@ -1547,6 +1547,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["track_id", "n_fixes", "c_lon", "c_lat",
                     "radius_deg"]]
 
+    def geo_flow_field(sf_dir: str):
+        # per-cell mean displacement vector of segments starting in
+        # the cell (movement flow raster); SQL twin recomputes LAG
+        # displacements and cell floors
+        out = geo_ops.flow_field_grid(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out["mean_dlon"] = (out["sum_dlon"]
+                            / out["n_segments"]).round(6)
+        out["mean_dlat"] = (out["sum_dlat"]
+                            / out["n_segments"]).round(6)
+        out = out.sort_values(["gx", "gy"], ignore_index=True)
+        return out[["gx", "gy", "n_segments",
+                    "mean_dlon", "mean_dlat"]]
+
+    def geo_visit_entropy(sf_dir: str):
+        # per-cell Shannon entropy (nats) of fix counts over tracks
+        # (visitor-diversity raster); SQL twin computes
+        # -(sum p ln p) over the same (cell, track) counts
+        out = geo_ops.visit_entropy_grid(_geo_tracked()).to_pandas()
+        out["entropy"] = out["entropy"].round(6)
+        out = out.sort_values(["gx", "gy"], ignore_index=True)
+        return out[["gx", "gy", "n_tracks", "n_fixes", "entropy"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -2880,6 +2903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_components": embedding_pca_components,
         "geo_line_density": geo_line_density,
         "geo_enclosing_circles": geo_enclosing_circles,
+        "geo_flow_field": geo_flow_field,
+        "geo_visit_entropy": geo_visit_entropy,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4813,6 +4838,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE GREATEST(tx_in, ty_in, 0e0)
                   <= LEAST(tx_out, ty_out, 1e0)
             GROUP BY gx, gy
+        """,
+        "geo_flow_field": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gsx AS (SELECT track_id, lon AS x0, lat AS y0,
+                       LEAD(lon) OVER w AS x1, LEAD(lat) OVER w AS y1
+                    FROM gt
+                    WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gseg AS (SELECT
+                       CAST(floor((x0 - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((y0 - 35e0) / 1e0) AS BIGINT)
+                           AS gy,
+                       x1 - x0 AS dx, y1 - y0 AS dy
+                     FROM gsx WHERE x1 IS NOT NULL)
+            SELECT gx, gy, COUNT(*) AS n_segments,
+                   round(SUM(dx) / COUNT(*), 6) AS mean_dlon,
+                   round(SUM(dy) / COUNT(*), 6) AS mean_dlat
+            FROM gseg
+            WHERE gx >= 0 AND gx < 24 AND gy >= 0 AND gy < 12
+            GROUP BY gx, gy
+        """,
+        "geo_visit_entropy": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, lon, lat FROM gll),
+            gcc AS (SELECT track_id,
+                       CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy
+                    FROM gt),
+            gcnt AS (SELECT gx, gy, track_id, COUNT(*) AS n
+                     FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy, track_id),
+            gtot AS (SELECT gx, gy, SUM(n) AS tot FROM gcnt
+                     GROUP BY gx, gy)
+            SELECT c.gx, c.gy,
+                   COUNT(*) AS n_tracks,
+                   CAST(t.tot AS BIGINT) AS n_fixes,
+                   round(-SUM((c.n / t.tot) * ln(c.n / t.tot)), 6)
+                       AS entropy
+            FROM gcnt c JOIN gtot t USING (gx, gy)
+            GROUP BY c.gx, c.gy, t.tot
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -2912,3 +2912,103 @@ def enclosing_circles(
         lambda g: shard_circles(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def flow_field_grid(
+    points: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Movement vector field: per grid cell, the mean displacement
+    (dlon, dlat in degrees) of track segments STARTING in the cell
+    plus the segment count — the aggregate flow-direction raster of
+    movement analytics (wind-map rendering of GPS traffic).
+
+    Per-shard segment assembly (hash by track), then one (cell ->
+    sum dlon, sum dlat, n) combiner; ``sum_final`` merges. The SQL
+    twin recomputes the LAG displacements and cell floors."""
+    from engine.ops.relational import _sharded_by_key, sum_final
+
+    def shard_flow(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        same = tid[1:] == tid[:-1]
+        x0, y0 = lon[:-1][same], lat[:-1][same]
+        dx = (lon[1:] - lon[:-1])[same]
+        dy = (lat[1:] - lat[:-1])[same]
+        gx = np.floor((x0 - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((y0 - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        out = pd.DataFrame({
+            "gx": gx[ok], "gy": gy[ok],
+            "sum_dlon": dx[ok], "sum_dlat": dy[ok],
+        })
+        agg = out.groupby(["gx", "gy"], as_index=False, sort=False
+                          ).agg(sum_dlon=("sum_dlon", "sum"),
+                                sum_dlat=("sum_dlat", "sum"),
+                                n_segments=("sum_dlon", "size"))
+        agg["n_segments"] = agg["n_segments"].astype(np.int64)
+        return agg
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    partials = sharded.groupby("__shard").map_groups(
+        lambda g: shard_flow(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+    return sum_final(partials, ["gx", "gy"])
+
+
+def visit_entropy_grid(
+    points: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> ray.data.Dataset:
+    """Per-cell visitor-diversity raster: Shannon entropy (nats) of
+    the distribution of fixes over TRACKS within each grid cell, plus
+    distinct-track and fix counts — low entropy = a cell dominated by
+    one commuter, high = shared public space (the mobility-privacy /
+    popularity diagnostic).
+
+    Stage 1 is a (cell, track) count combiner — the only shuffle
+    moves one partial row per (cell, track) per block; stage 2 groups
+    the SMALL (cells x visiting tracks) table per cell and computes
+    the entropy vectorized."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        tid = np.asarray(b["track_id"], dtype=np.int64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        df = pd.DataFrame({"gx": gx[ok], "gy": gy[ok],
+                           "track_id": tid[ok]})
+        agg = df.groupby(["gx", "gy", "track_id"], as_index=False,
+                         sort=False).size()
+        agg = agg.rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = points.map_batches(cells, batch_format="pyarrow")
+    counts = sum_final(partials, ["gx", "gy", "track_id"])
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.float64)
+        tot = n.sum()
+        p = n / tot
+        return pd.DataFrame({
+            "gx": g["gx"].iloc[:1], "gy": g["gy"].iloc[:1],
+            "n_tracks": np.asarray([len(g)], np.int64),
+            "n_fixes": np.asarray([int(tot)], np.int64),
+            "entropy": np.asarray([float(-(p * np.log(p)).sum())],
+                                  np.float64),
+        })
+
+    return counts.groupby(["gx", "gy"]).map_groups(
+        per_cell, batch_format="pandas")

@@ -2328,3 +2328,52 @@ def test_enclosing_circles_welzl(ray_session):
                           rtol=1e-9):
                 best = min(best, r)
         assert row["radius_deg"] == pytest.approx(best, rel=1e-6)
+
+
+def test_flow_field_hand(ray_session):
+    import ray.data
+
+    from engine.ops.geo import flow_field_grid
+
+    # two segments start in cell (0,0): +E and +N; one in cell (1,0)
+    df = pd.DataFrame({
+        "track_id": [0, 0, 0, 1, 1],
+        "seq": [0, 1, 2, 0, 1],
+        "lon": [0.5, 1.5, 1.5, 0.4, 0.4],
+        "lat": [0.5, 0.5, 1.5, 0.2, 0.9],
+    })
+    out = (flow_field_grid(
+        ray.data.from_pandas(df).repartition(2),
+        lon0=0.0, lat0=0.0, nx=4, ny=4, num_shards=4)
+        .to_pandas().sort_values(["gx", "gy"], ignore_index=True))
+    c00 = out[(out["gx"] == 0) & (out["gy"] == 0)].iloc[0]
+    assert int(c00["n_segments"]) == 2
+    assert c00["sum_dlon"] == pytest.approx(1.0)
+    assert c00["sum_dlat"] == pytest.approx(0.7)
+    c10 = out[(out["gx"] == 1) & (out["gy"] == 0)].iloc[0]
+    assert int(c10["n_segments"]) == 1
+    assert c10["sum_dlat"] == pytest.approx(1.0)
+
+
+def test_visit_entropy_hand(ray_session):
+    import ray.data
+
+    from engine.ops.geo import visit_entropy_grid
+
+    # cell (0,0): 2 fixes of track 0 + 2 of track 1 -> entropy ln 2;
+    # cell (1,1): 3 fixes of track 0 only -> entropy 0
+    df = pd.DataFrame({
+        "track_id": [0, 0, 1, 1, 0, 0, 0],
+        "lon": [0.1, 0.2, 0.3, 0.4, 1.5, 1.6, 1.7],
+        "lat": [0.1, 0.2, 0.3, 0.4, 1.5, 1.6, 1.7],
+    })
+    out = (visit_entropy_grid(
+        ray.data.from_pandas(df).repartition(2),
+        lon0=0.0, lat0=0.0, nx=4, ny=4)
+        .to_pandas().sort_values(["gx", "gy"], ignore_index=True))
+    c00 = out[(out["gx"] == 0) & (out["gy"] == 0)].iloc[0]
+    assert (int(c00["n_tracks"]), int(c00["n_fixes"])) == (2, 4)
+    assert c00["entropy"] == pytest.approx(np.log(2), rel=1e-12)
+    c11 = out[(out["gx"] == 1) & (out["gy"] == 1)].iloc[0]
+    assert (int(c11["n_tracks"]), int(c11["n_fixes"])) == (1, 3)
+    assert c11["entropy"] == pytest.approx(0.0, abs=1e-12)
