@@ -1366,6 +1366,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["perimeter_m"] = out["perimeter_m"].round(4)
         return out[["admin_id", "level", "perimeter_m"]]
 
+    def geo_polygon_convexity(sf_dir: str):
+        # shape-compactness QA: outer-ring shoelace area over its
+        # convex-hull area; SQL twin computes the hull with the
+        # all-pairs strict-left hull-edge rule and the ring area
+        # with the LEAD/FIRST_VALUE closure
+        import ray.data
+
+        _geo_aux_dir()
+        verts = ray.data.read_parquet(_GEO_AUX_VERTICES)
+        out = geo_ops.polygon_convexity(verts, num_shards=8
+                                        ).to_pandas()
+        for c in ("poly_area", "hull_area", "convexity"):
+            out[c] = out[c].round(6)
+        out = out.sort_values("admin_id", ignore_index=True)
+        return out[["admin_id", "n_vertices", "poly_area",
+                    "hull_area", "convexity"]]
+
     def geo_voronoi_assign(sf_dir: str):
         # nearest-site (Voronoi) classification of every image against
         # the polygon-centroid sites; per-site member count + mean dist
@@ -2905,6 +2922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_enclosing_circles": geo_enclosing_circles,
         "geo_flow_field": geo_flow_field,
         "geo_visit_entropy": geo_visit_entropy,
+        "geo_polygon_convexity": geo_polygon_convexity,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4884,6 +4902,50 @@ def oracle_sql() -> dict[str, str]:
                        AS entropy
             FROM gcnt c JOIN gtot t USING (gx, gy)
             GROUP BY c.gx, c.gy, t.tot
+        """,
+        "geo_polygon_convexity": f"""
+            WITH gv0 AS (SELECT admin_id, vertex_ix, lon, lat
+                         FROM read_parquet('{_GEO_AUX_VERTICES}')
+                         WHERE ring_ix = 0),
+            gcl AS (SELECT admin_id, lon AS x, lat AS y,
+                       COALESCE(LEAD(lon) OVER w,
+                                FIRST_VALUE(lon) OVER w) AS x1,
+                       COALESCE(LEAD(lat) OVER w,
+                                FIRST_VALUE(lat) OVER w) AS y1
+                    FROM gv0
+                    WINDOW w AS (PARTITION BY admin_id
+                                 ORDER BY vertex_ix
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)),
+            garea AS (SELECT admin_id, COUNT(*) AS n_vertices,
+                         abs(SUM(x * y1 - x1 * y)) / 2e0 AS poly_area
+                      FROM gcl GROUP BY admin_id),
+            gpair AS (SELECT p.admin_id,
+                             p.vertex_ix AS ps, q.vertex_ix AS qs,
+                             p.lon AS px, p.lat AS py,
+                             q.lon AS qx, q.lat AS qy
+                      FROM gv0 p JOIN gv0 q
+                        ON p.admin_id = q.admin_id
+                       AND p.vertex_ix <> q.vertex_ix),
+            ghullp AS (SELECT e.admin_id, e.px, e.py, e.qx, e.qy
+                       FROM gpair e JOIN gv0 r
+                         ON r.admin_id = e.admin_id
+                        AND r.vertex_ix <> e.ps
+                        AND r.vertex_ix <> e.qs
+                       GROUP BY e.admin_id, e.ps, e.qs,
+                                e.px, e.py, e.qx, e.qy
+                       HAVING MIN((e.qx - e.px) * (r.lat - e.py)
+                                  - (e.qy - e.py) * (r.lon - e.px))
+                              > 0e0),
+            ghulla AS (SELECT admin_id,
+                          abs(SUM(px * qy - qx * py)) / 2e0
+                              AS hull_area
+                       FROM ghullp GROUP BY admin_id)
+            SELECT a.admin_id, a.n_vertices,
+                   round(a.poly_area, 6) AS poly_area,
+                   round(h.hull_area, 6) AS hull_area,
+                   round(a.poly_area / h.hull_area, 6) AS convexity
+            FROM garea a JOIN ghulla h USING (admin_id)
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

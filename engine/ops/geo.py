@@ -3012,3 +3012,48 @@ def visit_entropy_grid(
 
     return counts.groupby(["gx", "gy"]).map_groups(
         per_cell, batch_format="pandas")
+
+
+def polygon_convexity(
+    vertices: ray.data.Dataset, num_shards: int = 16
+) -> ray.data.Dataset:
+    """Per-polygon convexity ratio (ST_Area / ST_Area(ST_ConvexHull)):
+    shoelace area of the OUTER ring over its convex hull's area — 1
+    for convex boundaries, lower the more star-shaped/indented (the
+    shape-compactness diagnostic of admin-boundary QA). Input rows
+    are exploded ring vertices (admin_id, ring_ix, vertex_ix, lon,
+    lat); only ring_ix = 0 contributes. Hash-shards by polygon;
+    per-group monotone-chain hull + shoelace, both vectorized."""
+    from engine.ops.relational import _sharded_by_key
+
+    import pyarrow.compute as pc
+
+    outer = vertices.map_batches(
+        lambda t: t.filter(pc.equal(t["ring_ix"], 0)),
+        batch_format="pyarrow")
+
+    def shard_conv(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for aid, sub in g.groupby("admin_id", sort=False):
+            sub = sub.sort_values("vertex_ix", kind="stable")
+            x = sub["lon"].to_numpy(np.float64)
+            y = sub["lat"].to_numpy(np.float64)
+            area = abs(float(
+                (x * np.roll(y, -1) - np.roll(x, -1) * y).sum()) / 2.0)
+            h = _hull_ccw(x, y)
+            hx, hy = x[h], y[h]
+            hull = abs(float(
+                (hx * np.roll(hy, -1)
+                 - np.roll(hx, -1) * hy).sum()) / 2.0)
+            rows.append((aid, len(x), area, hull,
+                         area / hull if hull > 0 else 1.0))
+        return pd.DataFrame(rows, columns=[
+            "admin_id", "n_vertices", "poly_area", "hull_area",
+            "convexity",
+        ]).astype({"n_vertices": np.int64})
+
+    sharded = _sharded_by_key(outer, "admin_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_conv(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

@@ -2377,3 +2377,33 @@ def test_visit_entropy_hand(ray_session):
     c11 = out[(out["gx"] == 1) & (out["gy"] == 1)].iloc[0]
     assert (int(c11["n_tracks"]), int(c11["n_fixes"])) == (1, 3)
     assert c11["entropy"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_polygon_convexity_shapes(ray_session):
+    import ray.data
+
+    from engine.ops.geo import polygon_convexity
+
+    # square (convex -> 1.0) and a star-notched square (< 1)
+    sq = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    notch = [(0, 0), (2, 0), (2, 2), (1, 0.5), (0, 2)]
+    rows = []
+    for aid, ring in (("SQ", sq), ("NOTCH", notch)):
+        for vix, (x, y) in enumerate(ring):
+            rows.append((aid, 0, vix, float(x), float(y)))
+        rows.append((aid, 1, 0, 0.4, 0.4))  # a hole vertex: ignored
+    df = pd.DataFrame(rows, columns=[
+        "admin_id", "ring_ix", "vertex_ix", "lon", "lat"])
+    out = (polygon_convexity(
+        ray.data.from_pandas(df).repartition(2), num_shards=4)
+        .to_pandas().sort_values("admin_id", ignore_index=True))
+    notch_row = out[out["admin_id"] == "NOTCH"].iloc[0]
+    sq_row = out[out["admin_id"] == "SQ"].iloc[0]
+    assert sq_row["poly_area"] == pytest.approx(4.0)
+    assert sq_row["convexity"] == pytest.approx(1.0)
+    assert notch_row["hull_area"] == pytest.approx(4.0)
+    # notch area: square minus the bite taken by vertex (1, 0.5)
+    assert notch_row["poly_area"] < 4.0
+    assert notch_row["convexity"] == pytest.approx(
+        notch_row["poly_area"] / 4.0, rel=1e-12)
+    assert int(sq_row["n_vertices"]) == 4
