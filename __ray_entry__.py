@@ -1055,6 +1055,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = text.unigram_logprob(docs, counts)
         return out.select_columns(["doc_id", "mean_logp"])
 
+    def docs_bigram_logprob(sf_dir: str):
+        # order-sensitive perplexity stand-in: corpus bigram LM
+        # (add-1 over V+1) broadcast once, per-doc mean conditional
+        # log-prob; SQL twin rebuilds the positional token list via a
+        # range() index (no WITH ORDINALITY in this DuckDB)
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        bi, uni = text.bigram_counts(docs)
+        out = text.bigram_logprob(docs, bi, uni).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
+    def event_type_cooccurrence(sf_dir: str):
+        # market-basket association: for each unordered event-type
+        # pair, how many users did both, plus the lift vs independent
+        # supports; SQL twin via distinct self-join
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type"])
+        pairs = relational.cooccurrence(
+            ev, "user_id", "event_type").to_pandas()
+
+        def shard_support(g: pd.DataFrame) -> pd.DataFrame:
+            # per-type distinct-user partials PLUS one total-users
+            # sentinel row per shard (sharded by user, so shard
+            # distinct-user counts sum to the global count)
+            d = g[["user_id", "event_type"]].drop_duplicates()
+            agg = d.groupby("event_type", as_index=False).size()
+            agg = agg.rename(columns={"size": "ns"})
+            agg["ns"] = agg["ns"].astype(np.int64)
+            tot = pd.DataFrame({
+                "event_type": ["\x00total"],
+                "ns": np.asarray([g["user_id"].nunique()], np.int64),
+            })
+            return pd.concat([agg, tot], ignore_index=True)
+
+        from engine.ops.relational import _sharded_by_key
+
+        sup = relational.sum_final(
+            _sharded_by_key(ev, "user_id", 16)
+            .groupby("__shard")
+            .map_groups(
+                lambda g: shard_support(g.drop(columns="__shard")),
+                batch_format="pandas"),
+            ["event_type"],
+        ).to_pandas().set_index("event_type")["ns"]
+        n_users = int(sup.pop("\x00total"))
+        ns = sup
+        out = pairs.rename(columns={
+            "event_type_a": "type_a", "event_type_b": "type_b",
+            "n_groups": "n_users"})
+        out["lift"] = (out["n_users"].astype(float) * n_users
+                       / (out["type_a"].map(ns)
+                          * out["type_b"].map(ns))).round(6)
+        out = out.sort_values(["type_a", "type_b"],
+                              ignore_index=True)
+        return out[["type_a", "type_b", "n_users", "lift"]]
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -2923,6 +2977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_flow_field": geo_flow_field,
         "geo_visit_entropy": geo_visit_entropy,
         "geo_polygon_convexity": geo_polygon_convexity,
+        "docs_bigram_logprob": docs_bigram_logprob,
+        "event_type_cooccurrence": event_type_cooccurrence,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4167,6 +4223,63 @@ def oracle_sql() -> dict[str, str]:
                     FROM tok2 t JOIN lp USING (token) GROUP BY t.doc_id)
             SELECT d.doc_id, ROUND(COALESCE(per.m, 0.0), 6) AS mean_logp
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "docs_bigram_logprob": """
+            WITH arrs AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '[^a-z]+')
+                           AS arr
+                FROM documents
+            ),
+            tokp AS (SELECT doc_id, arr[i] AS token, i AS ord
+                     FROM arrs,
+                          UNNEST(range(1, len(arr) + 1)) AS u(i)),
+            tok2 AS (SELECT doc_id, token,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY ord) AS pos
+                     FROM tokp WHERE token <> ''),
+            uc AS (SELECT token, COUNT(*) AS n1 FROM tok2
+                   GROUP BY token),
+            vsz AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
+            big AS (SELECT a.doc_id, a.token AS w1, b.token AS w2
+                    FROM tok2 a JOIN tok2 b
+                      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            bc AS (SELECT w1, w2, COUNT(*) AS nb FROM big
+                   GROUP BY w1, w2),
+            lp AS (SELECT g.doc_id,
+                      LN((bc.nb + 1e0)
+                         / (uc.n1 + (SELECT v FROM vsz) + 1e0))
+                          AS logp
+                   FROM big g
+                   JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+                   JOIN uc ON uc.token = g.w1),
+            per AS (SELECT doc_id, SUM(logp) / COUNT(*) AS m
+                    FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(COALESCE(per.m, 0.0), 6)
+                       AS mean_bigram_logp
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "event_type_cooccurrence": """
+            WITH du AS (SELECT DISTINCT user_id, event_type
+                        FROM events),
+            pr AS (SELECT a.event_type AS type_a,
+                          b.event_type AS type_b,
+                          COUNT(*) AS n_users
+                   FROM du a JOIN du b
+                     ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2),
+            sup AS (SELECT event_type, COUNT(*) AS ns FROM du
+                    GROUP BY event_type),
+            nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+                       AS n FROM events)
+            SELECT p.type_a, p.type_b, p.n_users,
+                   round(p.n_users * (SELECT n FROM nu)
+                         / (sa.ns * sb.ns), 6) AS lift
+            FROM pr p
+            JOIN sup sa ON sa.event_type = p.type_a
+            JOIN sup sb ON sb.event_type = p.type_b
         """,
         "docs_chunked": f"""
             WITH toks AS (

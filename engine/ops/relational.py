@@ -1831,3 +1831,37 @@ def rolling_sum_range(
     return _sharded_by_key(ds, group_key, num_shards).groupby(
         "__shard"
     ).map_groups(shard_pass, batch_format="pandas")
+
+
+def cooccurrence(
+    ds: ray.data.Dataset,
+    group_key: str,
+    item_key: str,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Market-basket co-occurrence: for every unordered pair of
+    DISTINCT items sharing a group (user, order, session...), the
+    number of groups containing both — the support table behind
+    association/lift mining. Hash-shards by group so each group's
+    item set assembles locally; per shard, a distinct-pair self-merge
+    emits (item_a < item_b) partials and ONE combiner count merges —
+    pairs move, group contents never re-shuffle. Pair fan-out is
+    k*(k-1)/2 per group; bound k upstream for heavy groups (classic
+    a-priori pruning)."""
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[group_key, item_key]].drop_duplicates()
+        m = d.merge(d, on=group_key, suffixes=("_a", "_b"))
+        m = m[m[f"{item_key}_a"] < m[f"{item_key}_b"]]
+        agg = m.groupby([f"{item_key}_a", f"{item_key}_b"],
+                        as_index=False, sort=False).size()
+        agg = agg.rename(columns={"size": "n_groups"})
+        agg["n_groups"] = agg["n_groups"].astype(np.int64)
+        return agg
+
+    sharded = _sharded_by_key(ds, group_key, num_shards)
+    partials = sharded.groupby("__shard").map_groups(
+        lambda g: shard_pairs(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+    return sum_final(partials, [f"{item_key}_a", f"{item_key}_b"])

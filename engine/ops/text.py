@@ -654,3 +654,81 @@ def encode_token_ids(
         return b
 
     return ds.map_batches(enc, batch_format="pandas")
+
+
+def bigram_counts(ds: ray.data.Dataset) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Corpus bigram + unigram counts (``_ALPHA_RE`` tokenizer) — pass
+    1 of the bigram-LM scorer. Both tables come from ONE scan: each
+    batch emits (w1, w2, n) and (token, n) partials, merged by two
+    small ``sum_final`` exchanges. At web scale the bigram table
+    would be count-pruned (keep n >= k, score the tail via backoff);
+    here it stays exact so the SQL twin can reproduce it."""
+    from engine.ops import relational
+
+    def local_bi(b: pd.DataFrame) -> pd.DataFrame:
+        w1s: list[str] = []
+        w2s: list[str] = []
+        for s in b["text"].astype(str):
+            toks = _ALPHA_RE.findall(s.lower())
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+        if not w1s:
+            return pd.DataFrame({"w1": pd.Series(dtype=str),
+                                 "w2": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64)})
+        df = pd.DataFrame({"w1": w1s, "w2": w2s})
+        agg = df.groupby(["w1", "w2"], as_index=False, sort=False
+                         ).size().rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    bi = relational.sum_final(
+        ds.map_batches(local_bi, batch_format="pandas"), ["w1", "w2"]
+    ).to_pandas()
+    uni = unigram_counts(ds)
+    return bi, uni
+
+
+def bigram_logprob(
+    ds: ray.data.Dataset, bi: pd.DataFrame, uni: pd.DataFrame,
+    alpha: float = 1.0,
+) -> ray.data.Dataset:
+    """Per-doc mean bigram conditional log-probability
+    ln((c(w1,w2)+a) / (c1(w1) + a*(V+1))) — the order-sensitive
+    perplexity stand-in that catches shuffled/garbled text the
+    unigram LM scores identically. Pass 2: both count tables
+    broadcast once; docs with < 2 tokens score 0.0."""
+    import ray
+
+    vsize = max(1, len(uni))
+    c1 = {t: int(n) for t, n in zip(uni["token"], uni["n"])}
+    lp = {}
+    for w1, w2, n in zip(bi["w1"], bi["w2"], bi["n"]):
+        lp[(w1, w2)] = float(np.log(
+            (n + alpha) / (c1[w1] + alpha * (vsize + 1))))
+    ref = ray.put((lp, c1, vsize))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        lpd, c1d, vs = cached_get(ref)
+        out = []
+        for s in b["text"].astype(str):
+            toks = _ALPHA_RE.findall(s.lower())
+            if len(toks) < 2:
+                out.append(0.0)
+                continue
+            tot = 0.0
+            for a, bb in zip(toks[:-1], toks[1:]):
+                got = lpd.get((a, bb))
+                if got is None:
+                    got = float(np.log(alpha / (
+                        c1d.get(a, 0) + alpha * (vs + 1))))
+                tot += got
+            out.append(tot / (len(toks) - 1))
+        b = b.copy()
+        b["mean_bigram_logp"] = np.round(
+            np.asarray(out, np.float64), 6)
+        return b[["doc_id", "mean_bigram_logp"]]
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -477,3 +477,60 @@ def test_corpus_to_shards_end_to_end(ray_session, tmp_path):
         m = tar.getmembers()[0]
         ids = np.frombuffer(tar.extractfile(m).read(), dtype=np.int32)
         assert len(ids) > 0 and (ids >= 0).all()
+
+
+def test_bigram_logprob_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from engine.ops.text import _ALPHA_RE, bigram_counts, bigram_logprob
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat",
+                 "the cat ran",
+                 "dog",  # single token -> 0.0
+                 "mat the cat the"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    bi, uni = bigram_counts(ds)
+    out = (bigram_logprob(ds, bi, uni).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+
+    # brute force
+    toks = {r.doc_id: _ALPHA_RE.findall(r.text.lower())
+            for r in docs.itertuples()}
+    from collections import Counter
+    u = Counter(t for ts in toks.values() for t in ts)
+    b = Counter((a, c) for ts in toks.values()
+                for a, c in zip(ts[:-1], ts[1:]))
+    v = len(u)
+    for r in out.itertuples():
+        ts = toks[r.doc_id]
+        if len(ts) < 2:
+            assert r.mean_bigram_logp == 0.0
+            continue
+        want = np.mean([
+            math.log((b[(a, c)] + 1) / (u[a] + v + 1))
+            for a, c in zip(ts[:-1], ts[1:])])
+        assert r.mean_bigram_logp == pytest.approx(
+            round(want, 6), abs=2e-6)
+
+
+def test_cooccurrence_hand(ray_session):
+    import ray.data
+
+    from engine.ops.relational import cooccurrence
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3, 3, 3, 3],
+        "it": ["a", "b", "b", "a", "c", "a", "b", "c", "c"],
+    })
+    out = (cooccurrence(ray.data.from_pandas(df).repartition(2),
+                        "u", "it", num_shards=4)
+           .to_pandas().sort_values(["it_a", "it_b"],
+                                    ignore_index=True))
+    got = {(r.it_a, r.it_b): int(r.n_groups)
+           for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
