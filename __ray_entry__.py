@@ -1109,6 +1109,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return out[["type_a", "type_b", "n_users", "lift"]]
 
+    def part_triangle_count(sf_dir: str):
+        # distributed triangle counting on the co-order parts graph
+        # (edges = distinct part pairs sharing an order, from the
+        # cooccurrence combiner): node-iterator wedges co-shuffled
+        # against the edge set; SQL twin is the canonical 3-way join
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"])
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        return graph_ops.triangle_count(
+            edges.map_batches(rn, batch_format="pyarrow"),
+            num_shards=16)
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -2979,6 +3001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_convexity": geo_polygon_convexity,
         "docs_bigram_logprob": docs_bigram_logprob,
         "event_type_cooccurrence": event_type_cooccurrence,
+        "part_triangle_count": part_triangle_count,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4259,6 +4282,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(per.m, 0.0), 6)
                        AS mean_bigram_logp
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "part_triangle_count": """
+            WITH pe AS (SELECT DISTINCT
+                            l1.l_partkey AS a, l2.l_partkey AS b
+                        FROM lineitem l1 JOIN lineitem l2
+                          ON l2.l_orderkey = l1.l_orderkey
+                         AND l1.l_partkey < l2.l_partkey),
+            se AS (SELECT COUNT(*) AS n_edges FROM pe),
+            sw AS (SELECT COUNT(*) AS n_wedges
+                   FROM pe e1 JOIN pe e2
+                     ON e2.a = e1.a AND e1.b < e2.b),
+            st AS (SELECT COUNT(*) AS n_triangles
+                   FROM pe e1 JOIN pe e2
+                     ON e2.a = e1.a AND e1.b < e2.b
+                   JOIN pe e3
+                     ON e3.a = e1.b AND e3.b = e2.b)
+            SELECT n_edges, n_wedges, n_triangles FROM se, sw, st
         """,
         "event_type_cooccurrence": """
             WITH du AS (SELECT DISTINCT user_id, event_type

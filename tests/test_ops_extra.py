@@ -2407,3 +2407,36 @@ def test_polygon_convexity_shapes(ray_session):
     assert notch_row["convexity"] == pytest.approx(
         notch_row["poly_area"] / 4.0, rel=1e-12)
     assert int(sq_row["n_vertices"]) == 4
+
+
+def test_triangle_count_hand_and_random(ray_session):
+    import itertools
+
+    import ray.data
+
+    from engine.ops.graph import triangle_count
+
+    # K4 plus a pendant edge: C(4,3)=4 triangles, 7 edges
+    k4 = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    edges = pd.DataFrame(k4 + [(4, 9)], columns=["a", "b"])
+    out = triangle_count(
+        ray.data.from_pandas(edges).repartition(2),
+        num_shards=4)
+    assert int(out["n_edges"].iloc[0]) == 7
+    assert int(out["n_triangles"].iloc[0]) == 4
+
+    # random G(n, p) vs brute force
+    rng = np.random.default_rng(41)
+    n = 30
+    adj = np.triu(rng.random((n, n)) < 0.2, k=1)
+    ii, jj = np.nonzero(adj)
+    edf = pd.DataFrame({"a": ii.astype(np.int64),
+                        "b": jj.astype(np.int64)})
+    out = triangle_count(
+        ray.data.from_pandas(edf).repartition(3),
+        num_shards=4)
+    full = adj | adj.T
+    want = int(np.trace(
+        (full.astype(np.int64) @ full @ full)) // 6)
+    assert int(out["n_triangles"].iloc[0]) == want
+    assert int(out["n_edges"].iloc[0]) == len(edf)
