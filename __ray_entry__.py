@@ -1131,6 +1131,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges.map_batches(rn, batch_format="pyarrow"),
             num_shards=16)
 
+    def part_degree_assortativity(sf_dir: str):
+        # hub-to-hub vs hub-to-leaf wiring: Pearson correlation of
+        # endpoint degrees over symmetrized co-order edges; only
+        # scalar moment partials move. SQL twin uses corr() over the
+        # same symmetrized pairs.
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"])
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        out = graph_ops.degree_assortativity(
+            edges.map_batches(rn, batch_format="pyarrow"))
+        out["assortativity"] = out["assortativity"].round(6)
+        return out
+
+    def part_link_jaccard(sf_dir: str):
+        # link prediction on a 20% order subgraph: top-20 non-edge
+        # part pairs by neighborhood Jaccard (wedge counts = common
+        # neighbors, edges removed by the co-shard side trick);
+        # SQL twin is the adjacency self-join + NOT EXISTS
+        def fl(t):
+            import pyarrow as pa
+
+            ok = np.asarray(t["l_orderkey"], np.int64) % 5 == 0
+            return t.filter(pa.array(ok))
+
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"]).map_batches(
+            fl, batch_format="pyarrow")
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        out = graph_ops.common_neighbor_jaccard(
+            edges.map_batches(rn, batch_format="pyarrow"),
+            k=20, num_shards=16)
+        out["jaccard"] = out["jaccard"].round(6)
+        return out[["node_b", "node_c", "n_common", "jaccard"]]
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3002,6 +3056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_logprob": docs_bigram_logprob,
         "event_type_cooccurrence": event_type_cooccurrence,
         "part_triangle_count": part_triangle_count,
+        "part_degree_assortativity": part_degree_assortativity,
+        "part_link_jaccard": part_link_jaccard,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4299,6 +4355,64 @@ def oracle_sql() -> dict[str, str]:
                    JOIN pe e3
                      ON e3.a = e1.b AND e3.b = e2.b)
             SELECT n_edges, n_wedges, n_triangles FROM se, sw, st
+        """,
+        "part_degree_assortativity": """
+            WITH pe AS (SELECT DISTINCT
+                            l1.l_partkey AS a, l2.l_partkey AS b
+                        FROM lineitem l1 JOIN lineitem l2
+                          ON l2.l_orderkey = l1.l_orderkey
+                         AND l1.l_partkey < l2.l_partkey),
+            dg AS (SELECT node, COUNT(*) AS deg FROM (
+                       SELECT a AS node FROM pe
+                       UNION ALL SELECT b FROM pe)
+                   GROUP BY node),
+            pp AS (SELECT CAST(da.deg AS DOUBLE) AS x,
+                          CAST(db.deg AS DOUBLE) AS y
+                   FROM pe
+                   JOIN dg da ON da.node = pe.a
+                   JOIN dg db ON db.node = pe.b
+                   UNION ALL
+                   SELECT CAST(db.deg AS DOUBLE),
+                          CAST(da.deg AS DOUBLE)
+                   FROM pe
+                   JOIN dg da ON da.node = pe.a
+                   JOIN dg db ON db.node = pe.b)
+            SELECT (SELECT COUNT(*) FROM pe) AS n_edges,
+                   round(corr(x, y), 6) AS assortativity
+            FROM pp
+        """,
+        "part_link_jaccard": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey % 5 = 0),
+            pe AS (SELECT DISTINCT
+                       l1.l_partkey AS a, l2.l_partkey AS b
+                   FROM li l1 JOIN li l2
+                     ON l2.l_orderkey = l1.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey),
+            adj AS (SELECT a, b FROM pe
+                    UNION ALL SELECT b, a FROM pe),
+            dg AS (SELECT a AS node, COUNT(*) AS deg FROM adj
+                   GROUP BY a),
+            wed AS (SELECT x.b AS nb, y.b AS nc,
+                           COUNT(*) AS n_common
+                    FROM adj x JOIN adj y
+                      ON y.a = x.a AND x.b < y.b
+                    GROUP BY x.b, y.b),
+            cand AS (SELECT w.nb AS node_b, w.nc AS node_c,
+                        w.n_common,
+                        CAST(w.n_common AS DOUBLE)
+                            / (db.deg + dc.deg - w.n_common)
+                            AS jacc
+                     FROM wed w
+                     JOIN dg db ON db.node = w.nb
+                     JOIN dg dc ON dc.node = w.nc
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM pe
+                         WHERE pe.a = w.nb AND pe.b = w.nc))
+            SELECT node_b, node_c, n_common,
+                   round(jacc, 6) AS jaccard
+            FROM cand
+            ORDER BY jacc DESC, node_b, node_c LIMIT 20
         """,
         "event_type_cooccurrence": """
             WITH du AS (SELECT DISTINCT user_id, event_type

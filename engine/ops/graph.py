@@ -203,3 +203,159 @@ def triangle_count(
         ["part"],
     ).to_pandas()
     return tot[["n_edges", "n_wedges", "n_triangles"]]
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset,
+) -> pd.DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of
+    endpoint degrees over all (symmetrized) edges — positive means
+    hubs link to hubs (social nets), negative means hub-to-leaf
+    (tech/biological nets). Degrees come from one count combiner and
+    broadcast once; each edge batch folds into 4 scalar moment
+    partials (n, sx, sxx, sxy), so nothing but scalars move.
+    Symmetrized orientation makes x/y moments identical."""
+    from engine.ops.relational import sum_final
+    from engine.state import cached_get
+
+    edges = edges.materialize()  # feeds the degree census AND probe
+
+    def local_deg(t: "pa.Table") -> pd.DataFrame:
+        both = np.concatenate([np.asarray(t["a"], np.int64),
+                               np.asarray(t["b"], np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = sum_final(
+        edges.map_batches(local_deg, batch_format="pyarrow"),
+        ["node"]).to_pandas()
+    order = np.argsort(deg["node"].to_numpy())
+    dmap_ref = ray.put((deg["node"].to_numpy()[order],
+                        deg["deg"].to_numpy(np.float64)[order]))
+
+    def moments(t: "pa.Table") -> pd.DataFrame:
+        nodes, degs = cached_get(dmap_ref)
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, b)]
+        x = np.concatenate([da, db])  # both orientations
+        y = np.concatenate([db, da])
+        return pd.DataFrame({
+            "part": np.zeros(1, np.int64),
+            "n": np.asarray([len(x)], np.float64),
+            "sx": np.asarray([x.sum()], np.float64),
+            "sxx": np.asarray([(x * x).sum()], np.float64),
+            "sxy": np.asarray([(x * y).sum()], np.float64),
+        })
+
+    m = sum_final(
+        edges.map_batches(moments, batch_format="pyarrow"),
+        ["part"]).to_pandas().iloc[0]
+    var = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    cov = m["n"] * m["sxy"] - m["sx"] * m["sx"]
+    r = float(cov / var) if var > 0 else 0.0
+    return pd.DataFrame({
+        "n_edges": np.asarray([int(m["n"] // 2)], np.int64),
+        "assortativity": np.asarray([r], np.float64),
+    })
+
+
+def common_neighbor_jaccard(
+    edges: ray.data.Dataset,
+    k: int = 20,
+    num_shards: int = 64,
+) -> pd.DataFrame:
+    """Link prediction by neighborhood Jaccard: for every NON-edge
+    pair (b < c) sharing at least one neighbor, score
+    |N(b) ∩ N(c)| / |N(b) ∪ N(c)| and return the top-k candidates
+    (ties by (b, c)). Common-neighbor counts ARE the wedge counts of
+    ``triangle_count``'s round 1; existing edges are removed by the
+    same co-shard side trick; only per-shard top-k partials reach the
+    driver."""
+    from engine.ops.relational import _sharded_by_key, sum_final
+    from engine.state import cached_get
+
+    import pyarrow as pa
+
+    edges = edges.materialize()
+
+    def local_deg(t: "pa.Table") -> pd.DataFrame:
+        both = np.concatenate([np.asarray(t["a"], np.int64),
+                               np.asarray(t["b"], np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = sum_final(
+        edges.map_batches(local_deg, batch_format="pyarrow"),
+        ["node"]).to_pandas()
+    order = np.argsort(deg["node"].to_numpy())
+    dmap_ref = ray.put((deg["node"].to_numpy()[order],
+                        deg["deg"].to_numpy(np.float64)[order]))
+
+    def shard_wedges(g: pd.DataFrame) -> "pa.Table":
+        ks = []
+        for a, sub in g.groupby("a", sort=False):
+            nb = np.sort(sub["b"].to_numpy(np.int64))
+            if len(nb) < 2:
+                continue
+            ii, jj = np.triu_indices(len(nb), k=1)
+            ks.append(nb[ii] * 2_147_483_647 + nb[jj])
+        flat = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        return pa.table({"k": pa.array(flat, pa.int64()),
+                         "n": pa.array(np.ones(len(flat), np.int64),
+                                       pa.int64())})
+
+    # adjacency wedges need BOTH orientations of each edge (N(v) is
+    # the full neighbor set, not just higher-id neighbors)
+    def both_dirs(t: "pa.Table") -> "pa.Table":
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        return pa.table({
+            "a": pa.array(np.concatenate([a, b]), pa.int64()),
+            "b": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+    cn = sum_final(
+        _sharded_by_key(adj, "a", num_shards).groupby("__shard")
+        .map_groups(lambda g: shard_wedges(g.drop(columns="__shard")),
+                    batch_format="pandas"),
+        ["k"])
+
+    def edge_key(t: "pa.Table") -> "pa.Table":
+        kk = (np.asarray(t["a"], np.int64) * 2_147_483_647
+              + np.asarray(t["b"], np.int64))
+        return pa.table({"k": pa.array(kk, pa.int64()),
+                         "n": pa.array(np.zeros(len(kk), np.int64),
+                                       pa.int64())})
+
+    ek = edges.map_batches(edge_key, batch_format="pyarrow")
+    both = ek.union(cn)
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        nodes, degs = cached_get(dmap_ref)
+        is_edge = g["n"].to_numpy(np.int64) == 0
+        kk = g["k"].to_numpy(np.int64)
+        keep = ~np.isin(kk, kk[is_edge]) & ~is_edge
+        kk = kk[keep]
+        n = g["n"].to_numpy(np.int64)[keep]
+        b, c = np.divmod(kk, 2_147_483_647)
+        db = degs[np.searchsorted(nodes, b)]
+        dc = degs[np.searchsorted(nodes, c)]
+        jac = n / (db + dc - n)
+        out = pd.DataFrame({"node_b": b, "node_c": c,
+                            "n_common": n, "jaccard": jac})
+        return out.sort_values(
+            ["jaccard", "node_b", "node_c"],
+            ascending=[False, True, True]).head(k)
+
+    parts = _sharded_by_key(both, "k", num_shards).groupby(
+        "__shard").map_groups(
+        lambda g: shard_top(g.drop(columns="__shard")),
+        batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["jaccard", "node_b", "node_c"],
+        ascending=[False, True, True]).head(k).reset_index(drop=True)
+    out["n_common"] = out["n_common"].astype(np.int64)
+    return out

@@ -2440,3 +2440,45 @@ def test_triangle_count_hand_and_random(ray_session):
         (full.astype(np.int64) @ full @ full)) // 6)
     assert int(out["n_triangles"].iloc[0]) == want
     assert int(out["n_edges"].iloc[0]) == len(edf)
+
+
+def test_degree_assortativity_star_vs_clique(ray_session):
+    import itertools
+
+    import ray.data
+
+    from engine.ops.graph import degree_assortativity
+
+    # star graph: perfectly disassortative (r = -1)
+    star = pd.DataFrame({"a": [0] * 5, "b": [1, 2, 3, 4, 5]})
+    out = degree_assortativity(ray.data.from_pandas(star))
+    assert int(out["n_edges"].iloc[0]) == 5
+    assert out["assortativity"].iloc[0] == pytest.approx(-1.0,
+                                                         abs=1e-12)
+
+    # two disjoint cliques: all degrees equal within component ->
+    # zero variance -> defined 0.0 by the op's convention
+    k4a = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    out2 = degree_assortativity(
+        ray.data.from_pandas(pd.DataFrame(k4a + k4b,
+                                          columns=["a", "b"])))
+    assert out2["assortativity"].iloc[0] == pytest.approx(0.0)
+
+
+def test_common_neighbor_jaccard_hand(ray_session):
+    import ray.data
+
+    from engine.ops.graph import common_neighbor_jaccard
+
+    # path 1-2-3 plus 1-4, 3-4: non-edge (1,3) shares {2,4};
+    # non-edge (2,4) shares {1,3}
+    edges = pd.DataFrame({"a": [1, 2, 1, 3],
+                          "b": [2, 3, 4, 4]})
+    out = common_neighbor_jaccard(
+        ray.data.from_pandas(edges), k=10, num_shards=4)
+    got = {(int(r.node_b), int(r.node_c)):
+           (int(r.n_common), round(float(r.jaccard), 6))
+           for r in out.itertuples()}
+    # deg: 1->2, 2->2, 3->2, 4->2; jaccard = 2/(2+2-2) = 1.0
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
