@@ -1185,6 +1185,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["jaccard"] = out["jaccard"].round(6)
         return out[["node_b", "node_c", "n_common", "jaccard"]]
 
+    def part_k_core(sf_dir: str):
+        # dense-backbone extraction: 5-core of the 20% co-order
+        # subgraph by iterative peeling (census + broadcast filter
+        # per round). Non-SQL (data-dependent rounds); pytest
+        # self-oracle is single-process peeling.
+        def fl(t):
+            import pyarrow as pa
+
+            ok = np.asarray(t["l_orderkey"], np.int64) % 5 == 0
+            return t.filter(pa.array(ok))
+
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"]).map_batches(
+            fl, batch_format="pyarrow")
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        return graph_ops.k_core(
+            edges.map_batches(rn, batch_format="pyarrow"), k=5)
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3058,6 +3086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangle_count": part_triangle_count,
         "part_degree_assortativity": part_degree_assortativity,
         "part_link_jaccard": part_link_jaccard,
+        "part_k_core": part_k_core,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,

@@ -359,3 +359,64 @@ def common_neighbor_jaccard(
         ascending=[False, True, True]).head(k).reset_index(drop=True)
     out["n_common"] = out["n_common"].astype(np.int64)
     return out
+
+
+def k_core(
+    edges: ray.data.Dataset, k: int, max_rounds: int = 200
+) -> pd.DataFrame:
+    """k-core extraction by iterative peeling: repeatedly drop every
+    vertex with degree < k (and its edges) until a fixpoint — the
+    dense-subgraph backbone used for community seeding and spam/bot
+    pruning. Each round is one degree census (count combiner) plus a
+    broadcast filter of the shrinking edge list; rounds are data
+    -dependent but bounded by the peel depth (<= max_rounds guard).
+    The surviving-vertex set broadcasts per round — at vertex sets
+    too large to broadcast, swap the filter for the co-shard side
+    trick used by ``triangle_count``'s closure. Returns (n_rounds,
+    n_vertices, n_edges) of the k-core; pytest self-oracle is a
+    single-process peeling loop."""
+    from engine.ops.relational import sum_final
+    from engine.state import cached_get
+
+    import pyarrow as pa
+
+    def local_deg(t: "pa.Table") -> pd.DataFrame:
+        both = np.concatenate([np.asarray(t["a"], np.int64),
+                               np.asarray(t["b"], np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    cur = edges.materialize()
+    rounds = 0
+    n_edges = cur.count()
+    n_vertices = 0
+    while rounds < max_rounds and n_edges > 0:
+        deg = sum_final(
+            cur.map_batches(local_deg, batch_format="pyarrow"),
+            ["node"]).to_pandas()
+        bad = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
+        n_vertices = len(deg)
+        if len(bad) == 0:
+            break
+        keep_ref = ray.put(np.sort(
+            deg.loc[deg["deg"] >= k, "node"].to_numpy(np.int64)))
+
+        def drop(t: "pa.Table") -> "pa.Table":
+            keep = cached_get(keep_ref)
+            a = np.asarray(t["a"], np.int64)
+            b = np.asarray(t["b"], np.int64)
+            ok = (np.isin(a, keep) & np.isin(b, keep))
+            return t.filter(pa.array(ok))
+
+        cur = cur.map_batches(drop,
+                              batch_format="pyarrow").materialize()
+        n_edges = cur.count()
+        rounds += 1
+        if n_edges == 0:
+            n_vertices = 0
+    return pd.DataFrame({
+        "k": np.asarray([k], np.int64),
+        "n_rounds": np.asarray([rounds], np.int64),
+        "n_vertices": np.asarray([n_vertices], np.int64),
+        "n_edges": np.asarray([int(n_edges)], np.int64),
+    })

@@ -2482,3 +2482,36 @@ def test_common_neighbor_jaccard_hand(ray_session):
            for r in out.itertuples()}
     # deg: 1->2, 2->2, 3->2, 4->2; jaccard = 2/(2+2-2) = 1.0
     assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_k_core_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.graph import k_core
+
+    rng = np.random.default_rng(47)
+    n = 40
+    adj = np.triu(rng.random((n, n)) < 0.15, k=1)
+    ii, jj = np.nonzero(adj)
+    edf = pd.DataFrame({"a": ii.astype(np.int64),
+                        "b": jj.astype(np.int64)})
+    for k in (2, 3, 4):
+        out = k_core(ray.data.from_pandas(edf).repartition(3), k)
+
+        # single-process peel
+        ed = set(map(tuple, edf.to_numpy()))
+        while True:
+            deg = {}
+            for a, b in ed:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {v for v, d in deg.items() if d < k}
+            if not bad:
+                break
+            ed = {(a, b) for a, b in ed
+                  if a not in bad and b not in bad}
+            if not ed:
+                deg = {}
+                break
+        assert int(out["n_edges"].iloc[0]) == len(ed)
+        assert int(out["n_vertices"].iloc[0]) == len(deg)
