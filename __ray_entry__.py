@@ -1213,6 +1213,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return graph_ops.k_core(
             edges.map_batches(rn, batch_format="pyarrow"), k=5)
 
+    def user_value_ewma(sf_dir: str):
+        # monitoring decay state: per-user EWMA of event value at the
+        # last event (alpha 0.1, closed-form weight sum); SQL twin
+        # evaluates the identical POWER() weights
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id", "value"])
+        out = relational.ewma_last(
+            ev, "user_id", ["ts", "event_id"], "value",
+            alpha=0.1, num_shards=32).to_pandas()
+        out["ewma"] = out["ewma"].round(6)
+        return out.sort_values("user_id", ignore_index=True)[
+            ["user_id", "n_events", "ewma"]]
+
+    def user_value_cusum(sf_dir: str):
+        # level-shift detection: per-user max |cumsum of deviations|
+        # normalized by sigma*sqrt(m), plus the first position
+        # attaining it; SQL twin via running-sum windows
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id", "value"])
+        out = relational.cusum_changepoint(
+            ev, "user_id", ["ts", "event_id"], "value",
+            num_shards=32).to_pandas()
+        out["cusum_stat"] = out["cusum_stat"].round(6)
+        return out.sort_values("user_id", ignore_index=True)[
+            ["user_id", "n_events", "cusum_stat", "t_ix"]]
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3087,6 +3113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_degree_assortativity": part_degree_assortativity,
         "part_link_jaccard": part_link_jaccard,
         "part_k_core": part_k_core,
+        "user_value_ewma": user_value_ewma,
+        "user_value_cusum": user_value_cusum,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4384,6 +4412,51 @@ def oracle_sql() -> dict[str, str]:
                    JOIN pe e3
                      ON e3.a = e1.b AND e3.b = e2.b)
             SELECT n_edges, n_wedges, n_triangles FROM se, sw, st
+        """,
+        "user_value_ewma": """
+            WITH r AS (SELECT user_id, value,
+                    ROW_NUMBER() OVER w AS rn,
+                    COUNT(*) OVER (PARTITION BY user_id) AS m
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
+            SELECT user_id, COUNT(*) AS n_events,
+                   round(SUM(CASE WHEN rn = 1
+                             THEN value * POWER(0.9e0, m - 1)
+                             ELSE 0.1e0 * value
+                                  * POWER(0.9e0, m - rn) END), 6)
+                       AS ewma
+            FROM r GROUP BY user_id
+        """,
+        "user_value_cusum": """
+            WITH r AS (SELECT user_id, value,
+                    ROW_NUMBER() OVER w AS rn,
+                    COUNT(*) OVER (PARTITION BY user_id) AS m,
+                    AVG(value) OVER (PARTITION BY user_id) AS mu,
+                    SUM(value) OVER w AS rs,
+                    SUM(value * value)
+                        OVER (PARTITION BY user_id) AS sq
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            st AS (SELECT user_id, rn, m,
+                      CASE WHEN sqrt(GREATEST(sq / m - mu * mu, 0e0))
+                                > 0e0
+                           THEN abs(rs - rn * mu)
+                                / (sqrt(GREATEST(sq / m - mu * mu,
+                                                 0e0))
+                                   * sqrt(CAST(m AS DOUBLE)))
+                           ELSE 0e0 END AS stat
+                   FROM r),
+            sel AS (SELECT user_id, m, rn, stat,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY stat DESC, rn)
+                           AS rk
+                    FROM st)
+            SELECT user_id, CAST(m AS BIGINT) AS n_events,
+                   round(stat, 6) AS cusum_stat,
+                   CAST(rn AS BIGINT) AS t_ix
+            FROM sel WHERE rk = 1
         """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT

@@ -1865,3 +1865,122 @@ def cooccurrence(
         batch_format="pandas",
     )
     return sum_final(partials, [f"{item_key}_a", f"{item_key}_b"])
+
+
+def ewma_last(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    col: str,
+    alpha: float,
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Per-group exponentially weighted moving average, reported at
+    each group's LAST row (the monitoring decay state:
+    e_1 = v_1, e_i = alpha*v_i + (1-alpha)*e_{i-1}) — computed in
+    closed form as a weight-sum (alpha*(1-alpha)^(m-i), seed weight
+    (1-alpha)^(m-1)), one segmented vectorized pass per shard. The
+    SQL twin evaluates the identical closed form with POWER(), so no
+    sequential recursion crosses the oracle boundary."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({group_key: [], "n_events": [],
+                                 "ewma": []})
+        idx = np.arange(n, dtype=np.int64)
+        gk = g[group_key].to_numpy()
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = gk[1:] != gk[:-1]
+        s_idx = np.flatnonzero(starts)
+        sizes = np.diff(np.r_[s_idx, n])
+        gstart = np.repeat(s_idx, sizes)
+        gs = np.repeat(sizes, sizes)
+        pos = idx - gstart  # 0-based position in group
+        v = g[col].to_numpy(np.float64)
+        w = np.where(pos == 0,
+                     (1.0 - alpha) ** (gs - 1),
+                     alpha * (1.0 - alpha) ** (gs - 1 - pos))
+        contrib = v * w
+        sums = np.add.reduceat(contrib, s_idx)
+        return pd.DataFrame({
+            group_key: gk[s_idx],
+            "n_events": sizes.astype(np.int64),
+            "ewma": sums,
+        })
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )
+
+
+def cusum_changepoint(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    col: str,
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Per-group CUSUM changepoint scan: with S_t the running sum of
+    deviations from the group mean, the statistic is
+    max_t |S_t| / (sigma * sqrt(m)) (sigma = population std) and the
+    changepoint is the FIRST position attaining the max — the
+    level-shift detector of monitoring pipelines. One segmented
+    cumsum per shard; groups with sigma = 0 report (0, 1)."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({group_key: [], "n_events": [],
+                                 "cusum_stat": [], "t_ix": []})
+        idx = np.arange(n, dtype=np.int64)
+        gk = g[group_key].to_numpy()
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = gk[1:] != gk[:-1]
+        s_idx = np.flatnonzero(starts)
+        sizes = np.diff(np.r_[s_idx, n])
+        gstart = np.repeat(s_idx, sizes)
+        gs = np.repeat(sizes, sizes)
+        v = g[col].to_numpy(np.float64)
+        sums = np.add.reduceat(v, s_idx)
+        sqs = np.add.reduceat(v * v, s_idx)
+        mean = np.repeat(sums / sizes, sizes)
+        var = np.repeat(sqs / sizes, sizes) - mean * mean
+        sig = np.sqrt(np.maximum(var, 0.0))
+        dev = v - mean
+        cs = np.cumsum(dev)
+        # restart the cumsum at each group start
+        base = np.repeat(np.r_[0.0, cs[s_idx[1:] - 1]], sizes)
+        s_t = np.abs(cs - base)
+        denom = sig * np.sqrt(gs.astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stat = np.where(denom > 0, s_t / denom, 0.0)
+        # per-group argmax, first occurrence: reduceat max, then the
+        # smallest 1-based position attaining it
+        gmax = np.maximum.reduceat(stat, s_idx)
+        is_max = stat == np.repeat(gmax, sizes)
+        pos = idx - gstart + 1  # 1-based
+        big = np.where(is_max, pos, np.iinfo(np.int64).max)
+        t_ix = np.minimum.reduceat(big, s_idx)
+        return pd.DataFrame({
+            group_key: gk[s_idx],
+            "n_events": sizes.astype(np.int64),
+            "cusum_stat": gmax,
+            "t_ix": t_ix.astype(np.int64),
+        })
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )

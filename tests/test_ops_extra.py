@@ -2515,3 +2515,61 @@ def test_k_core_bruteforce(ray_session):
                 break
         assert int(out["n_edges"].iloc[0]) == len(ed)
         assert int(out["n_vertices"].iloc[0]) == len(deg)
+
+
+def test_ewma_last_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import ewma_last
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "u": np.repeat(np.arange(7), 12),
+        "t": np.tile(np.arange(12), 7),
+        "v": rng.normal(size=84) * 10,
+    })
+    a = 0.3
+    out = (ewma_last(ray.data.from_pandas(df).repartition(3),
+                     "u", ["t"], "v", alpha=a, num_shards=4)
+           .to_pandas().sort_values("u", ignore_index=True))
+    for u, sub in df.groupby("u"):
+        sub = sub.sort_values("t")
+        e = sub["v"].iloc[0]
+        for v in sub["v"].iloc[1:]:
+            e = a * v + (1 - a) * e  # sequential reference
+        row = out[out["u"] == u].iloc[0]
+        assert int(row["n_events"]) == 12
+        assert row["ewma"] == pytest.approx(e, rel=1e-9)
+
+
+def test_cusum_changepoint_planted_shift(ray_session):
+    import ray.data
+
+    from engine.ops.relational import cusum_changepoint
+
+    rng = np.random.default_rng(59)
+    # user 0: mean shifts +8 sigma at t=30 of 60 -> changepoint ~30;
+    # user 1: pure noise -> small statistic
+    v0 = np.r_[rng.normal(0, 1, 30), rng.normal(8, 1, 30)]
+    v1 = rng.normal(0, 1, 60)
+    df = pd.DataFrame({
+        "u": np.r_[np.zeros(60, int), np.ones(60, int)],
+        "t": np.tile(np.arange(60), 2),
+        "v": np.r_[v0, v1],
+    })
+    out = (cusum_changepoint(
+        ray.data.from_pandas(df).repartition(3),
+        "u", ["t"], "v", num_shards=4)
+        .to_pandas().sort_values("u", ignore_index=True))
+    r0, r1 = out.iloc[0], out.iloc[1]
+    assert r0["cusum_stat"] > 2.0  # strong shift detected
+    assert abs(int(r0["t_ix"]) - 30) <= 2
+    assert r1["cusum_stat"] < r0["cusum_stat"] / 2
+
+    # brute-force parity for the statistic on user 1
+    m = 60
+    mu = v1.mean()
+    sig = v1.std()
+    s = np.abs(np.cumsum(v1 - mu))
+    want = (s / (sig * np.sqrt(m))).max()
+    assert r1["cusum_stat"] == pytest.approx(want, rel=1e-9)
