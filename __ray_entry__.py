@@ -1771,6 +1771,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.sort_values(["gx", "gy"], ignore_index=True)
         return out[["gx", "gy", "n_tracks", "n_fixes", "entropy"]]
 
+    def geo_turning_stats(sf_dir: str):
+        # path tortuosity: per-track count/total/mean of absolute
+        # consecutive-bearing turns wrapped to (-pi, pi]; SQL twin
+        # uses the identical atan2 bearing and CASE wrap
+        out = geo_ops.turning_stats(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out["total_turn"] = out["total_turn"].round(6)
+        out["mean_abs_turn"] = out["mean_abs_turn"].round(6)
+        out = out.sort_values("track_id", ignore_index=True)
+        return out[["track_id", "n_turns", "total_turn",
+                    "mean_abs_turn"]]
+
+    def geo_cross_track(sf_dir: str):
+        # route deviation: per-track max/mean |cross-track distance|
+        # of every fix from the start->end great circle; SQL twin
+        # evaluates the same asin(sin d13 * sin(b13-b12)) formula
+        out = geo_ops.cross_track_stats(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out["max_xtd_m"] = out["max_xtd_m"].round(4)
+        out["mean_xtd_m"] = out["mean_xtd_m"].round(4)
+        out = out.sort_values("track_id", ignore_index=True)
+        return out[["track_id", "n_fixes", "max_xtd_m",
+                    "mean_xtd_m"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -3115,6 +3139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_k_core": part_k_core,
         "user_value_ewma": user_value_ewma,
         "user_value_cusum": user_value_cusum,
+        "geo_turning_stats": geo_turning_stats,
+        "geo_cross_track": geo_cross_track,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -3381,6 +3407,18 @@ def _sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"+ cos(radians({lat1})) * cos(radians({lat2})) "
         f"* pow(sin((radians({lon2}) - radians({lon1})) / 2e0), 2), "
         f"0e0), 1e0)))"
+    )
+
+
+def _sql_bearing(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """engine.ops.geo._gc_bearing (great-circle initial bearing,
+    radians), operation-for-operation."""
+    return (
+        f"atan2(sin(radians(({lon2}) - ({lon1})))"
+        f" * cos(radians({lat2})), "
+        f"cos(radians({lat1})) * sin(radians({lat2}))"
+        f" - sin(radians({lat1})) * cos(radians({lat2}))"
+        f" * cos(radians(({lon2}) - ({lon1}))))"
     )
 
 
@@ -5315,6 +5353,58 @@ def oracle_sql() -> dict[str, str]:
                    round(h.hull_area, 6) AS hull_area,
                    round(a.poly_area / h.hull_area, 6) AS convexity
             FROM garea a JOIN ghulla h USING (admin_id)
+        """,
+        "geo_turning_stats": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gb AS (SELECT track_id, seq,
+                      {_sql_bearing('plat', 'plon', 'lat', 'lon')}
+                          AS th
+                   FROM gs WHERE plon IS NOT NULL),
+            gd AS (SELECT track_id,
+                      th - LAG(th) OVER (PARTITION BY track_id
+                                         ORDER BY seq) AS dd
+                   FROM gb),
+            gw AS (SELECT track_id,
+                      CASE WHEN dd > pi() THEN dd - 2e0 * pi()
+                           WHEN dd < -pi() THEN dd + 2e0 * pi()
+                           ELSE dd END AS w
+                   FROM gd WHERE dd IS NOT NULL)
+            SELECT track_id, COUNT(*) AS n_turns,
+                   round(SUM(abs(w)), 6) AS total_turn,
+                   round(AVG(abs(w)), 6) AS mean_abs_turn
+            FROM gw GROUP BY track_id
+        """,
+        "geo_cross_track": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            ge AS (SELECT track_id,
+                      arg_min(lon, seq) AS slon,
+                      arg_min(lat, seq) AS slat,
+                      arg_max(lon, seq) AS elon,
+                      arg_max(lat, seq) AS elat
+                   FROM gt GROUP BY track_id),
+            gx AS (SELECT t.track_id,
+                      abs(asin(LEAST(GREATEST(
+                          sin({_sql_haversine('e.slat', 'e.slon',
+                                              't.lat', 't.lon')}
+                              / 6371008.8e0)
+                          * sin({_sql_bearing('e.slat', 'e.slon',
+                                              't.lat', 't.lon')}
+                                - {_sql_bearing('e.slat', 'e.slon',
+                                                'e.elat', 'e.elon')}),
+                          -1e0), 1e0)) * 6371008.8e0) AS xtd
+                   FROM gt t JOIN ge e USING (track_id))
+            SELECT track_id, COUNT(*) AS n_fixes,
+                   round(MAX(xtd), 4) AS max_xtd_m,
+                   round(AVG(xtd), 4) AS mean_xtd_m
+            FROM gx GROUP BY track_id
         """,
         "geo_resample_tracks": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -3057,3 +3057,90 @@ def polygon_convexity(
         lambda g: shard_conv(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def _gc_bearing(lon1, lat1, lon2, lat2):
+    """Great-circle initial bearing (radians), vectorized; the exact
+    float twin of the SQL atan2 expression used by the oracles."""
+    la, lb = np.deg2rad(lat1), np.deg2rad(lat2)
+    dl = np.deg2rad(lon2 - lon1)
+    return np.arctan2(
+        np.sin(dl) * np.cos(lb),
+        np.cos(la) * np.sin(lb) - np.sin(la) * np.cos(lb) * np.cos(dl))
+
+
+def turning_stats(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track turning behavior: count of interior turn vertices,
+    total absolute turning angle (radians; consecutive-bearing deltas
+    wrapped to (-pi, pi]) and the mean absolute turn — straight
+    commutes score near 0, random walks near pi/2 per vertex (the
+    path-tortuosity diagnostic complementing sinuosity). One
+    segmented vectorized pass per shard; the wrap uses the same
+    CASE logic as the SQL twin (not fmod) for float parity."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_turns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        same = tid[1:] == tid[:-1]
+        th = _gc_bearing(lon[:-1], lat[:-1], lon[1:], lat[1:])
+        # turns exist where segment i and i+1 belong to the same track
+        both = same[1:] & same[:-1]
+        dd = th[1:] - th[:-1]
+        dd = np.where(dd > np.pi, dd - 2 * np.pi, dd)
+        dd = np.where(dd < -np.pi, dd + 2 * np.pi, dd)
+        t = pd.DataFrame({"track_id": tid[1:-1][both],
+                          "a": np.abs(dd[both])})
+        agg = t.groupby("track_id", as_index=False, sort=False).agg(
+            n_turns=("a", "size"), total_turn=("a", "sum"),
+            mean_abs_turn=("a", "mean"))
+        agg["n_turns"] = agg["n_turns"].astype(np.int64)
+        return agg
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_turns(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+
+
+def cross_track_stats(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Per-track route-deviation profile: the cross-track distance of
+    every fix from the great circle through the track's FIRST and
+    LAST fixes, xtd = asin(sin(d13) * sin(b13 - b12)) * R — max and
+    mean absolute deviation in meters (how far the path strays from
+    the direct route; pairs with sinuosity, which only measures
+    length). Segmented vectorized; endpoints score 0 by identity."""
+    from engine.geo.knn import EARTH_RADIUS_M
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_xtd(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tid, sub in g.groupby("track_id", sort=False):
+            sub = sub.sort_values("seq", kind="stable")
+            lon = sub["lon"].to_numpy(np.float64)
+            lat = sub["lat"].to_numpy(np.float64)
+            d13 = knn_mod.haversine_m(
+                lon[0], lat[0], lon, lat) / EARTH_RADIUS_M
+            b13 = _gc_bearing(lon[0], lat[0], lon, lat)
+            b12 = _gc_bearing(lon[0], lat[0], lon[-1], lat[-1])
+            xtd = np.abs(np.arcsin(
+                np.clip(np.sin(d13) * np.sin(b13 - b12), -1.0, 1.0))
+                * EARTH_RADIUS_M)
+            rows.append((tid, len(sub), float(xtd.max()),
+                         float(xtd.mean())))
+        return pd.DataFrame(rows, columns=[
+            "track_id", "n_fixes", "max_xtd_m", "mean_xtd_m",
+        ]).astype({"n_fixes": np.int64})
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_xtd(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

@@ -2573,3 +2573,41 @@ def test_cusum_changepoint_planted_shift(ray_session):
     s = np.abs(np.cumsum(v1 - mu))
     want = (s / (sig * np.sqrt(m))).max()
     assert r1["cusum_stat"] == pytest.approx(want, rel=1e-9)
+
+
+def test_turning_stats_square_path(ray_session):
+    import ray.data
+
+    from engine.ops.geo import turning_stats
+
+    # equator/meridian square: three 90-degree turns
+    df = pd.DataFrame({
+        "track_id": 0, "seq": range(5),
+        "lon": [0.0, 1.0, 1.0, 0.0, 0.0],
+        "lat": [0.0, 0.0, 1.0, 1.0, 0.0],
+    })
+    out = turning_stats(ray.data.from_pandas(df),
+                        num_shards=2).to_pandas()
+    assert int(out["n_turns"].iloc[0]) == 3
+    # turns are ~90 deg (slight sphericity skew at 1-deg scale)
+    assert out["total_turn"].iloc[0] == pytest.approx(
+        3 * np.pi / 2, rel=0.02)
+
+
+def test_cross_track_straight_and_detour(ray_session):
+    import ray.data
+
+    from engine.ops.geo import cross_track_stats
+
+    # track 0: straight along the equator -> xtd == 0 everywhere;
+    # track 1: detour 1 deg north at the midpoint -> max ~111 km
+    df = pd.DataFrame({
+        "track_id": [0] * 3 + [1] * 3,
+        "seq": [0, 1, 2] * 2,
+        "lon": [0.0, 1.0, 2.0, 0.0, 1.0, 2.0],
+        "lat": [0.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+    })
+    out = (cross_track_stats(ray.data.from_pandas(df), num_shards=2)
+           .to_pandas().sort_values("track_id", ignore_index=True))
+    assert out["max_xtd_m"].iloc[0] == pytest.approx(0.0, abs=1e-6)
+    assert out["max_xtd_m"].iloc[1] == pytest.approx(111195, rel=0.01)
