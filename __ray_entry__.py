@@ -2204,6 +2204,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["explained_var"] = out["explained_var"].round(6)
         return out
 
+    def image_sharpness(sf_dir: str):
+        # focus scoring (variance of luminance Laplacian) in the
+        # decode actor pool. Non-SQL (pixels opaque); pytest
+        # self-oracle plants a blurred copy that must score lower.
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+        out = multimodal.image_sharpness(
+            ds, concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "sharpness"]]
+
+    def image_patches(sf_dir: str):
+        # ViT-style patch extraction (8x8 tiles, remainder cropped):
+        # per-image patch count + encoded payload bytes. Non-SQL;
+        # pytest verifies grid counts and byte-exact reconstruction.
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+        patches = multimodal.patchify_images(
+            ds, patch=8, concurrency=(1, 4))
+
+        def pc(t):
+            import pyarrow as pa
+
+            df = pd.DataFrame({
+                "image_id": np.asarray(t["image_id"]).astype(object),
+                "nb": [len(b) for b in t["bytes"].to_pylist()],
+            })
+            agg = df.groupby("image_id", as_index=False).agg(
+                n_patches=("nb", "size"), sum_bytes=("nb", "sum"))
+            agg["n_patches"] = agg["n_patches"].astype(np.int64)
+            agg["sum_bytes"] = agg["sum_bytes"].astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        out = relational.sum_final(
+            patches.map_batches(pc, batch_format="pyarrow"),
+            ["image_id"]).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "n_patches", "sum_bytes"]]
+
+    def image_norm_moments(sf_dir: str):
+        # per-channel corpus mean/std normalization constants (exact
+        # moment combiner). Non-SQL; pytest exact vs direct decode.
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+        out = multimodal.pixel_moments(ds, concurrency=(1, 4))
+        out["mean"] = out["mean"].round(6)
+        out["std"] = out["std"].round(6)
+        return out
+
     def image_augment(sf_dir: str):
         # deterministic augmentation: hash(image_id)-seeded hflip /
         # rot90 / center-crop, re-encoded; exactness pytest-oracled
@@ -3125,6 +3180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bearing_rose": geo_bearing_rose,
         "geo_track_self_x": geo_track_self_x,
         "image_pixel_histogram": image_pixel_histogram,
+        "image_sharpness": image_sharpness,
+        "image_patches": image_patches,
+        "image_norm_moments": image_norm_moments,
         "embedding_pca_components": embedding_pca_components,
         "geo_line_density": geo_line_density,
         "geo_enclosing_circles": geo_enclosing_circles,

@@ -286,3 +286,134 @@ def pixel_histogram(ds: ray.data.Dataset, bins: int = 16, *,
         concurrency=concurrency, num_cpus=1,
     )
     return sum_final(partials, ["channel", "bin"])
+
+
+class Sharpness:
+    """Per-image focus score: variance of the 4-neighbor Laplacian of
+    the luminance plane — the standard cheap blur detector used to
+    drop out-of-focus frames from image training corpora. Decode in
+    the actor pool; one vectorized conv-free Laplacian per image."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scores = []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt).astype(np.float64)
+            lum = px.mean(axis=2)
+            lap = (-4.0 * lum[1:-1, 1:-1]
+                   + lum[:-2, 1:-1] + lum[2:, 1:-1]
+                   + lum[1:-1, :-2] + lum[1:-1, 2:])
+            scores.append(float(lap.var()) if lap.size else 0.0)
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        return out.append_column(
+            "sharpness",
+            pa.array(np.round(scores, 6), pa.float64()))
+
+
+def image_sharpness(ds: ray.data.Dataset, *, batch_size: int = 512,
+                    concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        Sharpness, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+class Patchify:
+    """ViT-style patch extraction: decode, split into non-overlapping
+    ``patch`` x ``patch`` tiles from the top-left grid (remainder
+    cropped, the standard convention), re-encode each tile — the
+    image-side analog of text chunking. One row per patch with its
+    grid coordinates, so shard layouts stay resumable/joinable."""
+
+    def __init__(self, patch: int = 8, out_fmt: str = "raw16"):
+        self.patch = patch
+        self.out_fmt = out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine import codec
+
+        p = self.patch
+        ids, pix, pxs, pys, datas = [], [], [], [], []
+        for img_id, data, fmt in zip(batch["image_id"].to_pylist(),
+                                     batch["bytes"].to_pylist(),
+                                     batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            ny, nx = px.shape[0] // p, px.shape[1] // p
+            k = 0
+            for gy in range(ny):
+                for gx in range(nx):
+                    tile = px[gy * p:(gy + 1) * p,
+                              gx * p:(gx + 1) * p]
+                    ids.append(img_id)
+                    pix.append(k)
+                    pxs.append(gx)
+                    pys.append(gy)
+                    datas.append(codec.encode(
+                        np.ascontiguousarray(tile), self.out_fmt))
+                    k += 1
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "patch_ix": pa.array(pix, pa.int64()),
+            "px": pa.array(pxs, pa.int64()),
+            "py": pa.array(pys, pa.int64()),
+            "fmt": pa.array([self.out_fmt] * len(ids), pa.string()),
+            "bytes": pa.array(datas, pa.binary()),
+        })
+
+
+def patchify_images(ds: ray.data.Dataset, patch: int = 8, *,
+                    batch_size: int = 256,
+                    concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        Patchify, fn_constructor_kwargs={"patch": patch},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def pixel_moments(ds: ray.data.Dataset, *, batch_size: int = 512,
+                  concurrency=(1, 8)) -> "pd.DataFrame":
+    """Corpus per-channel pixel mean/std (population) — THE
+    normalization constants a training pipeline bakes into its
+    preprocessing. One (channel -> n, sum, sumsq) moment partial per
+    batch; exact."""
+    import pandas as pd
+
+    from engine.ops.relational import sum_final
+
+    class Moments:
+        def __init__(self):
+            self.native = _NATIVE
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            acc = np.zeros((3, 3), np.float64)  # n, sum, sumsq
+            for data, fmt in zip(batch["bytes"].to_pylist(),
+                                 batch["fmt"].to_pylist()):
+                px = _decode_or_raise(data, fmt).astype(np.float64)
+                for c in range(3):
+                    v = px[:, :, c]
+                    acc[c] += (v.size, v.sum(), (v * v).sum())
+            return pa.table({
+                "channel": pa.array(np.arange(3), pa.int64()),
+                "n": pa.array(acc[:, 0], pa.float64()),
+                "s": pa.array(acc[:, 1], pa.float64()),
+                "ss": pa.array(acc[:, 2], pa.float64()),
+            })
+
+    tot = sum_final(
+        ds.map_batches(
+            Moments, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1),
+        ["channel"]).to_pandas()
+    mean = tot["s"] / tot["n"]
+    var = tot["ss"] / tot["n"] - mean * mean
+    return pd.DataFrame({
+        "channel": tot["channel"].astype(np.int64),
+        "n_pixels": tot["n"].astype(np.int64),
+        "mean": mean.astype(np.float64),
+        "std": np.sqrt(np.maximum(var, 0.0)).astype(np.float64),
+    })

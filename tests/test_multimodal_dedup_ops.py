@@ -272,3 +272,91 @@ def test_embedding_pca_matches_numpy(ray_session):
     assert np.allclose(
         out["explained_var"], evals[:5] / evals.sum(), rtol=1e-9)
     assert (np.diff(out["eigval"]) <= 0).all()
+
+
+def test_image_sharpness_blur_ordering(ray_session):
+    import ray.data
+
+    from engine import codec
+    from engine.ops.multimodal import image_sharpness
+
+    rng = np.random.default_rng(61)
+    sharp = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    # 3x3 box blur (manual, valid region padded by edge replication)
+    f = sharp.astype(np.float64)
+    pad = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    blur = np.zeros_like(f)
+    for dy in range(3):
+        for dx in range(3):
+            blur += pad[dy:dy + 16, dx:dx + 16]
+    blur = (blur / 9.0).astype(np.uint8)
+    df = pd.DataFrame({
+        "image_id": ["sharp", "blur"],
+        "bytes": [codec.encode(sharp, "raw16"),
+                  codec.encode(blur, "raw16")],
+        "fmt": "raw16",
+    })
+    out = (image_sharpness(ray.data.from_pandas(df),
+                           concurrency=(1, 2))
+           .to_pandas().set_index("image_id")["sharpness"])
+    assert out["sharp"] > out["blur"] * 2
+
+    # exact value check against a direct Laplacian
+    dec = codec.decode(codec.encode(sharp, "raw16"), "raw16")
+    lum = dec.astype(np.float64).mean(axis=2)
+    lap = (-4 * lum[1:-1, 1:-1] + lum[:-2, 1:-1] + lum[2:, 1:-1]
+           + lum[1:-1, :-2] + lum[1:-1, 2:])
+    assert out["sharp"] == pytest.approx(round(lap.var(), 6))
+
+
+def test_patchify_grid_and_roundtrip(ray_session):
+    import ray.data
+
+    from engine import codec
+    from engine.ops.multimodal import patchify_images
+
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, (20, 27, 3), dtype=np.uint8)
+    df = pd.DataFrame({
+        "image_id": ["im0"],
+        "bytes": [codec.encode(img, "raw16")],
+        "fmt": "raw16",
+    })
+    out = (patchify_images(ray.data.from_pandas(df), patch=8,
+                           concurrency=(1, 2))
+           .to_pandas().sort_values("patch_ix", ignore_index=True))
+    dec = codec.decode(codec.encode(img, "raw16"), "raw16")
+    assert len(out) == (20 // 8) * (27 // 8)  # 2 x 3 grid
+    for r in out.itertuples():
+        tile = codec.decode(r.bytes, "raw16")
+        want = dec[r.py * 8:(r.py + 1) * 8, r.px * 8:(r.px + 1) * 8]
+        rt = codec.decode(codec.encode(
+            np.ascontiguousarray(want), "raw16"), "raw16")
+        assert (tile == rt).all()
+
+
+def test_pixel_moments_exact(ray_session):
+    import ray.data
+
+    from engine import codec
+    from engine.ops.multimodal import pixel_moments
+
+    rng = np.random.default_rng(71)
+    imgs = [rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+            for _ in range(9)]
+    df = pd.DataFrame({
+        "image_id": [f"i{k}" for k in range(9)],
+        "bytes": [codec.encode(px, "raw16") for px in imgs],
+        "fmt": "raw16",
+    })
+    out = pixel_moments(ray.data.from_pandas(df).repartition(3),
+                        concurrency=(1, 2))
+    dec = [codec.decode(codec.encode(px, "raw16"), "raw16")
+           for px in imgs]
+    for c in range(3):
+        allpx = np.concatenate(
+            [d[:, :, c].ravel() for d in dec]).astype(np.float64)
+        row = out[out["channel"] == c].iloc[0]
+        assert int(row["n_pixels"]) == allpx.size
+        assert row["mean"] == pytest.approx(allpx.mean(), rel=1e-12)
+        assert row["std"] == pytest.approx(allpx.std(), rel=1e-9)
