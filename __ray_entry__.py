@@ -2259,6 +2259,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["std"] = out["std"].round(6)
         return out
 
+    def image_patch_dup_pairs(sf_dir: str):
+        # partial-duplicate image detection: pairs sharing byte-exact
+        # 8x8 patches — the planted exact dups (i%100==7) surface
+        # with full patch overlap. Non-SQL; pytest plants a shared
+        # sub-block crop.
+        from engine.io import read_images
+        from engine.ops import dedup as dedup_ops
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+        patches = multimodal.patchify_images(
+            ds, patch=8, concurrency=(1, 4))
+        out = dedup_ops.patch_hash_pairs(
+            patches, num_shards=16).to_pandas()
+        out = out.sort_values(["image_id_a", "image_id_b"],
+                              ignore_index=True)
+        return out[["image_id_a", "image_id_b", "n_shared"]]
+
     def image_augment(sf_dir: str):
         # deterministic augmentation: hash(image_id)-seeded hflip /
         # rot90 / center-crop, re-encoded; exactness pytest-oracled
@@ -3183,6 +3201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_sharpness": image_sharpness,
         "image_patches": image_patches,
         "image_norm_moments": image_norm_moments,
+        "image_patch_dup_pairs": image_patch_dup_pairs,
         "embedding_pca_components": embedding_pca_components,
         "geo_line_density": geo_line_density,
         "geo_enclosing_circles": geo_enclosing_circles,

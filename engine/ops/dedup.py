@@ -907,3 +907,57 @@ def incremental_dedup(
         return pd.concat(keep_parts, ignore_index=True).drop(columns="__bucket")
 
     return fp.map_batches(probe_and_append, batch_format="pandas")
+
+
+def patch_hash_pairs(
+    patches: ray.data.Dataset,
+    num_shards: int = 64,
+    max_group: int = 64,
+) -> ray.data.Dataset:
+    """Partial-duplicate IMAGE detection: images sharing byte-exact
+    encoded patches (from ``multimodal.patchify_images``) — catches
+    crops, borders, and composites that whole-image hashing misses
+    (the pixel analog of cross-doc n-gram span dedup). Per batch,
+    patches hash (blake2b-64) and dedupe to distinct (hash, image)
+    rows; one co-shard groupby(hash-shard) emits cross-image pair
+    partials; ``sum_final`` counts shared patches per pair. Hash
+    groups larger than ``max_group`` images are skipped (the
+    stop-bucket rule: flat/boilerplate tiles match everything and
+    explode quadratically)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from engine.ops.relational import _sharded_by_key, sum_final
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        hs = [int.from_bytes(
+            hashlib.blake2b(b, digest_size=8).digest(), "big")
+            >> 1  # keep int64-positive
+            for b in t["bytes"].to_pylist()]
+        out = pd.DataFrame({
+            "h": np.asarray(hs, np.int64),
+            "image_id": np.asarray(t["image_id"]).astype(object),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    hp = patches.map_batches(hash_rows, batch_format="pyarrow")
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["h", "image_id"]].drop_duplicates()
+        sizes = d.groupby("h")["image_id"].transform("size")
+        d = d[(sizes > 1) & (sizes <= max_group)]
+        m = d.merge(d, on="h", suffixes=("_a", "_b"))
+        m = m[m["image_id_a"] < m["image_id_b"]]
+        agg = m.groupby(["image_id_a", "image_id_b"],
+                        as_index=False, sort=False).size()
+        agg = agg.rename(columns={"size": "n_shared"})
+        agg["n_shared"] = agg["n_shared"].astype(np.int64)
+        return agg
+
+    sharded = _sharded_by_key(hp, "h", num_shards)
+    partials = sharded.groupby("__shard").map_groups(
+        lambda g: shard_pairs(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )
+    return sum_final(partials, ["image_id_a", "image_id_b"])

@@ -360,3 +360,30 @@ def test_pixel_moments_exact(ray_session):
         assert int(row["n_pixels"]) == allpx.size
         assert row["mean"] == pytest.approx(allpx.mean(), rel=1e-12)
         assert row["std"] == pytest.approx(allpx.std(), rel=1e-9)
+
+
+def test_patch_hash_pairs_planted_crop(ray_session):
+    import ray.data
+
+    from engine import codec
+    from engine.ops.dedup import patch_hash_pairs
+    from engine.ops.multimodal import patchify_images
+
+    rng = np.random.default_rng(73)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    # imgB embeds base's top-left 16x16 block at ITS top-left, so
+    # 4 aligned 8x8 patches are byte-identical; imgC is unrelated
+    b = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    b[:16, :16] = base[:16, :16]
+    c = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    df = pd.DataFrame({
+        "image_id": ["A", "B", "C"],
+        "bytes": [codec.encode(x, "raw16") for x in (base, b, c)],
+        "fmt": "raw16",
+    })
+    patches = patchify_images(
+        ray.data.from_pandas(df), patch=8, concurrency=(1, 2))
+    out = patch_hash_pairs(patches, num_shards=4).to_pandas()
+    got = {(r.image_id_a, r.image_id_b): int(r.n_shared)
+           for r in out.itertuples()}
+    assert got == {("A", "B"): 4}
