@@ -1795,6 +1795,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["track_id", "n_fixes", "max_xtd_m",
                     "mean_xtd_m"]]
 
+    def geo_coverage_fraction(sf_dir: str):
+        # per-admin survey completeness: fraction of inside-center
+        # 0.5-deg cells containing >= 1 image; SQL twin reuses the
+        # ray-casting PIP CTE over the cell-center lattice
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.coverage_fraction(idx, fixtures.polygons())
+        out["coverage"] = out["coverage"].round(6)
+        return out[["admin_id", "level", "n_cells", "n_covered",
+                    "coverage"]]
+
+    def balanced_sample_events(sf_dir: str):
+        # class-balanced downsampling: at most 50 events per type by
+        # the deterministic splitmix64 hash order (same sample on any
+        # cluster shape); SQL twin uses ROW_NUMBER over the identical
+        # hash expression
+        from engine.ops.sketch import _hash64
+
+        ev = sf_table(sf_dir, "events",
+                      ["event_id", "user_id", "event_type"])
+
+        def add_u(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__u"] = _hash64(b["event_id"].to_numpy())
+            return b
+
+        out = relational.grouped_topk(
+            ev.map_batches(add_u, batch_format="pandas"),
+            "event_type", "__u", k=50, tie_col="event_id",
+            rank_as=None, ascending=True,
+        ).to_pandas()
+        out = out.sort_values(["event_type", "event_id"],
+                              ignore_index=True)
+        return out[["event_type", "event_id", "user_id"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -3218,6 +3252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_cusum": user_value_cusum,
         "geo_turning_stats": geo_turning_stats,
         "geo_cross_track": geo_cross_track,
+        "geo_coverage_fraction": geo_coverage_fraction,
+        "balanced_sample_events": balanced_sample_events,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -5430,6 +5466,49 @@ def oracle_sql() -> dict[str, str]:
                    round(h.hull_area, 6) AS hull_area,
                    round(a.poly_area / h.hull_area, 6) AS convexity
             FROM garea a JOIN ghulla h USING (admin_id)
+        """,
+        "geo_coverage_fraction": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gocc AS (SELECT DISTINCT
+                        CAST(floor((lon - -12e0) / 0.5e0) AS BIGINT)
+                            AS gx,
+                        CAST(floor((lat - 35e0) / 0.5e0) AS BIGINT)
+                            AS gy
+                     FROM gll
+                     WHERE lon >= -12e0 AND lon < 12e0
+                       AND lat >= 35e0 AND lat < 47e0),
+            gpts AS (SELECT 'c' || CAST(x.range * 24 + y.range
+                                        AS VARCHAR) AS image_id,
+                        -12e0 + (x.range + 0.5e0) * 0.5e0 AS lon,
+                        35e0 + (y.range + 0.5e0) * 0.5e0 AS lat,
+                        CAST(x.range AS BIGINT) AS gx,
+                        CAST(y.range AS BIGINT) AS gy
+                     FROM range(48) x CROSS JOIN range(24) y),
+            {_SQL_GEO_PIP},
+            gcov AS (SELECT h.admin_id,
+                        CAST(h.level AS BIGINT) AS level,
+                        CASE WHEN o.gx IS NULL THEN 0 ELSE 1 END
+                            AS cov
+                     FROM ghits h
+                     JOIN gpts p USING (image_id)
+                     LEFT JOIN gocc o
+                       ON o.gx = p.gx AND o.gy = p.gy)
+            SELECT admin_id, level, COUNT(*) AS n_cells,
+                   CAST(SUM(cov) AS BIGINT) AS n_covered,
+                   round(CAST(SUM(cov) AS DOUBLE) / COUNT(*), 6)
+                       AS coverage
+            FROM gcov GROUP BY admin_id, level
+        """,
+        "balanced_sample_events": f"""
+            SELECT event_type, event_id, user_id FROM (
+                SELECT event_type, event_id, user_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST({_sql_splitmix64("event_id")}
+                                         AS UBIGINT), event_id)
+                           AS rk
+                FROM events) t
+            WHERE rk <= 50
         """,
         "geo_turning_stats": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -3144,3 +3144,60 @@ def cross_track_stats(
         lambda g: shard_xtd(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def coverage_fraction(
+    indexed: ray.data.Dataset, poly: dict,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 48, ny: int = 24,
+    cell_deg: float = 0.5,
+) -> pd.DataFrame:
+    """Per-admin-polygon survey coverage: of the grid cells whose
+    CENTER lies inside the polygon, the fraction that contain at
+    least one image — the per-area completeness metric behind the
+    reference's coverage reporting [PK], here as an exact grid
+    statistic. The distributed stage is the cell-occupancy combiner
+    (one partial row per nonempty cell per block); cell centers x
+    polygons is the documented small side (|grid| x |admins| on the
+    driver)."""
+    from engine.ops.relational import sum_final
+    from engine.pipeline.join import build_polygon_set
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        flat = gx[ok] * ny + gy[ok]
+        cnt = np.bincount(flat, minlength=nx * ny)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    occ = sum_final(
+        indexed.map_batches(cells, batch_format="pyarrow"),
+        ["cell"]).to_pandas()
+    occupied = np.zeros(nx * ny, bool)
+    occupied[occ["cell"].to_numpy(np.int64)] = True
+
+    polys = build_polygon_set(poly)
+    cx = lon0 + (np.arange(nx) + 0.5) * cell_deg
+    cy = lat0 + (np.arange(ny) + 0.5) * cell_deg
+    px = np.repeat(cx, ny)
+    py = np.tile(cy, nx)
+    p_idx, g_idx = polys.contains_pairs(px, py)
+    rows = []
+    for gi in np.unique(g_idx):
+        inside = p_idx[g_idx == gi]
+        cov = occupied[inside]
+        rows.append((str(polys.admin_ids[gi]),
+                     int(polys.levels[gi]), len(inside),
+                     int(cov.sum()),
+                     float(cov.sum()) / len(inside)))
+    out = pd.DataFrame(rows, columns=[
+        "admin_id", "level", "n_cells", "n_covered", "coverage"])
+    out["level"] = out["level"].astype(np.int64)
+    out["n_cells"] = out["n_cells"].astype(np.int64)
+    out["n_covered"] = out["n_covered"].astype(np.int64)
+    return out.sort_values("admin_id", ignore_index=True)

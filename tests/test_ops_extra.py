@@ -2611,3 +2611,30 @@ def test_cross_track_straight_and_detour(ray_session):
            .to_pandas().sort_values("track_id", ignore_index=True))
     assert out["max_xtd_m"].iloc[0] == pytest.approx(0.0, abs=1e-6)
     assert out["max_xtd_m"].iloc[1] == pytest.approx(111195, rel=0.01)
+
+
+def test_coverage_fraction_hand(ray_session):
+    import ray.data
+
+    from engine.ops.geo import coverage_fraction
+
+    # one 2x2-deg square polygon on a 1-deg grid (4 inside centers);
+    # images occupy only the lower-left cell
+    fence = {
+        "admin_id": np.array(["SQ"]),
+        "level": np.array([1]),
+        "ring_lon": [np.array([0.0, 2.0, 2.0, 0.0])],
+        "ring_lat": [np.array([0.0, 0.0, 2.0, 2.0])],
+        "holes": [[]],
+    }
+    df = pd.DataFrame({
+        "image_id": ["a", "b"],
+        "lon": [0.3, 0.6], "lat": [0.4, 0.2],
+    })
+    out = coverage_fraction(
+        ray.data.from_pandas(df).repartition(2), fence,
+        lon0=0.0, lat0=0.0, nx=4, ny=4, cell_deg=1.0)
+    row = out.iloc[0]
+    assert int(row["n_cells"]) == 4
+    assert int(row["n_covered"]) == 1
+    assert row["coverage"] == pytest.approx(0.25)
