@@ -1829,6 +1829,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return out[["event_type", "event_id", "user_id"]]
 
+    def geo_st_pairs(sf_dir: str):
+        # same-place-same-time co-occurrence: pairs within 50 km AND
+        # 100 seq units (grid-halo owner rule, temporal mask in the
+        # same pass); SQL twin is the all-pairs filtered cross join
+        pts = _geo_tracked().map_batches(
+            lambda t: t.select(["seq", "lon", "lat"]).rename_columns(
+                ["node", "lon", "lat"]),
+            batch_format="pyarrow")
+        out = geo_ops.spatiotemporal_pairs(
+            pts, radius_m=50e3, max_dt=100,
+            max_abs_lat=50.0).to_pandas()
+        out["dist_m"] = out["dist_m"].round(4)
+        out = out.sort_values(["node_a", "node_b"],
+                              ignore_index=True)
+        return out[["node_a", "node_b", "dist_m"]]
+
+    def geo_dead_reckoning(sf_dir: str):
+        # constant-velocity baseline: per-track mean/max haversine
+        # error of predicting each fix from the previous two; SQL
+        # twin uses double LAG and the same extrapolation
+        out = geo_ops.dead_reckoning_error(
+            _geo_tracked(), num_shards=16).to_pandas()
+        out["mean_err_m"] = out["mean_err_m"].round(4)
+        out["max_err_m"] = out["max_err_m"].round(4)
+        out = out.sort_values("track_id", ignore_index=True)
+        return out[["track_id", "n_preds", "mean_err_m",
+                    "max_err_m"]]
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -3254,6 +3282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_cross_track": geo_cross_track,
         "geo_coverage_fraction": geo_coverage_fraction,
         "balanced_sample_events": balanced_sample_events,
+        "geo_st_pairs": geo_st_pairs,
+        "geo_dead_reckoning": geo_dead_reckoning,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -5509,6 +5539,39 @@ def oracle_sql() -> dict[str, str]:
                            AS rk
                 FROM events) t
             WHERE rk <= 50
+        """,
+        "geo_st_pairs": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gp AS (SELECT i AS node, lon, lat FROM gll),
+            gd AS (SELECT a.node AS node_a, b.node AS node_b,
+                      {_sql_haversine('a.lat', 'a.lon',
+                                      'b.lat', 'b.lon')} AS d
+                   FROM gp a JOIN gp b
+                     ON b.node > a.node
+                    AND abs(b.node - a.node) <= 100)
+            SELECT node_a, node_b, round(d, 4) AS dist_m
+            FROM gd WHERE d <= 50000e0
+        """,
+        "geo_dead_reckoning": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon, 1) OVER w AS l1, LAG(lat, 1) OVER w
+                          AS b1,
+                      LAG(lon, 2) OVER w AS l2, LAG(lat, 2) OVER w
+                          AS b2
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            ge AS (SELECT track_id,
+                      {_sql_haversine('2e0 * b1 - b2',
+                                      '2e0 * l1 - l2',
+                                      'lat', 'lon')} AS e
+                   FROM gs WHERE l2 IS NOT NULL)
+            SELECT track_id, COUNT(*) AS n_preds,
+                   round(AVG(e), 4) AS mean_err_m,
+                   round(MAX(e), 4) AS max_err_m
+            FROM ge GROUP BY track_id
         """,
         "geo_turning_stats": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -3201,3 +3201,106 @@ def coverage_fraction(
     out["n_cells"] = out["n_cells"].astype(np.int64)
     out["n_covered"] = out["n_covered"].astype(np.int64)
     return out.sort_values("admin_id", ignore_index=True)
+
+
+def spatiotemporal_pairs(
+    points: ray.data.Dataset,
+    radius_m: float,
+    max_dt: int,
+    *,
+    max_abs_lat: float = 80.0,
+) -> ray.data.Dataset:
+    """Spatio-TEMPORAL co-occurrence join: all pairs of points within
+    ``radius_m`` meters AND within ``max_dt`` of each other on the
+    ``seq`` clock — the same-place-same-time primitive behind contact
+    tracing, photo-session detection, and convoy mining. Same
+    grid-halo owner rule as ``ripley_k`` (pair counted at the smaller
+    node's home cell), with the temporal predicate applied inside the
+    same vectorized mask — no second shuffle for the time axis."""
+    from engine.geo.knn import haversine_m
+
+    if max_abs_lat >= 89.0:
+        raise ValueError("grid cover needs max_abs_lat < 89")
+    cos_w = float(np.cos(np.deg2rad(max_abs_lat)))
+    cd = radius_m / (110_000.0 * cos_w)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        lat = b["lat"].to_numpy(np.float64)
+        if len(lat) and float(np.abs(lat).max()) > max_abs_lat:
+            raise ValueError("|lat| > max_abs_lat")
+        lon = b["lon"].to_numpy(np.float64)
+        cx = np.floor(lon / cd).astype(np.int64)
+        cy = np.floor(lat / cd).astype(np.int64)
+        n = len(b)
+        off = np.array([-1, 0, 1], np.int64)
+        ox = np.repeat(np.tile(off, 3), n)
+        oy = np.repeat(np.repeat(off, 3), n)
+        return pd.DataFrame({
+            "cell": ((np.tile(cx, 9) + ox) * 4_294_967_296
+                     + (np.tile(cy, 9) + oy) + 2_147_483_648),
+            "node": np.tile(b["node"].to_numpy(np.int64), 9),
+            "lon": np.tile(lon, 9), "lat": np.tile(lat, 9),
+            "real": (ox == 0) & (oy == 0),
+        })
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["real"]]
+        if len(real) == 0:
+            return pd.DataFrame({
+                "node_a": np.empty(0, np.int64),
+                "node_b": np.empty(0, np.int64),
+                "dist_m": np.empty(0, np.float64)})
+        na = real["node"].to_numpy(np.int64)
+        nb = g["node"].to_numpy(np.int64)
+        d = haversine_m(
+            real["lon"].to_numpy()[:, None],
+            real["lat"].to_numpy()[:, None],
+            g["lon"].to_numpy()[None, :],
+            g["lat"].to_numpy()[None, :])
+        m = ((nb[None, :] > na[:, None])
+             & (d <= radius_m)
+             & (np.abs(nb[None, :] - na[:, None]) <= max_dt))
+        ii, jj = np.nonzero(m)
+        return pd.DataFrame({
+            "node_a": na[ii], "node_b": nb[jj],
+            "dist_m": d[ii, jj],
+        })
+
+    exploded = points.map_batches(explode, batch_format="pandas")
+    return exploded.groupby("cell").map_groups(
+        group_pairs, batch_format="pandas")
+
+
+def dead_reckoning_error(
+    points: ray.data.Dataset, num_shards: int = 64
+) -> ray.data.Dataset:
+    """Trajectory-model baseline: predict each fix as the previous
+    fix plus its last displacement (constant-velocity dead reckoning
+    in planar degrees) and report the per-track mean/max haversine
+    prediction error — the floor any learned next-location model must
+    beat. Segmented vectorized; tracks need >= 3 fixes."""
+    from engine.ops.relational import _sharded_by_key
+
+    def shard_dr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["track_id", "seq"], kind="stable")
+        lon = g["lon"].to_numpy(np.float64)
+        lat = g["lat"].to_numpy(np.float64)
+        tid = g["track_id"].to_numpy()
+        same = tid[1:] == tid[:-1]
+        ok = same[1:] & same[:-1]  # fix i-1, i, i+1 in one track
+        plon = 2.0 * lon[1:-1][ok] - lon[:-2][ok]
+        plat = 2.0 * lat[1:-1][ok] - lat[:-2][ok]
+        err = knn_mod.haversine_m(
+            plon, plat, lon[2:][ok], lat[2:][ok])
+        t = pd.DataFrame({"track_id": tid[1:-1][ok], "e": err})
+        agg = t.groupby("track_id", as_index=False, sort=False).agg(
+            n_preds=("e", "size"), mean_err_m=("e", "mean"),
+            max_err_m=("e", "max"))
+        agg["n_preds"] = agg["n_preds"].astype(np.int64)
+        return agg
+
+    sharded = _sharded_by_key(points, "track_id", num_shards)
+    return sharded.groupby("__shard").map_groups(
+        lambda g: shard_dr(g.drop(columns="__shard")),
+        batch_format="pandas",
+    )

@@ -2638,3 +2638,50 @@ def test_coverage_fraction_hand(ray_session):
     assert int(row["n_cells"]) == 4
     assert int(row["n_covered"]) == 1
     assert row["coverage"] == pytest.approx(0.25)
+
+
+def test_spatiotemporal_pairs_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import spatiotemporal_pairs
+
+    rng = np.random.default_rng(79)
+    n = 80
+    df = pd.DataFrame({
+        "node": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(0, 2, n),
+        "lat": rng.uniform(40, 42, n),
+    })
+    r, dt = 60e3, 20
+    out = spatiotemporal_pairs(
+        ray.data.from_pandas(df).repartition(3), r, dt,
+        max_abs_lat=50.0).to_pandas()
+    got = {(int(a), int(b)) for a, b in
+           zip(out["node_a"], out["node_b"])}
+    d = haversine_m(
+        df["lon"].to_numpy()[:, None], df["lat"].to_numpy()[:, None],
+        df["lon"].to_numpy()[None, :], df["lat"].to_numpy()[None, :])
+    want = {(i, j) for i in range(n) for j in range(i + 1, n)
+            if d[i, j] <= r and j - i <= dt}
+    assert got == want
+
+
+def test_dead_reckoning_straight_line_zero_error(ray_session):
+    import ray.data
+
+    from engine.ops.geo import dead_reckoning_error
+
+    # constant-velocity track -> ~zero error; a kinked track errs
+    df = pd.DataFrame({
+        "track_id": [0] * 5 + [1] * 4,
+        "seq": list(range(5)) + list(range(4)),
+        "lon": [0.0, 0.1, 0.2, 0.3, 0.4, 0.0, 0.1, 0.1, 0.3],
+        "lat": 0.0,
+    })
+    out = (dead_reckoning_error(
+        ray.data.from_pandas(df), num_shards=2)
+        .to_pandas().sort_values("track_id", ignore_index=True))
+    assert int(out["n_preds"].iloc[0]) == 3
+    assert out["max_err_m"].iloc[0] == pytest.approx(0.0, abs=1e-6)
+    assert out["max_err_m"].iloc[1] > 10000  # the kink
