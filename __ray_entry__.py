@@ -1239,6 +1239,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("user_id", ignore_index=True)[
             ["user_id", "n_events", "cusum_stat", "t_ix"]]
 
+    def docs_sentence_stats(sf_dir: str):
+        # doc-structure features: sentence count, token count, mean
+        # tokens per sentence; SQL twin via list_filter over the
+        # identical [.!?]+ / [^a-z]+ splits
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        out = text.sentence_stats(docs).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
+    def geom_harmonic_price_by_status(sf_dir: str):
+        # multiplicative-domain aggregates: per-status geometric and
+        # harmonic mean of order price via (sum ln, sum 1/x, n)
+        # combiner partials — the log-domain twin of AVG; SQL twin
+        # uses exp(AVG(ln)) and COUNT/SUM(1/x)
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderstatus", "o_totalprice"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            v = b["o_totalprice"].to_numpy(np.float64)
+            b["__ln"] = np.log(v)
+            b["__inv"] = 1.0 / v
+            return b[["o_orderstatus", "__ln", "__inv"]]
+
+        tot = relational.partial_groupby_sum(
+            o.map_batches(prep, batch_format="pandas"),
+            ["o_orderstatus"],
+            {"__ln": "s_ln", "__inv": "s_inv"}, count_as="n",
+        ).to_pandas()
+        tot["geom_mean"] = np.exp(
+            tot["s_ln"] / tot["n"]).round(4)
+        tot["harm_mean"] = (tot["n"] / tot["s_inv"]).round(4)
+        tot["n"] = tot["n"].astype(np.int64)
+        out = tot.sort_values("o_orderstatus", ignore_index=True)
+        return out[["o_orderstatus", "n", "geom_mean", "harm_mean"]]
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3284,6 +3319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_sample_events": balanced_sample_events,
         "geo_st_pairs": geo_st_pairs,
         "geo_dead_reckoning": geo_dead_reckoning,
+        "docs_sentence_stats": docs_sentence_stats,
+        "geom_harmonic_price_by_status": geom_harmonic_price_by_status,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4638,6 +4675,29 @@ def oracle_sql() -> dict[str, str]:
                    round(stat, 6) AS cusum_stat,
                    CAST(rn AS BIGINT) AS t_ix
             FROM sel WHERE rk = 1
+        """,
+        "docs_sentence_stats": """
+            WITH st AS (SELECT doc_id,
+                    len(list_filter(
+                        string_split_regex(text, '[.!?]+'),
+                        s -> trim(s) <> '')) AS n_sentences,
+                    len(list_filter(
+                        string_split_regex(lower(text), '[^a-z]+'),
+                        s -> s <> '')) AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_sentences, n_tokens,
+                   round(CASE WHEN n_sentences > 0
+                         THEN CAST(n_tokens AS DOUBLE)
+                              / GREATEST(n_sentences, 1)
+                         ELSE 0e0 END, 6) AS mean_sent_tokens
+            FROM st
+        """,
+        "geom_harmonic_price_by_status": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   round(exp(AVG(ln(o_totalprice))), 4) AS geom_mean,
+                   round(COUNT(*) / SUM(1e0 / o_totalprice), 4)
+                       AS harm_mean
+            FROM orders GROUP BY o_orderstatus
         """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT

@@ -732,3 +732,31 @@ def bigram_logprob(
         return b[["doc_id", "mean_bigram_logp"]]
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+_SENT_SPLIT_RE = re.compile(r"[.!?]+")
+
+
+def sentence_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc sentence segmentation stats: sentence count (nonblank
+    [.!?]+ splits), alpha-token count, and mean tokens per sentence —
+    the doc-structure features (run-on boilerplate vs. chopped OCR)
+    that quality classifiers consume. Pure vectorized-per-batch
+    string pass; SQL twin uses list_filter over the same splits."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        n_sent, n_tok = [], []
+        for s in b["text"].astype(str):
+            sents = [x for x in _SENT_SPLIT_RE.split(s) if x.strip()]
+            n_sent.append(len(sents))
+            n_tok.append(len(_ALPHA_RE.findall(s.lower())))
+        out = b[["doc_id"]].copy()
+        out["n_sentences"] = np.asarray(n_sent, np.int64)
+        out["n_tokens"] = np.asarray(n_tok, np.int64)
+        out["mean_sent_tokens"] = np.round(np.where(
+            out["n_sentences"] > 0,
+            out["n_tokens"] / np.maximum(out["n_sentences"], 1),
+            0.0), 6)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

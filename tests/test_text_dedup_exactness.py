@@ -534,3 +534,21 @@ def test_cooccurrence_hand(ray_session):
     got = {(r.it_a, r.it_b): int(r.n_groups)
            for r in out.itertuples()}
     assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_sentence_stats_hand(ray_session):
+    import ray.data
+
+    from engine.ops.text import sentence_stats
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["One two. Three four five! Six?",
+                 "no terminator here",
+                 "!!!"],
+    })
+    out = (sentence_stats(ray.data.from_pandas(docs))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["n_sentences"].tolist() == [3, 1, 0]
+    assert out["n_tokens"].tolist() == [6, 3, 0]
+    assert out["mean_sent_tokens"].tolist() == [2.0, 3.0, 0.0]
