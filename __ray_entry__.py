@@ -1274,6 +1274,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = tot.sort_values("o_orderstatus", ignore_index=True)
         return out[["o_orderstatus", "n", "geom_mean", "harm_mean"]]
 
+    def user_sequence_entropy(sf_dir: str):
+        # per-user Markov H(next|current) over event types in nats
+        # (behavioral predictability); SQL twin via LAG bigram and
+        # unigram counts
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id", "event_type"])
+        out = relational.markov_entropy(
+            ev, "user_id", ["ts", "event_id"], "event_type",
+            num_shards=32).to_pandas()
+        out["entropy"] = out["entropy"].round(6)
+        return out.sort_values("user_id", ignore_index=True)[
+            ["user_id", "n_transitions", "entropy"]]
+
+    def orders_benford_digits(sf_dir: str):
+        # Benford first-digit audit of order prices: observed vs
+        # log10(1+1/d) with per-digit chi-square contributions; SQL
+        # twin computes the same digit extraction and expectations
+        o = sf_table(sf_dir, "orders", ["o_totalprice"])
+        out = relational.benford_first_digit(o, "o_totalprice")
+        for c in ("frac", "benford_p", "chi2_part"):
+            out[c] = out[c].round(6)
+        return out
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -1891,6 +1914,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.sort_values("track_id", ignore_index=True)
         return out[["track_id", "n_preds", "mean_err_m",
                     "max_err_m"]]
+
+    def geo_spacetime_cube(sf_dir: str):
+        # when is each place busiest: per-cell fix totals, occupied
+        # seq-bucket count (width 150), and the peak bucket
+        # (min-id tie-break); SQL twin via the same floors + argmax
+        out = geo_ops.spacetime_cube(
+            _geo_tracked(), t_bucket=150).to_pandas()
+        out = out.sort_values(["gx", "gy"], ignore_index=True)
+        return out[["gx", "gy", "n_fixes", "n_buckets",
+                    "peak_bucket", "peak_n"]]
+
+    def orders_urgency_ttest(sf_dir: str):
+        # Welch two-cohort comparison: URGENT vs non-URGENT order
+        # prices, streaming moment combiner; SQL twin computes the
+        # same sample variances, t, and Welch-Satterthwaite df
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderpriority", "o_totalprice"])
+
+        def fl(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["is_urgent"] = (
+                b["o_orderpriority"] == "1-URGENT")
+            return b[["o_totalprice", "is_urgent"]]
+
+        out = relational.welch_ttest(
+            o.map_batches(fl, batch_format="pandas"),
+            "o_totalprice", "is_urgent")
+        for c in ("mean_true", "mean_false", "t_stat", "welch_df"):
+            out[c] = out[c].round(4)
+        return out
 
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
@@ -3321,6 +3374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_dead_reckoning": geo_dead_reckoning,
         "docs_sentence_stats": docs_sentence_stats,
         "geom_harmonic_price_by_status": geom_harmonic_price_by_status,
+        "user_sequence_entropy": user_sequence_entropy,
+        "orders_benford_digits": orders_benford_digits,
+        "geo_spacetime_cube": geo_spacetime_cube,
+        "orders_urgency_ttest": orders_urgency_ttest,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4699,6 +4756,52 @@ def oracle_sql() -> dict[str, str]:
                        AS harm_mean
             FROM orders GROUP BY o_orderstatus
         """,
+        "user_sequence_entropy": """
+            WITH r AS (SELECT user_id, event_type,
+                    LAG(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                        AS prev_type
+                FROM events),
+            ab AS (SELECT user_id, prev_type, event_type,
+                          COUNT(*) AS nab
+                   FROM r WHERE prev_type IS NOT NULL
+                   GROUP BY user_id, prev_type, event_type),
+            ua AS (SELECT user_id, prev_type, SUM(nab) AS na
+                   FROM ab GROUP BY user_id, prev_type),
+            tt AS (SELECT user_id, SUM(nab) AS nt FROM ab
+                   GROUP BY user_id)
+            SELECT ab.user_id,
+                   CAST(ANY_VALUE(tt.nt) AS BIGINT)
+                       AS n_transitions,
+                   round(-SUM((ab.nab / tt.nt)
+                              * ln(ab.nab / ua.na)), 6) AS entropy
+            FROM ab
+            JOIN ua ON ua.user_id = ab.user_id
+                   AND ua.prev_type = ab.prev_type
+            JOIN tt ON tt.user_id = ab.user_id
+            GROUP BY ab.user_id
+        """,
+        "orders_benford_digits": """
+            WITH d AS (SELECT LEAST(GREATEST(CAST(floor(
+                        o_totalprice / power(10e0,
+                            floor(log10(o_totalprice))))
+                        AS BIGINT), 1), 9) AS digit
+                    FROM orders WHERE o_totalprice > 0),
+            c AS (SELECT g.digit, COUNT(d.digit) AS n
+                  FROM (SELECT CAST(range AS BIGINT) + 1 AS digit
+                        FROM range(9)) g
+                  LEFT JOIN d ON d.digit = g.digit
+                  GROUP BY g.digit),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
+            SELECT c.digit, c.n,
+                   round(c.n / t.tot, 6) AS frac,
+                   round(log10(1e0 + 1e0 / c.digit), 6) AS benford_p,
+                   round(pow(c.n - t.tot * log10(1e0 + 1e0 / c.digit),
+                             2)
+                         / (t.tot * log10(1e0 + 1e0 / c.digit)), 6)
+                       AS chi2_part
+            FROM c CROSS JOIN t
+        """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT
                             l1.l_partkey AS a, l2.l_partkey AS b
@@ -5632,6 +5735,59 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(e), 4) AS mean_err_m,
                    round(MAX(e), 4) AS max_err_m
             FROM ge GROUP BY track_id
+        """,
+        "geo_spacetime_cube": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT
+                       CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy,
+                       i // 150 AS tb
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, tb, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy, tb),
+            gsel AS (SELECT gx, gy, tb, n,
+                        ROW_NUMBER() OVER (PARTITION BY gx, gy
+                                           ORDER BY n DESC, tb)
+                            AS rk,
+                        SUM(n) OVER (PARTITION BY gx, gy) AS tot,
+                        COUNT(*) OVER (PARTITION BY gx, gy) AS nb
+                     FROM gcnt)
+            SELECT gx, gy, CAST(tot AS BIGINT) AS n_fixes,
+                   CAST(nb AS BIGINT) AS n_buckets,
+                   tb AS peak_bucket, n AS peak_n
+            FROM gsel WHERE rk = 1
+        """,
+        "orders_urgency_ttest": """
+            WITH c AS (SELECT
+                    CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END AS grp,
+                    o_totalprice AS v
+                FROM orders),
+            m AS (SELECT grp, COUNT(*) AS n, AVG(v) AS mu,
+                         VAR_SAMP(v) AS s2
+                  FROM c GROUP BY grp),
+            w AS (SELECT
+                    (SELECT n FROM m WHERE grp = 1) AS n1,
+                    (SELECT n FROM m WHERE grp = 0) AS n0,
+                    (SELECT mu FROM m WHERE grp = 1) AS m1,
+                    (SELECT mu FROM m WHERE grp = 0) AS m0,
+                    (SELECT s2 FROM m WHERE grp = 1) AS v1,
+                    (SELECT s2 FROM m WHERE grp = 0) AS v0)
+            SELECT CAST(n1 AS BIGINT) AS n_true,
+                   CAST(n0 AS BIGINT) AS n_false,
+                   round(m1, 4) AS mean_true,
+                   round(m0, 4) AS mean_false,
+                   round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 4)
+                       AS t_stat,
+                   round(pow(v1 / n1 + v0 / n0, 2)
+                         / (pow(v1 / n1, 2) / (n1 - 1e0)
+                            + pow(v0 / n0, 2) / (n0 - 1e0)), 4)
+                       AS welch_df
+            FROM w
         """,
         "geo_turning_stats": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

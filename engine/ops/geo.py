@@ -3304,3 +3304,52 @@ def dead_reckoning_error(
         lambda g: shard_dr(g.drop(columns="__shard")),
         batch_format="pandas",
     )
+
+
+def spacetime_cube(
+    points: ray.data.Dataset,
+    t_bucket: int,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> ray.data.Dataset:
+    """Space-time cube rollup: per grid cell, total fixes, the number
+    of occupied ``seq``-buckets of width ``t_bucket``, and the PEAK
+    bucket (max count, smallest bucket id on ties) — when is each
+    place busiest. One (cell, bucket) count combiner; the per-cell
+    argmax runs on the small rollup table."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        seq = np.asarray(b["seq"], dtype=np.int64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        df = pd.DataFrame({"gx": gx[ok], "gy": gy[ok],
+                           "tb": seq[ok] // t_bucket})
+        agg = df.groupby(["gx", "gy", "tb"], as_index=False,
+                         sort=False).size()
+        agg = agg.rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = sum_final(
+        points.map_batches(cells, batch_format="pyarrow"),
+        ["gx", "gy", "tb"])
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "tb"], ascending=[False, True],
+                          kind="stable")
+        return pd.DataFrame({
+            "gx": g["gx"].iloc[:1], "gy": g["gy"].iloc[:1],
+            "n_fixes": np.asarray([int(g["n"].sum())], np.int64),
+            "n_buckets": np.asarray([len(g)], np.int64),
+            "peak_bucket": np.asarray([int(g["tb"].iloc[0])],
+                                      np.int64),
+            "peak_n": np.asarray([int(g["n"].iloc[0])], np.int64),
+        })
+
+    return counts.groupby(["gx", "gy"]).map_groups(
+        per_cell, batch_format="pandas")

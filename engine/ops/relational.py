@@ -1984,3 +1984,143 @@ def cusum_changepoint(
         .groupby("__shard")
         .map_groups(f, batch_format="pandas")
     )
+
+
+def markov_entropy(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    item_col: str,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-group sequence predictability: the conditional entropy
+    H(next | current) of the group's first-order Markov transition
+    matrix, in nats — 0 for perfectly scripted behavior, ln(k) for
+    uniform wandering over k symbols (the bot/human discriminator of
+    event-sequence mining). One shard pass builds per-group bigram
+    and unigram counts vectorized; only per-group scalars leave."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        gk = g[group_key].to_numpy()
+        it = g[item_col].to_numpy()
+        same = gk[1:] == gk[:-1]
+        t = pd.DataFrame({
+            "k": gk[1:][same],
+            "a": it[:-1][same],
+            "b": it[1:][same],
+        })
+        if not len(t):
+            return pd.DataFrame({group_key: pd.Series(dtype=gk.dtype),
+                                 "n_transitions": pd.Series(
+                                     dtype=np.int64),
+                                 "entropy": pd.Series(
+                                     dtype=np.float64)})
+        ab = t.groupby(["k", "a", "b"], as_index=False,
+                       sort=False).size()
+        a = ab.groupby(["k", "a"], as_index=False)["size"].sum() \
+            .rename(columns={"size": "na"})
+        m = ab.merge(a, on=["k", "a"])
+        tot = m.groupby("k")["size"].transform("sum")
+        contrib = -(m["size"] / tot) * np.log(m["size"] / m["na"])
+        m = m.assign(__c=contrib)
+        out = m.groupby("k", as_index=False).agg(
+            n_transitions=("size", "sum"), entropy=("__c", "sum"))
+        out = out.rename(columns={"k": group_key})
+        out["n_transitions"] = out["n_transitions"].astype(np.int64)
+        return out
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )
+
+
+def benford_first_digit(
+    ds: ray.data.Dataset, col: str
+) -> "pd.DataFrame":
+    """Benford's-law audit of a positive numeric column: observed
+    first-significant-digit distribution vs log10(1 + 1/d), with the
+    per-digit chi-square contribution — the fraud/synthetic-data
+    smell test. One 9-bucket count combiner; everything else is
+    driver arithmetic on 9 rows."""
+    import pyarrow as pa
+
+    def local(t: "pa.Table") -> "pa.Table":
+        x = np.asarray(t[col], np.float64)
+        x = x[x > 0]
+        d = np.floor(x / np.power(10.0, np.floor(np.log10(x))))
+        d = np.clip(d.astype(np.int64), 1, 9)
+        cnt = np.bincount(d, minlength=10)[1:]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+        })
+
+    tot = sum_final(
+        ds.map_batches(local, batch_format="pyarrow"),
+        ["digit"]).to_pandas()
+    n = float(tot["n"].sum())
+    p = np.log10(1.0 + 1.0 / tot["digit"].to_numpy(np.float64))
+    exp = n * p
+    obs = tot["n"].to_numpy(np.float64)
+    tot["frac"] = obs / n
+    tot["benford_p"] = p
+    tot["chi2_part"] = (obs - exp) ** 2 / exp
+    tot["n"] = tot["n"].astype(np.int64)
+    return tot[["digit", "n", "frac", "benford_p", "chi2_part"]]
+
+
+def welch_ttest(
+    ds: ray.data.Dataset,
+    value_col: str,
+    flag_col: str,
+) -> "pd.DataFrame":
+    """Welch's unequal-variance t statistic between the rows where
+    ``flag_col`` is true vs false — the two-cohort A/B comparison
+    as one streaming moment combiner (n, sum, sumsq per cohort);
+    t = (m1 - m0) / sqrt(s1^2/n1 + s0^2/n0) with SAMPLE variances,
+    plus the Welch-Satterthwaite degrees of freedom."""
+    import pyarrow as pa
+
+    def local(t: "pa.Table") -> "pa.Table":
+        v = np.asarray(t[value_col], np.float64)
+        f = np.asarray(t[flag_col]).astype(bool)
+        rows = []
+        for grp in (0, 1):
+            x = v[f] if grp else v[~f]
+            rows.append((grp, len(x), x.sum(), (x * x).sum()))
+        a = np.array(rows)
+        return pa.table({
+            "grp": pa.array(a[:, 0].astype(np.int64), pa.int64()),
+            "n": pa.array(a[:, 1], pa.float64()),
+            "s": pa.array(a[:, 2], pa.float64()),
+            "ss": pa.array(a[:, 3], pa.float64()),
+        })
+
+    tot = sum_final(
+        ds.map_batches(local, batch_format="pyarrow"),
+        ["grp"]).to_pandas().set_index("grp")
+    out = {}
+    for grp in (0, 1):
+        n = tot.loc[grp, "n"]
+        m = tot.loc[grp, "s"] / n
+        var = (tot.loc[grp, "ss"] - n * m * m) / (n - 1.0)
+        out[grp] = (n, m, var)
+    n0, m0, v0 = out[0]
+    n1, m1, v1 = out[1]
+    se2 = v1 / n1 + v0 / n0
+    tstat = (m1 - m0) / np.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1.0)
+                       + (v0 / n0) ** 2 / (n0 - 1.0))
+    return pd.DataFrame({
+        "n_true": np.asarray([int(n1)], np.int64),
+        "n_false": np.asarray([int(n0)], np.int64),
+        "mean_true": np.asarray([m1], np.float64),
+        "mean_false": np.asarray([m0], np.float64),
+        "t_stat": np.asarray([tstat], np.float64),
+        "welch_df": np.asarray([dof], np.float64),
+    })

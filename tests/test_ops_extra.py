@@ -2685,3 +2685,106 @@ def test_dead_reckoning_straight_line_zero_error(ray_session):
     assert int(out["n_preds"].iloc[0]) == 3
     assert out["max_err_m"].iloc[0] == pytest.approx(0.0, abs=1e-6)
     assert out["max_err_m"].iloc[1] > 10000  # the kink
+
+
+def test_markov_entropy_scripted_vs_uniform(ray_session):
+    import ray.data
+
+    from engine.ops.relational import markov_entropy
+
+    # user 0: strict A->B->A->B cycle -> H = 0
+    # user 1: i.i.d.-ish over 4 symbols -> H near ln 4
+    rng = np.random.default_rng(83)
+    seq1 = rng.integers(0, 4, 400)
+    df = pd.DataFrame({
+        "u": [0] * 40 + [1] * 400,
+        "t": list(range(40)) + list(range(400)),
+        "it": [("A", "B")[i % 2] for i in range(40)]
+        + [f"s{x}" for x in seq1],
+    })
+    out = (markov_entropy(
+        ray.data.from_pandas(df).repartition(3),
+        "u", ["t"], "it", num_shards=4)
+        .to_pandas().sort_values("u", ignore_index=True))
+    assert out["n_transitions"].tolist() == [39, 399]
+    assert out["entropy"].iloc[0] == pytest.approx(0.0, abs=1e-12)
+    assert abs(out["entropy"].iloc[1] - np.log(4)) < 0.15
+
+    # brute-force parity for user 1
+    from collections import Counter
+    pairs = Counter(zip(seq1[:-1], seq1[1:]))
+    singles = Counter(seq1[:-1])
+    nt = len(seq1) - 1
+    want = -sum((n / nt) * np.log(n / singles[a])
+                for (a, b), n in pairs.items())
+    assert out["entropy"].iloc[1] == pytest.approx(want, rel=1e-9)
+
+
+def test_benford_first_digit_exact(ray_session):
+    import ray.data
+
+    from engine.ops.relational import benford_first_digit
+
+    vals = np.array([1.5, 19.0, 2.3e4, 0.031, 950.0, 9.99, 88.0,
+                     1.0, 700.0, 123.0, -5.0, 0.0])
+    df = pd.DataFrame({"x": vals})
+    out = benford_first_digit(
+        ray.data.from_pandas(df).repartition(2), "x")
+    got = dict(zip(out["digit"], out["n"]))
+    # digits of positives: 1,1,2,3,9,9,8,1,7,1 -> {1:4,2:1,3:1,7:1,8:1,9:2}
+    assert got == {1: 4, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0,
+                   7: 1, 8: 1, 9: 2}
+    n = 10
+    p1 = np.log10(2)
+    assert out[out["digit"] == 1]["frac"].iloc[0] == pytest.approx(
+        0.4)
+    assert out[out["digit"] == 1]["chi2_part"].iloc[0] == \
+        pytest.approx((4 - n * p1) ** 2 / (n * p1), rel=1e-9)
+
+
+def test_spacetime_cube_hand(ray_session):
+    import ray.data
+
+    from engine.ops.geo import spacetime_cube
+
+    # cell (0,0): buckets 0 (2 fixes) and 1 (3 fixes) -> peak 1
+    df = pd.DataFrame({
+        "track_id": 0,
+        "seq": [0, 5, 10, 12, 14],
+        "lon": [0.5] * 5, "lat": [0.5] * 5,
+    })
+    out = spacetime_cube(
+        ray.data.from_pandas(df), t_bucket=10,
+        lon0=0.0, lat0=0.0, nx=2, ny=2).to_pandas()
+    r = out.iloc[0]
+    assert (int(r["gx"]), int(r["gy"])) == (0, 0)
+    assert int(r["n_fixes"]) == 5
+    assert int(r["n_buckets"]) == 2
+    assert int(r["peak_bucket"]) == 1
+    assert int(r["peak_n"]) == 3
+
+
+def test_welch_ttest_known_shift(ray_session):
+    import ray.data
+
+    from engine.ops.relational import welch_ttest
+
+    rng = np.random.default_rng(89)
+    a = rng.normal(0, 1, 500)     # flag False
+    b = rng.normal(1.0, 2, 300)   # flag True, shifted + wider
+    df = pd.DataFrame({
+        "v": np.r_[a, b],
+        "f": np.r_[np.zeros(500, bool), np.ones(300, bool)],
+    })
+    out = welch_ttest(ray.data.from_pandas(df).repartition(3),
+                      "v", "f")
+    n1, n0 = 300, 500
+    v1, v0 = b.var(ddof=1), a.var(ddof=1)
+    se2 = v1 / n1 + v0 / n0
+    want_t = (b.mean() - a.mean()) / np.sqrt(se2)
+    want_df = se2 ** 2 / ((v1 / n1) ** 2 / (n1 - 1)
+                          + (v0 / n0) ** 2 / (n0 - 1))
+    assert out["t_stat"].iloc[0] == pytest.approx(want_t, rel=1e-9)
+    assert out["welch_df"].iloc[0] == pytest.approx(want_df,
+                                                    rel=1e-9)
+    assert int(out["n_true"].iloc[0]) == 300
