@@ -1297,6 +1297,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].round(6)
         return out
 
+    def acctbal_mad_by_segment(sf_dir: str):
+        # robust spread: per-segment median + MAD of account balance
+        # (quantile_cont convention on both levels); SQL twin uses
+        # MEDIAN twice with a join on the per-group median
+        c = sf_table(sf_dir, "customer",
+                     ["c_mktsegment", "c_acctbal"])
+        out = relational.grouped_mad(c, "c_mktsegment", "c_acctbal")
+        out["median"] = out["median"].round(4)
+        out["mad"] = out["mad"].round(4)
+        return out
+
+    def nation_revenue_hhi(sf_dir: str):
+        # market concentration: per-nation HHI of customer shares of
+        # total account balance (clipped to positive); SQL twin sums
+        # squared shares over the same member rollup
+        c = sf_table(sf_dir, "customer",
+                     ["c_nationkey", "c_custkey", "c_acctbal"])
+
+        def pos(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["bal"] = np.maximum(
+                b["c_acctbal"].to_numpy(np.float64), 0.0)
+            return b[["c_nationkey", "c_custkey", "bal"]]
+
+        out = relational.herfindahl_index(
+            c.map_batches(pos, batch_format="pandas"),
+            "c_nationkey", "c_custkey", "bal")
+        out["total"] = out["total"].round(4)
+        out["hhi"] = out["hhi"].round(6)
+        return out
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3378,6 +3409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford_digits": orders_benford_digits,
         "geo_spacetime_cube": geo_spacetime_cube,
         "orders_urgency_ttest": orders_urgency_ttest,
+        "acctbal_mad_by_segment": acctbal_mad_by_segment,
+        "nation_revenue_hhi": nation_revenue_hhi,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4801,6 +4834,32 @@ def oracle_sql() -> dict[str, str]:
                          / (t.tot * log10(1e0 + 1e0 / c.digit)), 6)
                        AS chi2_part
             FROM c CROSS JOIN t
+        """,
+        "acctbal_mad_by_segment": """
+            WITH med AS (SELECT c_mktsegment,
+                            MEDIAN(c_acctbal) AS m
+                         FROM customer GROUP BY c_mktsegment)
+            SELECT c.c_mktsegment,
+                   round(ANY_VALUE(med.m), 4) AS median,
+                   round(MEDIAN(abs(c.c_acctbal - med.m)), 4) AS mad
+            FROM customer c JOIN med USING (c_mktsegment)
+            GROUP BY c.c_mktsegment
+        """,
+        "nation_revenue_hhi": """
+            WITH mem AS (SELECT c_nationkey, c_custkey,
+                            SUM(GREATEST(c_acctbal, 0e0)) AS v
+                         FROM customer
+                         GROUP BY c_nationkey, c_custkey),
+            tot AS (SELECT c_nationkey, SUM(v) AS t,
+                           COUNT(*) AS n_members
+                    FROM mem GROUP BY c_nationkey)
+            SELECT m.c_nationkey,
+                   CAST(ANY_VALUE(t.n_members) AS BIGINT)
+                       AS n_members,
+                   round(ANY_VALUE(t.t), 4) AS total,
+                   round(SUM(pow(m.v / t.t, 2)), 6) AS hhi
+            FROM mem m JOIN tot t USING (c_nationkey)
+            GROUP BY m.c_nationkey
         """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT

@@ -2124,3 +2124,73 @@ def welch_ttest(
         "t_stat": np.asarray([tstat], np.float64),
         "welch_df": np.asarray([dof], np.float64),
     })
+
+
+def grouped_mad(
+    ds: ray.data.Dataset,
+    group_key: str,
+    col: str,
+) -> "pd.DataFrame":
+    """Per-group median absolute deviation (MAD = median(|x -
+    median(x)|), DuckDB quantile_cont interpolation on both levels) —
+    the robust spread estimate outliers can't poison, paired with the
+    robust z-score gate MAD-based filters use. Two passes: the
+    per-group median table broadcasts (one row per group, the
+    documented small side), then the deviation quantile reuses
+    ``grouped_quantile_cont``."""
+    import ray as _ray
+
+    from engine.state import cached_get
+
+    med = grouped_quantile_cont(
+        ds, [group_key], col, {0.5: "__med"}).to_pandas()
+    med_ref = _ray.put(dict(zip(med[group_key], med["__med"])))
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        m = cached_get(med_ref)
+        b = b.copy()
+        b["__dev"] = np.abs(
+            b[col].to_numpy(np.float64)
+            - b[group_key].map(m).to_numpy(np.float64))
+        return b[[group_key, "__dev"]]
+
+    mad = grouped_quantile_cont(
+        ds.map_batches(dev, batch_format="pandas"),
+        [group_key], "__dev", {0.5: "mad"}).to_pandas()
+    out = med.merge(mad, on=group_key)
+    out = out.rename(columns={"__med": "median"})
+    return out[[group_key, "median", "mad"]].sort_values(
+        group_key, ignore_index=True)
+
+
+def herfindahl_index(
+    ds: ray.data.Dataset,
+    group_key: str,
+    member_key: str,
+    value_col: str,
+    num_shards: int = 64,
+) -> "pd.DataFrame":
+    """Per-group Herfindahl-Hirschman concentration index:
+    HHI = sum over members of (member share of the group's total)^2
+    — 1/k for k equal members, ->1 under monopoly (the
+    concentration/diversity audit of revenue, traffic, or corpus
+    sources). Stage 1: (group, member) sum combiner; stage 2 groups
+    the member-level rollup (one row per member) per group."""
+
+    member_tot = partial_groupby_sum(
+        ds, [group_key, member_key], {value_col: "__v"})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["__v"].to_numpy(np.float64)
+        tot = v.sum()
+        share2 = (v / tot) ** 2 if tot != 0 else np.zeros_like(v)
+        return pd.DataFrame({
+            group_key: g[group_key].iloc[:1],
+            "n_members": np.asarray([len(g)], np.int64),
+            "total": np.asarray([tot], np.float64),
+            "hhi": np.asarray([float(share2.sum())], np.float64),
+        })
+
+    return member_tot.groupby(group_key).map_groups(
+        per_group, batch_format="pandas").to_pandas().sort_values(
+        group_key, ignore_index=True)

@@ -2788,3 +2788,45 @@ def test_welch_ttest_known_shift(ray_session):
     assert out["welch_df"].iloc[0] == pytest.approx(want_df,
                                                     rel=1e-9)
     assert int(out["n_true"].iloc[0]) == 300
+
+
+def test_grouped_mad_hand(ray_session):
+    import ray.data
+
+    from engine.ops.relational import grouped_mad
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 4,
+        "v": [1.0, 2.0, 3.0, 4.0, 100.0,  # outlier barely moves MAD
+              10.0, 10.0, 10.0, 10.0],
+    })
+    out = grouped_mad(ray.data.from_pandas(df).repartition(2),
+                      "g", "v")
+    a = out[out["g"] == "a"].iloc[0]
+    b = out[out["g"] == "b"].iloc[0]
+    assert a["median"] == pytest.approx(3.0)
+    # deviations from 3: [2,1,0,1,97] -> median 1
+    assert a["mad"] == pytest.approx(1.0)
+    assert b["median"] == pytest.approx(10.0)
+    assert b["mad"] == pytest.approx(0.0)
+
+
+def test_herfindahl_index_hand(ray_session):
+    import ray.data
+
+    from engine.ops.relational import herfindahl_index
+
+    df = pd.DataFrame({
+        "g": ["x"] * 4 + ["y"] * 3,
+        "m": [1, 1, 2, 3, 7, 8, 9],
+        "v": [5.0, 5.0, 10.0, 0.0, 2.0, 2.0, 2.0],
+    })
+    out = herfindahl_index(
+        ray.data.from_pandas(df).repartition(2), "g", "m", "v")
+    x = out[out["g"] == "x"].iloc[0]
+    y = out[out["g"] == "y"].iloc[0]
+    # x: member sums {1: 10, 2: 10, 3: 0} of 20 -> 0.25+0.25+0 = 0.5
+    assert int(x["n_members"]) == 3
+    assert x["hhi"] == pytest.approx(0.5)
+    # y: three equal members -> 1/3
+    assert y["hhi"] == pytest.approx(1 / 3)
