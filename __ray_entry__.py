@@ -1328,6 +1328,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["hhi"] = out["hhi"].round(6)
         return out
 
+    def nation_acctbal_gini(sf_dir: str):
+        # inequality audit: per-nation Gini of (clipped) customer
+        # balances; SQL twin uses the ROW_NUMBER rank-weighted sum
+        c = sf_table(sf_dir, "customer",
+                     ["c_nationkey", "c_acctbal"])
+
+        def pos(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["bal"] = np.maximum(
+                b["c_acctbal"].to_numpy(np.float64), 0.0)
+            return b[["c_nationkey", "bal"]]
+
+        out = relational.grouped_gini(
+            c.map_batches(pos, batch_format="pandas"),
+            "c_nationkey", "bal", num_shards=16).to_pandas()
+        out["gini"] = out["gini"].round(6)
+        return out.sort_values("c_nationkey", ignore_index=True)[
+            ["c_nationkey", "n", "gini"]]
+
+    def user_burstiness(sf_dir: str):
+        # Goh-Barabasi burstiness of per-user inter-event gaps in
+        # epoch seconds; SQL twin via LAG(epoch(ts)) and the same
+        # population sigma
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["ts_s"] = (b["ts"].astype("datetime64[ns]")
+                         .astype("int64") / 1e9)
+            return b[["user_id", "ts_s", "event_id"]]
+
+        out = relational.burstiness(
+            ev.map_batches(prep, batch_format="pandas"),
+            "user_id", ["ts_s", "event_id"], "ts_s",
+            num_shards=32).to_pandas()
+        out["mean_gap"] = out["mean_gap"].round(6)
+        out["burstiness"] = out["burstiness"].round(6)
+        return out.sort_values("user_id", ignore_index=True)[
+            ["user_id", "n_gaps", "mean_gap", "burstiness"]]
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3411,6 +3452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_urgency_ttest": orders_urgency_ttest,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
         "nation_revenue_hhi": nation_revenue_hhi,
+        "nation_acctbal_gini": nation_acctbal_gini,
+        "user_burstiness": user_burstiness,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -4860,6 +4903,39 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(pow(m.v / t.t, 2)), 6) AS hhi
             FROM mem m JOIN tot t USING (c_nationkey)
             GROUP BY m.c_nationkey
+        """,
+        "nation_acctbal_gini": """
+            WITH v AS (SELECT c_nationkey,
+                    GREATEST(c_acctbal, 0e0) AS x,
+                    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                       ORDER BY GREATEST(c_acctbal,
+                                                         0e0))
+                        AS i
+                FROM customer)
+            SELECT c_nationkey, COUNT(*) AS n,
+                   round(2e0 * SUM(i * x)
+                         / (COUNT(*) * SUM(x))
+                         - (COUNT(*) + 1e0) / COUNT(*), 6) AS gini
+            FROM v GROUP BY c_nationkey
+        """,
+        "user_burstiness": """
+            WITH r AS (SELECT user_id, epoch(ts) AS t,
+                    LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                        AS pt
+                FROM events),
+            g AS (SELECT user_id, t - pt AS dt FROM r
+                  WHERE pt IS NOT NULL),
+            a AS (SELECT user_id, COUNT(*) AS n_gaps,
+                     AVG(dt) AS mu,
+                     sqrt(GREATEST(AVG(dt * dt)
+                                   - AVG(dt) * AVG(dt), 0e0)) AS sd
+                  FROM g GROUP BY user_id)
+            SELECT user_id, n_gaps, round(mu, 6) AS mean_gap,
+                   round(CASE WHEN sd + mu > 0e0
+                         THEN (sd - mu) / (sd + mu)
+                         ELSE 0e0 END, 6) AS burstiness
+            FROM a
         """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT

@@ -2194,3 +2194,99 @@ def herfindahl_index(
     return member_tot.groupby(group_key).map_groups(
         per_group, batch_format="pandas").to_pandas().sort_values(
         group_key, ignore_index=True)
+
+
+def grouped_gini(
+    ds: ray.data.Dataset,
+    group_key: str,
+    col: str,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-group Gini coefficient over non-negative values (the
+    inequality companion of ``herfindahl_index``):
+    G = (2 * sum_i i*x_(i)) / (n * sum x) - (n + 1) / n with x sorted
+    ascending and i 1-based — 0 for perfect equality, ->1 when one
+    member holds everything. Hash-sharded by group, one segmented
+    sort + weighted-sum pass per shard."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.drop(columns="__shard").sort_values(
+            [group_key, col], kind="stable")
+        gk = g[group_key].to_numpy()
+        v = g[col].to_numpy(np.float64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({group_key: [], "n": [], "gini": []})
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = gk[1:] != gk[:-1]
+        s_idx = np.flatnonzero(starts)
+        sizes = np.diff(np.r_[s_idx, n])
+        pos = np.arange(n) - np.repeat(s_idx, sizes) + 1  # 1-based
+        tot = np.add.reduceat(v, s_idx)
+        wsum = np.add.reduceat(pos * v, s_idx)
+        m = sizes.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gini = np.where(tot > 0,
+                            2.0 * wsum / (m * tot) - (m + 1.0) / m,
+                            0.0)
+        return pd.DataFrame({
+            group_key: gk[s_idx],
+            "n": sizes.astype(np.int64),
+            "gini": gini,
+        })
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )
+
+
+def burstiness(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    ts_col: str,
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Per-group burstiness of inter-event gaps: B = (sigma - mu) /
+    (sigma + mu) over the gaps of the ordered sequence (Goh-Barabasi)
+    — -1 for a perfect clock, 0 for Poisson, ->1 for heavy bursts.
+    Population sigma. One segmented diff + moment pass per shard;
+    groups with < 2 events or zero mean gap report 0 gaps / NaN-free
+    defaults."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        gk = g[group_key].to_numpy()
+        t = g[ts_col].to_numpy(np.float64)
+        same = gk[1:] == gk[:-1]
+        d = pd.DataFrame({"k": gk[1:][same],
+                          "dt": (t[1:] - t[:-1])[same]})
+        if not len(d):
+            return pd.DataFrame({group_key: pd.Series(dtype=gk.dtype),
+                                 "n_gaps": pd.Series(dtype=np.int64),
+                                 "mean_gap": pd.Series(
+                                     dtype=np.float64),
+                                 "burstiness": pd.Series(
+                                     dtype=np.float64)})
+        agg = d.groupby("k", sort=False)["dt"].agg(
+            n_gaps="size", mean_gap="mean",
+            sd=lambda s: float(s.to_numpy().std()))
+        agg = agg.reset_index().rename(columns={"k": group_key})
+        mu = agg["mean_gap"].to_numpy(np.float64)
+        sd = agg["sd"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b = np.where(sd + mu > 0, (sd - mu) / (sd + mu), 0.0)
+        agg["burstiness"] = b
+        agg["n_gaps"] = agg["n_gaps"].astype(np.int64)
+        return agg[[group_key, "n_gaps", "mean_gap", "burstiness"]]
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )

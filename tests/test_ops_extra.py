@@ -2830,3 +2830,42 @@ def test_herfindahl_index_hand(ray_session):
     assert x["hhi"] == pytest.approx(0.5)
     # y: three equal members -> 1/3
     assert y["hhi"] == pytest.approx(1 / 3)
+
+
+def test_grouped_gini_extremes(ray_session):
+    import ray.data
+
+    from engine.ops.relational import grouped_gini
+
+    df = pd.DataFrame({
+        "g": ["eq"] * 4 + ["mono"] * 4,
+        "v": [5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 100.0],
+    })
+    out = (grouped_gini(ray.data.from_pandas(df).repartition(2),
+                        "g", "v", num_shards=4)
+           .to_pandas().set_index("g"))
+    assert out.loc["eq", "gini"] == pytest.approx(0.0, abs=1e-12)
+    # one of 4 holds all: G = 2*4*100/(4*100) - 5/4 = 0.75
+    assert out.loc["mono", "gini"] == pytest.approx(0.75)
+
+
+def test_burstiness_clock_vs_bursty(ray_session):
+    import ray.data
+
+    from engine.ops.relational import burstiness
+
+    # user 0: perfect clock (gaps all 10) -> B = -1
+    # user 1: bursty (tiny gaps + one huge) -> B > 0
+    t1 = np.r_[np.arange(20) * 0.1, 1000 + np.arange(20) * 0.1]
+    df = pd.DataFrame({
+        "u": [0] * 30 + [1] * 40,
+        "t": np.r_[np.arange(30) * 10.0, t1],
+        "e": np.r_[np.arange(30), np.arange(40)],
+    })
+    out = (burstiness(ray.data.from_pandas(df).repartition(2),
+                      "u", ["t", "e"], "t", num_shards=4)
+           .to_pandas().sort_values("u", ignore_index=True))
+    assert out["burstiness"].iloc[0] == pytest.approx(-1.0,
+                                                      abs=1e-12)
+    assert out["burstiness"].iloc[1] > 0.5
+    assert out["n_gaps"].tolist() == [29, 39]
