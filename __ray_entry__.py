@@ -2017,6 +2017,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].round(4)
         return out
 
+    def geo_cell_lang_share(sf_dir: str):
+        # geo x text: per 1-deg cell, the dominant caption language
+        # (mode with smallest-lang tie-break) and its share — the
+        # localization map of a captioned-image corpus; SQL twin
+        # rebuilds captions via gcanon and argmaxes with ROW_NUMBER
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        idx = _geo_indexed(columns=["image_id", "caption"])
+
+        def cl(t: pa.Table) -> pa.Table:
+            lon = np.asarray(t["lon"], np.float64)
+            lat = np.asarray(t["lat"], np.float64)
+            lang = pc.utf8_slice_codeunits(
+                t["caption_canon"], 0, 2)
+            df = pd.DataFrame({
+                "gx": np.floor((lon - -12.0) / 1.0).astype(np.int64),
+                "gy": np.floor((lat - 35.0) / 1.0).astype(np.int64),
+                "lang": np.asarray(lang).astype(object),
+            })
+            df = df[(df["gx"] >= 0) & (df["gx"] < 24)
+                    & (df["gy"] >= 0) & (df["gy"] < 12)]
+            agg = df.groupby(["gx", "gy", "lang"], as_index=False,
+                             sort=False).size()
+            agg = agg.rename(columns={"size": "n"})
+            agg["n"] = agg["n"].astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        counts = relational.sum_final(
+            idx.map_batches(cl, batch_format="pyarrow"),
+            ["gx", "gy", "lang"]).to_pandas()
+        tot = counts.groupby(["gx", "gy"])["n"].transform("sum")
+        counts["tot"] = tot
+        counts = counts.sort_values(
+            ["gx", "gy", "n", "lang"],
+            ascending=[True, True, False, True], kind="stable")
+        top = counts.groupby(["gx", "gy"], as_index=False).first()
+        top["share"] = (top["n"] / top["tot"]).round(6)
+        top = top.rename(columns={"lang": "top_lang",
+                                  "tot": "n_images"})
+        top["n_images"] = top["n_images"].astype(np.int64)
+        return top[["gx", "gy", "n_images", "top_lang",
+                    "share"]].sort_values(["gx", "gy"],
+                                          ignore_index=True)
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -3449,6 +3494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sequence_entropy": user_sequence_entropy,
         "orders_benford_digits": orders_benford_digits,
         "geo_spacetime_cube": geo_spacetime_cube,
+        "geo_cell_lang_share": geo_cell_lang_share,
         "orders_urgency_ttest": orders_urgency_ttest,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
         "nation_revenue_hhi": nation_revenue_hhi,
@@ -5923,6 +5969,30 @@ def oracle_sql() -> dict[str, str]:
                             + pow(v0 / n0, 2) / (n0 - 1e0)), 4)
                        AS welch_df
             FROM w
+        """,
+        "geo_cell_lang_share": f"""
+            WITH {_sql_geo_full(_GEO_N)},
+            gcl AS (SELECT
+                       CAST(floor((l.lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((l.lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy,
+                       substr(c.caption_canon, 1, 2) AS lang
+                    FROM gll l JOIN gcanon c USING (i)),
+            gcnt AS (SELECT gx, gy, lang, COUNT(*) AS n FROM gcl
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy, lang),
+            gsel AS (SELECT gx, gy, lang, n,
+                        SUM(n) OVER (PARTITION BY gx, gy) AS tot,
+                        ROW_NUMBER() OVER (PARTITION BY gx, gy
+                                           ORDER BY n DESC, lang)
+                            AS rk
+                     FROM gcnt)
+            SELECT gx, gy, CAST(tot AS BIGINT) AS n_images,
+                   lang AS top_lang,
+                   round(CAST(n AS DOUBLE) / tot, 6) AS share
+            FROM gsel WHERE rk = 1
         """,
         "geo_turning_stats": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},
