@@ -2062,6 +2062,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "share"]].sort_values(["gx", "gy"],
                                           ignore_index=True)
 
+    def geo_admin_lang_share(sf_dir: str):
+        # geo x text over polygons: per admin area, the dominant
+        # caption language and its share of contained images; engine
+        # composes the broadcast PIP with a (admin, lang) combiner,
+        # the SQL twin joins the ray-cast PIP CTE with gcanon
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from engine.pipeline.join import build_polygon_set
+        from engine.state import cached_get
+
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        import ray as _ray
+
+        poly_ref = _ray.put(build_polygon_set(fixtures.polygons()))
+
+        def combine(t: pa.Table) -> pa.Table:
+            polys = cached_get(poly_ref)
+            lon = np.asarray(t["lon"], np.float64)
+            lat = np.asarray(t["lat"], np.float64)
+            lang = np.asarray(pc.utf8_slice_codeunits(
+                t["caption_canon"], 0, 2)).astype(object)
+            p_idx, g_idx = polys.contains_pairs(lon, lat)
+            df = pd.DataFrame({
+                "admin_id": polys.admin_ids[g_idx].astype(str),
+                "lang": lang[p_idx],
+            })
+            agg = df.groupby(["admin_id", "lang"], as_index=False,
+                             sort=False).size()
+            agg = agg.rename(columns={"size": "n"})
+            agg["n"] = agg["n"].astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        counts = relational.sum_final(
+            idx.map_batches(combine, batch_format="pyarrow"),
+            ["admin_id", "lang"]).to_pandas()
+        tot = counts.groupby("admin_id")["n"].transform("sum")
+        counts["tot"] = tot
+        counts = counts.sort_values(
+            ["admin_id", "n", "lang"],
+            ascending=[True, False, True], kind="stable")
+        top = counts.groupby("admin_id", as_index=False).first()
+        top["share"] = (top["n"] / top["tot"]).round(6)
+        top = top.rename(columns={"lang": "top_lang",
+                                  "tot": "n_images"})
+        top["n_images"] = top["n_images"].astype(np.int64)
+        return top[["admin_id", "n_images", "top_lang",
+                    "share"]].sort_values("admin_id",
+                                          ignore_index=True)
+
+    def geo_track_home_cell(sf_dir: str):
+        # per-track "home" detection: the modal 1-deg cell (min cell
+        # id tie-break) and the share of the track's fixes spent
+        # there; SQL twin argmaxes the same (track, cell) counts
+        import pyarrow as pa
+
+        def cells(t: pa.Table) -> pa.Table:
+            lon = np.asarray(t["lon"], np.float64)
+            lat = np.asarray(t["lat"], np.float64)
+            tid = np.asarray(t["track_id"], np.int64)
+            df = pd.DataFrame({
+                "track_id": tid,
+                "gx": np.floor((lon - -12.0) / 1.0).astype(np.int64),
+                "gy": np.floor((lat - 35.0) / 1.0).astype(np.int64),
+            })
+            df = df[(df["gx"] >= 0) & (df["gx"] < 24)
+                    & (df["gy"] >= 0) & (df["gy"] < 12)]
+            agg = df.groupby(["track_id", "gx", "gy"],
+                             as_index=False, sort=False).size()
+            agg = agg.rename(columns={"size": "n"})
+            agg["n"] = agg["n"].astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        counts = relational.sum_final(
+            _geo_tracked().map_batches(cells,
+                                       batch_format="pyarrow"),
+            ["track_id", "gx", "gy"]).to_pandas()
+        tot = counts.groupby("track_id")["n"].transform("sum")
+        counts["tot"] = tot
+        counts = counts.sort_values(
+            ["track_id", "n", "gx", "gy"],
+            ascending=[True, False, True, True], kind="stable")
+        top = counts.groupby("track_id", as_index=False).first()
+        top["home_share"] = (top["n"] / top["tot"]).round(6)
+        top = top.rename(columns={"gx": "home_gx",
+                                  "gy": "home_gy",
+                                  "tot": "n_fixes"})
+        top["n_fixes"] = top["n_fixes"].astype(np.int64)
+        return top[["track_id", "n_fixes", "home_gx", "home_gy",
+                    "home_share"]].sort_values("track_id",
+                                               ignore_index=True)
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -3495,6 +3587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford_digits": orders_benford_digits,
         "geo_spacetime_cube": geo_spacetime_cube,
         "geo_cell_lang_share": geo_cell_lang_share,
+        "geo_admin_lang_share": geo_admin_lang_share,
+        "geo_track_home_cell": geo_track_home_cell,
         "orders_urgency_ttest": orders_urgency_ttest,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
         "nation_revenue_hhi": nation_revenue_hhi,
@@ -5992,6 +6086,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, CAST(tot AS BIGINT) AS n_images,
                    lang AS top_lang,
                    round(CAST(n AS DOUBLE) / tot, 6) AS share
+            FROM gsel WHERE rk = 1
+        """,
+        "geo_admin_lang_share": f"""
+            WITH {_sql_geo_full(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            {_SQL_GEO_PIP},
+            gal AS (SELECT h.admin_id,
+                       substr(c.caption_canon, 1, 2) AS lang
+                    FROM ghits h
+                    JOIN gcanon c ON c.image_id = h.image_id),
+            gcnt AS (SELECT admin_id, lang, COUNT(*) AS n FROM gal
+                     GROUP BY admin_id, lang),
+            gsel AS (SELECT admin_id, lang, n,
+                        SUM(n) OVER (PARTITION BY admin_id) AS tot,
+                        ROW_NUMBER() OVER (PARTITION BY admin_id
+                                           ORDER BY n DESC, lang)
+                            AS rk
+                     FROM gcnt)
+            SELECT admin_id, CAST(tot AS BIGINT) AS n_images,
+                   lang AS top_lang,
+                   round(CAST(n AS DOUBLE) / tot, 6) AS share
+            FROM gsel WHERE rk = 1
+        """,
+        "geo_track_home_cell": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT i % 50 AS track_id,
+                       CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy
+                    FROM gll),
+            gcnt AS (SELECT track_id, gx, gy, COUNT(*) AS n
+                     FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY track_id, gx, gy),
+            gsel AS (SELECT track_id, gx, gy, n,
+                        SUM(n) OVER (PARTITION BY track_id) AS tot,
+                        ROW_NUMBER() OVER (PARTITION BY track_id
+                                           ORDER BY n DESC, gx, gy)
+                            AS rk
+                     FROM gcnt)
+            SELECT track_id, CAST(tot AS BIGINT) AS n_fixes,
+                   gx AS home_gx, gy AS home_gy,
+                   round(CAST(n AS DOUBLE) / tot, 6) AS home_share
             FROM gsel WHERE rk = 1
         """,
         "geo_turning_stats": f"""
