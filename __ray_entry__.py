@@ -1369,6 +1369,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("user_id", ignore_index=True)[
             ["user_id", "n_gaps", "mean_gap", "burstiness"]]
 
+    def value_shape_by_event_type(sf_dir: str):
+        # distribution-shape diagnostics: per-event-type population
+        # skewness and excess kurtosis from one power-sum combiner;
+        # SQL twin expands the same raw moments
+        ev = sf_table(sf_dir, "events", ["event_type", "value"])
+        out = relational.grouped_skew_kurt(
+            ev, "event_type", "value").to_pandas()
+        out["skewness"] = out["skewness"].round(6)
+        out["excess_kurtosis"] = out["excess_kurtosis"].round(6)
+        return out.sort_values("event_type", ignore_index=True)[
+            ["event_type", "n", "skewness", "excess_kurtosis"]]
+
+    def events_hourly_acf(sf_dir: str):
+        # temporal self-similarity: lag-1 Pearson autocorrelation of
+        # the per-hour event-count series (the rhythm detector);
+        # counts come from a tiny combiner, the ACF runs on the
+        # ~720-row series. SQL twin uses LEAD over the same buckets.
+        ev = sf_table(sf_dir, "events", ["ts"])
+
+        def hours(b: pd.DataFrame) -> pd.DataFrame:
+            h = (b["ts"].astype("datetime64[ns]").astype("int64")
+                 // 3_600_000_000_000)
+            agg = pd.DataFrame({"hour": h}).groupby(
+                "hour", as_index=False).size()
+            agg = agg.rename(columns={"size": "n"})
+            agg["n"] = agg["n"].astype(np.int64)
+            return agg
+
+        cnt = relational.sum_final(
+            ev.map_batches(hours, batch_format="pandas"),
+            ["hour"]).to_pandas().sort_values(
+            "hour", ignore_index=True)
+        x = cnt["n"].to_numpy(np.float64)
+        a, b = x[:-1], x[1:]
+        num = ((a - a.mean()) * (b - b.mean())).sum()
+        den = np.sqrt(((a - a.mean()) ** 2).sum()
+                      * ((b - b.mean()) ** 2).sum())
+        return pd.DataFrame({
+            "n_hours": np.asarray([len(x)], np.int64),
+            "acf_lag1": np.asarray(
+                [round(float(num / den), 6)], np.float64),
+        })
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3594,6 +3637,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_hhi": nation_revenue_hhi,
         "nation_acctbal_gini": nation_acctbal_gini,
         "user_burstiness": user_burstiness,
+        "value_shape_by_event_type": value_shape_by_event_type,
+        "events_hourly_acf": events_hourly_acf,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -5076,6 +5121,41 @@ def oracle_sql() -> dict[str, str]:
                          THEN (sd - mu) / (sd + mu)
                          ELSE 0e0 END, 6) AS burstiness
             FROM a
+        """,
+        "value_shape_by_event_type": """
+            WITH m AS (SELECT event_type, COUNT(*) AS n,
+                          AVG(value) AS m1,
+                          AVG(value * value) AS r2,
+                          AVG(pow(value, 3)) AS r3,
+                          AVG(pow(value, 4)) AS r4
+                       FROM events GROUP BY event_type),
+            c AS (SELECT event_type, n,
+                     r2 - m1 * m1 AS m2,
+                     r3 - 3e0 * m1 * r2 + 2e0 * pow(m1, 3) AS m3,
+                     r4 - 4e0 * m1 * r3 + 6e0 * m1 * m1 * r2
+                         - 3e0 * pow(m1, 4) AS m4
+                  FROM m)
+            SELECT event_type, n,
+                   round(CASE WHEN m2 > 0e0
+                         THEN m3 / pow(m2, 1.5e0)
+                         ELSE 0e0 END, 6) AS skewness,
+                   round(CASE WHEN m2 > 0e0
+                         THEN m4 / (m2 * m2) - 3e0
+                         ELSE 0e0 END, 6) AS excess_kurtosis
+            FROM c
+        """,
+        "events_hourly_acf": """
+            WITH h AS (SELECT CAST(floor(epoch(ts) / 3600e0)
+                               AS BIGINT) AS hour,
+                          COUNT(*) AS n
+                       FROM events GROUP BY hour),
+            p AS (SELECT CAST(n AS DOUBLE) AS a,
+                     CAST(LEAD(n) OVER (ORDER BY hour) AS DOUBLE)
+                         AS b
+                  FROM h)
+            SELECT (SELECT COUNT(*) FROM h) AS n_hours,
+                   round(corr(a, b), 6) AS acf_lag1
+            FROM p WHERE b IS NOT NULL
         """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT

@@ -2869,3 +2869,31 @@ def test_burstiness_clock_vs_bursty(ray_session):
                                                       abs=1e-12)
     assert out["burstiness"].iloc[1] > 0.5
     assert out["n_gaps"].tolist() == [29, 39]
+
+
+def test_grouped_skew_kurt_known_distributions(ray_session):
+    import ray.data
+
+    from engine.ops.relational import grouped_skew_kurt
+
+    rng = np.random.default_rng(97)
+    sym = rng.normal(0, 1, 4000)          # skew ~ 0, kurt ~ 0
+    expo = rng.exponential(1.0, 4000)     # skew ~ 2, kurt ~ 6
+    df = pd.DataFrame({
+        "g": ["n"] * 4000 + ["e"] * 4000,
+        "v": np.r_[sym, expo],
+    })
+    out = (grouped_skew_kurt(
+        ray.data.from_pandas(df).repartition(4), "g", "v")
+        .to_pandas().set_index("g"))
+    assert abs(out.loc["n", "skewness"]) < 0.15
+    assert abs(out.loc["n", "excess_kurtosis"]) < 0.3
+    assert out.loc["e", "skewness"] == pytest.approx(2.0, abs=0.4)
+    assert out.loc["e", "excess_kurtosis"] == pytest.approx(
+        6.0, abs=2.5)
+
+    # exact parity vs direct numpy population moments
+    m2 = expo.var()
+    m3 = ((expo - expo.mean()) ** 3).mean()
+    assert out.loc["e", "skewness"] == pytest.approx(
+        m3 / m2 ** 1.5, rel=1e-7)
