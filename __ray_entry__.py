@@ -1412,6 +1412,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [round(float(num / den), 6)], np.float64),
         })
 
+    def supplier_activity_span(sf_dir: str):
+        # per-supplier activity profile: distinct active ship months,
+        # first/last month, net revenue, and revenue per active
+        # month — one (supplier, month) combiner then a small
+        # per-supplier rollup; SQL twin via strftime buckets
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_suppkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            d = pd.to_datetime(b["l_shipdate"])
+            b["month"] = (d.dt.year * 100 + d.dt.month).astype(
+                np.int64)
+            b["rev"] = (b["l_extendedprice"].to_numpy(np.float64)
+                        * (1.0 - b["l_discount"].to_numpy(
+                            np.float64)))
+            return b[["l_suppkey", "month", "rev"]]
+
+        per_month = relational.partial_groupby_sum(
+            li.map_batches(prep, batch_format="pandas"),
+            ["l_suppkey", "month"], {"rev": "rev"},
+        ).to_pandas()
+        agg = per_month.groupby("l_suppkey", as_index=False).agg(
+            n_months=("month", "size"),
+            first_month=("month", "min"),
+            last_month=("month", "max"),
+            revenue=("rev", "sum"))
+        agg["n_months"] = agg["n_months"].astype(np.int64)
+        agg["rev_per_month"] = (agg["revenue"]
+                                / agg["n_months"]).round(4)
+        agg["revenue"] = agg["revenue"].round(4)
+        return agg.sort_values("l_suppkey", ignore_index=True)[
+            ["l_suppkey", "n_months", "first_month", "last_month",
+             "revenue", "rev_per_month"]]
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3639,6 +3675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burstiness": user_burstiness,
         "value_shape_by_event_type": value_shape_by_event_type,
         "events_hourly_acf": events_hourly_acf,
+        "supplier_activity_span": supplier_activity_span,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -5156,6 +5193,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM h) AS n_hours,
                    round(corr(a, b), 6) AS acf_lag1
             FROM p WHERE b IS NOT NULL
+        """,
+        "supplier_activity_span": """
+            WITH pm AS (SELECT l_suppkey,
+                           CAST(year(l_shipdate) * 100
+                                + month(l_shipdate) AS BIGINT)
+                               AS month,
+                           SUM(l_extendedprice * (1e0 - l_discount))
+                               AS rev
+                        FROM lineitem
+                        GROUP BY l_suppkey, month)
+            SELECT l_suppkey, COUNT(*) AS n_months,
+                   MIN(month) AS first_month,
+                   MAX(month) AS last_month,
+                   round(SUM(rev), 4) AS revenue,
+                   round(SUM(rev) / COUNT(*), 4) AS rev_per_month
+            FROM pm GROUP BY l_suppkey
         """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT
