@@ -1448,6 +1448,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["l_suppkey", "n_months", "first_month", "last_month",
              "revenue", "rev_per_month"]]
 
+    def docs_hapax_rate(sf_dir: str):
+        # vocabulary freshness: per-doc share of token positions
+        # whose token is corpus-unique; SQL twin joins tokens to the
+        # vocab counts and averages the n=1 indicator
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        counts = text.unigram_counts(docs)
+        out = text.hapax_rate(docs, counts).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)[
+            ["doc_id", "n_tokens", "hapax_rate"]]
+
+    def geo_clark_evans(sf_dir: str):
+        # point-pattern aggregation index R = mean NN distance over
+        # the expected Poisson mean 0.5*sqrt(A/n) (R<1 clustered,
+        # ~1 random, >1 dispersed) — composes the exact self-kNN
+        # (k=1) with a scalar moment combiner; SQL twin takes the
+        # all-pairs min haversine with identical area constants
+        idx = _geo_indexed(columns=["image_id"])
+        nn = geo_ops.self_knn_halo(idx, k=1, coarse_res=5,
+                                   halo_rings=1)
+
+        def mom(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "part": np.zeros(1, np.int64),
+                "n": np.asarray([len(b)], np.int64),
+                "s": np.asarray(
+                    [b["dist_m"].to_numpy(np.float64).sum()],
+                    np.float64),
+            })
+
+        tot = relational.sum_final(
+            nn.map_batches(mom, batch_format="pandas"),
+            ["part"]).to_pandas().iloc[0]
+        n = int(tot["n"])
+        mean_nn = float(tot["s"]) / n
+        deg_m = 2.0 * np.pi * 6371008.8 / 360.0
+        area = (24.0 * deg_m * np.cos(np.deg2rad(41.0))) \
+            * (12.0 * deg_m)
+        expected = 0.5 * np.sqrt(area / n)
+        return pd.DataFrame({
+            "n_points": np.asarray([n], np.int64),
+            "mean_nn_m": np.asarray([round(mean_nn, 4)],
+                                    np.float64),
+            "clark_evans": np.asarray(
+                [round(mean_nn / expected, 6)], np.float64),
+        })
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3676,6 +3722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_shape_by_event_type": value_shape_by_event_type,
         "events_hourly_acf": events_hourly_acf,
         "supplier_activity_span": supplier_activity_span,
+        "docs_hapax_rate": docs_hapax_rate,
+        "geo_clark_evans": geo_clark_evans,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -5210,6 +5258,28 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(rev) / COUNT(*), 4) AS rev_per_month
             FROM pm GROUP BY l_suppkey
         """,
+        "docs_hapax_rate": """
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(text),
+                                                 '[^a-z]+'))
+                           AS token
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok
+                     WHERE token <> ''),
+            vocab AS (SELECT token, COUNT(*) AS n FROM tok2
+                      GROUP BY token),
+            per AS (SELECT t.doc_id, COUNT(*) AS c,
+                       AVG(CASE WHEN v.n = 1 THEN 1e0
+                           ELSE 0e0 END) AS r
+                    FROM tok2 t JOIN vocab v USING (token)
+                    GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.c, 0) AS BIGINT) AS n_tokens,
+                   ROUND(COALESCE(per.r, 0e0), 6) AS hapax_rate
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT
                             l1.l_partkey AS a, l2.l_partkey AS b
@@ -6266,6 +6336,23 @@ def oracle_sql() -> dict[str, str]:
                    gx AS home_gx, gy AS home_gy,
                    round(CAST(n AS DOUBLE) / tot, 6) AS home_share
             FROM gsel WHERE rk = 1
+        """,
+        "geo_clark_evans": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gp AS (SELECT i, lon, lat FROM gll),
+            gd AS (SELECT a.i,
+                      MIN({_sql_haversine('a.lat', 'a.lon',
+                                          'b.lat', 'b.lon')}) AS d
+                   FROM gp a JOIN gp b ON b.i <> a.i
+                   GROUP BY a.i)
+            SELECT CAST({_GEO_N} AS BIGINT) AS n_points,
+                   round(AVG(d), 4) AS mean_nn_m,
+                   round(AVG(d) / (0.5e0 * sqrt(
+                       (24e0 * (2e0 * pi() * 6371008.8e0 / 360e0)
+                        * cos(radians(41e0)))
+                       * (12e0 * (2e0 * pi() * 6371008.8e0 / 360e0))
+                       / {_GEO_N}e0)), 6) AS clark_evans
+            FROM gd
         """,
         "geo_turning_stats": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -760,3 +760,51 @@ def sentence_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def hapax_rate(
+    ds: ray.data.Dataset, counts: pd.DataFrame
+) -> ray.data.Dataset:
+    """Per-doc hapax-legomena rate: the fraction of token POSITIONS
+    whose token occurs exactly once in the whole corpus — high rates
+    flag OCR noise / gibberish, near-zero rates flag boilerplate
+    (the vocabulary-freshness quality signal). Pass 2 over the
+    ``unigram_counts`` table: the sorted hapax vocabulary broadcasts
+    once; each batch runs ONE searchsorted membership test over its
+    concatenated tokens with a per-doc reduceat."""
+    import ray
+
+    hapax = np.sort(counts.loc[counts["n"] == 1, "token"]
+                    .to_numpy(object).astype(str))
+    ref = ray.put(hapax)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        hx = cached_get(ref)
+        toks, lens = [], []
+        for s in b["text"].astype(str):
+            t = _ALPHA_RE.findall(s.lower())
+            toks.extend(t)
+            lens.append(len(t))
+        lens = np.asarray(lens, np.int64)
+        if toks:
+            arr = np.asarray(toks, dtype=str)
+            pos = np.searchsorted(hx, arr)
+            pos = np.minimum(pos, max(len(hx) - 1, 0))
+            isin = (hx[pos] == arr) if len(hx) else np.zeros(
+                len(arr), bool)
+            # prefix-sum segment totals (reduceat chokes on the
+            # out-of-range start an empty trailing doc produces)
+            csum = np.r_[0, np.cumsum(isin.astype(np.int64))]
+            ends = np.cumsum(lens)
+            hits = csum[ends] - csum[ends - lens]
+        else:
+            hits = np.zeros(len(b), np.int64)
+        out = b[["doc_id"]].copy()
+        out["n_tokens"] = lens
+        out["hapax_rate"] = np.round(np.where(
+            lens > 0, hits / np.maximum(lens, 1), 0.0), 6)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -552,3 +552,21 @@ def test_sentence_stats_hand(ray_session):
     assert out["n_sentences"].tolist() == [3, 1, 0]
     assert out["n_tokens"].tolist() == [6, 3, 0]
     assert out["mean_sent_tokens"].tolist() == [2.0, 3.0, 0.0]
+
+
+def test_hapax_rate_hand(ray_session):
+    import ray.data
+
+    from engine.ops.text import hapax_rate, unigram_counts
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta alpha", "beta gamma", ""],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    counts = unigram_counts(ds)
+    out = (hapax_rate(ds, counts).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    # corpus counts: alpha 2, beta 2, gamma 1 -> hapax = {gamma}
+    assert out["n_tokens"].tolist() == [3, 2, 0]
+    assert out["hapax_rate"].tolist() == [0.0, 0.5, 0.0]
