@@ -2279,6 +2279,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "home_share"]].sort_values("track_id",
                                                ignore_index=True)
 
+    def geo_centrography(sf_dir: str):
+        # centrographic summary of the point pattern: mean center,
+        # standard distance (planar degrees), and the standard
+        # deviational ellipse orientation 0.5*atan2(2*cov, vx - vy)
+        # — one scalar moment combiner; SQL twin uses the identical
+        # closed forms
+        import pyarrow as pa
+
+        idx = _geo_indexed(columns=["image_id"])
+
+        def mom(t: pa.Table) -> pd.DataFrame:
+            x = np.asarray(t["lon"], np.float64)
+            y = np.asarray(t["lat"], np.float64)
+            return pd.DataFrame({
+                "part": np.zeros(1, np.int64),
+                "n": np.asarray([len(x)], np.float64),
+                "sx": np.asarray([x.sum()], np.float64),
+                "sy": np.asarray([y.sum()], np.float64),
+                "sxx": np.asarray([(x * x).sum()], np.float64),
+                "syy": np.asarray([(y * y).sum()], np.float64),
+                "sxy": np.asarray([(x * y).sum()], np.float64),
+            })
+
+        m = relational.sum_final(
+            idx.map_batches(mom, batch_format="pyarrow"),
+            ["part"]).to_pandas().iloc[0]
+        n = m["n"]
+        mx, my = m["sx"] / n, m["sy"] / n
+        vx = m["sxx"] / n - mx * mx
+        vy = m["syy"] / n - my * my
+        cov = m["sxy"] / n - mx * my
+        return pd.DataFrame({
+            "n_points": np.asarray([int(n)], np.int64),
+            "mean_lon": np.asarray([round(float(mx), 6)],
+                                   np.float64),
+            "mean_lat": np.asarray([round(float(my), 6)],
+                                   np.float64),
+            "std_dist_deg": np.asarray(
+                [round(float(np.sqrt(vx + vy)), 6)], np.float64),
+            "ellipse_theta": np.asarray(
+                [round(float(0.5 * np.arctan2(2.0 * cov, vx - vy)),
+                       6)], np.float64),
+        })
+
+    def embedding_participation_ratio(sf_dir: str):
+        # intrinsic dimensionality: PCA participation ratio
+        # (sum lambda)^2 / sum lambda^2 over ALL eigenvalues.
+        # Non-SQL (eigendecomposition); builds on the pytest-oracled
+        # embedding_pca moment machinery.
+        from engine.ops import simsearch
+
+        ds = sf_table(sf_dir, "embeddings", ["embedding"])
+        out = simsearch.embedding_pca(ds, k=64)
+        ev = out["eigval"].to_numpy(np.float64)
+        pr = float(ev.sum() ** 2 / (ev * ev).sum())
+        return pd.DataFrame({
+            "n_components": np.asarray([len(ev)], np.int64),
+            "participation_ratio": np.asarray([round(pr, 6)],
+                                              np.float64),
+        })
+
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
         # Non-SQL (recursive farthest-point selection); the epsilon
@@ -3724,6 +3785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_activity_span": supplier_activity_span,
         "docs_hapax_rate": docs_hapax_rate,
         "geo_clark_evans": geo_clark_evans,
+        "geo_centrography": geo_centrography,
+        "embedding_participation_ratio": embedding_participation_ratio,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -6353,6 +6416,22 @@ def oracle_sql() -> dict[str, str]:
                        * (12e0 * (2e0 * pi() * 6371008.8e0 / 360e0))
                        / {_GEO_N}e0)), 6) AS clark_evans
             FROM gd
+        """,
+        "geo_centrography": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            m AS (SELECT COUNT(*) AS n, AVG(lon) AS mx,
+                     AVG(lat) AS my,
+                     AVG(lon * lon) - AVG(lon) * AVG(lon) AS vx,
+                     AVG(lat * lat) - AVG(lat) * AVG(lat) AS vy,
+                     AVG(lon * lat) - AVG(lon) * AVG(lat) AS cv
+                  FROM gll)
+            SELECT CAST(n AS BIGINT) AS n_points,
+                   round(mx, 6) AS mean_lon,
+                   round(my, 6) AS mean_lat,
+                   round(sqrt(vx + vy), 6) AS std_dist_deg,
+                   round(0.5e0 * atan2(2e0 * cv, vx - vy), 6)
+                       AS ellipse_theta
+            FROM m
         """,
         "geo_turning_stats": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},
