@@ -1494,6 +1494,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [round(mean_nn / expected, 6)], np.float64),
         })
 
+    def docs_zipf_fit(sf_dir: str):
+        # corpus macro-statistics: least-squares slope of
+        # ln(freq) ~ ln(rank) over the top-100 tokens (the Zipf
+        # exponent, ~-1 for natural language); vocab counts come
+        # from the distributed combiner, the 100-row fit is driver
+        # arithmetic. SQL twin ranks with ROW_NUMBER and computes
+        # the same closed-form slope.
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        counts = text.unigram_counts(docs)
+        top = counts.sort_values(
+            ["n", "token"], ascending=[False, True],
+            kind="stable").head(100)
+        r = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+        f = np.log(top["n"].to_numpy(np.float64))
+        slope = (((r - r.mean()) * (f - f.mean())).sum()
+                 / ((r - r.mean()) ** 2).sum())
+        return pd.DataFrame({
+            "n_tokens_fit": np.asarray([len(top)], np.int64),
+            "zipf_slope": np.asarray([round(float(slope), 6)],
+                                     np.float64),
+            "top_freq": np.asarray([int(top["n"].iloc[0])],
+                                   np.int64),
+        })
+
     def docs_banned_terms(sf_dir: str):
         # multi-pattern content filter: Aho-Corasick automaton built
         # once per actor; occurrence counts brute-force pytest-oracled
@@ -3787,6 +3811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_clark_evans": geo_clark_evans,
         "geo_centrography": geo_centrography,
         "embedding_participation_ratio": embedding_participation_ratio,
+        "docs_zipf_fit": docs_zipf_fit,
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
@@ -5342,6 +5367,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(per.c, 0) AS BIGINT) AS n_tokens,
                    ROUND(COALESCE(per.r, 0e0), 6) AS hapax_rate
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "docs_zipf_fit": """
+            WITH tok AS (
+                SELECT UNNEST(string_split_regex(lower(text),
+                                                 '[^a-z]+'))
+                           AS token
+                FROM documents
+            ),
+            vocab AS (SELECT token, COUNT(*) AS n FROM tok
+                      WHERE token <> '' GROUP BY token),
+            rk AS (SELECT n,
+                      ROW_NUMBER() OVER (ORDER BY n DESC, token)
+                          AS r
+                   FROM vocab
+                   ORDER BY n DESC, token LIMIT 100),
+            lg AS (SELECT ln(CAST(r AS DOUBLE)) AS lr,
+                          ln(CAST(n AS DOUBLE)) AS lf,
+                          n, r
+                   FROM rk),
+            m AS (SELECT AVG(lr) AS mr, AVG(lf) AS mf,
+                         COUNT(*) AS k FROM lg)
+            SELECT (SELECT CAST(k AS BIGINT) FROM m)
+                       AS n_tokens_fit,
+                   round((SELECT SUM((lr - m.mr) * (lf - m.mf))
+                          FROM lg, m)
+                         / (SELECT SUM(pow(lr - m.mr, 2))
+                            FROM lg, m), 6) AS zipf_slope,
+                   (SELECT CAST(n AS BIGINT) FROM lg WHERE r = 1)
+                       AS top_freq
         """,
         "part_degree_assortativity": """
             WITH pe AS (SELECT DISTINCT
