@@ -121,6 +121,103 @@ def _geo_aux_dir() -> str:
     return _cached_dir("/tmp/graft_geo_aux_v3", pop)
 
 
+# --------------------------------------------------------------------- PQ fixture
+
+_PQ_M, _PQ_KS, _PQ_NQ, _PQ_DIM = 16, 64, 4, 64
+_PQ_CACHE: list = []
+
+
+def _pq_fixture():
+    """Deterministic PQ codebooks + query vectors, sf-independent so the
+    ``ann_pq_topk`` oracle can inline them as SQL constants (no side
+    tables, no query/oracle ordering hazard). Codebooks are fit on a
+    seeded unit-normalized gaussian sample (the embeddings table is
+    unit-norm 64-dim); both sides consume values rounded to 6 decimals,
+    so engine and DuckDB score the IDENTICAL floats."""
+    if _PQ_CACHE:
+        return _PQ_CACHE[0]
+    from engine.ops.simsearch import pq_fit
+
+    rng = np.random.default_rng(20260819)
+    sample = rng.standard_normal((512, _PQ_DIM))
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cb = np.round(pq_fit(sample, m=_PQ_M, ks=_PQ_KS, iters=8, seed=42), 6)
+    q = rng.standard_normal((_PQ_NQ, _PQ_DIM))
+    q = np.round(q / np.linalg.norm(q, axis=1, keepdims=True), 6)
+    _PQ_CACHE.append((cb, q))
+    return _PQ_CACHE[0]
+
+
+def _sql_pq_topk(k: int = 10) -> str:
+    """Self-contained DuckDB ADC twin: inline codebook + query-subvector
+    VALUES tables, per-(vec, subspace) argmax code via the same
+    ``2*x.c - ||c||^2`` score the engine uses, LUT distance rebuilt from
+    the same constants, ROW_NUMBER top-k ordered (adist, vec_id)."""
+    cb, q = _pq_fixture()
+    m, ks, sub = cb.shape
+    cb_rows = ",".join(
+        f"({j},{c},{','.join(repr(float(v)) for v in cb[j, c])})"
+        for j in range(m) for c in range(ks)
+    )
+    qs_rows = ",".join(
+        f"({qi},{j},{','.join(repr(float(v)) for v in q[qi, j * sub:(j + 1) * sub])})"
+        for qi in range(len(q)) for j in range(m)
+    )
+    xcols = "+".join(f"s.x{i + 1}*cb.c{i + 1}" for i in range(sub))
+    c2 = "+".join(f"cb.c{i + 1}*cb.c{i + 1}" for i in range(sub))
+    lutd = "+".join(
+        f"(qs.q{i + 1}-cb.c{i + 1})*(qs.q{i + 1}-cb.c{i + 1})"
+        for i in range(sub)
+    )
+    subsel = ",".join(
+        f"emb[{sub}*j.j+{i + 1}] AS x{i + 1}" for i in range(sub)
+    )
+    return f"""
+        WITH cb(j, c, {','.join(f'c{i + 1}' for i in range(sub))}) AS (
+            VALUES {cb_rows}
+        ),
+        qs(qid, j, {','.join(f'q{i + 1}' for i in range(sub))}) AS (
+            VALUES {qs_rows}
+        ),
+        sub AS (
+            SELECT vec_id, j.j, {subsel}
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings) e
+            CROSS JOIN (SELECT unnest(range(0, {m})) AS j) j
+        ),
+        scored AS (
+            SELECT s.vec_id, s.j, cb.c,
+                   2*({xcols}) - ({c2}) AS sc
+            FROM sub s JOIN cb ON cb.j = s.j
+        ),
+        codes AS (
+            SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                          ORDER BY sc DESC, c) AS rn
+                FROM scored) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT qs.qid, cb.j, cb.c, {lutd} AS d
+            FROM qs JOIN cb ON cb.j = qs.j
+        ),
+        ad AS (
+            SELECT l.qid, c.vec_id, SUM(l.d) AS adist
+            FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.c
+            GROUP BY l.qid, c.vec_id
+        ),
+        rk AS (
+            SELECT qid, vec_id, adist,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY adist, vec_id) AS rank
+            FROM ad
+        )
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INT) AS rank,
+               vec_id, ROUND(adist, 6) AS adist
+        FROM rk WHERE rank <= {k}
+    """
+
+
 # --------------------------------------------------------------------- entry
 
 def entry() -> Any:
@@ -3417,16 +3514,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.tfidf_top_terms(docs, n, df, k=3)
 
     def ann_pq_topk(sf_dir: str):
-        # product-quantization ANN (ADC lookup-table scoring);
-        # recall-vs-exact pytest-oracled
-        from engine.ops.simsearch import pq_topk
+        # product-quantization ANN (ADC lookup-table scoring) against
+        # the deterministic sf-independent codebook/query fixture; the
+        # DuckDB twin (_sql_pq_topk) recomputes codes + ADC distances
+        # from the same inlined constants. Recall of the corpus-trained
+        # path stays pytest-oracled (tests/test_simsearch.py).
+        from engine.ops.simsearch import pq_score_topk
 
+        cb, q = _pq_fixture()
         emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        qdf = emb.limit(4).to_pandas()
-        queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-        out = pq_topk(emb, queries, k=10, m=16, ks=64)
+        out = pq_score_topk(emb, cb, q, k=10)
+        out["qid"] = out["qid"].astype(np.int64)
         out["adist"] = out["adist"].round(6)
-        return out
+        return out[["qid", "rank", "vec_id", "adist"]]
 
     def embedding_centroid_by_label(sf_dir: str):
         # list-column GROUP BY: per-batch (labels x d) partial-sum
@@ -5013,6 +5113,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY prio DESC, o_orderkey LIMIT 100
         """,
         "supplier_part_pagerank": _sql_pagerank(iters=8, damping=0.85),
+        "ann_pq_topk": _sql_pq_topk(10),
         "approx_price_quantiles": _sql_ddsketch(
             "orders", "o_totalprice", (0.5, 0.9, 0.99), 0.01),
         "approx_value_quantiles_by_type": _sql_ddsketch(

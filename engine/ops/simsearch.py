@@ -456,30 +456,27 @@ def pq_encode(
     return corpus.map_batches(enc, batch_format="pandas")
 
 
-def pq_topk(
+def pq_score_topk(
     corpus: ray.data.Dataset,
+    codebooks: np.ndarray,
     queries: np.ndarray,
     k: int = 10,
     *,
-    m: int = 8,
-    ks: int = 32,
-    train_sample: int = 512,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> pd.DataFrame:
-    """Approximate top-k by asymmetric distance (ADC): per query a
-    (m x ks) lookup table of subspace distances to every centroid is
-    broadcast with the codebooks; each batch encodes its vectors and
-    scores them with ``m`` table lookups instead of a d-dim dot —
-    per-batch top-k partials merge exactly (min-k is associative).
-    Recall vs exact L2 is pytest-verified. Returns (qid, vec_id, rank,
+    """ADC scoring against GIVEN codebooks: per query a (m x ks)
+    lookup table of subspace distances to every centroid is broadcast
+    with the codebooks; each batch encodes its vectors and scores them
+    with ``m`` table lookups instead of a d-dim dot — per-batch top-k
+    partials merge exactly (min-k is associative). Per-batch ties at
+    the k boundary break on ``id_col`` (lexsort), so the result is
+    invariant to batch boundaries AND matches a SQL
+    ``ORDER BY adist, vec_id`` twin. Returns (qid, vec_id, rank,
     adist)."""
     import ray
 
-    sample = np.stack(
-        corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
-    ).astype(np.float64)
-    cb = pq_fit(sample, m=m, ks=ks)
+    cb = np.asarray(codebooks, dtype=np.float64)
     sub = cb.shape[2]
     q = np.asarray(queries, dtype=np.float64)
     # LUT[qi, j, c] = ||q_sub - centroid||^2
@@ -501,13 +498,16 @@ def pq_topk(
             xj = x[:, j * sub_:(j + 1) * sub_]
             d = 2.0 * (xj @ cb_[j].T) - (cb_[j] ** 2).sum(axis=1)
             codes[:, j] = np.argmax(d, axis=1)
-        # adist[qi, row] = sum_j lut[qi, j, codes[row, j]]
         nq = lut_.shape[0]
         ids = b[id_col].to_numpy()
         out = {"qid": [], id_col: [], "adist": []}
         for qi in range(nq):
-            dist = lut_[qi, np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
-            take = np.argsort(dist, kind="stable")[:k]
+            # sequential j-order accumulation (matches an ordered SQL
+            # sum more closely than numpy's pairwise reduction)
+            dist = lut_[qi, 0, codes[:, 0]].copy()
+            for j in range(1, m_):
+                dist += lut_[qi, j, codes[:, j]]
+            take = np.lexsort((ids, dist))[:k]
             out["qid"].extend([qi] * len(take))
             out[id_col].extend(ids[take])
             out["adist"].extend(dist[take])
@@ -517,6 +517,28 @@ def pq_topk(
     res = _topk_merge(parts, "qid", "adist", id_col, k,
                       ascending=True, rank_base=1)
     return res[["qid", id_col, "rank", "adist"]]
+
+
+def pq_topk(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    m: int = 8,
+    ks: int = 32,
+    train_sample: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k by asymmetric distance (ADC) with codebooks
+    fit on a driver-side corpus sample (Jégou et al. 2011). Recall vs
+    exact L2 is pytest-verified. Returns (qid, vec_id, rank, adist)."""
+    sample = np.stack(
+        corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    cb = pq_fit(sample, m=m, ks=ks)
+    return pq_score_topk(corpus, cb, queries, k,
+                         vec_col=vec_col, id_col=id_col)
 
 
 def embedding_pca(ds, k: int = 8) -> "pd.DataFrame":
