@@ -118,62 +118,237 @@ def pagerank(
     )
 
 
+_MAX_ID = 2 ** 31  # pair-encode bound: ids must satisfy 0 <= id < 2^31
+
+
+def _check_id_range(*arrays: np.ndarray) -> None:
+    """The wedge/edge pair encode packs two node ids into one int64 as
+    ``lo << 31 | hi``; out-of-range ids would silently collide and
+    corrupt triangle/Jaccard counts (round-2 ADVICE), so every stage
+    that encodes validates first."""
+    for x in arrays:
+        if len(x) and (int(x.min()) < 0 or int(x.max()) >= _MAX_ID):
+            raise ValueError(
+                f"graph node ids must be in [0, {_MAX_ID}) for the "
+                f"int64 pair encode; got range "
+                f"[{int(x.min())}, {int(x.max())}]"
+            )
+
+
+def _pair_key(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    return (lo.astype(np.int64) << 31) | hi.astype(np.int64)
+
+
+def _seg_tri_pairs(vals: np.ndarray, sizes: np.ndarray):
+    """All within-segment (i < j) index pairs over concatenated
+    segments, fully vectorized (one repeat/cumsum pass, no per-segment
+    dispatch). ``vals`` holds the segments back to back, sorted within
+    each; ``sizes`` their lengths. Returns (lo, hi) with lo < hi
+    because each segment is sorted and holds distinct values."""
+    n = len(vals)
+    if n == 0 or len(sizes) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    sizes = sizes.astype(np.int64)
+    offs = np.zeros(len(sizes), np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    loc = np.arange(n, dtype=np.int64) - np.repeat(offs, sizes)
+    fc = np.repeat(sizes, sizes) - 1 - loc  # pairs led by each element
+    total = int(fc.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    ii = np.repeat(np.arange(n, dtype=np.int64), fc)
+    rs = np.zeros(n, np.int64)
+    np.cumsum(fc[:-1], out=rs[1:])
+    seq = np.arange(total, dtype=np.int64) - np.repeat(rs, fc)
+    jj = ii + 1 + seq
+    return vals[ii], vals[jj]
+
+
+def _seg_cross_pairs(u_vals, v_vals, u_sizes, v_sizes):
+    """All cross pairs (u x v) per aligned segment, vectorized. The two
+    size arrays are index-aligned (one entry per segment, zeros
+    allowed). Returns (u, v) value arrays."""
+    nu = len(u_vals)
+    if nu == 0 or len(v_vals) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    u_sizes = u_sizes.astype(np.int64)
+    v_sizes = v_sizes.astype(np.int64)
+    rep = np.repeat(v_sizes, u_sizes)  # pairs per u element
+    total = int(rep.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    ii = np.repeat(np.arange(nu, dtype=np.int64), rep)
+    rs = np.zeros(nu, np.int64)
+    np.cumsum(rep[:-1], out=rs[1:])
+    seq = np.arange(total, dtype=np.int64) - np.repeat(rs, rep)
+    v_offs = np.zeros(len(v_sizes), np.int64)
+    np.cumsum(v_sizes[:-1], out=v_offs[1:])
+    seg_of_u = np.repeat(np.arange(len(u_sizes), dtype=np.int64), u_sizes)
+    jj = np.repeat(v_offs[seg_of_u], rep) + seq
+    return u_vals[ii], v_vals[jj]
+
+
+def wedge_pairs(
+    edges: ray.data.Dataset,
+    num_shards: int = 64,
+    hot_deg: int = 1024,
+) -> ray.data.Dataset:
+    """Dataset(a, b) -> Dataset(k): every unordered neighbor pair
+    {b1 < b2} of each vertex ``a``, encoded ``b1 << 31 | b2`` — the
+    wedge stage shared by ``triangle_count`` and
+    ``common_neighbor_jaccard``.
+
+    Skew defense (standard degree-splitting): a vertex with
+    deg > ``hot_deg`` has its neighbor list hash-chunked into
+    c = ceil(deg / hot_deg) chunks; each edge row is replicated once
+    per chunk combo it participates in (c rows), and pair generation
+    runs per (vertex, chunk_i, chunk_j) combo — so the per-task pair
+    work is bounded by ~hot_deg^2 per combo and a power-law hub spreads
+    over ~c^2/2 combos hashed across all shards instead of pinning one.
+    Within a shard, expansion is one lexsort + segmented repeat/cumsum
+    pass — no per-vertex Python dispatch."""
+    import pyarrow as pa
+
+    from engine.ops.relational import _sharded_by_key, sum_final
+    from engine.ops.sketch import _hash64
+    from engine.state import cached_get
+
+    # degree census on the wedge pivot endpoint only
+    def local_deg(t: "pa.Table") -> pd.DataFrame:
+        a = np.asarray(t["a"], np.int64)
+        u, c = np.unique(a, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = sum_final(
+        edges.map_batches(local_deg, batch_format="pyarrow"),
+        ["node"]).to_pandas()
+    hot = deg[deg["deg"] > hot_deg]
+    hot_nodes = np.sort(hot["node"].to_numpy(np.int64))
+    hot_chunks = -(-hot.set_index("node").loc[hot_nodes, "deg"]
+                   .to_numpy(np.int64) // hot_deg)
+    hot_ref = ray.put((hot_nodes, hot_chunks))
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(np.int64)
+        bb = b["b"].to_numpy(np.int64)
+        _check_id_range(a, bb)
+        nodes, chunks = cached_get(hot_ref)
+        c = np.ones(len(a), np.int64)
+        if len(nodes):
+            pos = np.searchsorted(nodes, a)
+            pos_c = np.minimum(pos, len(nodes) - 1)
+            is_hot = nodes[pos_c] == a
+            c = np.where(is_hot, chunks[pos_c], 1)
+        x = np.zeros(len(a), np.int64)
+        m = c > 1
+        if m.any():
+            x[m] = (_hash64(bb[m]).astype(np.int64) & 0x7FFFFFFF) % c[m]
+        total = int(c.sum())
+        idx = np.repeat(np.arange(len(a), dtype=np.int64), c)
+        rs = np.zeros(len(a), np.int64)
+        np.cumsum(c[:-1], out=rs[1:])
+        y = np.arange(total, dtype=np.int64) - np.repeat(rs, c)
+        aa, bbb, xx = a[idx], bb[idx], x[idx]
+        ci = np.minimum(xx, y)
+        cj = np.maximum(xx, y)
+        gk = _hash64(aa * 1_000_003 + ci * 1009 + cj).astype(np.int64)
+        return pd.DataFrame({
+            "ga": aa, "ci": ci.astype(np.int32),
+            "cj": cj.astype(np.int32),
+            "cside": (xx > y).astype(np.int8), "gb": bbb, "gk": gk,
+        })
+
+    expanded = edges.map_batches(expand, batch_format="pandas")
+
+    def gen_pairs(g: pd.DataFrame) -> "pa.Table":
+        # returns ARROW so empty shards keep their schema (Ray skips
+        # UDFs on empty pandas blocks, which lose column names and
+        # would poison downstream consumers)
+        a = g["ga"].to_numpy(np.int64)
+        ci = g["ci"].to_numpy(np.int64)
+        cj = g["cj"].to_numpy(np.int64)
+        side = g["cside"].to_numpy(np.int64)
+        bb = g["gb"].to_numpy(np.int64)
+        order = np.lexsort((bb, side, cj, ci, a))
+        a, ci, cj, side, bb = (
+            a[order], ci[order], cj[order], side[order], bb[order])
+        tri = ci == cj
+        outs = []
+        if tri.any():
+            at, cit, bt = a[tri], ci[tri], bb[tri]
+            new = np.ones(len(at), bool)
+            new[1:] = (at[1:] != at[:-1]) | (cit[1:] != cit[:-1])
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.append(starts, len(at)))
+            lo, hi = _seg_tri_pairs(bt, sizes)
+            outs.append(_pair_key(lo, hi))
+        crx = ~tri
+        if crx.any():
+            ac, cic, cjc = a[crx], ci[crx], cj[crx]
+            sc, bc = side[crx], bb[crx]
+            new = np.ones(len(ac), bool)
+            new[1:] = ((ac[1:] != ac[:-1]) | (cic[1:] != cic[:-1])
+                       | (cjc[1:] != cjc[:-1]))
+            grp = np.cumsum(new) - 1
+            ngrp = int(grp[-1]) + 1 if len(grp) else 0
+            um = sc == 0
+            u_sizes = np.bincount(grp[um], minlength=ngrp)
+            v_sizes = np.bincount(grp[~um], minlength=ngrp)
+            uu, vv = _seg_cross_pairs(bc[um], bc[~um], u_sizes, v_sizes)
+            outs.append(_pair_key(np.minimum(uu, vv), np.maximum(uu, vv)))
+        flat = (np.concatenate(outs) if outs else np.empty(0, np.int64))
+        return pa.table({"k": pa.array(flat, pa.int64())})
+
+    return _sharded_by_key(expanded, "gk", num_shards).groupby(
+        "__shard").map_groups(
+        lambda g: gen_pairs(g.drop(columns="__shard")),
+        batch_format="pandas")
+
+
 def triangle_count(
     edges: ray.data.Dataset,
     num_shards: int = 64,
+    hot_deg: int = 1024,
 ) -> pd.DataFrame:
     """Distributed triangle counting over an undirected edge list
     (rows ``a < b``, distinct) — the clustering-coefficient /
     community-density primitive. Classic two-round node-iterator:
 
-    1. wedges: shard edges by their LOW endpoint; per vertex a with
-       sorted neighbors n1 < n2 < ..., emit each neighbor pair (b, c)
-       — every triangle {a<b<c} yields exactly one wedge at a.
+    1. wedges: per vertex a with sorted neighbors n1 < n2 < ..., emit
+       each neighbor pair (b, c) — every triangle {a<b<c} yields
+       exactly one wedge at a. Generation is the degree-split,
+       segmented-vectorized ``wedge_pairs`` stage (no per-vertex
+       Python, no pinned shard on power-law hubs).
     2. closure: co-shuffle wedges against the edge set on the
        composite (b, c) key (co-shard membership count); matches
        ARE the triangles.
 
-    Wedge fan-out is deg(a)^2/2 — the documented skew hazard; for
-    power-law graphs split hot vertices' neighbor lists (standard
-    degree-splitting) before the pair expansion. Returns one row
-    (n_edges, n_wedges, n_triangles)."""
+    Returns one row (n_edges, n_wedges, n_triangles)."""
     from engine.ops.relational import _sharded_by_key, sum_final
 
     edges = edges.materialize()  # feeds wedge build AND closure probe
 
     import pyarrow as pa
 
-    def shard_wedges(g: pd.DataFrame) -> "pa.Table":
-        # returns ARROW so empty shards keep their schema (Ray skips
-        # UDFs on empty pandas blocks, which lose column names and
-        # would poison the native join downstream)
-        ks = []
-        for a, sub in g.groupby("a", sort=False):
-            nb = np.sort(sub["b"].to_numpy(np.int64))
-            k = len(nb)
-            if k < 2:
-                continue
-            ii, jj = np.triu_indices(k, k=1)
-            ks.append(nb[ii] * 2_147_483_647 + nb[jj])
-        flat = (np.concatenate(ks) if ks
-                else np.empty(0, np.int64))
-        return pa.table({"k": pa.array(flat, pa.int64()),
-                         "side": pa.array(
-                             np.ones(len(flat), np.int64),
-                             pa.int64())})
+    def tag_wedge(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "k": t["k"],
+            "side": pa.array(np.ones(len(t), np.int64), pa.int64())})
 
-    sharded = _sharded_by_key(edges, "a", num_shards)
-    wk = sharded.groupby("__shard").map_groups(
-        lambda g: shard_wedges(g.drop(columns="__shard")),
-        batch_format="pandas",
-    )
+    wk = wedge_pairs(edges, num_shards, hot_deg).map_batches(
+        tag_wedge, batch_format="pyarrow")
 
     def edge_key(t: "pa.Table") -> "pa.Table":
-        k = (np.asarray(t["a"], np.int64) * 2_147_483_647
-             + np.asarray(t["b"], np.int64))
-        return pa.table({"k": pa.array(k, pa.int64()),
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        _check_id_range(a, b)
+        return pa.table({"k": pa.array(_pair_key(a, b), pa.int64()),
                          "side": pa.array(
-                             np.zeros(len(k), np.int64), pa.int64())})
+                             np.zeros(len(a), np.int64), pa.int64())})
 
     ek = edges.map_batches(edge_key, batch_format="pyarrow")
 
@@ -265,14 +440,15 @@ def common_neighbor_jaccard(
     edges: ray.data.Dataset,
     k: int = 20,
     num_shards: int = 64,
+    hot_deg: int = 1024,
 ) -> pd.DataFrame:
     """Link prediction by neighborhood Jaccard: for every NON-edge
     pair (b < c) sharing at least one neighbor, score
     |N(b) ∩ N(c)| / |N(b) ∪ N(c)| and return the top-k candidates
     (ties by (b, c)). Common-neighbor counts ARE the wedge counts of
-    ``triangle_count``'s round 1; existing edges are removed by the
-    same co-shard side trick; only per-shard top-k partials reach the
-    driver."""
+    the shared degree-split ``wedge_pairs`` stage; existing edges are
+    removed by the same co-shard side trick; only per-shard top-k
+    partials reach the driver."""
     from engine.ops.relational import _sharded_by_key, sum_final
     from engine.state import cached_get
 
@@ -293,19 +469,6 @@ def common_neighbor_jaccard(
     dmap_ref = ray.put((deg["node"].to_numpy()[order],
                         deg["deg"].to_numpy(np.float64)[order]))
 
-    def shard_wedges(g: pd.DataFrame) -> "pa.Table":
-        ks = []
-        for a, sub in g.groupby("a", sort=False):
-            nb = np.sort(sub["b"].to_numpy(np.int64))
-            if len(nb) < 2:
-                continue
-            ii, jj = np.triu_indices(len(nb), k=1)
-            ks.append(nb[ii] * 2_147_483_647 + nb[jj])
-        flat = np.concatenate(ks) if ks else np.empty(0, np.int64)
-        return pa.table({"k": pa.array(flat, pa.int64()),
-                         "n": pa.array(np.ones(len(flat), np.int64),
-                                       pa.int64())})
-
     # adjacency wedges need BOTH orientations of each edge (N(v) is
     # the full neighbor set, not just higher-id neighbors)
     def both_dirs(t: "pa.Table") -> "pa.Table":
@@ -316,18 +479,23 @@ def common_neighbor_jaccard(
             "b": pa.array(np.concatenate([b, a]), pa.int64()),
         })
 
+    def tag_wedge(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "k": t["k"],
+            "n": pa.array(np.ones(len(t), np.int64), pa.int64())})
+
     adj = edges.map_batches(both_dirs, batch_format="pyarrow")
     cn = sum_final(
-        _sharded_by_key(adj, "a", num_shards).groupby("__shard")
-        .map_groups(lambda g: shard_wedges(g.drop(columns="__shard")),
-                    batch_format="pandas"),
+        wedge_pairs(adj, num_shards, hot_deg).map_batches(
+            tag_wedge, batch_format="pyarrow"),
         ["k"])
 
     def edge_key(t: "pa.Table") -> "pa.Table":
-        kk = (np.asarray(t["a"], np.int64) * 2_147_483_647
-              + np.asarray(t["b"], np.int64))
-        return pa.table({"k": pa.array(kk, pa.int64()),
-                         "n": pa.array(np.zeros(len(kk), np.int64),
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        _check_id_range(a, b)
+        return pa.table({"k": pa.array(_pair_key(a, b), pa.int64()),
+                         "n": pa.array(np.zeros(len(a), np.int64),
                                        pa.int64())})
 
     ek = edges.map_batches(edge_key, batch_format="pyarrow")
@@ -340,7 +508,7 @@ def common_neighbor_jaccard(
         keep = ~np.isin(kk, kk[is_edge]) & ~is_edge
         kk = kk[keep]
         n = g["n"].to_numpy(np.int64)[keep]
-        b, c = np.divmod(kk, 2_147_483_647)
+        b, c = kk >> 31, kk & (_MAX_ID - 1)
         db = degs[np.searchsorted(nodes, b)]
         dc = degs[np.searchsorted(nodes, c)]
         jac = n / (db + dc - n)

@@ -2442,6 +2442,83 @@ def test_triangle_count_hand_and_random(ray_session):
     assert int(out["n_edges"].iloc[0]) == len(edf)
 
 
+def test_seg_pair_kernels_vs_itertools():
+    import itertools
+
+    from engine.ops.graph import _seg_cross_pairs, _seg_tri_pairs
+
+    rng = np.random.default_rng(3)
+    sizes = np.asarray([0, 1, 5, 2, 17, 0, 3], np.int64)
+    segs = [np.sort(rng.choice(10_000, s, replace=False)).astype(np.int64)
+            for s in sizes]
+    vals = (np.concatenate(segs) if segs
+            else np.empty(0, np.int64))
+    lo, hi = _seg_tri_pairs(vals, sizes)
+    want = [(int(x), int(y)) for seg in segs
+            for x, y in itertools.combinations(seg, 2)]
+    assert sorted(zip(lo.tolist(), hi.tolist())) == sorted(want)
+    assert (lo < hi).all()
+
+    u_sizes = np.asarray([2, 0, 3, 1], np.int64)
+    v_sizes = np.asarray([3, 2, 0, 4], np.int64)
+    useg = [rng.integers(0, 1000, s).astype(np.int64) for s in u_sizes]
+    vseg = [rng.integers(0, 1000, s).astype(np.int64) for s in v_sizes]
+    uu, vv = _seg_cross_pairs(
+        np.concatenate(useg), np.concatenate(vseg), u_sizes, v_sizes)
+    want = [(int(x), int(y))
+            for us, vs in zip(useg, vseg)
+            for x in us for y in vs]
+    assert sorted(zip(uu.tolist(), vv.tolist())) == sorted(want)
+
+
+def test_wedge_degree_splitting_planted_hub(ray_session):
+    import itertools
+
+    import ray.data
+
+    from engine.ops.graph import triangle_count, wedge_pairs
+
+    # one deg-1000 hub plus a sparse leaf ring: hot_deg=64 forces the
+    # hub's neighbor list into 16 hash chunks (136 combos spread across
+    # shards); the wedge multiset and triangle count must be identical
+    # to the unsplit path
+    rng = np.random.default_rng(11)
+    hub = pd.DataFrame({"a": np.zeros(1000, np.int64),
+                        "b": np.arange(1, 1001, dtype=np.int64)})
+    ring = pd.DataFrame({"a": np.arange(1, 901, 7, dtype=np.int64)})
+    ring["b"] = ring["a"] + rng.integers(1, 60, len(ring))
+    edf = (pd.concat([hub, ring], ignore_index=True)
+           .drop_duplicates(["a", "b"], ignore_index=True))
+    edf = edf[edf["a"] < edf["b"]].reset_index(drop=True)
+
+    ds = ray.data.from_pandas(edf).repartition(3)
+    split = wedge_pairs(ds, num_shards=8, hot_deg=64).to_pandas()
+    unsplit = wedge_pairs(ds, num_shards=8, hot_deg=10 ** 9).to_pandas()
+    assert sorted(split["k"].tolist()) == sorted(unsplit["k"].tolist())
+    # exact wedge multiset vs itertools over per-vertex neighbor lists
+    want = []
+    for a, sub in edf.groupby("a"):
+        for x, y in itertools.combinations(sorted(sub["b"]), 2):
+            want.append((x << 31) | y)
+    assert sorted(split["k"].tolist()) == sorted(want)
+
+    t_split = triangle_count(ds, num_shards=8, hot_deg=64)
+    t_unsplit = triangle_count(ds, num_shards=8, hot_deg=10 ** 9)
+    assert t_split.equals(t_unsplit)
+    assert int(t_split["n_edges"].iloc[0]) == len(edf)
+
+
+def test_graph_id_range_guard(ray_session):
+    import ray.data
+
+    from engine.ops.graph import triangle_count
+
+    bad = pd.DataFrame({"a": np.asarray([1, 2], np.int64),
+                        "b": np.asarray([2 ** 31, 3], np.int64)})
+    with pytest.raises(Exception, match="node ids"):
+        triangle_count(ray.data.from_pandas(bad), num_shards=2)
+
+
 def test_degree_assortativity_star_vs_clique(ray_session):
     import itertools
 
