@@ -33,6 +33,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    broadcast_nodes: int = 2_000_000,
 ) -> pd.DataFrame:
     """Edges (one row per DISTINCT directed edge) -> (node, rank).
 
@@ -105,12 +106,22 @@ def pagerank(
             nz = np.flatnonzero(v)
             return pd.DataFrame({"node_pos": nz, "__sum": v[nz]})
 
-        parts = pos_ds.map_batches(push, batch_format="pandas").to_pandas()
-        # deterministic partial-merge order (float sums)
-        parts = parts.sort_values(["node_pos", "__sum"], kind="stable")
+        pushed = pos_ds.map_batches(push, batch_format="pandas")
         incoming = np.zeros(n)
-        np.add.at(incoming, parts["node_pos"].to_numpy(),
-                  parts["__sum"].to_numpy())
+        if n <= broadcast_nodes:
+            # small path: O(nodes x blocks) partial rows fold on the
+            # driver in deterministic (node_pos, __sum) order
+            parts = pushed.to_pandas()
+            parts = parts.sort_values(["node_pos", "__sum"], kind="stable")
+            np.add.at(incoming, parts["node_pos"].to_numpy(),
+                      parts["__sum"].to_numpy())
+        else:
+            # big path: per-dst partials fold DISTRIBUTED (sum_final)
+            # so the driver receives exactly the n-row rank vector per
+            # iteration, never the per-block partial fan-out
+            parts = relational.sum_final(pushed, ["node_pos"]).to_pandas()
+            incoming[parts["node_pos"].to_numpy()] = (
+                parts["__sum"].to_numpy())
         rank = (1 - damping) / n + damping * (incoming + dangling / n)
 
     return pd.DataFrame({"node": nodes, "rank": rank}).sort_values(
@@ -529,20 +540,66 @@ def common_neighbor_jaccard(
     return out
 
 
+def _edge_node_semi(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    col: str,
+    num_shards: int,
+) -> ray.data.Dataset:
+    """Keep edges whose ``col`` endpoint appears in the node Dataset,
+    via the co-shard side trick (no broadcast structure): edge rows and
+    node rows union with a side tag, shard on the key, and each shard
+    keeps its edges whose key is in its node set. Both sides stream;
+    nothing lands on the driver."""
+    import pyarrow as pa
+
+    from engine.ops.relational import _sharded_by_key
+
+    def tag_edge(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "key": t[col], "ea": t["a"], "eb": t["b"],
+            "side": pa.array(np.ones(len(t), np.int64), pa.int64())})
+
+    def tag_node(t: "pa.Table") -> "pa.Table":
+        z = pa.array(np.zeros(len(t), np.int64), pa.int64())
+        return pa.table({"key": t["node"], "ea": z, "eb": z, "side": z})
+
+    both = edges.map_batches(tag_edge, batch_format="pyarrow").union(
+        nodes.map_batches(tag_node, batch_format="pyarrow"))
+
+    def keep(g: pd.DataFrame) -> "pa.Table":
+        side = g["side"].to_numpy(np.int64)
+        key = g["key"].to_numpy(np.int64)
+        is_e = side == 1
+        ok = np.isin(key[is_e], key[~is_e])
+        return pa.table({
+            "a": pa.array(g["ea"].to_numpy(np.int64)[is_e][ok],
+                          pa.int64()),
+            "b": pa.array(g["eb"].to_numpy(np.int64)[is_e][ok],
+                          pa.int64())})
+
+    return _sharded_by_key(both, "key", num_shards).groupby(
+        "__shard").map_groups(
+        lambda g: keep(g.drop(columns="__shard")),
+        batch_format="pandas")
+
+
 def k_core(
-    edges: ray.data.Dataset, k: int, max_rounds: int = 200
+    edges: ray.data.Dataset, k: int, max_rounds: int = 200,
+    broadcast_nodes: int = 5_000_000, num_shards: int = 64,
 ) -> pd.DataFrame:
     """k-core extraction by iterative peeling: repeatedly drop every
     vertex with degree < k (and its edges) until a fixpoint — the
     dense-subgraph backbone used for community seeding and spam/bot
     pruning. Each round is one degree census (count combiner) plus a
-    broadcast filter of the shrinking edge list; rounds are data
-    -dependent but bounded by the peel depth (<= max_rounds guard).
-    The surviving-vertex set broadcasts per round — at vertex sets
-    too large to broadcast, swap the filter for the co-shard side
-    trick used by ``triangle_count``'s closure. Returns (n_rounds,
+    filter of the shrinking edge list; rounds are data-dependent but
+    bounded by the peel depth (<= max_rounds guard). At or below
+    ``broadcast_nodes`` vertices the surviving-vertex set broadcasts
+    per round; above it the filter switches to the co-shard side trick
+    (``_edge_node_semi`` on each endpoint) so no O(V) structure ever
+    reaches the driver or a single worker. Returns (n_rounds,
     n_vertices, n_edges) of the k-core; pytest self-oracle is a
-    single-process peeling loop."""
+    single-process peeling loop covering BOTH gate paths."""
     from engine.ops.relational import sum_final
     from engine.state import cached_get
 
@@ -559,25 +616,42 @@ def k_core(
     n_edges = cur.count()
     n_vertices = 0
     while rounds < max_rounds and n_edges > 0:
-        deg = sum_final(
+        deg_ds = sum_final(
             cur.map_batches(local_deg, batch_format="pyarrow"),
-            ["node"]).to_pandas()
-        bad = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
-        n_vertices = len(deg)
-        if len(bad) == 0:
-            break
-        keep_ref = ray.put(np.sort(
-            deg.loc[deg["deg"] >= k, "node"].to_numpy(np.int64)))
+            ["node"]).materialize()
+        n_vertices = deg_ds.count()
+        if n_vertices <= broadcast_nodes:
+            deg = deg_ds.to_pandas()
+            bad = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
+            if len(bad) == 0:
+                break
+            keep_ref = ray.put(np.sort(
+                deg.loc[deg["deg"] >= k, "node"].to_numpy(np.int64)))
 
-        def drop(t: "pa.Table") -> "pa.Table":
-            keep = cached_get(keep_ref)
-            a = np.asarray(t["a"], np.int64)
-            b = np.asarray(t["b"], np.int64)
-            ok = (np.isin(a, keep) & np.isin(b, keep))
-            return t.filter(pa.array(ok))
+            def drop(t: "pa.Table") -> "pa.Table":
+                keep = cached_get(keep_ref)
+                a = np.asarray(t["a"], np.int64)
+                b = np.asarray(t["b"], np.int64)
+                ok = (np.isin(a, keep) & np.isin(b, keep))
+                return t.filter(pa.array(ok))
 
-        cur = cur.map_batches(drop,
-                              batch_format="pyarrow").materialize()
+            cur = cur.map_batches(drop,
+                                  batch_format="pyarrow").materialize()
+        else:
+            def survivors(t: "pa.Table") -> "pa.Table":
+                d = np.asarray(t["deg"], np.int64)
+                return pa.table(
+                    {"node": pa.array(
+                        np.asarray(t["node"], np.int64)[d >= k],
+                        pa.int64())})
+
+            keep_ds = deg_ds.map_batches(
+                survivors, batch_format="pyarrow").materialize()
+            if keep_ds.count() == n_vertices:
+                break
+            cur = _edge_node_semi(cur, keep_ds, "a", num_shards)
+            cur = _edge_node_semi(cur, keep_ds, "b",
+                                  num_shards).materialize()
         n_edges = cur.count()
         rounds += 1
         if n_edges == 0:

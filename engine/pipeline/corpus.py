@@ -22,6 +22,30 @@ import pandas as pd
 import ray.data
 
 
+def _gated_semi_join(
+    big: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    *,
+    small_ids: int = 500_000,
+) -> ray.data.Dataset:
+    """Survivor-id filter with a size gate (mirrors
+    ``dedup._verify_candidate_pairs``): at or below ``small_ids``
+    distinct keys the id column is collected and broadcast once
+    (``relational.semi_join``); above it NOTHING corpus-sized touches
+    the driver — ``bloom_semi_join`` builds a distributed Bloom filter
+    over the key Dataset, drops misses before the shuffle, and resolves
+    false positives with a co-shuffle residual check. ``keys`` must be
+    a single-column id projection; it is materialized so the count and
+    the join read the same (cheap, ids-only) blocks."""
+    from engine.ops import relational
+
+    keys = keys.materialize()
+    if keys.count() <= small_ids:
+        return relational.semi_join(big, keys.to_pandas(), on=on)
+    return relational.bloom_semi_join(big, keys, on=on)
+
+
 def prepare_corpus(
     docs: ray.data.Dataset,
     quality_min: float = 0.3,
@@ -62,6 +86,7 @@ def prepare_image_corpus(
     *,
     thumb_size: int = 16,
     concurrency=(1, 8),
+    survivor_gate_ids: int = 500_000,
 ) -> ray.data.Dataset:
     """The multimodal twin of ``prepare_corpus``: decode-verify ->
     exact phash dedup -> thumbnail resize -> deterministic
@@ -76,16 +101,19 @@ def prepare_image_corpus(
     shards from, with pixels re-derivable deterministically."""
     import zlib
 
-    from engine.ops import dedup, multimodal, relational
+    from engine.ops import dedup, multimodal
 
     # dedup the (phash, image_id) PROJECTION — the shuffle moves 8-byte
     # keys, never pixels — then filter the byte-bearing rows by the
-    # surviving ids (broadcast here; bloom_semi_join at 10^12 scale)
+    # surviving ids through the size-gated path (broadcast when small,
+    # distributed Bloom + residual co-shuffle at 10^12 scale; the
+    # survivor set never lands on the driver above the gate)
     keys = images.select_columns(["image_id", "phash"])
     survivors = dedup.exact_dedup(
         keys, key="phash", order_col="image_id"
-    ).to_pandas()[["image_id"]]
-    ds = relational.semi_join(images, survivors, on="image_id")
+    ).select_columns(["image_id"])
+    ds = _gated_semi_join(images, survivors, on="image_id",
+                          small_ids=survivor_gate_ids)
     ds = multimodal.resize_images(ds, size=thumb_size, concurrency=concurrency, keep_bytes=True)
     ds = multimodal.augment_images(ds, concurrency=concurrency)
 
@@ -111,6 +139,7 @@ def corpus_to_shards(
     chunk_tokens: int = 256,
     overlap: int = 32,
     shard_budget_bytes: int = 1 << 20,
+    survivor_gate_ids: int = 500_000,
 ) -> "pd.DataFrame":
     """The COMPLETE text path, curation to training shards:
 
@@ -126,11 +155,12 @@ def corpus_to_shards(
     import numpy as np
 
     from engine.io import write_tar_shards
-    from engine.ops import relational, text
+    from engine.ops import text
 
     kept = prepare_corpus(docs, quality_min=quality_min)
-    kept_ids = kept.select_columns(["doc_id"]).to_pandas()
-    survivors = relational.semi_join(docs, kept_ids, on="doc_id")
+    kept_ids = kept.select_columns(["doc_id"])
+    survivors = _gated_semi_join(docs, kept_ids, on="doc_id",
+                                 small_ids=survivor_gate_ids)
 
     chunks = text.chunk_documents(
         survivors, chunk_tokens=chunk_tokens, overlap=overlap

@@ -173,6 +173,62 @@ def test_prepare_image_corpus_dedups_and_is_deterministic(ray_session, tmp_path)
     # fixture plants exact duplicates, so dedup actually dropped rows
     assert len(a) < len(full)
 
+    # survivor gate: forcing the big-side path (gate 0 -> distributed
+    # bloom_semi_join, no driver id pull) must be byte-identical to the
+    # broadcast path
+    c = prepare_image_corpus(src, survivor_gate_ids=0).to_pandas(
+    ).sort_values("image_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_embedding_near_dups_multiprobe_boundary_pair(ray_session):
+    """A 0.95+-cosine pair that straddles exactly ONE hyperplane lands
+    in different exact buckets; the 1-bit-flip multi-probe must still
+    find it (the round-2 recall gap of exact-signature bucketing)."""
+    import ray.data
+
+    from engine.ops.dedup import _lsh_planes, embedding_near_dups
+
+    dim, num_planes, seed = 16, 8, 42
+    planes = _lsh_planes(dim, num_planes, seed)
+    pn = planes / np.linalg.norm(planes, axis=0, keepdims=True)
+    rng = np.random.default_rng(5)
+    pair = None
+    for _ in range(200):
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        marg = u @ pn
+        j = int(np.argmin(np.abs(marg)))
+        v = u - 2.0 * 1.05 * marg[j] * pn[:, j]
+        v /= np.linalg.norm(v)
+        sig_u = (u @ planes) > 0
+        sig_v = (v @ planes) > 0
+        c = float(u @ v)
+        if (sig_u != sig_v).sum() == 1 and c >= 0.951:
+            pair = (u, v, c)
+            break
+    assert pair is not None, "construction failed to plant a boundary pair"
+    u, v, c = pair
+
+    far = [rng.standard_normal(dim) for _ in range(20)]
+    far = [x / np.linalg.norm(x) for x in far]
+    df = pd.DataFrame({
+        "vec_id": np.arange(1, len(far) + 3, dtype=np.int64),
+        "embedding": [u.tolist(), v.tolist()] + [x.tolist() for x in far],
+    })
+    out = embedding_near_dups(
+        ray.data.from_pandas(df).repartition(2),
+        threshold=0.95, num_planes=num_planes, seed=seed)
+    got = {(int(r.a), int(r.b)) for r in out.itertuples()}
+    assert (1, 2) in got
+    row = out[(out["a"] == 1) & (out["b"] == 2)].iloc[0]
+    assert row["cos"] == pytest.approx(round(c, 6), abs=2e-6)
+    # and every reported pair genuinely meets the threshold
+    vecs = {int(i): np.asarray(e)
+            for i, e in zip(df["vec_id"], df["embedding"])}
+    for r in out.itertuples():
+        assert float(vecs[int(r.a)] @ vecs[int(r.b)]) >= 0.95 - 1e-9
+
 
 def test_image_similar_topk_matches_bruteforce(ray_session):
     """Image-feature similarity search: the distributed cosine top-k

@@ -891,6 +891,17 @@ def test_pagerank_matches_power_iteration(ray_session):
         got["rank"].to_numpy(), want["rank"].to_numpy(), rtol=1e-9
     )
 
+    # big-side gate: broadcast_nodes=0 forces the distributed
+    # sum_final fold (driver sees only the n-row rank vector per
+    # iteration); ranks must match the power iteration identically
+    got_big = pagerank(
+        ray.data.from_pandas(edges).repartition(4),
+        damping=0.85, iters=20, broadcast_nodes=0,
+    )
+    np.testing.assert_allclose(
+        got_big["rank"].to_numpy(), want["rank"].to_numpy(), rtol=1e-9
+    )
+
 
 def test_prefix_sum_and_setops_hypothesis(ray_session):
     """Property-based (SURVEY §5.2 layer 1): random key/value tables,
@@ -2592,6 +2603,13 @@ def test_k_core_bruteforce(ray_session):
                 break
         assert int(out["n_edges"].iloc[0]) == len(ed)
         assert int(out["n_vertices"].iloc[0]) == len(deg)
+
+        # big-side gate: broadcast_nodes=0 forces the co-shard
+        # _edge_node_semi filter (no survivor broadcast); identical
+        out_big = k_core(ray.data.from_pandas(edf).repartition(3), k,
+                         broadcast_nodes=0, num_shards=4)
+        assert int(out_big["n_edges"].iloc[0]) == len(ed)
+        assert int(out_big["n_vertices"].iloc[0]) == len(deg)
 
 
 def test_ewma_last_bruteforce(ray_session):

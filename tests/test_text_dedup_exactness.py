@@ -478,6 +478,19 @@ def test_corpus_to_shards_end_to_end(ray_session, tmp_path):
         ids = np.frombuffer(tar.extractfile(m).read(), dtype=np.int32)
         assert len(ids) > 0 and (ids >= 0).all()
 
+    # survivor gate: the big-side path (gate 0 -> bloom_semi_join, no
+    # driver id pull) must produce byte-identical shards
+    d3 = str(tmp_path / "s3")
+    m3 = corpus_to_shards(docs, d3, chunk_tokens=64, overlap=8,
+                          shard_budget_bytes=50_000,
+                          survivor_gate_ids=0)
+    pd.testing.assert_frame_equal(m1.drop(columns="path"),
+                                  m3.drop(columns="path"))
+    for p1, p3 in zip(sorted(glob.glob(f"{d1}/*.tar")),
+                      sorted(glob.glob(f"{d3}/*.tar"))):
+        assert (hashlib.sha256(open(p1, "rb").read()).hexdigest()
+                == hashlib.sha256(open(p3, "rb").read()).hexdigest())
+
 
 def test_bigram_logprob_bruteforce(ray_session):
     import math
