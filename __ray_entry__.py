@@ -5260,7 +5260,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM r),
             sel AS (SELECT user_id, m, rn, stat,
                        ROW_NUMBER() OVER (PARTITION BY user_id
-                                          ORDER BY stat DESC, rn)
+                                          ORDER BY round(stat, 6) DESC,
+                                                   rn)
                            AS rk
                     FROM st)
             SELECT user_id, CAST(m AS BIGINT) AS n_events,

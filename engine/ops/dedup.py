@@ -948,6 +948,50 @@ def incremental_dedup(
     return fp.map_batches(probe_and_append, batch_format="pandas")
 
 
+def _hash_binary_column(col) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow binary column: zero-copy view
+    of the value buffer, rows gathered per distinct byte length, padded
+    to word width and mixed word-by-word through the splitmix64
+    finalizer — no per-row Python digest calls (the round-2 ADVICE:
+    blake2b-per-patch was a Python row loop in the hottest stage of the
+    patch-dedup pipeline). Returns int64-positive hashes; byte length
+    is folded into the seed so same-prefix blobs of different lengths
+    don't collide via the zero padding."""
+    import pyarrow as pa
+
+    from engine.ops.sketch import _hash64
+
+    arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+           else col)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64)
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], odt)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = np.diff(offs)
+    out = np.empty(n, np.uint64)
+    for L in np.unique(lens):
+        ix = np.flatnonzero(lens == L)
+        L = int(L)
+        if L == 0:
+            out[ix] = _hash64(np.zeros(1, np.uint64))[0]
+            continue
+        nw = (L + 7) // 8
+        gather = offs[ix][:, None] + np.arange(L, dtype=np.int64)[None, :]
+        mat = data[gather]
+        if nw * 8 != L:
+            mat = np.concatenate(
+                [mat, np.zeros((len(ix), nw * 8 - L), np.uint8)], axis=1)
+        words = np.ascontiguousarray(mat).view(np.uint64)
+        h = np.full(len(ix), np.uint64(L), np.uint64)
+        for j in range(nw):
+            h = _hash64(h ^ words[:, j])
+        out[ix] = h
+    return (out >> np.uint64(1)).astype(np.int64)
+
+
 def patch_hash_pairs(
     patches: ray.data.Dataset,
     num_shards: int = 64,
@@ -963,19 +1007,13 @@ def patch_hash_pairs(
     groups larger than ``max_group`` images are skipped (the
     stop-bucket rule: flat/boilerplate tiles match everything and
     explode quadratically)."""
-    import hashlib
-
     import pyarrow as pa
 
     from engine.ops.relational import _sharded_by_key, sum_final
 
     def hash_rows(t: pa.Table) -> pa.Table:
-        hs = [int.from_bytes(
-            hashlib.blake2b(b, digest_size=8).digest(), "big")
-            >> 1  # keep int64-positive
-            for b in t["bytes"].to_pylist()]
         out = pd.DataFrame({
-            "h": np.asarray(hs, np.int64),
+            "h": _hash_binary_column(t.column("bytes")),
             "image_id": np.asarray(t["image_id"]).astype(object),
         }).drop_duplicates()
         return pa.Table.from_pandas(out, preserve_index=False)

@@ -2174,14 +2174,17 @@ def morans_i_grid(
     partials = indexed.map_batches(cells, batch_format="pyarrow")
     counts = sum_final(partials, ["cell"]).to_pandas()
     x = np.zeros(nx * ny, np.float64)
-    x[counts["cell"].to_numpy(np.int64)] = counts["n"].to_numpy()
+    if len(counts) and "cell" in counts.columns:  # empty-input guard
+        x[counts["cell"].to_numpy(np.int64)] = counts["n"].to_numpy()
     grid = x.reshape(nx, ny)
     xd = grid - x.mean()
     num = ((xd[1:, :] * xd[:-1, :]).sum() * 2.0
            + (xd[:, 1:] * xd[:, :-1]).sum() * 2.0)
     s0 = 2 * ((nx - 1) * ny + nx * (ny - 1))
     den = (xd * xd).sum()
-    moran = (nx * ny / float(s0)) * (num / den)
+    # den == 0 (all cell counts equal, e.g. empty input): defined 0.0,
+    # matching the grouped_gini/cusum zero-variance convention
+    moran = (nx * ny / float(s0)) * (num / den) if den > 0 else 0.0
     return pd.DataFrame({
         "n_cells": np.asarray([nx * ny], np.int64),
         "s0_pairs": np.asarray([s0], np.int64),
@@ -2313,7 +2316,8 @@ def getis_ord_grid(
     partials = indexed.map_batches(cells, batch_format="pyarrow")
     counts = sum_final(partials, ["cell"]).to_pandas()
     x = np.zeros(nx * ny, np.float64)
-    x[counts["cell"].to_numpy(np.int64)] = counts["n"].to_numpy()
+    if len(counts) and "cell" in counts.columns:  # empty-input guard
+        x[counts["cell"].to_numpy(np.int64)] = counts["n"].to_numpy()
     grid = x.reshape(nx, ny)
     n_cells = nx * ny
     xbar = grid.mean()
@@ -2327,7 +2331,10 @@ def getis_ord_grid(
     nbr_sum = shift_sum(grid)
     w = shift_sum(np.ones_like(grid))  # W_i = self + rook neighbors
     denom = s * np.sqrt((n_cells * w - w * w) / (n_cells - 1.0))
-    z = (nbr_sum - xbar * w) / denom
+    # s == 0 (all counts equal, e.g. empty input): defined 0.0 rows,
+    # matching morans_i_grid's zero-variance convention
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(denom > 0, (nbr_sum - xbar * w) / denom, 0.0)
     gxs, gys = np.divmod(np.arange(n_cells, dtype=np.int64), ny)
     return pd.DataFrame({
         "gx": gxs, "gy": gys,
@@ -2476,31 +2483,54 @@ def track_hausdorff(
           .agg(minx=("minx", "min"), miny=("miny", "min"),
                maxx=("maxx", "max"), maxy=("maxy", "max")))
     tid = bb["track_id"].to_numpy()
-    minx, maxx = bb["minx"].to_numpy(), bb["maxx"].to_numpy()
-    miny, maxy = bb["miny"].to_numpy(), bb["maxy"].to_numpy()
-    ov = ((minx[:, None] <= maxx[None, :])
-          & (minx[None, :] <= maxx[:, None])
-          & (miny[:, None] <= maxy[None, :])
-          & (miny[None, :] <= maxy[:, None]))
-    ai, bi = np.nonzero(np.triu(ov, k=1))
-    pair_a, pair_b = tid[ai], tid[bi]
-    # track -> list of (pair_id, side) memberships, closure-broadcast
-    member: dict = {}
-    for pid in range(len(pair_a)):
-        member.setdefault(pair_a[pid], []).append((pid, 0))
-        member.setdefault(pair_b[pid], []).append((pid, 1))
-    member = {t: (np.array([p for p, _ in m], np.int64),
-                  np.array([s for _, s in m], np.int64))
-              for t, m in member.items()}
+    # sparse candidate pairing by sort/sweep on the x intervals (the
+    # round-2 ADVICE: the dense T x T overlap matrix is quadratic
+    # driver memory at the multi-node target): sorted by minx, track i
+    # can only x-overlap the following tracks up to the first with
+    # minx > maxx[i]; the y test then filters the sweep output
+    order = np.argsort(bb["minx"].to_numpy(), kind="stable")
+    tid_s = tid[order]
+    minx = bb["minx"].to_numpy()[order]
+    maxx = bb["maxx"].to_numpy()[order]
+    miny = bb["miny"].to_numpy()[order]
+    maxy = bb["maxy"].to_numpy()[order]
+    t_n = len(tid_s)
+    ends = np.searchsorted(minx, maxx, side="right")
+    counts = np.maximum(ends - np.arange(t_n) - 1, 0)
+    total = int(counts.sum())
+    ii = np.repeat(np.arange(t_n, dtype=np.int64), counts)
+    rs = np.zeros(t_n, np.int64)
+    if t_n:
+        np.cumsum(counts[:-1], out=rs[1:])
+    seq = np.arange(total, dtype=np.int64) - np.repeat(rs, counts)
+    jj = ii + 1 + seq
+    ok = (miny[ii] <= maxy[jj]) & (miny[jj] <= maxy[ii])
+    ta, tb = tid_s[ii[ok]], tid_s[jj[ok]]
+    pair_a = np.minimum(ta, tb)
+    pair_b = np.maximum(ta, tb)
+    # track -> (pair_id, side) membership as sorted ARRAYS, broadcast
+    # ONCE via ray.put (the explode UDF used to closure-capture a
+    # Python dict, re-pickled per task)
+    n_pairs = len(pair_a)
+    mt = np.concatenate([pair_a, pair_b])
+    mp = np.concatenate([np.arange(n_pairs, dtype=np.int64)] * 2)
+    ms = np.concatenate([np.zeros(n_pairs, np.int64),
+                         np.ones(n_pairs, np.int64)])
+    mo = np.argsort(mt, kind="stable")
+    mem_ref = ray.put((mt[mo], mp[mo], ms[mo], pair_a, pair_b))
 
     def explode(d: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        mt_, mp_, ms_, _, _ = cached_get(mem_ref)
         outs = []
         for t, sub in d.groupby("track_id", sort=False):
-            got = member.get(t)
-            if got is None:
+            lo = np.searchsorted(mt_, t, side="left")
+            hi = np.searchsorted(mt_, t, side="right")
+            if hi == lo:
                 continue
-            pids, sides = got
-            n, k = len(sub), len(pids)
+            pids, sides = mp_[lo:hi], ms_[lo:hi]
+            n, k = len(sub), hi - lo
             outs.append(pd.DataFrame({
                 "pair": np.repeat(pids, n),
                 "side": np.repeat(sides, n),
@@ -2516,6 +2546,9 @@ def track_hausdorff(
         return pd.concat(outs, ignore_index=True)
 
     def pair_h(g: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        _, _, _, pair_a_, pair_b_ = cached_get(mem_ref)
         pid = int(g["pair"].iloc[0])
         a = g[g["side"] == 0]
         b = g[g["side"] == 1]
@@ -2524,7 +2557,7 @@ def track_hausdorff(
             b["lon"].to_numpy()[None, :], b["lat"].to_numpy()[None, :])
         h = max(float(d.min(axis=1).max()), float(d.min(axis=0).max()))
         return pd.DataFrame({
-            "track_a": [pair_a[pid]], "track_b": [pair_b[pid]],
+            "track_a": [pair_a_[pid]], "track_b": [pair_b_[pid]],
             "hausdorff_m": [h],
         })
 
@@ -2608,14 +2641,20 @@ def ripley_k(
     partials = exploded.groupby("cell").map_groups(
         group_counts, batch_format="pandas")
     tot = sum_final(partials, ["r_ix"]).to_pandas()
-    tot = tot.set_index("r_ix")["n"]
-    n_pts = int(tot[len(radii)])
+    tot = (tot.set_index("r_ix")["n"] if len(tot)
+           else pd.Series(dtype=np.int64))
+    # empty / single-point input: defined 0-pair rows (no KeyError,
+    # no 0/0), matching the zero-variance convention of the grid stats
+    n_pts = int(tot.get(len(radii), 0))
     n_pairs = np.array([int(tot.get(k, 0)) for k in range(len(radii))],
                        np.int64)
+    denom = n_pts * (n_pts - 1.0)
+    pair_frac = (2.0 * n_pairs / denom if denom > 0
+                 else np.zeros(len(radii), np.float64))
     return pd.DataFrame({
         "r_m": np.asarray(radii, np.float64),
         "n_pairs": n_pairs,
-        "pair_frac": 2.0 * n_pairs / (n_pts * (n_pts - 1.0)),
+        "pair_frac": pair_frac,
     })
 
 

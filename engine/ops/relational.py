@@ -1957,19 +1957,23 @@ def cusum_changepoint(
         mean = np.repeat(sums / sizes, sizes)
         var = np.repeat(sqs / sizes, sizes) - mean * mean
         sig = np.sqrt(np.maximum(var, 0.0))
-        dev = v - mean
-        cs = np.cumsum(dev)
-        # restart the cumsum at each group start
-        base = np.repeat(np.r_[0.0, cs[s_idx[1:] - 1]], sizes)
-        s_t = np.abs(cs - base)
+        pos = idx - gstart + 1  # 1-based
+        # numerator as running_sum(v) - t*mean — the SAME expression
+        # tree the SQL twin evaluates (rs - rn*mu), so engine and
+        # oracle floats track each other to the ulp (round-2 ADVICE:
+        # cumsum(v - mean) drifted differently near argmax ties)
+        csv = np.cumsum(v)
+        base = np.repeat(np.r_[0.0, csv[s_idx[1:] - 1]], sizes)
+        s_t = np.abs((csv - base) - pos * mean)
         denom = sig * np.sqrt(gs.astype(np.float64))
         with np.errstate(divide="ignore", invalid="ignore"):
             stat = np.where(denom > 0, s_t / denom, 0.0)
-        # per-group argmax, first occurrence: reduceat max, then the
-        # smallest 1-based position attaining it
+        # per-group argmax, first occurrence, on the ROUNDED statistic
+        # (both sides round to 6, so a near-tie resolves to the same
+        # earliest position on both sides)
+        stat = np.round(stat, 6)
         gmax = np.maximum.reduceat(stat, s_idx)
         is_max = stat == np.repeat(gmax, sizes)
-        pos = idx - gstart + 1  # 1-based
         big = np.where(is_max, pos, np.iinfo(np.int64).max)
         t_ix = np.minimum.reduceat(big, s_idx)
         return pd.DataFrame({
