@@ -148,6 +148,35 @@ def _pq_fixture():
     return _PQ_CACHE[0]
 
 
+_CENT_CACHE: dict = {}
+
+
+def _seed_centroids(k: int) -> np.ndarray:
+    """Deterministic sf-independent k-means centroids (unit-norm, fit
+    on a seeded unit-normalized gaussian sample — the embeddings table
+    is unit-norm 64-dim), rounded to 6 decimals so the engine and a
+    SQL VALUES inline consume the IDENTICAL floats. Used by
+    embedding_kmeans_clusters (k=8) and ann_ivf_topk (k=16)."""
+    got = _CENT_CACHE.get(k)
+    if got is None:
+        from engine.ops.simsearch import kmeans_fit
+
+        rng = np.random.default_rng(20260819 + k)
+        sample = rng.standard_normal((512, _PQ_DIM))
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        got = _CENT_CACHE[k] = np.round(kmeans_fit(sample, k), 6)
+    return got
+
+
+def _sql_centroid_values(cent: np.ndarray) -> str:
+    """(c, d, val) VALUES rows for a centroid matrix — 1-based dim to
+    match DuckDB list indexing."""
+    return ",".join(
+        f"({c},{d + 1},{float(cent[c, d])!r})"
+        for c in range(cent.shape[0]) for d in range(cent.shape[1])
+    )
+
+
 def _sql_pq_topk(k: int = 10) -> str:
     """Self-contained DuckDB ADC twin: inline codebook + query-subvector
     VALUES tables, per-(vec, subspace) argmax code via the same
@@ -993,9 +1022,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def embedding_kmeans_clusters(sf_dir: str):
         # corpus curation clustering: broadcast centroids, streaming
-        # assignment, then a combiner-first per-cluster report
+        # assignment, then a combiner-first per-cluster report. The
+        # centroids are the deterministic seeded fixture so the DuckDB
+        # twin inlines them and recomputes assignment + report in SQL.
         emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        assigned = simsearch.kmeans_assign(emb, n_clusters=8)
+        assigned = simsearch.kmeans_assign(
+            emb, n_clusters=8, centroids=_seed_centroids(8))
         out = relational.partial_groupby_sum(
             assigned, ["cluster"], {"cos": "sum_cos"}, count_as="n_vecs"
         ).to_pandas()
@@ -1088,12 +1120,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
 
         def pop(tmp: str) -> None:
+            # seeded sf-independent coarse centroids -> the DuckDB twin
+            # inlines them and replays assignment + probe + top-k
             simsearch.ivf_build(
                 sf_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
                 os.path.join(tmp, "index"),
+                centroids=_seed_centroids(16),
             )
 
-        base = _cached_dir(f"/tmp/graft_ivf_{zlib.crc32(sf_dir.encode())}", pop)
+        base = _cached_dir(f"/tmp/graft_ivf2_{zlib.crc32(sf_dir.encode())}", pop)
         res, _stats = simsearch.ivf_probe(
             os.path.join(base, "index"), q, k=10, nprobe=4
         )
@@ -2845,16 +2880,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return multimodal.image_features(ds, concurrency=(1, 4))
 
     def image_pixel_histogram(sf_dir: str):
-        # corpus-wide per-channel 16-bin pixel histogram (decode in
-        # the actor pool, merge = one 48-key combiner). Non-SQL
-        # (pixel payloads are opaque to DuckDB); the pytest
-        # self-oracle bincounts the same decoded pixels directly.
+        # per-channel 16-bin pixel histogram over the LOSSLESS-codec
+        # (raw16) subset: decode in the actor pool, merge = one 48-key
+        # combiner. The raw16 restriction makes the DuckDB twin exact —
+        # it regenerates the pixels from the fixture's splitmix chains
+        # and must match the decode actor's output bit for bit (the
+        # lossy-qdct corpus variant stays covered by the pytest decode
+        # oracle in test_multimodal_dedup_ops).
         from engine.io import read_images
 
         ds = read_images(_geo_fixture_dir(),
                          columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
         out = multimodal.pixel_histogram(
-            ds, bins=16, concurrency=(1, 4)).to_pandas()
+            ds.map_batches(raw_only, batch_format="pandas"),
+            bins=16, concurrency=(1, 4)).to_pandas()
         return out.sort_values(["channel", "bin"], ignore_index=True)
 
     def embedding_pca_components(sf_dir: str):
@@ -2914,13 +2957,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["image_id", "n_patches", "sum_bytes"]]
 
     def image_norm_moments(sf_dir: str):
-        # per-channel corpus mean/std normalization constants (exact
-        # moment combiner). Non-SQL; pytest exact vs direct decode.
+        # per-channel mean/std normalization constants over the
+        # LOSSLESS-codec (raw16) subset (exact moment combiner). The
+        # raw16 restriction makes the DuckDB twin exact via splitmix
+        # pixel regeneration (see image_pixel_histogram).
         from engine.io import read_images
 
         ds = read_images(_geo_fixture_dir(),
                          columns=["image_id", "bytes", "fmt"])
-        out = multimodal.pixel_moments(ds, concurrency=(1, 4))
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.pixel_moments(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4))
         out["mean"] = out["mean"].round(6)
         out["std"] = out["std"].round(6)
         return out
@@ -4133,6 +4184,196 @@ def _sql_gdims_body() -> str:
     """
 
 
+def _sql_pixels_cte(n: int) -> str:
+    """CTE chain ending in gpx(i, c, px): every decoded pixel of every
+    raw16 fixture row, regenerated bit-exactly from the splitmix chains
+    (fixtures.image_pixels; raw16 decode is the lossless identity).
+    np.rint's half-to-even is reproduced explicitly (SQL round() is
+    half-away)."""
+    k0 = ("CAST(xor(xor(CAST(src AS UBIGINT) << 32, "
+          "CAST(y AS UBIGINT) << 16), CAST(x AS UBIGINT)) AS HUGEINT)")
+    return f"""
+        {_sql_geo_hashes(n, [10, 11, 12])},
+        {_sql_gdims_body()},
+        praw AS (SELECT d.i, s.src, d.w, d.h
+                 FROM gdim d JOIN gsrc s ON s.i = d.i
+                 WHERE d.fmt = 'raw16'),
+        pyx AS (SELECT i, src, w, h, yy.y AS y, xx.x AS x
+                FROM praw
+                CROSS JOIN (SELECT unnest(range(0, 32)) AS y) yy
+                CROSS JOIN (SELECT unnest(range(0, 32)) AS x) xx
+                WHERE yy.y < h AND xx.x < w),
+        pk0 AS (SELECT i, w, h, x, y, {k0} AS k0 FROM pyx),
+        pk1 AS (SELECT i, w, h, x, y,
+                   (k0 + 11400714819323198485) % {_M64_SQL} AS k1
+                FROM pk0),
+        pk2 AS (SELECT i, w, h, x, y,
+                   {_sql_mulmod64(_sql_xorshift('k1', 30),
+                                  '13787848793156543929')} AS k2
+                FROM pk1),
+        pk3 AS (SELECT i, w, h, x, y,
+                   {_sql_mulmod64(_sql_xorshift('k2', 27),
+                                  '10723151780598845931')} AS k3
+                FROM pk2),
+        pkf AS (SELECT i, w, h, x, y,
+                   CAST({_sql_xorshift('k3', 31)} AS UBIGINT) AS base
+                FROM pk3),
+        pgrad AS (SELECT i, x, y, base,
+                   (CAST(x + y AS DOUBLE)
+                    / CAST(GREATEST(w + h - 2, 1) AS DOUBLE)) * 255e0
+                       AS grad
+                  FROM pkf),
+        pv AS (SELECT i, cc.c,
+                   0.5e0 * CAST((base >> (8 * cc.c)) & 255 AS DOUBLE)
+                   + 0.5e0 * grad AS v
+               FROM pgrad
+               CROSS JOIN (SELECT unnest(range(0, 3)) AS c) cc),
+        gpx AS (SELECT i, c,
+                   LEAST(GREATEST(
+                       FLOOR(v + 0.5e0)
+                       - CASE WHEN FLOOR(v + 0.5e0) - v = 0.5e0
+                                   AND CAST(FLOOR(v + 0.5e0) AS BIGINT)
+                                       % 2 <> 0
+                              THEN 1 ELSE 0 END, 0e0), 255e0) AS px
+                FROM pv)
+    """
+
+
+def _sql_image_norm_moments() -> str:
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)}
+        SELECT c AS channel, COUNT(*) AS n_pixels,
+               ROUND(AVG(px), 6) AS mean,
+               ROUND(sqrt(GREATEST(
+                   AVG(px * px) - AVG(px) * AVG(px), 0e0)), 6) AS std
+        FROM gpx GROUP BY c
+    """
+
+
+def _sql_image_pixel_histogram(bins: int = 16) -> str:
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        hh AS (SELECT c AS channel,
+                      (CAST(px AS BIGINT) * {bins}) // 256 AS bin
+               FROM gpx),
+        spine AS (SELECT ch.c AS channel, bb.b AS bin
+                  FROM (SELECT unnest(range(0, 3)) AS c) ch
+                  CROSS JOIN (SELECT unnest(range(0, {bins})) AS b) bb),
+        cnt AS (SELECT channel, bin, COUNT(*) AS n
+                FROM hh GROUP BY channel, bin)
+        SELECT s.channel, s.bin, COALESCE(c.n, 0) AS n
+        FROM spine s LEFT JOIN cnt c USING (channel, bin)
+    """
+
+
+def _sql_image_patches() -> str:
+    # raw16 patch payload: 9-byte header + 8*8*3 pixel bytes = 201
+    return f"""
+        WITH {_sql_geo_hashes(_GEO_N, [10, 11, 12])},
+        {_sql_gdims_body()}
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               CAST((h // 8) * (w // 8) AS BIGINT) AS n_patches,
+               CAST((h // 8) * (w // 8) * 201 AS BIGINT) AS sum_bytes
+        FROM gdim
+    """
+
+
+def _sql_kmeans_clusters() -> str:
+    cent = _seed_centroids(8)
+    return f"""
+        WITH cent(c, d, val) AS (VALUES {_sql_centroid_values(cent)}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_sum(list_transform(
+                         CAST(embedding AS DOUBLE[]), x -> x * x)))
+                         AS nrm
+              FROM embeddings),
+        sim AS (SELECT e.vec_id, cent.c,
+                       SUM((e.v[cent.d] / GREATEST(e.nrm, 1e-12))
+                           * cent.val) AS s
+                FROM e CROSS JOIN cent GROUP BY e.vec_id, cent.c),
+        pick AS (SELECT vec_id, c, s FROM (
+                     SELECT vec_id, c, s, ROW_NUMBER() OVER (
+                         PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+                     FROM sim) WHERE rn = 1)
+        SELECT CAST(c AS INT) AS cluster, COUNT(*) AS n_vecs,
+               ROUND(SUM(ROUND(s, 6)) / COUNT(*), 4) AS avg_cos
+        FROM pick GROUP BY c
+    """
+
+
+def _sql_ivf_topk(k: int = 10, nprobe: int = 4) -> str:
+    cent = _seed_centroids(16)
+    return f"""
+        WITH cent(c, d, val) AS (VALUES {_sql_centroid_values(cent)}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_sum(list_transform(
+                         CAST(embedding AS DOUBLE[]), x -> x * x)))
+                         AS nrm
+              FROM embeddings),
+        sims AS (SELECT e.vec_id, cent.c,
+                        SUM((e.v[cent.d] / GREATEST(e.nrm, 1e-12))
+                            * cent.val) AS s
+                 FROM e CROSS JOIN cent GROUP BY e.vec_id, cent.c),
+        asg AS (SELECT vec_id, c AS bkt FROM (
+                    SELECT vec_id, c, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+                    FROM sims) WHERE rn = 1),
+        q AS (SELECT vec_id AS qvid, v, nrm,
+                     ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                         AS query_ix
+              FROM e ORDER BY vec_id LIMIT 5),
+        qsim AS (SELECT q.query_ix, cent.c,
+                        SUM((q.v[cent.d] / GREATEST(q.nrm, 1e-12))
+                            * cent.val) AS s
+                 FROM q CROSS JOIN cent GROUP BY q.query_ix, cent.c),
+        probe AS (SELECT query_ix, c FROM (
+                      SELECT query_ix, c, ROW_NUMBER() OVER (
+                          PARTITION BY query_ix
+                          ORDER BY s DESC, c) AS rn
+                      FROM qsim) WHERE rn <= {nprobe}),
+        scored AS (SELECT p.query_ix, a.vec_id,
+                      SUM((e.v[dd.d] / GREATEST(e.nrm, 1e-12))
+                          * (q.v[dd.d] / GREATEST(q.nrm, 1e-12))) AS c
+                   FROM probe p
+                   JOIN asg a ON a.bkt = p.c
+                   JOIN e ON e.vec_id = a.vec_id
+                   JOIN q ON q.query_ix = p.query_ix
+                   CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+                   GROUP BY p.query_ix, a.vec_id),
+        ranked AS (SELECT query_ix, vec_id, c,
+                      ROW_NUMBER() OVER (PARTITION BY query_ix
+                                         ORDER BY c DESC, vec_id) - 1
+                          AS rank
+                   FROM scored)
+        SELECT query_ix, CAST(rank AS INT) AS rank, vec_id,
+               ROUND(c, 6) AS cos
+        FROM ranked WHERE rank < {k}
+    """
+
+
+def _sql_participation_ratio() -> str:
+    # trace identities: sum(lambda) = tr(C), sum(lambda^2) = ||C||_F^2
+    # -> the PCA participation ratio without an eigensolve
+    return """
+        WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        dims AS (SELECT unnest(range(1, 65)) AS d),
+        m1 AS (SELECT d.d AS i, AVG(v[d.d]) AS mu
+               FROM e CROSS JOIN dims d GROUP BY d.d),
+        m2 AS (SELECT a.d AS i, b.d AS j, AVG(v[a.d] * v[b.d]) AS m
+               FROM e CROSS JOIN dims a CROSS JOIN dims b
+               GROUP BY a.d, b.d),
+        c AS (SELECT m2.i, m2.j, m2.m - ma.mu * mb.mu AS cij
+              FROM m2 JOIN m1 ma ON ma.i = m2.i
+                      JOIN m1 mb ON mb.i = m2.j)
+        SELECT CAST(64 AS BIGINT) AS n_components,
+               ROUND(POWER(SUM(CASE WHEN i = j THEN cij ELSE 0e0 END),
+                           2)
+                     / SUM(cij * cij), 6) AS participation_ratio
+        FROM c
+    """
+
+
 def _sql_geo_full(n: int) -> str:
     """ONE shared hash chain (streams 1-8) + both gll and gcanon —
     for oracles that need geotags AND canonical captions together."""
@@ -5114,6 +5355,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_part_pagerank": _sql_pagerank(iters=8, damping=0.85),
         "ann_pq_topk": _sql_pq_topk(10),
+        # ---- round-3 twins for formerly rows-only queries ------------
+        "ann_ivf_topk": _sql_ivf_topk(10, 4),
+        "embedding_kmeans_clusters": _sql_kmeans_clusters(),
+        "embedding_participation_ratio": _sql_participation_ratio(),
+        "image_norm_moments": _sql_image_norm_moments(),
+        "image_pixel_histogram": _sql_image_pixel_histogram(16),
+        "image_patches": _sql_image_patches(),
         "approx_price_quantiles": _sql_ddsketch(
             "orders", "o_totalprice", (0.5, 0.9, 0.99), 0.01),
         "approx_value_quantiles_by_type": _sql_ddsketch(

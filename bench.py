@@ -511,8 +511,12 @@ def main() -> None:
     ap.add_argument("--px-scale", type=int, default=0,
                     help="image-dimension multiplier for the flagship fixture "
                          "(0 = 1 in default mode, 4 in --scaling)")
-    ap.add_argument("--pre-seconds", type=float, default=20.0)
-    ap.add_argument("--series", type=int, default=1)
+    # defaults sized for the DRIVER-invoked per-round run: the round-2
+    # flagship block was a series of ONE un-ramped run sitting on the
+    # sandbox's ramp floor and not comparable round-over-round, so the
+    # ramp + >=3-run min-of-series protocol is now the default path too
+    ap.add_argument("--pre-seconds", type=float, default=45.0)
+    ap.add_argument("--series", type=int, default=3)
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 

@@ -130,9 +130,11 @@ def ivf_build(
     id_col: str = "vec_id",
     train_sample: int = 2048,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the corpus as an IVF layout: k-means coarse
-    centroids fit once on a driver-side sample, then every row is
+    centroids fit once on a driver-side sample (or passed in via
+    ``centroids``), then every row is
     written under ``bucket=<argmax-centroid>/`` (hive partitioning) in
     ONE streaming pass — the partitioning is paid at write time, so
     every later probe reads only its ``nprobe`` directories instead of
@@ -145,10 +147,14 @@ def ivf_build(
     import os
     import shutil
 
-    sample = np.stack(
-        corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
-    )
-    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    if centroids is None:
+        sample = np.stack(
+            corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
+        )
+        cent = kmeans_fit(sample, n_clusters, seed=seed)
+    else:
+        cent = np.asarray(centroids, dtype=np.float64)
+        n_clusters = len(cent)
     cent_ref = ray.put(cent)
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
@@ -201,7 +207,10 @@ def ivf_probe(
         meta = json.load(f)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     nprobe = min(nprobe, len(cent))
-    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # stable: centroid-score ties resolve to the lower bucket id, the
+    # same rule a SQL twin's ORDER BY score DESC, bucket expresses
+    probe = np.argsort(-(q @ cent.T), kind="stable",
+                       axis=1)[:, :nprobe]  # (nq, nprobe)
     import glob
 
     wanted = sorted(set(int(b) for b in probe.ravel()))
@@ -317,18 +326,24 @@ def kmeans_assign(
     id_col: str = "vec_id",
     train_sample: int = 2048,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """Embedding clustering for corpus curation: deterministic k-means
-    centroids fit on a driver-side sample, broadcast once, then every
-    batch assigns its vectors by one matmul — the corpus streams, no
-    shuffle. Emits (id_col, cluster: int32, cos: double = similarity to
-    the owning centroid). At 100 TB the same centroid broadcast scales
-    unchanged; only the sample read grows (swap in a distributed
-    reservoir sample)."""
-    sample = np.stack(
-        corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
-    )
-    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    centroids fit on a driver-side sample (or passed in via
+    ``centroids`` — e.g. a seeded sf-independent fixture so a SQL
+    oracle can inline them), broadcast once, then every batch assigns
+    its vectors by one matmul — the corpus streams, no shuffle. Emits
+    (id_col, cluster: int32, cos: double = similarity to the owning
+    centroid). At 100 TB the same centroid broadcast scales unchanged;
+    only the sample read grows (swap in a distributed reservoir
+    sample)."""
+    if centroids is None:
+        sample = np.stack(
+            corpus.limit(train_sample).to_pandas()[vec_col].to_numpy()
+        )
+        cent = kmeans_fit(sample, n_clusters, seed=seed)
+    else:
+        cent = np.asarray(centroids, dtype=np.float64)
     cent_ref = ray.put(cent)
 
     class Assign:
