@@ -958,6 +958,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def simhash_documents(sf_dir: str):
+        # rows-only by design: the 64-bit token hashes come from
+        # pandas' string hash (SipHash-1-3 with pandas' fixed key) —
+        # not reproducible in DuckDB SQL without reimplementing the
+        # cipher as a CTE chain. Exactness is pytest-oracled instead
+        # (planted near-dup hamming properties).
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
         return dedup.simhash_table(ds).select_columns(["doc_id", "simhash"])
 
@@ -2874,10 +2879,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     def image_features(sf_dir: str):
+        # per-image feature extraction over the lossless raw16 subset
+        # (DuckDB twin regenerates pixels + gradients; see
+        # image_pixel_histogram for the raw16 rationale)
         from engine.io import read_images
 
         ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt"])
-        return multimodal.image_features(ds, concurrency=(1, 4))
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        return multimodal.image_features(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4))
 
     def image_pixel_histogram(sf_dir: str):
         # per-channel 16-bin pixel histogram over the LOSSLESS-codec
@@ -2915,14 +2929,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def image_sharpness(sf_dir: str):
         # focus scoring (variance of luminance Laplacian) in the
-        # decode actor pool. Non-SQL (pixels opaque); pytest
-        # self-oracle plants a blurred copy that must score lower.
+        # decode actor pool, over the lossless raw16 subset (DuckDB
+        # twin rebuilds the Laplacian from regenerated pixels; the
+        # blurred-copy ordering pytest still covers the op itself).
         from engine.io import read_images
 
         ds = read_images(_geo_fixture_dir(),
                          columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
         out = multimodal.image_sharpness(
-            ds, concurrency=(1, 4)).to_pandas()
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
         return out.sort_values("image_id", ignore_index=True)[
             ["image_id", "sharpness"]]
 
@@ -4223,12 +4243,12 @@ def _sql_pixels_cte(n: int) -> str:
                     / CAST(GREATEST(w + h - 2, 1) AS DOUBLE)) * 255e0
                        AS grad
                   FROM pkf),
-        pv AS (SELECT i, cc.c,
+        pv AS (SELECT i, y, x, cc.c,
                    0.5e0 * CAST((base >> (8 * cc.c)) & 255 AS DOUBLE)
                    + 0.5e0 * grad AS v
                FROM pgrad
                CROSS JOIN (SELECT unnest(range(0, 3)) AS c) cc),
-        gpx AS (SELECT i, c,
+        gpx AS (SELECT i, y, x, c,
                    LEAST(GREATEST(
                        FLOOR(v + 0.5e0)
                        - CASE WHEN FLOOR(v + 0.5e0) - v = 0.5e0
@@ -4243,9 +4263,10 @@ def _sql_image_norm_moments() -> str:
     return f"""
         WITH {_sql_pixels_cte(_GEO_N)}
         SELECT c AS channel, COUNT(*) AS n_pixels,
-               ROUND(AVG(px), 6) AS mean,
-               ROUND(sqrt(GREATEST(
-                   AVG(px * px) - AVG(px) * AVG(px), 0e0)), 6) AS std
+               {_sql_round_even('AVG(px)')} AS mean,
+               {_sql_round_even(
+                   'sqrt(GREATEST(AVG(px * px) '
+                   '- AVG(px) * AVG(px), 0e0))')} AS std
         FROM gpx GROUP BY c
     """
 
@@ -4275,6 +4296,99 @@ def _sql_image_patches() -> str:
                CAST((h // 8) * (w // 8) AS BIGINT) AS n_patches,
                CAST((h // 8) * (w // 8) * 201 AS BIGINT) AS sum_bytes
         FROM gdim
+    """
+
+
+_SQL_LUM_CTE = """
+        lum AS (SELECT i, y, x, SUM(px) / 3e0 AS l
+                FROM gpx GROUP BY i, y, x)
+"""
+
+
+def _sql_round_even(expr: str, nd: int = 6) -> str:
+    """np.round (half-to-even) at ``nd`` decimals — SQL ROUND is
+    half-AWAY, which differs on the exact .5 halves that pixel means
+    over power-of-two counts produce constantly."""
+    s = 10 ** nd
+    r = f"(({expr}) * {s}e0)"
+    fl = f"FLOOR({r} + 0.5e0)"
+    return (f"(({fl} - CASE WHEN {fl} - {r} = 0.5e0 "
+            f"AND CAST({fl} AS BIGINT) % 2 <> 0 "
+            f"THEN 1 ELSE 0 END) / {s}e0)")
+
+
+def _sql_image_sharpness() -> str:
+    # variance of the 4-neighbor Laplacian of the luminance plane over
+    # the interior; variance as mean squared deviation (two-pass, the
+    # numpy .var() formula) so float paths track the engine
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        {_SQL_LUM_CTE},
+        nb AS (SELECT i, y, x, l,
+                  LAG(l)  OVER wy AS lu, LEAD(l) OVER wy AS ld,
+                  LAG(l)  OVER wx AS ll, LEAD(l) OVER wx AS lr
+               FROM lum
+               WINDOW wy AS (PARTITION BY i, x ORDER BY y),
+                      wx AS (PARTITION BY i, y ORDER BY x)),
+        lap AS (SELECT n.i,
+                   -4e0 * n.l + n.lu + n.ld + n.ll + n.lr AS lp
+                FROM nb n JOIN praw p ON p.i = n.i
+                WHERE n.y BETWEEN 1 AND p.h - 2
+                  AND n.x BETWEEN 1 AND p.w - 2),
+        lm AS (SELECT i, AVG(lp) AS m FROM lap GROUP BY i)
+        SELECT 'img' || lpad(CAST(lap.i AS VARCHAR), 9, '0')
+                   AS image_id,
+               {_sql_round_even('AVG((lp - m) * (lp - m))')}
+                   AS sharpness
+        FROM lap JOIN lm ON lm.i = lap.i
+        GROUP BY lap.i
+    """
+
+
+def _sql_image_features() -> str:
+    # np.gradient: central differences interior, one-sided at edges;
+    # lum_std as mean squared deviation (numpy .std() two-pass)
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        {_SQL_LUM_CTE},
+        nb AS (SELECT n.i, n.y, n.x, n.l, p.w, p.h,
+                  LAG(n.l)  OVER wy AS lu, LEAD(n.l) OVER wy AS ld,
+                  LAG(n.l)  OVER wx AS ll, LEAD(n.l) OVER wx AS lr
+               FROM lum n JOIN praw p ON p.i = n.i
+               WINDOW wy AS (PARTITION BY n.i, n.x ORDER BY n.y),
+                      wx AS (PARTITION BY n.i, n.y ORDER BY n.x)),
+        grads AS (SELECT i,
+                    CASE WHEN y = 0 THEN ld - l
+                         WHEN y = h - 1 THEN l - lu
+                         ELSE (ld - lu) / 2e0 END AS gy,
+                    CASE WHEN x = 0 THEN lr - l
+                         WHEN x = w - 1 THEN l - ll
+                         ELSE (lr - ll) / 2e0 END AS gx
+                  FROM nb),
+        chan AS (SELECT i,
+                    AVG(CASE WHEN c = 0 THEN px END) AS mean_r,
+                    AVG(CASE WHEN c = 1 THEN px END) AS mean_g,
+                    AVG(CASE WHEN c = 2 THEN px END) AS mean_b
+                 FROM gpx GROUP BY i),
+        lmean AS (SELECT i, AVG(l) AS lm FROM lum GROUP BY i),
+        lstd AS (SELECT lum.i,
+                    sqrt(AVG((l - lm) * (l - lm))) AS ls
+                 FROM lum JOIN lmean ON lmean.i = lum.i GROUP BY lum.i),
+        edge AS (SELECT i, AVG(sqrt(gx * gx + gy * gy)) AS ee
+                 FROM grads GROUP BY i)
+        SELECT 'img' || lpad(CAST(chan.i AS VARCHAR), 9, '0')
+                   AS image_id,
+               'raw16' AS fmt,
+               {_sql_round_even('mean_r')} AS mean_r,
+               {_sql_round_even('mean_g')} AS mean_g,
+               {_sql_round_even('mean_b')} AS mean_b,
+               {_sql_round_even('lm')} AS lum_mean,
+               {_sql_round_even('ls')} AS lum_std,
+               {_sql_round_even('ee')} AS edge_energy
+        FROM chan
+        JOIN lmean ON lmean.i = chan.i
+        JOIN lstd ON lstd.i = chan.i
+        JOIN edge ON edge.i = chan.i
     """
 
 
@@ -5362,6 +5476,8 @@ def oracle_sql() -> dict[str, str]:
         "image_norm_moments": _sql_image_norm_moments(),
         "image_pixel_histogram": _sql_image_pixel_histogram(16),
         "image_patches": _sql_image_patches(),
+        "image_sharpness": _sql_image_sharpness(),
+        "image_features": _sql_image_features(),
         "approx_price_quantiles": _sql_ddsketch(
             "orders", "o_totalprice", (0.5, 0.9, 0.99), 0.01),
         "approx_value_quantiles_by_type": _sql_ddsketch(
