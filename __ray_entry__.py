@@ -2836,6 +2836,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["kind", "area"], ignore_index=True
         )
 
+    def geo_site_index(sf_dir: str):
+        # cross-area site assembly (reference phase-3 index pages
+        # [PK]): distributed per-THEME pages + a root index over the
+        # per-area exports; returns the page manifest (crc32 dropped —
+        # the SQL twin recomputes page/area/count from the same
+        # untagged-by-area derivation; byte determinism is the pytest
+        # oracle)
+        import ray.data as rd
+
+        from engine import sinks
+
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        rows = geo_ops.untagged_by_area(
+            idx, fixtures.articles(_GEO_N), fixtures.polygons()
+        )
+        man = sinks.assemble_site(
+            rd.from_pandas(rows), "/tmp/graft_export_site"
+        )
+        return man[["page", "area", "n_rows"]]
+
     def geo_phash_near_dups(sf_dir: str):
         from engine.io import read_images
 
@@ -4004,6 +4024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_area_tag_stats": geo_area_tag_stats,
         "geo_area_export_rows": geo_area_export_rows,
         "geo_area_export_files": geo_area_export_files,
+        "geo_site_index": geo_site_index,
         "geo_phash_near_dups": geo_phash_near_dups,
         "geo_dedup_phash": geo_dedup_phash,
         "image_features": image_features,
@@ -6213,6 +6234,27 @@ def oracle_sql() -> dict[str, str]:
                    u.theme, u.lon, u.lat
             FROM ghits h JOIN gunt u ON u.article_id = h.image_id
             ORDER BY h.admin_id, u.article_id
+        """,
+        "geo_site_index": f"""
+            WITH {_sql_geo_canon(_GEO_N)},
+            gunt AS (SELECT article_id, theme, lon, lat
+                     FROM read_parquet('{_GEO_AUX_ARTICLES}')
+                     WHERE title_canon NOT IN
+                           (SELECT caption_canon FROM gcanon)),
+            gpts AS (SELECT article_id AS image_id, lon, lat FROM gunt),
+            {_SQL_GEO_PIP},
+            ex AS (SELECT h.admin_id, u.theme
+                   FROM ghits h JOIN gunt u ON u.article_id = h.image_id),
+            per AS (SELECT 'theme_' || theme || '.html' AS page,
+                           admin_id AS area, COUNT(*) AS n_rows
+                    FROM ex GROUP BY theme, admin_id),
+            top AS (SELECT 'theme_' || theme || '.html' AS page,
+                           '*' AS area, COUNT(*) AS n_rows
+                    FROM ex GROUP BY theme),
+            idx AS (SELECT 'index.html' AS page, '*' AS area,
+                           COUNT(*) AS n_rows FROM ex)
+            SELECT * FROM per UNION ALL SELECT * FROM top
+            UNION ALL SELECT * FROM idx
         """,
         "geo_polygon_centroids": f"""
             WITH {_SQL_GEO_CENTROIDS}

@@ -145,6 +145,84 @@ _HTML_HEADER = (
 )
 
 
+def assemble_site(
+    rows: ray.data.Dataset,
+    out_dir: str,
+    *,
+    area_col: str = "admin_id",
+    theme_col: str = "theme",
+    name_col: str = "title_canon",
+    title: str = "Articles to tag",
+) -> pd.DataFrame:
+    """Cross-area site assembly (the reference's phase-3 index pages
+    [PK]: per-THEME pages listing every area's still-untagged articles,
+    plus one root ``index.html`` linking them all — the piece round 2
+    left missing above the per-area GPX/CSV/HTML sinks).
+
+    Theme pages are written DISTRIBUTED (``groupby(theme)`` — one task
+    owns one page, same atomic/idempotent rules as the per-area sinks);
+    only the O(themes + areas) manifest reaches the driver, which then
+    renders the root index from it. Returns the combined manifest
+    (page, area, n_rows, crc32) sorted — ``area`` is ``*`` for
+    theme-level and index rows."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_theme(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "page": pd.Series(dtype=object),
+                "area": pd.Series(dtype=object),
+                "n_rows": pd.Series(dtype=np.int64),
+                "crc32": pd.Series(dtype=np.int64)})
+        theme = str(g[theme_col].iloc[0])
+        doc = html_document(
+            g, title=f"{title} — theme {theme}",
+            columns=[area_col, name_col],
+        )
+        page = f"theme_{theme}.html"
+        crc = _atomic_write(os.path.join(out_dir, page),
+                            doc.encode("utf-8"))
+        per_area = g.groupby(area_col).size()
+        return pd.DataFrame({
+            "page": [page] * (len(per_area) + 1),
+            "area": ["*"] + [str(a) for a in per_area.index],
+            "n_rows": np.concatenate(
+                [[np.int64(len(g))],
+                 per_area.to_numpy(np.int64)]),
+            "crc32": np.asarray([np.int64(crc)] * (len(per_area) + 1),
+                                np.int64),
+        })
+
+    man = rows.groupby(theme_col).map_groups(
+        write_theme, batch_format="pandas").to_pandas()
+    if "page" not in man.columns:
+        man = pd.DataFrame({"page": [], "area": [], "n_rows": [],
+                            "crc32": []})
+    man = man.sort_values(["page", "area"], ignore_index=True)
+
+    # root index from the manifest (O(themes) — the documented small
+    # side): one link + article count per theme page
+    tops = man[man["area"] == "*"].sort_values("page")
+    parts = [_HTML_HEADER.format(title=escape(title))]
+    parts.append("<table>\n<tr><th>page</th><th>articles</th></tr>\n")
+    for _, r in tops.iterrows():
+        parts.append(
+            f'<tr><td><a href="{escape(str(r["page"]))}">'
+            f'{escape(str(r["page"]))}</a></td>'
+            f'<td>{int(r["n_rows"])}</td></tr>\n')
+    parts.append("</table>\n</body></html>\n")
+    crc = _atomic_write(os.path.join(out_dir, "index.html"),
+                        "".join(parts).encode("utf-8"))
+    idx_row = pd.DataFrame({
+        "page": ["index.html"], "area": ["*"],
+        "n_rows": [np.int64(tops["n_rows"].sum())],
+        "crc32": [np.int64(crc)]})
+    out = pd.concat([idx_row, man], ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["crc32"] = out["crc32"].astype(np.int64)
+    return out.sort_values(["page", "area"], ignore_index=True)
+
+
 def html_document(
     rows: pd.DataFrame, *, title: str, columns: list[str],
     link_col: str | None = None,

@@ -168,3 +168,36 @@ def test_html_escaping():
     assert "x&lt;script&gt;" in doc
     assert 'href="http://e/?x=1&amp;y=2"' in doc
     assert "t&lt;&amp;&gt;" in doc
+
+
+def test_assemble_site_index_and_idempotency(ray_session, export_rows,
+                                             tmp_path):
+    import ray.data as rd
+
+    from engine import sinks
+
+    rows, _, _ = export_rows
+    out = str(tmp_path / "site")
+    man1 = sinks.assemble_site(rd.from_pandas(rows), out)
+    # index + one page per theme, all on disk
+    themes = sorted(set(rows["theme"].astype(str)))
+    assert set(man1["page"]) == (
+        {"index.html"} | {f"theme_{t}.html" for t in themes})
+    for p in set(man1["page"]):
+        assert os.path.exists(os.path.join(out, p))
+    # the root index links every theme page with its article count
+    idx_html = open(os.path.join(out, "index.html")).read()
+    for t in themes:
+        assert f'href="theme_{t}.html"' in idx_html
+        n = int((rows["theme"].astype(str) == t).sum())
+        assert f"<td>{n}</td>" in idx_html
+    # per-theme totals and the index total reconcile with the rows
+    tops = man1[(man1["area"] == "*") & (man1["page"] != "index.html")]
+    assert int(tops["n_rows"].sum()) == len(rows)
+    assert int(man1.loc[man1["page"] == "index.html",
+                        "n_rows"].iloc[0]) == len(rows)
+    # byte-determinism: shuffled input -> identical manifest (crc32
+    # equality IS the byte witness)
+    man2 = sinks.assemble_site(
+        rd.from_pandas(rows.sample(frac=1.0, random_state=7)), out)
+    pd.testing.assert_frame_equal(man1, man2)
