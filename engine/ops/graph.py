@@ -207,6 +207,7 @@ def wedge_pairs(
     edges: ray.data.Dataset,
     num_shards: int = 64,
     hot_deg: int = 1024,
+    tag: tuple[str, int] | None = None,
 ) -> ray.data.Dataset:
     """Dataset(a, b) -> Dataset(k): every unordered neighbor pair
     {b1 < b2} of each vertex ``a``, encoded ``b1 << 31 | b2`` — the
@@ -312,7 +313,13 @@ def wedge_pairs(
             uu, vv = _seg_cross_pairs(bc[um], bc[~um], u_sizes, v_sizes)
             outs.append(_pair_key(np.minimum(uu, vv), np.maximum(uu, vv)))
         flat = (np.concatenate(outs) if outs else np.empty(0, np.int64))
-        return pa.table({"k": pa.array(flat, pa.int64())})
+        cols = {"k": pa.array(flat, pa.int64())}
+        if tag is not None:
+            # constant consumer column fused here so the 10^7-row wedge
+            # stream doesn't pay an extra map pass just to add it
+            cols[tag[0]] = pa.array(
+                np.full(len(flat), tag[1], np.int64), pa.int64())
+        return pa.table(cols)
 
     return _sharded_by_key(expanded, "gk", num_shards).groupby(
         "__shard").map_groups(
@@ -324,6 +331,7 @@ def triangle_count(
     edges: ray.data.Dataset,
     num_shards: int = 64,
     hot_deg: int = 1024,
+    broadcast_edges: int = 10_000_000,
 ) -> pd.DataFrame:
     """Distributed triangle counting over an undirected edge list
     (rows ``a < b``, distinct) — the clustering-coefficient /
@@ -334,24 +342,23 @@ def triangle_count(
        exactly one wedge at a. Generation is the degree-split,
        segmented-vectorized ``wedge_pairs`` stage (no per-vertex
        Python, no pinned shard on power-law hubs).
-    2. closure: co-shuffle wedges against the edge set on the
-       composite (b, c) key (co-shard membership count); matches
-       ARE the triangles.
+    2. closure: membership of each wedge key in the edge set. The
+       edge set is the SMALL side of this probe (wedges fan deg^2),
+       so at or below ``broadcast_edges`` edges the sorted key array
+       broadcasts once and the wedge stream probes it per batch via
+       searchsorted — no second all-to-all of the 10^7-row wedge
+       stream. Above the gate, wedges and edge keys co-shuffle on the
+       composite key (co-shard membership count), the
+       unbounded-edge-set path.
 
     Returns one row (n_edges, n_wedges, n_triangles)."""
     from engine.ops.relational import _sharded_by_key, sum_final
+    from engine.state import cached_get
 
     edges = edges.materialize()  # feeds wedge build AND closure probe
+    n_edges = edges.count()
 
     import pyarrow as pa
-
-    def tag_wedge(t: "pa.Table") -> "pa.Table":
-        return pa.table({
-            "k": t["k"],
-            "side": pa.array(np.ones(len(t), np.int64), pa.int64())})
-
-    wk = wedge_pairs(edges, num_shards, hot_deg).map_batches(
-        tag_wedge, batch_format="pyarrow")
 
     def edge_key(t: "pa.Table") -> "pa.Table":
         a = np.asarray(t["a"], np.int64)
@@ -362,6 +369,39 @@ def triangle_count(
                              np.zeros(len(a), np.int64), pa.int64())})
 
     ek = edges.map_batches(edge_key, batch_format="pyarrow")
+
+    if n_edges <= broadcast_edges:
+        chunks = [np.asarray(t["k"], np.int64)
+                  for t in ek.select_columns(["k"]).iter_batches(
+                      batch_format="pyarrow", batch_size=None)]
+        keys = np.sort(np.concatenate(chunks)
+                       if chunks else np.empty(0, np.int64))
+        keys_ref = ray.put(keys)
+        wk = wedge_pairs(edges, num_shards, hot_deg)
+
+        def probe(t: "pa.Table") -> pd.DataFrame:
+            ks = cached_get(keys_ref)
+            w = np.asarray(t["k"], np.int64)
+            pos = np.searchsorted(ks, w)
+            pos = np.minimum(pos, max(len(ks) - 1, 0))
+            hit = (ks[pos] == w) if len(ks) else np.zeros(len(w), bool)
+            return pd.DataFrame({
+                "part": np.zeros(1, np.int64),
+                "n_wedges": np.asarray([len(w)], np.int64),
+                "n_triangles": np.asarray([int(hit.sum())], np.int64),
+            })
+
+        tot = sum_final(
+            wk.map_batches(probe, batch_format="pyarrow"),
+            ["part"]).to_pandas()
+        tot["n_edges"] = np.int64(n_edges)
+        if tot.empty:
+            tot = pd.DataFrame({"n_edges": [np.int64(n_edges)],
+                                "n_wedges": [np.int64(0)],
+                                "n_triangles": [np.int64(0)]})
+        return tot[["n_edges", "n_wedges", "n_triangles"]]
+
+    wk = wedge_pairs(edges, num_shards, hot_deg, tag=("side", 1))
 
     # closure: co-shard wedges with the edge set on the composite key
     # and count membership per shard — the same _sharded_by_key
@@ -490,16 +530,11 @@ def common_neighbor_jaccard(
             "b": pa.array(np.concatenate([b, a]), pa.int64()),
         })
 
-    def tag_wedge(t: "pa.Table") -> "pa.Table":
-        return pa.table({
-            "k": t["k"],
-            "n": pa.array(np.ones(len(t), np.int64), pa.int64())})
-
     adj = edges.map_batches(both_dirs, batch_format="pyarrow")
-    cn = sum_final(
-        wedge_pairs(adj, num_shards, hot_deg).map_batches(
-            tag_wedge, batch_format="pyarrow"),
-        ["k"])
+    # raw wedge stream (n=1 rows) co-shuffles ONCE with the edge keys
+    # (n=0 rows); per-shard np.unique counts common neighbors — no
+    # single-block sum_final over the huge distinct-pair key space
+    wk = wedge_pairs(adj, num_shards, hot_deg, tag=("n", 1))
 
     def edge_key(t: "pa.Table") -> "pa.Table":
         a = np.asarray(t["a"], np.int64)
@@ -510,15 +545,17 @@ def common_neighbor_jaccard(
                                        pa.int64())})
 
     ek = edges.map_batches(edge_key, batch_format="pyarrow")
-    both = ek.union(cn)
+    both = ek.union(wk)
 
     def shard_top(g: pd.DataFrame) -> pd.DataFrame:
         nodes, degs = cached_get(dmap_ref)
         is_edge = g["n"].to_numpy(np.int64) == 0
-        kk = g["k"].to_numpy(np.int64)
-        keep = ~np.isin(kk, kk[is_edge]) & ~is_edge
-        kk = kk[keep]
-        n = g["n"].to_numpy(np.int64)[keep]
+        kk_all = g["k"].to_numpy(np.int64)
+        edge_ks = kk_all[is_edge]
+        u, cnt = np.unique(kk_all[~is_edge], return_counts=True)
+        keep = ~np.isin(u, edge_ks)
+        kk = u[keep]
+        n = cnt[keep].astype(np.int64)
         b, c = kk >> 31, kk & (_MAX_ID - 1)
         db = degs[np.searchsorted(nodes, b)]
         dc = degs[np.searchsorted(nodes, c)]

@@ -2542,6 +2542,11 @@ def test_wedge_degree_splitting_planted_hub(ray_session):
     t_unsplit = triangle_count(ds, num_shards=8, hot_deg=10 ** 9)
     assert t_split.equals(t_unsplit)
     assert int(t_split["n_edges"].iloc[0]) == len(edf)
+    # closure gate: broadcast_edges=0 forces the co-shuffle closure;
+    # identical counts
+    t_shuf = triangle_count(ds, num_shards=8, hot_deg=64,
+                            broadcast_edges=0)
+    assert t_shuf.equals(t_split)
 
 
 def test_graph_id_range_guard(ray_session):
