@@ -958,11 +958,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def simhash_documents(sf_dir: str):
-        # rows-only by design: the 64-bit token hashes come from
-        # pandas' string hash (SipHash-1-3 with pandas' fixed key) —
-        # not reproducible in DuckDB SQL without reimplementing the
-        # cipher as a CTE chain. Exactness is pytest-oracled instead
-        # (planted near-dup hamming properties).
+        # 64-bit simhash over whitespace tokens; token hashes are the
+        # SQL-reproducible djb-polynomial + splitmix64 chain, so the
+        # DuckDB twin (_sql_simhash) recomputes every hash bit-exactly
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
         return dedup.simhash_table(ds).select_columns(["doc_id", "simhash"])
 
@@ -973,21 +971,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embedding_near_dups(sf_dir: str):
         import ray.data as rd
 
+        from engine.ops.sketch import _hash64
+
         emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        # plant deterministic near-duplicates: perturbed copies of the
-        # first 10 vectors under new ids (random vectors have none)
+        # plant deterministic near-duplicates: the first 10 vectors
+        # perturbed by a splitmix64-signed +-5% per dimension under new
+        # ids (random vectors have none). The perturbation chain is
+        # SQL-reproducible, so the DuckDB twin regenerates the planted
+        # corpus and rederives every pair (multi-probe membership ==
+        # signature hamming <= 1).
         base = relational.topk(emb, "vec_id", 10, descending=False).to_pandas()
-        rng = np.random.default_rng(7)
-        planted = pd.DataFrame(
-            {
-                "vec_id": base["vec_id"].to_numpy() + 1_000_000,
-                "embedding": [
-                    (np.asarray(v, dtype=np.float32)
-                     + rng.normal(0, 0.01, len(v)).astype(np.float32)).tolist()
-                    for v in base["embedding"]
-                ],
-            }
-        )
+        ids = base["vec_id"].to_numpy(np.int64)
+        mat = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+        d = mat.shape[1]
+        signs = 1.0 - 2.0 * (
+            _hash64((ids[:, None] * 131
+                     + np.arange(d)[None, :]).ravel().astype(np.int64))
+            .reshape(len(ids), d).astype(np.int64) & 1)
+        planted = pd.DataFrame({
+            "vec_id": ids + 1_000_000,
+            "embedding": [r.astype(np.float32).tolist()
+                          for r in mat * (1.0 + 0.05 * signs)],
+        })
         corpus = emb.union(rd.from_pandas(planted))
         return dedup.embedding_near_dups(corpus, threshold=0.9)
 
@@ -4413,6 +4418,187 @@ def _sql_image_features() -> str:
     """
 
 
+def _sql_s2_cell_counts() -> str:
+    """geo_s2_cell_counts twin: the full S2-like chain in SQL — sphere
+    point -> cube face (u, v) -> quantized (i, j) -> level-10 Hilbert
+    position (10 unrolled integer rotation steps; the level-10 prefix
+    of the level-30 curve equals the level-10 curve of the top-10
+    bits) -> packed cell id. engine/geo/s2like.py operation-for-
+    operation; the level-16 encode + parent(steps=6) the query runs
+    collapses exactly to the level-10 id (bit-prefix property)."""
+    steps = []
+    for k, s in enumerate([512, 256, 128, 64, 32, 16, 8, 4, 2, 1]):
+        steps.append(f"""
+        hr{k} AS (SELECT i, face, x{k}, y{k}, d{k},
+                    CASE WHEN (x{k} & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                    CASE WHEN (y{k} & {s}) > 0 THEN 1 ELSE 0 END AS ry
+                  FROM hs{k}),
+        hs{k + 1} AS (SELECT i, face,
+              CASE WHEN ry = 0
+                   THEN (CASE WHEN rx = 1 THEN {s - 1} - y{k}
+                         ELSE y{k} END)
+                   ELSE x{k} END AS x{k + 1},
+              CASE WHEN ry = 0
+                   THEN (CASE WHEN rx = 1 THEN {s - 1} - x{k}
+                         ELSE x{k} END)
+                   ELSE y{k} END AS y{k + 1},
+              d{k} + {s * s} * xor(3 * rx, ry) AS d{k + 1}
+            FROM hr{k})""")
+    hilbert = ",".join(steps)
+    return f"""
+        WITH {_sql_geo_lonlat(_GEO_N)},
+        sxyz AS (SELECT i,
+                   cos(radians(lat)) * cos(radians(lon)) AS sx,
+                   cos(radians(lat)) * sin(radians(lon)) AS sy,
+                   sin(radians(lat)) AS sz
+                 FROM gll),
+        sface AS (SELECT i, sx, sy, sz,
+                    CASE WHEN abs(sx) >= abs(sy) AND abs(sx) >= abs(sz)
+                         THEN (CASE WHEN sx >= 0 THEN 0 ELSE 3 END)
+                         WHEN abs(sy) >= abs(sz)
+                         THEN (CASE WHEN sy >= 0 THEN 1 ELSE 4 END)
+                         ELSE (CASE WHEN sz >= 0 THEN 2 ELSE 5 END)
+                    END AS face
+                  FROM sxyz),
+        suv AS (SELECT i, face,
+                  CASE face % 3 WHEN 0 THEN sy WHEN 1 THEN sz
+                                ELSE sx END
+                  / abs(CASE face % 3 WHEN 0 THEN sx WHEN 1 THEN sy
+                                      ELSE sz END) AS u,
+                  CASE face % 3 WHEN 0 THEN sz WHEN 1 THEN sx
+                                ELSE sy END
+                  / abs(CASE face % 3 WHEN 0 THEN sx WHEN 1 THEN sy
+                                      ELSE sz END) AS v
+                FROM sface),
+        sij AS (SELECT i, face,
+                  LEAST(CAST(FLOOR((u + 1e0) / 2e0 * 1073741824e0)
+                             AS BIGINT), 1073741823) >> 20 AS x0,
+                  LEAST(CAST(FLOOR((v + 1e0) / 2e0 * 1073741824e0)
+                             AS BIGINT), 1073741823) >> 20 AS y0,
+                  CAST(0 AS BIGINT) AS d0
+                FROM suv),
+        hs0 AS (SELECT * FROM sij),
+        {hilbert},
+        scell AS (SELECT i,
+                    CAST(face AS HUGEINT) * 2305843009213693952
+                    + CAST(d10 AS HUGEINT) * 2199023255552
+                    + 1099511627776 AS cellh
+                  FROM hs10)
+        SELECT CAST(CASE WHEN cellh >= 9223372036854775808
+                         THEN cellh - 18446744073709551616
+                         ELSE cellh END AS BIGINT) AS s2_parent,
+               COUNT(*) AS n
+        FROM scell GROUP BY 1
+    """
+
+
+def _sql_embedding_near_dups(threshold: float = 0.9) -> str:
+    """embedding_near_dups twin: regenerate the planted +-5%
+    splitmix-signed perturbations (float32-rounded like the engine),
+    compute the 8-plane sign signatures from the inlined seeded
+    hyperplanes, and enumerate pairs with signature hamming <= 1 —
+    exactly the multi-probe meeting rule (a pair meets in some bucket
+    with an exact-probe member iff their signatures differ in at most
+    one bit) — then exact-cosine verify."""
+    from engine.ops.dedup import _lsh_planes
+
+    pl = _lsh_planes(64, 8, 42)
+    rows = ",".join(
+        f"({d + 1},{j},{float(pl[d, j])!r})"
+        for d in range(64) for j in range(8))
+    return f"""
+        WITH planes(d, j, val) AS (VALUES {rows}),
+        dims AS (SELECT unnest(range(1, 65)) AS d),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        base AS (SELECT vec_id, d.d AS d, v[d.d] AS val
+                 FROM e CROSS JOIN dims d),
+        f10 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10),
+        pert AS (SELECT b.vec_id + 1000000 AS vec_id, b.d,
+                    CAST(CAST(b.val * (1e0 + 0.05e0 *
+                        (CASE WHEN {_sql_splitmix64(
+                            'b.vec_id * 131 + (b.d - 1)')} % 2 = 1
+                              THEN -1 ELSE 1 END)) AS FLOAT)
+                         AS DOUBLE) AS val
+                 FROM base b JOIN f10 USING (vec_id)),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        sigj AS (SELECT a.vec_id, p.j, SUM(a.val * p.val) AS dot
+                 FROM allv a JOIN planes p ON p.d = a.d
+                 GROUP BY a.vec_id, p.j),
+        sig AS (SELECT vec_id,
+                   SUM(CASE WHEN dot > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                       ELSE 0 END) AS sg
+                FROM sigj GROUP BY vec_id),
+        nrm AS (SELECT vec_id,
+                   GREATEST(sqrt(SUM(val * val)), 1e-12) AS nn
+                FROM allv GROUP BY vec_id),
+        cand AS (SELECT s1.vec_id AS a, s2.vec_id AS b
+                 FROM sig s1 JOIN sig s2
+                   ON s1.vec_id < s2.vec_id
+                  AND bit_count(xor(s1.sg, s2.sg)) <= 1),
+        cosv AS (SELECT c.a, c.b,
+                    SUM((va.val / na.nn) * (vb.val / nb.nn)) AS cs
+                 FROM cand c
+                 JOIN allv va ON va.vec_id = c.a
+                 JOIN allv vb ON vb.vec_id = c.b AND vb.d = va.d
+                 JOIN nrm na ON na.vec_id = c.a
+                 JOIN nrm nb ON nb.vec_id = c.b
+                 GROUP BY c.a, c.b)
+        SELECT a, b, ROUND(cs, 6) AS cos
+        FROM cosv WHERE cs >= {threshold!r}
+    """
+
+
+def _sql_simhash(seed: int = 42) -> str:
+    """simhash_documents twin: djb-polynomial token hash widened by
+    the splitmix CTE (exactly SimHasher._hash_tokens), per-(doc, bit)
+    sign sums, two-BIGINT-halves bit packing (bit 63 is the int64 sign
+    bit)."""
+    hi = seed << 32
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, t AS token, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_filter(
+                             string_split_regex(lower(text), '\\s+'),
+                             s -> s <> '')) AS t
+                  FROM documents)
+            GROUP BY doc_id, t
+        ),
+        ut AS (SELECT DISTINCT token FROM tok),
+        h32 AS (SELECT token,
+                   list_reduce(
+                       list_prepend(CAST(5381 AS BIGINT),
+                           list_transform(split(token, ''),
+                               ch -> CAST(unicode(ch) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 4294967296)
+                   + {hi} AS p
+                FROM ut),
+        h64 AS (SELECT token,
+                   CAST({_sql_splitmix64('p')} AS UBIGINT) AS h
+                FROM h32),
+        sbits AS (SELECT t.doc_id, bb.b,
+                    SUM(t.c * (CASE WHEN (h64.h >> CAST(bb.b AS INT))
+                                         & 1 = 1
+                               THEN 1 ELSE -1 END)) AS s
+                 FROM tok t
+                 JOIN h64 ON h64.token = t.token
+                 CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+                 GROUP BY t.doc_id, bb.b),
+        sh AS (SELECT doc_id,
+                  SUM(CASE WHEN s > 0 AND b < 63
+                           THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                           ELSE 0 END)
+                  + MAX(CASE WHEN s > 0 AND b = 63 THEN 1 ELSE 0 END)
+                    * (-9223372036854775807 - 1) AS hv
+               FROM sbits GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(sh.hv, 0) AS BIGINT) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sh ON sh.doc_id = d.doc_id
+    """
+
+
 def _sql_kmeans_clusters() -> str:
     cent = _seed_centroids(8)
     return f"""
@@ -5499,6 +5685,9 @@ def oracle_sql() -> dict[str, str]:
         "image_patches": _sql_image_patches(),
         "image_sharpness": _sql_image_sharpness(),
         "image_features": _sql_image_features(),
+        "simhash_documents": _sql_simhash(42),
+        "geo_s2_cell_counts": _sql_s2_cell_counts(),
+        "embedding_near_dups": _sql_embedding_near_dups(0.9),
         "approx_price_quantiles": _sql_ddsketch(
             "orders", "o_totalprice", (0.5, 0.9, 0.99), 0.01),
         "approx_value_quantiles_by_type": _sql_ddsketch(

@@ -490,16 +490,25 @@ class SimHasher:
         return int(out[0])
 
     def _hash_tokens(self, tokens: np.ndarray) -> np.ndarray:
-        from hashlib import blake2b
+        """SQL-reproducible token hash: djb-style 32-bit polynomial
+        over the token's codepoints (h = h*31 + code mod 2^32, init
+        5381) widened through the splitmix64 finalizer with the seed
+        folded into the high word — replaces the round-2 blake2b
+        digest so the ``simhash_documents`` DuckDB twin can recompute
+        identical hashes (list_reduce + the splitmix CTE); bit quality
+        is equivalent for simhash's sign-sum purpose. Runs once per
+        UNIQUE token per batch, same as the digest it replaced."""
+        from engine.ops.sketch import _hash64
 
-        salt = self.seed.to_bytes(8, "little")
-        return np.fromiter(
-            (int.from_bytes(
-                blake2b(t.encode("utf-8"), digest_size=8, salt=salt).digest(),
-                "little")
-             for t in tokens),
-            dtype=np.uint64, count=len(tokens),
-        )
+        def poly(t: str) -> int:
+            h = 5381
+            for ch in t:
+                h = (h * 31 + ord(ch)) % 4294967296
+            return h
+
+        p = np.fromiter((poly(t) for t in tokens),
+                        dtype=np.uint64, count=len(tokens))
+        return _hash64(p + (np.uint64(self.seed) << np.uint64(32)))
 
     def _batch_simhash(self, texts: pd.Series) -> np.ndarray:
         token_lists = texts.astype(str).str.lower().str.split()
@@ -612,7 +621,10 @@ def _lsh_planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     p = _LSH_PLANES_CACHE.get(key)
     if p is None:
         rng = np.random.default_rng(seed)
-        p = _LSH_PLANES_CACHE[key] = rng.standard_normal((dim, num_planes))
+        # rounded to 6 decimals so a SQL twin can inline the IDENTICAL
+        # floats (sign margins are O(1), rounding is harmless)
+        p = _LSH_PLANES_CACHE[key] = np.round(
+            rng.standard_normal((dim, num_planes)), 6)
     return p
 
 
