@@ -1355,6 +1355,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return graph_ops.k_core(
             edges.map_batches(rn, batch_format="pyarrow"), k=5)
 
+    def part_local_clustering(sf_dir: str):
+        # ego-density per part on the 20% co-order subgraph: closed
+        # wedges at each vertex / C(deg,2), via the degree-split wedge
+        # stage with pivot retention + broadcast edge-set probe; SQL
+        # twin is the canonical adjacency 3-way join
+        def fl(t):
+            import pyarrow as pa
+
+            ok = np.asarray(t["l_orderkey"], np.int64) % 5 == 0
+            return t.filter(pa.array(ok))
+
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"]).map_batches(
+            fl, batch_format="pyarrow")
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        return graph_ops.local_clustering(
+            edges.map_batches(rn, batch_format="pyarrow"),
+            num_shards=16)
+
     def user_value_ewma(sf_dir: str):
         # monitoring decay state: per-user EWMA of event value at the
         # last event (alpha 0.1, closed-form weight sum); SQL twin
@@ -3979,6 +4008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_degree_assortativity": part_degree_assortativity,
         "part_link_jaccard": part_link_jaccard,
         "part_k_core": part_k_core,
+        "part_local_clustering": part_local_clustering,
         "user_value_ewma": user_value_ewma,
         "user_value_cusum": user_value_cusum,
         "geo_turning_stats": geo_turning_stats,
@@ -5688,6 +5718,33 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),
         "embedding_near_dups": _sql_embedding_near_dups(0.9),
+        "part_local_clustering": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey % 5 = 0),
+            pe AS (SELECT DISTINCT
+                       l1.l_partkey AS a, l2.l_partkey AS b
+                   FROM li l1 JOIN li l2
+                     ON l2.l_orderkey = l1.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey),
+            adj AS (SELECT a AS v, b AS w FROM pe
+                    UNION ALL SELECT b, a FROM pe),
+            dg AS (SELECT v, COUNT(*) AS degree FROM adj GROUP BY v),
+            cl AS (SELECT x.v, COUNT(*) AS n_closed
+                   FROM adj x JOIN adj y
+                     ON y.v = x.v AND x.w < y.w
+                   JOIN pe e ON e.a = x.w AND e.b = y.w
+                   GROUP BY x.v)
+            SELECT d.v AS node, CAST(d.degree AS BIGINT) AS degree,
+                   CAST(d.degree * (d.degree - 1) // 2 AS BIGINT)
+                       AS n_wedges,
+                   CAST(COALESCE(cl.n_closed, 0) AS BIGINT)
+                       AS n_closed,
+                   ROUND(CASE WHEN d.degree >= 2
+                         THEN CAST(COALESCE(cl.n_closed, 0) AS DOUBLE)
+                              / (d.degree * (d.degree - 1) / 2)
+                         ELSE 0e0 END, 6) AS lcc
+            FROM dg d LEFT JOIN cl ON cl.v = d.v
+        """,
         "approx_price_quantiles": _sql_ddsketch(
             "orders", "o_totalprice", (0.5, 0.9, 0.99), 0.01),
         "approx_value_quantiles_by_type": _sql_ddsketch(

@@ -150,17 +150,18 @@ def _pair_key(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return (lo.astype(np.int64) << 31) | hi.astype(np.int64)
 
 
-def _seg_tri_pairs(vals: np.ndarray, sizes: np.ndarray):
-    """All within-segment (i < j) index pairs over concatenated
-    segments, fully vectorized (one repeat/cumsum pass, no per-segment
-    dispatch). ``vals`` holds the segments back to back, sorted within
-    each; ``sizes`` their lengths. Returns (lo, hi) with lo < hi
-    because each segment is sorted and holds distinct values."""
-    n = len(vals)
-    if n == 0 or len(sizes) == 0:
+def _seg_tri_idx(sizes: np.ndarray):
+    """Index pairs (ii < jj into the concatenated array) of all
+    within-segment combinations, fully vectorized (one repeat/cumsum
+    pass, no per-segment dispatch)."""
+    if len(sizes) == 0:
         e = np.empty(0, np.int64)
         return e, e
     sizes = sizes.astype(np.int64)
+    n = int(sizes.sum())
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e
     offs = np.zeros(len(sizes), np.int64)
     np.cumsum(sizes[:-1], out=offs[1:])
     loc = np.arange(n, dtype=np.int64) - np.repeat(offs, sizes)
@@ -174,19 +175,28 @@ def _seg_tri_pairs(vals: np.ndarray, sizes: np.ndarray):
     np.cumsum(fc[:-1], out=rs[1:])
     seq = np.arange(total, dtype=np.int64) - np.repeat(rs, fc)
     jj = ii + 1 + seq
+    return ii, jj
+
+
+def _seg_tri_pairs(vals: np.ndarray, sizes: np.ndarray):
+    """All within-segment (i < j) value pairs over concatenated
+    segments. ``vals`` holds the segments back to back, sorted within
+    each; ``sizes`` their lengths. Returns (lo, hi) with lo < hi
+    because each segment is sorted and holds distinct values."""
+    ii, jj = _seg_tri_idx(sizes)
     return vals[ii], vals[jj]
 
 
-def _seg_cross_pairs(u_vals, v_vals, u_sizes, v_sizes):
-    """All cross pairs (u x v) per aligned segment, vectorized. The two
-    size arrays are index-aligned (one entry per segment, zeros
-    allowed). Returns (u, v) value arrays."""
-    nu = len(u_vals)
-    if nu == 0 or len(v_vals) == 0:
-        e = np.empty(0, np.int64)
-        return e, e
+def _seg_cross_idx(u_sizes, v_sizes):
+    """Index pairs (into u resp. v) of all cross combinations per
+    aligned segment, vectorized. Size arrays are index-aligned (one
+    entry per segment, zeros allowed)."""
     u_sizes = u_sizes.astype(np.int64)
     v_sizes = v_sizes.astype(np.int64)
+    nu = int(u_sizes.sum())
+    if nu == 0 or int(v_sizes.sum()) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
     rep = np.repeat(v_sizes, u_sizes)  # pairs per u element
     total = int(rep.sum())
     if total == 0:
@@ -200,6 +210,13 @@ def _seg_cross_pairs(u_vals, v_vals, u_sizes, v_sizes):
     np.cumsum(v_sizes[:-1], out=v_offs[1:])
     seg_of_u = np.repeat(np.arange(len(u_sizes), dtype=np.int64), u_sizes)
     jj = np.repeat(v_offs[seg_of_u], rep) + seq
+    return ii, jj
+
+
+def _seg_cross_pairs(u_vals, v_vals, u_sizes, v_sizes):
+    """All cross value pairs (u x v) per aligned segment. Returns
+    (u, v) value arrays."""
+    ii, jj = _seg_cross_idx(u_sizes, v_sizes)
     return u_vals[ii], v_vals[jj]
 
 
@@ -208,6 +225,7 @@ def wedge_pairs(
     num_shards: int = 64,
     hot_deg: int = 1024,
     tag: tuple[str, int] | None = None,
+    with_pivot: bool = False,
 ) -> ray.data.Dataset:
     """Dataset(a, b) -> Dataset(k): every unordered neighbor pair
     {b1 < b2} of each vertex ``a``, encoded ``b1 << 31 | b2`` — the
@@ -290,14 +308,17 @@ def wedge_pairs(
             a[order], ci[order], cj[order], side[order], bb[order])
         tri = ci == cj
         outs = []
+        pivots = []
         if tri.any():
             at, cit, bt = a[tri], ci[tri], bb[tri]
             new = np.ones(len(at), bool)
             new[1:] = (at[1:] != at[:-1]) | (cit[1:] != cit[:-1])
             starts = np.flatnonzero(new)
             sizes = np.diff(np.append(starts, len(at)))
-            lo, hi = _seg_tri_pairs(bt, sizes)
-            outs.append(_pair_key(lo, hi))
+            ii, jj = _seg_tri_idx(sizes)
+            outs.append(_pair_key(bt[ii], bt[jj]))
+            if with_pivot:
+                pivots.append(at[ii])
         crx = ~tri
         if crx.any():
             ac, cic, cjc = a[crx], ci[crx], cj[crx]
@@ -310,10 +331,17 @@ def wedge_pairs(
             um = sc == 0
             u_sizes = np.bincount(grp[um], minlength=ngrp)
             v_sizes = np.bincount(grp[~um], minlength=ngrp)
-            uu, vv = _seg_cross_pairs(bc[um], bc[~um], u_sizes, v_sizes)
+            ii, jj = _seg_cross_idx(u_sizes, v_sizes)
+            uu, vv = bc[um][ii], bc[~um][jj]
             outs.append(_pair_key(np.minimum(uu, vv), np.maximum(uu, vv)))
+            if with_pivot:
+                pivots.append(ac[um][ii])
         flat = (np.concatenate(outs) if outs else np.empty(0, np.int64))
         cols = {"k": pa.array(flat, pa.int64())}
+        if with_pivot:
+            pv = (np.concatenate(pivots) if pivots
+                  else np.empty(0, np.int64))
+            cols["pv"] = pa.array(pv, pa.int64())
         if tag is not None:
             # constant consumer column fused here so the 10^7-row wedge
             # stream doesn't pay an extra map pass just to add it
@@ -429,6 +457,140 @@ def triangle_count(
         ["part"],
     ).to_pandas()
     return tot[["n_edges", "n_wedges", "n_triangles"]]
+
+
+def local_clustering(
+    edges: ray.data.Dataset,
+    num_shards: int = 64,
+    hot_deg: int = 1024,
+    broadcast_edges: int = 10_000_000,
+) -> pd.DataFrame:
+    """Per-vertex local clustering coefficient over an undirected edge
+    list (rows ``a < b``, distinct): lcc(v) = closed wedges at v /
+    C(deg(v), 2) — the ego-density score behind community detection
+    and spam/bot account triage. Reuses the degree-split
+    ``wedge_pairs`` stage with the pivot vertex retained; closure is
+    the broadcast edge-set probe of ``triangle_count`` at or below
+    ``broadcast_edges`` (edge keys are the small side vs the deg^2
+    wedge stream) and the co-shard union path above the gate. Per
+    batch / shard the closed-wedge counts fold to per-pivot partials,
+    so only O(vertices) rows reach the final merge. Returns (node,
+    degree, n_wedges, n_closed, lcc) — an O(V) result table by
+    definition; both gate paths pytest-verified."""
+    import pyarrow as pa
+
+    from engine.ops.relational import _sharded_by_key, sum_final
+    from engine.state import cached_get
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+
+    def both_dirs(t: "pa.Table") -> "pa.Table":
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        _check_id_range(a, b)
+        return pa.table({
+            "a": pa.array(np.concatenate([a, b]), pa.int64()),
+            "b": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+
+    def local_deg(t: "pa.Table") -> pd.DataFrame:
+        u, c = np.unique(np.asarray(t["a"], np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = sum_final(
+        adj.map_batches(local_deg, batch_format="pyarrow"),
+        ["node"]).to_pandas()
+
+    def edge_key(t: "pa.Table") -> "pa.Table":
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        return pa.table({"k": pa.array(_pair_key(a, b), pa.int64())})
+
+    wk = wedge_pairs(adj, num_shards, hot_deg, with_pivot=True)
+
+    if n_edges <= broadcast_edges:
+        chunks = [np.asarray(t["k"], np.int64)
+                  for t in edges.map_batches(
+                      edge_key, batch_format="pyarrow").iter_batches(
+                      batch_format="pyarrow", batch_size=None)]
+        keys = np.sort(np.concatenate(chunks)
+                       if chunks else np.empty(0, np.int64))
+        keys_ref = ray.put(keys)
+
+        def probe(t: "pa.Table") -> pd.DataFrame:
+            ks = cached_get(keys_ref)
+            w = np.asarray(t["k"], np.int64)
+            pv = np.asarray(t["pv"], np.int64)
+            pos = np.searchsorted(ks, w)
+            pos = np.minimum(pos, max(len(ks) - 1, 0))
+            hit = (ks[pos] == w) if len(ks) else np.zeros(len(w), bool)
+            u, inv = np.unique(pv, return_inverse=True)
+            closed = np.bincount(inv, weights=hit.astype(np.float64))
+            return pd.DataFrame({
+                "node": u,
+                "n_closed": closed.astype(np.int64),
+            })
+
+        closed_parts = wk.map_batches(probe, batch_format="pyarrow")
+    else:
+        # above the gate: co-shard wedges (side 1, pivot) with the
+        # edge keys (side 0) on k — same shape as triangle_count's
+        # gated closure, but folding hits per pivot per shard
+        def tag_edge(t: "pa.Table") -> "pa.Table":
+            return pa.table({
+                "k": t["k"],
+                "pv": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(t), np.int64),
+                                 pa.int64())})
+
+        def tag_wedge(t: "pa.Table") -> "pa.Table":
+            return pa.table({
+                "k": t["k"], "pv": t["pv"],
+                "side": pa.array(np.ones(len(t), np.int64),
+                                 pa.int64())})
+
+        both = (edges.map_batches(edge_key, batch_format="pyarrow")
+                .map_batches(tag_edge, batch_format="pyarrow")
+                .union(wk.map_batches(tag_wedge,
+                                      batch_format="pyarrow")))
+
+        def shard_close(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy(np.int64)
+            kk = g["k"].to_numpy(np.int64)
+            is_w = side == 1
+            hit = np.isin(kk[is_w], kk[~is_w])
+            pv = g["pv"].to_numpy(np.int64)[is_w]
+            u, inv = np.unique(pv[hit], return_inverse=True)
+            return pd.DataFrame({
+                "node": u,
+                "n_closed": np.bincount(inv).astype(np.int64),
+            })
+
+        closed_parts = _sharded_by_key(both, "k", num_shards).groupby(
+            "__shard").map_groups(
+            lambda g: shard_close(g.drop(columns="__shard")),
+            batch_format="pandas")
+
+    parts = sum_final(closed_parts, ["node"]).to_pandas()
+    if "node" not in parts.columns:  # schema-less empty-shard output
+        parts = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                              "n_closed": pd.Series(dtype=np.int64)})
+    out = deg.merge(parts, on="node", how="left")
+    out["n_closed"] = out["n_closed"].fillna(0).astype(np.int64)
+    dg = out["deg"].to_numpy(np.int64)
+    out["n_wedges"] = (dg * (dg - 1) // 2).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lcc = np.where(out["n_wedges"] > 0,
+                       out["n_closed"] / np.maximum(out["n_wedges"], 1),
+                       0.0)
+    out["lcc"] = np.round(lcc, 6)
+    out = out.rename(columns={"deg": "degree"})
+    return out[["node", "degree", "n_wedges", "n_closed",
+                "lcc"]].sort_values("node", ignore_index=True)
 
 
 def degree_assortativity(

@@ -2549,6 +2549,45 @@ def test_wedge_degree_splitting_planted_hub(ray_session):
     assert t_shuf.equals(t_split)
 
 
+def test_local_clustering_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.graph import local_clustering
+
+    rng = np.random.default_rng(59)
+    n = 35
+    adj = np.triu(rng.random((n, n)) < 0.25, k=1)
+    ii, jj = np.nonzero(adj)
+    edf = pd.DataFrame({"a": ii.astype(np.int64),
+                        "b": jj.astype(np.int64)})
+    got = local_clustering(
+        ray.data.from_pandas(edf).repartition(3), num_shards=4)
+    full = adj | adj.T
+    for r in got.itertuples():
+        nb = np.flatnonzero(full[int(r.node)])
+        deg = len(nb)
+        closed = int(np.triu(full[np.ix_(nb, nb)], k=1).sum())
+        assert int(r.degree) == deg
+        assert int(r.n_wedges) == deg * (deg - 1) // 2
+        assert int(r.n_closed) == closed, f"node {r.node}"
+        want = closed / (deg * (deg - 1) / 2) if deg >= 2 else 0.0
+        assert r.lcc == pytest.approx(round(want, 6), abs=1e-9)
+    # every vertex present
+    assert set(got["node"]) == set(np.unique(np.concatenate([ii, jj])))
+
+    # degree-splitting path: tiny hot_deg must give identical results
+    got_split = local_clustering(
+        ray.data.from_pandas(edf).repartition(3), num_shards=4,
+        hot_deg=2)
+    pd.testing.assert_frame_equal(got, got_split)
+
+    # closure gate: broadcast_edges=0 forces the co-shard path
+    got_shuf = local_clustering(
+        ray.data.from_pandas(edf).repartition(3), num_shards=4,
+        broadcast_edges=0)
+    pd.testing.assert_frame_equal(got, got_shuf)
+
+
 def test_graph_id_range_guard(ray_session):
     import ray.data
 
