@@ -904,18 +904,33 @@ def _sharded_by_key(
     cardinality partition keys (15k customers here, 10^9 users at
     scale) must NOT become one map_groups group each — per-group Python
     dispatch dominates (measured 12s -> 3s on the ranking query). The
-    shuffle moves shards; every group still lands wholly in one shard."""
-    from pandas.util import hash_array
+    shuffle moves shards; every group still lands wholly in one shard.
+    Arrow-native: integer keys hash via the splitmix64 mix on a
+    zero-copy view (no per-batch pandas conversion in the stage that
+    feeds EVERY co-group shuffle); other dtypes fall back to pandas
+    hashing. Shard assignment is internal, so the hash choice never
+    reaches results."""
+    import pyarrow as pa
 
-    def add(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__shard"] = (
-            hash_array(b[group_key].to_numpy(), categorize=False)
-            % num_shards
-        ).astype(np.int32)
-        return b
+    from engine.ops.sketch import _hash64
 
-    return ds.map_batches(add, batch_format="pandas")
+    def add(t: "pa.Table") -> "pa.Table":
+        col = t.column(group_key)
+        if pa.types.is_integer(col.type):
+            vals = col.combine_chunks().to_numpy(zero_copy_only=False)
+            h = _hash64(np.asarray(vals, np.int64))
+        else:
+            from pandas.util import hash_array
+
+            h = hash_array(
+                np.asarray(col.to_pandas()), categorize=False
+            ).astype(np.uint64)
+        return t.append_column(
+            "__shard",
+            pa.array((h % np.uint64(num_shards)).astype(np.int32),
+                     pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def window_rank(
