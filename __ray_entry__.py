@@ -3630,6 +3630,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = text.flag_contaminated(docs, idx, ngram=8)
         return out.select_columns(["doc_id", "contaminated", "n_hits"])
 
+    def docs_bpe_pair_counts(sf_dir: str):
+        # BPE tokenizer bootstrap: top-50 adjacent character pairs
+        # within whitespace words (merge-candidate table, iteration
+        # zero of byte-pair encoding); vocabulary-bounded partials
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.bpe_pair_counts(docs, k=50)
+
     def docs_tfidf_top_terms(sf_dir: str):
         # two-pass TF-IDF: distributed DF table broadcast into a
         # streaming scoring pass; exactness pytest-oracled
@@ -3877,6 +3884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_packed_by_chars": docs_packed_by_chars,
         "decontaminate_documents": decontaminate_documents,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
+        "docs_bpe_pair_counts": docs_bpe_pair_counts,
         "revenue_by_nation": revenue_by_nation,
         "top_customers_by_acctbal": top_customers_by_acctbal,
         "customers_with_orders": customers_with_orders,
@@ -5718,6 +5726,26 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),
         "embedding_near_dups": _sql_embedding_near_dups(0.9),
+        "docs_bpe_pair_counts": """
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    s -> s <> '')) AS w
+                FROM documents
+            ),
+            pr AS (SELECT substring(w, pp, 1) AS lsym,
+                          substring(w, pp + 1, 1) AS rsym
+                   FROM (SELECT w, unnest(range(1, length(w))) AS pp
+                         FROM tok)),
+            cnt AS (SELECT lsym, rsym, COUNT(*) AS n
+                    FROM pr GROUP BY lsym, rsym),
+            rk AS (SELECT lsym, rsym, n,
+                      ROW_NUMBER() OVER (ORDER BY n DESC, lsym, rsym)
+                          AS rank
+                   FROM cnt)
+            SELECT CAST(rank AS INT) AS rank, lsym, rsym, n
+            FROM rk WHERE rank <= 50
+        """,
         "part_local_clustering": """
             WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
                         WHERE l_orderkey % 5 = 0),

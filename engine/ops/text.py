@@ -808,3 +808,64 @@ def hapax_rate(
         return out
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def bpe_pair_counts(
+    ds: ray.data.Dataset, k: int = 50, final: str = "small"
+) -> pd.DataFrame:
+    """Adjacent-symbol (character-pair) frequencies, top-k — the first
+    merge-candidate table of byte-pair-encoding tokenizer training
+    over the corpus (Sennrich et al. 2016, public method: BPE merges
+    the most frequent adjacent symbol pair; this is iteration zero at
+    corpus scale). Tokens are whitespace words of the lowercased text;
+    pairs never cross a word boundary.
+
+    Scale shape: each batch folds to (pair-key, count) partials — the
+    per-UNIQUE-word codepoint pairs weighted by word multiplicity, one
+    ``np.unique`` + ``np.bincount`` fold — so the exchange moves
+    symbol-vocabulary-bounded partials, never character instances.
+    Returns (rank, lsym, rsym, n) with ties broken on (lsym, rsym)."""
+    from engine.ops import relational
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for s in b["text"].astype(str):
+            toks.extend(s.lower().split())
+        empty = pd.DataFrame({"pair": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if not toks:
+            return empty
+        words, mult = np.unique(np.asarray(toks, dtype=object),
+                                return_counts=True)
+        keys, cnts = [], []
+        for w, m in zip(words, mult):
+            if len(w) < 2:
+                continue
+            cp = np.frombuffer(w.encode("utf-32-le"),
+                               np.uint32).astype(np.int64)
+            keys.append(cp[:-1] * 0x110000 + cp[1:])
+            cnts.append(np.full(len(cp) - 1, m, np.int64))
+        if not keys:
+            return empty
+        flat = np.concatenate(keys)
+        wgt = np.concatenate(cnts)
+        u, inv = np.unique(flat, return_inverse=True)
+        n = np.bincount(inv, weights=wgt.astype(np.float64))
+        return pd.DataFrame({"pair": u, "n": n.astype(np.int64)})
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    counts = relational.sum_final(partials, ["pair"]).to_pandas()
+    if "pair" not in counts.columns:  # empty corpus
+        return pd.DataFrame({"rank": pd.Series(dtype=np.int32),
+                             "lsym": pd.Series(dtype=str),
+                             "rsym": pd.Series(dtype=str),
+                             "n": pd.Series(dtype=np.int64)})
+    pairs = counts["pair"].to_numpy(np.int64)
+    counts["lsym"] = [chr(int(p) // 0x110000) for p in pairs]
+    counts["rsym"] = [chr(int(p) % 0x110000) for p in pairs]
+    counts = counts.sort_values(
+        ["n", "lsym", "rsym"], ascending=[False, True, True],
+        kind="stable", ignore_index=True).head(k)
+    counts["rank"] = np.arange(1, len(counts) + 1, dtype=np.int32)
+    counts["n"] = counts["n"].astype(np.int64)
+    return counts[["rank", "lsym", "rsym", "n"]]

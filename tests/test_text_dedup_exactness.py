@@ -492,6 +492,30 @@ def test_corpus_to_shards_end_to_end(ray_session, tmp_path):
                 == hashlib.sha256(open(p3, "rb").read()).hexdigest())
 
 
+def test_bpe_pair_counts_bruteforce(ray_session):
+    import collections
+
+    import ray.data
+
+    from engine.ops.text import bpe_pair_counts
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["Abba abba cab", "b", "zz zz zz aa"],
+    })
+    out = bpe_pair_counts(ray.data.from_pandas(docs).repartition(2),
+                          k=10)
+    want = collections.Counter()
+    for t in docs["text"]:
+        for w in t.lower().split():
+            for i in range(len(w) - 1):
+                want[(w[i], w[i + 1])] += 1
+    rows = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.lsym, r.rsym, int(r.n)) for r in out.itertuples()] == [
+        (l, r, n) for (l, r), n in rows]
+    assert list(out["rank"]) == list(range(1, len(rows) + 1))
+
+
 def test_bigram_logprob_bruteforce(ray_session):
     import math
 
