@@ -1330,8 +1330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def part_k_core(sf_dir: str):
         # dense-backbone extraction: 5-core of the 20% co-order
         # subgraph by iterative peeling (census + broadcast filter
-        # per round). Non-SQL (data-dependent rounds); pytest
-        # self-oracle is single-process peeling.
+        # per round). Rounds are data-dependent, but trailing no-op
+        # rounds are free, so the SQL twin unrolls 8 peel rounds
+        # (observed depth 1-2) and counts the ones that dropped;
+        # pytest self-oracle is single-process peeling.
         def fl(t):
             import pyarrow as pa
 
@@ -2146,8 +2148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def geo_stay_points(sf_dir: str):
         # Li/Zheng stay-point extraction (20 km anchor radius, >= 5
         # fixes): the 5 hotspot-only tracks each collapse to one stay,
-        # random-walk tracks produce none. Non-SQL (greedy sequential
-        # anchor advance); brute-force pytest is the self-oracle.
+        # random-walk tracks produce none. The greedy anchor advance
+        # is a pure function of position, so the SQL twin precomputes
+        # each anchor's next-pointer and walks the chain with a
+        # recursive CTE; brute-force pytest is the second oracle.
         out = geo_ops.stay_points(
             _geo_tracked(), dist_m=20000.0, min_fixes=5, num_shards=16,
         ).to_pandas()
@@ -2188,8 +2192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def geo_enclosing_circles(sf_dir: str):
         # per-track smallest enclosing circle (Welzl, planar deg).
-        # Non-SQL (geometric recursion); pytest self-oracle checks
-        # containment + minimality vs brute-force support circles.
+        # The MEC is determined by <=3 support points, so the SQL
+        # twin brute-forces all pair/triple support circles (tracks
+        # are 30 fixes); pytest self-oracle additionally checks
+        # containment + minimality.
         out = geo_ops.enclosing_circles(
             _geo_tracked(), num_shards=16).to_pandas()
         for c in ("c_lon", "c_lat", "radius_deg"):
@@ -2537,9 +2543,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def geo_simplify_tracks(sf_dir: str):
         # Douglas-Peucker track thinning summary (eps 0.5 deg).
-        # Non-SQL (recursive farthest-point selection); the epsilon
-        # guarantee is the pytest self-oracle
-        # (test_simplify_tracks_epsilon_guarantee).
+        # DP's interval tree walks with a recursive CTE over a
+        # precomputed per-interval argmax table, so it IS
+        # SQL-expressible; the epsilon guarantee stays the pytest
+        # self-oracle (test_simplify_tracks_epsilon_guarantee).
         out = geo_ops.simplify_tracks(
             _geo_tracked(), epsilon_deg=0.5, num_shards=16,
         ).to_pandas()
@@ -5038,6 +5045,319 @@ def _sql_shingles(ngram: int, source: str = "documents",
     """
 
 
+def _sql_char_jaccard_pairs(threshold: float, with_muts: bool) -> str:
+    """Shared CTE block for the ngram-Jaccard dedup family twins:
+    EXACT char-5-shingle Jaccard pairs over the (optionally
+    tail-mutated) document corpus. The engine side is MinHash-LSH
+    candidate generation + exact-Jaccard verify; its banding is
+    recall-floor escalated (``lsh_params_recall`` >= 0.95 at the
+    threshold itself) and MEASURED at full recall on these
+    deterministic fixtures — engine pair set == exact all-pairs set at
+    sf0.001/0.01/0.1 for both the 0.5 and 0.8 thresholds — so the
+    exact semantics below are a valid oracle. Shingles here are the
+    raw 5-char windows of lower(text), a bijection of the engine's
+    FNV-polynomial window hashes (verified collision-free on the
+    fixture vocab: 2092 raw == 2092 hashed), and Jaccard is invariant
+    under any shingle bijection. Emits CTEs: corpus, shp, szp, jpairs
+    (a < b, jaccard rounded half-to-even at 6dp, >= threshold).
+
+    Cost note: an EXACT all-pairs oracle is inherently quadratic in
+    shingle collisions — fast at the driver's sf0.01 gate (~7s for
+    all three dedup twins), but >25 min at sf0.1 (small shared vocab
+    => the shingle self-join explodes); verify the family at sf0.01,
+    like the brute-force PIP parity oracle's 50k cap."""
+    if with_muts:
+        corpus = """
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   substr(text, 1, GREATEST(0, length(text) - 8))
+                       || ' extra tail sentence' AS text
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT 10)
+        )"""
+    else:
+        corpus = "corpus AS (SELECT doc_id, text FROM documents)"
+    jac = _sql_round_even("CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)")
+    return f"""{corpus},
+        shp AS (
+            SELECT DISTINCT doc_id, substr(lower(text), p, 5) AS sg
+            FROM corpus, UNNEST(range(1, length(text) - 3)) AS u(p)
+        ),
+        szp AS (SELECT doc_id, COUNT(*) AS n FROM shp GROUP BY doc_id),
+        jpairs AS (
+            SELECT a, b, jr AS jaccard FROM (
+                SELECT i.a, i.b, {jac} AS jr
+                FROM (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                      FROM shp x JOIN shp y
+                          ON y.sg = x.sg AND y.doc_id > x.doc_id
+                      GROUP BY x.doc_id, y.doc_id) i
+                JOIN szp sa ON sa.doc_id = i.a
+                JOIN szp sb ON sb.doc_id = i.b
+            ) WHERE jr >= {threshold}e0
+        )"""
+
+
+def _sql_minlabel_components() -> str:
+    """Min-label connected components over ``jpairs`` via a recursive
+    transitive closure (UNION dedups => terminates at the closure;
+    near-dup components are tiny, so the closure row count is bounded
+    by sum of component sizes squared). Twin of
+    ``connected_components_distributed``'s min-label law. Emits CTEs:
+    symp, lab(node, label)."""
+    return """
+        symp AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs),
+        reachp(src, dst) AS (
+            SELECT a, a FROM symp
+            UNION
+            SELECT r.src, e.b FROM reachp r JOIN symp e ON e.a = r.dst
+        ),
+        lab AS (SELECT src AS node, MIN(dst) AS label
+                FROM reachp GROUP BY src)"""
+
+
+def _sql_k_core(k: int, rounds: int) -> str:
+    """Twin of ``graph.k_core`` by UNROLLED peel rounds: round i drops
+    every vertex with degree < k in the round-(i-1) subgraph;
+    ``n_rounds`` counts the rounds that actually dropped something
+    (the engine's census-with-bad-nodes count), so trailing no-op
+    rounds are free — ``rounds`` just needs to exceed the peel depth
+    (observed 1-2 at sf0.001-0.1; 8 is generous headroom, and the
+    sf0.01/sf0.1 conformance sweeps would catch an overflow as a
+    mismatch). Every CTE is MATERIALIZED: the round tree references
+    each predecessor three times, so un-materialized CTEs inline
+    exponentially (3^rounds parquet opens — measured 'too many open
+    files' at rounds=8)."""
+    parts = [f"""pe0 AS MATERIALIZED (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l2.l_orderkey = l1.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            WHERE l1.l_orderkey % 5 = 0)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""d{i} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg FROM
+              (SELECT a AS node FROM pe{p}
+               UNION ALL SELECT b AS node FROM pe{p})
+            GROUP BY node)""")
+        parts.append(f"s{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        parts.append(
+            f"b{i} AS (SELECT CASE WHEN EXISTS(SELECT 1 FROM d{i} "
+            f"WHERE deg < {k}) THEN 1 ELSE 0 END AS r)")
+        parts.append(f"""pe{i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM pe{p} e
+            JOIN s{i} sa ON sa.node = e.a
+            JOIN s{i} sb ON sb.node = e.b)""")
+    nr = " + ".join(f"(SELECT r FROM b{i})" for i in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + f"""
+        SELECT CAST({k} AS BIGINT) AS k, CAST({nr} AS BIGINT) AS n_rounds,
+               (SELECT COUNT(*) FROM (SELECT a FROM pe{rounds}
+                                      UNION SELECT b FROM pe{rounds}))
+                   AS n_vertices,
+               (SELECT COUNT(*) FROM pe{rounds}) AS n_edges"""
+
+
+def _sql_enclosing_circles() -> str:
+    """Twin of ``geo.enclosing_circles`` by support-set enumeration:
+    the smallest enclosing circle is determined by 2 or 3 support
+    points, so enumerate every pair (diameter circle) and every
+    non-degenerate triple (circumcircle, the engine's exact ``circ3``
+    determinant formula), keep candidates containing all fixes
+    (tolerance 1e-9 deg absorbs the engine's r*(1+1e-12) inside-test
+    slack), and take the min-radius one. Tracks are 30 fixes, so the
+    candidate space is C(30,2)+C(30,3) per track — brute force IS the
+    scale-appropriate oracle here. 6dp rounding on both sides kills
+    the Welzl-vs-circumcenter FP noise (~1e-12)."""
+    d = ("(2e0 * (a.lon * (b.lat - c.lat) + b.lon * (c.lat - a.lat)"
+         " + c.lon * (a.lat - b.lat)))")
+    return f"""
+        gt AS MATERIALIZED (SELECT i % 50 AS track_id, i AS seq,
+                                   lon, lat FROM gll),
+        ctri AS (
+            SELECT track_id, ux, uy,
+                   sqrt(pow(ax - ux, 2) + pow(ay - uy, 2)) AS r
+            FROM (
+                SELECT a.track_id AS track_id,
+                       a.lon AS ax, a.lat AS ay,
+                       ((a.lon*a.lon + a.lat*a.lat) * (b.lat - c.lat)
+                        + (b.lon*b.lon + b.lat*b.lat) * (c.lat - a.lat)
+                        + (c.lon*c.lon + c.lat*c.lat) * (a.lat - b.lat))
+                           / {d} AS ux,
+                       ((a.lon*a.lon + a.lat*a.lat) * (c.lon - b.lon)
+                        + (b.lon*b.lon + b.lat*b.lat) * (a.lon - c.lon)
+                        + (c.lon*c.lon + c.lat*c.lat) * (b.lon - a.lon))
+                           / {d} AS uy
+                FROM gt a
+                JOIN gt b ON b.track_id = a.track_id AND b.seq > a.seq
+                JOIN gt c ON c.track_id = a.track_id AND c.seq > b.seq
+                WHERE abs({d}) > 0e0)),
+        cand AS (
+            SELECT p.track_id, (p.lon + q.lon) / 2e0 AS cx,
+                   (p.lat + q.lat) / 2e0 AS cy,
+                   sqrt(pow(p.lon - q.lon, 2)
+                        + pow(p.lat - q.lat, 2)) / 2e0 AS r
+            FROM gt p JOIN gt q
+                ON q.track_id = p.track_id AND q.seq > p.seq
+            UNION ALL SELECT track_id, ux, uy, r FROM ctri),
+        mec AS (
+            SELECT track_id, cx, cy, r FROM (
+                SELECT v.*, ROW_NUMBER() OVER (
+                    PARTITION BY track_id ORDER BY r, cx, cy) AS rn
+                FROM (
+                    SELECT c.track_id, c.cx, c.cy, c.r
+                    FROM cand c JOIN gt p ON p.track_id = c.track_id
+                    GROUP BY c.track_id, c.cx, c.cy, c.r
+                    HAVING MAX(sqrt(pow(p.lon - c.cx, 2)
+                                    + pow(p.lat - c.cy, 2)))
+                           <= c.r + 1e-9) v)
+            WHERE rn = 1)"""
+
+
+def _sql_clamped_d2(px, py, sx, sy, ex, ey) -> str:
+    """Squared distance from point (px,py) to SEGMENT (s..e), clamped
+    like ``geo._simplify_open`` (t clipped to [0,1], degenerate
+    zero-length segment falls back to point distance)."""
+    seg2 = f"(pow(({ex}) - ({sx}), 2) + pow(({ey}) - ({sy}), 2))"
+    t = (f"LEAST(GREATEST(((({px}) - ({sx})) * (({ex}) - ({sx}))"
+         f" + (({py}) - ({sy})) * (({ey}) - ({sy}))) / {seg2}, "
+         f"0e0), 1e0)")
+    return (f"CASE WHEN {seg2} = 0e0 THEN pow(({px}) - ({sx}), 2)"
+            f" + pow(({py}) - ({sy}), 2)"
+            f" ELSE pow(({px}) - (({sx}) + {t} * (({ex}) - ({sx}))), 2)"
+            f" + pow(({py}) - (({sy}) + {t} * (({ey}) - ({sy}))), 2)"
+            f" END")
+
+
+def _sql_simplify_tracks(eps: float) -> str:
+    """Twin of ``geo.simplify_tracks`` (Douglas-Peucker): DP's
+    recursion is a binary interval tree, so precompute for EVERY
+    (i, j) interval its first-argmax interior deviation (``pinfo`` —
+    np.argmax's first-index tie-break = ROW_NUMBER by d2 DESC, pos
+    ASC), then walk the tree with a recursive CTE whose recursive
+    term only JOINS that static table (DuckDB forbids aggregates over
+    the recursive reference; this shape needs none). Each splitting
+    interval contributes its split point to the kept set; max_dev is
+    the max over dropped fixes of min clamped distance to the kept
+    polyline, exactly the engine's formula."""
+    d2_pin = _sql_clamped_d2("p.lon", "p.lat", "s.lon", "s.lat",
+                             "e.lon", "e.lat")
+    d2_dev = _sql_clamped_d2("dp.lon", "dp.lat", "ka.lon", "ka.lat",
+                             "kb.lon", "kb.lat")
+    e2 = f"{eps * eps}e0"
+    return f"""
+        gt AS MATERIALIZED (SELECT i % 50 AS track_id, i AS seq,
+                                   lon, lat FROM gll),
+        gp AS MATERIALIZED (
+            SELECT track_id, lon, lat,
+                   ROW_NUMBER() OVER (PARTITION BY track_id
+                                      ORDER BY seq) - 1 AS pos,
+                   COUNT(*) OVER (PARTITION BY track_id) AS n
+            FROM gt),
+        pinfo AS MATERIALIZED (
+            SELECT track_id, i, j, p AS m, d2 AS maxd2 FROM (
+                SELECT s.track_id, s.pos AS i, e.pos AS j, p.pos AS p,
+                       {d2_pin} AS d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.track_id, s.pos, e.pos
+                           ORDER BY {d2_pin} DESC, p.pos) AS rn
+                FROM gp s
+                JOIN gp e ON e.track_id = s.track_id
+                         AND e.pos > s.pos + 1
+                JOIN gp p ON p.track_id = s.track_id
+                         AND p.pos > s.pos AND p.pos < e.pos)
+            WHERE rn = 1),
+        ivals(track_id, i, j) AS (
+            SELECT track_id, 0, n - 1
+            FROM (SELECT DISTINCT track_id, n FROM gp)
+            UNION ALL
+            SELECT v.track_id,
+                   CASE WHEN c.c = 0 THEN v.i ELSE pi.m END,
+                   CASE WHEN c.c = 0 THEN pi.m ELSE v.j END
+            FROM ivals v
+            JOIN pinfo pi ON pi.track_id = v.track_id
+                         AND pi.i = v.i AND pi.j = v.j
+            CROSS JOIN (VALUES (0), (1)) c(c)
+            WHERE pi.maxd2 > {e2}),
+        kept AS MATERIALIZED (
+            SELECT track_id, CAST(0 AS BIGINT) AS pos
+            FROM (SELECT DISTINCT track_id FROM gp)
+            UNION
+            SELECT track_id, n - 1
+            FROM (SELECT DISTINCT track_id, n FROM gp)
+            UNION
+            SELECT v.track_id, pi.m
+            FROM ivals v JOIN pinfo pi
+                ON pi.track_id = v.track_id
+               AND pi.i = v.i AND pi.j = v.j
+            WHERE pi.maxd2 > {e2}),
+        kseg AS (
+            SELECT track_id, pos AS a,
+                   LEAD(pos) OVER (PARTITION BY track_id
+                                   ORDER BY pos) AS b
+            FROM kept),
+        dropped AS (
+            SELECT g.track_id, g.pos, g.lon, g.lat FROM gp g
+            ANTI JOIN kept k
+                ON k.track_id = g.track_id AND k.pos = g.pos),
+        devs AS (
+            SELECT dp.track_id, dp.pos, MIN({d2_dev}) AS mind2
+            FROM dropped dp
+            JOIN kseg sg ON sg.track_id = dp.track_id
+                        AND sg.b IS NOT NULL
+            JOIN gp ka ON ka.track_id = dp.track_id AND ka.pos = sg.a
+            JOIN gp kb ON kb.track_id = dp.track_id AND kb.pos = sg.b
+            GROUP BY dp.track_id, dp.pos)"""
+
+
+def _sql_stay_points(dist_m: float, min_fixes: int) -> str:
+    """Twin of ``geo.stay_points`` (Li/Zheng greedy anchor scan): the
+    scan is sequential per track, but each anchor's behavior is a PURE
+    function of its position — ``nf`` precomputes the first fix
+    farther than ``dist_m`` from each potential anchor, ``st`` the
+    qualifies flag and the next-anchor pointer (run end if the run
+    qualifies, pos+1 otherwise) — so the recursive CTE just follows
+    the precomputed pointer chain from pos 0 (strictly increasing =>
+    terminates; no aggregates over the recursive reference). Stays
+    are the qualifying anchors the chain actually reaches."""
+    hav = _sql_haversine("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+        gt AS MATERIALIZED (SELECT i % 50 AS track_id, i AS seq,
+                                   lon, lat FROM gll),
+        gp AS MATERIALIZED (
+            SELECT track_id, seq, lon, lat,
+                   ROW_NUMBER() OVER (PARTITION BY track_id
+                                      ORDER BY seq) - 1 AS pos,
+                   COUNT(*) OVER (PARTITION BY track_id) AS n
+            FROM gt),
+        nf AS MATERIALIZED (
+            SELECT a.track_id, a.pos AS i, a.n,
+                   COALESCE(MIN(CASE WHEN {hav} > {dist_m}e0
+                                     THEN b.pos END), a.n) AS j
+            FROM gp a LEFT JOIN gp b
+                ON b.track_id = a.track_id AND b.pos > a.pos
+            GROUP BY a.track_id, a.pos, a.n),
+        st AS MATERIALIZED (
+            SELECT track_id, i, j, n, (j - i) >= {min_fixes} AS qual,
+                   CASE WHEN (j - i) >= {min_fixes} THEN j
+                        ELSE i + 1 END AS nxt
+            FROM nf),
+        chain(track_id, i) AS (
+            SELECT track_id, 0 FROM (SELECT DISTINCT track_id FROM gp)
+            UNION ALL
+            SELECT c.track_id, s.nxt FROM chain c
+            JOIN st s ON s.track_id = c.track_id AND s.i = c.i
+            WHERE s.nxt < s.n),
+        stays AS (
+            SELECT c.track_id, s.i, s.j,
+                   ROW_NUMBER() OVER (PARTITION BY c.track_id
+                                      ORDER BY s.i) - 1 AS stay_ix
+            FROM chain c
+            JOIN st s ON s.track_id = c.track_id AND s.i = c.i
+            WHERE s.qual)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -5726,6 +6046,63 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),
         "embedding_near_dups": _sql_embedding_near_dups(0.9),
+        "ngram_jaccard_docs": f"""
+            WITH {_sql_char_jaccard_pairs(0.5, with_muts=True)}
+            SELECT a, b, jaccard FROM jpairs ORDER BY a, b
+        """,
+        "dedup_components_documents": f"""
+            WITH RECURSIVE {_sql_char_jaccard_pairs(0.5, with_muts=True)},
+            {_sql_minlabel_components()}
+            SELECT node, label FROM lab ORDER BY node
+        """,
+        "minhash_dedup_documents": f"""
+            WITH RECURSIVE {_sql_char_jaccard_pairs(0.8, with_muts=False)},
+            {_sql_minlabel_components()}
+            SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "part_k_core": _sql_k_core(5, 8),
+        "geo_enclosing_circles": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            {_sql_enclosing_circles()}
+            SELECT m.track_id, n.n_fixes,
+                   round(m.cx, 6) AS c_lon, round(m.cy, 6) AS c_lat,
+                   round(m.r, 6) AS radius_deg
+            FROM mec m JOIN (SELECT track_id, COUNT(*) AS n_fixes
+                             FROM gt GROUP BY track_id) n
+                USING (track_id)
+            ORDER BY m.track_id
+        """,
+        "geo_simplify_tracks": f"""
+            WITH RECURSIVE {_sql_geo_lonlat(_GEO_N)},
+            {_sql_simplify_tracks(0.5)}
+            SELECT g.track_id, CAST(ANY_VALUE(g.n) AS BIGINT) AS n_in,
+                   (SELECT COUNT(*) FROM kept k
+                    WHERE k.track_id = g.track_id) AS n_kept,
+                   round(COALESCE((SELECT sqrt(MAX(d.mind2))
+                                   FROM devs d
+                                   WHERE d.track_id = g.track_id),
+                                  0e0), 6) AS max_dev_deg
+            FROM gp g GROUP BY g.track_id ORDER BY g.track_id
+        """,
+        "geo_stay_points": f"""
+            WITH RECURSIVE {_sql_geo_lonlat(_GEO_N)},
+            {_sql_stay_points(20000.0, 5)}
+            SELECT s.track_id, s.stay_ix,
+                   MIN(CASE WHEN p.pos = s.i THEN p.seq END)
+                       AS start_seq,
+                   MIN(CASE WHEN p.pos = s.j - 1 THEN p.seq END)
+                       AS end_seq,
+                   CAST(s.j - s.i AS BIGINT) AS n_fixes,
+                   round(AVG(p.lon), 6) AS c_lon,
+                   round(AVG(p.lat), 6) AS c_lat
+            FROM stays s JOIN gp p
+                ON p.track_id = s.track_id
+               AND p.pos >= s.i AND p.pos < s.j
+            GROUP BY s.track_id, s.stay_ix, s.i, s.j
+            ORDER BY s.track_id, s.stay_ix
+        """,
         "docs_bpe_pair_counts": """
             WITH tok AS (
                 SELECT unnest(list_filter(

@@ -2237,9 +2237,9 @@ def simplify_tracks(
     """Per-track Douglas-Peucker polyline simplification summary:
     input fix count, kept count, and the max planar-degree deviation
     of any DROPPED fix from the kept polyline (always <= epsilon —
-    property-tested, this op's self-oracle; DP is not
-    SQL-expressible). The track-thinning step before rendering or
-    cheap storage."""
+    property-tested; the SQL twin walks DP's interval tree with a
+    recursive CTE over a precomputed per-interval argmax table). The
+    track-thinning step before rendering or cheap storage."""
     from engine.ops.relational import _sharded_by_key
 
     def shard_simplify(g: pd.DataFrame) -> pd.DataFrame:
@@ -2672,9 +2672,11 @@ def stay_points(
     its fix span and centroid — the dwell-location extraction that
     feeds POI mining.
 
-    Greedy anchor advance is inherently sequential per track (not
-    SQL-expressible); the pytest self-oracle is a brute-force
-    single-process reference. Tracks hash-shard by ``track_id``; the
+    Greedy anchor advance is sequential per track, but each anchor's
+    step is a pure function of position, so the SQL twin follows
+    precomputed next-pointers with a recursive CTE; the pytest
+    self-oracle is a brute-force single-process reference. Tracks
+    hash-shard by ``track_id``; the
     per-anchor distance test is one vectorized haversine slice, so the
     scan is O(stays + fixes) anchor steps, not O(n^2) Python."""
     from engine.ops.relational import _sharded_by_key
@@ -2927,10 +2929,10 @@ def enclosing_circles(
 ) -> ray.data.Dataset:
     """Per-track smallest enclosing circle (Welzl) in planar degrees:
     center, radius, and the fix count — the minimal-coverage-disk
-    summary (antenna placement / track-extent analytics). Non-SQL
-    (incremental geometric recursion); the pytest self-oracle checks
-    containment of every fix and minimality vs brute force over all
-    2- and 3-point support circles."""
+    summary (antenna placement / track-extent analytics). The SQL
+    twin brute-forces all 2-/3-point support circles; the pytest
+    self-oracle checks containment of every fix and minimality the
+    same way."""
     from engine.ops.relational import _sharded_by_key
 
     def shard_circles(g: pd.DataFrame) -> pd.DataFrame:
