@@ -2772,7 +2772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def geo_vector_tiles(sf_dir: str):
         # vector half of raster<->vector tiling: admin polygons clipped
         # to z/x/y tile rects (Sutherland-Hodgman), per-tile net area;
-        # area conservation is pytest-oracled (test_geo_kernels)
+        # SQL twin replays the four half-plane passes edge-for-edge;
+        # area conservation is also pytest-oracled (test_geo_kernels)
         out = geo_ops.vector_tiles(fixtures.polygons(), zoom=8).to_pandas()
         out["area"] = out["area"].round(9)
         return (
@@ -2811,7 +2812,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def geo_vector_tiles_simplified(sf_dir: str):
         # per-zoom detail knob: Douglas-Peucker at 0.05 tile units
-        # before the clip; deviation bound pytest-oracled
+        # before the clip; SQL twin runs the closed-ring DP (two
+        # recursive chord trees) then the same clip passes; deviation
+        # bound also pytest-oracled
         out = geo_ops.vector_tiles(
             fixtures.polygons(), zoom=8, epsilon=0.05
         ).to_pandas()
@@ -5358,6 +5361,244 @@ def _sql_stay_points(dist_m: float, min_fixes: int) -> str:
             WHERE s.qual)"""
 
 
+_VT_ZOOM, _VT_NT = 8, 256  # geo_vector_tiles zoom + tile-grid width
+_VT_KEY = "admin_id, level, ring_ix, tx, ty"
+
+# Web-Mercator tile units (engine/geo/clip.py lonlat_to_mercator_unit);
+# DuckDB has no asinh, so arcsinh(t) is spelled ln(t + sqrt(t*t + 1)).
+_VT_LATC = "LEAST(GREATEST(lat, -85.0511e0), 85.0511e0)"
+_VT_MERC_Y = (
+    f"(1e0 - ln(tan(radians({_VT_LATC}))"
+    f" + sqrt(tan(radians({_VT_LATC})) * tan(radians({_VT_LATC}))"
+    f" + 1e0)) / pi()) / 2e0 * {_VT_NT}e0")
+
+
+def _sql_clip_pass(k: int, src: str, axis: int, bound: str,
+                   keep_less: bool) -> str:
+    """One Sutherland-Hodgman half-plane pass, emission-for-emission
+    the engine's ``_clip_halfplane`` (engine/geo/clip.py): classify
+    each wraparound edge, emit next-vertex for in->in, the
+    intersection for in->out, and intersection-then-next for out->in;
+    renumber by (edge, sub-emission). The clipped coordinate is set
+    EXACTLY to ``bound`` like the engine. Output ring order is a
+    rotation of the engine's, which area/count can't see. Window
+    names carry the pass index (one WITH RECURSIVE tree shares a
+    window namespace in DuckDB)."""
+    v0 = "x" if axis == 0 else "y"
+    cmp0 = "<=" if keep_less else ">="
+    pred0 = f"({v0} {cmp0} {bound})"
+    pred1 = (f"(x1 {cmp0} {bound})" if axis == 0
+             else f"(y1 {cmp0} {bound})")
+    t = f"(({bound}) - {v0}) / ({'x1 - x' if axis == 0 else 'y1 - y'})"
+    if axis == 0:
+        ix, iy = f"({bound})", f"y + {t} * (y1 - y)"
+    else:
+        ix, iy = f"x + {t} * (x1 - x)", f"({bound})"
+    return f"""
+        e{k} AS (
+            SELECT *,
+                COALESCE(LEAD(x) OVER w{k},
+                         FIRST_VALUE(x) OVER w{k}) AS x1,
+                COALESCE(LEAD(y) OVER w{k},
+                         FIRST_VALUE(y) OVER w{k}) AS y1
+            FROM {src}
+            WINDOW w{k} AS (PARTITION BY {_VT_KEY} ORDER BY vid
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)),
+        c{k} AS MATERIALIZED (
+            SELECT {_VT_KEY},
+                   ROW_NUMBER() OVER (PARTITION BY {_VT_KEY}
+                                      ORDER BY vid, s.sub) - 1 AS vid,
+                   CASE WHEN {pred0} AND {pred1} THEN x1
+                        WHEN s.sub = 0 THEN {ix} ELSE x1 END AS x,
+                   CASE WHEN {pred0} AND {pred1} THEN y1
+                        WHEN s.sub = 0 THEN {iy} ELSE y1 END AS y
+            FROM e{k} CROSS JOIN (VALUES (0), (1)) s(sub)
+            WHERE ({pred0} AND s.sub = 0) OR (NOT {pred0} AND {pred1}))"""
+
+
+def _sql_ring_simplify(eps: float) -> str:
+    """Twin of ``clip.simplify_ring`` (closed-ring Douglas-Peucker in
+    mercator tile units): wrap the anchor at position n, split first
+    at the first-argmax farthest-from-anchor vertex, then walk the
+    two chord trees exactly like ``_sql_simplify_tracks`` — two
+    recursive CTEs (one per root chord; a recursive term may
+    reference its own table only once, so two roots with one UNION
+    ALL branch each beats encoding both chords in one tree). Rings
+    with n <= 3 or a degenerate far-split pass through unchanged,
+    matching the engine guard. Emits ``souter`` (simplified outer
+    rings, renumbered). Expects CTE ``mv`` (projected vertices)."""
+    d2_pin = _sql_clamped_d2("p.x", "p.y", "s.x", "s.y", "e.x", "e.y")
+    e2 = f"{eps * eps}e0"
+    two_child = """
+            SELECT v.admin_id,
+                   CASE WHEN c.c = 0 THEN v.i ELSE pi.m END,
+                   CASE WHEN c.c = 0 THEN pi.m ELSE v.j END
+            FROM {T} v
+            JOIN pinfo pi ON pi.admin_id = v.admin_id
+                         AND pi.i = v.i AND pi.j = v.j
+            CROSS JOIN (VALUES (0), (1)) c(c)
+            WHERE pi.maxd2 > {E2}"""
+    return f"""
+        mvr AS MATERIALIZED (
+            SELECT admin_id, level, vertex_ix AS pos, x, y,
+                   COUNT(*) OVER (PARTITION BY admin_id) AS n
+            FROM mv WHERE ring_ix = 0),
+        wring AS MATERIALIZED (
+            SELECT admin_id, level, pos, x, y, n FROM mvr
+            UNION ALL
+            SELECT admin_id, level, n, x, y, n FROM mvr WHERE pos = 0),
+        farx AS MATERIALIZED (
+            SELECT admin_id, pos AS far, n FROM (
+                SELECT admin_id, pos, n,
+                       ROW_NUMBER() OVER (PARTITION BY admin_id
+                           ORDER BY pow(x - ax, 2) + pow(y - ay, 2)
+                                    DESC, pos) AS rn
+                FROM (SELECT w.*,
+                             FIRST_VALUE(x) OVER (PARTITION BY admin_id
+                                 ORDER BY pos) AS ax,
+                             FIRST_VALUE(y) OVER (PARTITION BY admin_id
+                                 ORDER BY pos) AS ay
+                      FROM wring w))
+            WHERE rn = 1),
+        simple_adm AS (
+            SELECT admin_id FROM farx
+            WHERE n <= 3 OR far = 0 OR far = n),
+        pinfo AS MATERIALIZED (
+            SELECT admin_id, i, j, p AS m, d2 AS maxd2 FROM (
+                SELECT s.admin_id, s.pos AS i, e.pos AS j, p.pos AS p,
+                       {d2_pin} AS d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.admin_id, s.pos, e.pos
+                           ORDER BY {d2_pin} DESC, p.pos) AS rn
+                FROM wring s
+                JOIN wring e ON e.admin_id = s.admin_id
+                            AND e.pos > s.pos + 1
+                JOIN wring p ON p.admin_id = s.admin_id
+                            AND p.pos > s.pos AND p.pos < e.pos
+                WHERE s.admin_id NOT IN
+                      (SELECT admin_id FROM simple_adm))
+            WHERE rn = 1),
+        ivals(admin_id, i, j) AS (
+            SELECT admin_id, 0, far FROM farx
+            WHERE admin_id NOT IN (SELECT admin_id FROM simple_adm)
+            UNION ALL
+            {two_child.format(T='ivals', E2=e2)}),
+        iv2(admin_id, i, j) AS (
+            SELECT admin_id, far, n FROM farx
+            WHERE admin_id NOT IN (SELECT admin_id FROM simple_adm)
+            UNION ALL
+            {two_child.format(T='iv2', E2=e2)}),
+        keptr AS MATERIALIZED (
+            SELECT admin_id, pos FROM mvr
+            WHERE admin_id IN (SELECT admin_id FROM simple_adm)
+            UNION
+            SELECT admin_id, CAST(0 AS BIGINT) FROM farx
+            WHERE admin_id NOT IN (SELECT admin_id FROM simple_adm)
+            UNION
+            SELECT admin_id, far FROM farx
+            WHERE admin_id NOT IN (SELECT admin_id FROM simple_adm)
+            UNION
+            SELECT v.admin_id, pi.m FROM ivals v JOIN pinfo pi
+                ON pi.admin_id = v.admin_id
+               AND pi.i = v.i AND pi.j = v.j
+            WHERE pi.maxd2 > {e2}
+            UNION
+            SELECT v.admin_id, pi.m FROM iv2 v JOIN pinfo pi
+                ON pi.admin_id = v.admin_id
+               AND pi.i = v.i AND pi.j = v.j
+            WHERE pi.maxd2 > {e2}),
+        souter AS MATERIALIZED (
+            SELECT r.admin_id, r.level, CAST(0 AS BIGINT) AS ring_ix,
+                   ROW_NUMBER() OVER (PARTITION BY r.admin_id
+                                      ORDER BY r.pos) - 1 AS vertex_ix,
+                   r.x, r.y
+            FROM mvr r JOIN keptr k
+                ON k.admin_id = r.admin_id AND k.pos = r.pos)"""
+
+
+def _sql_vector_tiles(epsilon: float = 0.0) -> str:
+    """Twin of ``geo.vector_tiles``: project every admin ring to
+    mercator tile units, optionally Douglas-Peucker the OUTER ring
+    (``_sql_ring_simplify`` — the engine simplifies outer rings only),
+    fan each ring onto the outer ring's bbox tile range, run the four
+    half-plane clip passes, and compute per-(polygon, tile) vertex
+    count + net shoelace area (holes with >= 3 clipped vertices
+    subtract). tile_key packs (z << 52) | (x << 26) | y like
+    ``pipeline/tile.tile_key``."""
+    if epsilon > 0.0:
+        simp = f"{_sql_ring_simplify(epsilon)},"
+        ring_src = f"""
+        sv AS MATERIALIZED (
+            SELECT * FROM souter
+            UNION ALL
+            SELECT admin_id, level, ring_ix, vertex_ix, x, y
+            FROM mv WHERE ring_ix > 0),"""
+    else:
+        simp = ""
+        ring_src = "sv AS (SELECT admin_id, level, ring_ix," \
+                   " vertex_ix, x, y FROM mv),"
+    return f"""
+        WITH RECURSIVE mv AS MATERIALIZED (
+            SELECT admin_id, level, ring_ix, vertex_ix,
+                   (lon + 180e0) / 360e0 * {_VT_NT}e0 AS x,
+                   {_VT_MERC_Y} AS y
+            FROM read_parquet('{_GEO_AUX_VERTICES}')),
+        {simp}
+        {ring_src}
+        trange AS (
+            SELECT admin_id,
+                   GREATEST(0, CAST(floor(MIN(x)) AS BIGINT)) AS tx0,
+                   LEAST({_VT_NT - 1},
+                         CAST(floor(MAX(x)) AS BIGINT)) AS tx1,
+                   GREATEST(0, CAST(floor(MIN(y)) AS BIGINT)) AS ty0,
+                   LEAST({_VT_NT - 1},
+                         CAST(floor(MAX(y)) AS BIGINT)) AS ty1
+            FROM sv WHERE ring_ix = 0 GROUP BY admin_id),
+        c0 AS MATERIALIZED (
+            SELECT v.admin_id, v.level, v.ring_ix, gx.tx, gy.ty,
+                   v.vertex_ix AS vid, v.x, v.y
+            FROM sv v JOIN trange r ON r.admin_id = v.admin_id
+            JOIN LATERAL (SELECT UNNEST(range(r.tx0, r.tx1 + 1))
+                          AS tx) gx ON true
+            JOIN LATERAL (SELECT UNNEST(range(r.ty0, r.ty1 + 1))
+                          AS ty) gy ON true),
+        {_sql_clip_pass(1, 'c0', 0, 'CAST(tx AS DOUBLE)', False)},
+        {_sql_clip_pass(2, 'c1', 0, 'CAST(tx AS DOUBLE) + 1e0', True)},
+        {_sql_clip_pass(3, 'c2', 1, 'CAST(ty AS DOUBLE)', False)},
+        {_sql_clip_pass(4, 'c3', 1, 'CAST(ty AS DOUBLE) + 1e0', True)},
+        ring_area AS (
+            SELECT {_VT_KEY}, COUNT(*) AS nv,
+                   abs(0.5e0 * SUM(x * y1 - x1 * y)) AS aabs
+            FROM (SELECT *,
+                      COALESCE(LEAD(x) OVER wra,
+                               FIRST_VALUE(x) OVER wra) AS x1,
+                      COALESCE(LEAD(y) OVER wra,
+                               FIRST_VALUE(y) OVER wra) AS y1
+                  FROM c4
+                  WINDOW wra AS (PARTITION BY {_VT_KEY} ORDER BY vid
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING))
+            GROUP BY {_VT_KEY}),
+        net AS (
+            SELECT o.admin_id, o.level, o.tx, o.ty, o.nv AS n_vertices,
+                   o.aabs - COALESCE(h.hsum, 0e0) AS area
+            FROM ring_area o
+            LEFT JOIN (SELECT admin_id, tx, ty, SUM(aabs) AS hsum
+                       FROM ring_area WHERE ring_ix > 0 AND nv >= 3
+                       GROUP BY admin_id, tx, ty) h
+                ON h.admin_id = o.admin_id
+               AND h.tx = o.tx AND h.ty = o.ty
+            WHERE o.ring_ix = 0 AND o.nv >= 3)
+        SELECT CAST({_VT_ZOOM} AS BIGINT) * 4503599627370496
+                   + tx * 67108864 + ty AS tile_key,
+               CAST({_VT_ZOOM} AS BIGINT) AS z, tx AS x, ty AS y,
+               admin_id, level, n_vertices,
+               {_sql_round_even('area', 9)} AS area
+        FROM net WHERE area > 1e-12
+        ORDER BY tile_key, admin_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -6063,6 +6304,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "part_k_core": _sql_k_core(5, 8),
+        "geo_vector_tiles": _sql_vector_tiles(),
+        "geo_vector_tiles_simplified": _sql_vector_tiles(0.05),
         "geo_enclosing_circles": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},
             {_sql_enclosing_circles()}
