@@ -1701,7 +1701,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def docs_incremental_dedup(sf_dir: str):
         # day-2 ingestion: dedup a new batch against a durable bucketed
-        # fingerprint index; cost scales with the batch, not the corpus
+        # fingerprint index; cost scales with the batch, not the
+        # corpus. SQL twin collapses day1-index + day2-replay into one
+        # fingerprint GROUP BY (admitted = min-id doc of every
+        # all-odd-ids fingerprint group)
         import shutil
 
         from engine.ops.dedup import incremental_dedup
@@ -5361,6 +5364,30 @@ def _sql_stay_points(dist_m: float, min_fixes: int) -> str:
             WHERE s.qual)"""
 
 
+def _sql_doc_fingerprints() -> str:
+    """(doc_id, fingerprint) for every document — the engine's
+    FNV-style ``text.fingerprint64`` over utf-8 bytes as a
+    list_reduce over code points (the driver corpus is ASCII, so code
+    point == byte). Shared by ``fingerprint_documents`` and
+    ``docs_incremental_dedup``."""
+    return f"""
+            SELECT doc_id,
+                   CASE WHEN f >= 9223372036854775808
+                        THEN CAST(f - {_M64_SQL} AS BIGINT)
+                        ELSE CAST(f AS BIGINT) END AS fingerprint
+            FROM (
+                SELECT doc_id, list_reduce(
+                    list_prepend(CAST(1469598103934665603 AS HUGEINT),
+                        list_transform(
+                            list_filter(split(text, ''), c -> c <> ''),
+                            c -> CAST(ord(c) AS HUGEINT))),
+                    (h, b) -> CAST(xor(
+                        CAST({_sql_mulmod64("h", "1000003")} AS UBIGINT),
+                        CAST(b AS UBIGINT)) AS HUGEINT)) AS f
+                FROM documents
+            )"""
+
+
 _VT_ZOOM, _VT_NT = 8, 256  # geo_vector_tiles zoom + tile-grid width
 _VT_KEY = "admin_id, level, ring_ix, tx, ty"
 
@@ -6943,21 +6970,20 @@ def oracle_sql() -> dict[str, str]:
         # text.fingerprint64); the driver corpus is ASCII so code point
         # == byte and split('') enumerates bytes exactly.
         "fingerprint_documents": f"""
-            SELECT doc_id,
-                   CASE WHEN f >= 9223372036854775808
-                        THEN CAST(f - {_M64_SQL} AS BIGINT)
-                        ELSE CAST(f AS BIGINT) END AS fingerprint
-            FROM (
-                SELECT doc_id, list_reduce(
-                    list_prepend(CAST(1469598103934665603 AS HUGEINT),
-                        list_transform(
-                            list_filter(split(text, ''), c -> c <> ''),
-                            c -> CAST(ord(c) AS HUGEINT))),
-                    (h, b) -> CAST(xor(
-                        CAST({_sql_mulmod64("h", "1000003")} AS UBIGINT),
-                        CAST(b AS UBIGINT)) AS HUGEINT)) AS f
-                FROM documents
-            )
+            SELECT doc_id, fingerprint FROM ({_sql_doc_fingerprints()})
+        """,
+        # day-2 incremental ingestion vs the durable fingerprint index:
+        # day 1 indexes the even-doc_id half, day 2 replays ALL docs —
+        # admitted = the min-id doc of each fingerprint group that
+        # contains NO even doc (in-batch keep-smallest + index
+        # anti-join, collapsed into one GROUP BY since the index IS the
+        # even half's fingerprints).
+        "docs_incremental_dedup": f"""
+            SELECT MIN(doc_id) AS doc_id
+            FROM ({_sql_doc_fingerprints()})
+            GROUP BY fingerprint
+            HAVING SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) = 0
+            ORDER BY doc_id
         """,
         "docs_ngram_span_dups": f"""
             WITH sh AS (
