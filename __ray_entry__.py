@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 
 _GEO_N = 1500  # geo fixture rows used by the geo_* queries (any sf_dir)
+_GEO_NPT = _GEO_N // 50  # points per track in the 50-track fixture
 
 
 def _cached_dir(base: str, populate: Callable[[str], None]) -> str:
@@ -2134,6 +2135,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return out[["track_a", "track_b", "hausdorff_m"]]
 
+    def geo_track_frechet(sf_dir: str):
+        # pairwise discrete Frechet distance between bbox-overlapping
+        # tracks — the order-aware route-similarity metric (opposite
+        # traversals are Hausdorff-equal but Frechet-far); SQL twin
+        # walks the same coupling recurrence as an anti-diagonal
+        # wavefront recursion over the per-pair distance matrix
+        out = geo_ops.track_frechet(_geo_tracked()).to_pandas()
+        out["frechet_m"] = out["frechet_m"].round(4)
+        out = out.sort_values(["track_a", "track_b"],
+                              ignore_index=True)
+        return out[["track_a", "track_b", "frechet_m"]]
+
     def geo_ripley_k(sf_dir: str):
         # Ripley's K multi-scale point-pattern statistic: exact pair
         # counts within 100/300/600 km + pair fraction; grid-halo
@@ -4008,6 +4021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_speed_outliers": geo_speed_outliers,
         "geo_geofence_dwell": geo_geofence_dwell,
         "geo_track_hausdorff": geo_track_hausdorff,
+        "geo_track_frechet": geo_track_frechet,
         "geo_ripley_k": geo_ripley_k,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
@@ -7469,6 +7483,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT ghda.ta AS track_a, ghda.tb AS track_b,
                    round(GREATEST(ghda.h, ghdb.h), 4) AS hausdorff_m
             FROM ghda JOIN ghdb ON ghda.ta = ghdb.ta AND ghda.tb = ghdb.tb
+        """,
+        # discrete Frechet coupling DP as an anti-diagonal wavefront
+        # recursion: one row per candidate pair per step carrying the
+        # last TWO ca-diagonals as DOUBLE lists; the new diagonal is a
+        # single list_transform whose neighbor indices shift by
+        # base(t) = GREATEST(0, t - (n-1)) (out-of-range / [0] list
+        # probes yield NULL -> 1e30 sentinel = missing neighbor).
+        # Track length n = _GEO_N // 50 is fixture-fixed, so the
+        # recursion depth (2n - 2 diagonals) is a constant.
+        "geo_track_frechet": f"""
+            WITH RECURSIVE {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS tid, i // 50 AS si, lon, lat
+                   FROM gll),
+            gbb AS (SELECT tid, MIN(lon) AS minx, MAX(lon) AS maxx,
+                           MIN(lat) AS miny, MAX(lat) AS maxy
+                    FROM gt GROUP BY tid),
+            gpair AS (SELECT a.tid AS ta, b.tid AS tb
+                      FROM gbb a JOIN gbb b
+                        ON a.tid < b.tid
+                       AND a.minx <= b.maxx AND b.minx <= a.maxx
+                       AND a.miny <= b.maxy AND b.miny <= a.maxy),
+            gdm AS (SELECT p.ta, p.tb, x.si AS ai, y.si AS bi,
+                      {_sql_haversine('x.lat', 'x.lon',
+                                      'y.lat', 'y.lon')} AS d
+                   FROM gpair p
+                   JOIN gt x ON x.tid = p.ta
+                   JOIN gt y ON y.tid = p.tb),
+            gdg AS (SELECT ta, tb, ai + bi AS t,
+                           list(d ORDER BY ai) AS dl
+                    FROM gdm GROUP BY ta, tb, ai + bi),
+            gwave AS (
+              SELECT ta, tb, 0 AS t, dl AS cur,
+                     CAST([] AS DOUBLE[]) AS prev
+              FROM gdg WHERE t = 0
+              UNION ALL
+              SELECT w.ta, w.tb, w.t + 1,
+                list_transform(g.dl, (dv, p) -> GREATEST(dv, LEAST(
+                  COALESCE(w.cur[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                             - GREATEST(0, w.t - {_GEO_NPT - 1}) - 1],
+                           1e30),
+                  COALESCE(w.cur[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                             - GREATEST(0, w.t - {_GEO_NPT - 1})],
+                           1e30),
+                  COALESCE(w.prev[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                             - GREATEST(0, w.t - {_GEO_NPT}) - 1],
+                           1e30)))),
+                w.cur
+              FROM gwave w JOIN gdg g ON g.ta = w.ta AND g.tb = w.tb
+                            AND g.t = w.t + 1
+            )
+            SELECT ta AS track_a, tb AS track_b,
+                   round(cur[1], 4) AS frechet_m
+            FROM gwave WHERE t = {2 * _GEO_NPT - 2}
+            ORDER BY track_a, track_b
         """,
         "geo_ripley_k": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -2448,21 +2448,20 @@ def geofence_dwell(
     )
 
 
-def track_hausdorff(
-    points: ray.data.Dataset,
-) -> ray.data.Dataset:
-    """Pairwise discrete Hausdorff distance between tracks whose
-    bounding boxes overlap — the track-similarity matrix behind
-    route-matching and near-duplicate-trajectory detection:
-    H(A,B) = max(max_a min_b d(a,b), max_b min_a d(a,b)) in haversine
-    meters, over candidate pairs from the bbox FILTER stage.
-
-    Scale shape: per-track bboxes come from a distributed min/max
-    combiner (one partial per track per block); the bbox table is the
-    documented small side (O(#tracks)), so candidate pairing runs on
-    the driver. Fixes then flat_map one copy per candidate pair of
-    their track and ONE groupby(pair) co-locates both tracks; the per
-    -pair (na x nb) distance matrix is a single vectorized call."""
+def _track_pair_explode(
+    points: ray.data.Dataset, with_seq: bool = False
+):
+    """Shared candidate machinery of the pairwise-track similarity
+    ops (``track_hausdorff`` / ``track_frechet``): distributed
+    per-track bbox combiner, driver-side sort/sweep overlap pairing
+    (the sweep's output is EXACTLY the x-and-y bbox-overlap pair set,
+    a < b — sortedness makes the second x test redundant), membership
+    arrays broadcast once via ``ray.put``, and the explode that fans
+    each fix to its track's candidate pairs as (pair, side, lon, lat
+    [, seq]) rows. ``with_seq`` carries the fix order for
+    sequence-aware metrics (Frechet); Hausdorff omits it to keep the
+    exchanged rows minimal. Returns (exploded Dataset, mem_ref whose
+    payload ends with (pair_a, pair_b))."""
 
     def bbox_partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -2531,19 +2530,47 @@ def track_hausdorff(
                 continue
             pids, sides = mp_[lo:hi], ms_[lo:hi]
             n, k = len(sub), hi - lo
-            outs.append(pd.DataFrame({
+            cols = {
                 "pair": np.repeat(pids, n),
                 "side": np.repeat(sides, n),
                 "lon": np.tile(sub["lon"].to_numpy(np.float64), k),
                 "lat": np.tile(sub["lat"].to_numpy(np.float64), k),
-            }))
+            }
+            if with_seq:
+                cols["seq"] = np.tile(
+                    sub["seq"].to_numpy(np.int64), k)
+            outs.append(pd.DataFrame(cols))
         if not outs:
-            return pd.DataFrame({
+            empty = {
                 "pair": np.empty(0, np.int64),
                 "side": np.empty(0, np.int64),
                 "lon": np.empty(0, np.float64),
-                "lat": np.empty(0, np.float64)})
+                "lat": np.empty(0, np.float64)}
+            if with_seq:
+                empty["seq"] = np.empty(0, np.int64)
+            return pd.DataFrame(empty)
         return pd.concat(outs, ignore_index=True)
+
+    return points.map_batches(explode, batch_format="pandas"), mem_ref
+
+
+def track_hausdorff(
+    points: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Pairwise discrete Hausdorff distance between tracks whose
+    bounding boxes overlap — the track-similarity matrix behind
+    route-matching and near-duplicate-trajectory detection:
+    H(A,B) = max(max_a min_b d(a,b), max_b min_a d(a,b)) in haversine
+    meters, over candidate pairs from the bbox FILTER stage.
+
+    Scale shape: per-track bboxes come from a distributed min/max
+    combiner (one partial per track per block); the bbox table is the
+    documented small side (O(#tracks)), so candidate pairing runs on
+    the driver (``_track_pair_explode``). Fixes then flat_map one copy
+    per candidate pair of their track and ONE groupby(pair) co-locates
+    both tracks; the per-pair (na x nb) distance matrix is a single
+    vectorized call."""
+    exploded, mem_ref = _track_pair_explode(points)
 
     def pair_h(g: pd.DataFrame) -> pd.DataFrame:
         from engine.state import cached_get
@@ -2561,9 +2588,56 @@ def track_hausdorff(
             "hausdorff_m": [h],
         })
 
-    exploded = points.map_batches(explode, batch_format="pandas")
     return exploded.groupby("pair").map_groups(
         pair_h, batch_format="pandas")
+
+
+def track_frechet(
+    points: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Pairwise DISCRETE FRECHET distance between tracks whose
+    bounding boxes overlap — the order-aware companion of
+    ``track_hausdorff`` (two tracks tracing the same loop in opposite
+    directions are Hausdorff-identical but Frechet-far): the classic
+    coupling recurrence ca[i,j] = max(d[i,j], min(ca[i-1,j],
+    ca[i,j-1], ca[i-1,j-1])) over seq-ordered fixes, haversine meters.
+
+    Same scale shape as Hausdorff (shared ``_track_pair_explode``
+    machinery, one groupby(pair) co-shuffle); per pair the haversine
+    matrix is one vectorized call, the DP fill is the unavoidable
+    sequential recurrence — row-sliced numpy with a Python loop only
+    over DP cells of ONE pair inside its own group task (bounded by
+    track length squared, not by dataset size). The SQL twin walks the
+    same recurrence as an anti-diagonal wavefront recursion."""
+    exploded, mem_ref = _track_pair_explode(points, with_seq=True)
+
+    def pair_f(g: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        _, _, _, pair_a_, pair_b_ = cached_get(mem_ref)
+        pid = int(g["pair"].iloc[0])
+        a = g[g["side"] == 0].sort_values("seq", kind="stable")
+        b = g[g["side"] == 1].sort_values("seq", kind="stable")
+        d = knn_mod.haversine_m(
+            a["lon"].to_numpy()[:, None], a["lat"].to_numpy()[:, None],
+            b["lon"].to_numpy()[None, :], b["lat"].to_numpy()[None, :])
+        na, nb = d.shape
+        ca = np.empty((na, nb), np.float64)
+        ca[0, :] = np.maximum.accumulate(d[0, :])
+        ca[1:, 0] = np.maximum.accumulate(d[1:, 0])
+        ca[1:, 0] = np.maximum(ca[1:, 0], ca[0, 0])
+        for i in range(1, na):
+            ci, cp, di = ca[i], ca[i - 1], d[i]
+            for j in range(1, nb):
+                ci[j] = max(di[j],
+                            min(cp[j], ci[j - 1], cp[j - 1]))
+        return pd.DataFrame({
+            "track_a": [pair_a_[pid]], "track_b": [pair_b_[pid]],
+            "frechet_m": [float(ca[na - 1, nb - 1])],
+        })
+
+    return exploded.groupby("pair").map_groups(
+        pair_f, batch_format="pandas")
 
 
 def ripley_k(

@@ -2146,6 +2146,89 @@ def test_track_hausdorff_bruteforce(ray_session):
     assert out0["hausdorff_m"].iloc[0] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_track_frechet_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import track_frechet, track_hausdorff
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for t in range(5):
+        n = int(rng.integers(8, 15))  # unequal lengths exercise na!=nb
+        frames.append(pd.DataFrame({
+            "track_id": t, "seq": np.arange(n),
+            "lon": rng.uniform(0, 3, n) + t * 0.4,
+            "lat": rng.uniform(0, 2, n),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    # shuffled row order: engine must re-order by seq inside each pair
+    shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    out = (track_frechet(ray.data.from_pandas(shuf).repartition(3))
+           .to_pandas()
+           .sort_values(["track_a", "track_b"], ignore_index=True))
+
+    def frechet_ref(fa, fb):
+        d = haversine_m(
+            fa["lon"].to_numpy()[:, None],
+            fa["lat"].to_numpy()[:, None],
+            fb["lon"].to_numpy()[None, :],
+            fb["lat"].to_numpy()[None, :])
+        na, nb = d.shape
+        ca = np.full((na, nb), -1.0)
+
+        def rec(i, j):
+            if ca[i, j] >= 0:
+                return ca[i, j]
+            if i == 0 and j == 0:
+                ca[i, j] = d[0, 0]
+            elif i == 0:
+                ca[i, j] = max(rec(0, j - 1), d[0, j])
+            elif j == 0:
+                ca[i, j] = max(rec(i - 1, 0), d[i, 0])
+            else:
+                ca[i, j] = max(min(rec(i - 1, j), rec(i, j - 1),
+                                   rec(i - 1, j - 1)), d[i, j])
+            return ca[i, j]
+
+        return rec(na - 1, nb - 1)
+
+    want = {}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            fa = df[df["track_id"] == a].sort_values("seq")
+            fb = df[df["track_id"] == b].sort_values("seq")
+            if (fa["lon"].min() > fb["lon"].max()
+                    or fb["lon"].min() > fa["lon"].max()
+                    or fa["lat"].min() > fb["lat"].max()
+                    or fb["lat"].min() > fa["lat"].max()):
+                continue
+            want[(a, b)] = frechet_ref(fa, fb)
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        key = (int(r["track_a"]), int(r["track_b"]))
+        assert key in want
+        assert r["frechet_m"] == pytest.approx(want[key], rel=1e-9)
+
+    # order-awareness: a loop vs its reverse traversal is Hausdorff-0
+    # but Frechet-far (must back-track the whole loop)
+    base = df[df["track_id"] == 0].sort_values("seq")
+    rev = base.iloc[::-1].assign(
+        track_id=9, seq=np.arange(len(base)))
+    both = pd.concat([base, rev], ignore_index=True)
+    h = track_hausdorff(
+        ray.data.from_pandas(both)).to_pandas()["hausdorff_m"].iloc[0]
+    f = track_frechet(
+        ray.data.from_pandas(both)).to_pandas()["frechet_m"].iloc[0]
+    assert h == pytest.approx(0.0, abs=1e-9)
+    assert f > 1000.0  # same point set, but order forces a wide coupling
+    # identical tracks -> Frechet == 0
+    dup = pd.concat([
+        base, base.assign(track_id=8)], ignore_index=True)
+    out0 = track_frechet(ray.data.from_pandas(dup)).to_pandas()
+    assert out0["frechet_m"].iloc[0] == pytest.approx(0.0, abs=1e-9)
+
+
 def test_ripley_k_bruteforce(ray_session):
     import ray.data
 
