@@ -1543,6 +1543,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("user_id", ignore_index=True)[
             ["user_id", "n_gaps", "mean_gap", "burstiness"]]
 
+    def user_sessions(sf_dir: str):
+        # gap-based sessionization (the 30-minute web-analytics rule):
+        # a new session starts when the inter-event gap exceeds 1800s;
+        # one co-shuffle by user then a segmented flag-cumsum pass.
+        # Timestamps go through MICROsecond ints (exactly representable
+        # in float64, unlike ns at epoch scale) so epoch(ts) in the
+        # DuckDB twin reproduces them bit-for-bit and round(.,6) is the
+        # identity on both sides.
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["ts_s"] = (b["ts"].astype("datetime64[us]")
+                         .astype("int64") / 1e6)
+            return b[["user_id", "ts_s", "event_id"]]
+
+        out = relational.sessionize(
+            ev.map_batches(prep, batch_format="pandas"),
+            "user_id", "ts_s", ["event_id"], gap=1800.0,
+            num_shards=32).to_pandas()
+        for c in ("start_ts", "end_ts", "duration"):
+            out[c] = out[c].round(6)
+        return out.sort_values(
+            ["user_id", "session_seq"], ignore_index=True)[
+            ["user_id", "session_seq", "n_events",
+             "start_ts", "end_ts", "duration"]]
+
     def value_shape_by_event_type(sf_dir: str):
         # distribution-shape diagnostics: per-event-type population
         # skewness and excess kurtosis from one power-sum combiner;
@@ -4065,6 +4093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_hhi": nation_revenue_hhi,
         "nation_acctbal_gini": nation_acctbal_gini,
         "user_burstiness": user_burstiness,
+        "user_sessions": user_sessions,
         "value_shape_by_event_type": value_shape_by_event_type,
         "events_hourly_acf": events_hourly_acf,
         "supplier_activity_span": supplier_activity_span,
@@ -6697,6 +6726,25 @@ def oracle_sql() -> dict[str, str]:
                          / (COUNT(*) * SUM(x))
                          - (COUNT(*) + 1e0) / COUNT(*), 6) AS gini
             FROM v GROUP BY c_nationkey
+        """,
+        "user_sessions": """
+            WITH r AS (SELECT user_id, event_id, epoch(ts) AS t,
+                    LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (SELECT user_id, t,
+                    SUM(CASE WHEN pt IS NULL OR t - pt > 1800e0
+                        THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+                  FROM r)
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   round(MIN(t), 6) AS start_ts,
+                   round(MAX(t), 6) AS end_ts,
+                   round(MAX(t) - MIN(t), 6) AS duration
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "user_burstiness": """
             WITH r AS (SELECT user_id, epoch(ts) AS t,

@@ -2353,3 +2353,75 @@ def grouped_skew_kurt(
         return out
 
     return tot.map_batches(final, batch_format="pandas")
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    group_key: str,
+    ts_col: str,
+    order_cols: list[str],
+    gap: float,
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Gap-based sessionization (web/event analytics staple): within
+    each group ordered by ``[ts_col] + order_cols``, a new session
+    starts at the first event and whenever the gap from the previous
+    event is STRICTLY greater than ``gap`` (equal-to-gap stays in the
+    session, the convention SQL's ``t - pt > gap`` twin reproduces).
+    Emits one row per session: ``(group_key, session_seq, n_events,
+    start_ts, end_ts, duration)`` with ``session_seq`` 1-based per
+    group.
+
+    Physical plan: one co-shuffle by ``hash(group_key)`` (a group
+    lives wholly in one shard, so no session ever spans a task), then
+    a single segmented diff + flag-cumsum + reduceat pass per shard —
+    no per-group Python dispatch, no window materialization. At 10^9
+    users the exchange moves (key, ts) pairs only."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key, ts_col] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        gk = g[group_key].to_numpy()
+        t = g[ts_col].to_numpy(np.float64)
+        n = len(g)
+        empty = pd.DataFrame(
+            {group_key: pd.Series(dtype=gk.dtype),
+             "session_seq": pd.Series(dtype=np.int64),
+             "n_events": pd.Series(dtype=np.int64),
+             "start_ts": pd.Series(dtype=np.float64),
+             "end_ts": pd.Series(dtype=np.float64),
+             "duration": pd.Series(dtype=np.float64)})
+        if n == 0:
+            return empty
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = gk[1:] != gk[:-1]
+        flag = new_group.copy()
+        flag[1:] |= (t[1:] - t[:-1]) > gap
+        pos = np.flatnonzero(flag)
+        sid = np.cumsum(flag)                     # global session id
+        # 1-based seq within group: sid minus sid at the group's start
+        grp_start_sid = sid[np.flatnonzero(new_group)]
+        seq_at_start = (
+            sid[pos]
+            - np.repeat(grp_start_sid,
+                        np.add.reduceat(flag.astype(np.int64),
+                                        np.flatnonzero(new_group)))
+            + 1
+        )
+        ends = np.empty_like(pos)
+        ends[:-1] = pos[1:] - 1
+        ends[-1] = n - 1
+        return pd.DataFrame(
+            {group_key: gk[pos],
+             "session_seq": seq_at_start.astype(np.int64),
+             "n_events": np.diff(np.append(pos, n)).astype(np.int64),
+             "start_ts": t[pos],
+             "end_ts": t[ends],
+             "duration": t[ends] - t[pos]})
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )

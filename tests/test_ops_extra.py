@@ -3146,3 +3146,60 @@ def test_grouped_skew_kurt_known_distributions(ray_session):
     m3 = ((expo - expo.mean()) ** 3).mean()
     assert out.loc["e", "skewness"] == pytest.approx(
         m3 / m2 ** 1.5, rel=1e-7)
+
+
+def test_sessionize_vs_sequential_reference(ray_session):
+    import ray.data
+
+    from engine.ops.relational import sessionize
+
+    rng = np.random.default_rng(1234)
+    rows = []
+    for u in range(40):
+        t = np.cumsum(rng.exponential(600.0, rng.integers(1, 60)))
+        for i, ti in enumerate(t):
+            rows.append((u, float(ti), i))
+    df = pd.DataFrame(rows, columns=["u", "t", "e"])
+
+    out = (sessionize(ray.data.from_pandas(df).repartition(3),
+                      "u", "t", ["e"], gap=1800.0, num_shards=8)
+           .to_pandas()
+           .sort_values(["u", "session_seq"], ignore_index=True))
+
+    # sequential per-user reference
+    ref = []
+    for u, g in df.sort_values(["u", "t", "e"]).groupby("u"):
+        t = g["t"].to_numpy()
+        seq, start, prev, n = 0, None, None, 0
+        for ti in t:
+            if prev is None or ti - prev > 1800.0:
+                if start is not None:
+                    ref.append((u, seq, n, start, prev, prev - start))
+                seq += 1
+                start, n = ti, 0
+            n += 1
+            prev = ti
+        ref.append((u, seq, n, start, prev, prev - start))
+    ref = pd.DataFrame(ref, columns=["u", "session_seq", "n_events",
+                                     "start_ts", "end_ts", "duration"])
+    ref = ref.sort_values(["u", "session_seq"], ignore_index=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    # invariants: sessions partition events; boundary gaps exceed the gap
+    assert out["n_events"].sum() == len(df)
+    assert (out["duration"] >= 0).all()
+
+
+def test_sessionize_gap_boundary_inclusive(ray_session):
+    import ray.data
+
+    from engine.ops.relational import sessionize
+
+    # gap EXACTLY equal to the threshold stays in the session (> rule)
+    df = pd.DataFrame({"u": [1, 1, 1], "t": [0.0, 1800.0, 3601.0],
+                       "e": [0, 1, 2]})
+    out = (sessionize(ray.data.from_pandas(df), "u", "t", ["e"],
+                      gap=1800.0, num_shards=2)
+           .to_pandas().sort_values("session_seq", ignore_index=True))
+    assert out["session_seq"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [2, 1]
