@@ -1170,6 +1170,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["s2_parent"], {}, count_as="n",
         )
 
+    def geo_geohash_counts(sf_dir: str):
+        # standard base-32 geohash (precision 6) as a third spatial
+        # key family next to H3/S2 — prefix-hierarchical, so coarser
+        # rollups are substr groupbys; SQL twin rebuilds every char
+        # from the same quantize+interleave bit arithmetic
+        from engine.geo import geohash
+
+        idx = _geo_indexed(columns=["image_id"])
+
+        def add_gh(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "geohash": geohash.encode(
+                    b["lon"].to_numpy(), b["lat"].to_numpy(), 6)})
+
+        out = relational.partial_groupby_sum(
+            idx.map_batches(add_gh, batch_format="pandas"),
+            ["geohash"], {}, count_as="n",
+        ).to_pandas()
+        return out.sort_values("geohash", ignore_index=True)[
+            ["geohash", "n"]]
+
     def docs_chunked(sf_dir: str):
         # context-window chunking (flat_map): 128-token windows with
         # 16-token overlap; reconstruction invariant pytest-oracled
@@ -4007,6 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "geo_h3_cell_counts": geo_h3_cell_counts,
         "geo_s2_cell_counts": geo_s2_cell_counts,
+        "geo_geohash_counts": geo_geohash_counts,
         "docs_chunked": docs_chunked,
         "docs_token_ids": docs_token_ids,
         "docs_unigram_logprob": docs_unigram_logprob,
@@ -4509,6 +4531,39 @@ def _sql_image_features() -> str:
         JOIN lmean ON lmean.i = chan.i
         JOIN lstd ON lstd.i = chan.i
         JOIN edge ON edge.i = chan.i
+    """
+
+
+def _sql_geohash_counts() -> str:
+    """geo_geohash_counts twin: regenerate the fixture lon/lat, apply
+    the IDENTICAL quantization expression (floor((lon+180)/360 * 2^15)),
+    then rebuild each of the 6 base-32 chars from its 5 interleaved
+    bits (even stream = lon, odd = lat, MSB first) — generated
+    mechanically so the bit layout can't drift from
+    engine/geo/geohash.py."""
+    precision, nlon, nlat = 6, 15, 15
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = []
+    for c in range(precision):
+        terms = []
+        for k in range(5):
+            t = 5 * c + k
+            w = 1 << (4 - k)
+            src = "gx" if t % 2 == 0 else "gy"
+            sh = (nlon if t % 2 == 0 else nlat) - 1 - t // 2
+            terms.append(f"{w} * (({src} >> {sh}) & 1)")
+        chars.append(f"substr('{alpha}', CAST(1 + ({' + '.join(terms)}) AS INT), 1)")
+    gh = " || ".join(chars)
+    return f"""
+        WITH {_sql_geo_lonlat(_GEO_N)},
+        q AS (SELECT i,
+            LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 32768e0)
+                                AS BIGINT), 0), 32767) AS gx,
+            LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 32768e0)
+                                AS BIGINT), 0), 32767) AS gy
+          FROM gll)
+        SELECT {gh} AS geohash, COUNT(*) AS n
+        FROM q GROUP BY 1 ORDER BY 1
     """
 
 
@@ -6356,6 +6411,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _sql_image_features(),
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),
+        "geo_geohash_counts": _sql_geohash_counts(),
         "embedding_near_dups": _sql_embedding_near_dups(0.9),
         "ngram_jaccard_docs": f"""
             WITH {_sql_char_jaccard_pairs(0.5, with_muts=True)}

@@ -677,3 +677,24 @@ def test_toponym_infer_leftmost_and_exclusion(ray_session):
         assert r["inferred_lon"] == c["centroid_lon"]
         assert r["inferred_lat"] == c["centroid_lat"]
         assert int(r["level"]) == int(c["level"])
+
+
+def test_geohash_known_value_and_containment():
+    import numpy as np
+
+    from engine.geo import geohash
+
+    # canonical public example: (lat 42.6, lon -5.6) -> ezs42
+    assert geohash.encode(np.array([-5.6]), np.array([42.6]), 5)[0] == "ezs42"
+
+    rng = np.random.default_rng(31)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    gh = geohash.encode(lon, lat, 7)
+    for i in range(0, 500, 7):
+        lo, hi, la, lb = geohash.decode_bbox(gh[i])
+        assert lo <= lon[i] <= hi and la <= lat[i] <= lb
+
+    # prefix property: precision-4 encode == first 4 chars of precision-7
+    g4 = geohash.encode(lon, lat, 4)
+    assert all(a == b[:4] for a, b in zip(g4, gh))
