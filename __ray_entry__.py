@@ -2196,6 +2196,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return out[["track_a", "track_b", "frechet_m"]]
 
+    def geo_track_dtw(sf_dir: str):
+        # pairwise DTW between bbox-overlapping tracks — the elastic
+        # sum-cost alignment (speed-variation-tolerant) companion of
+        # Frechet's bottleneck max; SQL twin walks the identical
+        # recurrence as an anti-diagonal wavefront recursion
+        out = geo_ops.track_dtw(_geo_tracked()).to_pandas()
+        out["dtw_m"] = out["dtw_m"].round(4)
+        out = out.sort_values(["track_a", "track_b"],
+                              ignore_index=True)
+        return out[["track_a", "track_b", "dtw_m"]]
+
     def geo_ripley_k(sf_dir: str):
         # Ripley's K multi-scale point-pattern statistic: exact pair
         # counts within 100/300/600 km + pair fraction; grid-halo
@@ -4072,6 +4083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_geofence_dwell": geo_geofence_dwell,
         "geo_track_hausdorff": geo_track_hausdorff,
         "geo_track_frechet": geo_track_frechet,
+        "geo_track_dtw": geo_track_dtw,
         "geo_ripley_k": geo_ripley_k,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
@@ -7639,6 +7651,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ta AS track_a, tb AS track_b,
                    round(cur[1], 4) AS frechet_m
+            FROM gwave WHERE t = {2 * _GEO_NPT - 2}
+            ORDER BY track_a, track_b
+        """,
+        "geo_track_dtw": f"""
+            WITH RECURSIVE {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS tid, i // 50 AS si, lon, lat
+                   FROM gll),
+            gbb AS (SELECT tid, MIN(lon) AS minx, MAX(lon) AS maxx,
+                           MIN(lat) AS miny, MAX(lat) AS maxy
+                    FROM gt GROUP BY tid),
+            gpair AS (SELECT a.tid AS ta, b.tid AS tb
+                      FROM gbb a JOIN gbb b
+                        ON a.tid < b.tid
+                       AND a.minx <= b.maxx AND b.minx <= a.maxx
+                       AND a.miny <= b.maxy AND b.miny <= a.maxy),
+            gdm AS (SELECT p.ta, p.tb, x.si AS ai, y.si AS bi,
+                      {_sql_haversine('x.lat', 'x.lon',
+                                      'y.lat', 'y.lon')} AS d
+                   FROM gpair p
+                   JOIN gt x ON x.tid = p.ta
+                   JOIN gt y ON y.tid = p.tb),
+            gdg AS (SELECT ta, tb, ai + bi AS t,
+                           list(d ORDER BY ai) AS dl
+                    FROM gdm GROUP BY ta, tb, ai + bi),
+            gwave AS (
+              SELECT ta, tb, 0 AS t, dl AS cur,
+                     CAST([] AS DOUBLE[]) AS prev
+              FROM gdg WHERE t = 0
+              UNION ALL
+              SELECT w.ta, w.tb, w.t + 1,
+                list_transform(g.dl, (dv, p) -> dv + LEAST(
+                  COALESCE(w.cur[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                             - GREATEST(0, w.t - {_GEO_NPT - 1}) - 1],
+                           1e30),
+                  COALESCE(w.cur[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                             - GREATEST(0, w.t - {_GEO_NPT - 1})],
+                           1e30),
+                  COALESCE(w.prev[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                             - GREATEST(0, w.t - {_GEO_NPT}) - 1],
+                           1e30))),
+                w.cur
+              FROM gwave w JOIN gdg g ON g.ta = w.ta AND g.tb = w.tb
+                            AND g.t = w.t + 1
+            )
+            SELECT ta AS track_a, tb AS track_b,
+                   round(cur[1], 4) AS dtw_m
             FROM gwave WHERE t = {2 * _GEO_NPT - 2}
             ORDER BY track_a, track_b
         """,

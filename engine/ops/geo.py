@@ -2640,6 +2640,52 @@ def track_frechet(
         pair_f, batch_format="pandas")
 
 
+def track_dtw(
+    points: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Pairwise DTW (dynamic time warping) distance between tracks
+    whose bounding boxes overlap — the elastic TOTAL-cost alignment
+    companion of ``track_frechet``'s bottleneck max: dtw[i,j] = d[i,j]
+    + min(dtw[i-1,j], dtw[i,j-1], dtw[i-1,j-1]) over seq-ordered
+    fixes, haversine meters; DTW tolerates local speed variation two
+    same-route tracks always show, which makes it the standard
+    trajectory-clustering metric where Frechet is the worst-case
+    guarantee.
+
+    Same scale shape as Frechet (shared ``_track_pair_explode``
+    machinery, one groupby(pair) co-shuffle; DP bounded by one pair's
+    track lengths inside its own group task). The SQL twin walks the
+    identical recurrence as an anti-diagonal wavefront recursion, so
+    every float op happens in the same order on both sides."""
+    exploded, mem_ref = _track_pair_explode(points, with_seq=True)
+
+    def pair_dtw(g: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        _, _, _, pair_a_, pair_b_ = cached_get(mem_ref)
+        pid = int(g["pair"].iloc[0])
+        a = g[g["side"] == 0].sort_values("seq", kind="stable")
+        b = g[g["side"] == 1].sort_values("seq", kind="stable")
+        d = knn_mod.haversine_m(
+            a["lon"].to_numpy()[:, None], a["lat"].to_numpy()[:, None],
+            b["lon"].to_numpy()[None, :], b["lat"].to_numpy()[None, :])
+        na, nb = d.shape
+        ca = np.empty((na, nb), np.float64)
+        ca[0, :] = np.cumsum(d[0, :])
+        ca[:, 0] = np.cumsum(d[:, 0])
+        for i in range(1, na):
+            ci, cp, di = ca[i], ca[i - 1], d[i]
+            for j in range(1, nb):
+                ci[j] = di[j] + min(cp[j], ci[j - 1], cp[j - 1])
+        return pd.DataFrame({
+            "track_a": [pair_a_[pid]], "track_b": [pair_b_[pid]],
+            "dtw_m": [float(ca[na - 1, nb - 1])],
+        })
+
+    return exploded.groupby("pair").map_groups(
+        pair_dtw, batch_format="pandas")
+
+
 def ripley_k(
     points: ray.data.Dataset,
     radii_m: list[float],

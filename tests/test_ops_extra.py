@@ -3203,3 +3203,72 @@ def test_sessionize_gap_boundary_inclusive(ray_session):
            .to_pandas().sort_values("session_seq", ignore_index=True))
     assert out["session_seq"].tolist() == [1, 2]
     assert out["n_events"].tolist() == [2, 1]
+
+
+def test_track_dtw_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import track_dtw
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for t in range(5):
+        n = int(rng.integers(8, 15))
+        frames.append(pd.DataFrame({
+            "track_id": t, "seq": np.arange(n),
+            "lon": rng.uniform(0, 3, n) + t * 0.4,
+            "lat": rng.uniform(0, 2, n),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    shuf = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    out = (track_dtw(ray.data.from_pandas(shuf).repartition(3))
+           .to_pandas()
+           .sort_values(["track_a", "track_b"], ignore_index=True))
+
+    def dtw_ref(fa, fb):
+        d = haversine_m(
+            fa["lon"].to_numpy()[:, None],
+            fa["lat"].to_numpy()[:, None],
+            fb["lon"].to_numpy()[None, :],
+            fb["lat"].to_numpy()[None, :])
+        na, nb = d.shape
+        ca = np.full((na, nb), np.inf)
+        ca[0, 0] = d[0, 0]
+        for i in range(na):
+            for j in range(nb):
+                if i == 0 and j == 0:
+                    continue
+                best = np.inf
+                if i > 0:
+                    best = min(best, ca[i - 1, j])
+                if j > 0:
+                    best = min(best, ca[i, j - 1])
+                if i > 0 and j > 0:
+                    best = min(best, ca[i - 1, j - 1])
+                ca[i, j] = d[i, j] + best
+        return ca[na - 1, nb - 1]
+
+    want = {}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            fa = df[df["track_id"] == a].sort_values("seq")
+            fb = df[df["track_id"] == b].sort_values("seq")
+            if (fa["lon"].min() > fb["lon"].max()
+                    or fb["lon"].min() > fa["lon"].max()
+                    or fa["lat"].min() > fb["lat"].max()
+                    or fb["lat"].min() > fa["lat"].max()):
+                continue
+            want[(a, b)] = dtw_ref(fa, fb)
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        key = (int(r["track_a"]), int(r["track_b"]))
+        assert r["dtw_m"] == pytest.approx(want[key], rel=1e-9)
+
+    # identical tracks align diagonally -> DTW == 0
+    base = df[df["track_id"] == 0].sort_values("seq")
+    twin = base.assign(track_id=9)
+    both = pd.concat([base, twin], ignore_index=True)
+    z = track_dtw(
+        ray.data.from_pandas(both)).to_pandas()["dtw_m"].iloc[0]
+    assert z == pytest.approx(0.0, abs=1e-9)
