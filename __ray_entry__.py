@@ -938,6 +938,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = dedup.exact_dedup(ds, key="text", order_col="doc_id")
         return out.select_columns(["doc_id", "text"])
 
+    def ann_cosine_range(sf_dir: str):
+        # radius similarity search: all vectors within cosine >= 0.25
+        # of the 5 lowest-id query vectors — the fixed-threshold dual
+        # of ann_cosine_topk; hits-only leave each task
+        emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        qdf = relational.topk(
+            emb, "vec_id", 5, descending=False).to_pandas()
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        res = simsearch.cosine_range_search(
+            emb, q, min_cos=0.25).to_pandas()
+        res["query_vec_id"] = qdf["vec_id"].to_numpy()[
+            res["query_ix"].to_numpy()]
+        res["cos"] = res["cos"].round(6)
+        return res.sort_values(
+            ["query_vec_id", "vec_id"], ignore_index=True)[
+            ["query_vec_id", "vec_id", "cos"]]
+
     def ann_cosine_topk(sf_dir: str):
         emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
         qdf = relational.topk(emb, "vec_id", 5, descending=False).to_pandas()
@@ -4028,6 +4045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_ratio": docs_repetition_ratio,
         "dedup_documents_exact": dedup_documents_exact,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_cosine_range": ann_cosine_range,
         "lang_id_documents": lang_id_documents,
         "fingerprint_documents": fingerprint_documents,
         "simhash_documents": simhash_documents,
@@ -6377,6 +6395,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(sqrt(list_sum(list_transform(
                        CAST(embedding AS DOUBLE[]), x -> x*x)))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "ann_cosine_range": """
+            WITH q AS (
+                SELECT vec_id AS query_vec_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            )
+            SELECT q.query_vec_id, e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(q.qe AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])), 6) AS cos
+            FROM q CROSS JOIN embeddings e
+            WHERE list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))
+                  >= 0.25
+            ORDER BY query_vec_id, vec_id
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -106,6 +106,45 @@ def brute_force_topk(
     return res
 
 
+def cosine_range_search(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    min_cos: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Radius (range) similarity search: every corpus vector with
+    cosine >= ``min_cos`` of each query — the fixed-threshold
+    companion of ``brute_force_topk`` (dedup sweeps and recall
+    evaluation want "all within radius", not "best k"). Query matrix
+    broadcast ONCE via ray.put; per batch one normalized matmul + a
+    boolean mask, so only the hits (not the scores matrix) ever leave
+    a task. Stays a Dataset: the hit set is O(matches), unbounded by
+    driver memory."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = _normalize(
+                np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            ids = batch[id_col].to_numpy()
+            sim = v @ self.q.T  # (nb, nq)
+            n_ix, q_ix = np.nonzero(sim >= min_cos)
+            return pd.DataFrame({
+                "query_ix": q_ix.astype(np.int64),
+                id_col: ids[n_ix],
+                "cos": sim[n_ix, q_ix],
+            })
+
+    return corpus.map_batches(
+        Score, batch_format="pandas", concurrency=(1, 8))
+
+
 def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42):
     """Tiny deterministic k-means (Lloyd) on a driver-side sample."""
     rng = np.random.default_rng(seed)

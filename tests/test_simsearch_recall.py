@@ -121,3 +121,32 @@ def test_pq_topk_recall_beats_random(ray_session):
         for qi in range(len(queries))
     )
     assert hits >= 6
+
+
+def test_cosine_range_search_vs_brute(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from engine.ops.simsearch import _normalize, cosine_range_search
+
+    rng = np.random.default_rng(41)
+    d = 16
+    corpus = rng.normal(0, 1, (300, d))
+    queries = rng.normal(0, 1, (4, d))
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(300),
+        "embedding": list(corpus.astype(np.float32)),
+    })).repartition(3)
+    out = (cosine_range_search(ds, queries, min_cos=0.3)
+           .to_pandas()
+           .sort_values(["query_ix", "vec_id"], ignore_index=True))
+
+    cn = _normalize(corpus.astype(np.float32).astype(np.float64))
+    qn = _normalize(queries)
+    sim = cn @ qn.T
+    n_ix, q_ix = np.nonzero(sim >= 0.3)
+    assert len(out) == len(n_ix)
+    got = set(zip(out["query_ix"], out["vec_id"]))
+    assert got == set(zip(q_ix.tolist(), n_ix.tolist()))
+    for _, r in out.iterrows():
+        assert r["cos"] >= 0.3
