@@ -2826,6 +2826,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["density"] = out["density"].round(4)
         return out[["gx", "gy", "density"]]
 
+    def geo_snap_to_boundary(sf_dir: str):
+        # map-matching lite: snap every image point to the closest
+        # admin-boundary segment (segment identity + projected point +
+        # distance); SQL twin runs the same clamped projection over a
+        # cross join with the ROW_NUMBER (d, admin, ring, vertex)
+        # tie-break the pre-sorted engine argmin reproduces
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.snap_to_boundary(
+            idx, fixtures.polygons()).to_pandas()
+        out["snap_lon"] = out["snap_lon"].round(6)
+        out["snap_lat"] = out["snap_lat"].round(6)
+        out["dist_m"] = out["dist_m"].round(4)
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "seg_admin", "ring_ix", "vertex_ix",
+             "snap_lon", "snap_lat", "dist_m"]]
+
     def geo_dist_to_boundary(sf_dir: str):
         # ST_Distance to the nearest polygon boundary edge (equirect
         # local projection, (d, admin_id) tie-break); SQL twin runs the
@@ -4157,6 +4173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_trip_od_matrix": geo_trip_od_matrix,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
+        "geo_snap_to_boundary": geo_snap_to_boundary,
         "geo_ring_perimeters": geo_ring_perimeters,
         "geo_voronoi_assign": geo_voronoi_assign,
         "geo_reverse_geocode": geo_reverse_geocode,
@@ -8462,6 +8479,52 @@ def oracle_sql() -> dict[str, str]:
                        * {1.0 / (2.0 * 1.5 * 1.5)!r}e0)), 4) AS density
             FROM ggrid CROSS JOIN gll
             GROUP BY gx, gy
+        """,
+        "geo_snap_to_boundary": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            gvx AS (SELECT admin_id, ring_ix, vertex_ix,
+                    lon AS x, lat AS y,
+                    COALESCE(LEAD(lon) OVER w,
+                             FIRST_VALUE(lon) OVER w) AS x1,
+                    COALESCE(LEAD(lat) OVER w,
+                             FIRST_VALUE(lat) OVER w) AS y1
+                FROM read_parquet('{_GEO_AUX_VERTICES}')
+                WINDOW w AS (PARTITION BY admin_id, ring_ix
+                             ORDER BY vertex_ix
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)),
+            gc1 AS (SELECT p.image_id, e.admin_id, e.ring_ix,
+                       e.vertex_ix, e.x, e.y, e.x1, e.y1,
+                       (e.x - p.lon) * cos(radians(p.lat)) AS rax,
+                       e.y - p.lat AS ray_,
+                       (e.x1 - e.x) * cos(radians(p.lat)) AS vx,
+                       e.y1 - e.y AS vy
+                    FROM gpts p CROSS JOIN gvx e),
+            gc2 AS (SELECT image_id, admin_id, ring_ix, vertex_ix,
+                       x, y, x1, y1, rax, ray_, vx, vy,
+                       LEAST(GREATEST(COALESCE(
+                           -(rax * vx + ray_ * vy)
+                           / (vx * vx + vy * vy), 0e0), 0e0), 1e0) AS t
+                    FROM gc1),
+            gc3 AS (SELECT image_id, admin_id, ring_ix, vertex_ix,
+                       x + t * (x1 - x) AS sx, y + t * (y1 - y) AS sy,
+                       sqrt((rax + t * vx) * (rax + t * vx)
+                            + (ray_ + t * vy) * (ray_ + t * vy))
+                       * (6371008.8e0 * pi() / 180e0) AS d
+                    FROM gc2),
+            gr AS (SELECT image_id, admin_id, ring_ix, vertex_ix,
+                      sx, sy, d,
+                      ROW_NUMBER() OVER (PARTITION BY image_id
+                                         ORDER BY d, admin_id,
+                                                  ring_ix, vertex_ix)
+                          AS rn
+                   FROM gc3)
+            SELECT image_id, admin_id AS seg_admin, ring_ix, vertex_ix,
+                   round(sx, 6) AS snap_lon, round(sy, 6) AS snap_lat,
+                   round(d, 4) AS dist_m
+            FROM gr WHERE rn = 1 ORDER BY image_id
         """,
         "geo_dist_to_boundary": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

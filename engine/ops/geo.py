@@ -1386,6 +1386,90 @@ def dist_to_boundary(
     return indexed.map_batches(fn, batch_format="pyarrow")
 
 
+def snap_to_boundary(
+    indexed: ray.data.Dataset, poly: dict
+) -> ray.data.Dataset:
+    """Map-matching lite: snap each point to the CLOSEST polygon
+    boundary segment — the nearest edge's identity (admin_id,
+    ring_ix, vertex_ix), the projected point on it, and the snap
+    distance. The trajectory/GPS analog of ``dist_to_boundary`` (same
+    clamped point-to-segment arithmetic) but returning WHERE the
+    point lands, which is what road-snapping and boundary-conflation
+    consume.
+
+    Edge arrays are pre-sorted by (admin_id, ring_ix, vertex_ix) so
+    the vectorized first-True argmin IS the lexicographic tie-break
+    the SQL twin's ROW_NUMBER ordering reproduces. The snap point is
+    ``a + t*(b-a)`` in degrees: the equirect scaling is affine along
+    the segment, so the scaled-frame parameter t transfers exactly.
+    Edges broadcast once per worker; per batch one (points x edges)
+    matrix; nothing shuffles."""
+    from engine.state import cached_get
+
+    ax, ay, bx, by, eadm, ering, evix = [], [], [], [], [], [], []
+    for i in range(len(poly["admin_id"])):
+        rings = [(poly["ring_lon"][i], poly["ring_lat"][i])]
+        rings += list(poly["holes"][i])
+        for rix, (xs, ys) in enumerate(rings):
+            xs = np.asarray(xs, np.float64)
+            ys = np.asarray(ys, np.float64)
+            ax.append(xs)
+            ay.append(ys)
+            bx.append(np.roll(xs, -1))
+            by.append(np.roll(ys, -1))
+            eadm.append(np.full(len(xs), str(poly["admin_id"][i]),
+                                dtype=object))
+            ering.append(np.full(len(xs), rix, np.int64))
+            evix.append(np.arange(len(xs), dtype=np.int64))
+    eax, eay = np.concatenate(ax), np.concatenate(ay)
+    ebx, eby = np.concatenate(bx), np.concatenate(by)
+    adm = np.concatenate(eadm)
+    rix = np.concatenate(ering)
+    vix = np.concatenate(evix)
+    order = np.lexsort((vix, rix, adm))
+    edges = (eax[order], eay[order], ebx[order], eby[order],
+             adm[order], rix[order], vix[order])
+    edges_ref = ray.put(edges)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        eax, eay, ebx, eby, adm, rix, vix = cached_get(edges_ref)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        kx = np.cos(np.deg2rad(lat))[:, None]
+        rax = (eax[None, :] - lon[:, None]) * kx
+        ray_ = eay[None, :] - lat[:, None]
+        vx = (ebx[None, :] - eax[None, :]) * kx
+        vy = np.broadcast_to(eby - eay, vx.shape)
+        vv = vx * vx + vy * vy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = -(rax * vx + ray_ * vy) / vv
+        t = np.clip(np.nan_to_num(t, nan=0.0), 0.0, 1.0)
+        cx = rax + t * vx
+        cy = ray_ + t * vy
+        d = np.sqrt(cx * cx + cy * cy) * _M_PER_DEG
+        bd = d.min(axis=1)
+        jstar = (d == bd[:, None]).argmax(axis=1)
+        tj = np.take_along_axis(t, jstar[:, None], axis=1).ravel()
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "seg_admin": pa.array(adm[jstar].astype(str),
+                                      pa.string()),
+                "ring_ix": pa.array(rix[jstar], pa.int64()),
+                "vertex_ix": pa.array(vix[jstar], pa.int64()),
+                "snap_lon": pa.array(
+                    eax[jstar] + tj * (ebx[jstar] - eax[jstar]),
+                    pa.float64()),
+                "snap_lat": pa.array(
+                    eay[jstar] + tj * (eby[jstar] - eay[jstar]),
+                    pa.float64()),
+                "dist_m": pa.array(bd, pa.float64()),
+            }
+        )
+
+    return indexed.map_batches(fn, batch_format="pyarrow")
+
+
 def track_bearings(
     points: ray.data.Dataset, num_shards: int = 64
 ) -> ray.data.Dataset:

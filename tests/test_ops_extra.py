@@ -3272,3 +3272,55 @@ def test_track_dtw_bruteforce(ray_session):
     z = track_dtw(
         ray.data.from_pandas(both)).to_pandas()["dtw_m"].iloc[0]
     assert z == pytest.approx(0.0, abs=1e-9)
+
+
+def test_snap_to_boundary_properties(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine import fixtures
+    from engine.ops.geo import _M_PER_DEG, snap_to_boundary
+
+    poly = fixtures.polygons()
+    rng = np.random.default_rng(77)
+    lon = rng.uniform(6, 19, 80)
+    lat = rng.uniform(36, 47, 80)
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": [f"p{i:03d}" for i in range(80)],
+        "lon": lon, "lat": lat,
+    }))
+    out = (snap_to_boundary(ds, poly).to_pandas()
+           .sort_values("image_id", ignore_index=True))
+    assert len(out) == 80
+
+    # brute reference: per-point loop over every segment
+    segs = []
+    for i in range(len(poly["admin_id"])):
+        rings = [(poly["ring_lon"][i], poly["ring_lat"][i])]
+        rings += list(poly["holes"][i])
+        for xs, ys in rings:
+            xs = np.asarray(xs, float)
+            ys = np.asarray(ys, float)
+            for j in range(len(xs)):
+                segs.append((xs[j], ys[j], xs[(j + 1) % len(xs)],
+                             ys[(j + 1) % len(xs)]))
+    for i in range(0, 80, 9):
+        best = np.inf
+        kx = np.cos(np.deg2rad(lat[i]))
+        for (x0, y0, x1, y1) in segs:
+            rax = (x0 - lon[i]) * kx
+            ry = y0 - lat[i]
+            vx = (x1 - x0) * kx
+            vy = y1 - y0
+            vv = vx * vx + vy * vy
+            t = 0.0 if vv == 0 else min(max(-(rax * vx + ry * vy) / vv,
+                                            0.0), 1.0)
+            d = np.hypot(rax + t * vx, ry + t * vy) * _M_PER_DEG
+            best = min(best, d)
+        assert out["dist_m"].iloc[i] == pytest.approx(best, rel=1e-9)
+
+    # snap point consistency: equirect distance point->snap == dist_m
+    kx = np.cos(np.deg2rad(lat))
+    d2 = np.hypot((out["snap_lon"].to_numpy() - lon) * kx,
+                  out["snap_lat"].to_numpy() - lat) * _M_PER_DEG
+    assert np.allclose(d2, out["dist_m"].to_numpy(), rtol=1e-6, atol=1e-6)
