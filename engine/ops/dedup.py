@@ -923,41 +923,54 @@ def incremental_dedup(
     fp = new_docs.map_batches(text_ops.fingerprint_batch, batch_format="pandas")
     fp = exact_dedup(fp, key="fingerprint", order_col=id_col)
 
-    def probe_and_append(b: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["__bucket"] = bucket_of(b["fingerprint"].to_numpy(), num_buckets)
-        keep_parts = []
-        for bk, g in b.groupby("__bucket", sort=False):
-            bdir = os.path.join(index_dir, f"bucket={int(bk)}")
-            existing: set[int] = set()
-            for f in glob.glob(os.path.join(bdir, "*.parquet")):
-                existing.update(
-                    pq.read_table(f, columns=["fingerprint"])
-                    ["fingerprint"].to_pylist()
-                )
-            g = g[~g["fingerprint"].isin(existing)]
-            if g.empty:
-                continue
-            os.makedirs(bdir, exist_ok=True)
-            # content-named file => idempotent re-runs (resume rule)
-            import zlib
+        return b
 
-            tag = zlib.crc32(g["fingerprint"].to_numpy().tobytes())
-            path = os.path.join(bdir, f"fp-{tag:08x}-{len(g)}.parquet")
-            if not os.path.exists(path):
-                tmp = path + ".tmp"
-                pq.write_table(
-                    pa.table({"fingerprint": pa.array(
-                        g["fingerprint"].to_numpy(), pa.int64())}),
-                    tmp,
-                )
-                os.replace(tmp, path)
-            keep_parts.append(g)
-        if not keep_parts:
-            return b.head(0).drop(columns="__bucket")
-        return pd.concat(keep_parts, ignore_index=True).drop(columns="__bucket")
+    def probe_and_append(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE task per bucket (groupby co-shuffle): the bucket's index
+        # files are read once per RUN — the earlier per-batch form
+        # re-globbed and re-read every bucket from every map task
+        # (O(batches x buckets) reads, the measured 17s of the sf0.1
+        # day-2 query) and wrote one file per (batch, bucket), so each
+        # day's run inflated the next day's read fan-in. Membership is
+        # a vectorized np.isin against the concatenated stored
+        # fingerprints, never a Python set.
+        bk = int(g["__bucket"].iloc[0])
+        g = g.drop(columns="__bucket")
+        bdir = os.path.join(index_dir, f"bucket={bk}")
+        stored = [
+            pq.read_table(f, columns=["fingerprint"])["fingerprint"]
+            .to_numpy(zero_copy_only=False)
+            for f in glob.glob(os.path.join(bdir, "*.parquet"))
+        ]
+        if stored:
+            existing = np.concatenate(stored)
+            g = g[~np.isin(g["fingerprint"].to_numpy(), existing)]
+        if g.empty:
+            return g
+        os.makedirs(bdir, exist_ok=True)
+        # content-named file => idempotent re-runs (resume rule)
+        import zlib
 
-    return fp.map_batches(probe_and_append, batch_format="pandas")
+        tag = zlib.crc32(g["fingerprint"].to_numpy().tobytes())
+        path = os.path.join(bdir, f"fp-{tag:08x}-{len(g)}.parquet")
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            pq.write_table(
+                pa.table({"fingerprint": pa.array(
+                    g["fingerprint"].to_numpy(), pa.int64())}),
+                tmp,
+            )
+            os.replace(tmp, path)
+        return g
+
+    return (
+        fp.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(probe_and_append, batch_format="pandas")
+    )
 
 
 def _hash_binary_column(col) -> np.ndarray:
