@@ -1609,6 +1609,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "session_seq", "n_events",
              "start_ts", "end_ts", "duration"]]
 
+    def order_priority_theil(sf_dir: str):
+        # per-priority Theil T inequality of order values — the
+        # additively-decomposable inequality companion of Gini; pure
+        # moment combiner (n, sum x, sum x ln x), no sort
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderpriority", "o_totalprice"])
+        out = relational.theil_index(
+            o, "o_orderpriority", "o_totalprice").to_pandas()
+        out["theil"] = out["theil"].round(6)
+        return out.sort_values("o_orderpriority", ignore_index=True)[
+            ["o_orderpriority", "n", "theil"]]
+
+    def event_value_trimmed_mean(sf_dir: str):
+        # per-event-type 10% symmetric trimmed mean — the robust
+        # location estimate between mean and median; segmented sort +
+        # prefix-sum window per shard, tie-order-free by construction
+        ev = sf_table(sf_dir, "events", ["event_type", "value"])
+        out = relational.trimmed_mean(
+            ev, "event_type", "value", trim_frac=0.1).to_pandas()
+        out["trimmed_mean"] = out["trimmed_mean"].round(6)
+        return out.sort_values("event_type", ignore_index=True)[
+            ["event_type", "n", "n_kept", "trimmed_mean"]]
+
     def value_shape_by_event_type(sf_dir: str):
         # distribution-shape diagnostics: per-event-type population
         # skewness and excess kurtosis from one power-sum combiner;
@@ -4162,6 +4185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_acctbal_gini": nation_acctbal_gini,
         "user_burstiness": user_burstiness,
         "user_sessions": user_sessions,
+        "order_priority_theil": order_priority_theil,
+        "event_value_trimmed_mean": event_value_trimmed_mean,
         "value_shape_by_event_type": value_shape_by_event_type,
         "events_hourly_acf": events_hourly_acf,
         "supplier_activity_span": supplier_activity_span,
@@ -6844,6 +6869,32 @@ def oracle_sql() -> dict[str, str]:
                          / (COUNT(*) * SUM(x))
                          - (COUNT(*) + 1e0) / COUNT(*), 6) AS gini
             FROM v GROUP BY c_nationkey
+        """,
+        "order_priority_theil": """
+            WITH m AS (SELECT o_orderpriority, COUNT(*) AS n,
+                          SUM(o_totalprice) AS s1,
+                          SUM(o_totalprice * ln(o_totalprice)) AS sxl
+                       FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, n,
+                   round(sxl / (n * (s1 / n)) - ln(s1 / n), 6) AS theil
+            FROM m ORDER BY o_orderpriority
+        """,
+        "event_value_trimmed_mean": """
+            WITH r AS (SELECT event_type, value,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY value) AS rn,
+                          COUNT(*) OVER (PARTITION BY event_type) AS n
+                       FROM events),
+            k AS (SELECT event_type, value, rn, n,
+                     CAST(FLOOR(0.1e0 * n) AS BIGINT) AS kk
+                  FROM r)
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   COUNT(*) FILTER (WHERE rn > kk AND rn <= n - kk)
+                       AS n_kept,
+                   round(AVG(value) FILTER (WHERE rn > kk
+                                            AND rn <= n - kk), 6)
+                       AS trimmed_mean
+            FROM k GROUP BY event_type ORDER BY event_type
         """,
         "user_sessions": """
             WITH r AS (SELECT user_id, event_id, epoch(ts) AS t,

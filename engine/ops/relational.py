@@ -2425,3 +2425,96 @@ def sessionize(
         .groupby("__shard")
         .map_groups(f, batch_format="pandas")
     )
+
+
+def theil_index(
+    ds: ray.data.Dataset,
+    group_key: str,
+    col: str,
+) -> ray.data.Dataset:
+    """Per-group Theil T inequality index over POSITIVE values:
+    T = sum((x/mu) * ln(x/mu)) / n = (sum x*ln x) / (n*mu) - ln(mu)
+    — 0 for perfect equality, ln(n) when one member holds everything;
+    unlike Gini it decomposes additively across subgroups, which is
+    why economics pipelines carry both. Pure streaming moment
+    combiner: only (n, sum x, sum x*ln x) scalars per group move —
+    no sort, no shuffle of raw rows (cheaper than ``grouped_gini``,
+    whose rank weights force a segmented sort). Non-positive values
+    are the caller's contract (same as SQL ln())."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.float64)
+        g = pd.DataFrame({group_key: b[group_key], "s1": v,
+                          "sxl": v * np.log(v)})
+        return g.groupby(group_key, as_index=False, sort=False).agg(
+            n=("s1", "size"), s1=("s1", "sum"), sxl=("sxl", "sum"))
+
+    tot = sum_final(
+        ds.map_batches(local, batch_format="pandas"), [group_key])
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.float64)
+        mu = b["s1"].to_numpy() / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = b["sxl"].to_numpy() / (n * mu) - np.log(mu)
+        out = b[[group_key]].copy()
+        out["n"] = b["n"].to_numpy(np.int64)
+        out["theil"] = np.where(mu > 0, t, 0.0)
+        return out
+
+    return tot.map_batches(final, batch_format="pandas")
+
+
+def trimmed_mean(
+    ds: ray.data.Dataset,
+    group_key: str,
+    col: str,
+    trim_frac: float = 0.1,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-group symmetric trimmed mean: drop the lowest and highest
+    ``floor(trim_frac * n)`` values, average the rest — the robust
+    location estimate between mean (outlier-fragile) and median
+    (discards ordering weight). Tie handling is position-free: the
+    kept MULTISET is identical for any tie order, so only values sort
+    (no tie-break columns needed). Hash-sharded by group, one
+    segmented sort + two reduceat passes per shard."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.drop(columns="__shard").sort_values(
+            [group_key, col], kind="stable")
+        gk = g[group_key].to_numpy()
+        v = g[col].to_numpy(np.float64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {group_key: pd.Series(dtype=gk.dtype),
+                 "n": pd.Series(dtype=np.int64),
+                 "n_kept": pd.Series(dtype=np.int64),
+                 "trimmed_mean": pd.Series(dtype=np.float64)})
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = gk[1:] != gk[:-1]
+        s_idx = np.flatnonzero(starts)
+        sizes = np.diff(np.r_[s_idx, n])
+        k = np.floor(trim_frac * sizes).astype(np.int64)
+        keep = np.maximum(sizes - 2 * k, 0)
+        # prefix sums give the kept-window sum per segment in O(n)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        lo = s_idx + k
+        hi = s_idx + k + keep
+        ksum = cs[hi] - cs[lo]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tm = np.where(keep > 0, ksum / keep, np.nan)
+        return pd.DataFrame({
+            group_key: gk[s_idx],
+            "n": sizes.astype(np.int64),
+            "n_kept": keep.astype(np.int64),
+            "trimmed_mean": tm,
+        })
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )

@@ -3324,3 +3324,57 @@ def test_snap_to_boundary_properties(ray_session):
     d2 = np.hypot((out["snap_lon"].to_numpy() - lon) * kx,
                   out["snap_lat"].to_numpy() - lat) * _M_PER_DEG
     assert np.allclose(d2, out["dist_m"].to_numpy(), rtol=1e-6, atol=1e-6)
+
+
+def test_theil_index_known_cases(ray_session):
+    import ray.data
+
+    from engine.ops.relational import theil_index
+
+    # perfect equality -> 0; one-holder concentration -> ln(n)
+    eq = pd.DataFrame({"g": ["a"] * 8, "x": [5.0] * 8})
+    conc = pd.DataFrame({"g": ["b"] * 8,
+                         "x": [1e-12] * 7 + [100.0]})
+    out = (theil_index(ray.data.from_pandas(pd.concat([eq, conc])),
+                       "g", "x").to_pandas()
+           .sort_values("g", ignore_index=True))
+    assert out["theil"].iloc[0] == pytest.approx(0.0, abs=1e-12)
+    assert out["theil"].iloc[1] == pytest.approx(np.log(8), rel=1e-3)
+
+    # numpy reference on random positives
+    rng = np.random.default_rng(5)
+    x = rng.lognormal(0, 1, 500)
+    ref = float(np.mean((x / x.mean()) * np.log(x / x.mean())))
+    got = (theil_index(ray.data.from_pandas(
+        pd.DataFrame({"g": ["c"] * 500, "x": x})), "g", "x")
+        .to_pandas()["theil"].iloc[0])
+    assert got == pytest.approx(ref, rel=1e-9)
+
+
+def test_trimmed_mean_vs_scipy_style_reference(ray_session):
+    import ray.data
+
+    from engine.ops.relational import trimmed_mean
+
+    rng = np.random.default_rng(6)
+    frames = []
+    for g, n in (("a", 53), ("b", 7), ("c", 1)):
+        frames.append(pd.DataFrame(
+            {"g": g, "x": rng.normal(0, 10, n)}))
+    df = pd.concat(frames, ignore_index=True)
+    out = (trimmed_mean(ray.data.from_pandas(df), "g", "x",
+                        trim_frac=0.1)
+           .to_pandas().sort_values("g", ignore_index=True))
+    for g, n in (("a", 53), ("b", 7), ("c", 1)):
+        v = np.sort(df[df["g"] == g]["x"].to_numpy())
+        k = int(np.floor(0.1 * n))
+        kept = v[k:n - k]
+        r = out[out["g"] == g].iloc[0]
+        assert r["n"] == n and r["n_kept"] == len(kept)
+        assert r["trimmed_mean"] == pytest.approx(kept.mean(),
+                                                  rel=1e-12)
+    # outlier robustness: a 1e9 outlier must not move the estimate
+    base = pd.DataFrame({"g": "z", "x": np.r_[np.ones(19), 1e9]})
+    r = (trimmed_mean(ray.data.from_pandas(base), "g", "x", 0.1)
+         .to_pandas().iloc[0])
+    assert r["trimmed_mean"] == pytest.approx(1.0)
