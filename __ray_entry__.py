@@ -3172,6 +3172,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("image_id", ignore_index=True)[
             ["image_id", "n_patches", "sum_bytes"]]
 
+    def image_entropy_contrast(sf_dir: str):
+        # per-image Shannon entropy (16-bin, nats) + RMS contrast
+        # over the lossless raw16 subset — the flat-image and
+        # low-contrast curation filters; DuckDB twin regenerates the
+        # pixels and recomputes both from exact integer sums
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_entropy_contrast(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            bins=16, concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "entropy", "contrast"]]
+
     def image_norm_moments(sf_dir: str):
         # per-channel mean/std normalization constants over the
         # LOSSLESS-codec (raw16) subset (exact moment combiner). The
@@ -4147,6 +4166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_self_x": geo_track_self_x,
         "image_pixel_histogram": image_pixel_histogram,
         "image_sharpness": image_sharpness,
+        "image_entropy_contrast": image_entropy_contrast,
         "image_patches": image_patches,
         "image_norm_moments": image_norm_moments,
         "image_patch_dup_pairs": image_patch_dup_pairs,
@@ -4470,6 +4490,29 @@ def _sql_pixels_cte(n: int) -> str:
                                        % 2 <> 0
                               THEN 1 ELSE 0 END, 0e0), 255e0) AS px
                 FROM pv)
+    """
+
+
+def _sql_image_entropy_contrast(bins: int = 16) -> str:
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        st AS (SELECT i, COUNT(*) AS np, AVG(px) AS m,
+                      AVG(px * px) AS m2
+               FROM gpx GROUP BY i),
+        hh AS (SELECT i, (CAST(px AS BIGINT) * {bins}) // 256 AS bin,
+                      COUNT(*) AS n
+               FROM gpx GROUP BY i, bin),
+        hn AS (SELECT h.i,
+                  -SUM((CAST(h.n AS DOUBLE) / s.np)
+                       * ln(CAST(h.n AS DOUBLE) / s.np)) AS ent
+               FROM hh h JOIN st s ON s.i = h.i GROUP BY h.i)
+        SELECT 'img' || lpad(CAST(s.i AS VARCHAR), 9, '0') AS image_id,
+               {_sql_round_even('hn.ent')} AS entropy,
+               {_sql_round_even(
+                   'sqrt(GREATEST(s.m2 - s.m * s.m, 0e0))')}
+                   AS contrast
+        FROM st s JOIN hn ON hn.i = s.i
+        ORDER BY image_id
     """
 
 
@@ -6495,6 +6538,7 @@ def oracle_sql() -> dict[str, str]:
         "image_pixel_histogram": _sql_image_pixel_histogram(16),
         "image_patches": _sql_image_patches(),
         "image_sharpness": _sql_image_sharpness(),
+        "image_entropy_contrast": _sql_image_entropy_contrast(),
         "image_features": _sql_image_features(),
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),

@@ -417,3 +417,48 @@ def pixel_moments(ds: ray.data.Dataset, *, batch_size: int = 512,
         "mean": mean.astype(np.float64),
         "std": np.sqrt(np.maximum(var, 0.0)).astype(np.float64),
     })
+
+
+class EntropyContrast:
+    """Per-image Shannon entropy (nats, over a 16-bin intensity
+    histogram of all channels) + RMS contrast (population std of the
+    pixel values) — the flat/over-compressed-image and low-contrast
+    filters of an image-curation pipeline. Integer pixel sums stay
+    exact in float64, so the mean/contrast arithmetic is reproducible
+    bit-for-bit by the SQL twin regardless of summation order."""
+
+    def __init__(self, bins: int = 16):
+        self.bins = bins
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ent, con = [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            flat = px.reshape(-1).astype(np.int64)
+            n = flat.size
+            h = np.bincount((flat * self.bins) // 256,
+                            minlength=self.bins)
+            p = h[h > 0] / float(n)
+            ent.append(float(-(p * np.log(p)).sum()))
+            f = flat.astype(np.float64)
+            m = f.sum() / n          # exact: integer-valued sums
+            m2 = (f * f).sum() / n
+            con.append(float(np.sqrt(max(m2 - m * m, 0.0))))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "entropy", pa.array(np.round(ent, 6), pa.float64()))
+        return out.append_column(
+            "contrast", pa.array(np.round(con, 6), pa.float64()))
+
+
+def image_entropy_contrast(
+    ds: ray.data.Dataset, bins: int = 16, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        EntropyContrast, fn_constructor_kwargs={"bins": bins},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

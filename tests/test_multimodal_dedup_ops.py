@@ -443,3 +443,30 @@ def test_patch_hash_pairs_planted_crop(ray_session):
     got = {(r.image_id_a, r.image_id_b): int(r.n_shared)
            for r in out.itertuples()}
     assert got == {("A", "B"): 4}
+
+
+def test_entropy_contrast_known_images(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_entropy_contrast
+
+    # constant image: entropy 0, contrast 0
+    flat = np.full((8, 8, 3), 100, np.uint8)
+    # two-level half/half image: entropy ln(2), contrast 50
+    duo = np.zeros((8, 8, 3), np.uint8)
+    duo[:4] = 50
+    duo[4:] = 150
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["flat", "duo"],
+        "bytes": [encode(flat, "raw16"), encode(duo, "raw16")],
+        "fmt": ["raw16", "raw16"],
+    }))
+    out = (image_entropy_contrast(ds).to_pandas()
+           .set_index("image_id"))
+    assert out.loc["flat", "entropy"] == pytest.approx(0.0, abs=1e-12)
+    assert out.loc["flat", "contrast"] == pytest.approx(0.0, abs=1e-12)
+    assert out.loc["duo", "entropy"] == pytest.approx(np.log(2),
+                                                      rel=1e-6)
+    assert out.loc["duo", "contrast"] == pytest.approx(50.0, rel=1e-9)
