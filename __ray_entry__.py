@@ -1609,6 +1609,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "session_seq", "n_events",
              "start_ts", "end_ts", "duration"]]
 
+    def qty_price_spearman_by_flag(sf_dir: str):
+        # Spearman rank correlation (midrank ties) of quantity vs
+        # price per return flag — the monotone-association companion
+        # of the Pearson query; SQL twin builds the identical
+        # midranks via RANK() + (ties-1)/2 and corr() over them
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_returnflag", "l_quantity",
+                       "l_extendedprice"])
+        out = relational.spearman_corr(
+            li, "l_returnflag", "l_quantity",
+            "l_extendedprice").to_pandas()
+        out["spearman"] = out["spearman"].round(4)
+        return out.sort_values("l_returnflag", ignore_index=True)[
+            ["l_returnflag", "n", "spearman"]]
+
     def order_priority_theil(sf_dir: str):
         # per-priority Theil T inequality of order values — the
         # additively-decomposable inequality companion of Gini; pure
@@ -4206,6 +4221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burstiness": user_burstiness,
         "user_sessions": user_sessions,
         "order_priority_theil": order_priority_theil,
+        "qty_price_spearman_by_flag": qty_price_spearman_by_flag,
         "event_value_trimmed_mean": event_value_trimmed_mean,
         "value_shape_by_event_type": value_shape_by_event_type,
         "events_hourly_acf": events_hourly_acf,
@@ -6913,6 +6929,23 @@ def oracle_sql() -> dict[str, str]:
                          / (COUNT(*) * SUM(x))
                          - (COUNT(*) + 1e0) / COUNT(*), 6) AS gini
             FROM v GROUP BY c_nationkey
+        """,
+        "qty_price_spearman_by_flag": """
+            WITH r AS (SELECT l_returnflag,
+                  RANK() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity)
+                    + (COUNT(*) OVER (PARTITION BY l_returnflag,
+                                                   l_quantity)
+                       - 1) / 2.0 AS rx,
+                  RANK() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice)
+                    + (COUNT(*) OVER (PARTITION BY l_returnflag,
+                                                   l_extendedprice)
+                       - 1) / 2.0 AS ry
+               FROM lineitem)
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(corr(rx, ry), 4) AS spearman
+            FROM r GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "order_priority_theil": """
             WITH m AS (SELECT o_orderpriority, COUNT(*) AS n,

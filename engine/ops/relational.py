@@ -2518,3 +2518,79 @@ def trimmed_mean(
         .groupby("__shard")
         .map_groups(f, batch_format="pandas")
     )
+
+
+def spearman_corr(
+    ds: ray.data.Dataset,
+    group_key: str,
+    x: str,
+    y: str,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-group Spearman rank correlation with MIDRANK tie handling
+    (the fractional-rank convention every stats package and SQL's
+    RANK() + (ties-1)/2 reproduce) — the monotone-association
+    companion of ``grouped_corr``'s linear Pearson. One co-shuffle by
+    group, then per shard: two lexsorts produce midranks for x and y,
+    and the Pearson of the ranks uses the closed-form rank mean
+    (n+1)/2 — exact, so no first aggregation pass is needed. Midranks
+    are exact halves (representable), keeping both sides' arithmetic
+    aligned."""
+
+    def _midranks(gk: np.ndarray, v: np.ndarray) -> np.ndarray:
+        n = len(gk)
+        order = np.lexsort((v, gk))
+        gs, vs = gk[order], v[order]
+        seg = np.zeros(n, bool)
+        seg[0] = True
+        seg[1:] = gs[1:] != gs[:-1]
+        s_idx = np.flatnonzero(seg)
+        pos = (np.arange(n)
+               - np.repeat(s_idx, np.diff(np.r_[s_idx, n])) + 1)
+        run = seg.copy()
+        run[1:] |= vs[1:] != vs[:-1]
+        r_idx = np.flatnonzero(run)
+        r_sizes = np.diff(np.r_[r_idx, n])
+        mid = pos[r_idx] + (r_sizes - 1) / 2.0
+        out = np.empty(n, np.float64)
+        out[order] = np.repeat(mid, r_sizes)
+        return out
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.drop(columns="__shard")
+        gk = g[group_key].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {group_key: pd.Series(dtype=gk.dtype),
+                 "n": pd.Series(dtype=np.int64),
+                 "spearman": pd.Series(dtype=np.float64)})
+        rx = _midranks(gk, g[x].to_numpy())
+        ry = _midranks(gk, g[y].to_numpy())
+        order = np.argsort(gk, kind="stable")
+        gs = gk[order]
+        seg = np.zeros(n, bool)
+        seg[0] = True
+        seg[1:] = gs[1:] != gs[:-1]
+        s_idx = np.flatnonzero(seg)
+        sizes = np.diff(np.r_[s_idx, n]).astype(np.float64)
+        mu = (sizes + 1.0) / 2.0  # exact rank mean
+        dx = rx[order] - np.repeat(mu, sizes.astype(np.int64))
+        dy = ry[order] - np.repeat(mu, sizes.astype(np.int64))
+        sxy = np.add.reduceat(dx * dy, s_idx)
+        sxx = np.add.reduceat(dx * dx, s_idx)
+        syy = np.add.reduceat(dy * dy, s_idx)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where((sxx > 0) & (syy > 0),
+                         sxy / np.sqrt(sxx * syy), np.nan)
+        return pd.DataFrame({
+            group_key: gs[s_idx],
+            "n": sizes.astype(np.int64),
+            "spearman": r,
+        })
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )

@@ -3378,3 +3378,44 @@ def test_trimmed_mean_vs_scipy_style_reference(ray_session):
     r = (trimmed_mean(ray.data.from_pandas(base), "g", "x", 0.1)
          .to_pandas().iloc[0])
     assert r["trimmed_mean"] == pytest.approx(1.0)
+
+
+def test_spearman_corr_reference_and_ties(ray_session):
+    import ray.data
+
+    from engine.ops.relational import spearman_corr
+
+    # perfect monotone (nonlinear) relation -> exactly 1
+    x = np.arange(1, 101, dtype=float)
+    mono = pd.DataFrame({"g": "m", "x": x, "y": np.exp(x / 20)})
+    # reversed -> -1
+    rev = pd.DataFrame({"g": "r", "x": x, "y": -x ** 3})
+    # heavy ties: midrank convention vs a scipy-style reference
+    rng = np.random.default_rng(8)
+    xt = rng.integers(0, 5, 400).astype(float)
+    yt = xt + rng.integers(0, 3, 400)
+    ties = pd.DataFrame({"g": "t", "x": xt, "y": yt})
+    df = pd.concat([mono, rev, ties], ignore_index=True)
+    out = (spearman_corr(ray.data.from_pandas(df), "g", "x", "y")
+           .to_pandas().set_index("g"))
+    assert out.loc["m", "spearman"] == pytest.approx(1.0, abs=1e-12)
+    assert out.loc["r", "spearman"] == pytest.approx(-1.0, abs=1e-12)
+
+    def midrank_ref(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        pos = 1
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (pos + pos + (j - i) - 1) / 2.0
+            pos += j - i
+            i = j
+        return r
+
+    rx, ry = midrank_ref(xt), midrank_ref(yt)
+    ref = np.corrcoef(rx, ry)[0, 1]
+    assert out.loc["t", "spearman"] == pytest.approx(ref, rel=1e-9)
