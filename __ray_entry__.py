@@ -2474,6 +2474,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].round(4)
         return out
 
+    def orders_urgency_ranksum(sf_dir: str):
+        # Mann-Whitney U (rank-sum, midrank ties, tie-corrected z):
+        # the distribution-free companion of the Welch query over the
+        # same cohorts; per-value combiner + range-bucket scan, no
+        # global row sort. Exact half-integer arithmetic makes the
+        # SQL twin's per-row rank sum land on identical floats.
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderpriority", "o_totalprice"])
+
+        def fl(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["is_urgent"] = (
+                b["o_orderpriority"] == "1-URGENT")
+            return b[["o_totalprice", "is_urgent"]]
+
+        out = relational.mann_whitney_u(
+            o.map_batches(fl, batch_format="pandas"),
+            "o_totalprice", "is_urgent")
+        out["u_stat"] = out["u_stat"].round(4)
+        out["z_stat"] = out["z_stat"].round(4)
+        return out
+
     def geo_cell_lang_share(sf_dir: str):
         # geo x text: per 1-deg cell, the dominant caption language
         # (mode with smallest-lang tie-break) and its share — the
@@ -4215,6 +4237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_admin_lang_share": geo_admin_lang_share,
         "geo_track_home_cell": geo_track_home_cell,
         "orders_urgency_ttest": orders_urgency_ttest,
+        "orders_urgency_ranksum": orders_urgency_ranksum,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
         "nation_revenue_hhi": nation_revenue_hhi,
         "nation_acctbal_gini": nation_acctbal_gini,
@@ -8191,6 +8214,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nb AS BIGINT) AS n_buckets,
                    tb AS peak_bucket, n AS peak_n
             FROM gsel WHERE rk = 1
+        """,
+        "orders_urgency_ranksum": """
+            WITH c AS (SELECT o_totalprice AS v,
+                    CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END AS f
+                FROM orders),
+            r AS (SELECT v, f,
+                    RANK() OVER (ORDER BY v)
+                      + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0
+                      AS mr
+                  FROM c),
+            s AS (SELECT SUM(mr) FILTER (WHERE f = 1) AS r1,
+                         COUNT(*) FILTER (WHERE f = 1) AS n1,
+                         COUNT(*) FILTER (WHERE f = 0) AS n0
+                  FROM r),
+            t AS (SELECT SUM(pow(cnt, 3) - cnt) AS ties
+                  FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY v)),
+            u AS (SELECT n1, n0, n1 + n0 AS nn,
+                         r1 - n1 * (n1 + 1) / 2.0 AS u1, ties
+                  FROM s CROSS JOIN t)
+            SELECT CAST(n1 AS BIGINT) AS n_true,
+                   CAST(n0 AS BIGINT) AS n_false,
+                   round(u1, 4) AS u_stat,
+                   round((u1 - n1 * n0 / 2.0)
+                         / sqrt((n1 * n0 / 12.0)
+                                * ((CAST(nn AS DOUBLE) + 1.0)
+                                   - ties / (CAST(nn AS DOUBLE)
+                                             * (CAST(nn AS DOUBLE)
+                                                - 1.0)))), 4)
+                       AS z_stat
+            FROM u
         """,
         "orders_urgency_ttest": """
             WITH c AS (SELECT

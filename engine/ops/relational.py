@@ -2594,3 +2594,106 @@ def spearman_corr(
         .groupby("__shard")
         .map_groups(f, batch_format="pandas")
     )
+
+
+def mann_whitney_u(
+    ds: ray.data.Dataset,
+    col: str,
+    flag_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Two-cohort Mann-Whitney U (Wilcoxon rank-sum) test with midrank
+    ties and the normal approximation's tie-corrected z — the
+    distribution-free companion of ``welch_ttest`` (rank-based, so a
+    heavy-tailed metric can't fake a difference through variance).
+
+    Fully distributed without a global sort of ROWS: midranks only
+    need the global CDF of DISTINCT values, so (1) a combiner reduces
+    rows to per-value (n, n_true) counts, (2) distinct values bucket
+    by VALUE RANGE, the driver exclusive-scans the ~num_buckets bucket
+    totals, (3) each bucket locally sorts its values and folds
+    R1 += n_true * midrank plus the tie term t^3 - t. Midranks are
+    half-integers and counts are ints, so every partial is EXACT in
+    float64 below 2^53 — the SQL twin's per-row rank sum lands on the
+    identical values."""
+    from engine.state import cached_get
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "v": b[col].to_numpy(np.float64),
+            "n": np.ones(len(b), np.int64),
+            "n1": b[flag_col].to_numpy(bool).astype(np.int64)})
+        return g.groupby("v", as_index=False, sort=False).sum()
+
+    per_val = sum_final(
+        ds.map_batches(local, batch_format="pandas"), ["v"]
+    ).materialize()
+
+    span = per_val.map_batches(
+        lambda b: pd.DataFrame({
+            "lo": [b["v"].min()], "hi": [b["v"].max()],
+            "n": [b["n"].sum()], "n1": [b["n1"].sum()]}),
+        batch_format="pandas").to_pandas()
+    if span.empty:
+        return pd.DataFrame({"n_true": [0], "n_false": [0],
+                             "u_stat": [np.nan], "z_stat": [np.nan]})
+    lo, hi = float(span["lo"].min()), float(span["hi"].max())
+    n_tot = int(span["n"].sum())
+    n1 = int(span["n1"].sum())
+    n0 = n_tot - n1
+    width = max((hi - lo) / num_buckets, 1e-300)
+
+    def bucket_ix(v: np.ndarray) -> np.ndarray:
+        return np.minimum(((v - lo) / width).astype(np.int64),
+                          num_buckets - 1)
+
+    bsums = per_val.map_batches(
+        lambda b: pd.DataFrame(
+            {"bk": bucket_ix(b["v"].to_numpy()),
+             "n": b["n"].to_numpy()}
+        ).groupby("bk", as_index=False, sort=False).sum(),
+        batch_format="pandas").to_pandas()
+    bt = np.zeros(num_buckets, np.int64)
+    agg = bsums.groupby("bk")["n"].sum()
+    bt[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.zeros(num_buckets, np.int64)
+    np.cumsum(bt[:-1], out=offsets[1:])
+    off_ref = ray.put(offsets)
+
+    def add_bk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__shard"] = bucket_ix(b["v"].to_numpy()).astype(np.int32)
+        return b
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        offs = cached_get(off_ref)
+        bk = int(g["__shard"].iloc[0])
+        g = g.sort_values("v", kind="stable")
+        n = g["n"].to_numpy(np.int64)
+        m1 = g["n1"].to_numpy(np.int64)
+        c_less = offs[bk] + np.concatenate(
+            [[0], np.cumsum(n[:-1])])
+        mr = c_less + (n + 1) / 2.0  # exact half-integers
+        return pd.DataFrame({
+            "part": [np.int64(0)],
+            "r1": [float((m1 * mr).sum())],
+            "ties": [float((n.astype(np.float64) ** 3 - n).sum())],
+        })
+
+    tot = sum_final(
+        per_val.map_batches(add_bk, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(contrib, batch_format="pandas"),
+        ["part"]).to_pandas()
+    r1 = float(tot["r1"].sum())
+    ties = float(tot["ties"].sum())
+    u = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n0 / 2.0
+    nn = float(n_tot)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sig = np.sqrt((n1 * n0 / 12.0)
+                      * ((nn + 1.0) - ties / (nn * (nn - 1.0))))
+        z = (u - mu) / sig if sig > 0 else np.nan
+    return pd.DataFrame({
+        "n_true": [np.int64(n1)], "n_false": [np.int64(n0)],
+        "u_stat": [u], "z_stat": [z]})

@@ -3419,3 +3419,49 @@ def test_spearman_corr_reference_and_ties(ray_session):
     rx, ry = midrank_ref(xt), midrank_ref(yt)
     ref = np.corrcoef(rx, ry)[0, 1]
     assert out.loc["t", "spearman"] == pytest.approx(ref, rel=1e-9)
+
+
+def test_mann_whitney_u_vs_reference(ray_session):
+    import ray.data
+
+    from engine.ops.relational import mann_whitney_u
+
+    rng = np.random.default_rng(13)
+    # shifted cohorts with heavy ties (integer values)
+    a = rng.integers(0, 30, 300).astype(float)      # flag True
+    b = rng.integers(5, 35, 500).astype(float)      # flag False
+    df = pd.DataFrame({
+        "v": np.r_[a, b],
+        "f": np.r_[np.ones(300, bool), np.zeros(500, bool)]})
+    out = mann_whitney_u(
+        ray.data.from_pandas(df).repartition(3), "v", "f",
+        num_buckets=8)
+
+    # sequential midrank reference
+    pool = df["v"].to_numpy()
+    order = np.argsort(pool, kind="stable")
+    mr = np.empty(len(pool))
+    sv = pool[order]
+    i, pos = 0, 1
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        mr[order[i:j]] = (2 * pos + (j - i) - 1) / 2.0
+        pos += j - i
+        i = j
+    r1 = mr[df["f"].to_numpy()].sum()
+    n1, n0 = 300, 500
+    u_ref = r1 - n1 * (n1 + 1) / 2.0
+    _, cnt = np.unique(pool, return_counts=True)
+    ties = float((cnt.astype(float) ** 3 - cnt).sum())
+    nn = float(n1 + n0)
+    sig = np.sqrt((n1 * n0 / 12.0)
+                  * ((nn + 1.0) - ties / (nn * (nn - 1.0))))
+    z_ref = (u_ref - n1 * n0 / 2.0) / sig
+
+    r = out.iloc[0]
+    assert r["n_true"] == n1 and r["n_false"] == n0
+    assert r["u_stat"] == pytest.approx(u_ref, abs=1e-9)
+    assert r["z_stat"] == pytest.approx(z_ref, rel=1e-12)
+    assert r["z_stat"] < -5  # b is stochastically larger
