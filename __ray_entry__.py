@@ -1772,6 +1772,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [round(mean_nn / expected, 6)], np.float64),
         })
 
+    def docs_readability_lix(sf_dir: str):
+        # LIX readability index (deterministic: no syllable
+        # heuristics) — words/sentences + 100*long/words over the
+        # same segmentation as docs_sentence_stats; SQL twin rebuilds
+        # it with list_filter
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.readability_lix(docs).select_columns(
+            ["doc_id", "n_words", "n_long_words", "lix"])
+
     def docs_zipf_fit(sf_dir: str):
         # corpus macro-statistics: least-squares slope of
         # ln(freq) ~ ln(rank) over the top-100 tokens (the Zipf
@@ -2494,6 +2503,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "o_totalprice", "is_urgent")
         out["u_stat"] = out["u_stat"].round(4)
         out["z_stat"] = out["z_stat"].round(4)
+        return out
+
+    def orders_urgency_ks(sf_dir: str):
+        # two-sample Kolmogorov-Smirnov distribution-drift statistic
+        # over the same cohorts as the t-test / rank-sum pair; ECDF
+        # differences are ratios of exact integer counts, so the SQL
+        # window-cumsum twin lands on identical floats
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderpriority", "o_totalprice"])
+
+        def fl(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["is_urgent"] = (
+                b["o_orderpriority"] == "1-URGENT")
+            return b[["o_totalprice", "is_urgent"]]
+
+        out = relational.ks_test_2samp(
+            o.map_batches(fl, batch_format="pandas"),
+            "o_totalprice", "is_urgent")
+        out["ks_d"] = out["ks_d"].round(6)
+        out["ks_stat"] = out["ks_stat"].round(6)
         return out
 
     def geo_cell_lang_share(sf_dir: str):
@@ -4229,6 +4259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_st_pairs": geo_st_pairs,
         "geo_dead_reckoning": geo_dead_reckoning,
         "docs_sentence_stats": docs_sentence_stats,
+        "docs_readability_lix": docs_readability_lix,
         "geom_harmonic_price_by_status": geom_harmonic_price_by_status,
         "user_sequence_entropy": user_sequence_entropy,
         "orders_benford_digits": orders_benford_digits,
@@ -4238,6 +4269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_home_cell": geo_track_home_cell,
         "orders_urgency_ttest": orders_urgency_ttest,
         "orders_urgency_ranksum": orders_urgency_ranksum,
+        "orders_urgency_ks": orders_urgency_ks,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
         "nation_revenue_hhi": nation_revenue_hhi,
         "nation_acctbal_gini": nation_acctbal_gini,
@@ -6844,6 +6876,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rn AS BIGINT) AS t_ix
             FROM sel WHERE rk = 1
         """,
+        "docs_readability_lix": """
+            WITH st AS (SELECT doc_id,
+                    len(list_filter(
+                        string_split_regex(text, '[.!?]+'),
+                        s -> trim(s) <> '')) AS ns,
+                    len(list_filter(
+                        string_split_regex(lower(text), '[^a-z]+'),
+                        s -> s <> '')) AS nw,
+                    len(list_filter(
+                        string_split_regex(lower(text), '[^a-z]+'),
+                        s -> length(s) > 6)) AS nl
+                FROM documents)
+            SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+                   CAST(nl AS BIGINT) AS n_long_words,
+                   round(CASE WHEN nw > 0 AND ns > 0
+                         THEN CAST(nw AS DOUBLE) / ns
+                              + 100.0 * nl / nw
+                         ELSE 0e0 END, 6) AS lix
+            FROM st
+        """,
         "docs_sentence_stats": """
             WITH st AS (SELECT doc_id,
                     len(list_filter(
@@ -8214,6 +8266,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nb AS BIGINT) AS n_buckets,
                    tb AS peak_bucket, n AS peak_n
             FROM gsel WHERE rk = 1
+        """,
+        "orders_urgency_ks": """
+            WITH c AS (SELECT o_totalprice AS v,
+                    CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END AS f
+                FROM orders),
+            g AS (SELECT v, SUM(f) AS n1, SUM(1 - f) AS n0
+                  FROM c GROUP BY v),
+            w AS (SELECT v,
+                    SUM(n1) OVER (ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS c1,
+                    SUM(n0) OVER (ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS c0
+                  FROM g),
+            t AS (SELECT SUM(n1) AS t1, SUM(n0) AS t0 FROM g)
+            SELECT CAST(t.t1 AS BIGINT) AS n_true,
+                   CAST(t.t0 AS BIGINT) AS n_false,
+                   round(MAX(ABS(w.c1 / CAST(t.t1 AS DOUBLE)
+                                 - w.c0 / CAST(t.t0 AS DOUBLE))), 6)
+                       AS ks_d,
+                   round(sqrt(t.t1 * t.t0
+                              / CAST(t.t1 + t.t0 AS DOUBLE))
+                         * MAX(ABS(w.c1 / CAST(t.t1 AS DOUBLE)
+                                   - w.c0 / CAST(t.t0 AS DOUBLE))), 6)
+                       AS ks_stat
+            FROM w CROSS JOIN t GROUP BY t.t1, t.t0
         """,
         "orders_urgency_ranksum": """
             WITH c AS (SELECT o_totalprice AS v,

@@ -2697,3 +2697,91 @@ def mann_whitney_u(
     return pd.DataFrame({
         "n_true": [np.int64(n1)], "n_false": [np.int64(n0)],
         "u_stat": [u], "z_stat": [z]})
+
+
+def ks_test_2samp(
+    ds: ray.data.Dataset,
+    col: str,
+    flag_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic D = max_v |F1(v) -
+    F0(v)| over the cohort ECDFs, plus the scaled statistic
+    sqrt(n1*n0/(n1+n0)) * D — the whole-distribution drift detector
+    (data-drift monitoring between ingest days), complementing
+    Mann-Whitney's location shift. Same distributed shape as
+    ``mann_whitney_u``: rows reduce to per-value cohort counts, value
+    ranges give per-bucket cumulative offsets, each bucket scans its
+    local CDF — the ECDF differences are ratios of EXACT integer
+    counts, so the SQL twin's window cumsum lands on identical
+    floats."""
+    from engine.state import cached_get
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[flag_col].to_numpy(bool)
+        g = pd.DataFrame({
+            "v": b[col].to_numpy(np.float64),
+            "n1": f.astype(np.int64),
+            "n0": (~f).astype(np.int64)})
+        return g.groupby("v", as_index=False, sort=False).sum()
+
+    per_val = sum_final(
+        ds.map_batches(local, batch_format="pandas"), ["v"]
+    ).materialize()
+
+    span = per_val.map_batches(
+        lambda b: pd.DataFrame({
+            "lo": [b["v"].min()], "hi": [b["v"].max()],
+            "n1": [b["n1"].sum()], "n0": [b["n0"].sum()]}),
+        batch_format="pandas").to_pandas()
+    if span.empty:
+        return pd.DataFrame({"n_true": [0], "n_false": [0],
+                             "ks_d": [np.nan], "ks_stat": [np.nan]})
+    lo, hi = float(span["lo"].min()), float(span["hi"].max())
+    t1, t0 = int(span["n1"].sum()), int(span["n0"].sum())
+    width = max((hi - lo) / num_buckets, 1e-300)
+
+    def bucket_ix(v: np.ndarray) -> np.ndarray:
+        return np.minimum(((v - lo) / width).astype(np.int64),
+                          num_buckets - 1)
+
+    bsums = per_val.map_batches(
+        lambda b: pd.DataFrame(
+            {"bk": bucket_ix(b["v"].to_numpy()),
+             "n1": b["n1"].to_numpy(), "n0": b["n0"].to_numpy()}
+        ).groupby("bk", as_index=False, sort=False).sum(),
+        batch_format="pandas").to_pandas()
+    b1 = np.zeros(num_buckets, np.int64)
+    b0 = np.zeros(num_buckets, np.int64)
+    agg = bsums.groupby("bk")[["n1", "n0"]].sum()
+    b1[agg.index.to_numpy()] = agg["n1"].to_numpy()
+    b0[agg.index.to_numpy()] = agg["n0"].to_numpy()
+    off1 = np.zeros(num_buckets, np.int64)
+    off0 = np.zeros(num_buckets, np.int64)
+    np.cumsum(b1[:-1], out=off1[1:])
+    np.cumsum(b0[:-1], out=off0[1:])
+    off_ref = ray.put((off1, off0))
+
+    def add_bk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__shard"] = bucket_ix(b["v"].to_numpy()).astype(np.int32)
+        return b
+
+    def local_max(g: pd.DataFrame) -> pd.DataFrame:
+        o1, o0 = cached_get(off_ref)
+        bk = int(g["__shard"].iloc[0])
+        g = g.sort_values("v", kind="stable")
+        c1 = o1[bk] + np.cumsum(g["n1"].to_numpy(np.int64))
+        c0 = o0[bk] + np.cumsum(g["n0"].to_numpy(np.int64))
+        d = np.abs(c1 / float(t1) - c0 / float(t0))
+        return pd.DataFrame({"dmax": [float(d.max())]})
+
+    parts = (per_val.map_batches(add_bk, batch_format="pandas")
+             .groupby("__shard")
+             .map_groups(local_max, batch_format="pandas")
+             .to_pandas())
+    d = float(parts["dmax"].max())
+    ks = np.sqrt(t1 * t0 / float(t1 + t0)) * d
+    return pd.DataFrame({
+        "n_true": [np.int64(t1)], "n_false": [np.int64(t0)],
+        "ks_d": [d], "ks_stat": [ks]})

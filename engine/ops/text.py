@@ -869,3 +869,35 @@ def bpe_pair_counts(
     counts["rank"] = np.arange(1, len(counts) + 1, dtype=np.int32)
     counts["n"] = counts["n"].astype(np.int64)
     return counts[["rank", "lsym", "rsym", "n"]]
+
+
+def readability_lix(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc LIX readability index (Bjornsson's public formula):
+    words/sentences + 100 * long_words/words, with words = alpha
+    tokens, sentences = nonblank [.!?]+ splits (same segmentation as
+    ``sentence_stats``) and long = more than 6 letters — the
+    deterministic, language-agnostic readability gate (no syllable
+    heuristics, so the SQL twin reproduces it exactly with
+    list_filter). One vectorized string pass per batch."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        n_sent, n_tok, n_long = [], [], []
+        for s in b["text"].astype(str):
+            sents = [x for x in _SENT_SPLIT_RE.split(s) if x.strip()]
+            toks = _ALPHA_RE.findall(s.lower())
+            n_sent.append(len(sents))
+            n_tok.append(len(toks))
+            n_long.append(sum(1 for t in toks if len(t) > 6))
+        out = b[["doc_id"]].copy()
+        w = np.asarray(n_tok, np.float64)
+        sn = np.asarray(n_sent, np.float64)
+        lw = np.asarray(n_long, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lix = np.where((w > 0) & (sn > 0),
+                           w / sn + 100.0 * lw / w, 0.0)
+        out["n_words"] = w.astype(np.int64)
+        out["n_long_words"] = lw.astype(np.int64)
+        out["lix"] = np.round(lix, 6)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -3465,3 +3465,36 @@ def test_mann_whitney_u_vs_reference(ray_session):
     assert r["u_stat"] == pytest.approx(u_ref, abs=1e-9)
     assert r["z_stat"] == pytest.approx(z_ref, rel=1e-12)
     assert r["z_stat"] < -5  # b is stochastically larger
+
+
+def test_ks_test_2samp_vs_reference(ray_session):
+    import ray.data
+
+    from engine.ops.relational import ks_test_2samp
+
+    rng = np.random.default_rng(17)
+    a = rng.normal(0, 1, 400)
+    b = rng.normal(0.5, 1.3, 600)
+    df = pd.DataFrame({
+        "v": np.r_[a, b],
+        "f": np.r_[np.ones(400, bool), np.zeros(600, bool)]})
+    out = ks_test_2samp(
+        ray.data.from_pandas(df).repartition(3), "v", "f",
+        num_buckets=8).iloc[0]
+
+    # brute ECDF reference over all distinct values
+    vals = np.unique(df["v"].to_numpy())
+    f1 = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+    f0 = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+    d_ref = float(np.abs(f1 - f0).max())
+    assert out["n_true"] == 400 and out["n_false"] == 600
+    assert out["ks_d"] == pytest.approx(d_ref, abs=1e-12)
+    assert out["ks_stat"] == pytest.approx(
+        np.sqrt(400 * 600 / 1000.0) * d_ref, rel=1e-12)
+
+    # identical distributions -> D near 0
+    same = pd.DataFrame({
+        "v": np.r_[a, a],
+        "f": np.r_[np.ones(400, bool), np.zeros(400, bool)]})
+    z = ks_test_2samp(ray.data.from_pandas(same), "v", "f").iloc[0]
+    assert z["ks_d"] == pytest.approx(0.0, abs=1e-12)
