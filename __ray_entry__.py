@@ -1772,6 +1772,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [round(mean_nn / expected, 6)], np.float64),
         })
 
+    def geo_nn_g_function(sf_dir: str):
+        # G-function (nearest-neighbor distance CDF at 10/25/50 km):
+        # the point-pattern companion of Ripley's K and Clark-Evans —
+        # composes the exact self-kNN (k=1) with a 3-counter combiner;
+        # SQL twin takes per-point all-pairs min haversine
+        idx = _geo_indexed(columns=["image_id"])
+        nn = geo_ops.self_knn_halo(idx, k=1, coarse_res=5,
+                                   halo_rings=1)
+        radii = [10e3, 25e3, 50e3]
+
+        def cnt(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["dist_m"].to_numpy(np.float64)
+            row = {"part": np.zeros(1, np.int64),
+                   "n": np.asarray([len(d)], np.int64)}
+            for i, r in enumerate(radii):
+                row[f"c{i}"] = np.asarray([(d <= r).sum()], np.int64)
+            return pd.DataFrame(row)
+
+        tot = relational.sum_final(
+            nn.map_batches(cnt, batch_format="pandas"),
+            ["part"]).to_pandas().iloc[0]
+        n = int(tot["n"])
+        return pd.DataFrame({
+            "r_m": np.asarray(radii, np.float64),
+            "n_within": np.asarray(
+                [int(tot[f"c{i}"]) for i in range(3)], np.int64),
+            "g_frac": np.asarray(
+                [round(int(tot[f"c{i}"]) / float(n), 6)
+                 for i in range(3)], np.float64),
+        })
+
     def docs_readability_lix(sf_dir: str):
         # LIX readability index (deterministic: no syllable
         # heuristics) — words/sentences + 100*long/words over the
@@ -2503,6 +2534,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "o_totalprice", "is_urgent")
         out["u_stat"] = out["u_stat"].round(4)
         out["z_stat"] = out["z_stat"].round(4)
+        return out
+
+    def event_type_dow_chi2(sf_dir: str):
+        # chi-square independence of event type vs ISO weekday +
+        # Cramér's V — the feature-informativeness screen; the
+        # contingency combiner moves r*c cells, never rows. SQL twin
+        # builds the same full grid (zero cells included) via a
+        # cross-join spine.
+        ev = sf_table(sf_dir, "events", ["event_type", "ts"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["dow"] = (b["ts"].dt.dayofweek + 1).astype(np.int64)
+            return b[["event_type", "dow"]]
+
+        out = relational.chi2_independence(
+            ev.map_batches(prep, batch_format="pandas"),
+            "event_type", "dow")
+        out["chi2"] = out["chi2"].round(4)
+        out["cramers_v"] = out["cramers_v"].round(6)
         return out
 
     def orders_urgency_ks(sf_dir: str):
@@ -4270,6 +4321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_urgency_ttest": orders_urgency_ttest,
         "orders_urgency_ranksum": orders_urgency_ranksum,
         "orders_urgency_ks": orders_urgency_ks,
+        "event_type_dow_chi2": event_type_dow_chi2,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
         "nation_revenue_hhi": nation_revenue_hhi,
         "nation_acctbal_gini": nation_acctbal_gini,
@@ -4283,6 +4335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_activity_span": supplier_activity_span,
         "docs_hapax_rate": docs_hapax_rate,
         "geo_clark_evans": geo_clark_evans,
+        "geo_nn_g_function": geo_nn_g_function,
         "geo_centrography": geo_centrography,
         "embedding_participation_ratio": embedding_participation_ratio,
         "docs_zipf_fit": docs_zipf_fit,
@@ -8267,6 +8320,30 @@ def oracle_sql() -> dict[str, str]:
                    tb AS peak_bucket, n AS peak_n
             FROM gsel WHERE rk = 1
         """,
+        "event_type_dow_chi2": """
+            WITH c AS (SELECT event_type AS a, isodow(ts) AS b,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT SUM(n) AS tot FROM c),
+            r AS (SELECT a, SUM(n) AS rn FROM c GROUP BY a),
+            l AS (SELECT b, SUM(n) AS cn FROM c GROUP BY b),
+            grid AS (SELECT r.a, l.b, r.rn, l.cn FROM r CROSS JOIN l),
+            x AS (SELECT COALESCE(c.n, 0) AS n,
+                         g.rn * g.cn / t.tot AS e
+                  FROM grid g LEFT JOIN c ON c.a = g.a AND c.b = g.b
+                  CROSS JOIN t),
+            dims AS (SELECT (SELECT COUNT(*) FROM r) AS nr,
+                            (SELECT COUNT(*) FROM l) AS nc)
+            SELECT CAST(t.tot AS BIGINT) AS n,
+                   round(SUM((x.n - x.e) * (x.n - x.e) / x.e), 4)
+                       AS chi2,
+                   CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS df,
+                   round(sqrt(SUM((x.n - x.e) * (x.n - x.e) / x.e)
+                              / (t.tot * LEAST(d.nr - 1, d.nc - 1))),
+                         6) AS cramers_v
+            FROM x CROSS JOIN t CROSS JOIN dims d
+            GROUP BY t.tot, d.nr, d.nc
+        """,
         "orders_urgency_ks": """
             WITH c AS (SELECT o_totalprice AS v,
                     CASE WHEN o_orderpriority = '1-URGENT'
@@ -8421,6 +8498,22 @@ def oracle_sql() -> dict[str, str]:
                    gx AS home_gx, gy AS home_gy,
                    round(CAST(n AS DOUBLE) / tot, 6) AS home_share
             FROM gsel WHERE rk = 1
+        """,
+        "geo_nn_g_function": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gp AS (SELECT i, lon, lat FROM gll),
+            gd AS (SELECT a.i,
+                      MIN({_sql_haversine('a.lat', 'a.lon',
+                                          'b.lat', 'b.lon')}) AS d
+                   FROM gp a JOIN gp b ON b.i <> a.i
+                   GROUP BY a.i),
+            grd AS (SELECT r_m FROM (VALUES (10000e0), (25000e0),
+                                            (50000e0)) t(r_m))
+            SELECT g.r_m,
+                   COUNT(*) FILTER (WHERE d.d <= g.r_m) AS n_within,
+                   round(COUNT(*) FILTER (WHERE d.d <= g.r_m)
+                         / {_GEO_N}e0, 6) AS g_frac
+            FROM grd g CROSS JOIN gd d GROUP BY g.r_m ORDER BY g.r_m
         """,
         "geo_clark_evans": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -2785,3 +2785,37 @@ def ks_test_2samp(
     return pd.DataFrame({
         "n_true": [np.int64(t1)], "n_false": [np.int64(t0)],
         "ks_d": [d], "ks_stat": [ks]})
+
+
+def chi2_independence(
+    ds: ray.data.Dataset,
+    a: str,
+    b: str,
+) -> pd.DataFrame:
+    """Chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the "is this feature
+    informative" screen over label-ish columns. The contingency
+    table comes from one (a, b) count combiner (r x c cells move,
+    never rows); the full grid INCLUDING zero-observed cells enters
+    the statistic (their (0-e)^2/e = e terms), matching the textbook
+    definition and the SQL twin's cross-join spine."""
+    counts = partial_groupby_sum(
+        ds, [a, b], {}, count_as="n").to_pandas()
+    if counts.empty:
+        return pd.DataFrame({"n": [0], "chi2": [np.nan], "df": [0],
+                             "cramers_v": [np.nan]})
+    piv = counts.pivot_table(index=a, columns=b, values="n",
+                             fill_value=0, aggfunc="sum")
+    n_ij = piv.to_numpy(np.float64)
+    row = n_ij.sum(axis=1)
+    col = n_ij.sum(axis=0)
+    tot = n_ij.sum()
+    e = np.outer(row, col) / tot
+    chi2 = float(((n_ij - e) ** 2 / e).sum())
+    r, c = n_ij.shape
+    df = (r - 1) * (c - 1)
+    v = float(np.sqrt(chi2 / (tot * min(r - 1, c - 1)))) \
+        if min(r, c) > 1 else np.nan
+    return pd.DataFrame({
+        "n": [np.int64(tot)], "chi2": [chi2],
+        "df": [np.int64(df)], "cramers_v": [v]})

@@ -3498,3 +3498,29 @@ def test_ks_test_2samp_vs_reference(ray_session):
         "f": np.r_[np.ones(400, bool), np.zeros(400, bool)]})
     z = ks_test_2samp(ray.data.from_pandas(same), "v", "f").iloc[0]
     assert z["ks_d"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_chi2_independence_reference(ray_session):
+    import ray.data
+
+    from engine.ops.relational import chi2_independence
+
+    # independent columns -> chi2 ~ small; dependent -> large
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 3, 3000)
+    b_ind = rng.integers(0, 4, 3000)
+    b_dep = (a + rng.integers(0, 2, 3000)) % 4
+    for bb, dep in ((b_ind, False), (b_dep, True)):
+        df = pd.DataFrame({"a": a.astype(str), "b": bb})
+        out = chi2_independence(
+            ray.data.from_pandas(df).repartition(3), "a", "b").iloc[0]
+        # textbook reference on the full grid
+        piv = pd.crosstab(df["a"], df["b"]).to_numpy(float)
+        e = np.outer(piv.sum(1), piv.sum(0)) / piv.sum()
+        ref = float(((piv - e) ** 2 / e).sum())
+        assert out["chi2"] == pytest.approx(ref, rel=1e-12)
+        assert out["df"] == (piv.shape[0] - 1) * (piv.shape[1] - 1)
+        if dep:
+            assert out["chi2"] > 1000
+        else:
+            assert out["chi2"] < 50
