@@ -1877,6 +1877,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
         return dedup.ngram_span_dups(docs, ngram=12)
 
+    def orders_cube(sf_dir: str):
+        # full CUBE (status x priority): ONE (s, p) combiner pass over
+        # the rows; the three coarser grouping sets re-aggregate the
+        # tiny cell table (never the rows) — the scale-right CUBE plan
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderstatus", "o_orderpriority",
+                      "o_totalprice"])
+        cells = relational.partial_groupby_sum(
+            o, ["o_orderstatus", "o_orderpriority"],
+            {"o_totalprice": "total"}, count_as="n").to_pandas()
+        by_s = cells.groupby("o_orderstatus", as_index=False)[
+            ["total", "n"]].sum()
+        by_s["o_orderpriority"] = "ALL"
+        by_p = cells.groupby("o_orderpriority", as_index=False)[
+            ["total", "n"]].sum()
+        by_p["o_orderstatus"] = "ALL"
+        top = pd.DataFrame({
+            "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+            "total": [cells["total"].sum()],
+            "n": [cells["n"].sum()]})
+        out = pd.concat([cells, by_s, by_p, top], ignore_index=True)
+        out["total"] = out["total"].round(2)
+        out["n"] = out["n"].astype(np.int64)
+        return out.sort_values(
+            ["o_orderstatus", "o_orderpriority"],
+            ignore_index=True)[
+            ["o_orderstatus", "o_orderpriority", "total", "n"]]
+
     def orders_grouping_sets(sf_dir: str):
         # GROUPING SETS ((status), (priority)) — two independent
         # combiner aggregates of one scan, unioned; NULL slot = "ALL"
@@ -2534,6 +2562,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "o_totalprice", "is_urgent")
         out["u_stat"] = out["u_stat"].round(4)
         out["z_stat"] = out["z_stat"].round(4)
+        return out
+
+    def user_purchase_survival(sf_dir: str):
+        # Kaplan-Meier time-to-first-purchase curve (hour buckets):
+        # event = the user's first 'purchase' after their first event,
+        # right-censored at the last event for never-purchasers. The
+        # per-hour reduced table is O(span), never O(users); the
+        # product is exp(cumsum(ln)) with a 1e-300 floor — the exact
+        # tree of the SQL twin.
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_type"])
+
+        def pl(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["ts_s"] = (b["ts"].astype("datetime64[us]")
+                         .astype("int64") / 1e6)
+            b["pp"] = np.where(b["event_type"] == "purchase",
+                               b["ts_s"], np.nan)
+            return b.groupby("user_id", as_index=False).agg(
+                f=("ts_s", "min"), l=("ts_s", "max"),
+                fp=("pp", "min"))
+
+        partials = ev.map_batches(pl, batch_format="pandas")
+        users = relational._sharded_by_key(
+            partials, "user_id", 32).groupby("__shard").map_groups(
+            lambda g: g.drop(columns="__shard").groupby(
+                "user_id", as_index=False).agg(
+                f=("f", "min"), l=("l", "max"), fp=("fp", "min")),
+            batch_format="pandas")
+
+        def derive(b: pd.DataFrame) -> pd.DataFrame:
+            f = b["f"].to_numpy(np.float64)
+            l = b["l"].to_numpy(np.float64)
+            fp = b["fp"].to_numpy(np.float64)
+            has = ~np.isnan(fp)
+            end = np.where(has, fp, l)
+            return pd.DataFrame({
+                "hour": np.floor((end - f) / 3600.0).astype(np.int64),
+                "ev": has.astype(np.int64)})
+
+        out = relational.km_survival(
+            users.map_batches(derive, batch_format="pandas"),
+            "hour", "ev")
+        out = out.rename(columns={"day": "hour"})
+        out["survival"] = out["survival"].round(6)
         return out
 
     def event_type_dow_chi2(sf_dir: str):
@@ -4241,6 +4314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": docs_incremental_dedup,
         "docs_ngram_span_dups": docs_ngram_span_dups,
         "orders_grouping_sets": orders_grouping_sets,
+        "orders_cube": orders_cube,
         "prepare_corpus_pipeline": prepare_corpus_pipeline,
         "corpus_to_shards_pipeline": corpus_to_shards_pipeline,
         "prepare_image_corpus_pipeline": prepare_image_corpus_pipeline,
@@ -4322,6 +4396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_urgency_ranksum": orders_urgency_ranksum,
         "orders_urgency_ks": orders_urgency_ks,
         "event_type_dow_chi2": event_type_dow_chi2,
+        "user_purchase_survival": user_purchase_survival,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
         "nation_revenue_hhi": nation_revenue_hhi,
         "nation_acctbal_gini": nation_acctbal_gini,
@@ -5985,6 +6060,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE n_chars > (SELECT quantile_disc(n_chars, 0.75)
                              FROM documents)
+        """,
+        "orders_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL')
+                       AS o_orderpriority,
+                   ROUND(SUM(o_totalprice), 2) AS total,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY 1, 2
         """,
         "orders_grouping_sets": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
@@ -8319,6 +8404,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nb AS BIGINT) AS n_buckets,
                    tb AS peak_bucket, n AS peak_n
             FROM gsel WHERE rk = 1
+        """,
+        "user_purchase_survival": """
+            WITH u AS (SELECT user_id, MIN(epoch(ts)) AS f,
+                              MAX(epoch(ts)) AS l,
+                              MIN(CASE WHEN event_type = 'purchase'
+                                  THEN epoch(ts) END) AS fp
+                       FROM events GROUP BY user_id),
+            d AS (SELECT CAST(FLOOR((COALESCE(fp, l) - f) / 3600e0)
+                              AS BIGINT) AS hour,
+                         CASE WHEN fp IS NOT NULL
+                              THEN 1 ELSE 0 END AS ev
+                  FROM u),
+            g AS (SELECT hour, SUM(ev) AS d_i, COUNT(*) AS t_i
+                  FROM d GROUP BY hour),
+            o AS (SELECT hour, d_i, t_i,
+                     (SELECT SUM(t_i) FROM g)
+                     - COALESCE(SUM(t_i) OVER (ORDER BY hour
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n_risk
+                  FROM g),
+            s AS (SELECT hour, n_risk, d_i,
+                     exp(SUM(ln(GREATEST(
+                         1e0 - d_i / CAST(n_risk AS DOUBLE),
+                         1e-300)))
+                         OVER (ORDER BY hour
+                               ROWS UNBOUNDED PRECEDING)) AS surv
+                  FROM o)
+            SELECT hour, CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d_i AS BIGINT) AS n_events,
+                   round(surv, 6) AS survival
+            FROM s WHERE d_i > 0 ORDER BY hour
         """,
         "event_type_dow_chi2": """
             WITH c AS (SELECT event_type AS a, isodow(ts) AS b,

@@ -2819,3 +2819,50 @@ def chi2_independence(
     return pd.DataFrame({
         "n": [np.int64(tot)], "chi2": [chi2],
         "df": [np.int64(df)], "cramers_v": [v]})
+
+
+def km_survival(
+    ds: ray.data.Dataset,
+    duration_col: str,
+    event_col: str,
+) -> pd.DataFrame:
+    """Kaplan-Meier survival estimate over INTEGER-bucketed durations
+    (e.g. whole days) with right censoring: at each bucket t with
+    d_t > 0 observed events, S(t) = prod_{u <= t} (1 - d_u /
+    n_risk_u) — the product-limit retention/churn curve. Bucketing
+    keeps the reduced table O(time-span), never O(subjects): one
+    (duration, event) count combiner moves per-day scalars, the
+    driver folds the <=span-row table. The product is computed as
+    exp(cumsum(ln ...)) with a 1e-300 floor — the exact expression
+    tree of the SQL twin, so both sides agree bit-for-bit."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "day": b[duration_col].to_numpy(np.int64),
+            "d": b[event_col].to_numpy(np.int64),
+            "t": np.ones(len(b), np.int64)})
+        return g.groupby("day", as_index=False, sort=False).sum()
+
+    per_day = sum_final(
+        ds.map_batches(local, batch_format="pandas"), ["day"]
+    ).to_pandas().sort_values("day", ignore_index=True)
+    if per_day.empty:
+        return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                             "n_risk": pd.Series(dtype=np.int64),
+                             "n_events": pd.Series(dtype=np.int64),
+                             "survival": pd.Series(dtype=np.float64)})
+    tot = int(per_day["t"].sum())
+    before = np.concatenate(
+        [[0], np.cumsum(per_day["t"].to_numpy(np.int64)[:-1])])
+    per_day["n_risk"] = tot - before
+    d = per_day["d"].to_numpy(np.float64)
+    nr = per_day["n_risk"].to_numpy(np.float64)
+    surv = np.exp(np.cumsum(
+        np.log(np.maximum(1.0 - d / nr, 1e-300))))
+    per_day["survival"] = surv
+    out = per_day[per_day["d"] > 0].reset_index(drop=True)
+    return pd.DataFrame({
+        "day": out["day"].astype(np.int64),
+        "n_risk": out["n_risk"].astype(np.int64),
+        "n_events": out["d"].astype(np.int64),
+        "survival": out["survival"].astype(np.float64)})

@@ -3524,3 +3524,31 @@ def test_chi2_independence_reference(ray_session):
             assert out["chi2"] > 1000
         else:
             assert out["chi2"] < 50
+
+
+def test_km_survival_reference_with_censoring(ray_session):
+    import ray.data
+
+    from engine.ops.relational import km_survival
+
+    # hand-checkable small case: durations (day, event)
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (5, 0), (5, 1), (7, 0)]
+    df = pd.DataFrame(rows, columns=["day", "ev"])
+    out = km_survival(ray.data.from_pandas(df), "day", "ev")
+    # KM: t=1 n=7 d=2 S=5/7; t=3 n=4 d=1 S=5/7*3/4; t=5 n=3 d=1
+    # S=5/7*3/4*2/3
+    want = [
+        (1, 7, 2, 5 / 7),
+        (3, 4, 1, 5 / 7 * 3 / 4),
+        (5, 3, 1, 5 / 7 * 3 / 4 * 2 / 3),
+    ]
+    assert len(out) == 3
+    for (d, nr, ne, s), (_, r) in zip(want, out.iterrows()):
+        assert r["day"] == d and r["n_risk"] == nr
+        assert r["n_events"] == ne
+        assert r["survival"] == pytest.approx(s, rel=1e-12)
+
+    # no censoring: survival reaches 0 at the max event time
+    all_ev = pd.DataFrame({"day": [1, 2, 2, 4], "ev": [1, 1, 1, 1]})
+    out2 = km_survival(ray.data.from_pandas(all_ev), "day", "ev")
+    assert out2["survival"].iloc[-1] == pytest.approx(0.0, abs=1e-12)
