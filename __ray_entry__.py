@@ -1871,6 +1871,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return admitted.select_columns(["doc_id"])
 
+    def docs_containment_pairs(sf_dir: str):
+        # asymmetric near-dup pairs: max-directional shingle
+        # containment >= 0.5 over the non-ubiquitous (df <= 100)
+        # 12-token shingle universe — catches a snippet quoted inside
+        # a larger doc that whole-doc Jaccard scores near 0; SQL twin
+        # replays the same df filter, triu pairs, and max ratio
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        out = dedup.containment_pairs(
+            docs, ngram=12, threshold=0.5, max_df=100)
+        out["containment"] = out["containment"].round(6)
+        return out[["a", "b", "inter", "containment"]]
+
     def docs_ngram_span_dups(sf_dir: str):
         # cross-document duplicated 12-gram spans (substring-dedup
         # family); exactness pytest-oracled vs brute force
@@ -4313,6 +4325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_banned_terms": docs_banned_terms,
         "docs_incremental_dedup": docs_incremental_dedup,
         "docs_ngram_span_dups": docs_ngram_span_dups,
+        "docs_containment_pairs": docs_containment_pairs,
         "orders_grouping_sets": orders_grouping_sets,
         "orders_cube": orders_cube,
         "prepare_corpus_pipeline": prepare_corpus_pipeline,
@@ -7505,6 +7518,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY fingerprint
             HAVING SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) = 0
             ORDER BY doc_id
+        """,
+        "docs_containment_pairs": f"""
+            WITH shx AS (
+                SELECT DISTINCT doc_id, sg FROM ({_sql_shingles(12)})
+            ),
+            ok AS (SELECT sg FROM shx GROUP BY sg
+                   HAVING COUNT(*) <= 100),
+            s2 AS (SELECT doc_id, sg FROM shx
+                   WHERE sg IN (SELECT sg FROM ok)),
+            ndoc AS (SELECT doc_id, COUNT(*) AS n FROM s2
+                     GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                          COUNT(*) AS inter
+                   FROM s2 a JOIN s2 b
+                     ON a.sg = b.sg AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT p.a, p.b, CAST(p.inter AS BIGINT) AS inter,
+                   round(GREATEST(
+                       p.inter / CAST(na.n AS DOUBLE),
+                       p.inter / CAST(nb.n AS DOUBLE)), 6)
+                       AS containment
+            FROM pr p JOIN ndoc na ON na.doc_id = p.a
+                      JOIN ndoc nb ON nb.doc_id = p.b
+            WHERE GREATEST(p.inter / CAST(na.n AS DOUBLE),
+                           p.inter / CAST(nb.n AS DOUBLE)) >= 0.5
+            ORDER BY p.a, p.b
         """,
         "docs_ngram_span_dups": f"""
             WITH sh AS (

@@ -1063,3 +1063,100 @@ def patch_hash_pairs(
         batch_format="pandas",
     )
     return sum_final(partials, ["image_id_a", "image_id_b"])
+
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    ngram: int = 12,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    num_shards: int = 256,
+) -> pd.DataFrame:
+    """ASYMMETRIC near-duplicate detection: doc pairs where one side's
+    shingle set is largely CONTAINED in the other — containment(a->b)
+    = |S_a ∩ S_b| / |S_a| — which catches a snippet quoted inside a
+    much larger doc that whole-doc Jaccard (MinHash) scores near 0.
+    Works in the non-ubiquitous shingle universe: shingles appearing
+    in more than ``max_df`` docs are dropped on BOTH the intersection
+    and the denominators (the standard prefix-filter stop rule; keeps
+    the per-shingle pair fan-out <= C(max_df, 2) so one boilerplate
+    span can't emit quadratic pairs). Reported score is
+    max(containment(a->b), containment(b->a)).
+
+    Plan: distinct (shingle-hash, doc) combiner -> ONE hash co-shuffle
+    -> per shard, df-filtered groups emit per-doc count partials and
+    triu pair partials -> two tiny ``sum_final`` merges -> the O(docs)
+    denominator table broadcasts once (swap to a co-shuffle equi-join
+    above ~50M docs, the ``_verify_candidate_pairs`` gate pattern)."""
+    from engine.ops import relational
+    from engine.ops.text import _shingle_hashes
+
+    def sh_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        hs, ids = [], []
+        for did, s in zip(b["doc_id"], b["text"].astype(str)):
+            u = np.unique(_shingle_hashes(s, ngram))
+            hs.append(u)
+            ids.append(np.full(len(u), did, dtype=np.int64))
+        if not hs:
+            return pd.DataFrame({"h": pd.Series(dtype=np.int64),
+                                 "doc_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"h": np.concatenate(hs),
+                             "doc_id": np.concatenate(ids)})
+
+    sharded = relational._sharded_by_key(
+        docs.map_batches(sh_pairs, batch_format="pandas"),
+        "h", num_shards).materialize()  # feeds both shard passes
+
+    def doc_counts(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("h")["doc_id"].transform("size").to_numpy()
+        keep = g[sizes <= max_df]
+        if keep.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        return keep.groupby("doc_id", as_index=False).agg(
+            n=("h", "size"))
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["h", "doc_id"], kind="stable")
+        hk = d["h"].to_numpy()
+        ids = d["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, hk[1:] != hk[:-1]])
+        ends = np.r_[starts[1:], len(hk)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2 or e - s > max_df:
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s + a])
+            out_b.append(ids[s + b])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "inter": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
+            "inter": 1,
+        }).groupby(["a", "b"], as_index=False).sum()
+
+    nd = relational.sum_final(
+        sharded.groupby("__shard").map_groups(
+            doc_counts, batch_format="pandas"),
+        ["doc_id"]).to_pandas()
+    inter = relational.sum_final(
+        sharded.groupby("__shard").map_groups(
+            pair_counts, batch_format="pandas"),
+        ["a", "b"]).to_pandas()
+    if inter.empty:
+        return pd.DataFrame({
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "inter": pd.Series(dtype=np.int64),
+            "containment": pd.Series(dtype=np.float64)})
+    cnt = nd.set_index("doc_id")["n"]
+    na = cnt.loc[inter["a"]].to_numpy(np.float64)
+    nb = cnt.loc[inter["b"]].to_numpy(np.float64)
+    iv = inter["inter"].to_numpy(np.float64)
+    c = np.maximum(iv / na, iv / nb)
+    out = inter[c >= threshold].copy()
+    out["containment"] = c[c >= threshold]
+    return out.sort_values(["a", "b"], ignore_index=True)

@@ -607,3 +607,31 @@ def test_hapax_rate_hand(ray_session):
     # corpus counts: alpha 2, beta 2, gamma 1 -> hapax = {gamma}
     assert out["n_tokens"].tolist() == [3, 2, 0]
     assert out["hapax_rate"].tolist() == [0.0, 0.5, 0.0]
+
+
+def test_containment_pairs_planted_snippet(ray_session):
+    import ray.data
+
+    from engine.ops.dedup import containment_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(vocab, 80))))
+    # doc 100 = a 20-token snippet OF doc 0 (high containment one way,
+    # low Jaccard): tokens 10..30 of doc 0
+    snippet = " ".join(docs[0][1].split()[10:30])
+    docs.append((100, snippet))
+    # doc 101 = unrelated
+    docs.append((101, " ".join(rng.choice(vocab, 60))))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    out = containment_pairs(
+        ray.data.from_pandas(df).repartition(3),
+        ngram=5, threshold=0.8, max_df=50)
+    got = set(zip(out["a"], out["b"]))
+    assert (0, 100) in got
+    row = out[(out["a"] == 0) & (out["b"] == 100)].iloc[0]
+    # every 5-gram of the snippet is inside doc 0
+    assert row["containment"] == pytest.approx(1.0)
+    assert (0, 101) not in got and (100, 101) not in got
