@@ -2576,6 +2576,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["z_stat"] = out["z_stat"].round(4)
         return out
 
+    def user_decayed_engagement(sf_dir: str):
+        # recency-weighted engagement: per-user sum of
+        # 2^(-(t_end - t)/7d) event weights (half-life 7 days) — the
+        # leaderboard metric that forgets stale activity; one tiny
+        # max-ts pass then a weighted-count combiner, identical
+        # expression tree in the SQL twin
+        ev = sf_table(sf_dir, "events", ["user_id", "ts"])
+
+        def mx(b: pd.DataFrame) -> pd.DataFrame:
+            t = (b["ts"].astype("datetime64[us]")
+                 .astype("int64") / 1e6)
+            return pd.DataFrame({"m": [t.max()]})
+
+        cend = float(ev.map_batches(
+            mx, batch_format="pandas").to_pandas()["m"].max())
+        hl = 7.0 * 86400.0
+
+        def wsum(b: pd.DataFrame) -> pd.DataFrame:
+            t = (b["ts"].astype("datetime64[us]")
+                 .astype("int64") / 1e6).to_numpy()
+            g = pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(),
+                "w": np.power(2.0, -(cend - t) / hl),
+                "n": np.ones(len(b), np.int64)})
+            return g.groupby("user_id", as_index=False,
+                             sort=False).sum()
+
+        out = relational.sum_final(
+            ev.map_batches(wsum, batch_format="pandas"),
+            ["user_id"]).to_pandas()
+        out["w"] = out["w"].round(6)
+        out["n"] = out["n"].astype(np.int64)
+        return out.sort_values("user_id", ignore_index=True)[
+            ["user_id", "n", "w"]].rename(
+            columns={"w": "decayed_count"})
+
     def user_purchase_survival(sf_dir: str):
         # Kaplan-Meier time-to-first-purchase curve (hour buckets):
         # event = the user's first 'purchase' after their first event,
@@ -3393,6 +3429,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bins=16, concurrency=(1, 4)).to_pandas()
         return out.sort_values("image_id", ignore_index=True)[
             ["image_id", "entropy", "contrast"]]
+
+    def image_colorfulness(sf_dir: str):
+        # Hasler-Süsstrunk colorfulness over the lossless raw16
+        # subset — the monochrome-corpus filter; opponent-plane sums
+        # are exact in float64 so the pixel-regeneration twin matches
+        # bit-for-bit
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_colorfulness(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "colorfulness"]]
 
     def image_norm_moments(sf_dir: str):
         # per-channel mean/std normalization constants over the
@@ -4372,6 +4427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pixel_histogram": image_pixel_histogram,
         "image_sharpness": image_sharpness,
         "image_entropy_contrast": image_entropy_contrast,
+        "image_colorfulness": image_colorfulness,
         "image_patches": image_patches,
         "image_norm_moments": image_norm_moments,
         "image_patch_dup_pairs": image_patch_dup_pairs,
@@ -4410,6 +4466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_urgency_ks": orders_urgency_ks,
         "event_type_dow_chi2": event_type_dow_chi2,
         "user_purchase_survival": user_purchase_survival,
+        "user_decayed_engagement": user_decayed_engagement,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
         "nation_revenue_hhi": nation_revenue_hhi,
         "nation_acctbal_gini": nation_acctbal_gini,
@@ -4725,6 +4782,30 @@ def _sql_image_entropy_contrast(bins: int = 16) -> str:
                    AS contrast
         FROM st s JOIN hn ON hn.i = s.i
         ORDER BY image_id
+    """
+
+
+def _sql_image_colorfulness() -> str:
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        pp AS (SELECT i, y, x,
+                  MAX(CASE WHEN c = 0 THEN px END) AS r,
+                  MAX(CASE WHEN c = 1 THEN px END) AS g,
+                  MAX(CASE WHEN c = 2 THEN px END) AS b2
+               FROM gpx GROUP BY i, y, x),
+        cf AS (SELECT i, r - g AS rg,
+                      0.5e0 * (r + g) - b2 AS yb
+               FROM pp),
+        m AS (SELECT i, AVG(rg) AS mrg, AVG(yb) AS myb,
+                 AVG(rg * rg) - AVG(rg) * AVG(rg) AS vrg,
+                 AVG(yb * yb) - AVG(yb) * AVG(yb) AS vyb
+              FROM cf GROUP BY i)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               {_sql_round_even(
+                   'sqrt(GREATEST(vrg + vyb, 0e0))'
+                   ' + 0.3e0 * sqrt(mrg * mrg + myb * myb)')}
+                   AS colorfulness
+        FROM m ORDER BY image_id
     """
 
 
@@ -6761,6 +6842,7 @@ def oracle_sql() -> dict[str, str]:
         "image_patches": _sql_image_patches(),
         "image_sharpness": _sql_image_sharpness(),
         "image_entropy_contrast": _sql_image_entropy_contrast(),
+        "image_colorfulness": _sql_image_colorfulness(),
         "image_features": _sql_image_features(),
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),
@@ -8443,6 +8525,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nb AS BIGINT) AS n_buckets,
                    tb AS peak_bucket, n AS peak_n
             FROM gsel WHERE rk = 1
+        """,
+        "user_decayed_engagement": """
+            WITH mx AS (SELECT MAX(epoch(ts)) AS cend FROM events)
+            SELECT user_id, COUNT(*) AS n,
+                   round(SUM(pow(2e0, -(mx.cend - epoch(ts))
+                                      / (7e0 * 86400e0))), 6)
+                       AS decayed_count
+            FROM events CROSS JOIN mx
+            GROUP BY user_id ORDER BY user_id
         """,
         "user_purchase_survival": """
             WITH u AS (SELECT user_id, MIN(epoch(ts)) AS f,

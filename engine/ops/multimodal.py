@@ -462,3 +462,46 @@ def image_entropy_contrast(
         EntropyContrast, fn_constructor_kwargs={"bins": bins},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class Colorfulness:
+    """Per-image Hasler-Süsstrunk colorfulness metric (public 2003
+    formula): with opponent planes rg = R-G and yb = (R+G)/2 - B,
+    M = sqrt(var(rg) + var(yb)) + 0.3 * sqrt(mean(rg)^2 + mean(yb)^2)
+    — the grayscale/monochrome-corpus filter. Opponent values are
+    integer/half-integer, so all sums stay exact in float64 and the
+    SQL twin's AVG-based variance lands on identical floats (variance
+    computed as mean(x^2) - mean(x)^2 on BOTH sides for that
+    reason)."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt).astype(np.float64)
+            n = px.shape[0] * px.shape[1]
+            rg = (px[:, :, 0] - px[:, :, 1]).reshape(-1)
+            yb = (0.5 * (px[:, :, 0] + px[:, :, 1])
+                  - px[:, :, 2]).reshape(-1)
+            mrg = rg.sum() / n
+            myb = yb.sum() / n
+            vrg = (rg * rg).sum() / n - mrg * mrg
+            vyb = (yb * yb).sum() / n - myb * myb
+            vals.append(np.sqrt(max(vrg + vyb, 0.0))
+                        + 0.3 * np.sqrt(mrg * mrg + myb * myb))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        return out.append_column(
+            "colorfulness", pa.array(np.round(vals, 6), pa.float64()))
+
+
+def image_colorfulness(
+    ds: ray.data.Dataset, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        Colorfulness, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -470,3 +470,29 @@ def test_entropy_contrast_known_images(ray_session):
     assert out.loc["duo", "entropy"] == pytest.approx(np.log(2),
                                                       rel=1e-6)
     assert out.loc["duo", "contrast"] == pytest.approx(50.0, rel=1e-9)
+
+
+def test_colorfulness_known_images(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_colorfulness
+
+    # any gray image (R=G=B): rg = yb = 0 everywhere -> M = 0
+    gray = np.full((8, 8, 3), 77, np.uint8)
+    # saturated red: rg = 255 const, yb = 127.5 const -> vars 0,
+    # M = 0.3 * sqrt(255^2 + 127.5^2)
+    red = np.zeros((8, 8, 3), np.uint8)
+    red[:, :, 0] = 255
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["gray", "red"],
+        "bytes": [encode(gray, "raw16"), encode(red, "raw16")],
+        "fmt": ["raw16", "raw16"],
+    }))
+    out = (image_colorfulness(ds).to_pandas().set_index("image_id"))
+    assert out.loc["gray", "colorfulness"] == pytest.approx(0.0,
+                                                            abs=1e-12)
+    want = 0.3 * np.sqrt(255.0 ** 2 + 127.5 ** 2)
+    assert out.loc["red", "colorfulness"] == pytest.approx(want,
+                                                           abs=1e-6)
