@@ -1609,6 +1609,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "session_seq", "n_events",
              "start_ts", "end_ts", "duration"]]
 
+    def price_weighted_median_by_flag(sf_dir: str):
+        # quantity-weighted lower median of extended price per return
+        # flag — the multiplicity-aware robust center; integer weights
+        # keep every cumulative sum exact, so the >= crossing matches
+        # the SQL window cumsum bit-for-bit
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_returnflag", "l_extendedprice",
+                       "l_quantity"])
+        out = relational.weighted_median(
+            li, "l_returnflag", "l_extendedprice",
+            "l_quantity").to_pandas()
+        out["total_w"] = out["total_w"].astype(np.int64)
+        out["weighted_median"] = out["weighted_median"].round(4)
+        return out.sort_values("l_returnflag", ignore_index=True)[
+            ["l_returnflag", "total_w", "weighted_median"]]
+
     def qty_price_spearman_by_flag(sf_dir: str):
         # Spearman rank correlation (midrank ties) of quantity vs
         # price per return flag — the monotone-association companion
@@ -4474,6 +4490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": user_sessions,
         "order_priority_theil": order_priority_theil,
         "qty_price_spearman_by_flag": qty_price_spearman_by_flag,
+        "price_weighted_median_by_flag": price_weighted_median_by_flag,
         "event_value_trimmed_mean": event_value_trimmed_mean,
         "value_shape_by_event_type": value_shape_by_event_type,
         "events_hourly_acf": events_hourly_acf,
@@ -7237,6 +7254,20 @@ def oracle_sql() -> dict[str, str]:
                          / (COUNT(*) * SUM(x))
                          - (COUNT(*) + 1e0) / COUNT(*), 6) AS gini
             FROM v GROUP BY c_nationkey
+        """,
+        "price_weighted_median_by_flag": """
+            WITH c AS (SELECT l_returnflag, l_extendedprice AS v,
+                    SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS cw,
+                    SUM(l_quantity) OVER (PARTITION BY l_returnflag)
+                        AS tot
+                FROM lineitem)
+            SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_w,
+                   round(MIN(v), 4) AS weighted_median
+            FROM c WHERE cw >= tot / 2.0
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "qty_price_spearman_by_flag": """
             WITH r AS (SELECT l_returnflag,

@@ -2866,3 +2866,65 @@ def km_survival(
         "n_risk": out["n_risk"].astype(np.int64),
         "n_events": out["d"].astype(np.int64),
         "survival": out["survival"].astype(np.float64)})
+
+
+def weighted_median(
+    ds: ray.data.Dataset,
+    group_key: str,
+    col: str,
+    weight_col: str,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-group WEIGHTED lower median: the smallest value v whose
+    cumulative weight (values sorted ascending) reaches half the
+    group's total weight — the robust center when rows carry
+    multiplicity (quantity-weighted price, token-weighted score).
+    Deterministic tie rule: cumulative weights compare with >= and
+    equal-VALUE rows all carry the same candidate, so tie order can't
+    change the result. With integer weights (the common multiplicity
+    case) every cumulative sum is exact in float64, making the >=
+    boundary bit-identical to the SQL twin's window cumsum. One
+    co-shuffle by group, then a segmented sort + cumsum pass per
+    shard."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.drop(columns="__shard").sort_values(
+            [group_key, col], kind="stable")
+        gk = g[group_key].to_numpy()
+        v = g[col].to_numpy(np.float64)
+        w = g[weight_col].to_numpy(np.float64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {group_key: pd.Series(dtype=gk.dtype),
+                 "total_w": pd.Series(dtype=np.float64),
+                 "weighted_median": pd.Series(dtype=np.float64)})
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = gk[1:] != gk[:-1]
+        s_idx = np.flatnonzero(starts)
+        sizes = np.diff(np.r_[s_idx, n])
+        cw = np.cumsum(w)
+        base = np.concatenate([[0.0], cw])[s_idx]
+        cum_in = cw - np.repeat(base, sizes)  # per-group running sum
+        tot = np.add.reduceat(w, s_idx)
+        half = np.repeat(tot / 2.0, sizes)
+        hit = cum_in >= half
+        # first hit per group: positions where hit first flips true
+        first = np.zeros(n, dtype=bool)
+        first[s_idx] = hit[s_idx]
+        inner = ~starts & hit
+        inner[1:] &= ~hit[:-1]
+        first |= inner
+        sel = np.flatnonzero(first)
+        return pd.DataFrame({
+            group_key: gk[sel],
+            "total_w": tot,
+            "weighted_median": v[sel],
+        })
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas")
+    )

@@ -3552,3 +3552,36 @@ def test_km_survival_reference_with_censoring(ray_session):
     all_ev = pd.DataFrame({"day": [1, 2, 2, 4], "ev": [1, 1, 1, 1]})
     out2 = km_survival(ray.data.from_pandas(all_ev), "day", "ev")
     assert out2["survival"].iloc[-1] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_weighted_median_reference(ray_session):
+    import ray.data
+
+    from engine.ops.relational import weighted_median
+
+    # hand case: values 1..4 with weights 1,1,3,1 -> total 6,
+    # half 3, cum at v=3 is 5 >= 3 ... cum at v=2 is 2 < 3 -> median 3
+    df = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, 2.0, 3.0, 4.0],
+                       "w": [1, 1, 3, 1]})
+    out = weighted_median(
+        ray.data.from_pandas(df), "g", "v", "w").to_pandas()
+    assert out["weighted_median"].iloc[0] == 3.0
+    assert out["total_w"].iloc[0] == 6
+
+    # all-equal weights == lower median; random reference
+    rng = np.random.default_rng(29)
+    frames = []
+    for g in "xyz":
+        n = int(rng.integers(10, 40))
+        frames.append(pd.DataFrame({
+            "g": g, "v": rng.normal(0, 5, n),
+            "w": rng.integers(1, 6, n)}))
+    df = pd.concat(frames, ignore_index=True)
+    out = (weighted_median(ray.data.from_pandas(df), "g", "v", "w")
+           .to_pandas().set_index("g"))
+    for g in "xyz":
+        sub = df[df["g"] == g].sort_values("v")
+        cw = sub["w"].cumsum()
+        ref = sub["v"].to_numpy()[
+            np.flatnonzero(cw.to_numpy() >= sub["w"].sum() / 2.0)[0]]
+        assert out.loc[g, "weighted_median"] == pytest.approx(ref)
