@@ -789,6 +789,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = relational.bucketed_anti_join(part, li, "p_partkey")
         return out.select_columns(["p_partkey", "p_name"]).to_pandas()
 
+    def user_top_paths(sf_dir: str):
+        # path analysis: the 10 most common first-5-event journeys
+        # ('signup>view>click>...') — per-shard path combiner counts,
+        # one tiny final; ties broken by path ascending
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id", "event_type"])
+
+        def f(shard: pd.DataFrame) -> pd.DataFrame:
+            g = shard.drop(columns="__shard").sort_values(
+                ["user_id", "ts", "event_id"], kind="stable")
+            pos = g.groupby("user_id", sort=False).cumcount()
+            g = g[pos.to_numpy() < 5]
+            agg = g.groupby("user_id", sort=False)[
+                "event_type"].agg(">".join)
+            vc = agg.value_counts()
+            return pd.DataFrame({"path": vc.index.to_numpy(),
+                                 "n_users": vc.to_numpy()})
+
+        parts = relational._sharded_by_key(
+            ev, "user_id", 64).groupby("__shard").map_groups(
+            f, batch_format="pandas")
+        tot = relational.sum_final(parts, ["path"]).to_pandas()
+        tot["n_users"] = tot["n_users"].astype(np.int64)
+        return tot.sort_values(
+            ["n_users", "path"], ascending=[False, True],
+            ignore_index=True).head(10)
+
     def user_event_type_seq(sf_dir: str):
         # ordered per-group string_agg — the reference's per-area
         # article list (one comma-joined titles row per admin area)
@@ -1818,6 +1845,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [round(int(tot[f"c{i}"]) / float(n), 6)
                  for i in range(3)], np.float64),
         })
+
+    def docs_char_entropy(sf_dir: str):
+        # per-doc codepoint entropy (gibberish/padding detector);
+        # SQL twin groups per-character counts over a position spine
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.char_entropy(docs).select_columns(
+            ["doc_id", "n_chars", "char_entropy"])
 
     def docs_readability_lix(sf_dir: str):
         # LIX readability index (deterministic: no syllable
@@ -4358,6 +4392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_of_rich_customers": orders_of_rich_customers,
         "parts_never_ordered_heavy": parts_never_ordered_heavy,
         "user_event_type_seq": user_event_type_seq,
+        "user_top_paths": user_top_paths,
         "top_event_type_per_user": top_event_type_per_user,
         "event_value_delta": event_value_delta,
         "event_value_window": event_value_window,
@@ -4470,6 +4505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_dead_reckoning": geo_dead_reckoning,
         "docs_sentence_stats": docs_sentence_stats,
         "docs_readability_lix": docs_readability_lix,
+        "docs_char_entropy": docs_char_entropy,
         "geom_harmonic_price_by_status": geom_harmonic_price_by_status,
         "user_sequence_entropy": user_sequence_entropy,
         "orders_benford_digits": orders_benford_digits,
@@ -6685,6 +6721,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_partkey FROM lineitem WHERE l_quantity > 45
             )
         """,
+        "user_top_paths": """
+            WITH r AS (SELECT user_id, event_type,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+                FROM events),
+            p AS (SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 5 GROUP BY user_id)
+            SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 10
+        """,
         "user_event_type_seq": """
             SELECT user_id,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
@@ -7125,6 +7172,24 @@ def oracle_sql() -> dict[str, str]:
                    round(stat, 6) AS cusum_stat,
                    CAST(rn AS BIGINT) AS t_ix
             FROM sel WHERE rk = 1
+        """,
+        "docs_char_entropy": """
+            WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c
+                        FROM documents,
+                        UNNEST(range(1, length(text) + 1)) AS u(i)),
+            cnt AS (SELECT doc_id, c, COUNT(*) AS n
+                    FROM ch GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, SUM(n) AS nt FROM cnt
+                    GROUP BY doc_id),
+            e AS (SELECT cnt.doc_id,
+                     -SUM((CAST(cnt.n AS DOUBLE) / tot.nt)
+                          * ln(CAST(cnt.n AS DOUBLE) / tot.nt)) AS h
+                  FROM cnt JOIN tot USING (doc_id)
+                  GROUP BY cnt.doc_id)
+            SELECT d.doc_id,
+                   CAST(length(d.text) AS BIGINT) AS n_chars,
+                   round(COALESCE(e.h, 0e0), 6) AS char_entropy
+            FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
         """,
         "docs_readability_lix": """
             WITH st AS (SELECT doc_id,

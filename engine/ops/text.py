@@ -901,3 +901,33 @@ def readability_lix(ds: ray.data.Dataset) -> ray.data.Dataset:
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc Shannon entropy (nats) over CODEPOINT frequencies — the
+    compressibility proxy that flags key-mash gibberish (entropy too
+    high for its language) and repeated-char padding (too low) where
+    token-level stats look normal. Codepoints come from a zero-copy
+    utf-32 view per doc (no Python char loop); counts are exact ints,
+    so the SQL twin's per-character GROUP BY lands on identical
+    ratios."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        ents, lens = [], []
+        for s in b["text"].astype(str):
+            cp = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+            n = len(cp)
+            if n == 0:
+                ents.append(0.0)
+                lens.append(0)
+                continue
+            _, cnt = np.unique(cp, return_counts=True)
+            p = cnt / float(n)
+            ents.append(float(-(p * np.log(p)).sum()))
+            lens.append(n)
+        out = b[["doc_id"]].copy()
+        out["n_chars"] = np.asarray(lens, np.int64)
+        out["char_entropy"] = np.round(ents, 6)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

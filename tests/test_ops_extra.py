@@ -3585,3 +3585,23 @@ def test_weighted_median_reference(ray_session):
         ref = sub["v"].to_numpy()[
             np.flatnonzero(cw.to_numpy() >= sub["w"].sum() / 2.0)[0]]
         assert out.loc[g, "weighted_median"] == pytest.approx(ref)
+
+
+def test_char_entropy_known_values(ray_session):
+    import ray.data
+
+    from engine.ops.text import char_entropy
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aaaa",            # one symbol -> 0
+                 "abab",            # two equal symbols -> ln 2
+                 ""],               # empty -> 0
+    })
+    out = (char_entropy(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert out["char_entropy"].iloc[0] == pytest.approx(0.0)
+    assert out["char_entropy"].iloc[1] == pytest.approx(np.log(2),
+                                                        abs=1e-6)
+    assert out["char_entropy"].iloc[2] == 0.0
+    assert out["n_chars"].tolist() == [4, 4, 0]
