@@ -1138,14 +1138,35 @@ def containment_pairs(
             "inter": 1,
         }).groupby(["a", "b"], as_index=False).sum()
 
-    nd = relational.sum_final(
+    nd_ds = relational.sum_final(
         sharded.groupby("__shard").map_groups(
             doc_counts, batch_format="pandas"),
-        ["doc_id"]).to_pandas()
+        ["doc_id"])
     inter = relational.sum_final(
         sharded.groupby("__shard").map_groups(
             pair_counts, batch_format="pandas"),
         ["a", "b"]).to_pandas()
+    # only PAIR-participating docs' denominators reach the driver
+    # (O(pair docs), bounded by 2x the candidate-pair count) — the
+    # full O(corpus) count table stays distributed; the id set is the
+    # small side and broadcasts once
+    if len(inter):
+        pair_ids = np.union1d(inter["a"].to_numpy(),
+                              inter["b"].to_numpy())
+        ids_ref = ray.put(np.sort(pair_ids))
+
+        def keep_pair_docs(b: pd.DataFrame) -> pd.DataFrame:
+            from engine.state import cached_get
+
+            ids = cached_get(ids_ref)
+            return b[np.isin(b["doc_id"].to_numpy(), ids,
+                             assume_unique=False)]
+
+        nd = nd_ds.map_batches(
+            keep_pair_docs, batch_format="pandas").to_pandas()
+    else:
+        nd = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                           "n": pd.Series(dtype=np.int64)})
     if inter.empty:
         return pd.DataFrame({
             "a": pd.Series(dtype=np.int64),
