@@ -2192,6 +2192,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["area_deg2"] = out["area_deg2"].round(6)
         return out[["admin_id", "level", "area_deg2"]]
 
+    def geo_admin_image_density(sf_dir: str):
+        # per-admin image density (contained images / shoelace area):
+        # composes the STRtree PIP join's per-admin counts with the
+        # hole-subtracted polygon areas — the coverage-pressure map
+        # that decides which regions need more acquisition
+        idx = _geo_indexed(columns=["image_id", "caption"])
+        j = join.run_pip_join(idx, fixtures.polygons(),
+                              concurrency=(1, 4))
+        cnt = relational.partial_groupby_sum(
+            j, ["admin_id"], {}, count_as="n_images").to_pandas()
+        areas = geo_ops.polygon_areas(
+            fixtures.polygons()).to_pandas()
+        out = areas.merge(cnt, on="admin_id", how="left")
+        out["n_images"] = out["n_images"].fillna(0).astype(np.int64)
+        a = out["area_deg2"].to_numpy(np.float64)
+        out["density"] = np.round(
+            out["n_images"].to_numpy(np.float64) / a, 6)
+        out["area_deg2"] = out["area_deg2"].round(6)
+        return out.sort_values("admin_id", ignore_index=True)[
+            ["admin_id", "level", "area_deg2", "n_images", "density"]]
+
     def geo_idw_mpx_at_centroids(sf_dir: str):
         # IDW spatial interpolation: megapixel field sampled at the
         # polygon centroids from each centroid's 5 nearest images;
@@ -2380,6 +2401,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.sort_values(["track_a", "track_b"],
                               ignore_index=True)
         return out[["track_a", "track_b", "frechet_m"]]
+
+    def geo_track_sde(sf_dir: str):
+        # per-track standard deviational ellipse (centrography's
+        # grouped form): orientation + major/minor axes from the
+        # closed-form 2x2 covariance eigenpair — moment combiner only,
+        # no eigensolve; SQL twin expands the identical expressions
+        pts = _geo_tracked()
+
+        def mom(t):
+            import pyarrow as pa
+
+            lon = np.asarray(t["lon"], np.float64)
+            lat = np.asarray(t["lat"], np.float64)
+            return pa.table({
+                "track_id": t["track_id"],
+                "sx": pa.array(lon), "sy": pa.array(lat),
+                "sxx": pa.array(lon * lon),
+                "syy": pa.array(lat * lat),
+                "sxy": pa.array(lon * lat),
+            })
+
+        agg = relational.partial_groupby_sum(
+            pts.map_batches(mom, batch_format="pyarrow"),
+            ["track_id"],
+            {"sx": "sx", "sy": "sy", "sxx": "sxx", "syy": "syy",
+             "sxy": "sxy"}, count_as="n").to_pandas()
+        n = agg["n"].to_numpy(np.float64)
+        mx = agg["sx"].to_numpy() / n
+        my = agg["sy"].to_numpy() / n
+        vx = agg["sxx"].to_numpy() / n - mx * mx
+        vy = agg["syy"].to_numpy() / n - my * my
+        cv = agg["sxy"].to_numpy() / n - mx * my
+        theta = 0.5 * np.arctan2(2.0 * cv, vx - vy)
+        half = 0.5 * (vx + vy)
+        root = np.sqrt((0.5 * (vx - vy)) ** 2 + cv * cv)
+        out = pd.DataFrame({
+            "track_id": agg["track_id"],
+            "n": agg["n"].astype(np.int64),
+            "theta": np.round(theta, 6),
+            "major_deg": np.round(
+                np.sqrt(np.maximum(half + root, 0.0)), 6),
+            "minor_deg": np.round(
+                np.sqrt(np.maximum(half - root, 0.0)), 6),
+        })
+        return out.sort_values("track_id", ignore_index=True)
 
     def geo_track_dtw(sf_dir: str):
         # pairwise DTW between bbox-overlapping tracks — the elastic
@@ -4449,6 +4515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
         "geo_polygon_areas": geo_polygon_areas,
+        "geo_admin_image_density": geo_admin_image_density,
         "geo_idw_mpx_at_centroids": geo_idw_mpx_at_centroids,
         "geo_coverage_gaps": geo_coverage_gaps,
         "geo_polygon_pruned_scan": geo_polygon_pruned_scan,
@@ -4471,6 +4538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_hausdorff": geo_track_hausdorff,
         "geo_track_frechet": geo_track_frechet,
         "geo_track_dtw": geo_track_dtw,
+        "geo_track_sde": geo_track_sde,
         "geo_ripley_k": geo_ripley_k,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
@@ -7919,6 +7987,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT admin_id, level, centroid_lon, centroid_lat
             FROM gcent ORDER BY admin_id
         """,
+        "geo_admin_image_density": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gll),
+            {_SQL_GEO_PIP},
+            cnt AS (SELECT admin_id, COUNT(*) AS n_images
+                    FROM ghits GROUP BY admin_id),
+            av AS (SELECT admin_id, level, ring_ix, vertex_ix,
+                          lon, lat
+                   FROM read_parquet('{_GEO_AUX_VERTICES}')),
+            aw AS (SELECT admin_id, level, ring_ix,
+                     lon * COALESCE(LEAD(lat) OVER rw,
+                                    FIRST_VALUE(lat) OVER rw)
+                   - COALESCE(LEAD(lon) OVER rw,
+                              FIRST_VALUE(lon) OVER rw) * lat AS cr
+                  FROM av WINDOW rw AS (PARTITION BY admin_id, ring_ix
+                                        ORDER BY vertex_ix)),
+            ar0 AS (SELECT admin_id, level, ring_ix,
+                           ABS(SUM(cr)) / 2e0 AS a
+                    FROM aw GROUP BY admin_id, level, ring_ix),
+            ar AS (SELECT admin_id, level,
+                      SUM(CASE WHEN ring_ix = 0 THEN a ELSE -a END)
+                          AS area
+                   FROM ar0 GROUP BY admin_id, level)
+            SELECT ar.admin_id, ar.level,
+                   round(ar.area, 6) AS area_deg2,
+                   CAST(COALESCE(c.n_images, 0) AS BIGINT)
+                       AS n_images,
+                   round(CAST(COALESCE(c.n_images, 0) AS DOUBLE)
+                         / ar.area, 6) AS density
+            FROM ar LEFT JOIN cnt c ON c.admin_id = ar.admin_id
+            ORDER BY ar.admin_id
+        """,
         "geo_polygon_areas": f"""
             WITH v AS (SELECT admin_id, level, ring_ix, vertex_ix,
                               lon, lat
@@ -8261,6 +8362,31 @@ def oracle_sql() -> dict[str, str]:
                    round(cur[1], 4) AS frechet_m
             FROM gwave WHERE t = {2 * _GEO_NPT - 2}
             ORDER BY track_a, track_b
+        """,
+        "geo_track_sde": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, lon, lat FROM gll),
+            m AS (SELECT track_id, COUNT(*) AS n,
+                     SUM(lon) / COUNT(*) AS mx,
+                     SUM(lat) / COUNT(*) AS my,
+                     SUM(lon * lon) / COUNT(*) AS rxx,
+                     SUM(lat * lat) / COUNT(*) AS ryy,
+                     SUM(lon * lat) / COUNT(*) AS rxy
+                  FROM gt GROUP BY track_id),
+            v AS (SELECT track_id, n,
+                     rxx - mx * mx AS vx, ryy - my * my AS vy,
+                     rxy - mx * my AS cv
+                  FROM m)
+            SELECT track_id, CAST(n AS BIGINT) AS n,
+                   round(0.5e0 * atan2(2e0 * cv, vx - vy), 6)
+                       AS theta,
+                   round(sqrt(GREATEST(0.5e0 * (vx + vy)
+                       + sqrt(pow(0.5e0 * (vx - vy), 2) + cv * cv),
+                       0e0)), 6) AS major_deg,
+                   round(sqrt(GREATEST(0.5e0 * (vx + vy)
+                       - sqrt(pow(0.5e0 * (vx - vy), 2) + cv * cv),
+                       0e0)), 6) AS minor_deg
+            FROM v ORDER BY track_id
         """,
         "geo_track_dtw": f"""
             WITH RECURSIVE {_sql_geo_lonlat(_GEO_N)},
