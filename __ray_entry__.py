@@ -1339,6 +1339,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges.map_batches(rn, batch_format="pyarrow"),
             num_shards=16)
 
+    def part_bfs_hops(sf_dir: str):
+        # single-source BFS over the co-order parts graph from the
+        # smallest part id: hop-count histogram (the reachability /
+        # small-world diagnostic); SQL twin is a UNION-deduped
+        # recursive CTE with MIN(hop) semantics
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"])
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        e = edges.map_batches(rn, batch_format="pyarrow")
+        src_id = int(e.map_batches(
+            lambda t: pd.DataFrame(
+                {"m": [np.asarray(t["a"], np.int64).min()]}),
+            batch_format="pyarrow").to_pandas()["m"].min())
+        reached = graph_ops.bfs_hops(e, src_id, max_hops=8)
+        out = reached.groupby("hop", as_index=False).agg(
+            n_nodes=("node", "size"))
+        out["n_nodes"] = out["n_nodes"].astype(np.int64)
+        return out.sort_values("hop", ignore_index=True)
+
     def part_degree_assortativity(sf_dir: str):
         # hub-to-hub vs hub-to-leaf wiring: Pearson correlation of
         # endpoint degrees over symmetrized co-order edges; only
@@ -4559,6 +4588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_logprob": docs_bigram_logprob,
         "event_type_cooccurrence": event_type_cooccurrence,
         "part_triangle_count": part_triangle_count,
+        "part_bfs_hops": part_bfs_hops,
         "part_degree_assortativity": part_degree_assortativity,
         "part_link_jaccard": part_link_jaccard,
         "part_k_core": part_k_core,
@@ -7177,6 +7207,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(per.m, 0.0), 6)
                        AS mean_bigram_logp
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "part_bfs_hops": """
+            WITH RECURSIVE pe AS (SELECT DISTINCT
+                            l1.l_partkey AS a, l2.l_partkey AS b
+                        FROM lineitem l1 JOIN lineitem l2
+                          ON l2.l_orderkey = l1.l_orderkey
+                         AND l1.l_partkey < l2.l_partkey),
+            sym AS (SELECT a, b FROM pe
+                    UNION ALL SELECT b, a FROM pe),
+            src AS (SELECT MIN(a) AS s FROM pe),
+            bfs AS (
+                SELECT (SELECT s FROM src) AS node, 0 AS hop
+                UNION
+                SELECT sym.b, bfs.hop + 1
+                FROM bfs JOIN sym ON sym.a = bfs.node
+                WHERE bfs.hop < 8
+            ),
+            d AS (SELECT node, MIN(hop) AS hop FROM bfs
+                  GROUP BY node)
+            SELECT hop, COUNT(*) AS n_nodes FROM d
+            GROUP BY hop ORDER BY hop
         """,
         "part_triangle_count": """
             WITH pe AS (SELECT DISTINCT

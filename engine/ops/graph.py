@@ -861,3 +861,57 @@ def k_core(
         "n_vertices": np.asarray([n_vertices], np.int64),
         "n_edges": np.asarray([int(n_edges)], np.int64),
     })
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    source: int,
+    max_hops: int = 16,
+    broadcast_nodes: int = 5_000_000,
+) -> pd.DataFrame:
+    """Single-source BFS hop counts over an undirected edge list
+    (rows a < b) — the reachability/diameter primitive behind
+    "how many link-hops from this entity". Per round the frontier
+    and visited sets broadcast once (sorted arrays + searchsorted,
+    same discipline as ``k_core``'s survivor filter) and one streaming
+    pass over the pinned edges collects next-hop neighbors; rounds =
+    graph diameter, not edge count. The driver holds O(reached nodes)
+    ids — at web-graph scale swap the membership test to the co-shard
+    ``_edge_node_semi`` side trick above ``broadcast_nodes`` (the
+    documented k_core gate); fixture graphs sit far below it.
+
+    Returns DataFrame(node, hop) for every reached node."""
+    from engine.state import cached_get
+
+    edges = edges.materialize()
+    visited = [np.asarray([source], np.int64)]
+    frontier = np.asarray([source], np.int64)
+    hops = [np.zeros(1, np.int64)]
+    for h in range(1, max_hops + 1):
+        vis_sorted = np.sort(np.concatenate(visited))
+        ref = ray.put((np.sort(frontier), vis_sorted))
+
+        def nbrs(t) -> pd.DataFrame:
+            fr, vis = cached_get(ref)
+            a = np.asarray(t["a"], np.int64)
+            b = np.asarray(t["b"], np.int64)
+            fa = np.searchsorted(fr, a)
+            fa = (fr[np.minimum(fa, len(fr) - 1)] == a)
+            fb = np.searchsorted(fr, b)
+            fb = (fr[np.minimum(fb, len(fr) - 1)] == b)
+            cand = np.unique(np.concatenate([b[fa], a[fb]]))
+            pos = np.searchsorted(vis, cand)
+            pos = np.minimum(pos, len(vis) - 1)
+            fresh = cand[vis[pos] != cand]
+            return pd.DataFrame({"node": fresh})
+
+        new = edges.map_batches(
+            nbrs, batch_format="pyarrow").to_pandas()
+        if new.empty:
+            break
+        frontier = np.unique(new["node"].to_numpy(np.int64))
+        visited.append(frontier)
+        hops.append(np.full(len(frontier), h, np.int64))
+    return pd.DataFrame({
+        "node": np.concatenate(visited),
+        "hop": np.concatenate(hops)})
