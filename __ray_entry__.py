@@ -3594,6 +3594,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("image_id", ignore_index=True)[
             ["image_id", "colorfulness"]]
 
+    def image_otsu_threshold(sf_dir: str):
+        # per-image Otsu binarization threshold (channel 0) over the
+        # lossless raw16 subset — the scan/mask curation filter; the
+        # DuckDB twin regenerates the pixels and recomputes the
+        # between-class variance from exact integer cumsums, argmax
+        # tie-broken on the 6dp-rounded statistic (smallest t first)
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_otsu(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "threshold", "between_var", "fg_frac"]]
+
+    def image_glcm_texture(sf_dir: str):
+        # per-image Haralick GLCM texture (8-level, dx=1 offset):
+        # energy / contrast / homogeneity over the lossless raw16
+        # subset — the texture-based curation features; all numerators
+        # are exact integer sums (homogeneity scaled by lcm(1..8)=840)
+        # so the pixel-regeneration twin matches bit-for-bit
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_glcm(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            levels=8, concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "glcm_energy", "glcm_contrast",
+             "glcm_homogeneity"]]
+
     def image_norm_moments(sf_dir: str):
         # per-channel mean/std normalization constants over the
         # LOSSLESS-codec (raw16) subset (exact moment combiner). The
@@ -4576,6 +4617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_sharpness": image_sharpness,
         "image_entropy_contrast": image_entropy_contrast,
         "image_colorfulness": image_colorfulness,
+        "image_otsu_threshold": image_otsu_threshold,
+        "image_glcm_texture": image_glcm_texture,
         "image_patches": image_patches,
         "image_norm_moments": image_norm_moments,
         "image_patch_dup_pairs": image_patch_dup_pairs,
@@ -4957,6 +5000,73 @@ def _sql_image_colorfulness() -> str:
                    ' + 0.3e0 * sqrt(mrg * mrg + myb * myb)')}
                    AS colorfulness
         FROM m ORDER BY image_id
+    """
+
+
+def _sql_image_otsu() -> str:
+    # between-class variance at every DISTINCT present pixel value of
+    # channel 0 (constant across empty bins, so the argmax domain is
+    # the same as all-t); every operand is an exact integer in f64, so
+    # the engine and this twin land on bit-identical statistics.
+    d_expr = ("(c.cs / c.cn - CASE WHEN t.nn - c.cn > 0e0"
+              " THEN (t.ss - c.cs) / (t.nn - c.cn) ELSE 0e0 END)")
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        hist AS (SELECT i, CAST(px AS BIGINT) AS v, COUNT(*) AS n
+                 FROM gpx WHERE c = 0 GROUP BY i, v),
+        tot AS (SELECT i, CAST(SUM(n) AS DOUBLE) AS nn,
+                       CAST(SUM(v * n) AS DOUBLE) AS ss
+                FROM hist GROUP BY i),
+        cum AS (SELECT i, v,
+                   CAST(SUM(n) OVER w AS DOUBLE) AS cn,
+                   CAST(SUM(v * n) OVER w AS DOUBLE) AS cs
+                FROM hist
+                WINDOW w AS (PARTITION BY i ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)),
+        st AS (SELECT c.i, c.v, t.nn, t.nn - c.cn AS rest,
+                  {_sql_round_even(
+                      '(c.cn / t.nn) * (1e0 - c.cn / t.nn) * '
+                      + d_expr + ' * ' + d_expr)} AS stat
+               FROM cum c JOIN tot t USING (i)),
+        best AS (SELECT i, v, stat, rest, nn,
+                    ROW_NUMBER() OVER (PARTITION BY i
+                        ORDER BY stat DESC, v ASC) AS rn
+                 FROM st)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               v AS threshold, stat AS between_var,
+               {_sql_round_even('rest / nn')} AS fg_frac
+        FROM best WHERE rn = 1 ORDER BY image_id
+    """
+
+
+def _sql_image_glcm(levels: int = 8) -> str:
+    # 8-level co-occurrence at (dx=1): integer numerators only
+    # (homogeneity scaled by 840 = lcm(1..8)), one float division at
+    # the end — summation order cannot matter.
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        q AS (SELECT i, y, x,
+                 (CAST(px AS BIGINT) * {levels}) // 256 AS qv
+              FROM gpx WHERE c = 0),
+        pr AS (SELECT a.i, a.qv AS qa, b.qv AS qb
+               FROM q a JOIN q b
+                 ON b.i = a.i AND b.y = a.y AND b.x = a.x + 1),
+        cell AS (SELECT i, qa, qb, COUNT(*) AS n FROM pr
+                 GROUP BY i, qa, qb),
+        ag AS (SELECT i, CAST(SUM(n) AS DOUBLE) AS tot,
+                  CAST(SUM(n * n) AS DOUBLE) AS s_en,
+                  CAST(SUM(n * (qa - qb) * (qa - qb)) AS DOUBLE)
+                      AS s_con,
+                  CAST(SUM(n * (840 // (1 + abs(qa - qb))))
+                       AS DOUBLE) AS s_hom
+               FROM cell GROUP BY i)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               {_sql_round_even('s_en / (tot * tot)')} AS glcm_energy,
+               {_sql_round_even('s_con / tot')} AS glcm_contrast,
+               {_sql_round_even('s_hom / (840e0 * tot)')}
+                   AS glcm_homogeneity
+        FROM ag ORDER BY image_id
     """
 
 
@@ -7005,6 +7115,8 @@ def oracle_sql() -> dict[str, str]:
         "image_sharpness": _sql_image_sharpness(),
         "image_entropy_contrast": _sql_image_entropy_contrast(),
         "image_colorfulness": _sql_image_colorfulness(),
+        "image_otsu_threshold": _sql_image_otsu(),
+        "image_glcm_texture": _sql_image_glcm(),
         "image_features": _sql_image_features(),
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),

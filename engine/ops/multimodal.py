@@ -505,3 +505,105 @@ def image_colorfulness(
     return ds.map_batches(
         Colorfulness, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class OtsuThreshold:
+    """Per-image Otsu binarization threshold on the first channel —
+    the foreground/background split behind document-scan and mask
+    curation filters (Otsu 1979, public formula). The threshold domain
+    is the image's DISTINCT present pixel values (between-class
+    variance is constant across empty histogram bins, so the argmax is
+    unchanged; restricting BOTH sides to present values makes the
+    smallest-t tie-break well-defined for the SQL twin). All cumsum
+    operands are exact integers in float64, so w0, mu0, mu1 and the
+    variance land on bit-identical floats in numpy and DuckDB."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thr, var6, fg = [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            c0 = px[:, :, 0].reshape(-1).astype(np.int64)
+            u, cnt = np.unique(c0, return_counts=True)
+            cn = np.cumsum(cnt).astype(np.float64)
+            cs = np.cumsum(u * cnt).astype(np.float64)
+            nn = float(c0.size)
+            ss = float(cs[-1])
+            w0 = cn / nn
+            rest = nn - cn
+            mu1 = np.where(rest > 0.0, (ss - cs) / np.where(
+                rest > 0.0, rest, 1.0), 0.0)
+            d = cs / cn - mu1
+            stat = np.round(w0 * (1.0 - w0) * d * d, 6)
+            ix = int(np.argmax(stat))  # first max = smallest t
+            thr.append(int(u[ix]))
+            var6.append(float(stat[ix]))
+            fg.append(float(rest[ix]) / nn)
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "threshold", pa.array(np.asarray(thr, np.int64)))
+        out = out.append_column(
+            "between_var", pa.array(var6, pa.float64()))
+        return out.append_column(
+            "fg_frac", pa.array(np.round(fg, 6), pa.float64()))
+
+
+def image_otsu(
+    ds: ray.data.Dataset, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        OtsuThreshold, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class GLCMTexture:
+    """Per-image gray-level co-occurrence texture features (Haralick
+    1973, public formulas) on the first channel, quantized to 8 levels,
+    horizontal offset (dx=1): energy = sum(p^2), contrast =
+    sum(p*(i-j)^2), homogeneity = sum(p/(1+|i-j|)). Every numerator is
+    kept as an exact integer sum (homogeneity scaled by 840 =
+    lcm(1..8)) and divided once at the end, so the SQL twin matches
+    bit-for-bit regardless of summation order."""
+
+    def __init__(self, levels: int = 8):
+        self.levels = levels
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lv = self.levels
+        dd = np.abs(np.arange(lv * lv) // lv - np.arange(lv * lv) % lv)
+        hom_w = 840 // (1 + dd)
+        con_w = dd * dd
+        en, con, hom = [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            q = (px[:, :, 0].astype(np.int64) * lv) // 256
+            pair = (q[:, :-1] * lv + q[:, 1:]).reshape(-1)
+            n = np.bincount(pair, minlength=lv * lv)
+            tot = float(pair.size)
+            en.append(float((n * n).sum()) / (tot * tot))
+            con.append(float((n * con_w).sum()) / tot)
+            hom.append(float((n * hom_w).sum()) / (840.0 * tot))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        for name, vals in [("glcm_energy", en), ("glcm_contrast", con),
+                           ("glcm_homogeneity", hom)]:
+            out = out.append_column(
+                name, pa.array(np.round(vals, 6), pa.float64()))
+        return out
+
+
+def image_glcm(
+    ds: ray.data.Dataset, levels: int = 8, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        GLCMTexture, fn_constructor_kwargs={"levels": levels},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
