@@ -3635,6 +3635,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["image_id", "glcm_energy", "glcm_contrast",
              "glcm_homogeneity"]]
 
+    def image_hu_moments(sf_dir: str):
+        # per-image Hu moment invariants 1-4 (channel 0) over the
+        # lossless raw16 subset — shape fingerprints for crop
+        # bucketing; raw moments are exact integers and the twin
+        # re-derives the invariants through the identical expression
+        # tree (central -> normalized -> Hu), so floats match bitwise
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_hu_moments(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "hu1", "hu2", "hu3", "hu4"]]
+
+    def image_run_length(sf_dir: str):
+        # per-image horizontal run-length stats (channel 0 binarized
+        # at 128) over the raw16 subset — compressibility / noisiness
+        # proxy; all counts exact integers, twin via LAG within rows
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_run_length(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "n_runs", "fg_runs", "mean_run_len"]]
+
+    def image_busiest_block(sf_dir: str):
+        # per-image argmax-variance 8x8 block (channel 0, raw16
+        # subset) — the detail-selecting patch sampler; exact integer
+        # block sums, argmax tie-broken on the 6dp-rounded variance
+        # then smallest (by, bx) on both sides
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_busiest_block(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "by", "bx", "block_var"]]
+
+    def image_radial_profile(sf_dir: str):
+        # per-image radial intensity profile (vignetting curve):
+        # mean channel-0 intensity by integer radius bin from the
+        # center, raw16 subset; doubled-coordinate integer radii keep
+        # both sides exact (floor(sqrt(int))//2 is bit-stable)
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_radial_profile(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values(["image_id", "rbin"],
+                               ignore_index=True)[
+            ["image_id", "rbin", "mean_px", "n_px"]]
+
     def image_norm_moments(sf_dir: str):
         # per-channel mean/std normalization constants over the
         # LOSSLESS-codec (raw16) subset (exact moment combiner). The
@@ -4619,6 +4696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_colorfulness": image_colorfulness,
         "image_otsu_threshold": image_otsu_threshold,
         "image_glcm_texture": image_glcm_texture,
+        "image_hu_moments": image_hu_moments,
+        "image_run_length": image_run_length,
+        "image_busiest_block": image_busiest_block,
+        "image_radial_profile": image_radial_profile,
         "image_patches": image_patches,
         "image_norm_moments": image_norm_moments,
         "image_patch_dup_pairs": image_patch_dup_pairs,
@@ -5067,6 +5148,134 @@ def _sql_image_glcm(levels: int = 8) -> str:
                {_sql_round_even('s_hom / (840e0 * tot)')}
                    AS glcm_homogeneity
         FROM ag ORDER BY image_id
+    """
+
+
+def _sql_image_hu() -> str:
+    # raw moments are exact integers in f64; every derived value goes
+    # through the SAME expression tree as engine.ops.multimodal
+    # .HuMoments (central -> normalized -> invariants), so each float
+    # is bit-identical before the 6dp round.
+    n3 = "(m00 * m00 * sqrt(m00))"
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        m AS (SELECT i,
+                 SUM(px) AS m00,
+                 SUM(x * px) AS m10,
+                 SUM(y * px) AS m01,
+                 SUM(x * x * px) AS m20,
+                 SUM(y * y * px) AS m02,
+                 SUM(x * y * px) AS m11,
+                 SUM(x * x * x * px) AS m30,
+                 SUM(y * y * y * px) AS m03,
+                 SUM(x * x * y * px) AS m21,
+                 SUM(x * y * y * px) AS m12
+              FROM gpx WHERE c = 0 GROUP BY i),
+        cb AS (SELECT *, m10 / m00 AS xb, m01 / m00 AS yb FROM m),
+        mu AS (SELECT i, m00,
+                  m20 - xb * m10 AS mu20,
+                  m02 - yb * m01 AS mu02,
+                  m11 - xb * m01 AS mu11,
+                  m30 - 3e0 * xb * m20 + 2e0 * xb * xb * m10 AS mu30,
+                  m12 - 2e0 * yb * m11 - xb * m02
+                      + 2e0 * yb * yb * m10 AS mu12,
+                  m21 - 2e0 * xb * m11 - yb * m20
+                      + 2e0 * xb * xb * m01 AS mu21,
+                  m03 - 3e0 * yb * m02 + 2e0 * yb * yb * m01 AS mu03
+               FROM cb),
+        et AS (SELECT i,
+                  mu20 / (m00 * m00) AS e20,
+                  mu02 / (m00 * m00) AS e02,
+                  mu11 / (m00 * m00) AS e11,
+                  mu30 / {n3} AS e30,
+                  mu12 / {n3} AS e12,
+                  mu21 / {n3} AS e21,
+                  mu03 / {n3} AS e03
+               FROM mu)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+           {_sql_round_even('e20 + e02')} AS hu1,
+           {_sql_round_even(
+               '(e20 - e02) * (e20 - e02) + 4e0 * e11 * e11')} AS hu2,
+           {_sql_round_even(
+               '(e30 - 3e0 * e12) * (e30 - 3e0 * e12)'
+               ' + (3e0 * e21 - e03) * (3e0 * e21 - e03)')} AS hu3,
+           {_sql_round_even(
+               '(e30 + e12) * (e30 + e12)'
+               ' + (e21 + e03) * (e21 + e03)')} AS hu4
+        FROM et ORDER BY image_id
+    """
+
+
+def _sql_image_run_length() -> str:
+    # run starts = x=0 or value change vs the left neighbor (LAG
+    # within each row); counts are BIGINTs, mean is one int/int
+    # division — bit-identical to the engine.
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        q AS (SELECT i, y, x,
+                 CASE WHEN px >= 128e0 THEN 1 ELSE 0 END AS b
+              FROM gpx WHERE c = 0),
+        s AS (SELECT i, b,
+                 CASE WHEN lag(b) OVER (PARTITION BY i, y ORDER BY x)
+                      IS DISTINCT FROM b THEN 1 ELSE 0 END AS st
+              FROM q),
+        ag AS (SELECT i,
+                  COUNT(*) FILTER (WHERE st = 1) AS n_runs,
+                  COUNT(*) FILTER (WHERE st = 1 AND b = 1) AS fg_runs,
+                  COUNT(*) AS npx
+               FROM s GROUP BY i)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+           n_runs, fg_runs,
+           {_sql_round_even(
+               'CAST(npx AS DOUBLE) / CAST(n_runs AS DOUBLE)')}
+               AS mean_run_len
+        FROM ag ORDER BY image_id
+    """
+
+
+def _sql_image_busiest_block() -> str:
+    # 8x8 block sums / sumsq are exact integers; variance through the
+    # shared tree (ss - s*s/n)/n, argmax on the 6dp-rounded statistic
+    # with smallest (by, bx) tie-break — mirrors BusiestBlock exactly.
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        blk AS (SELECT i, y // 8 AS by, x // 8 AS bx, COUNT(*) AS n,
+                   SUM(px) AS s, SUM(px * px) AS ss
+                FROM gpx WHERE c = 0 GROUP BY i, by, bx),
+        st AS (SELECT i, by, bx,
+                  {_sql_round_even(
+                      '(ss - s * s / CAST(n AS DOUBLE))'
+                      ' / CAST(n AS DOUBLE)')} AS v
+               FROM blk),
+        best AS (SELECT i, by, bx, v,
+                    ROW_NUMBER() OVER (PARTITION BY i
+                        ORDER BY v DESC, by ASC, bx ASC) AS rn
+                 FROM st)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               by, bx, v AS block_var
+        FROM best WHERE rn = 1 ORDER BY image_id
+    """
+
+
+def _sql_image_radial_profile() -> str:
+    # doubled-coordinate integer radii: r2 = (2x-(w-1))^2 +
+    # (2y-(h-1))^2 is exact, floor(sqrt(int))//2 is bit-stable in
+    # IEEE doubles, and the per-bin mean is exact-int / count.
+    r2 = ("(2 * g.x - (d.w - 1)) * (2 * g.x - (d.w - 1))"
+          " + (2 * g.y - (d.h - 1)) * (2 * g.y - (d.h - 1))")
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        g2 AS (SELECT g.i, g.px,
+                  CAST(FLOOR(SQRT(CAST({r2} AS DOUBLE)))
+                       AS BIGINT) // 2 AS rbin
+               FROM gpx g JOIN gdim d ON d.i = g.i
+               WHERE g.c = 0),
+        ag AS (SELECT i, rbin, COUNT(*) AS n_px, SUM(px) AS s
+               FROM g2 GROUP BY i, rbin)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+           rbin, {_sql_round_even('s / CAST(n_px AS DOUBLE)')}
+               AS mean_px, n_px
+        FROM ag ORDER BY image_id, rbin
     """
 
 
@@ -7117,6 +7326,10 @@ def oracle_sql() -> dict[str, str]:
         "image_colorfulness": _sql_image_colorfulness(),
         "image_otsu_threshold": _sql_image_otsu(),
         "image_glcm_texture": _sql_image_glcm(),
+        "image_hu_moments": _sql_image_hu(),
+        "image_run_length": _sql_image_run_length(),
+        "image_busiest_block": _sql_image_busiest_block(),
+        "image_radial_profile": _sql_image_radial_profile(),
         "image_features": _sql_image_features(),
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),

@@ -607,3 +607,217 @@ def image_glcm(
         GLCMTexture, fn_constructor_kwargs={"levels": levels},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class HuMoments:
+    """Per-image Hu moment invariants 1-4 on the first channel (Hu
+    1962, public formulas) — the translation/scale-invariant shape
+    fingerprints used to bucket near-identical crops. Raw moments
+    M_pq = sum x^p y^q I are exact integers in float64 (<= 31^3 * 255
+    * 1024 ~ 7.8e9), and every downstream value is derived through ONE
+    shared expression tree (central -> normalized -> invariants), so
+    the pixel-regeneration SQL twin reproduces each float bit-for-bit
+    before the final 6dp round."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h1, h2, h3, h4 = [], [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            gi = px[:, :, 0].astype(np.float64)
+            h, w = gi.shape
+            xs = np.arange(w, dtype=np.float64)[None, :]
+            ys = np.arange(h, dtype=np.float64)[:, None]
+            M00 = gi.sum()
+            M10 = (xs * gi).sum()
+            M01 = (ys * gi).sum()
+            M20 = (xs * xs * gi).sum()
+            M02 = (ys * ys * gi).sum()
+            M11 = (xs * ys * gi).sum()
+            M30 = (xs * xs * xs * gi).sum()
+            M03 = (ys * ys * ys * gi).sum()
+            M21 = (xs * xs * ys * gi).sum()
+            M12 = (xs * ys * ys * gi).sum()
+            # shared expression tree — mirrored verbatim in the twin
+            xb = M10 / M00
+            yb = M01 / M00
+            mu20 = M20 - xb * M10
+            mu02 = M02 - yb * M01
+            mu11 = M11 - xb * M01
+            mu30 = M30 - 3.0 * xb * M20 + 2.0 * xb * xb * M10
+            mu12 = M12 - 2.0 * yb * M11 - xb * M02 + 2.0 * yb * yb * M10
+            mu21 = M21 - 2.0 * xb * M11 - yb * M20 + 2.0 * xb * xb * M01
+            mu03 = M03 - 3.0 * yb * M02 + 2.0 * yb * yb * M01
+            n2 = M00 * M00
+            n3 = M00 * M00 * np.sqrt(M00)
+            e20 = mu20 / n2
+            e02 = mu02 / n2
+            e11 = mu11 / n2
+            e30 = mu30 / n3
+            e12 = mu12 / n3
+            e21 = mu21 / n3
+            e03 = mu03 / n3
+            h1.append(e20 + e02)
+            h2.append((e20 - e02) * (e20 - e02) + 4.0 * e11 * e11)
+            h3.append((e30 - 3.0 * e12) * (e30 - 3.0 * e12)
+                      + (3.0 * e21 - e03) * (3.0 * e21 - e03))
+            h4.append((e30 + e12) * (e30 + e12)
+                      + (e21 + e03) * (e21 + e03))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        for name, vals in [("hu1", h1), ("hu2", h2),
+                           ("hu3", h3), ("hu4", h4)]:
+            out = out.append_column(
+                name, pa.array(np.round(vals, 6), pa.float64()))
+        return out
+
+
+def image_hu_moments(
+    ds: ray.data.Dataset, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        HuMoments, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class RunLength:
+    """Per-image horizontal run-length stats of the first channel
+    binarized at 128 — a cheap compressibility / noisiness proxy for
+    scan curation. All counts are exact integers; mean run length is
+    one integer-over-integer division, so the SQL twin (LAG over x
+    within each row) matches bit-for-bit."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nr, fr, ml = [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            b = px[:, :, 0].astype(np.int64) >= 128
+            starts = np.ones_like(b)
+            starts[:, 1:] = b[:, 1:] != b[:, :-1]
+            n_runs = int(starts.sum())
+            nr.append(n_runs)
+            fr.append(int((starts & b).sum()))
+            ml.append(float(np.round(b.size / n_runs, 6)))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "n_runs", pa.array(np.asarray(nr, np.int64)))
+        out = out.append_column(
+            "fg_runs", pa.array(np.asarray(fr, np.int64)))
+        return out.append_column(
+            "mean_run_len", pa.array(ml, pa.float64()))
+
+
+def image_run_length(
+    ds: ray.data.Dataset, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        RunLength, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class BusiestBlock:
+    """Per-image argmax-variance 8x8 block of the first channel — the
+    'does this crop contain detail' selector behind patch sampling.
+    Block sums / sumsq are exact integers; the variance expression
+    tree ``(ss - s*s/n)/n`` is shared with the SQL twin and the argmax
+    tie-breaks on the 6dp-ROUNDED statistic, then smallest (by, bx)."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bys, bxs, bvar = [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            gi = px[:, :, 0].astype(np.int64)
+            h, w = gi.shape
+            bid = ((np.arange(h) // 8)[:, None] * 4
+                   + (np.arange(w) // 8)[None, :]).ravel()
+            flat = gi.ravel()
+            n = np.bincount(bid, minlength=16)
+            s = np.bincount(bid, weights=flat.astype(np.float64),
+                            minlength=16)
+            ss = np.bincount(
+                bid, weights=(flat * flat).astype(np.float64),
+                minlength=16)
+            nn = np.where(n > 0, n, 1).astype(np.float64)
+            v = np.round((ss - s * s / nn) / nn, 6)
+            v[n == 0] = -np.inf
+            ix = int(np.argmax(v))  # bid ascending => (by, bx) tie
+            bys.append(ix // 4)
+            bxs.append(ix % 4)
+            bvar.append(float(v[ix]))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column("by", pa.array(np.asarray(bys, np.int64)))
+        out = out.append_column("bx", pa.array(np.asarray(bxs, np.int64)))
+        return out.append_column(
+            "block_var", pa.array(bvar, pa.float64()))
+
+
+def image_busiest_block(
+    ds: ray.data.Dataset, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        BusiestBlock, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class RadialProfile:
+    """Per-image radial intensity profile (vignetting curve): mean of
+    channel 0 by integer radius bin from the image center. The radius
+    uses the doubled-coordinate trick r2 = (2x-(w-1))^2 + (2y-(h-1))^2
+    so everything stays an exact integer; floor(sqrt(int))//2 is
+    bit-stable across numpy and DuckDB (IEEE sqrt is correctly
+    rounded, and non-square r2 is never within an ulp of an integer)."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rbins, means, npx = [], [], [], []
+        for iid, data, fmt in zip(batch["image_id"].to_pylist(),
+                                  batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            gi = px[:, :, 0].astype(np.int64)
+            h, w = gi.shape
+            dy = 2 * np.arange(h, dtype=np.int64) - (h - 1)
+            dx = 2 * np.arange(w, dtype=np.int64) - (w - 1)
+            r2 = (dy * dy)[:, None] + (dx * dx)[None, :]
+            rb = (np.floor(np.sqrt(r2.astype(np.float64)))
+                  .astype(np.int64) // 2).ravel()
+            s = np.bincount(rb, weights=gi.ravel().astype(np.float64))
+            n = np.bincount(rb)
+            nz = np.nonzero(n)[0]
+            ids.extend([iid] * len(nz))
+            rbins.extend(nz.tolist())
+            means.extend(np.round(s[nz] / n[nz], 6).tolist())
+            npx.extend(n[nz].tolist())
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "rbin": pa.array(rbins, pa.int64()),
+            "mean_px": pa.array(means, pa.float64()),
+            "n_px": pa.array(npx, pa.int64()),
+        })
+
+
+def image_radial_profile(
+    ds: ray.data.Dataset, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        RadialProfile, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -496,3 +496,101 @@ def test_colorfulness_known_images(ray_session):
     want = 0.3 * np.sqrt(255.0 ** 2 + 127.5 ** 2)
     assert out.loc["red", "colorfulness"] == pytest.approx(want,
                                                            abs=1e-6)
+
+
+def test_hu_moments_translation_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_hu_moments
+
+    # the same 5x7 blob placed at two offsets inside a 32x32 canvas:
+    # Hu invariants are translation-invariant, so hu1..hu4 must agree
+    rng = np.random.default_rng(7)
+    blob = rng.integers(40, 220, size=(5, 7), dtype=np.uint8)
+    a = np.full((32, 32, 3), 0, np.uint8)
+    b = np.full((32, 32, 3), 0, np.uint8)
+    a[2:7, 3:10, 0] = blob
+    b[20:25, 14:21, 0] = blob
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["a", "b"],
+        "bytes": [encode(a, "raw16"), encode(b, "raw16")],
+        "fmt": ["raw16", "raw16"],
+    }))
+    out = image_hu_moments(ds).to_pandas().set_index("image_id")
+    for c in ["hu1", "hu2", "hu3", "hu4"]:
+        assert out.loc["a", c] == pytest.approx(out.loc["b", c],
+                                                abs=2e-6)
+    # hu1 of a constant image equals eta20+eta02 of a uniform sheet
+    assert out.loc["a", "hu1"] > 0.0
+
+
+def test_run_length_known_image(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_run_length
+
+    # 4x8 rows: [all bg] [all fg] [bg fg alternating] [fg bg half]
+    img = np.zeros((4, 8, 3), np.uint8)
+    img[1, :, 0] = 200
+    img[2, ::2, 0] = 200
+    img[3, :4, 0] = 200
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["x"],
+        "bytes": [encode(img, "raw16")],
+        "fmt": ["raw16"],
+    }))
+    out = image_run_length(ds).to_pandas().iloc[0]
+    # runs: 1 + 1 + 8 + 2 = 12; fg runs: 0 + 1 + 4 + 1 = 6
+    assert out["n_runs"] == 12
+    assert out["fg_runs"] == 6
+    assert out["mean_run_len"] == pytest.approx(32 / 12, abs=1e-6)
+
+
+def test_busiest_block_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_busiest_block
+
+    # flat image except a checkerboard planted in block (by=2, bx=1)
+    img = np.full((32, 32, 3), 30, np.uint8)
+    yy, xx = np.mgrid[16:24, 8:16]
+    img[16:24, 8:16, 0] = np.where((yy + xx) % 2 == 0, 0, 255)
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["x"],
+        "bytes": [encode(img, "raw16")],
+        "fmt": ["raw16"],
+    }))
+    out = image_busiest_block(ds).to_pandas().iloc[0]
+    assert (out["by"], out["bx"]) == (2, 1)
+    assert out["block_var"] == pytest.approx(127.5 ** 2, abs=1e-6)
+
+
+def test_radial_profile_rings(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_radial_profile
+
+    # image whose intensity IS its radius bin * 10 -> profile exact
+    h = w = 16
+    dy = 2 * np.arange(h) - (h - 1)
+    dx = 2 * np.arange(w) - (w - 1)
+    r2 = (dy * dy)[:, None] + (dx * dx)[None, :]
+    rb = np.floor(np.sqrt(r2.astype(np.float64))).astype(np.int64) // 2
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = (rb * 10).astype(np.uint8)
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["x"],
+        "bytes": [encode(img, "raw16")],
+        "fmt": ["raw16"],
+    }))
+    out = image_radial_profile(ds).to_pandas()
+    assert (out["mean_px"] == out["rbin"] * 10.0).all()
+    assert out["n_px"].sum() == h * w
