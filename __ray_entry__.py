@@ -3074,6 +3074,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["gi_z"] = out["gi_z"].round(6)
         return out[["gx", "gy", "n", "gi_z"]]
 
+    def geo_local_morans(sf_dir: str):
+        # Anselin local Moran's I (LISA) per grid cell (rook, binary
+        # weights, no self) — which cells ARE the clusters: high-high
+        # around the planted hotspot. The neighbor deviation sum is
+        # kept as nbr_sum - xbar*w (raw counts are exact ints, so any
+        # SQL aggregation order matches the engine's shift order);
+        # the twin mirrors the rest of the expression tree verbatim
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.local_morans_grid(idx)
+        out["local_i"] = out["local_i"].round(6)
+        return out[["gx", "gy", "n", "local_i"]]
+
+    def geo_quadtree_cells(sf_dir: str):
+        # adaptive quadtree occupancy: split while count > 32, points
+        # assigned the shallowest ancestor cell meeting the cap —
+        # balanced spatial sharding over the skewed (hotspot-planted)
+        # point set; all-integer, twin = per-depth rollup + CASE on
+        # the ancestor chain
+        idx = _geo_indexed(columns=["image_id"])
+        return geo_ops.quadtree_leaves(idx)[["depth", "cx", "cy", "n"]]
+
     def geo_speed_outliers(sf_dir: str):
         # GPS spike detection: per-track implied speed between
         # consecutive fixes (meters per seq unit; the fixture's seq
@@ -4680,6 +4701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_morans_i": geo_morans_i,
         "geo_simplify_tracks": geo_simplify_tracks,
         "geo_getis_ord": geo_getis_ord,
+        "geo_local_morans": geo_local_morans,
+        "geo_quadtree_cells": geo_quadtree_cells,
         "geo_speed_outliers": geo_speed_outliers,
         "geo_geofence_dwell": geo_geofence_dwell,
         "geo_track_hausdorff": geo_track_hausdorff,
@@ -8615,6 +8638,82 @@ def oracle_sql() -> dict[str, str]:
             FROM gnbr n
             JOIN gx0 x USING (gx, gy)
             CROSS JOIN gstat st
+        """,
+        "geo_local_morans": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                        AS gx,
+                        CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                        AS gy
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy),
+            ggrid AS (SELECT CAST(x.range AS BIGINT) AS gx,
+                             CAST(y.range AS BIGINT) AS gy
+                      FROM range(24) x CROSS JOIN range(12) y),
+            gx0 AS (SELECT g.gx, g.gy,
+                       CAST(COALESCE(c.n, 0) AS DOUBLE) AS v
+                    FROM ggrid g LEFT JOIN gcnt c USING (gx, gy)),
+            gstat AS (SELECT AVG(v) AS xbar,
+                             AVG(v * v) - AVG(v) * AVG(v) AS m2
+                      FROM gx0),
+            gnbr AS (SELECT a.gx, a.gy,
+                        SUM(b.v) AS nbr_sum, COUNT(*) AS w
+                     FROM gx0 a JOIN gx0 b
+                       ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+                     GROUP BY a.gx, a.gy)
+            SELECT n.gx, n.gy, CAST(x.v AS BIGINT) AS n,
+                   round((x.v - st.xbar)
+                         * (n.nbr_sum - st.xbar * n.w) / st.m2, 6)
+                       AS local_i
+            FROM gnbr n
+            JOIN gx0 x USING (gx, gy)
+            CROSS JOIN gstat st
+        """,
+        "geo_quadtree_cells": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            p AS (SELECT lon, lat FROM gll
+                  WHERE lon >= -12e0 AND lon < 12e0
+                    AND lat >= 35e0 AND lat < 47e0),
+            c6 AS (SELECT CAST(floor((lon - -12e0) / 24e0 * 64)
+                            AS BIGINT) AS x,
+                      CAST(floor((lat - 35e0) / 12e0 * 64)
+                            AS BIGINT) AS y,
+                      COUNT(*) AS n
+                   FROM p GROUP BY x, y),
+            c5 AS (SELECT x // 2 AS x, y // 2 AS y,
+                      CAST(SUM(n) AS BIGINT) AS n FROM c6 GROUP BY 1, 2),
+            c4 AS (SELECT x // 2 AS x, y // 2 AS y,
+                      CAST(SUM(n) AS BIGINT) AS n FROM c5 GROUP BY 1, 2),
+            c3 AS (SELECT x // 2 AS x, y // 2 AS y,
+                      CAST(SUM(n) AS BIGINT) AS n FROM c4 GROUP BY 1, 2),
+            c2 AS (SELECT x // 2 AS x, y // 2 AS y,
+                      CAST(SUM(n) AS BIGINT) AS n FROM c3 GROUP BY 1, 2),
+            c1 AS (SELECT x // 2 AS x, y // 2 AS y,
+                      CAST(SUM(n) AS BIGINT) AS n FROM c2 GROUP BY 1, 2),
+            c0 AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM c1),
+            asg AS (SELECT c6.x AS x6, c6.y AS y6, c6.n AS n6,
+                       CASE WHEN c0.n <= 32 THEN 0
+                            WHEN c1.n <= 32 THEN 1
+                            WHEN c2.n <= 32 THEN 2
+                            WHEN c3.n <= 32 THEN 3
+                            WHEN c4.n <= 32 THEN 4
+                            WHEN c5.n <= 32 THEN 5
+                            ELSE 6 END AS depth
+                    FROM c6
+                    JOIN c5 ON c5.x = c6.x // 2 AND c5.y = c6.y // 2
+                    JOIN c4 ON c4.x = c6.x // 4 AND c4.y = c6.y // 4
+                    JOIN c3 ON c3.x = c6.x // 8 AND c3.y = c6.y // 8
+                    JOIN c2 ON c2.x = c6.x // 16 AND c2.y = c6.y // 16
+                    JOIN c1 ON c1.x = c6.x // 32 AND c1.y = c6.y // 32
+                    CROSS JOIN c0)
+            SELECT depth, x6 >> (6 - depth) AS cx,
+                   y6 >> (6 - depth) AS cy,
+                   CAST(SUM(n6) AS BIGINT) AS n
+            FROM asg GROUP BY depth, cx, cy
+            ORDER BY depth, cx, cy
         """,
         "geo_speed_outliers": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -3598,3 +3598,132 @@ def spacetime_cube(
 
     return counts.groupby(["gx", "gy"]).map_groups(
         per_cell, batch_format="pandas")
+
+
+def local_morans_grid(
+    indexed: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per grid cell, rook
+    adjacency WITHOUT self, binary weights:
+
+    I_i = (x_i - xbar) * (nbr_sum_i - xbar * w_i) / m2
+
+    with m2 the population variance over ALL nx*ny cells (empties
+    count 0) and nbr_sum/w over existing rook neighbors only. The
+    neighbor deviation sum is kept as ``nbr_sum - xbar * w`` (raw
+    counts are exact integers, so the sum is order-free) rather than
+    summing per-neighbor deviations — that keeps the DuckDB twin
+    bit-identical regardless of SQL aggregation order.
+
+    Distributed stage: the per-cell count combiner (one partial row
+    per nonzero cell per block); the nx*ny grid math runs on the
+    driver — the documented small side (grid size is fixed, not
+    data-sized)."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        flat = gx[ok] * ny + gy[ok]
+        cnt = np.bincount(flat, minlength=nx * ny)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    partials = indexed.map_batches(cells, batch_format="pyarrow")
+    counts = sum_final(partials, ["cell"]).to_pandas()
+    x = np.zeros(nx * ny, np.float64)
+    if len(counts) and "cell" in counts.columns:
+        x[counts["cell"].to_numpy(np.int64)] = counts["n"].to_numpy()
+    grid = x.reshape(nx, ny)
+    xbar = grid.mean()
+    m2 = (grid * grid).mean() - xbar * xbar
+
+    def shift_nbr(a: np.ndarray) -> np.ndarray:
+        p = np.pad(a, 1)  # zero border: missing neighbors drop out
+        return (p[:-2, 1:-1] + p[2:, 1:-1]
+                + p[1:-1, :-2] + p[1:-1, 2:])
+
+    nbr_sum = shift_nbr(grid)
+    w = shift_nbr(np.ones_like(grid))
+    # m2 == 0 (all counts equal): defined 0.0, the morans_i convention
+    if m2 > 0:
+        li = (grid - xbar) * (nbr_sum - xbar * w) / m2
+    else:
+        li = np.zeros_like(grid)
+    gxs, gys = np.divmod(np.arange(nx * ny, dtype=np.int64), ny)
+    return pd.DataFrame({
+        "gx": gxs, "gy": gys,
+        "n": grid.reshape(-1).astype(np.int64),
+        "local_i": li.reshape(-1),
+    })
+
+
+def quadtree_leaves(
+    indexed: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    span_lon: float = 24.0, span_lat: float = 12.0,
+    max_depth: int = 6, cap: int = 32,
+) -> pd.DataFrame:
+    """Adaptive quadtree occupancy over the bbox: a cell is split
+    while its count exceeds ``cap``; every point is assigned the
+    SHALLOWEST ancestor cell with count <= cap (depth ``max_depth``
+    if none) — the adaptive spatial binning used for balanced tile
+    sharding over skewed point sets.
+
+    Distributed stage: the depth-``max_depth`` cell-count combiner
+    (sum_final over <= 4^max_depth cells). The per-depth rollup and
+    leaf assignment run on the driver over that bounded table — its
+    size is 4^max_depth regardless of input rows, so the driver work
+    does NOT grow with data (the documented small side)."""
+    from engine.ops.relational import sum_final
+
+    side = 1 << max_depth
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        ok = ((lon >= lon0) & (lon < lon0 + span_lon)
+              & (lat >= lat0) & (lat < lat0 + span_lat))
+        cx = np.floor((lon[ok] - lon0) / span_lon * side).astype(
+            np.int64)
+        cy = np.floor((lat[ok] - lat0) / span_lat * side).astype(
+            np.int64)
+        u, cnt = np.unique(cx * side + cy, return_counts=True)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    partials = indexed.map_batches(cells, batch_format="pyarrow")
+    counts = sum_final(partials, ["cell"]).to_pandas()
+    full = np.zeros(side * side, np.int64)
+    if len(counts) and "cell" in counts.columns:
+        full[counts["cell"].to_numpy(np.int64)] = (
+            counts["n"].to_numpy())
+    levels = {max_depth: full.reshape(side, side)}
+    for d in range(max_depth - 1, -1, -1):
+        g = levels[d + 1]
+        s = g.shape[0] // 2
+        levels[d] = g.reshape(s, 2, s, 2).sum(axis=(1, 3))
+
+    g6 = levels[max_depth]
+    nzx, nzy = np.nonzero(g6)
+    depth = np.full(len(nzx), max_depth, np.int64)
+    assigned = np.zeros(len(nzx), bool)
+    for d in range(0, max_depth):
+        anc = levels[d][nzx >> (max_depth - d), nzy >> (max_depth - d)]
+        pick = ~assigned & (anc <= cap)
+        depth[pick] = d
+        assigned |= pick
+    cx = nzx >> (max_depth - depth)
+    cy = nzy >> (max_depth - depth)
+    out = (pd.DataFrame({
+        "depth": depth, "cx": cx, "cy": cy, "n": g6[nzx, nzy]})
+        .groupby(["depth", "cx", "cy"], as_index=False)["n"].sum()
+        .sort_values(["depth", "cx", "cy"], ignore_index=True))
+    return out

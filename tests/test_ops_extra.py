@@ -3605,3 +3605,59 @@ def test_char_entropy_known_values(ray_session):
                                                         abs=1e-6)
     assert out["char_entropy"].iloc[2] == 0.0
     assert out["n_chars"].tolist() == [4, 4, 0]
+
+
+def test_local_morans_hotspot_and_checkerboard(ray_session):
+    import ray.data
+
+    from engine.ops.geo import local_morans_grid
+
+    # 2x2 checkerboard: every cell's neighbors all sit on the other
+    # diagonal -> I_i = zd_i * (-2*zd_i) / m2 = -2 for every cell
+    df = pd.DataFrame({
+        "image_id": ["a", "b", "c", "d"],
+        "lon": [0.5, 0.5, 1.5, 1.5],
+        "lat": [0.5, 0.5, 1.5, 1.5],
+    })
+    out = local_morans_grid(
+        ray.data.from_pandas(df).repartition(2),
+        lon0=0.0, lat0=0.0, nx=2, ny=2, cell_deg=1.0)
+    assert out["local_i"].to_numpy() == pytest.approx(-2.0, abs=1e-12)
+    assert sorted(out["n"]) == [0, 0, 2, 2]
+
+    # degenerate all-empty window -> defined 0.0
+    far = pd.DataFrame({"image_id": ["x"], "lon": [99.0],
+                        "lat": [99.0]})
+    z = local_morans_grid(ray.data.from_pandas(far),
+                          lon0=0.0, lat0=0.0, nx=2, ny=2,
+                          cell_deg=1.0)
+    assert (z["local_i"] == 0.0).all()
+
+
+def test_quadtree_leaves_cap_and_conservation(ray_session):
+    import ray.data
+
+    from engine.ops.geo import quadtree_leaves
+
+    # 200 points in one corner + 10 spread out: the corner forces
+    # deep splits, the sparse region stays shallow
+    rng = np.random.default_rng(11)
+    lon = np.concatenate([
+        -12.0 + rng.uniform(0, 0.05, 200),
+        -12.0 + rng.uniform(0, 24, 10)])
+    lat = np.concatenate([
+        35.0 + rng.uniform(0, 0.05, 200),
+        35.0 + rng.uniform(0, 12, 10)])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(len(lon))],
+        "lon": lon, "lat": lat})).repartition(3)
+    out = quadtree_leaves(ds, cap=16, max_depth=6)
+    assert out["n"].sum() == len(lon)  # every point assigned once
+    # leaves shallower than max_depth obey the cap by construction
+    assert (out.loc[out["depth"] < 6, "n"] <= 16).all()
+    assert out["depth"].max() == 6  # the packed corner bottoms out
+    assert out["depth"].min() <= 1  # the sparse region stays shallow
+    # leaf cells are valid coordinates for their depth
+    side = 2 ** out["depth"]
+    assert ((out["cx"] >= 0) & (out["cx"] < side)).all()
+    assert ((out["cy"] >= 0) & (out["cy"] < side)).all()
