@@ -1696,6 +1696,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("l_returnflag", ignore_index=True)[
             ["l_returnflag", "n", "spearman"]]
 
+    def qty_price_kendall_by_flag(sf_dir: str):
+        # Kendall tau-b of quantity vs price (bucketed to $1000) per
+        # return flag — the ordinal-association companion of the
+        # Spearman query, computed from the per-group contingency
+        # grid (2D prefix sums), never O(n^2) pairs; all counts are
+        # exact integers, so the dense-grid window-cumsum twin
+        # matches bit-for-bit
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_returnflag", "l_quantity",
+                       "l_extendedprice"])
+        out = relational.kendall_tau_grid(
+            li, "l_returnflag", "l_quantity", "l_extendedprice",
+            y_div=1000.0)
+        out["kendall_tau"] = out["kendall_tau"].round(6)
+        return out.sort_values("l_returnflag", ignore_index=True)[
+            ["l_returnflag", "n", "concordant", "discordant",
+             "kendall_tau"]]
+
+    def lineitem_ols_price_model(sf_dir: str):
+        # per-flag two-regressor OLS price ~ quantity + discount via
+        # moment sums -> 3x3 normal equations -> Cramer's rule;
+        # discount/price lifted to exact integer cents so the moment
+        # sums are exact and the determinant expansion is one shared
+        # f64 expression tree on both sides
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_returnflag", "l_quantity", "l_discount",
+                       "l_extendedprice"])
+        out = relational.ols2_by_group(
+            li, "l_returnflag", "l_quantity", "l_discount",
+            "l_extendedprice")
+        for c in ["b0", "b1", "b2"]:
+            out[c] = out[c].round(6)
+        return out.sort_values("l_returnflag", ignore_index=True)[
+            ["l_returnflag", "n", "b0", "b1", "b2"]]
+
     def order_priority_theil(sf_dir: str):
         # per-priority Theil T inequality of order values — the
         # additively-decomposable inequality companion of Gini; pure
@@ -4771,6 +4806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": user_sessions,
         "order_priority_theil": order_priority_theil,
         "qty_price_spearman_by_flag": qty_price_spearman_by_flag,
+        "qty_price_kendall_by_flag": qty_price_kendall_by_flag,
+        "lineitem_ols_price_model": lineitem_ols_price_model,
         "price_weighted_median_by_flag": price_weighted_median_by_flag,
         "event_value_trimmed_mean": event_value_trimmed_mean,
         "value_shape_by_event_type": value_shape_by_event_type,
@@ -7817,6 +7854,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(corr(rx, ry), 4) AS spearman
             FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "qty_price_kendall_by_flag": """
+            WITH b AS (SELECT l_returnflag AS flag,
+                          CAST(l_quantity AS BIGINT) AS q,
+                          CAST(floor(l_extendedprice / 1000e0)
+                               AS BIGINT) AS p
+                       FROM lineitem),
+            g AS (SELECT flag, q, p, COUNT(*) AS n FROM b
+                  GROUP BY flag, q, p),
+            dq AS (SELECT DISTINCT flag, q FROM b),
+            dp AS (SELECT DISTINCT flag, p FROM b),
+            dense AS (SELECT dq.flag, dq.q, dp.p,
+                         COALESCE(g.n, 0) AS n
+                      FROM dq JOIN dp USING (flag)
+                      LEFT JOIN g ON g.flag = dq.flag
+                                 AND g.q = dq.q AND g.p = dp.p),
+            cc AS (SELECT flag, q, p, n,
+                      COALESCE(SUM(n) OVER (PARTITION BY flag, p
+                          ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS bel
+                   FROM dense),
+            c2 AS (SELECT flag, q, p, n, bel,
+                      COALESCE(SUM(bel) OVER (PARTITION BY flag, q
+                          ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS lt_lt,
+                      SUM(bel) OVER (PARTITION BY flag, q) AS t_lt
+                   FROM cc),
+            agg AS (SELECT flag,
+                       CAST(SUM(n * lt_lt) AS BIGINT) AS c,
+                       CAST(SUM(n * (t_lt - lt_lt - bel)) AS BIGINT)
+                           AS d,
+                       CAST(SUM(n) AS BIGINT) AS nn
+                    FROM c2 GROUP BY flag),
+            tieq AS (SELECT flag,
+                        CAST(SUM(tq * (tq - 1) // 2) AS BIGINT) AS n1
+                     FROM (SELECT flag, q, CAST(SUM(n) AS BIGINT)
+                               AS tq
+                           FROM g GROUP BY flag, q)
+                     GROUP BY flag),
+            tiep AS (SELECT flag,
+                        CAST(SUM(tp * (tp - 1) // 2) AS BIGINT) AS n2
+                     FROM (SELECT flag, p, CAST(SUM(n) AS BIGINT)
+                               AS tp
+                           FROM g GROUP BY flag, p)
+                     GROUP BY flag)
+            SELECT a.flag AS l_returnflag, a.nn AS n,
+                   a.c AS concordant, a.d AS discordant,
+                   round(CAST(a.c - a.d AS DOUBLE)
+                         / sqrt(CAST(a.nn * (a.nn - 1) // 2 - t1.n1
+                                     AS DOUBLE)
+                                * CAST(a.nn * (a.nn - 1) // 2 - t2.n2
+                                       AS DOUBLE)), 6) AS kendall_tau
+            FROM agg a JOIN tieq t1 USING (flag)
+            JOIN tiep t2 USING (flag)
+            ORDER BY l_returnflag
+        """,
+        "lineitem_ols_price_model": f"""
+            WITH b AS (SELECT l_returnflag AS flag,
+                          CAST(l_quantity AS BIGINT) AS v1,
+                          CAST(round(l_discount * 100e0, 0)
+                               AS BIGINT) AS v2,
+                          CAST(round(l_extendedprice * 100e0, 0)
+                               AS BIGINT) AS vy
+                       FROM lineitem),
+            m AS (SELECT flag, COUNT(*) AS cnt,
+                     CAST(SUM(v1) AS DOUBLE) AS s1,
+                     CAST(SUM(v2) AS DOUBLE) AS s2,
+                     CAST(SUM(vy) AS DOUBLE) AS sy,
+                     CAST(SUM(v1 * v1) AS DOUBLE) AS s11,
+                     CAST(SUM(v2 * v2) AS DOUBLE) AS s22,
+                     CAST(SUM(v1 * v2) AS DOUBLE) AS s12,
+                     CAST(SUM(v1 * vy) AS DOUBLE) AS s1y,
+                     CAST(SUM(v2 * vy) AS DOUBLE) AS s2y
+                  FROM b GROUP BY flag),
+            d AS (SELECT flag, cnt, CAST(cnt AS DOUBLE) AS n,
+                     s1, s2, sy, s11, s22, s12, s1y, s2y FROM m),
+            dets AS (SELECT flag, cnt,
+                n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2) AS det,
+                sy * (s11 * s22 - s12 * s12)
+                    - s1y * (s1 * s22 - s2 * s12)
+                    + s2y * (s1 * s12 - s2 * s11) AS det0,
+                n * (s1y * s22 - s12 * s2y)
+                    - sy * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s2y - s1y * s2) AS det1,
+                n * (s11 * s2y - s1y * s12)
+                    - s1 * (s1 * s2y - s1y * s2)
+                    + sy * (s1 * s12 - s11 * s2) AS det2
+              FROM d)
+            SELECT flag AS l_returnflag, cnt AS n,
+               {_sql_round_even('det0 / det / 100e0')} AS b0,
+               {_sql_round_even('det1 / det / 100e0')} AS b1,
+               {_sql_round_even('det2 / det / 100e0 * 100e0')} AS b2
+            FROM dets ORDER BY l_returnflag
         """,
         "order_priority_theil": """
             WITH m AS (SELECT o_orderpriority, COUNT(*) AS n,

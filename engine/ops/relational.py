@@ -2928,3 +2928,132 @@ def weighted_median(
         .groupby("__shard")
         .map_groups(f, batch_format="pandas")
     )
+
+
+def kendall_tau_grid(
+    ds: ray.data.Dataset,
+    group_key: str,
+    x: str,
+    y: str,
+    y_div: float = 1000.0,
+) -> pd.DataFrame:
+    """Per-group Kendall tau-b over a DISCRETIZED value grid: x taken
+    as integers, y bucketed by ``floor(y / y_div)``. Concordant /
+    discordant pair counts come from 2D prefix sums over the per-group
+    contingency grid — C = sum n_ij * N(<i,<j), D = sum n_ij *
+    N(<i,>j), tau_b = (C-D)/sqrt((n0-n1)(n0-n2)) with the standard
+    tie terms (Kendall 1945, public formula). Every count is an exact
+    integer, so the SQL twin (dense-grid window cumsums) matches
+    bit-for-bit through the one final float expression.
+
+    Distributed stage: the (group, x, y) count combiner; the grid math
+    runs on the driver over a table bounded by the VALUE DOMAIN
+    (|x-levels| x |y-buckets| per group), not by input rows — the
+    documented small side. O(n^2) pair enumeration never happens."""
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            group_key: b[group_key],
+            "xv": b[x].to_numpy(np.int64),
+            "yv": np.floor(
+                b[y].to_numpy(np.float64) / y_div).astype(np.int64),
+        })
+        return (d.groupby([group_key, "xv", "yv"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    partials = ds.map_batches(cnt, batch_format="pandas")
+    counts = sum_final(partials, [group_key, "xv", "yv"]).to_pandas()
+    rows = []
+    for g, sub in counts.groupby(group_key, sort=True):
+        qv = np.sort(sub["xv"].unique())
+        pv = np.sort(sub["yv"].unique())
+        M = np.zeros((len(qv), len(pv)), np.int64)
+        M[np.searchsorted(qv, sub["xv"].to_numpy()),
+          np.searchsorted(pv, sub["yv"].to_numpy())] = (
+            sub["n"].to_numpy(np.int64))
+        S = M.cumsum(0).cumsum(1)  # inclusive 2D prefix sums
+        lt_lt = np.zeros_like(M)
+        lt_lt[1:, 1:] = S[:-1, :-1]  # N(x'<x, y'<y)
+        row_lt = np.zeros_like(M)
+        row_lt[1:, :] = S[:-1, -1:]  # N(x'<x, any y)
+        le_y = np.zeros_like(M)
+        le_y[1:, :] = S[:-1, :]  # N(x'<x, y'<=y)
+        lt_gt = row_lt - le_y  # N(x'<x, y'>y)
+        c = int((M * lt_lt).sum())
+        d = int((M * lt_gt).sum())
+        n = int(M.sum())
+        tq = M.sum(axis=1)
+        tp = M.sum(axis=0)
+        n0 = n * (n - 1) // 2
+        n1 = int((tq * (tq - 1) // 2).sum())
+        n2 = int((tp * (tp - 1) // 2).sum())
+        denom = np.sqrt(float(n0 - n1) * float(n0 - n2))
+        tau = float(c - d) / denom if denom > 0 else 0.0
+        rows.append({group_key: g, "n": n, "concordant": c,
+                     "discordant": d, "kendall_tau": tau})
+    return pd.DataFrame(rows)
+
+
+def ols2_by_group(
+    ds: ray.data.Dataset,
+    group_key: str,
+    x1: str,
+    x2: str,
+    y: str,
+    x2_scale: float = 100.0,
+    y_scale: float = 100.0,
+) -> pd.DataFrame:
+    """Per-group ordinary least squares with TWO regressors solved in
+    closed form: moment sums -> 3x3 normal equations -> Cramer's rule.
+    x1 is integer-valued; x2 and y are fixed-point decimals lifted to
+    exact integers by ``round(v * scale)`` so every moment sum is an
+    exact integer. The determinant expansion is ONE shared f64
+    expression tree over those exact operands, so the DuckDB twin
+    lands on bit-identical coefficients (f64 ops are deterministic
+    given equal inputs — exactness of intermediates is not required).
+
+    Distributed stage: the per-block moment combiner (9 sums per
+    group); the 3x3 solve runs on the driver over one row per group."""
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v1 = b[x1].to_numpy(np.int64)
+        v2 = np.round(
+            b[x2].to_numpy(np.float64) * x2_scale).astype(np.int64)
+        vy = np.round(
+            b[y].to_numpy(np.float64) * y_scale).astype(np.int64)
+        d = pd.DataFrame({
+            group_key: b[group_key], "cnt": 1,
+            "s1": v1, "s2": v2, "sy": vy,
+            "s11": v1 * v1, "s22": v2 * v2, "s12": v1 * v2,
+            "s1y": v1 * vy, "s2y": v2 * vy,
+        })
+        return d.groupby(group_key, as_index=False).sum()
+
+    partials = ds.map_batches(moments, batch_format="pandas")
+    m = sum_final(partials, [group_key]).to_pandas()
+    out = []
+    for _, r in m.iterrows():
+        n = float(r["cnt"])
+        s1, s2, sy = float(r["s1"]), float(r["s2"]), float(r["sy"])
+        s11, s22, s12 = float(r["s11"]), float(r["s22"]), float(r["s12"])
+        s1y, s2y = float(r["s1y"]), float(r["s2y"])
+        # shared expression tree — mirrored verbatim in the twin
+        det = (n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2))
+        det0 = (sy * (s11 * s22 - s12 * s12)
+                - s1y * (s1 * s22 - s2 * s12)
+                + s2y * (s1 * s12 - s2 * s11))
+        det1 = (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2))
+        det2 = (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2))
+        out.append({
+            group_key: r[group_key], "n": int(r["cnt"]),
+            "b0": det0 / det / y_scale,
+            "b1": det1 / det / y_scale,
+            "b2": det2 / det / y_scale * x2_scale,
+        })
+    return pd.DataFrame(out)

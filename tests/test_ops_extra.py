@@ -3661,3 +3661,65 @@ def test_quadtree_leaves_cap_and_conservation(ray_session):
     side = 2 ** out["depth"]
     assert ((out["cx"] >= 0) & (out["cx"] < side)).all()
     assert ((out["cy"] >= 0) & (out["cy"] < side)).all()
+
+
+def test_kendall_tau_grid_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import kendall_tau_grid
+
+    rng = np.random.default_rng(5)
+    n = 400
+    g = rng.choice(["A", "B"], n)
+    x = rng.integers(1, 8, n)
+    yraw = x * 120.0 + rng.normal(0, 300, n)  # correlated, ties in buckets
+    df = pd.DataFrame({"g": g, "x": x, "y": yraw})
+    out = (kendall_tau_grid(
+        ray.data.from_pandas(df).repartition(4), "g", "x", "y",
+        y_div=100.0).set_index("g"))
+    for key in ["A", "B"]:
+        sub = df[df["g"] == key]
+        xv = sub["x"].to_numpy(np.int64)
+        yv = np.floor(sub["y"].to_numpy() / 100.0).astype(np.int64)
+        dx = np.sign(xv[:, None] - xv[None, :])
+        dy = np.sign(yv[:, None] - yv[None, :])
+        prod = dx * dy
+        c = int((prod > 0).sum() // 2)
+        d = int((prod < 0).sum() // 2)
+        m = len(xv)
+        n0 = m * (m - 1) // 2
+        n1 = sum(t * (t - 1) // 2
+                 for t in pd.Series(xv).value_counts())
+        n2 = sum(t * (t - 1) // 2
+                 for t in pd.Series(yv).value_counts())
+        tau = (c - d) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+        row = out.loc[key]
+        assert row["concordant"] == c and row["discordant"] == d
+        assert row["kendall_tau"] == pytest.approx(tau, abs=1e-12)
+
+
+def test_ols2_matches_numpy_lstsq(ray_session):
+    import ray.data
+
+    from engine.ops.relational import ols2_by_group
+
+    rng = np.random.default_rng(9)
+    n = 500
+    q = rng.integers(1, 51, n)
+    disc = rng.integers(0, 11, n) / 100.0  # exact-cent discounts
+    price = np.round(
+        10.0 + 3.5 * q - 40.0 * disc + rng.normal(0, 2, n), 2)
+    df = pd.DataFrame({"g": ["Z"] * n, "x1": q, "x2": disc,
+                       "y": price})
+    out = ols2_by_group(
+        ray.data.from_pandas(df).repartition(4), "g", "x1", "x2", "y")
+    # numpy oracle on the same cent-lifted integers
+    x2i = np.round(disc * 100).astype(np.int64)
+    yi = np.round(price * 100).astype(np.int64)
+    A = np.column_stack([np.ones(n), q, x2i]).astype(np.float64)
+    beta, *_ = np.linalg.lstsq(A, yi.astype(np.float64), rcond=None)
+    row = out.iloc[0]
+    assert row["n"] == n
+    assert row["b0"] == pytest.approx(beta[0] / 100.0, rel=1e-9)
+    assert row["b1"] == pytest.approx(beta[1] / 100.0, rel=1e-9)
+    assert row["b2"] == pytest.approx(beta[2], rel=1e-9)
