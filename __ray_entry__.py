@@ -1273,6 +1273,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = text.bigram_logprob(docs, bi, uni).to_pandas()
         return out.sort_values("doc_id", ignore_index=True)
 
+    def docs_bigram_pmi(sf_dir: str):
+        # collocation extraction: PMI of adjacent token pairs seen
+        # >= 5 times, from the same one-scan bigram/unigram combiner
+        # as the bigram LM; exact-int counts through a shared f64
+        # product tree, libm-ln slack absorbed by the 6dp round
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        out = text.bigram_pmi(docs, min_count=5)
+        out["pmi"] = out["pmi"].round(6)
+        return out[["w1", "w2", "n", "pmi"]]
+
     def event_type_cooccurrence(sf_dir: str):
         # market-basket association: for each unordered event-type
         # pair, how many users did both, plus the lift vs independent
@@ -2535,6 +2545,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pts, [100e3, 300e3, 600e3], max_abs_lat=50.0)
         out["pair_frac"] = out["pair_frac"].round(6)
         return out[["r_m", "n_pairs", "pair_frac"]]
+
+    def geo_semivariogram(sf_dir: str):
+        # empirical semivariogram of the per-image pixel count
+        # (w*h, an exact integer) over 6 lags of 100 km — the
+        # spatial-continuity curve that sizes IDW/kriging ranges;
+        # same halo-grid owner-rule pair counting as ripley_k, twin
+        # is the all-pairs haversine bin aggregate
+        idx = _geo_indexed(columns=["image_id", "w", "h"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": b["image_id"].str.slice(3).astype(np.int64),
+                "z": (b["w"].to_numpy(np.int64)
+                      * b["h"].to_numpy(np.int64)),
+                "lon": b["lon"], "lat": b["lat"]})
+
+        pts = idx.map_batches(prep, batch_format="pandas")
+        out = geo_ops.semivariogram(
+            pts, bin_m=100e3, n_bins=6, max_abs_lat=50.0)
+        out["gamma"] = out["gamma"].round(6)
+        return out[["bin", "n_pairs", "gamma"]]
 
     def geo_stay_points(sf_dir: str):
         # Li/Zheng stay-point extraction (20 km anchor radius, >= 5
@@ -4408,6 +4439,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["avg_val"] = out["avg_val"].round(6)
         return out
 
+    def embedding_sq8_error(sf_dir: str):
+        # int8 scalar-quantization audit: per-dim corpus min/max,
+        # then the RMS reconstruction error of uniform 8-bit
+        # quantization — the embedding-compression loss report; two
+        # combiner passes, ranges broadcast once into pass 2; twin
+        # mirrors the quantize/dequantize tree with half-even rounds
+        from engine.ops import simsearch
+
+        ds = sf_table(sf_dir, "embeddings", ["embedding"])
+        out = simsearch.embedding_sq8_stats(ds)
+        for c in ["mn", "mx", "rmse"]:
+            out[c] = out[c].round(6)
+        return out[["dim", "mn", "mx", "n", "rmse"]]
+
     def embedding_dim_stats(sf_dir: str):
         # list-column UNNEST analog: zero-copy Arrow flatten ->
         # (rows x dim) numpy view -> per-dim partial sums (one tiny
@@ -4595,6 +4640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann_pq_topk,
         "embedding_centroid_by_label": embedding_centroid_by_label,
         "embedding_dim_stats": embedding_dim_stats,
+        "embedding_sq8_error": embedding_sq8_error,
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
         "supplier_part_pagerank": supplier_part_pagerank,
@@ -4745,6 +4791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_dtw": geo_track_dtw,
         "geo_track_sde": geo_track_sde,
         "geo_ripley_k": geo_ripley_k,
+        "geo_semivariogram": geo_semivariogram,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
         "geo_track_self_x": geo_track_self_x,
@@ -4768,6 +4815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_visit_entropy": geo_visit_entropy,
         "geo_polygon_convexity": geo_polygon_convexity,
         "docs_bigram_logprob": docs_bigram_logprob,
+        "docs_bigram_pmi": docs_bigram_pmi,
         "event_type_cooccurrence": event_type_cooccurrence,
         "part_triangle_count": part_triangle_count,
         "part_bfs_hops": part_bfs_hops,
@@ -6746,6 +6794,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY label, i
         """,
+        "embedding_sq8_error": f"""
+            WITH e AS (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS v,
+                          generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings),
+            r AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx
+                  FROM e GROUP BY dim),
+            q AS (SELECT e.dim, e.v, r.mn, r.mx,
+                     {_sql_round_even('(e.v - r.mn) / (r.mx - r.mn) * 255e0', 0)} AS qv
+                  FROM e JOIN r USING (dim)),
+            s AS (SELECT dim, mn, mx,
+                     v - (mn + qv * (mx - mn) / 255e0) AS err
+                  FROM q),
+            ag AS (SELECT dim, MIN(mn) AS mn, MIN(mx) AS mx,
+                      COUNT(*) AS n, SUM(err * err) AS sse
+                   FROM s GROUP BY dim)
+            SELECT dim, {_sql_round_even('mn')} AS mn,
+                   {_sql_round_even('mx')} AS mx, n,
+                   {_sql_round_even('sqrt(sse / CAST(n AS DOUBLE))')}
+                       AS rmse
+            FROM ag ORDER BY dim
+        """,
         "embedding_dim_stats": """
             SELECT i AS dim, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS avg_val
             FROM (SELECT UNNEST(embedding) AS e,
@@ -7556,6 +7625,41 @@ def oracle_sql() -> dict[str, str]:
                     FROM tok2 t JOIN lp USING (token) GROUP BY t.doc_id)
             SELECT d.doc_id, ROUND(COALESCE(per.m, 0.0), 6) AS mean_logp
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "docs_bigram_pmi": """
+            WITH arrs AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '[^a-z]+')
+                           AS arr
+                FROM documents
+            ),
+            tokp AS (SELECT doc_id, arr[i] AS token, i AS ord
+                     FROM arrs,
+                          UNNEST(range(1, len(arr) + 1)) AS u(i)),
+            tok2 AS (SELECT doc_id, token,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY ord) AS pos
+                     FROM tokp WHERE token <> ''),
+            uc AS (SELECT token, COUNT(*) AS n1 FROM tok2
+                   GROUP BY token),
+            nu AS (SELECT CAST(SUM(n1) AS DOUBLE) AS v FROM uc),
+            big AS (SELECT a.doc_id, a.token AS w1, b.token AS w2
+                    FROM tok2 a JOIN tok2 b
+                      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            bc AS (SELECT w1, w2, COUNT(*) AS nb FROM big
+                   GROUP BY w1, w2),
+            nbt AS (SELECT CAST(SUM(nb) AS DOUBLE) AS v FROM bc)
+            SELECT bc.w1, bc.w2, CAST(bc.nb AS BIGINT) AS n,
+               round(ln(CAST(bc.nb AS DOUBLE) * (SELECT v FROM nu)
+                        * (SELECT v FROM nu)
+                        / ((SELECT v FROM nbt)
+                           * CAST(u1.n1 AS DOUBLE)
+                           * CAST(u2.n1 AS DOUBLE))), 6) AS pmi
+            FROM bc
+            JOIN uc u1 ON u1.token = bc.w1
+            JOIN uc u2 ON u2.token = bc.w2
+            WHERE bc.nb >= 5
+            ORDER BY w1, w2
         """,
         "docs_bigram_logprob": """
             WITH arrs AS (
@@ -9055,6 +9159,27 @@ def oracle_sql() -> dict[str, str]:
                          / ({_GEO_N}e0 * {_GEO_N - 1}e0), 6)
                        AS pair_frac
             FROM grd g CROSS JOIN gd d GROUP BY g.r_m
+        """,
+        "geo_semivariogram": f"""
+            WITH {_sql_geo_hashes(_GEO_N, [1, 2, 3, 4, 10, 11, 12])},
+            {_sql_gll_body()},
+            {_sql_gdims_body()},
+            gp AS (SELECT g.i AS node, g.lon, g.lat,
+                      CAST(d.w AS BIGINT) * CAST(d.h AS BIGINT) AS z
+                   FROM gll g JOIN gdim d USING (i)),
+            pr AS (SELECT CAST(floor(
+                      {_sql_haversine('a.lat', 'a.lon',
+                                      'b.lat', 'b.lon')}
+                      / 100000e0) AS BIGINT) AS bin,
+                      (a.z - b.z) * (a.z - b.z) AS dz2
+                   FROM gp a JOIN gp b ON b.node > a.node),
+            ag AS (SELECT bin, COUNT(*) AS n_pairs,
+                      CAST(SUM(dz2) AS DOUBLE) AS ss
+                   FROM pr WHERE bin < 6 GROUP BY bin)
+            SELECT bin, n_pairs,
+                   round(ss / (2e0 * CAST(n_pairs AS DOUBLE)), 6)
+                       AS gamma
+            FROM ag ORDER BY bin
         """,
         "geo_bearing_rose": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -3727,3 +3727,91 @@ def quadtree_leaves(
         .groupby(["depth", "cx", "cy"], as_index=False)["n"].sum()
         .sort_values(["depth", "cx", "cy"], ignore_index=True))
     return out
+
+
+def semivariogram(
+    points: ray.data.Dataset,
+    bin_m: float,
+    n_bins: int,
+    *,
+    max_abs_lat: float = 80.0,
+) -> pd.DataFrame:
+    """Empirical semivariogram of an integer point attribute ``z``:
+    gamma(bin) = sum (z_i - z_j)^2 / (2 * n_pairs) over unordered
+    pairs bucketed by haversine distance into ``n_bins`` lags of
+    ``bin_m`` meters (Matheron 1963 estimator, public formula) — the
+    spatial-continuity diagnostic that sizes kriging/IDW ranges.
+
+    Scale shape is ``ripley_k``'s both-big pattern: points explode
+    into the 3x3 grid halo sized to the LARGEST lag, one
+    groupby(cell) co-locates candidates, the owner rule (node_b >
+    node_a at the smaller node's home cell) counts each pair once,
+    and only n_bins partial rows leave each group. Squared deltas of
+    integer z are exact, so the all-pairs SQL twin matches
+    bit-for-bit through the final division."""
+    from engine.geo.knn import haversine_m
+    from engine.ops.relational import sum_final
+
+    rmax = bin_m * n_bins
+    if max_abs_lat >= 89.0:
+        raise ValueError("semivariogram grid cover needs "
+                         "max_abs_lat < 89")
+    cos_w = float(np.cos(np.deg2rad(max_abs_lat)))
+    cd = rmax / (110_000.0 * cos_w)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        lat = b["lat"].to_numpy(np.float64)
+        if len(lat) and float(np.abs(lat).max()) > max_abs_lat:
+            raise ValueError(
+                f"semivariogram: |lat| > max_abs_lat={max_abs_lat}")
+        lon = b["lon"].to_numpy(np.float64)
+        cx = np.floor(lon / cd).astype(np.int64)
+        cy = np.floor(lat / cd).astype(np.int64)
+        n = len(b)
+        off = np.array([-1, 0, 1], np.int64)
+        ox = np.repeat(np.tile(off, 3), n)
+        oy = np.repeat(np.repeat(off, 3), n)
+        return pd.DataFrame({
+            "cell": ((np.tile(cx, 9) + ox) * 4_294_967_296
+                     + (np.tile(cy, 9) + oy) + 2_147_483_648),
+            "node": np.tile(b["node"].to_numpy(np.int64), 9),
+            "z": np.tile(b["z"].to_numpy(np.int64), 9),
+            "lon": np.tile(lon, 9), "lat": np.tile(lat, 9),
+            "real": (ox == 0) & (oy == 0),
+        })
+
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["real"]]
+        if len(real) == 0:
+            return pd.DataFrame({
+                "bin": np.empty(0, np.int64),
+                "n": np.empty(0, np.int64),
+                "ss": np.empty(0, np.float64)})
+        d = haversine_m(
+            real["lon"].to_numpy()[:, None],
+            real["lat"].to_numpy()[:, None],
+            g["lon"].to_numpy()[None, :],
+            g["lat"].to_numpy()[None, :])
+        newer = (g["node"].to_numpy()[None, :]
+                 > real["node"].to_numpy()[:, None])
+        ok = newer & (d < rmax)
+        bins = np.floor(d / bin_m).astype(np.int64)[ok]
+        dz = (real["z"].to_numpy(np.int64)[:, None]
+              - g["z"].to_numpy(np.int64)[None, :])
+        dz2 = (dz * dz)[ok]
+        n = np.bincount(bins, minlength=n_bins)
+        s = np.bincount(bins, weights=dz2.astype(np.float64),
+                        minlength=n_bins)
+        return pd.DataFrame({
+            "bin": np.arange(n_bins, dtype=np.int64),
+            "n": n.astype(np.int64), "ss": s})
+
+    exploded = points.map_batches(explode, batch_format="pandas")
+    partials = exploded.groupby("cell").map_groups(
+        group_counts, batch_format="pandas")
+    tot = sum_final(partials, ["bin"]).to_pandas()
+    tot = tot[tot["n"] > 0].reset_index(drop=True)
+    tot["gamma"] = tot["ss"] / (2.0 * tot["n"].astype(np.float64))
+    return tot.rename(columns={"n": "n_pairs"})[
+        ["bin", "n_pairs", "gamma"]].sort_values(
+        "bin", ignore_index=True)

@@ -634,3 +634,65 @@ def embedding_pca(ds, k: int = 8) -> "pd.DataFrame":
         "eigval": top.astype(np.float64),
         "explained_var": (top / total).astype(np.float64),
     })
+
+
+def embedding_sq8_stats(
+    corpus: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Per-dimension int8 scalar-quantization audit: corpus min/max
+    per dim (pass 1), then the RMS reconstruction error of uniform
+    8-bit quantization q = round((v-mn)/(mx-mn)*255), vd = mn +
+    q*(mx-mn)/255 (pass 2) — the compression-loss report behind
+    embedding-store quantization decisions (Jegou et al. 2011 scalar
+    baseline, public formula).
+
+    Both passes are map_batches combiners: pass 1 moves blocks x d
+    (min,max) rows; pass 2 moves blocks x d (sse,n) rows; the
+    per-dim ranges ride into pass 2 as a closure-captured (2 x d)
+    array, broadcast once with the task — never per batch. Input
+    floats are float32 (exactly representable in f64), the quantize
+    round is half-to-even on BOTH sides, and only the final sse sum
+    is order-dependent — absorbed by the 6dp round on an O(1e-2)
+    rmse (same budget as the dim-stats twin)."""
+    from engine.ops import relational
+
+    def _mat(t) -> np.ndarray:
+        col = t.column(vec_col).combine_chunks()
+        return (col.flatten().to_numpy(zero_copy_only=False)
+                .reshape(len(t), -1).astype(np.float64))
+
+    def ranges(t) -> pd.DataFrame:
+        mat = _mat(t)
+        d = mat.shape[1]
+        return pd.DataFrame({
+            "dim": np.arange(1, d + 1, dtype=np.int64),
+            "mn": mat.min(axis=0), "mx": mat.max(axis=0)})
+
+    parts = corpus.map_batches(
+        ranges, batch_format="pyarrow").to_pandas()
+    rng = parts.groupby("dim").agg(
+        mn=("mn", "min"), mx=("mx", "max")).sort_index()
+    mn = rng["mn"].to_numpy()
+    mx = rng["mx"].to_numpy()
+    span = mx - mn
+
+    def sse(t) -> pd.DataFrame:
+        mat = _mat(t)
+        d = mat.shape[1]
+        q = np.round((mat - mn) / span * 255.0)
+        vd = mn + q * span / 255.0
+        e = mat - vd
+        return pd.DataFrame({
+            "dim": np.arange(1, d + 1, dtype=np.int64),
+            "sse": (e * e).sum(axis=0),
+            "n": np.full(d, mat.shape[0], np.int64)})
+
+    tot = relational.sum_final(
+        corpus.map_batches(sse, batch_format="pyarrow"),
+        ["dim"]).to_pandas()
+    tot["rmse"] = np.sqrt(tot["sse"] / tot["n"])
+    out = tot.merge(rng.reset_index(), on="dim")
+    return out[["dim", "mn", "mx", "n", "rmse"]].sort_values(
+        "dim", ignore_index=True)

@@ -931,3 +931,34 @@ def char_entropy(ds: ray.data.Dataset) -> ray.data.Dataset:
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def bigram_pmi(ds: ray.data.Dataset, min_count: int = 5) -> pd.DataFrame:
+    """Corpus collocation extraction: pointwise mutual information of
+    adjacent token pairs, PMI = ln(P(ab) / (P(a) P(b))) computed as
+    ln(c_ab * N1 * N1 / (NB * c_a * c_b)) with all counts exact
+    integers from ``bigram_counts``'s one-scan combiner (Church &
+    Hanks 1990, public formula). Pairs below ``min_count`` are pruned
+    (rare-pair PMI is noise); at web scale that prune would move into
+    the combiner. The f64 product/quotient tree is mirrored verbatim
+    by the SQL twin, so the only nondeterminism budget is libm ln —
+    absorbed by the 6dp round (same as the bigram-LM twin)."""
+    bi, uni = bigram_counts(ds)
+    if not len(bi):
+        return pd.DataFrame({"w1": pd.Series(dtype=str),
+                             "w2": pd.Series(dtype=str),
+                             "n": pd.Series(dtype=np.int64),
+                             "pmi": pd.Series(dtype=np.float64)})
+    n_uni = float(uni["n"].sum())
+    n_bi = float(bi["n"].sum())
+    sub = bi[bi["n"] >= min_count].copy()
+    cmap = dict(zip(uni["token"], uni["n"].astype(np.int64)))
+    c1 = sub["w1"].map(cmap).to_numpy(np.float64)
+    c2 = sub["w2"].map(cmap).to_numpy(np.float64)
+    # shared expression tree — mirrored verbatim in the twin
+    num = sub["n"].to_numpy(np.float64) * n_uni * n_uni
+    den = n_bi * c1 * c2
+    sub["pmi"] = np.log(num / den)
+    sub["n"] = sub["n"].astype(np.int64)
+    return sub[["w1", "w2", "n", "pmi"]].sort_values(
+        ["w1", "w2"], ignore_index=True)

@@ -3723,3 +3723,95 @@ def test_ols2_matches_numpy_lstsq(ray_session):
     assert row["b0"] == pytest.approx(beta[0] / 100.0, rel=1e-9)
     assert row["b1"] == pytest.approx(beta[1] / 100.0, rel=1e-9)
     assert row["b2"] == pytest.approx(beta[2], rel=1e-9)
+
+
+def test_semivariogram_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import semivariogram
+
+    rng = np.random.default_rng(21)
+    n = 80
+    lon = rng.uniform(-5, 5, n)
+    lat = rng.uniform(38, 44, n)
+    z = rng.integers(10, 1000, n)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node": np.arange(n), "z": z, "lon": lon, "lat": lat,
+    })).repartition(4)
+    out = semivariogram(ds, bin_m=100e3, n_bins=6,
+                        max_abs_lat=50.0).set_index("bin")
+    d = haversine_m(lon[:, None], lat[:, None],
+                    lon[None, :], lat[None, :])
+    iu = np.triu_indices(n, 1)
+    bins = np.floor(d[iu] / 100e3).astype(np.int64)
+    dz2 = (z[:, None] - z[None, :])[iu] ** 2
+    for b in range(6):
+        m = bins == b
+        if not m.any():
+            assert b not in out.index
+            continue
+        assert out.loc[b, "n_pairs"] == int(m.sum())
+        want = dz2[m].sum() / (2.0 * m.sum())
+        assert out.loc[b, "gamma"] == pytest.approx(want, rel=1e-12)
+
+
+def test_bigram_pmi_matches_bruteforce(ray_session):
+    import collections
+    import re
+
+    import ray.data
+
+    from engine.ops.text import bigram_pmi
+
+    texts = [
+        "new york new york city",
+        "the big city of new york",
+        "new york and the city",
+        "york new haven",
+        "new york new york new york",
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(3)
+    out = bigram_pmi(ds, min_count=3).set_index(["w1", "w2"])
+
+    uni: collections.Counter = collections.Counter()
+    bi: collections.Counter = collections.Counter()
+    for s in texts:
+        toks = re.findall(r"[a-z]+", s.lower())
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    n1 = sum(uni.values())
+    nb = sum(bi.values())
+    want = {p: (c, np.log(c * n1 * n1 / (nb * uni[p[0]] * uni[p[1]])))
+            for p, c in bi.items() if c >= 3}
+    assert set(out.index) == set(want)
+    for p, (c, pmi) in want.items():
+        assert out.loc[p, "n"] == c
+        assert out.loc[p, "pmi"] == pytest.approx(pmi, rel=1e-12)
+
+
+def test_embedding_sq8_stats_matches_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.simsearch import embedding_sq8_stats
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(60, 5)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel()), 5)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = embedding_sq8_stats(ds)
+
+    m = mat.astype(np.float64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    q = np.round((m - mn) / (mx - mn) * 255.0)
+    vd = mn + q * (mx - mn) / 255.0
+    rmse = np.sqrt(((m - vd) ** 2).sum(axis=0) / len(m))
+    assert list(out["dim"]) == [1, 2, 3, 4, 5]
+    np.testing.assert_allclose(out["mn"], mn, rtol=1e-12)
+    np.testing.assert_allclose(out["mx"], mx, rtol=1e-12)
+    assert (out["n"] == 60).all()
+    np.testing.assert_allclose(out["rmse"], rmse, rtol=1e-12)
