@@ -1647,6 +1647,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("user_id", ignore_index=True)[
             ["user_id", "n_gaps", "mean_gap", "burstiness"]]
 
+    def user_rfm_scores(sf_dir: str):
+        # marketing-standard RFM segmentation: per-user recency /
+        # frequency / monetary quintile scores from global ranks
+        # with (metric, user) total-order tie-breaks; SQL twin =
+        # ROW_NUMBER ranks over the same keys
+        ev = sf_table(sf_dir, "events", ["user_id", "ts", "value"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": b["user_id"],
+                "ts_us": (b["ts"].astype("datetime64[us]")
+                          .astype("int64")),
+                "value": b["value"]})
+
+        return relational.rfm_scores(
+            ev.map_batches(prep, batch_format="pandas"))
+
     def user_sessions(sf_dir: str):
         # gap-based sessionization (the 30-minute web-analytics rule):
         # a new session starts when the inter-event gap exceeds 1800s;
@@ -4851,6 +4868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_hhi": nation_revenue_hhi,
         "nation_acctbal_gini": nation_acctbal_gini,
         "user_burstiness": user_burstiness,
+        "user_rfm_scores": user_rfm_scores,
         "user_sessions": user_sessions,
         "order_priority_theil": order_priority_theil,
         "qty_price_spearman_by_flag": qty_price_spearman_by_flag,
@@ -8117,6 +8135,30 @@ def oracle_sql() -> dict[str, str]:
                          THEN (sd - mu) / (sd + mu)
                          ELSE 0e0 END, 6) AS burstiness
             FROM a
+        """,
+        "user_rfm_scores": f"""
+            WITH a AS (SELECT user_id,
+                     max(epoch_us(ts)) AS last_us,
+                     count(*) AS n_events,
+                     {_sql_round_even('sum(value)', 4)} AS mon
+                FROM events GROUP BY user_id),
+            r AS (SELECT user_id, n_events,
+                     row_number() OVER (ORDER BY last_us, user_id)
+                         AS rr,
+                     row_number() OVER (ORDER BY n_events, user_id)
+                         AS fr,
+                     row_number() OVER (ORDER BY mon, user_id)
+                         AS mr,
+                     count(*) OVER () AS n
+                  FROM a),
+            s AS (SELECT user_id, n_events,
+                     1 + (5 * (rr - 1)) // n AS r_score,
+                     1 + (5 * (fr - 1)) // n AS f_score,
+                     1 + (5 * (mr - 1)) // n AS m_score
+                  FROM r)
+            SELECT user_id, n_events, r_score, f_score, m_score,
+                   100 * r_score + 10 * f_score + m_score AS rfm_code
+            FROM s ORDER BY user_id
         """,
         "value_shape_by_event_type": """
             WITH m AS (SELECT event_type, COUNT(*) AS n,

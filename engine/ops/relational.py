@@ -3057,3 +3057,60 @@ def ols2_by_group(
             "b2": det2 / det / y_scale * x2_scale,
         })
     return pd.DataFrame(out)
+
+
+def rfm_scores(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> pd.DataFrame:
+    """RFM customer scoring (Hughes 1994 recency/frequency/monetary
+    quantile segmentation, public formula): per user last event time,
+    event count, and value sum, each scored 1..``n_tiles`` by global
+    ascending rank: score = 1 + floor(n_tiles * (rank-1) / n_users).
+
+    Pass 1 is a map_batches combiner (per-batch max/count/sum
+    partials, one co-shuffle final) so only distinct-user rows move.
+    The rank step sorts the per-user AGGREGATE — the small side
+    (users << events); at web scale it is one distributed sort +
+    zip-with-index per metric, here np.lexsort on the driver. Every
+    rank is over the total order (metric, user), so ties are
+    deterministic on both sides, and monetary is rounded to 4dp
+    BEFORE ranking so a partial-sum-order ulp cannot flip a rank.
+    ``ts_col`` must already be an exact integer (epoch us)."""
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(user_col, as_index=False, sort=False).agg(
+            last_us=(ts_col, "max"), n_events=(ts_col, "size"),
+            mon=(value_col, "sum"))
+
+    parts = ds.map_batches(combine, batch_format="pandas")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(user_col, as_index=False, sort=False).agg(
+            last_us=("last_us", "max"), n_events=("n_events", "sum"),
+            mon=("mon", "sum"))
+
+    agg = (parts.repartition(1)
+           .map_batches(final, batch_format="pandas",
+                        batch_size=None).to_pandas())
+    n = len(agg)
+    users = agg[user_col].to_numpy()
+
+    def score(key: np.ndarray) -> np.ndarray:
+        order = np.lexsort((users, key))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(1, n + 1)
+        return 1 + (n_tiles * (rank - 1)) // n
+
+    r = score(agg["last_us"].to_numpy(np.int64))
+    f = score(agg["n_events"].to_numpy(np.int64))
+    m = score(np.round(agg["mon"].to_numpy(np.float64), 4))
+    out = pd.DataFrame({
+        user_col: users, "n_events": agg["n_events"].astype(np.int64),
+        "r_score": r, "f_score": f, "m_score": m,
+        "rfm_code": 100 * r + 10 * f + m})
+    return out.sort_values(user_col, ignore_index=True)

@@ -3815,3 +3815,36 @@ def test_embedding_sq8_stats_matches_bruteforce(ray_session):
     np.testing.assert_allclose(out["mx"], mx, rtol=1e-12)
     assert (out["n"] == 60).all()
     np.testing.assert_allclose(out["rmse"], rmse, rtol=1e-12)
+
+
+def test_rfm_scores_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import rfm_scores
+
+    rng = np.random.default_rng(11)
+    n = 400
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(1_000_000, 9_000_000, n)
+    val = np.round(rng.uniform(0, 100, n), 2)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "user_id": users, "ts_us": ts, "value": val,
+    })).repartition(5)
+    out = rfm_scores(ds).set_index("user_id")
+
+    df = pd.DataFrame({"u": users, "t": ts, "v": val})
+    agg = df.groupby("u").agg(last=("t", "max"), n=("t", "size"),
+                              mon=("v", "sum"))
+    agg["mon"] = agg["mon"].round(4)
+    nu = len(agg)
+
+    def brute(series):
+        order = sorted(agg.index, key=lambda u: (series[u], u))
+        return {u: 1 + (5 * i) // nu for i, u in enumerate(order)}
+
+    r, f, m = brute(agg["last"]), brute(agg["n"]), brute(agg["mon"])
+    for u in agg.index:
+        assert out.loc[u, "r_score"] == r[u]
+        assert out.loc[u, "f_score"] == f[u]
+        assert out.loc[u, "m_score"] == m[u]
+        assert out.loc[u, "rfm_code"] == 100 * r[u] + 10 * f[u] + m[u]
