@@ -2584,6 +2584,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["gamma"] = out["gamma"].round(6)
         return out[["bin", "n_pairs", "gamma"]]
 
+    def geo_knox_spacetime(sf_dir: str):
+        # Knox space-time interaction test: pairs close in space
+        # (<50 km), close in time (<=64 of 4096 hash-derived ticks),
+        # and both, vs the permutation-null expectation — the classic
+        # disease-cluster screen; space counts via the grid-halo
+        # owner rule, time margin via an O(T) value-count table; SQL
+        # twin recomputes all margins from the all-pairs join
+        idx = _geo_indexed(columns=["image_id"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            from engine import fixtures
+
+            i = (b["image_id"].str.slice(3)
+                 .astype(np.int64).to_numpy())
+            t = (fixtures._hash_stream(i, 13)
+                 % np.uint64(4096)).astype(np.int64)
+            return pd.DataFrame({"node": i, "t": t,
+                                 "lon": b["lon"], "lat": b["lat"]})
+
+        pts = idx.map_batches(prep, batch_format="pandas")
+        out = geo_ops.knox_spacetime(
+            pts, radius_m=50e3, tau=64, t_domain=4096,
+            max_abs_lat=50.0)
+        out["expected"] = out["expected"].round(6)
+        out["ratio"] = out["ratio"].round(6)
+        return out[["n_pairs", "n_space", "n_time", "n_both",
+                    "expected", "ratio"]]
+
     def geo_stay_points(sf_dir: str):
         # Li/Zheng stay-point extraction (20 km anchor radius, >= 5
         # fixes): the 5 hotspot-only tracks each collapse to one stay,
@@ -4809,6 +4837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_sde": geo_track_sde,
         "geo_ripley_k": geo_ripley_k,
         "geo_semivariogram": geo_semivariogram,
+        "geo_knox_spacetime": geo_knox_spacetime,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
         "geo_track_self_x": geo_track_self_x,
@@ -9222,6 +9251,33 @@ def oracle_sql() -> dict[str, str]:
                    round(ss / (2e0 * CAST(n_pairs AS DOUBLE)), 6)
                        AS gamma
             FROM ag ORDER BY bin
+        """,
+        "geo_knox_spacetime": f"""
+            WITH {_sql_geo_hashes(_GEO_N, [1, 2, 3, 4, 13])},
+            {_sql_gll_body()},
+            gt AS (SELECT i, CAST(h13 % 4096 AS BIGINT) AS t
+                   FROM ghash),
+            gp AS (SELECT g.i AS node, g.lon, g.lat, t.t
+                   FROM gll g JOIN gt t USING (i)),
+            pr AS (SELECT {_sql_haversine('a.lat', 'a.lon',
+                                          'b.lat', 'b.lon')} AS d,
+                      abs(a.t - b.t) AS dt
+                   FROM gp a JOIN gp b ON b.node > a.node),
+            ag AS (SELECT COUNT(*) AS n_pairs,
+                      COUNT(*) FILTER (WHERE d < 50000e0) AS n_space,
+                      COUNT(*) FILTER (WHERE dt <= 64) AS n_time,
+                      COUNT(*) FILTER (WHERE d < 50000e0
+                                       AND dt <= 64) AS n_both
+                   FROM pr)
+            SELECT n_pairs, n_space, n_time, n_both,
+                   round(CAST(n_space AS DOUBLE)
+                         * CAST(n_time AS DOUBLE)
+                         / CAST(n_pairs AS DOUBLE), 6) AS expected,
+                   round(CAST(n_both AS DOUBLE)
+                         / (CAST(n_space AS DOUBLE)
+                            * CAST(n_time AS DOUBLE)
+                            / CAST(n_pairs AS DOUBLE)), 6) AS ratio
+            FROM ag
         """,
         "geo_bearing_rose": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -3815,3 +3815,110 @@ def semivariogram(
     return tot.rename(columns={"n": "n_pairs"})[
         ["bin", "n_pairs", "gamma"]].sort_values(
         "bin", ignore_index=True)
+
+
+def knox_spacetime(
+    points: ray.data.Dataset,
+    radius_m: float,
+    tau: int,
+    *,
+    t_domain: int,
+    max_abs_lat: float = 80.0,
+) -> pd.DataFrame:
+    """Knox space-time interaction statistic (Knox 1964, public
+    epidemiology formula): over unordered point pairs, counts
+    close-in-space (haversine < ``radius_m``), close-in-time
+    (|dt| <= ``tau`` over integer times in [0, ``t_domain``)), and
+    close-in-both, plus the permutation-null expectation
+    E = n_space * n_time / n_pairs and the ratio n_both / E.
+
+    Space counts ride the ripley-style 3x3 grid-halo owner-rule pass
+    (only two partial ints leave each cell group). The time margin
+    never touches pairs: a per-value count combiner reduces to at
+    most ``t_domain`` rows, and the pair count is a prefix-sum scan
+    over that tiny table on the driver (the O(T) small side). The
+    SQL twin recomputes all three margins from the all-pairs join."""
+    from engine.geo.knn import haversine_m
+    from engine.ops.relational import sum_final
+
+    if max_abs_lat >= 89.0:
+        raise ValueError("knox grid cover needs max_abs_lat < 89")
+    cos_w = float(np.cos(np.deg2rad(max_abs_lat)))
+    cd = radius_m / (110_000.0 * cos_w)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        lat = b["lat"].to_numpy(np.float64)
+        if len(lat) and float(np.abs(lat).max()) > max_abs_lat:
+            raise ValueError(
+                f"knox: |lat| > max_abs_lat={max_abs_lat}")
+        lon = b["lon"].to_numpy(np.float64)
+        cx = np.floor(lon / cd).astype(np.int64)
+        cy = np.floor(lat / cd).astype(np.int64)
+        n = len(b)
+        off = np.array([-1, 0, 1], np.int64)
+        ox = np.repeat(np.tile(off, 3), n)
+        oy = np.repeat(np.repeat(off, 3), n)
+        return pd.DataFrame({
+            "cell": ((np.tile(cx, 9) + ox) * 4_294_967_296
+                     + (np.tile(cy, 9) + oy) + 2_147_483_648),
+            "node": np.tile(b["node"].to_numpy(np.int64), 9),
+            "t": np.tile(b["t"].to_numpy(np.int64), 9),
+            "lon": np.tile(lon, 9), "lat": np.tile(lat, 9),
+            "real": (ox == 0) & (oy == 0),
+        })
+
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["real"]]
+        if len(real) == 0:
+            return pd.DataFrame({"k": np.empty(0, np.int64),
+                                 "ns": np.empty(0, np.int64),
+                                 "nst": np.empty(0, np.int64)})
+        d = haversine_m(
+            real["lon"].to_numpy()[:, None],
+            real["lat"].to_numpy()[:, None],
+            g["lon"].to_numpy()[None, :],
+            g["lat"].to_numpy()[None, :])
+        newer = (g["node"].to_numpy()[None, :]
+                 > real["node"].to_numpy()[:, None])
+        close = newer & (d < radius_m)
+        dt = np.abs(real["t"].to_numpy()[:, None]
+                    - g["t"].to_numpy()[None, :])
+        return pd.DataFrame({
+            "k": np.zeros(1, np.int64),
+            "ns": np.array([close.sum()], np.int64),
+            "nst": np.array([(close & (dt <= tau)).sum()],
+                            np.int64)})
+
+    exploded = points.map_batches(explode, batch_format="pandas")
+    partials = exploded.groupby("cell").map_groups(
+        group_counts, batch_format="pandas")
+    sp = sum_final(partials, ["k"]).to_pandas()
+    n_space = int(sp["ns"].sum())
+    n_both = int(sp["nst"].sum())
+
+    def t_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["t"].value_counts()
+        return pd.DataFrame({"t": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    tm = sum_final(points.map_batches(t_counts,
+                                      batch_format="pandas"),
+                   ["t"]).to_pandas().sort_values(
+                       "t", ignore_index=True)
+    tv = tm["t"].to_numpy(np.int64)
+    tc = tm["n"].to_numpy(np.int64)
+    csum = np.concatenate([[0], np.cumsum(tc)])
+    hi = np.searchsorted(tv, tv + tau, side="right")
+    lo = np.arange(1, len(tv) + 1)
+    n_time = int((tc * (csum[hi] - csum[lo])).sum()
+                 + (tc * (tc - 1) // 2).sum())
+    n_total = int(tc.sum())
+    n_pairs = n_total * (n_total - 1) // 2
+
+    # shared expression tree — mirrored verbatim in the twin
+    expected = (float(n_space) * float(n_time)) / float(n_pairs)
+    ratio = float(n_both) / expected if expected > 0 else 0.0
+    return pd.DataFrame({
+        "n_pairs": [n_pairs], "n_space": [n_space],
+        "n_time": [n_time], "n_both": [n_both],
+        "expected": [expected], "ratio": [ratio]})

@@ -3848,3 +3848,35 @@ def test_rfm_scores_matches_bruteforce(ray_session):
         assert out.loc[u, "f_score"] == f[u]
         assert out.loc[u, "m_score"] == m[u]
         assert out.loc[u, "rfm_code"] == 100 * r[u] + 10 * f[u] + m[u]
+
+
+def test_knox_spacetime_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import knox_spacetime
+
+    rng = np.random.default_rng(31)
+    n = 120
+    lon = rng.uniform(-5, 5, n)
+    lat = rng.uniform(38, 44, n)
+    t = rng.integers(0, 500, n)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node": np.arange(n), "t": t, "lon": lon, "lat": lat,
+    })).repartition(4)
+    out = knox_spacetime(ds, radius_m=120e3, tau=40,
+                         t_domain=500, max_abs_lat=50.0).iloc[0]
+
+    d = haversine_m(lon[:, None], lat[:, None],
+                    lon[None, :], lat[None, :])
+    iu = np.triu_indices(n, 1)
+    close_s = d[iu] < 120e3
+    close_t = np.abs(t[:, None] - t[None, :])[iu] <= 40
+    assert out["n_pairs"] == n * (n - 1) // 2
+    assert out["n_space"] == int(close_s.sum())
+    assert out["n_time"] == int(close_t.sum())
+    assert out["n_both"] == int((close_s & close_t).sum())
+    exp = close_s.sum() * close_t.sum() / (n * (n - 1) / 2)
+    assert out["expected"] == pytest.approx(exp, rel=1e-9)
+    assert out["ratio"] == pytest.approx(
+        (close_s & close_t).sum() / exp, rel=1e-9)
