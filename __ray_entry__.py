@@ -2790,6 +2790,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["gx", "gy", "n_fixes", "n_buckets",
                     "peak_bucket", "peak_n"]]
 
+    def geo_mann_kendall_cells(sf_dir: str):
+        # emerging-hotspot screen: per cell, Mann-Kendall trend of
+        # the fix-count series over 24 dense seq buckets (S, tie-
+        # corrected z); rollup combiner + per-cell map_groups; SQL
+        # twin builds the dense domain with range() and the same
+        # integer pair signs
+        out = geo_ops.mann_kendall_cells(
+            _geo_tracked(), n_buckets=24, n_total=_GEO_N)
+        out["z"] = out["z"].round(6)
+        return out[["gx", "gy", "n_fixes", "s", "z"]]
+
     def orders_urgency_ttest(sf_dir: str):
         # Welch two-cohort comparison: URGENT vs non-URGENT order
         # prices, streaming moment combiner; SQL twin computes the
@@ -4838,6 +4849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_ripley_k": geo_ripley_k,
         "geo_semivariogram": geo_semivariogram,
         "geo_knox_spacetime": geo_knox_spacetime,
+        "geo_mann_kendall_cells": geo_mann_kendall_cells,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
         "geo_track_self_x": geo_track_self_x,
@@ -9278,6 +9290,54 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(n_time AS DOUBLE)
                             / CAST(n_pairs AS DOUBLE)), 6) AS ratio
             FROM ag
+        """,
+        "geo_mann_kendall_cells": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT
+                       CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy,
+                       (i * 24) // {_GEO_N} AS tb
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, tb, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy, tb),
+            gcel AS (SELECT DISTINCT gx, gy FROM gcnt),
+            gdom AS (SELECT c.gx, c.gy, CAST(r.range AS BIGINT) AS tb
+                     FROM gcel c CROSS JOIN range(24) r),
+            gx AS (SELECT d.gx, d.gy, d.tb, COALESCE(n.n, 0) AS v
+                   FROM gdom d LEFT JOIN gcnt n
+                     ON n.gx = d.gx AND n.gy = d.gy AND n.tb = d.tb),
+            gs AS (SELECT a.gx, a.gy,
+                      SUM(CASE WHEN b.v > a.v THEN 1
+                               WHEN b.v < a.v THEN -1
+                               ELSE 0 END) AS s
+                   FROM gx a JOIN gx b
+                     ON a.gx = b.gx AND a.gy = b.gy AND b.tb > a.tb
+                   GROUP BY a.gx, a.gy),
+            gtie AS (SELECT gx, gy,
+                        SUM(c * (c - 1) * (2 * c + 5)) AS tt
+                     FROM (SELECT gx, gy, v, COUNT(*) AS c
+                           FROM gx GROUP BY gx, gy, v)
+                     GROUP BY gx, gy),
+            gfix AS (SELECT gx, gy, SUM(n) AS n_fixes FROM gcnt
+                     GROUP BY gx, gy),
+            gz AS (SELECT s.gx, s.gy, f.n_fixes, s.s,
+                      CAST({24 * 23 * 53} - t.tt AS DOUBLE) / 18e0
+                          AS var
+                   FROM gs s JOIN gtie t
+                     ON s.gx = t.gx AND s.gy = t.gy
+                   JOIN gfix f ON s.gx = f.gx AND s.gy = f.gy)
+            SELECT gx, gy, CAST(n_fixes AS BIGINT) AS n_fixes,
+                   CAST(s AS BIGINT) AS s,
+                   round(CASE WHEN s > 0
+                              THEN (s - 1) / sqrt(var)
+                              WHEN s < 0
+                              THEN (s + 1) / sqrt(var)
+                              ELSE 0e0 END, 6) AS z
+            FROM gz ORDER BY gx, gy
         """,
         "geo_bearing_rose": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

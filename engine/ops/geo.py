@@ -3922,3 +3922,74 @@ def knox_spacetime(
         "n_pairs": [n_pairs], "n_space": [n_space],
         "n_time": [n_time], "n_both": [n_both],
         "expected": [expected], "ratio": [ratio]})
+
+
+def mann_kendall_cells(
+    points: ray.data.Dataset,
+    n_buckets: int,
+    n_total: int,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Emerging-hotspot trend screen: per grid cell, the Mann-Kendall
+    trend statistic of its fix-count series over ``n_buckets`` dense
+    time buckets (tb = seq * n_buckets // n_total), zeros included —
+    S = sum sign(x_j - x_i) over bucket pairs i < j, tie-corrected
+    variance, and the +-1-continuity z score (Mann 1945 / Kendall
+    1975, public formulas; the trend half of ESRI-style emerging
+    hot spot analysis).
+
+    One (cell, bucket) count combiner feeds a per-cell map_groups
+    over the rollup (cells x n_buckets rows, never raw fixes); S and
+    the tie terms are exact integers, so the SQL twin — dense bucket
+    domain via range() + the same pair signs — matches through the
+    final z division."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        seq = np.asarray(b["seq"], dtype=np.int64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        df = pd.DataFrame({"gx": gx[ok], "gy": gy[ok],
+                           "tb": seq[ok] * n_buckets // n_total})
+        agg = df.groupby(["gx", "gy", "tb"], as_index=False,
+                         sort=False).size()
+        agg = agg.rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = sum_final(
+        points.map_batches(cells, batch_format="pyarrow"),
+        ["gx", "gy", "tb"])
+    m = n_buckets
+    var_base = m * (m - 1) * (2 * m + 5)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.zeros(m, np.int64)
+        x[g["tb"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+        iu = np.triu_indices(m, 1)
+        s = int(np.sign(x[iu[1]] - x[iu[0]]).sum())
+        _, tc = np.unique(x, return_counts=True)
+        tt = int((tc * (tc - 1) * (2 * tc + 5)).sum())
+        # shared expression tree — mirrored verbatim in the twin
+        var = float(var_base - tt) / 18.0
+        if s > 0:
+            z = (s - 1) / np.sqrt(var)
+        elif s < 0:
+            z = (s + 1) / np.sqrt(var)
+        else:
+            z = 0.0
+        return pd.DataFrame({
+            "gx": g["gx"].iloc[:1], "gy": g["gy"].iloc[:1],
+            "n_fixes": np.asarray([int(g["n"].sum())], np.int64),
+            "s": np.asarray([s], np.int64),
+            "z": np.asarray([z], np.float64)})
+
+    out = (counts.groupby(["gx", "gy"])
+           .map_groups(per_cell, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["gx", "gy"], ignore_index=True)

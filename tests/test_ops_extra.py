@@ -3880,3 +3880,40 @@ def test_knox_spacetime_matches_bruteforce(ray_session):
     assert out["expected"] == pytest.approx(exp, rel=1e-9)
     assert out["ratio"] == pytest.approx(
         (close_s & close_t).sum() / exp, rel=1e-9)
+
+
+def test_mann_kendall_cells_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.geo import mann_kendall_cells
+
+    rng = np.random.default_rng(41)
+    n = 600
+    lon = rng.uniform(-11, 11, n)
+    lat = rng.uniform(35.5, 46.5, n)
+    seq = np.arange(n)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "seq": seq, "lon": lon, "lat": lat})).repartition(4)
+    out = mann_kendall_cells(ds, n_buckets=12, n_total=n)
+
+    gx = np.floor(lon + 12).astype(int)
+    gy = np.floor(lat - 35).astype(int)
+    tb = seq * 12 // n
+    df = pd.DataFrame({"gx": gx, "gy": gy, "tb": tb})
+    want = {}
+    for (cx, cy), g in df.groupby(["gx", "gy"]):
+        x = np.zeros(12, int)
+        for b, c in g["tb"].value_counts().items():
+            x[b] = c
+        s = sum(np.sign(x[j] - x[i])
+                for i in range(12) for j in range(i + 1, 12))
+        _, tc = np.unique(x, return_counts=True)
+        var = (12 * 11 * 29 - (tc * (tc - 1) * (2 * tc + 5)).sum()) / 18
+        z = ((s - 1) / np.sqrt(var) if s > 0
+             else (s + 1) / np.sqrt(var) if s < 0 else 0.0)
+        want[(cx, cy)] = (len(g), s, z)
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        nf, s, z = want[(r["gx"], r["gy"])]
+        assert r["n_fixes"] == nf and r["s"] == s
+        assert r["z"] == pytest.approx(z, abs=1e-12)
