@@ -1089,6 +1089,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["avg_cos"] = (out["sum_cos"] / out["n_vecs"]).round(4)
         return out[["cluster", "n_vecs", "avg_cos"]]
 
+    def embedding_cluster_ari(sf_dir: str):
+        # external clustering validation: ARI + NMI between the
+        # fixed-centroid k-means assignment and the ground-truth
+        # label; contingency combiner, exact-int pair/margin terms;
+        # SQL twin re-derives the assignment from the inlined
+        # centroids and mirrors the formula tree
+        emb = sf_table(sf_dir, "embeddings",
+                       ["vec_id", "embedding", "label"])
+        assigned = simsearch.kmeans_assign(
+            emb, n_clusters=8, centroids=_seed_centroids(8),
+            keep_cols=("label",))
+        out = simsearch.cluster_agreement(assigned)
+        out["ari"] = out["ari"].round(6)
+        out["nmi"] = out["nmi"].round(6)
+        return out[["n_vecs", "n_clusters", "n_labels", "ari",
+                    "nmi"]]
+
     def approx_distinct_users(sf_dir: str):
         # HyperLogLog sketch: one streaming pass, zero shuffles; the
         # ~1.6% (p=12) accuracy bound is pytest-verified vs the exact
@@ -4697,6 +4714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_by_label": embedding_centroid_by_label,
         "embedding_dim_stats": embedding_dim_stats,
         "embedding_sq8_error": embedding_sq8_error,
+        "embedding_cluster_ari": embedding_cluster_ari,
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
         "supplier_part_pagerank": supplier_part_pagerank,
@@ -5813,6 +5831,72 @@ def _sql_kmeans_clusters() -> str:
         SELECT CAST(c AS INT) AS cluster, COUNT(*) AS n_vecs,
                ROUND(SUM(ROUND(s, 6)) / COUNT(*), 4) AS avg_cos
         FROM pick GROUP BY c
+    """
+
+
+def _sql_cluster_ari() -> str:
+    cent = _seed_centroids(8)
+    return f"""
+        WITH cent(c, d, val) AS (VALUES {_sql_centroid_values(cent)}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_sum(list_transform(
+                         CAST(embedding AS DOUBLE[]), x -> x * x)))
+                         AS nrm
+              FROM embeddings),
+        sim AS (SELECT e.vec_id, cent.c,
+                       SUM((e.v[cent.d] / GREATEST(e.nrm, 1e-12))
+                           * cent.val) AS s
+                FROM e CROSS JOIN cent GROUP BY e.vec_id, cent.c),
+        pick AS (SELECT vec_id, c FROM (
+                     SELECT vec_id, c, ROW_NUMBER() OVER (
+                         PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+                     FROM sim) WHERE rn = 1),
+        asg AS (SELECT p.c AS cluster, emb.label
+                FROM pick p JOIN embeddings emb USING (vec_id)),
+        cont AS (SELECT cluster, label, COUNT(*) AS n
+                 FROM asg GROUP BY cluster, label),
+        ma AS (SELECT cluster, SUM(n) AS a FROM cont
+               GROUP BY cluster),
+        mb AS (SELECT label, SUM(n) AS b FROM cont GROUP BY label),
+        s1 AS (SELECT SUM((n * (n - 1)) // 2) AS sij, SUM(n) AS nt
+               FROM cont),
+        s2 AS (SELECT SUM((a * (a - 1)) // 2) AS sa,
+                      COUNT(*) AS kc FROM ma),
+        s3 AS (SELECT SUM((b * (b - 1)) // 2) AS sb,
+                      COUNT(*) AS kl FROM mb),
+        smi AS (SELECT SUM((CAST(c.n AS DOUBLE) / t.nt)
+                    * ln(CAST(c.n AS DOUBLE) * t.nt
+                         / (CAST(a.a AS DOUBLE)
+                            * CAST(b.b AS DOUBLE)))) AS mi
+                FROM cont c
+                JOIN ma a USING (cluster) JOIN mb b USING (label)
+                CROSS JOIN s1 t),
+        shc AS (SELECT -SUM((CAST(a AS DOUBLE) / t.nt)
+                    * ln(CAST(a AS DOUBLE) / t.nt)) AS hc
+                FROM ma CROSS JOIN s1 t),
+        shl AS (SELECT -SUM((CAST(b AS DOUBLE) / t.nt)
+                    * ln(CAST(b AS DOUBLE) / t.nt)) AS hl
+                FROM mb CROSS JOIN s1 t),
+        fin AS (SELECT s1.nt, s2.kc, s3.kl,
+                   CAST(s1.sij AS DOUBLE) AS sij,
+                   CAST(s2.sa AS DOUBLE) AS sa,
+                   CAST(s3.sb AS DOUBLE) AS sb,
+                   CAST(s2.sa AS DOUBLE) * CAST(s3.sb AS DOUBLE)
+                       / (CAST(s1.nt AS DOUBLE)
+                          * (CAST(s1.nt AS DOUBLE) - 1e0) / 2e0)
+                       AS expv,
+                   smi.mi, shc.hc, shl.hl
+                FROM s1, s2, s3, smi, shc, shl)
+        SELECT CAST(nt AS BIGINT) AS n_vecs,
+               CAST(kc AS BIGINT) AS n_clusters,
+               CAST(kl AS BIGINT) AS n_labels,
+               round(CASE WHEN (sa + sb) / 2e0 - expv <> 0e0
+                     THEN (sij - expv) / ((sa + sb) / 2e0 - expv)
+                     ELSE 0e0 END, 6) AS ari,
+               round(CASE WHEN hc + hl > 0e0
+                     THEN 2e0 * mi / (hc + hl)
+                     ELSE 0e0 END, 6) AS nmi
+        FROM fin
     """
 
 
@@ -7505,6 +7589,7 @@ def oracle_sql() -> dict[str, str]:
         # ---- round-3 twins for formerly rows-only queries ------------
         "ann_ivf_topk": _sql_ivf_topk(10, 4),
         "embedding_kmeans_clusters": _sql_kmeans_clusters(),
+        "embedding_cluster_ari": _sql_cluster_ari(),
         "embedding_participation_ratio": _sql_participation_ratio(),
         "image_norm_moments": _sql_image_norm_moments(),
         "image_pixel_histogram": _sql_image_pixel_histogram(16),

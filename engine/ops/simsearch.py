@@ -366,6 +366,7 @@ def kmeans_assign(
     train_sample: int = 2048,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Embedding clustering for corpus curation: deterministic k-means
     centroids fit on a driver-side sample (or passed in via
@@ -393,13 +394,14 @@ def kmeans_assign(
             v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
             sim = v @ self.cent.T
             a = np.argmax(sim, axis=1)
-            return pd.DataFrame(
-                {
-                    id_col: batch[id_col].to_numpy(),
-                    "cluster": a.astype(np.int32),
-                    "cos": np.round(sim[np.arange(len(a)), a], 6),
-                }
-            )
+            out = {
+                id_col: batch[id_col].to_numpy(),
+                "cluster": a.astype(np.int32),
+                "cos": np.round(sim[np.arange(len(a)), a], 6),
+            }
+            for c in keep_cols:
+                out[c] = batch[c].to_numpy()
+            return pd.DataFrame(out)
 
     return corpus.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
 
@@ -696,3 +698,66 @@ def embedding_sq8_stats(
     out = tot.merge(rng.reset_index(), on="dim")
     return out[["dim", "mn", "mx", "n", "rmse"]].sort_values(
         "dim", ignore_index=True)
+
+
+def cluster_agreement(
+    ds: ray.data.Dataset,
+    *,
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """External clustering validation: Adjusted Rand Index (Hubert &
+    Arabie 1985) and arithmetic-mean-normalized mutual information
+    between a cluster assignment and a ground-truth label — the
+    did-the-curation-clustering-find-the-taxonomy report.
+
+    One (cluster, label) count combiner reduces the corpus to a
+    k x L contingency table; every downstream term (pair combos,
+    margins) is an exact integer on that tiny table, so the SQL twin
+    matches through the final ARI/NMI divisions (ln-sum order is the
+    only float slack, absorbed by the caller's 6dp round)."""
+    from engine.ops import relational
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        agg = b.groupby([cluster_col, label_col], as_index=False,
+                        sort=False).size()
+        agg = agg.rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    cont = relational.sum_final(
+        ds.map_batches(local, batch_format="pandas"),
+        [cluster_col, label_col]).to_pandas()
+    nij = cont["n"].to_numpy(np.int64)
+    am = cont.groupby(cluster_col)["n"].transform("sum").to_numpy(
+        np.int64)
+    bm = cont.groupby(label_col)["n"].transform("sum").to_numpy(
+        np.int64)
+    a = cont.groupby(cluster_col)["n"].sum().to_numpy(np.int64)
+    b = cont.groupby(label_col)["n"].sum().to_numpy(np.int64)
+    n = int(nij.sum())
+
+    def comb2(x: np.ndarray | int):
+        return (x * (x - 1)) // 2
+
+    sij = int(comb2(nij).sum())
+    sa = int(comb2(a).sum())
+    sb = int(comb2(b).sum())
+    tot = comb2(n)
+    # shared expression tree — mirrored verbatim in the twin
+    exp = (float(sa) * float(sb)) / float(tot)
+    den = (float(sa) + float(sb)) / 2.0 - exp
+    ari = (float(sij) - exp) / den if den != 0.0 else 0.0
+    nf = float(n)
+    mi = float((
+        (nij.astype(np.float64) / nf)
+        * np.log(nij.astype(np.float64) * nf
+                 / (am.astype(np.float64) * bm.astype(np.float64)))
+    ).sum())
+    hc = float(-((a / nf) * np.log(a / nf)).sum())
+    hl = float(-((b / nf) * np.log(b / nf)).sum())
+    hsum = hc + hl
+    nmi = 2.0 * mi / hsum if hsum > 0.0 else 0.0
+    return pd.DataFrame({
+        "n_vecs": [n], "n_clusters": [len(a)], "n_labels": [len(b)],
+        "ari": [ari], "nmi": [nmi]})

@@ -3917,3 +3917,30 @@ def test_mann_kendall_cells_matches_bruteforce(ray_session):
         nf, s, z = want[(r["gx"], r["gy"])]
         assert r["n_fixes"] == nf and r["s"] == s
         assert r["z"] == pytest.approx(z, abs=1e-12)
+
+
+def test_cluster_agreement_known_values(ray_session):
+    import ray.data
+
+    from engine.ops.simsearch import cluster_agreement
+
+    # perfect agreement up to relabeling -> ARI = NMI = 1
+    lab = np.repeat([0, 1, 2], 30)
+    clu = np.repeat([2, 0, 1], 30)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"cluster": clu, "label": lab})).repartition(4)
+    out = cluster_agreement(ds).iloc[0]
+    assert out["ari"] == pytest.approx(1.0, abs=1e-12)
+    assert out["nmi"] == pytest.approx(1.0, abs=1e-12)
+    assert out["n_vecs"] == 90
+
+    # balanced independent 2x2 (25 per cell): sij=1200, sa=sb=2450,
+    # tot=4950 -> ARI = (1200 - 2450^2/4950) / (2450 - 2450^2/4950)
+    lab2 = np.array([0, 0, 1, 1] * 25)
+    clu2 = np.array([0, 1, 0, 1] * 25)
+    out2 = cluster_agreement(ray.data.from_pandas(pd.DataFrame(
+        {"cluster": clu2, "label": lab2})).repartition(3)).iloc[0]
+    exp = 2450.0 * 2450.0 / 4950.0
+    assert out2["ari"] == pytest.approx(
+        (1200.0 - exp) / (2450.0 - exp), abs=1e-12)
+    assert out2["nmi"] == pytest.approx(0.0, abs=1e-12)
