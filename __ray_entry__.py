@@ -1300,6 +1300,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["pmi"] = out["pmi"].round(6)
         return out[["w1", "w2", "n", "pmi"]]
 
+    def docs_levenshtein_pairs(sf_dir: str):
+        # typo-level fuzzy dedup screen: same-length-bucket doc pairs
+        # whose 24-char prefixes are within edit distance 6; the DP
+        # runs vectorized across each bucket's pair axis; SQL twin is
+        # DuckDB levenshtein() over the identical blocked join
+        docs = sf_table(sf_dir, "documents",
+                        ["doc_id", "text", "n_chars"])
+        return text.levenshtein_prefix_pairs(
+            docs, prefix_len=24, bucket_w=16, max_dist=6)
+
     def event_type_cooccurrence(sf_dir: str):
         # market-basket association: for each unordered event-type
         # pair, how many users did both, plus the lift vs independent
@@ -4892,6 +4902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_convexity": geo_polygon_convexity,
         "docs_bigram_logprob": docs_bigram_logprob,
         "docs_bigram_pmi": docs_bigram_pmi,
+        "docs_levenshtein_pairs": docs_levenshtein_pairs,
         "event_type_cooccurrence": event_type_cooccurrence,
         "part_triangle_count": part_triangle_count,
         "part_bfs_hops": part_bfs_hops,
@@ -7804,6 +7815,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON u2.token = bc.w2
             WHERE bc.nb >= 5
             ORDER BY w1, w2
+        """,
+        "docs_levenshtein_pairs": """
+            WITH d AS (SELECT doc_id, substr(text, 1, 24) AS p,
+                              n_chars // 16 AS bkt
+                       FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+            FROM d a JOIN d b
+              ON a.bkt = b.bkt AND b.doc_id > a.doc_id
+            WHERE levenshtein(a.p, b.p) <= 6
+            ORDER BY a, b
         """,
         "docs_bigram_logprob": """
             WITH arrs AS (

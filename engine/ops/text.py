@@ -962,3 +962,80 @@ def bigram_pmi(ds: ray.data.Dataset, min_count: int = 5) -> pd.DataFrame:
     sub["n"] = sub["n"].astype(np.int64)
     return sub[["w1", "w2", "n", "pmi"]].sort_values(
         ["w1", "w2"], ignore_index=True)
+
+
+def levenshtein_prefix_pairs(
+    ds: ray.data.Dataset,
+    *,
+    prefix_len: int = 24,
+    bucket_w: int = 16,
+    max_dist: int = 6,
+) -> pd.DataFrame:
+    """Edit-distance near-dup candidate pairs: documents in the same
+    ``n_chars // bucket_w`` length bucket whose ``prefix_len``-char
+    prefixes are within Levenshtein distance ``max_dist`` (Wagner &
+    Fischer 1974 DP, public formula) — the cheap fuzzy-title screen
+    that catches typo-level variants n-gram shingles overweight.
+
+    Blocking IS the operator's contract (pairs differing by more
+    than a bucket of length never compare — at web scale hot buckets
+    would hash-chunk like ``graph.wedge_pairs``); one groupby(bucket)
+    co-shuffle, then the DP runs as prefix_len^2 numpy steps
+    vectorized ACROSS the bucket's pair axis, never per cell. The
+    SQL twin is DuckDB's levenshtein() over the same blocked join."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            "p": b["text"].astype(str).str.slice(0, prefix_len),
+            "bkt": (b["n_chars"].to_numpy(np.int64) // bucket_w)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64),
+                              "dist": pd.Series(dtype=np.int64)})
+        if n < 2:
+            return empty
+        g = g.sort_values("doc_id", ignore_index=True)
+        ids = g["doc_id"].to_numpy(np.int64)
+        enc = np.zeros((n, prefix_len), np.int32)
+        ln = np.zeros(n, np.int64)
+        for k, s in enumerate(g["p"]):
+            cp = np.array([ord(c) for c in s], np.int32)
+            ln[k] = len(cp)
+            enc[k, :len(cp)] = cp
+        ia, ib = np.triu_indices(n, 1)
+        pa, pb = enc[ia], enc[ib]
+        m = len(ia)
+        lna, lnb = ln[ia], ln[ib]
+        # two-row DP (rows x pairs), answers gathered when row == la
+        dist = np.zeros(m, np.int64)
+        prev = np.broadcast_to(
+            np.arange(prefix_len + 1, dtype=np.int32)[:, None],
+            (prefix_len + 1, m)).copy()
+        hit = lna == 0
+        dist[hit] = lnb[hit]
+        arange_m = np.arange(m)
+        for i in range(1, prefix_len + 1):
+            cur = np.empty_like(prev)
+            cur[0] = i
+            for j in range(1, prefix_len + 1):
+                sub = prev[j - 1] + (pa[:, i - 1] != pb[:, j - 1])
+                cur[j] = np.minimum(
+                    np.minimum(prev[j] + 1, cur[j - 1] + 1), sub)
+            hit = lna == i
+            if hit.any():
+                dist[hit] = cur[lnb[hit], arange_m[hit]]
+            prev = cur
+        ok = dist <= max_dist
+        if not ok.any():
+            return empty
+        return pd.DataFrame({"a": ids[ia[ok]], "b": ids[ib[ok]],
+                             "dist": dist[ok]})
+
+    out = (ds.map_batches(prep, batch_format="pandas")
+           .groupby("bkt").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["a", "b"], ignore_index=True)[
+        ["a", "b", "dist"]]

@@ -3944,3 +3944,46 @@ def test_cluster_agreement_known_values(ray_session):
     assert out2["ari"] == pytest.approx(
         (1200.0 - exp) / (2450.0 - exp), abs=1e-12)
     assert out2["nmi"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_levenshtein_prefix_pairs_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.text import levenshtein_prefix_pairs
+
+    def lev(s1, s2):
+        d = list(range(len(s2) + 1))
+        for i, c1 in enumerate(s1, 1):
+            nd = [i]
+            for j, c2 in enumerate(s2, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1,
+                              d[j - 1] + (c1 != c2)))
+            d = nd
+        return d[-1]
+
+    rng = np.random.default_rng(17)
+    base = ["the quick brown fox jumps over it",
+            "pack my box with five dozen jugs!",
+            "sphinx of black quartz judge vows"]
+    texts = []
+    for k in range(60):
+        s = list(base[k % 3])
+        for _ in range(rng.integers(0, 5)):
+            s[rng.integers(0, len(s))] = chr(97 + rng.integers(0, 26))
+        texts.append("".join(s) + " tail" * int(rng.integers(0, 4)))
+    df = pd.DataFrame({"doc_id": range(60), "text": texts,
+                       "n_chars": [len(t) for t in texts]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = levenshtein_prefix_pairs(
+        ds, prefix_len=24, bucket_w=16, max_dist=6)
+
+    want = []
+    for i in range(60):
+        for j in range(i + 1, 60):
+            if df.n_chars[i] // 16 != df.n_chars[j] // 16:
+                continue
+            dd = lev(texts[i][:24], texts[j][:24])
+            if dd <= 6:
+                want.append((i, j, dd))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == want and len(want) > 10
