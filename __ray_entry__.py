@@ -2235,6 +2235,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _geo_indexed(columns=["image_id"])
         return geo_ops.self_knn_halo(idx, k=3, coarse_res=5, halo_rings=1)
 
+    def geo_colocation_quotient(sf_dir: str):
+        # which caption languages cluster together: NN colocation
+        # quotient over the 3 lang categories via the certified
+        # halo self-kNN (k=1) + two hash co-shuffle label joins;
+        # SQL twin argmins the all-pairs distances with the same
+        # (dist, neighbor) tie-break
+        import pyarrow.compute as pc
+
+        idx = _geo_indexed(columns=["image_id", "caption"])
+
+        def prep(t) -> pd.DataFrame:
+            return pd.DataFrame({
+                "image_id": t["image_id"].to_pandas(),
+                "cat": np.asarray(pc.utf8_slice_codeunits(
+                    t["caption_canon"], 0, 2)).astype(object),
+                "lon": np.asarray(t["lon"], np.float64),
+                "lat": np.asarray(t["lat"], np.float64)})
+
+        pts = idx.map_batches(prep, batch_format="pyarrow")
+        out = geo_ops.colocation_quotient(pts)
+        out["clq"] = out["clq"].round(6)
+        return out[["cat_a", "cat_b", "n_a", "n_b", "c_ab", "clq"]]
+
     def geo_tile_assignments(sf_dir: str):
         idx = _geo_indexed(columns=["image_id"])
         keyed = idx.map_batches(
@@ -4878,6 +4901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_semivariogram": geo_semivariogram,
         "geo_knox_spacetime": geo_knox_spacetime,
         "geo_mann_kendall_cells": geo_mann_kendall_cells,
+        "geo_colocation_quotient": geo_colocation_quotient,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
         "geo_track_self_x": geo_track_self_x,
@@ -9445,6 +9469,44 @@ def oracle_sql() -> dict[str, str]:
                               THEN (s + 1) / sqrt(var)
                               ELSE 0e0 END, 6) AS z
             FROM gz ORDER BY gx, gy
+        """,
+        "geo_colocation_quotient": f"""
+            WITH {_sql_geo_full(_GEO_N)},
+            gp AS (SELECT g.i AS node,
+                      substr(c.caption_canon, 1, 2) AS cat,
+                      g.lon, g.lat
+                   FROM gll g JOIN gcanon c USING (i)),
+            gd AS (SELECT a.node AS na, a.cat AS ca,
+                      b.node AS nb2, b.cat AS cb,
+                      {_sql_haversine('a.lat', 'a.lon',
+                                      'b.lat', 'b.lon')} AS dm
+                   FROM gp a JOIN gp b ON a.node <> b.node),
+            gr AS (SELECT ca, cb,
+                      ROW_NUMBER() OVER (PARTITION BY na
+                                         ORDER BY dm, nb2) AS rn
+                   FROM gd),
+            gnn AS (SELECT ca, cb FROM gr WHERE rn = 1),
+            gcnt AS (SELECT ca, cb, COUNT(*) AS c_ab FROM gnn
+                     GROUP BY ca, cb),
+            gm AS (SELECT cat, COUNT(*) AS n FROM gp GROUP BY cat),
+            gtot AS (SELECT SUM(n) AS n FROM gm)
+            SELECT a.cat AS cat_a, b.cat AS cat_b,
+                   CAST(a.n AS BIGINT) AS n_a,
+                   CAST(b.n AS BIGINT) AS n_b,
+                   CAST(COALESCE(c.c_ab, 0) AS BIGINT) AS c_ab,
+                   round(CASE WHEN (CASE WHEN a.cat = b.cat
+                                    THEN b.n - 1 ELSE b.n END) > 0
+                       THEN (CAST(COALESCE(c.c_ab, 0) AS DOUBLE)
+                             / CAST(a.n AS DOUBLE))
+                            / (CAST(CASE WHEN a.cat = b.cat
+                                    THEN b.n - 1 ELSE b.n END
+                                    AS DOUBLE)
+                               / CAST((SELECT n FROM gtot) - 1
+                                      AS DOUBLE))
+                       ELSE 0e0 END, 6) AS clq
+            FROM gm a CROSS JOIN gm b
+            LEFT JOIN gcnt c ON c.ca = a.cat AND c.cb = b.cat
+            ORDER BY cat_a, cat_b
         """,
         "geo_bearing_rose": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

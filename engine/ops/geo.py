@@ -3993,3 +3993,79 @@ def mann_kendall_cells(
            .map_groups(per_cell, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["gx", "gy"], ignore_index=True)
+
+
+def colocation_quotient(
+    points: ray.data.Dataset,
+    *,
+    cat_col: str = "cat",
+    id_col: str = "image_id",
+    coarse_res: int = 5,
+) -> pd.DataFrame:
+    """Nearest-neighbor colocation quotient (Leslie & Kronenfeld
+    2011, public formula): for every ordered category pair (A, B),
+    CLQ = (C_A->B / N_A) / (N'_B / (N-1)) where C_A->B counts
+    A-points whose single nearest neighbor is a B-point and N'_B is
+    N_B (or N_B - 1 when A = B) — which categories attract which.
+
+    The NN pass is the certified halo-shuffle self-kNN (k=1, same
+    tie-break: distance then neighbor id); the pair labeling is two
+    hash co-shuffle joins of the NN edge list against the (id, cat)
+    table — both sides unbounded, no broadcast of the corpus; a
+    (cat_a, cat_b) count combiner then reduces everything to the
+    K x K grid where the exact-integer CLQ formula runs. Zero-count
+    pairs are kept (full grid, chi2_independence convention)."""
+    from engine.ops.relational import bucketed_join, sum_final
+
+    geo = points.map_batches(
+        lambda b: b[[id_col, "lon", "lat"]], batch_format="pandas")
+    nn = self_knn_halo(geo, k=1, coarse_res=coarse_res)
+    nn = nn.map_batches(
+        lambda b: b[["image_id", "neighbor_id"]],
+        batch_format="pandas")
+    cat_a = points.map_batches(
+        lambda b: pd.DataFrame({"image_id": b[id_col],
+                                "cat_a": b[cat_col]}),
+        batch_format="pandas")
+    cat_b = points.map_batches(
+        lambda b: pd.DataFrame({"neighbor_id": b[id_col],
+                                "cat_b": b[cat_col]}),
+        batch_format="pandas")
+    lab = bucketed_join(
+        bucketed_join(nn, cat_a, on="image_id", num_partitions=8),
+        cat_b, on="neighbor_id", num_partitions=8)
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        agg = b.groupby(["cat_a", "cat_b"], as_index=False,
+                        sort=False).size()
+        agg = agg.rename(columns={"size": "c_ab"})
+        agg["c_ab"] = agg["c_ab"].astype(np.int64)
+        return agg
+
+    cnt = sum_final(lab.map_batches(count, batch_format="pandas"),
+                    ["cat_a", "cat_b"]).to_pandas()
+
+    def marg(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[cat_col].value_counts()
+        return pd.DataFrame({"cat": vc.index.astype(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    margins = sum_final(
+        points.map_batches(marg, batch_format="pandas"),
+        ["cat"]).to_pandas().sort_values("cat", ignore_index=True)
+    n = int(margins["n"].sum())
+    key = {(a, b): c for a, b, c in
+           cnt.itertuples(index=False, name=None)}
+    rows = []
+    for ca, na in margins.itertuples(index=False, name=None):
+        for cb, nb in margins.itertuples(index=False, name=None):
+            c = int(key.get((ca, cb), 0))
+            nb_eff = nb - 1 if ca == cb else nb
+            # shared expression tree — mirrored verbatim in the twin
+            clq = ((float(c) / float(na))
+                   / (float(nb_eff) / float(n - 1))
+                   if nb_eff > 0 else 0.0)
+            rows.append((ca, cb, int(na), int(nb), c, clq))
+    return pd.DataFrame(
+        rows, columns=["cat_a", "cat_b", "n_a", "n_b", "c_ab",
+                       "clq"])

@@ -3987,3 +3987,40 @@ def test_levenshtein_prefix_pairs_matches_bruteforce(ray_session):
                 want.append((i, j, dd))
     got = list(out.itertuples(index=False, name=None))
     assert got == want and len(want) > 10
+
+
+def test_colocation_quotient_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import colocation_quotient
+
+    rng = np.random.default_rng(53)
+    n = 90
+    lon = rng.uniform(-3, 3, n)
+    lat = rng.uniform(39, 43, n)
+    cat = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    ids = [f"img{i:09d}" for i in range(n)]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "image_id": ids, "cat": cat, "lon": lon, "lat": lat,
+    })).repartition(4)
+    out = colocation_quotient(ds).set_index(["cat_a", "cat_b"])
+
+    d = haversine_m(lon[:, None], lat[:, None],
+                    lon[None, :], lat[None, :])
+    np.fill_diagonal(d, np.inf)
+    nn = d.argmin(axis=1)
+    cnt = {}
+    for i in range(n):
+        k = (cat[i], cat[nn[i]])
+        cnt[k] = cnt.get(k, 0) + 1
+    import collections
+    marg = collections.Counter(cat)
+    for ca in "xyz":
+        for cb in "xyz":
+            r = out.loc[(ca, cb)]
+            assert r["n_a"] == marg[ca] and r["n_b"] == marg[cb]
+            assert r["c_ab"] == cnt.get((ca, cb), 0)
+            nbe = marg[cb] - 1 if ca == cb else marg[cb]
+            want = (cnt.get((ca, cb), 0) / marg[ca]) / (nbe / (n - 1))
+            assert r["clq"] == pytest.approx(want, rel=1e-9)
