@@ -2235,6 +2235,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _geo_indexed(columns=["image_id"])
         return geo_ops.self_knn_halo(idx, k=3, coarse_res=5, halo_rings=1)
 
+    def geo_join_counts(sf_dir: str):
+        # do dense cells border dense cells: binary join-count
+        # statistics (BB/WW/BW rook joins over occupied 1-deg cells,
+        # black = count >= 6) vs nonfree-sampling expectations; cell
+        # combiner + fixed-grid census; SQL twin self-joins the cell
+        # table on rook adjacency
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.join_counts_grid(idx, thr=6)
+        for c in ["e_bb", "e_ww", "e_bw"]:
+            out[c] = out[c].round(6)
+        return out
+
     def geo_colocation_quotient(sf_dir: str):
         # which caption languages cluster together: NN colocation
         # quotient over the 3 lang categories via the certified
@@ -4902,6 +4914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knox_spacetime": geo_knox_spacetime,
         "geo_mann_kendall_cells": geo_mann_kendall_cells,
         "geo_colocation_quotient": geo_colocation_quotient,
+        "geo_join_counts": geo_join_counts,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
         "geo_track_self_x": geo_track_self_x,
@@ -9469,6 +9482,53 @@ def oracle_sql() -> dict[str, str]:
                               THEN (s + 1) / sqrt(var)
                               ELSE 0e0 END, 6) AS z
             FROM gz ORDER BY gx, gy
+        """,
+        "geo_join_counts": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT
+                       CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy),
+            gmark AS (SELECT gx, gy,
+                         CASE WHEN n >= 6 THEN 1 ELSE 0 END AS blk
+                      FROM gcnt),
+            gpair AS (SELECT a.blk AS b1, b.blk AS b2
+                      FROM gmark a JOIN gmark b
+                        ON (b.gx = a.gx + 1 AND b.gy = a.gy)
+                        OR (b.gx = a.gx AND b.gy = a.gy + 1)),
+            gj AS (SELECT COUNT(*) AS j_all,
+                      COALESCE(SUM(b1 * b2), 0) AS j_bb,
+                      COALESCE(SUM((1 - b1) * (1 - b2)), 0) AS j_ww
+                   FROM gpair),
+            gm AS (SELECT COUNT(*) AS n, SUM(blk) AS nb,
+                      COUNT(*) - SUM(blk) AS nw
+                   FROM gmark)
+            SELECT CAST(gm.n AS BIGINT) AS n_cells,
+                   CAST(gm.nb AS BIGINT) AS n_black,
+                   CAST(gj.j_all AS BIGINT) AS n_joins,
+                   CAST(gj.j_bb AS BIGINT) AS j_bb,
+                   CAST(gj.j_ww AS BIGINT) AS j_ww,
+                   CAST(gj.j_all - gj.j_bb - gj.j_ww AS BIGINT)
+                       AS j_bw,
+                   round((CAST(gj.j_all AS DOUBLE)
+                          * CAST(gm.nb * (gm.nb - 1) AS DOUBLE))
+                         / CAST(gm.n * (gm.n - 1) AS DOUBLE), 6)
+                       AS e_bb,
+                   round((CAST(gj.j_all AS DOUBLE)
+                          * CAST(gm.nw * (gm.nw - 1) AS DOUBLE))
+                         / CAST(gm.n * (gm.n - 1) AS DOUBLE), 6)
+                       AS e_ww,
+                   round((CAST(gj.j_all AS DOUBLE)
+                          * CAST(2 * gm.nb * gm.nw AS DOUBLE))
+                         / CAST(gm.n * (gm.n - 1) AS DOUBLE), 6)
+                       AS e_bw
+            FROM gj, gm
         """,
         "geo_colocation_quotient": f"""
             WITH {_sql_geo_full(_GEO_N)},

@@ -4069,3 +4069,69 @@ def colocation_quotient(
     return pd.DataFrame(
         rows, columns=["cat_a", "cat_b", "n_a", "n_b", "c_ab",
                        "clq"])
+
+
+def join_counts_grid(
+    indexed: ray.data.Dataset,
+    thr: int,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Binary join-count spatial autocorrelation (Cliff & Ord 1981,
+    public formula): mark each OCCUPIED grid cell black when its fix
+    count >= ``thr``, count rook-adjacent occupied-cell joins by
+    class (BB / WW / BW), and compare against the nonfree-sampling
+    expectations E[BB] = J nB(nB-1)/(n(n-1)), E[WW] likewise, E[BW] =
+    J 2 nB nW / (n(n-1)) — the do-hot-cells-border-hot-cells test.
+
+    Distributed stage: the same per-cell count combiner as the other
+    grid statistics; the join census is vectorized mask shifts on the
+    fixed nx*ny grid (the documented small side). Every count is an
+    exact integer, so the SQL twin — a neighbor self-join on the
+    cell table — matches through the final expectation divisions."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        flat = gx[ok] * ny + gy[ok]
+        cnt = np.bincount(flat, minlength=nx * ny)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    partials = indexed.map_batches(cells, batch_format="pyarrow")
+    counts = sum_final(partials, ["cell"]).to_pandas()
+    cnt = np.zeros(nx * ny, np.int64)
+    if len(counts) and "cell" in counts.columns:
+        cnt[counts["cell"].to_numpy(np.int64)] = \
+            counts["n"].to_numpy(np.int64)
+    grid = cnt.reshape(nx, ny)
+    occ = grid > 0
+    blk = grid >= thr
+    wht = occ & ~blk
+
+    def joins(a: np.ndarray, b: np.ndarray) -> int:
+        return int((a[:-1, :] & b[1:, :]).sum()
+                   + (a[:, :-1] & b[:, 1:]).sum())
+
+    j_bb = joins(blk, blk)
+    j_ww = joins(wht, wht)
+    j_all = joins(occ, occ)
+    j_bw = j_all - j_bb - j_ww
+    n = int(occ.sum())
+    nb = int(blk.sum())
+    nw = int(wht.sum())
+    denom = float(n * (n - 1))
+    # shared expression tree — mirrored verbatim in the twin
+    e_bb = (float(j_all) * float(nb * (nb - 1))) / denom
+    e_ww = (float(j_all) * float(nw * (nw - 1))) / denom
+    e_bw = (float(j_all) * float(2 * nb * nw)) / denom
+    return pd.DataFrame({
+        "n_cells": [n], "n_black": [nb], "n_joins": [j_all],
+        "j_bb": [j_bb], "j_ww": [j_ww], "j_bw": [j_bw],
+        "e_bb": [e_bb], "e_ww": [e_ww], "e_bw": [e_bw]})

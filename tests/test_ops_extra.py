@@ -4024,3 +4024,43 @@ def test_colocation_quotient_matches_bruteforce(ray_session):
             nbe = marg[cb] - 1 if ca == cb else marg[cb]
             want = (cnt.get((ca, cb), 0) / marg[ca]) / (nbe / (n - 1))
             assert r["clq"] == pytest.approx(want, rel=1e-9)
+
+
+def test_join_counts_grid_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data
+
+    from engine.ops.geo import join_counts_grid
+
+    rng = np.random.default_rng(67)
+    n = 800
+    lon = rng.uniform(-12, 12, n)
+    lat = rng.uniform(35, 47, n)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "lon": lon, "lat": lat})).repartition(4)
+    out = join_counts_grid(ds, thr=4).iloc[0]
+
+    cnt = {}
+    for x, y in zip(np.floor(lon + 12).astype(int),
+                    np.floor(lat - 35).astype(int)):
+        if 0 <= x < 24 and 0 <= y < 12:
+            cnt[(x, y)] = cnt.get((x, y), 0) + 1
+    occ = set(cnt)
+    blk = {c for c in occ if cnt[c] >= 4}
+    j_bb = j_ww = j_all = 0
+    for (x, y) in occ:
+        for nxt in [(x + 1, y), (x, y + 1)]:
+            if nxt in occ:
+                j_all += 1
+                if (x, y) in blk and nxt in blk:
+                    j_bb += 1
+                elif (x, y) not in blk and nxt not in blk:
+                    j_ww += 1
+    nn, nb = len(occ), len(blk)
+    assert out["n_cells"] == nn and out["n_black"] == nb
+    assert out["n_joins"] == j_all
+    assert out["j_bb"] == j_bb and out["j_ww"] == j_ww
+    assert out["j_bw"] == j_all - j_bb - j_ww
+    assert out["e_bb"] == pytest.approx(
+        j_all * nb * (nb - 1) / (nn * (nn - 1)), rel=1e-12)
