@@ -3819,6 +3819,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("image_id", ignore_index=True)[
             ["image_id", "threshold", "between_var", "fg_frac"]]
 
+    def image_quantile_stretch(sf_dir: str):
+        # per-image 2%/98% percentile contrast-stretch audit over the
+        # lossless raw16 subset (explicit k-th-smallest rank rule);
+        # clamp-sum is an exact integer, so the pixel-regeneration
+        # twin matches through the one float division
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_quantile_stretch(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)
+
     def image_glcm_texture(sf_dir: str):
         # per-image Haralick GLCM texture (8-level, dx=1 offset):
         # energy / contrast / homogeneity over the lossless raw16
@@ -4923,6 +4941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_entropy_contrast": image_entropy_contrast,
         "image_colorfulness": image_colorfulness,
         "image_otsu_threshold": image_otsu_threshold,
+        "image_quantile_stretch": image_quantile_stretch,
         "image_glcm_texture": image_glcm_texture,
         "image_hu_moments": image_hu_moments,
         "image_run_length": image_run_length,
@@ -5351,6 +5370,55 @@ def _sql_image_otsu() -> str:
                v AS threshold, stat AS between_var,
                {_sql_round_even('rest / nn')} AS fg_frac
         FROM best WHERE rn = 1 ORDER BY image_id
+    """
+
+
+def _sql_image_quantile_stretch() -> str:
+    # explicit rank rule: p = smallest v with cumcount >= ceil(q * n);
+    # the clamp sum is an exact integer, one float division at the end.
+    sm = ("CASE WHEN q.p_hi > p.p_lo THEN "
+          "(CAST(a.s AS DOUBLE) / CAST(t.nn AS DOUBLE)"
+          " - CAST(p.p_lo AS DOUBLE)) / CAST(q.p_hi - p.p_lo"
+          " AS DOUBLE) ELSE 0e0 END")
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        hist AS (SELECT i, CAST(px AS BIGINT) AS v, COUNT(*) AS n
+                 FROM gpx WHERE c = 0 GROUP BY i, v),
+        tot AS (SELECT i, SUM(n) AS nn FROM hist GROUP BY i),
+        cum AS (SELECT i, v, SUM(n) OVER w AS cn
+                FROM hist
+                WINDOW w AS (PARTITION BY i ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)),
+        ks AS (SELECT i, nn,
+                  CAST(ceil(0.02e0 * nn) AS BIGINT) AS k_lo,
+                  CAST(ceil(0.98e0 * nn) AS BIGINT) AS k_hi
+               FROM tot),
+        plo AS (SELECT c.i, MIN(c.v) AS p_lo
+                FROM cum c JOIN ks USING (i)
+                WHERE c.cn >= ks.k_lo GROUP BY c.i),
+        phi AS (SELECT c.i, MIN(c.v) AS p_hi
+                FROM cum c JOIN ks USING (i)
+                WHERE c.cn >= ks.k_hi GROUP BY c.i),
+        agg AS (SELECT h.i,
+                   SUM(CASE WHEN h.v < p.p_lo THEN h.n
+                       ELSE 0 END) AS n_below,
+                   SUM(CASE WHEN h.v > q.p_hi THEN h.n
+                       ELSE 0 END) AS n_above,
+                   SUM(GREATEST(LEAST(h.v, q.p_hi), p.p_lo) * h.n)
+                       AS s
+                FROM hist h JOIN plo p USING (i)
+                JOIN phi q USING (i)
+                GROUP BY h.i)
+        SELECT 'img' || lpad(CAST(a.i AS VARCHAR), 9, '0')
+                   AS image_id,
+               p.p_lo, q.p_hi,
+               CAST(a.n_below AS BIGINT) AS n_below,
+               CAST(a.n_above AS BIGINT) AS n_above,
+               {_sql_round_even(sm)} AS stretch_mean
+        FROM agg a JOIN plo p ON p.i = a.i
+        JOIN phi q ON q.i = a.i JOIN tot t ON t.i = a.i
+        ORDER BY image_id
     """
 
 
@@ -7646,6 +7714,7 @@ def oracle_sql() -> dict[str, str]:
         "image_entropy_contrast": _sql_image_entropy_contrast(),
         "image_colorfulness": _sql_image_colorfulness(),
         "image_otsu_threshold": _sql_image_otsu(),
+        "image_quantile_stretch": _sql_image_quantile_stretch(),
         "image_glcm_texture": _sql_image_glcm(),
         "image_hu_moments": _sql_image_hu(),
         "image_run_length": _sql_image_run_length(),

@@ -821,3 +821,53 @@ def image_radial_profile(
     return ds.map_batches(
         RadialProfile, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class QuantileStretch:
+    """Per-image percentile contrast-stretch audit (channel 0):
+    p_lo / p_hi are the smallest pixel values whose cumulative count
+    reaches ceil(0.02 n) / ceil(0.98 n) (explicit k-th-smallest rank
+    rule — no interpolation, so both sides agree exactly), n_below /
+    n_above count pixels strictly outside the band, and stretch_mean
+    = (S/n - p_lo) / (p_hi - p_lo) with S = sum of clamp(v, p_lo,
+    p_hi) — an exact integer, so the one float division tree is
+    mirrored verbatim by the SQL twin's histogram-cumsum rebuild.
+    Near-constant images (p_hi == p_lo) report 0."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        plos, phis, nbs, nas, sms = [], [], [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)[:, :, 0].reshape(-1)
+            n = px.size
+            cum = np.cumsum(np.bincount(px, minlength=256))
+            k_lo = int(np.ceil(0.02 * n))
+            k_hi = int(np.ceil(0.98 * n))
+            p_lo = int(np.searchsorted(cum, k_lo))
+            p_hi = int(np.searchsorted(cum, k_hi))
+            s = int(np.clip(px, p_lo, p_hi).astype(np.int64).sum())
+            # shared expression tree — mirrored verbatim in the twin
+            sm = ((float(s) / float(n) - float(p_lo))
+                  / float(p_hi - p_lo) if p_hi > p_lo else 0.0)
+            plos.append(p_lo)
+            phis.append(p_hi)
+            nbs.append(int((px < p_lo).sum()))
+            nas.append(int((px > p_hi).sum()))
+            sms.append(sm)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "p_lo": pa.array(plos, pa.int64()),
+            "p_hi": pa.array(phis, pa.int64()),
+            "n_below": pa.array(nbs, pa.int64()),
+            "n_above": pa.array(nas, pa.int64()),
+            "stretch_mean": pa.array(np.round(sms, 6),
+                                     pa.float64())})
+
+
+def image_quantile_stretch(
+    ds: ray.data.Dataset, *, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        QuantileStretch, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)

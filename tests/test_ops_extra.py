@@ -4064,3 +4064,37 @@ def test_join_counts_grid_matches_bruteforce(ray_session):
     assert out["j_bw"] == j_all - j_bb - j_ww
     assert out["e_bb"] == pytest.approx(
         j_all * nb * (nb - 1) / (nn * (nn - 1)), rel=1e-12)
+
+
+def test_quantile_stretch_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine import codec
+    from engine.ops.multimodal import image_quantile_stretch
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for k in range(12):
+        w, h = int(rng.integers(8, 20)), int(rng.integers(8, 20))
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rows.append({"image_id": f"img{k:09d}",
+                     "bytes": codec.encode(px, "raw16"), "fmt": "raw16",
+                     "px": px})
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [{k: v for k, v in r.items() if k != "px"} for r in rows]
+    )).repartition(3)
+    out = image_quantile_stretch(ds).to_pandas().set_index("image_id")
+
+    for r in rows:
+        v = np.sort(r["px"][:, :, 0].reshape(-1))
+        n = v.size
+        p_lo = int(v[int(np.ceil(0.02 * n)) - 1])
+        p_hi = int(v[int(np.ceil(0.98 * n)) - 1])
+        o = out.loc[r["image_id"]]
+        assert o["p_lo"] == p_lo and o["p_hi"] == p_hi
+        assert o["n_below"] == int((v < p_lo).sum())
+        assert o["n_above"] == int((v > p_hi).sum())
+        s = np.clip(v, p_lo, p_hi).astype(np.int64).sum()
+        want = ((s / n - p_lo) / (p_hi - p_lo)
+                if p_hi > p_lo else 0.0)
+        assert o["stretch_mean"] == pytest.approx(want, abs=2e-6)
