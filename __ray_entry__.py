@@ -2611,6 +2611,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               ignore_index=True)
         return out[["track_a", "track_b", "dtw_m"]]
 
+    def geo_track_lcss(sf_dir: str):
+        # pairwise LCSS trajectory similarity between bbox-overlapping
+        # tracks: longest common subsequence of fixes matched under a
+        # 150 km haversine radius — the outlier-robust member of the
+        # Frechet/DTW/LCSS trio (a single bad fix inflates DTW's sum
+        # but costs LCSS at most one match); all-integer DP, so the
+        # anti-diagonal wavefront SQL twin is exact
+        out = geo_ops.track_lcss(_geo_tracked(), 150e3).to_pandas()
+        out["sim"] = out["sim"].round(6)
+        out = out.sort_values(["track_a", "track_b"],
+                              ignore_index=True)
+        return out[["track_a", "track_b", "lcss", "sim"]]
+
     def geo_ripley_k(sf_dir: str):
         # Ripley's K multi-scale point-pattern statistic: exact pair
         # counts within 100/300/600 km + pair fraction; grid-halo
@@ -4926,6 +4939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_hausdorff": geo_track_hausdorff,
         "geo_track_frechet": geo_track_frechet,
         "geo_track_dtw": geo_track_dtw,
+        "geo_track_lcss": geo_track_lcss,
         "geo_track_sde": geo_track_sde,
         "geo_ripley_k": geo_ripley_k,
         "geo_semivariogram": geo_semivariogram,
@@ -9438,6 +9452,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ta AS track_a, tb AS track_b,
                    round(cur[1], 4) AS dtw_m
+            FROM gwave WHERE t = {2 * _GEO_NPT - 2}
+            ORDER BY track_a, track_b
+        """,
+        "geo_track_lcss": f"""
+            WITH RECURSIVE {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS tid, i // 50 AS si, lon, lat
+                   FROM gll),
+            gbb AS (SELECT tid, MIN(lon) AS minx, MAX(lon) AS maxx,
+                           MIN(lat) AS miny, MAX(lat) AS maxy
+                    FROM gt GROUP BY tid),
+            gpair AS (SELECT a.tid AS ta, b.tid AS tb
+                      FROM gbb a JOIN gbb b
+                        ON a.tid < b.tid
+                       AND a.minx <= b.maxx AND b.minx <= a.maxx
+                       AND a.miny <= b.maxy AND b.miny <= a.maxy),
+            gdm AS (SELECT p.ta, p.tb, x.si AS ai, y.si AS bi,
+                      CASE WHEN {_sql_haversine('x.lat', 'x.lon',
+                                                'y.lat', 'y.lon')}
+                           < 150000e0
+                           THEN CAST(1 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS hv
+                   FROM gpair p
+                   JOIN gt x ON x.tid = p.ta
+                   JOIN gt y ON y.tid = p.tb),
+            gdg AS (SELECT ta, tb, ai + bi AS t,
+                           list(hv ORDER BY ai) AS hl
+                    FROM gdm GROUP BY ta, tb, ai + bi),
+            gwave AS (
+              SELECT ta, tb, 0 AS t, hl AS cur,
+                     CAST([] AS BIGINT[]) AS prev
+              FROM gdg WHERE t = 0
+              UNION ALL
+              SELECT w.ta, w.tb, w.t + 1,
+                list_transform(g.hl, (hv, p) -> CASE WHEN hv = 1
+                  THEN COALESCE(
+                    w.prev[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                             - GREATEST(0, w.t - {_GEO_NPT}) - 1],
+                    CAST(0 AS BIGINT)) + 1
+                  ELSE GREATEST(
+                    COALESCE(
+                      w.cur[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                              - GREATEST(0, w.t - {_GEO_NPT - 1})
+                              - 1],
+                      CAST(0 AS BIGINT)),
+                    COALESCE(
+                      w.cur[p + GREATEST(0, w.t - {_GEO_NPT - 2})
+                              - GREATEST(0, w.t - {_GEO_NPT - 1})],
+                      CAST(0 AS BIGINT)))
+                  END),
+                w.cur
+              FROM gwave w JOIN gdg g ON g.ta = w.ta AND g.tb = w.tb
+                            AND g.t = w.t + 1
+            )
+            SELECT ta AS track_a, tb AS track_b,
+                   CAST(cur[1] AS BIGINT) AS lcss,
+                   round(CAST(cur[1] AS DOUBLE) / {_GEO_NPT}e0, 6)
+                       AS sim
             FROM gwave WHERE t = {2 * _GEO_NPT - 2}
             ORDER BY track_a, track_b
         """,

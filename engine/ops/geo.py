@@ -4135,3 +4135,51 @@ def join_counts_grid(
         "n_cells": [n], "n_black": [nb], "n_joins": [j_all],
         "j_bb": [j_bb], "j_ww": [j_ww], "j_bw": [j_bw],
         "e_bb": [e_bb], "e_ww": [e_ww], "e_bw": [e_bw]})
+
+
+def track_lcss(
+    points: ray.data.Dataset,
+    eps_m: float,
+) -> ray.data.Dataset:
+    """Pairwise LCSS trajectory similarity (Vlachos et al. 2002,
+    public formula) between bbox-overlapping tracks: the longest
+    common subsequence of fixes matched when within ``eps_m``
+    haversine meters — lcss[i,j] = lcss[i-1,j-1]+1 when d < eps else
+    max(lcss[i-1,j], lcss[i,j-1]) — plus sim = lcss / min(na, nb).
+    LCSS tolerates outlier fixes and gaps that inflate DTW's total
+    cost, which makes it the noise-robust member of the
+    Frechet/DTW/LCSS trio.
+
+    Same scale shape as DTW (shared ``_track_pair_explode``, one
+    groupby(pair) co-shuffle, per-pair DP inside the group task).
+    The DP is all-integer, so the anti-diagonal wavefront SQL twin
+    matches exactly; the only float is the final sim division."""
+    exploded, mem_ref = _track_pair_explode(points, with_seq=True)
+
+    def pair_lcss(g: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        _, _, _, pair_a_, pair_b_ = cached_get(mem_ref)
+        pid = int(g["pair"].iloc[0])
+        a = g[g["side"] == 0].sort_values("seq", kind="stable")
+        b = g[g["side"] == 1].sort_values("seq", kind="stable")
+        d = knn_mod.haversine_m(
+            a["lon"].to_numpy()[:, None], a["lat"].to_numpy()[:, None],
+            b["lon"].to_numpy()[None, :], b["lat"].to_numpy()[None, :])
+        na, nb = d.shape
+        hit = d < eps_m
+        lr = np.zeros((na + 1, nb + 1), np.int64)
+        for i in range(1, na + 1):
+            li, lp, hi = lr[i], lr[i - 1], hit[i - 1]
+            for j in range(1, nb + 1):
+                li[j] = (lp[j - 1] + 1 if hi[j - 1]
+                         else max(lp[j], li[j - 1]))
+        lc = int(lr[na, nb])
+        return pd.DataFrame({
+            "track_a": [pair_a_[pid]], "track_b": [pair_b_[pid]],
+            "lcss": [lc],
+            "sim": [float(lc) / float(min(na, nb))],
+        })
+
+    return exploded.groupby("pair").map_groups(
+        pair_lcss, batch_format="pandas")

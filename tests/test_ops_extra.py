@@ -3274,6 +3274,71 @@ def test_track_dtw_bruteforce(ray_session):
     assert z == pytest.approx(0.0, abs=1e-9)
 
 
+def test_track_lcss_bruteforce(ray_session):
+    import ray.data
+
+    from engine.geo.knn import haversine_m
+    from engine.ops.geo import track_lcss
+
+    eps = 40_000.0
+    rng = np.random.default_rng(31)
+    frames = []
+    for t in range(5):
+        n = int(rng.integers(8, 15))
+        frames.append(pd.DataFrame({
+            "track_id": t, "seq": np.arange(n),
+            "lon": rng.uniform(0, 3, n) + t * 0.4,
+            "lat": rng.uniform(0, 2, n),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    shuf = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    out = (track_lcss(ray.data.from_pandas(shuf).repartition(3), eps)
+           .to_pandas()
+           .sort_values(["track_a", "track_b"], ignore_index=True))
+
+    def lcss_ref(fa, fb):
+        d = haversine_m(
+            fa["lon"].to_numpy()[:, None],
+            fa["lat"].to_numpy()[:, None],
+            fb["lon"].to_numpy()[None, :],
+            fb["lat"].to_numpy()[None, :])
+        na, nb = d.shape
+        lr = np.zeros((na + 1, nb + 1), np.int64)
+        for i in range(1, na + 1):
+            for j in range(1, nb + 1):
+                if d[i - 1, j - 1] < eps:
+                    lr[i, j] = lr[i - 1, j - 1] + 1
+                else:
+                    lr[i, j] = max(lr[i - 1, j], lr[i, j - 1])
+        return int(lr[na, nb]), na, nb
+
+    want = {}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            fa = df[df["track_id"] == a].sort_values("seq")
+            fb = df[df["track_id"] == b].sort_values("seq")
+            if (fa["lon"].min() > fb["lon"].max()
+                    or fb["lon"].min() > fa["lon"].max()
+                    or fa["lat"].min() > fb["lat"].max()
+                    or fb["lat"].min() > fa["lat"].max()):
+                continue
+            want[(a, b)] = lcss_ref(fa, fb)
+    assert len(out) == len(want)
+    assert out["lcss"].max() > 0  # the fixture must exercise matches
+    for _, r in out.iterrows():
+        lc, na, nb = want[(int(r["track_a"]), int(r["track_b"]))]
+        assert int(r["lcss"]) == lc
+        assert r["sim"] == pytest.approx(lc / min(na, nb), rel=1e-12)
+
+    # identical tracks match 1:1 -> lcss == length, sim == 1
+    base = df[df["track_id"] == 0].sort_values("seq")
+    twin = base.assign(track_id=9)
+    both = pd.concat([base, twin], ignore_index=True)
+    z = track_lcss(ray.data.from_pandas(both), eps).to_pandas()
+    assert int(z["lcss"].iloc[0]) == len(base)
+    assert z["sim"].iloc[0] == pytest.approx(1.0)
+
+
 def test_snap_to_boundary_properties(ray_session):
     import pyarrow as pa
     import ray.data
