@@ -2918,6 +2918,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["z_stat"] = out["z_stat"].round(4)
         return out
 
+    def orders_priority_anova(sf_dir: str):
+        # one-way ANOVA across ALL five order priorities — the
+        # K-cohort generalization of the urgency t-test: one
+        # streaming (n, sum, sumsq)-per-group combiner, closed-form
+        # F + eta^2 mirrored as the identical SQL expression tree
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderpriority", "o_totalprice"])
+        out = relational.anova_oneway(
+            o, "o_totalprice", "o_orderpriority")
+        out["f_stat"] = out["f_stat"].round(4)
+        out["eta_sq"] = out["eta_sq"].round(4)
+        return out
+
+    def orders_priority_kruskal(sf_dir: str):
+        # Kruskal-Wallis H across the five priorities — rank-based
+        # companion of the ANOVA (as ranksum is of the t-test);
+        # per-value combiner + range-bucket midrank scan, no global
+        # row sort; exact half-integer rank sums make the twin's
+        # per-group rank_sum land on identical floats
+        o = sf_table(sf_dir, "orders",
+                     ["o_orderpriority", "o_totalprice"])
+        out = relational.kruskal_wallis(
+            o, "o_totalprice", "o_orderpriority")
+        out = out.rename(columns={"grp": "o_orderpriority"})
+        for c in ("mean_rank", "h_stat", "h_corrected"):
+            out[c] = out[c].round(4)
+        return out[["o_orderpriority", "n", "rank_sum",
+                    "mean_rank", "h_stat", "h_corrected"]]
+
+    def user_value_durbin_watson(sf_dir: str):
+        # per-user Durbin-Watson over the (ts, event_id)-ordered
+        # mean-centered value series: the lag-1 serial-correlation
+        # screen (~2 iid, ->0 trending, ->4 oscillating); segmented
+        # one-sort-per-shard kernel, LAG-window SQL twin
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id", "value"])
+        out = relational.durbin_watson(
+            ev, "user_id", ["ts", "event_id"], "value",
+            min_n=5).to_pandas()
+        out["dw"] = out["dw"].round(4)
+        return out.sort_values("user_id", ignore_index=True)[
+            ["user_id", "n", "dw"]]
+
     def user_decayed_engagement(sf_dir: str):
         # recency-weighted engagement: per-user sum of
         # 2^(-(t_end - t)/7d) event weights (half-life 7 days) — the
@@ -5001,6 +5044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_urgency_ttest": orders_urgency_ttest,
         "orders_urgency_ranksum": orders_urgency_ranksum,
         "orders_urgency_ks": orders_urgency_ks,
+        "orders_priority_anova": orders_priority_anova,
+        "orders_priority_kruskal": orders_priority_kruskal,
+        "user_value_durbin_watson": user_value_durbin_watson,
         "event_type_dow_chi2": event_type_dow_chi2,
         "user_purchase_survival": user_purchase_survival,
         "user_decayed_engagement": user_decayed_engagement,
@@ -10127,6 +10173,78 @@ def oracle_sql() -> dict[str, str]:
                                                 - 1.0)))), 4)
                        AS z_stat
             FROM u
+        """,
+        "orders_priority_anova": """
+            WITH m AS (SELECT o_orderpriority AS g, COUNT(*) AS n,
+                              SUM(o_totalprice) AS s,
+                              SUM(o_totalprice * o_totalprice) AS ss
+                       FROM orders GROUP BY g),
+            t AS (SELECT COUNT(*) AS k, SUM(n) AS nn,
+                         SUM(s) / SUM(n) AS grand
+                  FROM m),
+            p AS (SELECT ANY_VALUE(t.k) AS k, ANY_VALUE(t.nn) AS nn,
+                         SUM(m.n * pow(m.s / m.n - t.grand, 2))
+                             AS ssb,
+                         SUM(m.ss - m.n * pow(m.s / m.n, 2)) AS ssw
+                  FROM m CROSS JOIN t)
+            SELECT CAST(k AS BIGINT) AS k_groups,
+                   CAST(nn AS BIGINT) AS n,
+                   round((ssb / (k - 1e0)) / (ssw / (nn - k)), 4)
+                       AS f_stat,
+                   round(ssb / (ssb + ssw), 4) AS eta_sq
+            FROM p
+        """,
+        "orders_priority_kruskal": """
+            WITH c AS (SELECT o_totalprice AS v,
+                              o_orderpriority AS g
+                       FROM orders),
+            r AS (SELECT v, g,
+                    RANK() OVER (ORDER BY v)
+                      + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0
+                      AS mr
+                  FROM c),
+            gr AS (SELECT g, COUNT(*) AS n, SUM(mr) AS rank_sum
+                   FROM r GROUP BY g),
+            t AS (SELECT SUM(pow(cnt, 3) - cnt) AS ties,
+                         SUM(cnt) AS nn
+                  FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY v)),
+            h AS (SELECT 12e0 / (CAST(nn AS DOUBLE)
+                                 * (CAST(nn AS DOUBLE) + 1e0))
+                         * (SELECT SUM(rank_sum * rank_sum / n)
+                            FROM gr)
+                         - 3e0 * (CAST(nn AS DOUBLE) + 1e0)
+                             AS h_stat,
+                         1e0 - ties / (CAST(nn AS DOUBLE)
+                                       * CAST(nn AS DOUBLE)
+                                       * CAST(nn AS DOUBLE)
+                                       - CAST(nn AS DOUBLE)) AS c
+                  FROM t)
+            SELECT gr.g AS o_orderpriority,
+                   CAST(gr.n AS BIGINT) AS n,
+                   gr.rank_sum AS rank_sum,
+                   round(gr.rank_sum / gr.n, 4) AS mean_rank,
+                   round(h.h_stat, 4) AS h_stat,
+                   round(h.h_stat / h.c, 4) AS h_corrected
+            FROM gr CROSS JOIN h
+            ORDER BY o_orderpriority
+        """,
+        "user_value_durbin_watson": """
+            WITH b AS (SELECT user_id, value, ts, event_id,
+                              AVG(value) OVER (PARTITION BY user_id)
+                                  AS mu
+                       FROM events),
+            c AS (SELECT user_id, value - mu AS e,
+                         value - mu
+                         - LAG(value - mu) OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts, event_id) AS d
+                  FROM b)
+            SELECT user_id, COUNT(*) AS n,
+                   round(COALESCE(SUM(d * d), 0) / SUM(e * e), 4)
+                       AS dw
+            FROM c GROUP BY user_id
+            HAVING COUNT(*) >= 5 AND SUM(e * e) > 0
+            ORDER BY user_id
         """,
         "orders_urgency_ttest": """
             WITH c AS (SELECT

@@ -3114,3 +3114,206 @@ def rfm_scores(
         "r_score": r, "f_score": f, "m_score": m,
         "rfm_code": 100 * r + 10 * f + m})
     return out.sort_values(user_col, ignore_index=True)
+
+
+def anova_oneway(
+    ds: ray.data.Dataset,
+    col: str,
+    group_col: str,
+) -> pd.DataFrame:
+    """One-way ANOVA F statistic across the K groups of ``group_col``
+    — the K-cohort generalization of ``welch_ttest``'s two-cohort
+    comparison (equal-variance, between/within sum-of-squares
+    decomposition), plus eta^2 = SSB / SST effect size. One streaming
+    moment combiner (n, sum, sumsq per group) is the only pass over
+    the rows; everything else is O(K) driver arithmetic, so the SQL
+    twin is the identical closed-form expression tree over the same
+    per-group sums."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.float64)
+        g = pd.DataFrame({"g": b[group_col].to_numpy(),
+                          "n": np.ones(len(b), np.int64),
+                          "s": v, "ss": v * v})
+        return g.groupby("g", as_index=False, sort=False).sum()
+
+    m = sum_final(
+        ds.map_batches(local, batch_format="pandas"), ["g"]
+    ).to_pandas()
+    k = len(m)
+    n_tot = float(m["n"].sum())
+    grand = float(m["s"].sum()) / n_tot
+    mu = m["s"].to_numpy(np.float64) / m["n"].to_numpy(np.float64)
+    ssb = float((m["n"].to_numpy(np.float64)
+                 * (mu - grand) ** 2).sum())
+    ssw = float((m["ss"].to_numpy(np.float64)
+                 - m["n"].to_numpy(np.float64) * mu * mu).sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = ((ssb / (k - 1.0)) / (ssw / (n_tot - k))
+             if k > 1 and n_tot > k and ssw > 0 else np.nan)
+        eta = ssb / (ssb + ssw) if ssb + ssw > 0 else np.nan
+    return pd.DataFrame({
+        "k_groups": [np.int64(k)], "n": [np.int64(n_tot)],
+        "f_stat": [f], "eta_sq": [eta]})
+
+
+def kruskal_wallis(
+    ds: ray.data.Dataset,
+    col: str,
+    group_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Kruskal-Wallis H test across the K groups of ``group_col`` —
+    the rank-based (distribution-free) companion of ``anova_oneway``,
+    exactly as ``mann_whitney_u`` is of ``welch_ttest``. Midrank ties
+    with the standard tie correction C = 1 - sum(t^3 - t)/(N^3 - N).
+
+    Same no-global-row-sort layout as ``mann_whitney_u``: a combiner
+    reduces rows to per-(value, group) counts, distinct values bucket
+    by VALUE RANGE, the driver exclusive-scans bucket totals, and each
+    bucket folds per-group rank sums from exact half-integer midranks
+    — so the SQL twin's per-row rank sums land on identical floats.
+    Output: one row per group (n, rank_sum, mean_rank) with the
+    scalar H statistics replicated across rows."""
+    from engine.state import cached_get
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "v": b[col].to_numpy(np.float64),
+            "g": b[group_col].to_numpy(),
+            "n": np.ones(len(b), np.int64)})
+        return g.groupby(["v", "g"], as_index=False, sort=False).sum()
+
+    per_vg = sum_final(
+        ds.map_batches(local, batch_format="pandas"), ["v", "g"]
+    ).materialize()
+
+    span = per_vg.map_batches(
+        lambda b: pd.DataFrame({
+            "lo": [b["v"].min()], "hi": [b["v"].max()],
+            "n": [b["n"].sum()]}),
+        batch_format="pandas").to_pandas()
+    if span.empty:
+        return pd.DataFrame({
+            "grp": pd.Series(dtype=object),
+            "n": pd.Series(dtype=np.int64),
+            "rank_sum": pd.Series(dtype=np.float64),
+            "mean_rank": pd.Series(dtype=np.float64),
+            "h_stat": pd.Series(dtype=np.float64),
+            "h_corrected": pd.Series(dtype=np.float64)})
+    lo, hi = float(span["lo"].min()), float(span["hi"].max())
+    n_tot = int(span["n"].sum())
+    width = max((hi - lo) / num_buckets, 1e-300)
+
+    def bucket_ix(v: np.ndarray) -> np.ndarray:
+        return np.minimum(((v - lo) / width).astype(np.int64),
+                          num_buckets - 1)
+
+    bsums = per_vg.map_batches(
+        lambda b: pd.DataFrame(
+            {"bk": bucket_ix(b["v"].to_numpy()),
+             "n": b["n"].to_numpy()}
+        ).groupby("bk", as_index=False, sort=False).sum(),
+        batch_format="pandas").to_pandas()
+    bt = np.zeros(num_buckets, np.int64)
+    agg = bsums.groupby("bk")["n"].sum()
+    bt[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.zeros(num_buckets, np.int64)
+    np.cumsum(bt[:-1], out=offsets[1:])
+    off_ref = ray.put(offsets)
+
+    def add_bk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__shard"] = bucket_ix(b["v"].to_numpy()).astype(np.int32)
+        return b
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        offs = cached_get(off_ref)
+        bk = int(g["__shard"].iloc[0])
+        g = g.sort_values("v", kind="stable")
+        v = g["v"].to_numpy(np.float64)
+        n = g["n"].to_numpy(np.int64)
+        vals, idx = np.unique(v, return_inverse=True)
+        nv = np.bincount(idx, weights=n).astype(np.int64)
+        c_less = offs[bk] + np.concatenate(
+            [[0], np.cumsum(nv[:-1])])
+        mr = c_less + (nv + 1) / 2.0  # exact half-integers
+        out = pd.DataFrame({
+            "grp": g["g"].to_numpy(),
+            "n": n,
+            "rank_sum": mr[idx] * n,
+        }).groupby("grp", as_index=False, sort=False).sum()
+        out["ties"] = 0.0
+        out.iloc[0, out.columns.get_loc("ties")] = float(
+            (nv.astype(np.float64) ** 3 - nv).sum())
+        return out
+
+    tot = sum_final(
+        per_vg.map_batches(add_bk, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(contrib, batch_format="pandas"),
+        ["grp"]).to_pandas().sort_values("grp", ignore_index=True)
+    ng = tot["n"].to_numpy(np.float64)
+    rg = tot["rank_sum"].to_numpy(np.float64)
+    ties = float(tot["ties"].sum())
+    nn = float(n_tot)
+    h = 12.0 / (nn * (nn + 1.0)) * float(
+        (rg * rg / ng).sum()) - 3.0 * (nn + 1.0)
+    c = 1.0 - ties / (nn ** 3 - nn) if nn > 1 else 1.0
+    hc = h / c if c > 0 else np.nan
+    return pd.DataFrame({
+        "grp": tot["grp"],
+        "n": tot["n"].astype(np.int64),
+        "rank_sum": rg,
+        "mean_rank": rg / ng,
+        "h_stat": np.full(len(tot), h),
+        "h_corrected": np.full(len(tot), hc)})
+
+
+def durbin_watson(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    col: str,
+    min_n: int = 2,
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Per-group Durbin-Watson statistic of the ordered, mean-centered
+    series: DW = sum((e_t - e_{t-1})^2) / sum(e_t^2) with e = x -
+    mean(x) per group — ~2 for no lag-1 autocorrelation, ->0 positive,
+    ->4 negative. The serial-correlation screen over per-entity event
+    series (is this user's metric trending/oscillating or i.i.d.?).
+
+    Same segmented one-sort-per-shard layout as ``burstiness``: hash
+    groups to shards, sort each shard once, vectorized per-group mean
+    (groupby transform), squared diffs masked to same-group adjacent
+    rows. Groups with < min_n rows or zero variance are dropped (the
+    SQL twin mirrors both with HAVING)."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        gk = g[group_key].to_numpy()
+        v = g[col].to_numpy(np.float64)
+        e = v - g.groupby(group_key, sort=False)[col].transform(
+            "mean").to_numpy(np.float64)
+        same = gk[1:] == gk[:-1]
+        d2 = np.where(same, (e[1:] - e[:-1]) ** 2, 0.0)
+        agg = pd.DataFrame({
+            group_key: gk,
+            "n": np.ones(len(g), np.int64),
+            "den": e * e,
+            "num": np.concatenate([[0.0], d2]),
+        }).groupby(group_key, as_index=False, sort=False).sum()
+        agg = agg[(agg["n"] >= min_n) & (agg["den"] > 0)]
+        out = agg[[group_key]].copy()
+        out["n"] = agg["n"].astype(np.int64)
+        out["dw"] = agg["num"].to_numpy(np.float64) / agg[
+            "den"].to_numpy(np.float64)
+        return out
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas"))

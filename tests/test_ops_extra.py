@@ -4163,3 +4163,71 @@ def test_quantile_stretch_matches_bruteforce(ray_session):
         want = ((s / n - p_lo) / (p_hi - p_lo)
                 if p_hi > p_lo else 0.0)
         assert o["stretch_mean"] == pytest.approx(want, abs=2e-6)
+
+
+def test_anova_kruskal_dw_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import (anova_oneway, durbin_watson,
+                                       kruskal_wallis)
+
+    rng = np.random.default_rng(47)
+    n = 600
+    grp = rng.choice(list("ABCD"), n)
+    # shifted means per group + duplicated values to force ties
+    shift = pd.Series({"A": 0.0, "B": 0.6, "C": -0.4, "D": 1.1})
+    v = np.round(rng.normal(0, 1, n) + shift[grp].to_numpy(), 1)
+    df = pd.DataFrame({"g": grp, "v": v})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    # ANOVA vs direct decomposition
+    a = anova_oneway(ds, "v", "g")
+    mu = df["v"].mean()
+    gm = df.groupby("g")["v"].agg(["count", "mean"])
+    ssb = float((gm["count"] * (gm["mean"] - mu) ** 2).sum())
+    sst = float(((df["v"] - mu) ** 2).sum())
+    ssw = sst - ssb
+    k = len(gm)
+    f_want = (ssb / (k - 1)) / (ssw / (n - k))
+    assert int(a["k_groups"].iloc[0]) == k
+    assert int(a["n"].iloc[0]) == n
+    assert a["f_stat"].iloc[0] == pytest.approx(f_want, rel=1e-9)
+    assert a["eta_sq"].iloc[0] == pytest.approx(ssb / sst, rel=1e-9)
+
+    # Kruskal-Wallis vs direct midrank computation
+    kw = kruskal_wallis(ds, "v", "g").set_index("grp")
+    r = pd.Series(v).rank(method="average")  # midranks
+    rs = pd.DataFrame({"g": grp, "r": r}).groupby("g")["r"].sum()
+    for g in "ABCD":
+        assert kw.loc[g, "rank_sum"] == rs[g]
+        assert kw.loc[g, "n"] == gm.loc[g, "count"]
+    h_want = (12.0 / (n * (n + 1))
+              * float((rs ** 2 / gm["count"]).sum())
+              - 3 * (n + 1))
+    cnt = pd.Series(v).value_counts()
+    c = 1.0 - float((cnt ** 3 - cnt).sum()) / (n ** 3 - n)
+    assert kw["h_stat"].iloc[0] == pytest.approx(h_want, rel=1e-9)
+    assert (kw["h_corrected"].iloc[0]
+            == pytest.approx(h_want / c, rel=1e-9))
+
+    # Durbin-Watson: planted series with known serial structure
+    t = np.arange(40)
+    osc = np.where(t % 2 == 0, 1.0, -1.0)      # alternating -> ~4
+    trend = t.astype(float)                    # smooth ramp -> ~0
+    sd = pd.DataFrame({
+        "u": np.repeat(["osc", "trend"], 40),
+        "t": np.concatenate([t, t]),
+        "v": np.concatenate([osc, trend])})
+    dw = (durbin_watson(ray.data.from_pandas(sd).repartition(3),
+                        "u", ["t"], "v")
+          .to_pandas().set_index("u"))
+
+    def dw_ref(x):
+        e = x - x.mean()
+        return float(((e[1:] - e[:-1]) ** 2).sum() / (e * e).sum())
+
+    assert dw.loc["osc", "dw"] == pytest.approx(dw_ref(osc), rel=1e-12)
+    assert dw.loc["osc", "dw"] > 3.5
+    assert (dw.loc["trend", "dw"]
+            == pytest.approx(dw_ref(trend), rel=1e-12))
+    assert dw.loc["trend", "dw"] < 0.5
