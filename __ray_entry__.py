@@ -1428,6 +1428,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["assortativity"] = out["assortativity"].round(6)
         return out
 
+    def part_avg_neighbor_degree(sf_dir: str):
+        # degree-binned average neighbor degree knn(k) — the detail
+        # curve behind the assortativity scalar; exact-integer
+        # incidence sums grouped by deg(v), one division per bin;
+        # degree census broadcast once, O(distinct k) partials move
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"])
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        out = graph_ops.avg_neighbor_degree(
+            edges.map_batches(rn, batch_format="pyarrow"))
+        out["avg_nbr_deg"] = out["avg_nbr_deg"].round(6)
+        return out
+
     def part_link_jaccard(sf_dir: str):
         # link prediction on a 20% order subgraph: top-20 non-edge
         # part pairs by neighborhood Jaccard (wedge counts = common
@@ -2876,6 +2899,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["z"] = out["z"].round(6)
         return out[["gx", "gy", "n_fixes", "s", "z"]]
 
+    def geo_theil_sen_cells(sf_dir: str):
+        # robust-trend companion of the Mann-Kendall screen: per-cell
+        # Theil-Sen (median pairwise) slope over the same 24 dense
+        # seq buckets; both sides average the SAME two middle doubles
+        # of the 276-slope multiset, so the twin is exact
+        out = geo_ops.theil_sen_cells(
+            _geo_tracked(), n_buckets=24, n_total=_GEO_N)
+        out["sen_slope"] = out["sen_slope"].round(6)
+        return out[["gx", "gy", "n_fixes", "sen_slope"]]
+
+    def geo_quadrat_chi2(sf_dir: str):
+        # quadrat-count CSR test over the fixed 24x12 grid (empties
+        # included): chi2 in the exact-integer form (k*sum n_i^2 -
+        # n^2)/n plus the variance-mean ratio; per-cell combiner,
+        # occupied partials only
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.quadrat_chi2(idx)
+        out["chi2"] = out["chi2"].round(6)
+        out["vmr"] = out["vmr"].round(6)
+        return out
+
+    def geo_segregation_d(sf_dir: str):
+        # Duncan index of dissimilarity between every caption-language
+        # pair over the fixed grid, in the exact integer form
+        # sum|a_i*B - b_i*A| / (2AB) — float sum order can't diverge;
+        # one (cell, cat) combiner
+        import pyarrow.compute as pc
+
+        idx = _geo_indexed(columns=["image_id", "caption"])
+
+        def prep(t) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cat": np.asarray(pc.utf8_slice_codeunits(
+                    t["caption_canon"], 0, 2)).astype(object),
+                "lon": np.asarray(t["lon"], np.float64),
+                "lat": np.asarray(t["lat"], np.float64)})
+
+        pts = idx.map_batches(prep, batch_format="pyarrow")
+        out = geo_ops.segregation_dissimilarity(pts)
+        out["d_index"] = out["d_index"].round(6)
+        return out
+
     def orders_urgency_ttest(sf_dir: str):
         # Welch two-cohort comparison: URGENT vs non-URGENT order
         # prices, streaming moment combiner; SQL twin computes the
@@ -3991,6 +4056,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                ignore_index=True)[
             ["image_id", "rbin", "mean_px", "n_px"]]
 
+    def image_tenengrad(sf_dir: str):
+        # per-image Tenengrad focus measure (Sobel gradient energy on
+        # interior pixels of channel 0, raw16 subset) + strong-edge
+        # fraction — the out-of-focus curation filter; gx/gy and the
+        # energy sum are exact integers, twin = 8-offset weighted
+        # self-join over the regenerated pixel grid
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_tenengrad(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "tenengrad", "edge_frac"]]
+
+    def image_border_contrast(sf_dir: str):
+        # letterbox / frame / vignette detector: border-ring mean vs
+        # interior mean (channel 0, raw16 subset); exact integer sums,
+        # two divisions mirrored in the twin
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_border_contrast(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "border_mean", "inner_mean",
+             "border_contrast"]]
+
+    def image_dominant_color(sf_dir: str):
+        # per-image dominant 6-bit RGB-cube color code + its pixel
+        # share (raw16 subset) — the palette/duotone curation signal;
+        # mode tie-broken on the smallest code on both sides
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_dominant_color(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "color_code", "color_share"]]
+
+    def image_equalize_audit(sf_dir: str):
+        # histogram-equalization audit (channel 0, raw16 subset): the
+        # standard integer eq mapping's output mean + distinct output
+        # levels — the dynamic-range-recovery estimate; all-integer
+        # until the one final division
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_equalize_audit(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "eq_mean", "eq_levels"]]
+
     def image_norm_moments(sf_dir: str):
         # per-channel mean/std normalization constants over the
         # LOSSLESS-codec (raw16) subset (exact moment combiner). The
@@ -4988,6 +5129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_semivariogram": geo_semivariogram,
         "geo_knox_spacetime": geo_knox_spacetime,
         "geo_mann_kendall_cells": geo_mann_kendall_cells,
+        "geo_theil_sen_cells": geo_theil_sen_cells,
+        "geo_quadrat_chi2": geo_quadrat_chi2,
+        "geo_segregation_d": geo_segregation_d,
         "geo_colocation_quotient": geo_colocation_quotient,
         "geo_join_counts": geo_join_counts,
         "geo_stay_points": geo_stay_points,
@@ -5004,6 +5148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_run_length": image_run_length,
         "image_busiest_block": image_busiest_block,
         "image_radial_profile": image_radial_profile,
+        "image_tenengrad": image_tenengrad,
+        "image_border_contrast": image_border_contrast,
+        "image_dominant_color": image_dominant_color,
+        "image_equalize_audit": image_equalize_audit,
         "image_patches": image_patches,
         "image_norm_moments": image_norm_moments,
         "image_patch_dup_pairs": image_patch_dup_pairs,
@@ -5591,6 +5739,133 @@ def _sql_image_run_length() -> str:
                'CAST(npx AS DOUBLE) / CAST(n_runs AS DOUBLE)')}
                AS mean_run_len
         FROM ag ORDER BY image_id
+    """
+
+
+def _sql_image_tenengrad(thr: int = 250_000) -> str:
+    # Sobel responses via an 8-offset weighted self-join over the
+    # regenerated channel-0 grid; gx/gy and the energy sum are exact
+    # integers, so engine and twin agree bit-for-bit through the one
+    # final division on each statistic.
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        g AS (SELECT i, y, x, CAST(px AS BIGINT) AS v
+              FROM gpx WHERE c = 0),
+        soff AS (SELECT * FROM (VALUES
+            (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+            (0, -1, -2, 0), (0, 1, 2, 0),
+            (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1))
+            AS t(dy, dx, wx, wy)),
+        nb AS (SELECT a.i, a.y, a.x,
+                  SUM(b.v * o.wx) AS gx, SUM(b.v * o.wy) AS gy
+               FROM g a
+               JOIN gdim d ON d.i = a.i
+               CROSS JOIN soff o
+               JOIN g b ON b.i = a.i AND b.y = a.y + o.dy
+                        AND b.x = a.x + o.dx
+               WHERE a.y BETWEEN 1 AND d.h - 2
+                 AND a.x BETWEEN 1 AND d.w - 2
+               GROUP BY a.i, a.y, a.x),
+        st AS (SELECT i, COUNT(*) AS n_int,
+                  CAST(SUM(gx * gx + gy * gy) AS DOUBLE) AS s,
+                  CAST(SUM(CASE WHEN gx * gx + gy * gy >= {thr}
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS ne
+               FROM nb GROUP BY i)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               {_sql_round_even('s / n_int')} AS tenengrad,
+               {_sql_round_even('ne / n_int')} AS edge_frac
+        FROM st ORDER BY image_id
+    """
+
+
+def _sql_image_border_contrast() -> str:
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        g AS (SELECT i, y, x, CAST(px AS BIGINT) AS v
+              FROM gpx WHERE c = 0),
+        st AS (SELECT g.i,
+                  SUM(CASE WHEN g.y = 0 OR g.y = d.h - 1
+                           OR g.x = 0 OR g.x = d.w - 1
+                       THEN g.v ELSE 0 END) AS bs,
+                  SUM(CASE WHEN g.y = 0 OR g.y = d.h - 1
+                           OR g.x = 0 OR g.x = d.w - 1
+                       THEN 1 ELSE 0 END) AS bn,
+                  SUM(CASE WHEN g.y > 0 AND g.y < d.h - 1
+                           AND g.x > 0 AND g.x < d.w - 1
+                       THEN g.v ELSE 0 END) AS isv,
+                  SUM(CASE WHEN g.y > 0 AND g.y < d.h - 1
+                           AND g.x > 0 AND g.x < d.w - 1
+                       THEN 1 ELSE 0 END) AS inn
+               FROM g JOIN gdim d ON d.i = g.i
+               GROUP BY g.i)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               {_sql_round_even('bs / bn')} AS border_mean,
+               {_sql_round_even('isv / inn')} AS inner_mean,
+               {_sql_round_even('bs / bn - isv / inn')}
+                   AS border_contrast
+        FROM st ORDER BY image_id
+    """
+
+
+def _sql_image_dominant_color() -> str:
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        pp AS (SELECT i, y, x,
+                  MAX(CASE WHEN c = 0 THEN CAST(px AS BIGINT) END) AS r,
+                  MAX(CASE WHEN c = 1 THEN CAST(px AS BIGINT) END) AS g,
+                  MAX(CASE WHEN c = 2 THEN CAST(px AS BIGINT) END) AS b2
+               FROM gpx GROUP BY i, y, x),
+        cc AS (SELECT i,
+                  (r // 64) * 16 + (g // 64) * 4 + (b2 // 64) AS code,
+                  COUNT(*) AS n
+               FROM pp GROUP BY i, code),
+        tot AS (SELECT i, SUM(n) AS nn FROM cc GROUP BY i),
+        best AS (SELECT i, code, n,
+                    ROW_NUMBER() OVER (PARTITION BY i
+                        ORDER BY n DESC, code ASC) AS rn
+                 FROM cc)
+        SELECT 'img' || lpad(CAST(b.i AS VARCHAR), 9, '0') AS image_id,
+               CAST(b.code AS BIGINT) AS color_code,
+               {_sql_round_even(
+                   'CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE)')}
+                   AS color_share
+        FROM best b JOIN tot t ON t.i = b.i
+        WHERE b.rn = 1 ORDER BY image_id
+    """
+
+
+def _sql_image_equalize_audit() -> str:
+    # the standard integer equalization map: floor division on exact
+    # integer cumulative counts, cdf_min = count of the smallest
+    # present value; a constant image maps to level 0.
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        hist AS (SELECT i, CAST(px AS BIGINT) AS v, COUNT(*) AS n
+                 FROM gpx WHERE c = 0 GROUP BY i, v),
+        tot AS (SELECT i, SUM(n) AS nn FROM hist GROUP BY i),
+        cum AS (SELECT i, v, n, SUM(n) OVER w AS cn
+                FROM hist
+                WINDOW w AS (PARTITION BY i ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)),
+        mn AS (SELECT i, MIN(v) AS mv FROM hist GROUP BY i),
+        c0 AS (SELECT h.i, h.n AS cdfmin
+               FROM hist h JOIN mn ON mn.i = h.i AND h.v = mn.mv),
+        eq AS (SELECT c.i, c.n,
+                  CASE WHEN t.nn > z.cdfmin
+                       THEN ((c.cn - z.cdfmin) * 255)
+                            // (t.nn - z.cdfmin)
+                       ELSE 0 END AS ev
+               FROM cum c JOIN tot t ON t.i = c.i
+               JOIN c0 z ON z.i = c.i),
+        st AS (SELECT i, CAST(SUM(ev * n) AS DOUBLE) AS s,
+                  CAST(SUM(n) AS DOUBLE) AS nn2,
+                  COUNT(DISTINCT ev) AS levels
+               FROM eq GROUP BY i)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               {_sql_round_even('s / nn2')} AS eq_mean,
+               CAST(levels AS BIGINT) AS eq_levels
+        FROM st ORDER BY image_id
     """
 
 
@@ -7780,6 +8055,10 @@ def oracle_sql() -> dict[str, str]:
         "image_run_length": _sql_image_run_length(),
         "image_busiest_block": _sql_image_busiest_block(),
         "image_radial_profile": _sql_image_radial_profile(),
+        "image_tenengrad": _sql_image_tenengrad(),
+        "image_border_contrast": _sql_image_border_contrast(),
+        "image_dominant_color": _sql_image_dominant_color(),
+        "image_equalize_audit": _sql_image_equalize_audit(),
         "image_features": _sql_image_features(),
         "simhash_documents": _sql_simhash(42),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),
@@ -9668,6 +9947,113 @@ def oracle_sql() -> dict[str, str]:
                               THEN (s + 1) / sqrt(var)
                               ELSE 0e0 END, 6) AS z
             FROM gz ORDER BY gx, gy
+        """,
+        "geo_theil_sen_cells": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT
+                       CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy,
+                       (i * 24) // {_GEO_N} AS tb
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, tb, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy, tb),
+            gcel AS (SELECT DISTINCT gx, gy FROM gcnt),
+            gdom AS (SELECT c.gx, c.gy, CAST(r.range AS BIGINT) AS tb
+                     FROM gcel c CROSS JOIN range(24) r),
+            gx AS (SELECT d.gx, d.gy, d.tb, COALESCE(n.n, 0) AS v
+                   FROM gdom d LEFT JOIN gcnt n
+                     ON n.gx = d.gx AND n.gy = d.gy AND n.tb = d.tb),
+            gsl AS (SELECT a.gx, a.gy,
+                       CAST(b.v - a.v AS DOUBLE)
+                       / CAST(b.tb - a.tb AS DOUBLE) AS slope
+                    FROM gx a JOIN gx b
+                      ON a.gx = b.gx AND a.gy = b.gy AND b.tb > a.tb),
+            grk AS (SELECT gx, gy, slope,
+                       ROW_NUMBER() OVER (PARTITION BY gx, gy
+                                          ORDER BY slope) AS rn
+                    FROM gsl),
+            gmed AS (SELECT gx, gy, SUM(slope) / 2e0 AS med
+                     FROM grk WHERE rn IN (138, 139)
+                     GROUP BY gx, gy),
+            gfix AS (SELECT gx, gy, SUM(n) AS n_fixes FROM gcnt
+                     GROUP BY gx, gy)
+            SELECT m.gx, m.gy, CAST(f.n_fixes AS BIGINT) AS n_fixes,
+                   {_sql_round_even('m.med')} AS sen_slope
+            FROM gmed m JOIN gfix f
+              ON f.gx = m.gx AND f.gy = m.gy
+            ORDER BY m.gx, m.gy
+        """,
+        "geo_quadrat_chi2": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT
+                       CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy),
+            st AS (SELECT COALESCE(SUM(n), 0) AS n,
+                      COALESCE(SUM(n * n), 0) AS ssq,
+                      COUNT(*) AS occ
+                   FROM gcnt)
+            SELECT CAST(n AS BIGINT) AS n_points,
+                   CAST(288 AS BIGINT) AS n_quadrats,
+                   CAST(occ AS BIGINT) AS n_occupied,
+                   CAST(ssq AS BIGINT) AS sum_sq,
+                   {_sql_round_even(
+                       'CASE WHEN n > 0 THEN CAST(288 * ssq - n * n'
+                       ' AS DOUBLE) / n ELSE 0e0 END')} AS chi2,
+                   {_sql_round_even(
+                       '(CASE WHEN n > 0 THEN CAST(288 * ssq - n * n'
+                       ' AS DOUBLE) / n ELSE 0e0 END) / 287')} AS vmr
+            FROM st
+        """,
+        "geo_segregation_d": f"""
+            WITH {_sql_geo_full(_GEO_N)},
+            gp AS (SELECT substr(c.caption_canon, 1, 2) AS cat,
+                      g.lon, g.lat
+                   FROM gll g JOIN gcanon c USING (i)),
+            gcc AS (SELECT
+                       CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                           AS gx,
+                       CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                           AS gy,
+                       cat
+                    FROM gp),
+            gcnt AS (SELECT gx * 12 + gy AS cell, cat, COUNT(*) AS n
+                     FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY cell, cat),
+            gm AS (SELECT cat, SUM(n) AS t FROM gcnt GROUP BY cat),
+            gcell AS (SELECT DISTINCT cell FROM gcnt),
+            gpair AS (SELECT a.cat AS ca, b.cat AS cb,
+                         a.t AS ta, b.t AS tb
+                      FROM gm a JOIN gm b ON a.cat < b.cat),
+            gdiff AS (SELECT p.ca, p.cb, p.ta, p.tb,
+                         SUM(ABS(COALESCE(na.n, 0) * p.tb
+                                 - COALESCE(nb.n, 0) * p.ta)) AS num
+                      FROM gpair p CROSS JOIN gcell c
+                      LEFT JOIN gcnt na
+                        ON na.cell = c.cell AND na.cat = p.ca
+                      LEFT JOIN gcnt nb
+                        ON nb.cell = c.cell AND nb.cat = p.cb
+                      GROUP BY p.ca, p.cb, p.ta, p.tb)
+            SELECT ca AS cat_a, cb AS cat_b,
+                   CAST(ta AS BIGINT) AS n_a,
+                   CAST(tb AS BIGINT) AS n_b,
+                   {_sql_round_even(
+                       'CASE WHEN ta > 0 AND tb > 0 THEN '
+                       'CAST(num AS DOUBLE) / CAST(2 * ta * tb'
+                       ' AS DOUBLE) ELSE 0e0 END')} AS d_index
+            FROM gdiff ORDER BY cat_a, cat_b
         """,
         "geo_join_counts": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

@@ -4183,3 +4183,162 @@ def track_lcss(
 
     return exploded.groupby("pair").map_groups(
         pair_lcss, batch_format="pandas")
+
+
+def quadrat_chi2(
+    indexed: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Quadrat-count test of complete spatial randomness (Greig-Smith
+    1952 / Diggle, public formula): chi2 = sum over ALL k = nx*ny
+    quadrats (empties included) of (n_i - n/k)^2 / (n/k), which
+    reduces to the exact-integer form (k * sum n_i^2 - n^2) / n; the
+    variance-mean ratio chi2 / (k - 1) reads > 1 clustered, < 1
+    regular. Same per-cell count combiner as the other fixed-grid
+    statistics; only occupied-cell partials move."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        flat = gx[ok] * ny + gy[ok]
+        cnt = np.bincount(flat, minlength=nx * ny)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    counts = sum_final(
+        indexed.map_batches(cells, batch_format="pyarrow"),
+        ["cell"]).to_pandas()
+    k = nx * ny
+    if len(counts) and "n" in counts.columns:
+        ni = counts["n"].to_numpy(np.int64)
+    else:
+        ni = np.zeros(0, np.int64)
+    n = int(ni.sum())
+    ssq = int((ni * ni).sum())
+    # shared expression tree — mirrored verbatim in the twin
+    chi2 = float(k * ssq - n * n) / n if n > 0 else 0.0
+    vmr = chi2 / (k - 1)
+    return pd.DataFrame({
+        "n_points": [n], "n_quadrats": [k], "n_occupied": [len(ni)],
+        "sum_sq": [ssq], "chi2": [chi2], "vmr": [vmr]})
+
+
+def segregation_dissimilarity(
+    points: ray.data.Dataset,
+    *,
+    cat_col: str = "cat",
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Duncan & Duncan (1955) index of dissimilarity between every
+    unordered category pair over the fixed grid: D = 0.5 * sum_cells
+    |a_i/A - b_i/B|, computed in the EXACT integer form
+    sum |a_i * B - b_i * A| / (2 * A * B) so the float summation
+    order can't diverge between engine and twin (one division at the
+    end). D = 0 is an identical spatial distribution, 1 is complete
+    segregation. One (cell, cat) count combiner; the pairing runs on
+    the O(cells x cats) rollup."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        cat = np.asarray(b[cat_col]).astype(object)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        df = pd.DataFrame({"cell": gx[ok] * ny + gy[ok],
+                           "cat": cat[ok]})
+        agg = df.groupby(["cell", "cat"], as_index=False,
+                         sort=False).size()
+        agg = agg.rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rollup = sum_final(
+        points.map_batches(cells, batch_format="pyarrow"),
+        ["cell", "cat"]).to_pandas()
+    pv = rollup.pivot_table(index="cell", columns="cat", values="n",
+                            aggfunc="sum", fill_value=0)
+    cats = sorted(pv.columns)
+    rows = []
+    for ia in range(len(cats)):
+        for ib in range(ia + 1, len(cats)):
+            a = pv[cats[ia]].to_numpy(np.int64)
+            b = pv[cats[ib]].to_numpy(np.int64)
+            ta, tb = int(a.sum()), int(b.sum())
+            num = int(np.abs(a * tb - b * ta).sum())
+            d = float(num) / float(2 * ta * tb) \
+                if ta > 0 and tb > 0 else 0.0
+            rows.append((cats[ia], cats[ib], ta, tb, d))
+    return pd.DataFrame(rows, columns=["cat_a", "cat_b", "n_a",
+                                       "n_b", "d_index"])
+
+
+def theil_sen_cells(
+    points: ray.data.Dataset,
+    n_buckets: int,
+    n_total: int,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Per-cell Theil-Sen slope (Theil 1950 / Sen 1968, public
+    formula) of the dense fix-count series over ``n_buckets`` time
+    buckets — the robust-trend companion of ``mann_kendall_cells``
+    (same rollup combiner, same dense domain): slope = median over
+    bucket pairs i < j of (x_j - x_i) / (j - i). The pair count
+    m(m-1)/2 is even for m = 24 (276), so the median is the mean of
+    the two middle slopes — both sides sort and average the SAME two
+    doubles ((a + b) / 2; float + is commutative), keeping the twin
+    exact before the 6dp round."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        seq = np.asarray(b["seq"], dtype=np.int64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        df = pd.DataFrame({"gx": gx[ok], "gy": gy[ok],
+                           "tb": seq[ok] * n_buckets // n_total})
+        agg = df.groupby(["gx", "gy", "tb"], as_index=False,
+                         sort=False).size()
+        agg = agg.rename(columns={"size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = sum_final(
+        points.map_batches(cells, batch_format="pyarrow"),
+        ["gx", "gy", "tb"])
+    m = n_buckets
+    iu = np.triu_indices(m, 1)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.zeros(m, np.int64)
+        x[g["tb"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+        sl = np.sort((x[iu[1]] - x[iu[0]]).astype(np.float64)
+                     / (iu[1] - iu[0]).astype(np.float64))
+        half = sl.size // 2
+        if sl.size % 2:
+            slope = float(sl[half])
+        else:
+            slope = (float(sl[half - 1]) + float(sl[half])) / 2.0
+        return pd.DataFrame({
+            "gx": g["gx"].iloc[:1], "gy": g["gy"].iloc[:1],
+            "n_fixes": np.asarray([int(g["n"].sum())], np.int64),
+            "sen_slope": np.asarray([slope], np.float64)})
+
+    out = (counts.groupby(["gx", "gy"])
+           .map_groups(per_cell, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["gx", "gy"], ignore_index=True)

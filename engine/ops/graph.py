@@ -915,3 +915,62 @@ def bfs_hops(
     return pd.DataFrame({
         "node": np.concatenate(visited),
         "hop": np.concatenate(hops)})
+
+
+def avg_neighbor_degree(
+    edges: ray.data.Dataset,
+) -> pd.DataFrame:
+    """Degree-binned average neighbor degree knn(k) (Pastor-Satorras
+    et al. 2001, public formula) — the detailed view behind the
+    assortativity scalar: for each degree k, the mean over vertices
+    of degree k of the average degree of their neighbors. Computed
+    in the EXACT integer form sum over (v, nbr) incidences of
+    deg(nbr), grouped by deg(v), divided once by k * n_k — no
+    per-vertex float means to re-sum. Degrees come from the same
+    count combiner as ``degree_assortativity`` and broadcast once;
+    each edge batch folds into O(distinct k) partials."""
+    from engine.ops.relational import sum_final
+    from engine.state import cached_get
+
+    edges = edges.materialize()  # feeds the degree census AND probe
+
+    def local_deg(t: "pa.Table") -> pd.DataFrame:
+        both = np.concatenate([np.asarray(t["a"], np.int64),
+                               np.asarray(t["b"], np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = sum_final(
+        edges.map_batches(local_deg, batch_format="pyarrow"),
+        ["node"]).to_pandas()
+    nodes = deg["node"].to_numpy(np.int64)
+    degs = deg["deg"].to_numpy(np.int64)
+    order = np.argsort(nodes)
+    dmap_ref = ray.put((nodes[order], degs[order]))
+
+    def partials(t: "pa.Table") -> pd.DataFrame:
+        nd, dg = cached_get(dmap_ref)
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, b)]
+        k = np.concatenate([da, db])      # deg of the vertex
+        nb = np.concatenate([db, da])     # deg of its neighbor
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, nb)
+        return pd.DataFrame({"deg": u, "sum_nbr_deg": s})
+
+    acc = sum_final(
+        edges.map_batches(partials, batch_format="pyarrow"),
+        ["deg"]).to_pandas()
+    ku, kc = np.unique(degs, return_counts=True)
+    acc = acc.sort_values("deg", ignore_index=True)
+    nk = kc[np.searchsorted(ku, acc["deg"].to_numpy(np.int64))]
+    s = acc["sum_nbr_deg"].to_numpy(np.int64)
+    kk = acc["deg"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "deg": kk,
+        "n_vertices": nk.astype(np.int64),
+        "avg_nbr_deg": (s.astype(np.float64)
+                        / (kk * nk).astype(np.float64))})

@@ -871,3 +871,184 @@ def image_quantile_stretch(
     return ds.map_batches(
         QuantileStretch, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+class TenengradFocus:
+    """Per-image Tenengrad focus measure (Sobel gradient energy on the
+    first channel, interior pixels only) — the classic sharpness rank
+    used to drop out-of-focus captures. gx/gy are exact integer Sobel
+    responses (|gx| <= 4*255), the energy sum is an exact integer in
+    f64 (<= 2*1020^2*900 ~ 1.9e9), and edge_frac counts responses with
+    gx^2+gy^2 >= thr — so the pixel-regeneration SQL twin (an 8-offset
+    weighted self-join) matches bit-for-bit through the one final
+    division."""
+
+    def __init__(self, thr: int = 250_000):
+        self.thr = thr
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, fracs = [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            gi = px[:, :, 0].astype(np.int64)
+            h, w = gi.shape
+            if h < 3 or w < 3:
+                means.append(0.0)
+                fracs.append(0.0)
+                continue
+            gx = ((gi[:-2, 2:] + 2 * gi[1:-1, 2:] + gi[2:, 2:])
+                  - (gi[:-2, :-2] + 2 * gi[1:-1, :-2] + gi[2:, :-2]))
+            gy = ((gi[2:, :-2] + 2 * gi[2:, 1:-1] + gi[2:, 2:])
+                  - (gi[:-2, :-2] + 2 * gi[:-2, 1:-1] + gi[:-2, 2:]))
+            e = gx * gx + gy * gy
+            n_int = e.size
+            means.append(float(e.sum()) / n_int)
+            fracs.append(float((e >= self.thr).sum()) / n_int)
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        for name, vals in [("tenengrad", means), ("edge_frac", fracs)]:
+            out = out.append_column(
+                name, pa.array(np.round(vals, 6), pa.float64()))
+        return out
+
+
+def image_tenengrad(
+    ds: ray.data.Dataset, *, thr: int = 250_000, batch_size: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        TenengradFocus, fn_constructor_kwargs={"thr": thr},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class BorderContrast:
+    """Per-image border-ring vs interior mean intensity (channel 0) —
+    the letterbox / frame / vignette detector. Both sums are exact
+    integers; contrast = border_mean - inner_mean computed after the
+    two exact divisions, mirrored verbatim in the SQL twin. Images too
+    small to have an interior (h<3 or w<3) report inner_mean = 0 by
+    convention."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bm, im, ct = [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            gi = px[:, :, 0].astype(np.int64)
+            h, w = gi.shape
+            tot = int(gi.sum())
+            n_all = gi.size
+            if h < 3 or w < 3:
+                bmean = tot / n_all
+                imean = 0.0
+            else:
+                inner = gi[1:-1, 1:-1]
+                isum = int(inner.sum())
+                imean = isum / inner.size
+                bmean = (tot - isum) / (n_all - inner.size)
+            bm.append(bmean)
+            im.append(imean)
+            ct.append(bmean - imean)
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        for name, vals in [("border_mean", bm), ("inner_mean", im),
+                           ("border_contrast", ct)]:
+            out = out.append_column(
+                name, pa.array(np.round(vals, 6), pa.float64()))
+        return out
+
+
+def image_border_contrast(
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        BorderContrast, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class DominantColor:
+    """Per-image dominant quantized color: each pixel maps to a 6-bit
+    code (r>>6)<<4 | (g>>6)<<2 | (b>>6) (64 cells of the RGB cube);
+    the mode code wins, ties broken on the SMALLEST code (np.argmax
+    returns the first maximal bin, which is exactly ORDER BY n DESC,
+    code ASC). share = mode count / pixels, the one float division."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes, shares = [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt).astype(np.int64)
+            code = ((px[:, :, 0] >> 6) << 4 | (px[:, :, 1] >> 6) << 2
+                    | (px[:, :, 2] >> 6)).reshape(-1)
+            n = np.bincount(code, minlength=64)
+            k = int(np.argmax(n))
+            codes.append(k)
+            shares.append(float(n[k]) / code.size)
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "color_code", pa.array(codes, pa.int64()))
+        out = out.append_column(
+            "color_share", pa.array(np.round(shares, 6), pa.float64()))
+        return out
+
+
+def image_dominant_color(
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        DominantColor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class EqualizeAudit:
+    """Per-image histogram-equalization audit (channel 0): the standard
+    integer mapping eq(v) = (cdf(v) - cdf_min) * 255 // (n - cdf_min)
+    (floor on exact integers, cdf_min = count of the smallest present
+    value). Reports the equalized mean (exact integer sum, one
+    division) and the number of distinct output levels — how much
+    dynamic range equalization would actually recover. A constant
+    image maps to level 0 by convention."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meq, lev = [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            v = px[:, :, 0].astype(np.int64).reshape(-1)
+            vals, cnts = np.unique(v, return_counts=True)
+            cdf = np.cumsum(cnts)
+            n = int(cdf[-1])
+            cdf_min = int(cnts[0])
+            if n > cdf_min:
+                eq = (cdf - cdf_min) * 255 // (n - cdf_min)
+            else:
+                eq = np.zeros_like(cdf)
+            meq.append(float((eq * cnts).sum()) / n)
+            lev.append(int(np.unique(eq).size))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "eq_mean", pa.array(np.round(meq, 6), pa.float64()))
+        out = out.append_column("eq_levels", pa.array(lev, pa.int64()))
+        return out
+
+
+def image_equalize_audit(
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        EqualizeAudit, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

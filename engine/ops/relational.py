@@ -3317,3 +3317,64 @@ def durbin_watson(
         _sharded_by_key(ds, group_key, num_shards)
         .groupby("__shard")
         .map_groups(f, batch_format="pandas"))
+
+
+def ab_conversion_ztest(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+) -> pd.DataFrame:
+    """Two-proportion z-test of conversion between the two arms of a
+    deterministic hash split (arm = splitmix64(user) & 1 — exactly
+    how real experiment assignment works, and reproducible on any
+    cluster shape). A user converts when they have >= 1
+    ``convert_type`` event. Per-batch (user, n_conv) partials fold
+    through one co-shuffle; the per-arm census is 4 integers, and z
+    uses the pooled-variance form through one shared expression tree
+    mirrored in the SQL twin."""
+    from engine.ops.sketch import _hash64
+
+    def per_user(b: pa.Table) -> pd.DataFrame:
+        u = np.asarray(b[user_col], np.int64)
+        conv = (np.asarray(b[type_col]).astype(object)
+                == convert_type).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        s = np.zeros(len(uu), np.int64)
+        np.add.at(s, inv, conv)
+        return pd.DataFrame({"user_id": uu, "n_conv": s})
+
+    users = sum_final(
+        events.map_batches(per_user, batch_format="pyarrow"),
+        ["user_id"])
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        arm = (_hash64(b["user_id"].to_numpy(np.int64))
+               & np.uint64(1)).astype(np.int64)
+        conv = (b["n_conv"].to_numpy(np.int64) > 0).astype(np.int64)
+        out = []
+        for a in (0, 1):
+            m = arm == a
+            out.append((a, int(m.sum()), int(conv[m].sum())))
+        return pd.DataFrame(out, columns=["arm", "n", "conv"])
+
+    cs = sum_final(
+        users.map_batches(census, batch_format="pandas"),
+        ["arm"]).to_pandas().set_index("arm")
+    n0 = int(cs.loc[0, "n"]) if 0 in cs.index else 0
+    n1 = int(cs.loc[1, "n"]) if 1 in cs.index else 0
+    c0 = int(cs.loc[0, "conv"]) if 0 in cs.index else 0
+    c1 = int(cs.loc[1, "conv"]) if 1 in cs.index else 0
+    # shared expression tree — mirrored verbatim in the twin
+    if n0 > 0 and n1 > 0:
+        p0 = c0 / n0
+        p1 = c1 / n1
+        p = (c0 + c1) / (n0 + n1)
+        se2 = p * (1.0 - p) * (1.0 / n0 + 1.0 / n1)
+        z = (p1 - p0) / np.sqrt(se2) if se2 > 0 else 0.0
+    else:
+        p0 = p1 = z = 0.0
+    return pd.DataFrame({
+        "n_a": [n0], "n_b": [n1], "conv_a": [c0], "conv_b": [c1],
+        "p_a": [p0], "p_b": [p1], "z": [float(z)]})

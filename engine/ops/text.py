@@ -1039,3 +1039,51 @@ def levenshtein_prefix_pairs(
            .to_pandas())
     return out.sort_values(["a", "b"], ignore_index=True)[
         ["a", "b", "dist"]]
+
+
+def script_profile(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc Unicode script/class profile: fractions of Latin
+    letters, ASCII digits, whitespace ([ \\t\\n\\r] exactly), CJK
+    unified ideographs (U+4E00..U+9FFF) and everything else — the
+    script-mix curation signal that catches mislabeled-language and
+    markup-heavy docs. ONE concatenated utf-32 view per batch (no
+    per-char work), class counts via reduceat over doc boundaries;
+    counts are exact ints so the regexp-counting SQL twin lands on
+    identical fractions."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].astype(str).tolist()
+        lens = np.array([len(t) for t in texts], np.int64)
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                           np.uint32)
+        bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        is_lat = (((cp >= 65) & (cp <= 90))
+                  | ((cp >= 97) & (cp <= 122)))
+        is_dig = (cp >= 48) & (cp <= 57)
+        is_ws = ((cp == 32) | (cp == 9) | (cp == 10) | (cp == 13))
+        is_cjk = (cp >= 0x4E00) & (cp <= 0x9FFF)
+
+        def seg(m: np.ndarray) -> np.ndarray:
+            if len(cp) == 0:
+                return np.zeros(len(lens), np.int64)
+            # pad one 0 so a trailing empty doc's start index (==
+            # len(cp)) stays valid; reduceat's spurious element for
+            # zero-length segments is masked by the lens > 0 where
+            c = np.add.reduceat(
+                np.concatenate([m.astype(np.int64), [0]]), bounds)
+            return np.where(lens > 0, c, 0)
+
+        nl, ndg, nw, nc = seg(is_lat), seg(is_dig), seg(is_ws), \
+            seg(is_cjk)
+        out = b[["doc_id"]].copy()
+        out["n_chars"] = lens
+        safe = np.maximum(lens, 1).astype(np.float64)
+        out["latin_frac"] = np.round(nl / safe, 6)
+        out["digit_frac"] = np.round(ndg / safe, 6)
+        out["ws_frac"] = np.round(nw / safe, 6)
+        out["cjk_frac"] = np.round(nc / safe, 6)
+        out["other_frac"] = np.round(
+            (lens - nl - ndg - nw - nc) / safe, 6)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

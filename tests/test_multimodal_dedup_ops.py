@@ -594,3 +594,93 @@ def test_radial_profile_rings(ray_session):
     out = image_radial_profile(ds).to_pandas()
     assert (out["mean_px"] == out["rbin"] * 10.0).all()
     assert out["n_px"].sum() == h * w
+
+
+def test_tenengrad_ramp_and_flat(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_tenengrad
+
+    # flat -> 0; linear x-ramp f(x)=10x -> gx = 4*(f(x+1)-f(x-1)) = 80
+    # everywhere interior, gy = 0 -> tenengrad = 6400 exactly
+    flat = np.full((8, 8, 3), 50, np.uint8)
+    ramp = np.zeros((8, 8, 3), np.uint8)
+    ramp[:, :, 0] = (10 * np.arange(8))[None, :]
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["flat", "ramp"],
+        "bytes": [encode(flat, "raw16"), encode(ramp, "raw16")],
+        "fmt": ["raw16", "raw16"],
+    }))
+    out = image_tenengrad(ds).to_pandas().set_index("image_id")
+    assert out.loc["flat", "tenengrad"] == 0.0
+    assert out.loc["flat", "edge_frac"] == 0.0
+    assert out.loc["ramp", "tenengrad"] == pytest.approx(6400.0)
+    assert out.loc["ramp", "edge_frac"] == 0.0
+
+
+def test_border_contrast_frame(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_border_contrast
+
+    img = np.full((8, 8, 3), 100, np.uint8)
+    img[1:-1, 1:-1, 0] = 20
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["x"], "bytes": [encode(img, "raw16")],
+        "fmt": ["raw16"],
+    }))
+    out = image_border_contrast(ds).to_pandas().iloc[0]
+    assert out["border_mean"] == 100.0
+    assert out["inner_mean"] == 20.0
+    assert out["border_contrast"] == 80.0
+
+
+def test_dominant_color_mode_and_tie(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_dominant_color
+
+    solid = np.zeros((4, 4, 3), np.uint8)
+    solid[:, :, 0] = 200  # r bucket 3 -> code 48
+    solid[:, :, 1] = 100  # g bucket 1 -> +4
+    solid[:, :, 2] = 50   # b bucket 0 -> +0
+    tie = np.zeros((4, 4, 3), np.uint8)
+    tie[:, 2:, 0] = 64    # half code 0, half code 16 -> smallest wins
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["solid", "tie"],
+        "bytes": [encode(solid, "raw16"), encode(tie, "raw16")],
+        "fmt": ["raw16", "raw16"],
+    }))
+    out = image_dominant_color(ds).to_pandas().set_index("image_id")
+    assert out.loc["solid", "color_code"] == 52
+    assert out.loc["solid", "color_share"] == 1.0
+    assert out.loc["tie", "color_code"] == 0
+    assert out.loc["tie", "color_share"] == 0.5
+
+
+def test_equalize_audit_known_values(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.codec.image import encode
+    from engine.ops.multimodal import image_equalize_audit
+
+    const = np.full((8, 8, 3), 77, np.uint8)
+    two = np.zeros((8, 8, 3), np.uint8)
+    two[4:, :, 0] = 255  # 32 zeros, 32 x 255 -> eq: 0 and 255
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": ["const", "two"],
+        "bytes": [encode(const, "raw16"), encode(two, "raw16")],
+        "fmt": ["raw16", "raw16"],
+    }))
+    out = image_equalize_audit(ds).to_pandas().set_index("image_id")
+    assert out.loc["const", "eq_mean"] == 0.0
+    assert out.loc["const", "eq_levels"] == 1
+    assert out.loc["two", "eq_mean"] == 127.5
+    assert out.loc["two", "eq_levels"] == 2
