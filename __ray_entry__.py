@@ -990,6 +990,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res["query_vec_id"] = qdf["vec_id"].to_numpy()[res["query_ix"].to_numpy()]
         return res[["query_vec_id", "rank", "vec_id", "cos"]]
 
+    def embedding_truncation_recall(sf_dir: str):
+        # Matryoshka-style truncation audit: recall@10 of the
+        # first-32-dim cosine ranking against the full 64-dim ranking
+        # for the 5 smallest query ids — how much ANN quality a 2x
+        # vector-storage cut costs; two distributed brute-force
+        # passes (pc.list_slice keeps the half view zero-copy),
+        # overlap counted on the tiny (5 x 10) results
+        import pyarrow.compute as pc
+
+        emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        qdf = relational.topk(emb, "vec_id", 5,
+                              descending=False).to_pandas()
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        full = simsearch.brute_force_topk(emb, q, k=10)
+
+        def half_view(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "vec_id": t["vec_id"],
+                "embedding": pc.list_slice(t["embedding"], 0, 32)})
+
+        halfr = simsearch.brute_force_topk(
+            emb.map_batches(half_view, batch_format="pyarrow"),
+            q[:, :32], k=10)
+        qids = qdf["vec_id"].to_numpy()
+        rows = []
+        for ix in range(len(qids)):
+            fs = set(full.loc[full["query_ix"] == ix, "vec_id"])
+            hs = set(halfr.loc[halfr["query_ix"] == ix, "vec_id"])
+            rows.append((int(qids[ix]), len(fs & hs),
+                         len(fs & hs) / 10.0))
+        return pd.DataFrame(rows, columns=["query_vec_id", "n_common",
+                                           "recall_at_10"])
+
     # ---- rows-only: text / dedup / similarity --------------------------
 
     def lang_id_documents(sf_dir: str):
@@ -1994,6 +2029,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.char_entropy(docs).select_columns(
             ["doc_id", "n_chars", "char_entropy"])
 
+    def docs_script_profile(sf_dir: str):
+        # per-doc Unicode class fractions (Latin / digit / whitespace
+        # / CJK / other) — the script-mix curation signal; one
+        # concatenated utf-32 view per batch, reduceat segment
+        # counts; twin counts via regexp_replace removals
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.script_profile(docs).select_columns(
+            ["doc_id", "n_chars", "latin_frac", "digit_frac",
+             "ws_frac", "cjk_frac", "other_frac"])
+
     def docs_readability_lix(sf_dir: str):
         # LIX readability index (deterministic: no syllable
         # heuristics) — words/sentences + 100*long/words over the
@@ -2939,6 +2984,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = idx.map_batches(prep, batch_format="pyarrow")
         out = geo_ops.segregation_dissimilarity(pts)
         out["d_index"] = out["d_index"].round(6)
+        return out
+
+    def events_ab_conversion(sf_dir: str):
+        # two-proportion z-test between the arms of a deterministic
+        # splitmix64(user) & 1 experiment split (how real A/B
+        # assignment works, reproducible on any cluster shape);
+        # conversion = >=1 purchase event; one per-user co-shuffle,
+        # then a 4-integer census drives the pooled-z expression
+        # tree mirrored in the twin
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type"])
+        out = relational.ab_conversion_ztest(ev)
+        for c in ["p_a", "p_b", "z"]:
+            out[c] = out[c].round(6)
         return out
 
     def orders_urgency_ttest(sf_dir: str):
@@ -5061,6 +5119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_ratio": docs_repetition_ratio,
         "dedup_documents_exact": dedup_documents_exact,
         "ann_cosine_topk": ann_cosine_topk,
+        "embedding_truncation_recall": embedding_truncation_recall,
         "ann_cosine_range": ann_cosine_range,
         "lang_id_documents": lang_id_documents,
         "fingerprint_documents": fingerprint_documents,
@@ -5168,6 +5227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangle_count": part_triangle_count,
         "part_bfs_hops": part_bfs_hops,
         "part_degree_assortativity": part_degree_assortativity,
+        "part_avg_neighbor_degree": part_avg_neighbor_degree,
         "part_link_jaccard": part_link_jaccard,
         "part_k_core": part_k_core,
         "part_local_clustering": part_local_clustering,
@@ -5182,6 +5242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sentence_stats": docs_sentence_stats,
         "docs_readability_lix": docs_readability_lix,
         "docs_char_entropy": docs_char_entropy,
+        "docs_script_profile": docs_script_profile,
         "geom_harmonic_price_by_status": geom_harmonic_price_by_status,
         "user_sequence_entropy": user_sequence_entropy,
         "orders_benford_digits": orders_benford_digits,
@@ -5190,6 +5251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_admin_lang_share": geo_admin_lang_share,
         "geo_track_home_cell": geo_track_home_cell,
         "orders_urgency_ttest": orders_urgency_ttest,
+        "events_ab_conversion": events_ab_conversion,
         "orders_urgency_ranksum": orders_urgency_ranksum,
         "orders_urgency_ks": orders_urgency_ks,
         "orders_priority_anova": orders_priority_anova,
@@ -8879,6 +8941,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM pe) AS n_edges,
                    round(corr(x, y), 6) AS assortativity
             FROM pp
+        """,
+        "part_avg_neighbor_degree": f"""
+            WITH pe AS (SELECT DISTINCT
+                            l1.l_partkey AS a, l2.l_partkey AS b
+                        FROM lineitem l1 JOIN lineitem l2
+                          ON l2.l_orderkey = l1.l_orderkey
+                         AND l1.l_partkey < l2.l_partkey),
+            dg AS (SELECT node, COUNT(*) AS deg FROM (
+                       SELECT a AS node FROM pe
+                       UNION ALL SELECT b FROM pe)
+                   GROUP BY node),
+            inc AS (SELECT da.deg AS k, db.deg AS nb
+                    FROM pe
+                    JOIN dg da ON da.node = pe.a
+                    JOIN dg db ON db.node = pe.b
+                    UNION ALL
+                    SELECT db.deg, da.deg
+                    FROM pe
+                    JOIN dg da ON da.node = pe.a
+                    JOIN dg db ON db.node = pe.b),
+            nk AS (SELECT deg AS k, COUNT(*) AS nv FROM dg
+                   GROUP BY deg),
+            ac AS (SELECT k, SUM(nb) AS s FROM inc GROUP BY k)
+            SELECT ac.k AS deg, CAST(nk.nv AS BIGINT) AS n_vertices,
+                   {_sql_round_even(
+                       'CAST(ac.s AS DOUBLE)'
+                       ' / CAST(ac.k * nk.nv AS DOUBLE)')}
+                       AS avg_nbr_deg
+            FROM ac JOIN nk ON nk.k = ac.k ORDER BY deg
+        """,
+        "events_ab_conversion": f"""
+            WITH uc AS (SELECT user_id,
+                           SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS n_conv
+                        FROM events GROUP BY user_id),
+            ar AS (SELECT CAST(({_sql_splitmix64('user_id')}) % 2
+                              AS BIGINT) AS arm,
+                      CASE WHEN n_conv > 0 THEN 1 ELSE 0 END AS cv
+                   FROM uc),
+            cs AS (SELECT
+                      SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                      SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                      SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS c0,
+                      SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS c1
+                   FROM ar),
+            ex AS (SELECT n0, n1, c0, c1,
+                      CAST(c0 AS DOUBLE) / n0 AS p0,
+                      CAST(c1 AS DOUBLE) / n1 AS p1,
+                      CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS p
+                   FROM cs)
+            SELECT CAST(n0 AS BIGINT) AS n_a,
+                   CAST(n1 AS BIGINT) AS n_b,
+                   CAST(c0 AS BIGINT) AS conv_a,
+                   CAST(c1 AS BIGINT) AS conv_b,
+                   {_sql_round_even('p0')} AS p_a,
+                   {_sql_round_even('p1')} AS p_b,
+                   {_sql_round_even(
+                       'CASE WHEN p * (1e0 - p) * (1e0 / n0 + 1e0 /'
+                       ' n1) > 0e0 THEN (p1 - p0) / sqrt(p * (1e0 -'
+                       ' p) * (1e0 / n0 + 1e0 / n1)) ELSE 0e0 END')}
+                       AS z
+            FROM ex
+        """,
+        "docs_script_profile": f"""
+            WITH cnts AS (SELECT doc_id,
+                     length(text) AS n,
+                     length(text) - length(regexp_replace(
+                         text, '[A-Za-z]', '', 'g')) AS nl,
+                     length(text) - length(regexp_replace(
+                         text, '[0-9]', '', 'g')) AS nd,
+                     length(text) - length(regexp_replace(
+                         text, '[ \\t\\n\\r]', '', 'g')) AS nw,
+                     length(text) - length(regexp_replace(
+                         text, '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))
+                         AS nc
+                  FROM documents)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                   {_sql_round_even(
+                       'CAST(nl AS DOUBLE)'
+                       ' / CAST(GREATEST(n, 1) AS DOUBLE)')}
+                       AS latin_frac,
+                   {_sql_round_even(
+                       'CAST(nd AS DOUBLE)'
+                       ' / CAST(GREATEST(n, 1) AS DOUBLE)')}
+                       AS digit_frac,
+                   {_sql_round_even(
+                       'CAST(nw AS DOUBLE)'
+                       ' / CAST(GREATEST(n, 1) AS DOUBLE)')}
+                       AS ws_frac,
+                   {_sql_round_even(
+                       'CAST(nc AS DOUBLE)'
+                       ' / CAST(GREATEST(n, 1) AS DOUBLE)')}
+                       AS cjk_frac,
+                   {_sql_round_even(
+                       'CAST(n - nl - nd - nw - nc AS DOUBLE)'
+                       ' / CAST(GREATEST(n, 1) AS DOUBLE)')}
+                       AS other_frac
+            FROM cnts ORDER BY doc_id
+        """,
+        "embedding_truncation_recall": """
+            WITH q AS (SELECT vec_id AS qid,
+                          CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            fs AS (SELECT q.qid, e.vec_id,
+                      list_cosine_similarity(q.qe,
+                          CAST(e.embedding AS DOUBLE[])) AS c
+                   FROM q CROSS JOIN embeddings e),
+            fr AS (SELECT qid, vec_id FROM (
+                       SELECT qid, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY c DESC, vec_id) AS rn
+                       FROM fs) WHERE rn <= 10),
+            hs AS (SELECT q.qid, e.vec_id,
+                      list_cosine_similarity(
+                          list_slice(q.qe, 1, 32),
+                          list_slice(CAST(e.embedding AS DOUBLE[]),
+                                     1, 32)) AS c
+                   FROM q CROSS JOIN embeddings e),
+            hr AS (SELECT qid, vec_id FROM (
+                       SELECT qid, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY c DESC, vec_id) AS rn
+                       FROM hs) WHERE rn <= 10),
+            ov AS (SELECT f.qid, COUNT(h.vec_id) AS m
+                   FROM fr f LEFT JOIN hr h
+                     ON h.qid = f.qid AND h.vec_id = f.vec_id
+                   GROUP BY f.qid)
+            SELECT qid AS query_vec_id, CAST(m AS BIGINT) AS n_common,
+                   CAST(m AS DOUBLE) / 10e0 AS recall_at_10
+            FROM ov ORDER BY query_vec_id
         """,
         "part_link_jaccard": """
             WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem

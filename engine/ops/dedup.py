@@ -1181,3 +1181,57 @@ def containment_pairs(
     out = inter[c >= threshold].copy()
     out["containment"] = c[c >= threshold]
     return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def winnow_fingerprints(
+    docs: ray.data.Dataset, k: int = 8, w: int = 4, seed: int = 42
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm, public method): hash every k-CHARACTER
+    gram (djb-32 polynomial over codepoints widened by the splitmix64
+    finalizer — the same SQL-reproducible chain as SimHasher), slide
+    a w-gram window and keep each window's minimum hash. The selected
+    VALUE set is position-independent (ties only move positions), so
+    no tie-break crosses the oracle boundary. Guarantees every shared
+    substring of length >= k + w - 1 contributes a shared
+    fingerprint — the contract substring-dedup pipelines build on.
+    Per-doc vectorized: one rolling-polynomial pass + one
+    sliding-window min; streaming map_batches, no shuffle."""
+    hi = np.uint64(seed) << np.uint64(32)
+    p31 = np.array([31 ** (k - 1 - j) for j in range(k)], np.uint64)
+    base = np.uint64(5381 * 31 ** k)
+
+    def per_doc(s: str):
+        cp = np.frombuffer(s.encode("utf-32-le"), np.uint32) \
+            .astype(np.uint64)
+        n = len(cp)
+        if n < k:
+            return 0, 0, 0
+        with np.errstate(over="ignore"):
+            ng = n - k + 1
+            h32 = np.full(ng, base, np.uint64)
+            for j in range(k):
+                h32 += cp[j:ng + j] * p31[j]
+            h32 &= np.uint64(0xFFFFFFFF)
+            h = _h64(h32 + hi)
+        if ng >= w:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            mins = sliding_window_view(h, w).min(axis=1)
+        else:
+            mins = h.min(keepdims=True)
+        u = np.unique(mins)
+        return ng, len(u), int(u.min().view(np.int64)) if len(u) \
+            else 0
+
+    from engine.ops.sketch import _hash64 as _h64  # noqa: F401
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        res = [per_doc(s) for s in b["text"].astype(str)]
+        out = b[["doc_id"]].copy()
+        out["n_grams"] = np.asarray([r[0] for r in res], np.int64)
+        out["n_fp"] = np.asarray([r[1] for r in res], np.int64)
+        out["fp_min"] = np.asarray([r[2] for r in res], np.int64)
+        return out
+
+    return docs.map_batches(f, batch_format="pandas")

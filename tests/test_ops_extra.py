@@ -4231,3 +4231,110 @@ def test_anova_kruskal_dw_bruteforce(ray_session):
     assert (dw.loc["trend", "dw"]
             == pytest.approx(dw_ref(trend), rel=1e-12))
     assert dw.loc["trend", "dw"] < 0.5
+
+
+def test_script_profile_known_and_empty(ray_session):
+    import ray.data
+
+    from engine.ops.text import script_profile
+
+    sd = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["Ab1 \n中", "", "999"]})
+    out = (script_profile(ray.data.from_pandas(sd).repartition(2))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc["a", "n_chars"] == 6
+    assert out.loc["a", "latin_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out.loc["a", "digit_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert out.loc["a", "ws_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out.loc["a", "cjk_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert out.loc["a", "other_frac"] == 0.0
+    assert out.loc["b", "n_chars"] == 0
+    assert out.loc["b", "latin_frac"] == 0.0
+    assert out.loc["c", "digit_frac"] == 1.0
+
+
+def test_avg_neighbor_degree_star_and_path(ray_session):
+    import ray.data
+
+    from engine.ops.graph import avg_neighbor_degree
+
+    # star K1,3 (center 0): leaves deg 1 see deg 3; center sees 1s
+    star = pd.DataFrame({"a": [0, 0, 0], "b": [1, 2, 3]})
+    out = (avg_neighbor_degree(ray.data.from_pandas(star))
+           .set_index("deg"))
+    assert out.loc[1, "n_vertices"] == 3
+    assert out.loc[1, "avg_nbr_deg"] == 3.0
+    assert out.loc[3, "n_vertices"] == 1
+    assert out.loc[3, "avg_nbr_deg"] == 1.0
+    # path 0-1-2: ends (deg 1) see deg 2; middle (deg 2) sees 1s
+    path = pd.DataFrame({"a": [0, 1], "b": [1, 2]})
+    out = (avg_neighbor_degree(ray.data.from_pandas(path))
+           .set_index("deg"))
+    assert out.loc[1, "avg_nbr_deg"] == 2.0
+    assert out.loc[2, "avg_nbr_deg"] == 1.0
+
+
+def test_ab_conversion_ztest_brute(ray_session):
+    import ray.data
+
+    from engine.ops.relational import ab_conversion_ztest
+    from engine.ops.sketch import _hash64
+
+    rng = np.random.default_rng(11)
+    users = np.arange(200, dtype=np.int64)
+    rows = []
+    for u in users:
+        k = int(rng.integers(1, 6))
+        for _ in range(k):
+            rows.append((int(u), "purchase"
+                         if rng.random() < 0.3 else "view"))
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = ab_conversion_ztest(
+        ray.data.from_pandas(ev).repartition(4)).iloc[0]
+
+    arm = (_hash64(users) & np.uint64(1)).astype(np.int64)
+    conv = ev[ev["event_type"] == "purchase"]["user_id"].unique()
+    active = ev["user_id"].unique()
+    n0 = int((arm[np.isin(users, active)] == 0).sum())
+    n1 = int((arm[np.isin(users, active)] == 1).sum())
+    c0 = int((arm[np.isin(users, conv)] == 0).sum())
+    c1 = int((arm[np.isin(users, conv)] == 1).sum())
+    assert (out["n_a"], out["n_b"]) == (n0, n1)
+    assert (out["conv_a"], out["conv_b"]) == (c0, c1)
+    p0, p1 = c0 / n0, c1 / n1
+    p = (c0 + c1) / (n0 + n1)
+    z = (p1 - p0) / np.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    assert out["z"] == pytest.approx(z, abs=1e-9)
+
+
+def test_truncation_recall_zero_tail_is_one(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.ops import simsearch
+
+    # vectors with an all-zero tail: truncating to the first half
+    # changes no cosine, so half/full top-k agree exactly
+    rng = np.random.default_rng(5)
+    v = np.zeros((30, 64))
+    v[:, :32] = rng.normal(size=(30, 32))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(30), pa.int64()),
+        "embedding": pa.array(list(v), pa.list_(pa.float64()))}))
+    q = v[:3]
+    full = simsearch.brute_force_topk(ds, q, k=10)
+
+    def half_view(t):
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "embedding": pc.list_slice(t["embedding"], 0, 32)})
+
+    halfr = simsearch.brute_force_topk(
+        ds.map_batches(half_view, batch_format="pyarrow"),
+        q[:, :32], k=10)
+    for ix in range(3):
+        fs = set(full.loc[full["query_ix"] == ix, "vec_id"])
+        hs = set(halfr.loc[halfr["query_ix"] == ix, "vec_id"])
+        assert fs == hs and len(fs) == 10
