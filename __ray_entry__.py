@@ -990,6 +990,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res["query_vec_id"] = qdf["vec_id"].to_numpy()[res["query_ix"].to_numpy()]
         return res[["query_vec_id", "rank", "vec_id", "cos"]]
 
+    def docs_winnow_fingerprints(sf_dir: str):
+        # winnowing (MOSS) fingerprint selection: per-doc distinct
+        # window-min hashes of 8-char grams (djb32 + splitmix64, the
+        # SQL-reproducible chain) — the guaranteed-recall substring
+        # fingerprint layer; value set is position-independent so no
+        # tie-break crosses the oracle boundary
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.winnow_fingerprints(docs).select_columns(
+            ["doc_id", "n_grams", "n_fp", "fp_min"])
+
+    def embedding_mmr_topk(sf_dir: str):
+        # Maximal-Marginal-Relevance diversified top-5 from a
+        # distributed brute-force top-20 pool (3 smallest query ids,
+        # lambda=0.7); all similarities rounded 6dp BEFORE the greedy
+        # arithmetic so both sides run the identical argmax; twin =
+        # 5 unrolled selection CTEs
+        emb = sf_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        qdf = relational.topk(emb, "vec_id", 3,
+                              descending=False).to_pandas()
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        return simsearch.mmr_topk(
+            emb, q, qdf["vec_id"].to_numpy(), k=5, pool=20, lam=0.7)
+
     def embedding_truncation_recall(sf_dir: str):
         # Matryoshka-style truncation audit: recall@10 of the
         # first-32-dim cosine ranking against the full 64-dim ranking
@@ -5120,6 +5143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_documents_exact": dedup_documents_exact,
         "ann_cosine_topk": ann_cosine_topk,
         "embedding_truncation_recall": embedding_truncation_recall,
+        "embedding_mmr_topk": embedding_mmr_topk,
+        "docs_winnow_fingerprints": docs_winnow_fingerprints,
         "ann_cosine_range": ann_cosine_range,
         "lang_id_documents": lang_id_documents,
         "fingerprint_documents": fingerprint_documents,
@@ -6321,6 +6346,122 @@ def _sql_simhash(seed: int = 42) -> str:
         SELECT d.doc_id, CAST(COALESCE(sh.hv, 0) AS BIGINT) AS simhash
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN sh ON sh.doc_id = d.doc_id
+    """
+
+
+def _sql_winnow(k: int = 8, w: int = 4, seed: int = 42) -> str:
+    """docs_winnow_fingerprints twin: per-position 8-char-gram djb32
+    (list_reduce over codepoints) widened by the splitmix CTE —
+    exactly dedup.winnow_fingerprints — then a w-row window MIN and a
+    per-doc DISTINCT. fp_min converts UBIGINT -> the engine's int64
+    view via the HUGEINT two's-complement shift."""
+    hi = seed << 32
+    return f"""
+        WITH gpos AS (SELECT doc_id, text,
+                 length(text) - {k - 1} AS ng,
+                 CAST(unnest(range(1, GREATEST(length(text)
+                     - {k - 2}, 1))) AS BIGINT) AS p
+              FROM documents WHERE length(text) >= {k}),
+        gh32 AS (SELECT doc_id, ng, p,
+                    list_reduce(
+                        list_prepend(CAST(5381 AS BIGINT),
+                            list_transform(
+                                split(substring(text, CAST(p AS INT),
+                                                {k}), ''),
+                                ch -> CAST(unicode(ch) AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 4294967296)
+                    + {hi} AS hp
+                 FROM gpos),
+        gh AS (SELECT doc_id, ng, p,
+                  CAST({_sql_splitmix64('hp')} AS UBIGINT) AS h
+               FROM gh32),
+        wm AS (SELECT doc_id, ng, p,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW
+                               AND {w - 1} FOLLOWING) AS wmin
+               FROM gh),
+        sel AS (SELECT DISTINCT doc_id, wmin FROM wm
+                WHERE p <= GREATEST(ng - {w - 1}, 1)),
+        ag AS (SELECT doc_id, COUNT(*) AS n_fp,
+                  MIN(wmin) AS fpm
+               FROM sel GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(CASE WHEN length(d.text) >= {k}
+                    THEN length(d.text) - {k - 1}
+                    ELSE 0 END AS BIGINT) AS n_grams,
+               CAST(COALESCE(ag.n_fp, 0) AS BIGINT) AS n_fp,
+               CAST(COALESCE(
+                   CAST(ag.fpm AS HUGEINT)
+                   - CASE WHEN ag.fpm >= 9223372036854775808
+                          THEN CAST(18446744073709551616 AS HUGEINT)
+                          ELSE 0 END, 0) AS BIGINT) AS fp_min
+        FROM documents d
+        LEFT JOIN ag ON ag.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+def _sql_mmr(nq: int = 3, pool: int = 20, k: int = 5,
+             lam: str = "0.7e0") -> str:
+    """embedding_mmr_topk twin: greedy MMR unrolled into k selection
+    CTEs. Similarities are 6dp-rounded BEFORE the score arithmetic
+    (matching simsearch.mmr_topk), the diversity weight is written
+    (1e0 - lam) so it equals Python's 1.0 - 0.7 bit-for-bit, and
+    each stage's argmax breaks ties on the smallest vec_id."""
+    sc = f"{lam} * s - (1e0 - {lam}) * 0e0"
+    parts = [f"""
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings ORDER BY vec_id LIMIT {nq}),
+        sc AS (SELECT q.qid, e.vec_id,
+                  list_cosine_similarity(q.qe,
+                      CAST(e.embedding AS DOUBLE[])) AS c
+               FROM q CROSS JOIN embeddings e),
+        pool AS (SELECT qid, vec_id, {_sql_round_even('c')} AS s
+                 FROM (SELECT qid, vec_id, c,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY c DESC, vec_id) AS rn
+                       FROM sc) WHERE rn <= {pool}),
+        pv AS (SELECT p.qid, p.vec_id,
+                  CAST(e.embedding AS DOUBLE[]) AS v
+               FROM pool p JOIN embeddings e
+                 ON e.vec_id = p.vec_id),
+        pp AS (SELECT a.qid, a.vec_id AS u, b.vec_id AS w2,
+                  {_sql_round_even(
+                      'list_cosine_similarity(a.v, b.v)')} AS dd
+               FROM pv a JOIN pv b ON a.qid = b.qid),
+        sel1 AS (SELECT qid, vec_id, score FROM (
+                     SELECT qid, vec_id, {sc} AS score,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY {sc} DESC, vec_id) AS rn
+                     FROM pool) WHERE rn = 1)"""]
+    for t in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT qid, vec_id FROM sel{j}" for j in range(1, t))
+        st = f"{lam} * s - (1e0 - {lam}) * pen"
+        parts.append(f"""
+        chosen{t} AS ({prev}),
+        cand{t} AS (SELECT p.qid, p.vec_id, p.s, MAX(d.dd) AS pen
+                    FROM pool p
+                    JOIN pp d ON d.qid = p.qid AND d.u = p.vec_id
+                    JOIN chosen{t} ch
+                      ON ch.qid = d.qid AND ch.vec_id = d.w2
+                    LEFT JOIN chosen{t} ex
+                      ON ex.qid = p.qid AND ex.vec_id = p.vec_id
+                    WHERE ex.vec_id IS NULL
+                    GROUP BY p.qid, p.vec_id, p.s),
+        sel{t} AS (SELECT qid, vec_id, score FROM (
+                       SELECT qid, vec_id, {st} AS score,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY {st} DESC, vec_id) AS rn
+                       FROM cand{t}) WHERE rn = 1)""")
+    final = " UNION ALL ".join(
+        f"SELECT qid, {t - 1} AS rank, vec_id, score FROM sel{t}"
+        for t in range(1, k + 1))
+    return f"""
+        WITH {','.join(parts)}
+        SELECT qid AS query_vec_id, CAST(rank AS BIGINT) AS rank,
+               vec_id, {_sql_round_even('score')} AS mmr_score
+        FROM ({final}) ORDER BY query_vec_id, rank
     """
 
 
@@ -8123,6 +8264,8 @@ def oracle_sql() -> dict[str, str]:
         "image_equalize_audit": _sql_image_equalize_audit(),
         "image_features": _sql_image_features(),
         "simhash_documents": _sql_simhash(42),
+        "docs_winnow_fingerprints": _sql_winnow(),
+        "embedding_mmr_topk": _sql_mmr(),
         "geo_s2_cell_counts": _sql_s2_cell_counts(),
         "geo_geohash_counts": _sql_geohash_counts(),
         "embedding_near_dups": _sql_embedding_near_dups(0.9),

@@ -1197,6 +1197,8 @@ def winnow_fingerprints(
     fingerprint — the contract substring-dedup pipelines build on.
     Per-doc vectorized: one rolling-polynomial pass + one
     sliding-window min; streaming map_batches, no shuffle."""
+    from engine.ops.sketch import _hash64 as _h64
+
     hi = np.uint64(seed) << np.uint64(32)
     p31 = np.array([31 ** (k - 1 - j) for j in range(k)], np.uint64)
     base = np.uint64(5381 * 31 ** k)
@@ -1220,11 +1222,8 @@ def winnow_fingerprints(
             mins = sliding_window_view(h, w).min(axis=1)
         else:
             mins = h.min(keepdims=True)
-        u = np.unique(mins)
-        return ng, len(u), int(u.min().view(np.int64)) if len(u) \
-            else 0
-
-    from engine.ops.sketch import _hash64 as _h64  # noqa: F401
+        u = np.unique(mins)  # sorted ascending unsigned
+        return ng, len(u), int(u[:1].view(np.int64)[0])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         res = [per_doc(s) for s in b["text"].astype(str)]

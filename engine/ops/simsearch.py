@@ -761,3 +761,68 @@ def cluster_agreement(
     return pd.DataFrame({
         "n_vecs": [n], "n_clusters": [len(a)], "n_labels": [len(b)],
         "ari": [ari], "nmi": [nmi]})
+
+
+def mmr_topk(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998, public formula): greedily pick argmax of
+    lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s) from
+    a candidate pool = the distributed brute-force top-``pool`` by
+    query similarity. The corpus scan is the distributed stage; the
+    greedy tail runs on the O(queries x pool) pool — driver-small by
+    construction. All similarities are rounded to 6dp BEFORE the
+    greedy arithmetic so engine and SQL twin run the identical
+    argmax on identical doubles (ties break on smallest vec_id)."""
+    pool_df = brute_force_topk(corpus, queries, k=pool)
+    pool_ids = np.unique(pool_df[id_col].to_numpy())
+    id_ref = ray.put(np.sort(pool_ids))
+
+    def keep_pool(b: pd.DataFrame) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        ids = cached_get(id_ref)
+        m = np.isin(b[id_col].to_numpy(), ids)
+        return b[m]
+
+    vec_df = (corpus.map_batches(keep_pool, batch_format="pandas")
+              .to_pandas())  # O(pool x queries) rows by construction
+    vmap = {int(i): np.asarray(v, np.float64)
+            for i, v in zip(vec_df[id_col], vec_df[vec_col])}
+    rows = []
+    for ix in range(len(queries)):
+        qv = np.asarray(queries[ix], np.float64)
+        qv = qv / np.sqrt((qv * qv).sum())
+        cand = np.sort(pool_df.loc[pool_df["query_ix"] == ix,
+                                   id_col].to_numpy())
+        vm = np.stack([vmap[int(c)] for c in cand])
+        vm = vm / np.sqrt((vm * vm).sum(axis=1))[:, None]
+        sim_q = np.round(vm @ qv, 6)
+        sim_dd = np.round(vm @ vm.T, 6)
+        chosen: list[int] = []
+        avail = np.ones(len(cand), bool)
+        for rank in range(min(k, len(cand))):
+            if chosen:
+                pen = sim_dd[:, chosen].max(axis=1)
+            else:
+                pen = np.zeros(len(cand))
+            score = lam * sim_q - (1.0 - lam) * pen
+            score[~avail] = -np.inf
+            # argmax, ties on smallest vec_id: cand is sorted, and
+            # np.argmax returns the first (= smallest id) maximum
+            j = int(np.argmax(score))
+            chosen.append(j)
+            avail[j] = False
+            rows.append((int(query_ids[ix]), rank,
+                         int(cand[j]), float(np.round(score[j], 6))))
+    return pd.DataFrame(rows, columns=["query_vec_id", "rank",
+                                       "vec_id", "mmr_score"])

@@ -4338,3 +4338,64 @@ def test_truncation_recall_zero_tail_is_one(ray_session):
         fs = set(full.loc[full["query_ix"] == ix, "vec_id"])
         hs = set(halfr.loc[halfr["query_ix"] == ix, "vec_id"])
         assert fs == hs and len(fs) == 10
+
+
+def test_winnow_fingerprints_known_values(ray_session):
+    import ray.data
+
+    from engine.ops.dedup import winnow_fingerprints
+
+    sd = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["short", "exactly8", "a" * 20,
+                 "the same long document text", 
+                 "the same long document text"]})
+    out = (winnow_fingerprints(ray.data.from_pandas(sd)
+                               .repartition(2))
+           .to_pandas().set_index("doc_id"))
+    # < k chars: no grams, no fingerprints
+    assert (out.loc[1, ["n_grams", "n_fp", "fp_min"]] == 0).all()
+    # exactly k chars: one gram, one fingerprint
+    assert out.loc[2, "n_grams"] == 1
+    assert out.loc[2, "n_fp"] == 1
+    # constant text: every gram identical -> a single fingerprint
+    assert out.loc[3, "n_grams"] == 13
+    assert out.loc[3, "n_fp"] == 1
+    # identical docs -> identical fingerprint profile
+    assert out.loc[4, "n_fp"] == out.loc[5, "n_fp"]
+    assert out.loc[4, "fp_min"] == out.loc[5, "fp_min"]
+    assert out.loc[4, "n_grams"] == len(sd.loc[3, "text"]) - 7
+
+
+def test_mmr_diversifies_over_pure_topk(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import simsearch
+
+    # cluster A hugs e1 (ids 0-9), cluster B sits at 53 degrees
+    # (ids 100-104); pure top-5 by sim is all-A, MMR must mix in B
+    rng = np.random.default_rng(3)
+    va = np.zeros((10, 64))
+    va[:, 0] = 1.0
+    va[:, 1:] += rng.normal(scale=0.01, size=(10, 63))
+    vb = np.zeros((5, 64))
+    vb[:, 0] = 0.6
+    vb[:, 1] = 0.8
+    ids = np.concatenate([np.arange(10), np.arange(100, 105)])
+    v = np.vstack([va, vb])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(v), pa.list_(pa.float64()))}))
+    q = np.zeros((1, 64))
+    q[0, 0] = 1.0
+    # lam < 0.5 weights diversity above relevance: with in-cluster
+    # sims ~1 an all-A pick scores 2*lam-1 < cluster-B's c*(2*lam-1)
+    out = simsearch.mmr_topk(ds, q, np.asarray([7]), k=5, pool=15,
+                             lam=0.3)
+    assert len(out) == 5
+    assert (out["query_vec_id"] == 7).all()
+    assert out.loc[out["rank"] == 0, "vec_id"].iloc[0] < 10  # best sim
+    assert (out["vec_id"] >= 100).any()  # diversity kicked in
+    # scores are the greedy objective: non-increasing down the ranks
+    assert (np.diff(out.sort_values("rank")["mmr_score"]) <= 1e-9).all()
