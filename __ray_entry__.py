@@ -1463,6 +1463,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n_nodes"] = out["n_nodes"].astype(np.int64)
         return out.sort_values("hop", ignore_index=True)
 
+    def part_closeness_sampled(sf_dir: str):
+        # truncated (8-hop) closeness centrality for the 3 smallest
+        # part ids: C = n_reached / sum_hops over the multi-round
+        # distributed BFS frontier; twin = multi-source recursive CTE
+        # with MIN(hop) semantics and the identical hop cap
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"])
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        e = edges.map_batches(rn, batch_format="pyarrow") \
+            .materialize()
+
+        def small3(t):
+            u = np.unique(np.concatenate([
+                np.asarray(t["a"], np.int64),
+                np.asarray(t["b"], np.int64)]))
+            return pd.DataFrame({"node": u[:3]})
+
+        cand = e.map_batches(
+            small3, batch_format="pyarrow").to_pandas()
+        srcs = np.sort(cand["node"].unique())[:3]
+        rows = []
+        for s in srcs:
+            reached = graph_ops.bfs_hops(e, int(s), max_hops=8)
+            n_reached = len(reached) - 1
+            sum_hops = int(reached["hop"].sum())
+            c = n_reached / sum_hops if sum_hops > 0 else 0.0
+            rows.append((int(s), n_reached, sum_hops,
+                         float(np.round(c, 6))))
+        return pd.DataFrame(rows, columns=["source", "n_reached",
+                                           "sum_hops", "closeness"])
+
     def part_degree_assortativity(sf_dir: str):
         # hub-to-hub vs hub-to-leaf wiring: Pearson correlation of
         # endpoint degrees over symmetrized co-order edges; only
@@ -3007,6 +3048,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = idx.map_batches(prep, batch_format="pyarrow")
         out = geo_ops.segregation_dissimilarity(pts)
         out["d_index"] = out["d_index"].round(6)
+        return out
+
+    def events_weekly_profile(sf_dir: str):
+        # hour-of-week seasonality z-profile (dense 168 buckets, dow
+        # 0 = Sunday): the anomalous-traffic-hour screen; bincount
+        # combiner + exact integer moments over the fixed domain
+        ev = sf_table(sf_dir, "events", ["ts"])
+        out = relational.weekly_profile(ev)
+        out["z"] = out["z"].round(6)
         return out
 
     def events_ab_conversion(sf_dir: str):
@@ -5253,6 +5303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_hops": part_bfs_hops,
         "part_degree_assortativity": part_degree_assortativity,
         "part_avg_neighbor_degree": part_avg_neighbor_degree,
+        "part_closeness_sampled": part_closeness_sampled,
         "part_link_jaccard": part_link_jaccard,
         "part_k_core": part_k_core,
         "part_local_clustering": part_local_clustering,
@@ -5277,6 +5328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_home_cell": geo_track_home_cell,
         "orders_urgency_ttest": orders_urgency_ttest,
         "events_ab_conversion": events_ab_conversion,
+        "events_weekly_profile": events_weekly_profile,
         "orders_urgency_ranksum": orders_urgency_ranksum,
         "orders_urgency_ks": orders_urgency_ks,
         "orders_priority_anova": orders_priority_anova,
@@ -8534,6 +8586,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT hop, COUNT(*) AS n_nodes FROM d
             GROUP BY hop ORDER BY hop
         """,
+        "part_closeness_sampled": f"""
+            WITH RECURSIVE pe AS (SELECT DISTINCT
+                            l1.l_partkey AS a, l2.l_partkey AS b
+                        FROM lineitem l1 JOIN lineitem l2
+                          ON l2.l_orderkey = l1.l_orderkey
+                         AND l1.l_partkey < l2.l_partkey),
+            sym AS (SELECT a, b FROM pe
+                    UNION ALL SELECT b, a FROM pe),
+            vsrc AS (SELECT node AS s FROM (
+                        SELECT a AS node FROM pe
+                        UNION SELECT b FROM pe)
+                     ORDER BY node LIMIT 3),
+            bfs AS (
+                SELECT s AS src, s AS node, 0 AS hop FROM vsrc
+                UNION
+                SELECT bfs.src, sym.b, bfs.hop + 1
+                FROM bfs JOIN sym ON sym.a = bfs.node
+                WHERE bfs.hop < 8
+            ),
+            d AS (SELECT src, node, MIN(hop) AS hop FROM bfs
+                  GROUP BY src, node),
+            ag AS (SELECT src, COUNT(*) - 1 AS nr, SUM(hop) AS sh
+                   FROM d GROUP BY src)
+            SELECT src AS source, CAST(nr AS BIGINT) AS n_reached,
+                   CAST(sh AS BIGINT) AS sum_hops,
+                   {_sql_round_even(
+                       'CASE WHEN sh > 0 THEN CAST(nr AS DOUBLE)'
+                       ' / CAST(sh AS DOUBLE) ELSE 0e0 END')}
+                       AS closeness
+            FROM ag ORDER BY source
+        """,
         "part_triangle_count": """
             WITH pe AS (SELECT DISTINCT
                             l1.l_partkey AS a, l2.l_partkey AS b
@@ -9146,6 +9229,24 @@ def oracle_sql() -> dict[str, str]:
                        ' p) * (1e0 / n0 + 1e0 / n1)) ELSE 0e0 END')}
                        AS z
             FROM ex
+        """,
+        "events_weekly_profile": f"""
+            WITH b AS (SELECT dayofweek(ts) * 24 + hour(ts) AS hw,
+                          COUNT(*) AS n
+                       FROM events GROUP BY hw),
+            dom AS (SELECT CAST(r.range AS BIGINT) AS hw
+                    FROM range(168) r),
+            d AS (SELECT dom.hw, COALESCE(b.n, 0) AS n
+                  FROM dom LEFT JOIN b USING (hw)),
+            st AS (SELECT CAST(SUM(n) AS DOUBLE) / 168 AS mu,
+                      CAST(SUM(n * n) AS DOUBLE) / 168 AS m2
+                   FROM d)
+            SELECT d.hw, CAST(d.n AS BIGINT) AS n,
+                   {_sql_round_even(
+                       'CASE WHEN st.m2 - st.mu * st.mu > 0e0 THEN'
+                       ' (d.n - st.mu) / sqrt(st.m2 - st.mu * st.mu)'
+                       ' ELSE 0e0 END')} AS z
+            FROM d CROSS JOIN st ORDER BY d.hw
         """,
         "docs_script_profile": f"""
             WITH cnts AS (SELECT doc_id,

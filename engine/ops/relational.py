@@ -3378,3 +3378,44 @@ def ab_conversion_ztest(
     return pd.DataFrame({
         "n_a": [n0], "n_b": [n1], "conv_a": [c0], "conv_b": [c1],
         "p_a": [p0], "p_b": [p1], "z": [float(z)]})
+
+
+def weekly_profile(
+    events: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Hour-of-week seasonality profile with per-bucket z-scores over
+    the dense 168-bucket domain (dow*24 + hour, dow 0 = Sunday to
+    match DuckDB's dayofweek()) — the anomalous-traffic-hour screen.
+    One bincount combiner; mean/std over the fixed 168 buckets use
+    exact integer sums, so the SQL twin matches through the final
+    divisions. Timestamps reduce via datetime64[us] integer floor
+    division (exact; the ns path is not — see burstiness)."""
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(b[ts_col].to_pandas()
+                        .astype("datetime64[us]").astype(np.int64))
+        days = ts // 86_400_000_000
+        hour = (ts % 86_400_000_000) // 3_600_000_000
+        dow = (days + 4) % 7  # 1970-01-01 was a Thursday; Sunday = 0
+        hw = dow * 24 + hour
+        cnt = np.bincount(hw, minlength=168)
+        return pd.DataFrame({"hw": np.arange(168, dtype=np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    counts = sum_final(
+        events.map_batches(part, batch_format="pyarrow"),
+        ["hw"]).to_pandas().sort_values("hw", ignore_index=True)
+    full = np.zeros(168, np.int64)
+    full[counts["hw"].to_numpy(np.int64)] = \
+        counts["n"].to_numpy(np.int64)
+    nt = int(full.sum())
+    ssq = int((full * full).sum())
+    # shared expression tree — mirrored verbatim in the twin
+    mu = nt / 168.0
+    var = ssq / 168.0 - mu * mu
+    sd = np.sqrt(var) if var > 0 else 0.0
+    z = (full - mu) / sd if sd > 0 else np.zeros(168)
+    return pd.DataFrame({"hw": np.arange(168, dtype=np.int64),
+                         "n": full, "z": z})

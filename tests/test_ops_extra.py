@@ -4399,3 +4399,25 @@ def test_mmr_diversifies_over_pure_topk(ray_session):
     assert (out["vec_id"] >= 100).any()  # diversity kicked in
     # scores are the greedy objective: non-increasing down the ranks
     assert (np.diff(out.sort_values("rank")["mmr_score"]) <= 1e-9).all()
+
+
+def test_weekly_profile_known_bucket(ray_session):
+    import ray.data
+
+    from engine.ops.relational import weekly_profile
+
+    # 40 events all at 1970-01-01 (Thursday, dow 4) 05:00 -> hw 101,
+    # plus 2 at Sunday 00:00 (1970-01-04) -> hw 0
+    ts = np.array(
+        ["1970-01-01T05:30:00"] * 40 + ["1970-01-04T00:15:00"] * 2,
+        dtype="datetime64[us]")
+    out = weekly_profile(
+        ray.data.from_pandas(pd.DataFrame({"ts": ts}))
+        .repartition(3))
+    assert len(out) == 168
+    assert out.loc[out["hw"] == 101, "n"].iloc[0] == 40
+    assert out.loc[out["hw"] == 0, "n"].iloc[0] == 2
+    assert out["n"].sum() == 42
+    zs = out.set_index("hw")["z"]
+    assert zs.loc[101] == zs.max() and zs.loc[101] > 5
+    assert (zs.loc[~zs.index.isin([101, 0])] < 0).all()
