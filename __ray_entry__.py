@@ -1581,6 +1581,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["jaccard"] = out["jaccard"].round(6)
         return out[["node_b", "node_c", "n_common", "jaccard"]]
 
+    def part_adamic_adar(sf_dir: str):
+        # Adamic-Adar link prediction on the same 20% co-order
+        # subgraph: top-20 non-edge pairs by sum 1/ln(deg(w)) over
+        # common neighbors w — the pivot-retaining wedge stage
+        # weighted per wedge; scores rounded 6dp BEFORE the top-k
+        # argsort on both sides so ordering is identical
+        def fl(t):
+            import pyarrow as pa
+
+            ok = np.asarray(t["l_orderkey"], np.int64) % 5 == 0
+            return t.filter(pa.array(ok))
+
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_partkey"]).map_batches(
+            fl, batch_format="pyarrow")
+        edges = relational.cooccurrence(
+            li, "l_orderkey", "l_partkey")
+
+        def rn(t):
+            import pyarrow as pa
+
+            return pa.table({
+                "a": t["l_partkey_a"], "b": t["l_partkey_b"]})
+
+        from engine.ops import graph as graph_ops
+
+        return graph_ops.adamic_adar(
+            edges.map_batches(rn, batch_format="pyarrow"),
+            k=20, num_shards=16)[
+            ["node_b", "node_c", "n_common", "aa_score"]]
+
+    def customer_part_hits(sf_dir: str):
+        # HITS hubs/authorities on the bipartite customer->part
+        # purchase digraph (20% order sample): hubs = broad-basket
+        # customers, authorities = parts hub customers buy. Stats-
+        # driven join builds the edge list; 5 L1-normalized
+        # iterations, twin = unrolled CTE half-steps
+        li = sf_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+        def fl(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["l_orderkey"] % 5 == 0]
+            return b.rename(columns={"l_orderkey": "o_orderkey"})
+
+        li = li.map_batches(fl, batch_format="pandas")
+        o = sf_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        j = relational.auto_join(li, o, on="o_orderkey")
+
+        def mk_edges(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": b["o_custkey"].to_numpy(np.int64),
+                "dst": b["l_partkey"].to_numpy(np.int64) + 10_000_000,
+            }).drop_duplicates()
+
+        edges = relational.distinct(
+            j.map_batches(mk_edges, batch_format="pandas"),
+            ["src", "dst"])
+        from engine.ops import graph as graph_ops
+
+        out = graph_ops.hits(edges, iters=5)
+        out["auth"] = out["auth"].round(8)
+        out["hub"] = out["hub"].round(8)
+        # keep the result driver-sized: top-50 authorities + top-50
+        # hubs (rounded scores, node tie-break), deterministic
+        top_a = out.sort_values(["auth", "node"],
+                                ascending=[False, True]).head(50)
+        top_h = out.sort_values(["hub", "node"],
+                                ascending=[False, True]).head(50)
+        res = pd.concat([top_a, top_h]).drop_duplicates(
+            subset="node").sort_values("node", ignore_index=True)
+        return res[["node", "auth", "hub"]]
+
     def part_k_core(sf_dir: str):
         # dense-backbone extraction: 5-core of the 20% co-order
         # subgraph by iterative peeling (census + broadcast filter
@@ -4089,6 +4160,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             concurrency=(1, 4)).to_pandas()
         return out.sort_values("image_id", ignore_index=True)
 
+    def image_bitplane_entropy(sf_dir: str):
+        # per-image bit-plane binary entropy (channel 0, raw16
+        # subset): the bit-significance / compressibility profile;
+        # p1 is an exact integer ratio, entropy rounded 6dp; twin
+        # regenerates pixels and recomputes both per (image, bit)
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_bitplane_entropy(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values(["image_id", "bit"],
+                               ignore_index=True)[
+            ["image_id", "bit", "p1", "entropy"]]
+
+    def image_neighbor_brighter(sf_dir: str):
+        # LBP-style local-contrast census: per interior pixel the
+        # count of strictly-brighter 8-neighbors, histogrammed 0..8
+        # per image — pure integer comparisons, so the neighbor
+        # self-join twin is bit-exact
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_neighbor_brighter(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values(["image_id", "n_brighter"],
+                               ignore_index=True)[
+            ["image_id", "n_brighter", "n_px"]]
+
+    def image_grad_orient_hist(sf_dir: str):
+        # HOG-lite gradient-octant histogram on interior pixels:
+        # octants decided by ORDERED integer sign/magnitude rules
+        # (no atan2), counts + exact integer sum of squared magnitude
+        # per (image, octant); the SQL CASE runs the identical rules
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_grad_orient_hist(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values(["image_id", "octant"],
+                               ignore_index=True)[
+            ["image_id", "octant", "n_px", "sum_mag2"]]
+
     def image_glcm_texture(sf_dir: str):
         # per-image Haralick GLCM texture (8-level, dx=1 offset):
         # energy / contrast / homogeneity over the lossless raw16
@@ -5276,6 +5407,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_entropy_contrast": image_entropy_contrast,
         "image_colorfulness": image_colorfulness,
         "image_otsu_threshold": image_otsu_threshold,
+        "image_bitplane_entropy": image_bitplane_entropy,
+        "image_neighbor_brighter": image_neighbor_brighter,
+        "image_grad_orient_hist": image_grad_orient_hist,
         "image_quantile_stretch": image_quantile_stretch,
         "image_glcm_texture": image_glcm_texture,
         "image_hu_moments": image_hu_moments,
@@ -5305,6 +5439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_avg_neighbor_degree": part_avg_neighbor_degree,
         "part_closeness_sampled": part_closeness_sampled,
         "part_link_jaccard": part_link_jaccard,
+        "part_adamic_adar": part_adamic_adar,
+        "customer_part_hits": customer_part_hits,
         "part_k_core": part_k_core,
         "part_local_clustering": part_local_clustering,
         "user_value_ewma": user_value_ewma,
@@ -5717,6 +5853,95 @@ def _sql_image_otsu() -> str:
                v AS threshold, stat AS between_var,
                {_sql_round_even('rest / nn')} AS fg_frac
         FROM best WHERE rn = 1 ORDER BY image_id
+    """
+
+
+def _sql_image_bitplane() -> str:
+    # p1 = exact integer ratio (denominator <= 1024 can never land on
+    # a 6dp half, so plain ROUND is side-agnostic); entropy from the
+    # unrounded p on both sides.
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        bp AS (SELECT i, bb.bit,
+                  SUM((CAST(px AS BIGINT) >> bb.bit) & 1) AS ones,
+                  COUNT(*) AS n
+               FROM gpx
+               CROSS JOIN (SELECT unnest(range(0, 8)) AS bit) bb
+               WHERE c = 0 GROUP BY i, bb.bit),
+        pe AS (SELECT i, bit, CAST(ones AS DOUBLE) / n AS p FROM bp)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               bit, ROUND(p, 6) AS p1,
+               ROUND(-(CASE WHEN p > 0e0 THEN p * log2(p)
+                       ELSE 0e0 END)
+                     - (CASE WHEN p < 1e0
+                        THEN (1e0 - p) * log2(1e0 - p)
+                        ELSE 0e0 END), 6) AS entropy
+        FROM pe ORDER BY image_id, bit
+    """
+
+
+def _sql_image_neighbor_brighter() -> str:
+    # pure integer comparisons: the 8-neighbor self-join is bit-exact
+    # vs the engine's shifted-array census; images with w or h < 3
+    # have no interior pixels and drop out on both sides.
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        c0 AS (SELECT i, y, x, px FROM gpx WHERE c = 0),
+        ctr AS (SELECT c.i, c.y, c.x, c.px
+                FROM c0 c JOIN praw d ON d.i = c.i
+                WHERE c.x BETWEEN 1 AND d.w - 2
+                  AND c.y BETWEEN 1 AND d.h - 2),
+        cnt AS (SELECT ctr.i, ctr.y, ctr.x,
+                   SUM(CASE WHEN nb.px > ctr.px THEN 1 ELSE 0 END)
+                       AS nbright
+                FROM ctr JOIN c0 nb ON nb.i = ctr.i
+                  AND nb.y BETWEEN ctr.y - 1 AND ctr.y + 1
+                  AND nb.x BETWEEN ctr.x - 1 AND ctr.x + 1
+                  AND NOT (nb.x = ctr.x AND nb.y = ctr.y)
+                GROUP BY ctr.i, ctr.y, ctr.x)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               CAST(nbright AS BIGINT) AS n_brighter,
+               COUNT(*) AS n_px
+        FROM cnt GROUP BY i, nbright ORDER BY image_id, n_brighter
+    """
+
+
+def _sql_image_grad_orient() -> str:
+    # the CASE arms are engine.ops.multimodal._OCTANT_RULES verbatim
+    # and in the same order — integer sign/magnitude comparisons only,
+    # so no atan2/ulp boundary can diverge.
+    from engine.ops.multimodal import _OCTANT_RULES
+
+    arms = "\n".join(
+        f"               WHEN {r} THEN {i}"
+        for i, r in enumerate(_OCTANT_RULES))
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        c0 AS (SELECT i, y, x, px FROM gpx WHERE c = 0),
+        g AS (SELECT c.i,
+                 CAST(r.px - l.px AS BIGINT) AS gx,
+                 CAST(d2.px - u.px AS BIGINT) AS gy
+              FROM c0 c
+              JOIN praw dd ON dd.i = c.i
+              JOIN c0 l ON l.i = c.i AND l.y = c.y AND l.x = c.x - 1
+              JOIN c0 r ON r.i = c.i AND r.y = c.y AND r.x = c.x + 1
+              JOIN c0 u ON u.i = c.i AND u.x = c.x AND u.y = c.y - 1
+              JOIN c0 d2 ON d2.i = c.i AND d2.x = c.x
+                 AND d2.y = c.y + 1
+              WHERE c.x BETWEEN 1 AND dd.w - 2
+                AND c.y BETWEEN 1 AND dd.h - 2),
+        gnz AS (SELECT i, gx, gy FROM g
+                WHERE gx <> 0 OR gy <> 0),
+        ob AS (SELECT i,
+                  CASE
+{arms}
+                       ELSE 7 END AS octant,
+                  gx * gx + gy * gy AS m2
+               FROM gnz)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               octant, COUNT(*) AS n_px,
+               CAST(SUM(m2) AS BIGINT) AS sum_mag2
+        FROM ob GROUP BY i, octant ORDER BY image_id, octant
     """
 
 
@@ -6827,6 +7052,66 @@ def _sql_pagerank(iters: int = 8, damping: float = 0.85) -> str:
         head + "".join(steps)
         + f" SELECT node, ROUND(rank, 8) AS rank FROM r{iters}"
     )
+
+
+def _sql_hits(iters: int = 5) -> str:
+    """Unrolled HITS half-steps over the bipartite customer->part
+    digraph — mirrors engine.ops.graph.hits: auth = per-dst sum of
+    hub, L1-normalize; hub = per-src sum of auth, L1-normalize;
+    rounded 8dp before the top-50 selections."""
+    head = """
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_orderkey % 5 = 0),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS src,
+                   CAST(l.l_partkey + 10000000 AS BIGINT) AS dst
+            FROM li l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+        ),
+        h0 AS (SELECT node, 1.0 AS hub FROM nodes)
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        , a{i}r AS MATERIALIZED (
+            SELECT n.node, COALESCE(s.v, 0.0) AS auth
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(h.hub) AS v
+                FROM edges e JOIN h{i - 1} h ON h.node = e.src
+                GROUP BY e.dst) s ON s.node = n.node
+        ),
+        a{i} AS MATERIALIZED (SELECT node,
+                        auth / (SELECT SUM(auth) FROM a{i}r) AS auth
+                 FROM a{i}r),
+        h{i}r AS MATERIALIZED (
+            SELECT n.node, COALESCE(s.v, 0.0) AS hub
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, SUM(a.auth) AS v
+                FROM edges e JOIN a{i} a ON a.node = e.dst
+                GROUP BY e.src) s ON s.node = n.node
+        ),
+        h{i} AS MATERIALIZED (SELECT node,
+                        hub / (SELECT SUM(hub) FROM h{i}r) AS hub
+                 FROM h{i}r)""")
+    return (
+        head + "".join(steps) + f"""
+        , fin AS (
+            SELECT n.node, ROUND(a.auth, 8) AS auth,
+                   ROUND(h.hub, 8) AS hub
+            FROM nodes n
+            JOIN a{iters} a ON a.node = n.node
+            JOIN h{iters} h ON h.node = n.node
+        ),
+        ta AS (SELECT * FROM fin ORDER BY auth DESC, node LIMIT 50),
+        th AS (SELECT * FROM fin ORDER BY hub DESC, node LIMIT 50)
+        SELECT node, auth, hub
+        FROM (SELECT * FROM ta UNION SELECT * FROM th)
+        ORDER BY node
+    """)
 
 
 def _sql_ddsketch(table: str, col: str, qs: tuple, rel_err: float,
@@ -8304,6 +8589,9 @@ def oracle_sql() -> dict[str, str]:
         "image_entropy_contrast": _sql_image_entropy_contrast(),
         "image_colorfulness": _sql_image_colorfulness(),
         "image_otsu_threshold": _sql_image_otsu(),
+        "image_bitplane_entropy": _sql_image_bitplane(),
+        "image_neighbor_brighter": _sql_image_neighbor_brighter(),
+        "image_grad_orient_hist": _sql_image_grad_orient(),
         "image_quantile_stretch": _sql_image_quantile_stretch(),
         "image_glcm_texture": _sql_image_glcm(),
         "image_hu_moments": _sql_image_hu(),
@@ -9316,6 +9604,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m AS DOUBLE) / 10e0 AS recall_at_10
             FROM ov ORDER BY query_vec_id
         """,
+        "part_adamic_adar": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                        WHERE l_orderkey % 5 = 0),
+            pe AS (SELECT DISTINCT
+                       l1.l_partkey AS a, l2.l_partkey AS b
+                   FROM li l1 JOIN li l2
+                     ON l2.l_orderkey = l1.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey),
+            adj AS (SELECT a, b FROM pe
+                    UNION ALL SELECT b, a FROM pe),
+            dg AS (SELECT a AS node, COUNT(*) AS deg FROM adj
+                   GROUP BY a),
+            wed AS (SELECT x.b AS nb, y.b AS nc, x.a AS pv
+                    FROM adj x JOIN adj y
+                      ON y.a = x.a AND x.b < y.b),
+            sc AS (SELECT w.nb, w.nc, COUNT(*) AS n_common,
+                          SUM(1.0 / LN(d.deg)) AS s
+                   FROM wed w JOIN dg d ON d.node = w.pv
+                   GROUP BY w.nb, w.nc),
+            cand AS (SELECT nb AS node_b, nc AS node_c, n_common,
+                            ROUND(s, 6) AS aa_score
+                     FROM sc
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM pe
+                         WHERE pe.a = sc.nb AND pe.b = sc.nc))
+            SELECT node_b, node_c, n_common, aa_score
+            FROM cand
+            ORDER BY aa_score DESC, node_b, node_c LIMIT 20
+        """,
+        "customer_part_hits": _sql_hits(iters=5),
         "part_link_jaccard": """
             WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
                         WHERE l_orderkey % 5 = 0),

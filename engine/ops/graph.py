@@ -974,3 +974,183 @@ def avg_neighbor_degree(
         "n_vertices": nk.astype(np.int64),
         "avg_nbr_deg": (s.astype(np.float64)
                         / (kk * nk).astype(np.float64))})
+
+def adamic_adar(
+    edges: ray.data.Dataset,
+    k: int = 20,
+    num_shards: int = 64,
+    hot_deg: int = 1024,
+) -> pd.DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, public
+    formula): for every NON-edge pair (b < c) with common neighbors,
+    score = sum over shared neighbors w of 1 / ln(deg(w)). Reuses the
+    degree-split ``wedge_pairs`` stage with pivot retention — each
+    wedge row carries its pivot w, so the per-pair score is a weighted
+    wedge count. Existing edges are removed by the co-shard side trick
+    (edge keys union the wedge stream, shard on the pair key); only
+    per-shard top-k partials reach the driver. Wedge weights are
+    summed in (pair, pivot)-sorted order and ROUNDED to 6dp before the
+    top-k ordering so engine and SQL twin run the identical argsort."""
+    from engine.ops.relational import _sharded_by_key, sum_final
+    from engine.state import cached_get
+
+    import pyarrow as pa
+
+    edges = edges.materialize()
+
+    def local_deg(t: "pa.Table") -> pd.DataFrame:
+        both = np.concatenate([np.asarray(t["a"], np.int64),
+                               np.asarray(t["b"], np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = sum_final(
+        edges.map_batches(local_deg, batch_format="pyarrow"),
+        ["node"]).to_pandas()
+    order = np.argsort(deg["node"].to_numpy())
+    dmap_ref = ray.put((deg["node"].to_numpy()[order],
+                        deg["deg"].to_numpy(np.float64)[order]))
+
+    def both_dirs(t: "pa.Table") -> "pa.Table":
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        return pa.table({
+            "a": pa.array(np.concatenate([a, b]), pa.int64()),
+            "b": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+    wk = wedge_pairs(adj, num_shards, hot_deg, tag=("n", 1),
+                     with_pivot=True)
+
+    def edge_key(t: "pa.Table") -> "pa.Table":
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        _check_id_range(a, b)
+        z = pa.array(np.zeros(len(a), np.int64), pa.int64())
+        return pa.table({"k": pa.array(_pair_key(a, b), pa.int64()),
+                         "pv": z, "n": z})
+
+    ek = edges.map_batches(edge_key, batch_format="pyarrow")
+    both = wk.union(ek)
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        nodes, degs = cached_get(dmap_ref)
+        is_edge = g["n"].to_numpy(np.int64) == 0
+        kk_all = g["k"].to_numpy(np.int64)
+        edge_ks = kk_all[is_edge]
+        kk = kk_all[~is_edge]
+        pv = g["pv"].to_numpy(np.int64)[~is_edge]
+        # deterministic accumulation: sort wedges by (pair, pivot)
+        o = np.lexsort((pv, kk))
+        kk, pv = kk[o], pv[o]
+        w = 1.0 / np.log(degs[np.searchsorted(nodes, pv)])
+        u, start = np.unique(kk, return_index=True)
+        n = np.diff(np.append(start, len(kk))).astype(np.int64)
+        s = np.add.reduceat(w, start) if len(kk) else np.empty(0)
+        keep = ~np.isin(u, edge_ks)
+        u, n, s = u[keep], n[keep], s[keep]
+        b, c = u >> 31, u & (_MAX_ID - 1)
+        out = pd.DataFrame({
+            "node_b": b, "node_c": c, "n_common": n,
+            "aa_score": np.round(s, 6)})
+        return out.sort_values(
+            ["aa_score", "node_b", "node_c"],
+            ascending=[False, True, True]).head(k)
+
+    parts = _sharded_by_key(both, "k", num_shards).groupby(
+        "__shard").map_groups(
+        lambda g: shard_top(g.drop(columns="__shard")),
+        batch_format="pandas").to_pandas()
+    out = parts.sort_values(
+        ["aa_score", "node_b", "node_c"],
+        ascending=[False, True, True]).head(k).reset_index(drop=True)
+    out["n_common"] = out["n_common"].astype(np.int64)
+    return out
+
+
+def hits(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    broadcast_nodes: int = 2_000_000,
+) -> pd.DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public algorithm) over
+    a directed edge set, L1-normalized each half-step (sum-norm keeps
+    the arithmetic SQL-reproducible — no sqrt). Same execution shape
+    as ``pagerank``: edges re-keyed to dense positions once (broadcast
+    id->pos map), then every iteration is a broadcast-gather +
+    per-batch bincount combiner; the driver folds only O(nodes)
+    partials per half-step. At rank tables too large to broadcast the
+    ``sum_final`` big path applies unchanged (same gate as pagerank)."""
+    from engine.ops import relational
+    from engine.state import cached_get
+
+    edges = edges.repartition(16).materialize()
+
+    def ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate([
+            b[src].to_numpy(), b[dst].to_numpy()])}).drop_duplicates()
+
+    nodes = np.unique(relational.distinct(
+        edges.map_batches(ends, batch_format="pandas"),
+        ["node"]).to_pandas()["node"].to_numpy(np.int64))
+    n = len(nodes)
+    node_pos = pd.Series(np.arange(n), index=nodes)
+    pos_ref = ray.put(node_pos)
+
+    def to_pos(b: pd.DataFrame) -> pd.DataFrame:
+        p = cached_get(pos_ref)
+        return pd.DataFrame({
+            "s": p[b[src].to_numpy()].to_numpy().astype(np.int64),
+            "d": p[b[dst].to_numpy()].to_numpy().astype(np.int64)})
+
+    pos_ds = edges.map_batches(
+        to_pos, batch_format="pandas").repartition(8).materialize()
+
+    hub = np.ones(n)
+    auth = np.zeros(n)
+
+    def scatter(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        v_ref = ray.put(vec)
+
+        def push(b: pd.DataFrame) -> pd.DataFrame:
+            v = cached_get(v_ref)
+            out = np.bincount(b[to_col].to_numpy(),
+                              weights=v[b[from_col].to_numpy()],
+                              minlength=n)
+            nz = np.flatnonzero(out)
+            return pd.DataFrame({"node_pos": nz, "__sum": out[nz]})
+
+        pushed = pos_ds.map_batches(push, batch_format="pandas")
+        acc = np.zeros(n)
+        if n <= broadcast_nodes:
+            # small path: partials fold on the driver in
+            # deterministic (node_pos, __sum) order
+            parts = pushed.to_pandas()
+            parts = parts.sort_values(["node_pos", "__sum"],
+                                      kind="stable")
+            np.add.at(acc, parts["node_pos"].to_numpy(),
+                      parts["__sum"].to_numpy())
+        else:
+            # big path (same gate as pagerank): per-dst partials fold
+            # DISTRIBUTED so the driver receives exactly n rows
+            parts = relational.sum_final(
+                pushed, ["node_pos"]).to_pandas()
+            acc[parts["node_pos"].to_numpy()] = (
+                parts["__sum"].to_numpy())
+        return acc
+
+    for _ in range(iters):
+        auth = scatter(hub, "s", "d")
+        t = auth.sum()
+        if t > 0:
+            auth = auth / t
+        hub = scatter(auth, "d", "s")
+        t = hub.sum()
+        if t > 0:
+            hub = hub / t
+
+    return pd.DataFrame({"node": nodes, "auth": auth, "hub": hub}
+                        ).sort_values("node", ignore_index=True)

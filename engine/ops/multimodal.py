@@ -1052,3 +1052,163 @@ def image_equalize_audit(
     return ds.map_batches(
         EqualizeAudit, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class BitPlaneEntropy:
+    """Per-image bit-plane binary entropy on channel 0 — the
+    bit-significance profile behind lossless-compressibility and
+    noise-floor curation (low planes of natural images are ~1 bit of
+    entropy; synthetic/flat regions collapse the high planes). One
+    long row per (image, bit): p1 = fraction of set bits (exact
+    integer count / n) and its binary entropy, rounded 6dp. All eight
+    planes extracted in one vectorized shift pass per image."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bits, p1s, ents = [], [], [], []
+        shifts = np.arange(8, dtype=np.int64)
+        for iid, data, fmt in zip(batch["image_id"].to_pylist(),
+                                  batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            c0 = px[:, :, 0].reshape(-1).astype(np.int64)
+            ones = ((c0[:, None] >> shifts) & 1).sum(axis=0)
+            p = ones.astype(np.float64) / float(c0.size)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                h = -(np.where(p > 0, p * np.log2(p), 0.0)
+                      + np.where(p < 1, (1 - p) * np.log2(1 - p), 0.0))
+            ids.extend([iid] * 8)
+            bits.extend(range(8))
+            p1s.extend(np.round(p, 6))
+            ents.extend(np.round(h, 6))
+        return pa.table({
+            "image_id": pa.array(ids),
+            "bit": pa.array(bits, pa.int64()),
+            "p1": pa.array(p1s, pa.float64()),
+            "entropy": pa.array(ents, pa.float64()),
+        })
+
+
+def image_bitplane_entropy(
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        BitPlaneEntropy, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class NeighborBrighter:
+    """LBP-style local-contrast census on channel 0: for each INTERIOR
+    pixel, count its 8 neighbors with a strictly greater value, then
+    histogram the counts 0..8 per image (Ojala et al. 2002's LBP
+    collapsed to its rotation-invariant popcount, public formula).
+    Pure integer comparisons via eight array shifts — bit-exact vs the
+    SQL neighbor self-join."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nb, npx = [], [], []
+        for iid, data, fmt in zip(batch["image_id"].to_pylist(),
+                                  batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            c0 = px[:, :, 0].astype(np.int64)
+            if c0.shape[0] < 3 or c0.shape[1] < 3:
+                continue
+            ctr = c0[1:-1, 1:-1]
+            cnt = np.zeros_like(ctr)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    h, w = c0.shape
+                    cnt += (c0[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                            > ctr).astype(np.int64)
+            hist = np.bincount(cnt.reshape(-1), minlength=9)
+            nz = np.flatnonzero(hist)
+            ids.extend([iid] * len(nz))
+            nb.extend(nz)
+            npx.extend(hist[nz])
+        return pa.table({
+            "image_id": pa.array(ids),
+            "n_brighter": pa.array(np.asarray(nb, np.int64)),
+            "n_px": pa.array(np.asarray(npx, np.int64)),
+        })
+
+
+def image_neighbor_brighter(
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        NeighborBrighter, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+# ordered octant rules shared (verbatim) by the numpy np.select below
+# and the SQL CASE twin — integer comparisons only, so no atan2 ulp
+# can flip a boundary pixel between the two sides
+_OCTANT_RULES = (
+    "gx > 0 AND gy >= 0 AND gx > gy",
+    "gx > 0 AND gy > 0 AND gy >= gx",
+    "gx <= 0 AND gy > 0 AND gy > -gx",
+    "gx < 0 AND gy >= 0",
+    "gx < 0 AND gy < 0 AND -gx > -gy",
+    "gx <= 0 AND gy < 0",
+    "gx > 0 AND gy < 0 AND -gy > gx",
+)
+
+
+class GradOrientHist:
+    """HOG-lite: histogram of central-difference gradient octants on
+    channel 0 interior pixels (Dalal & Triggs 2005-style orientation
+    binning, public technique), with the octant decided by ORDERED
+    integer sign/magnitude comparisons instead of atan2 — the same
+    rule list drives the SQL CASE, so bin edges are bit-exact. Zero
+    gradients are skipped. Per (image, octant): pixel count and the
+    exact integer sum of squared gradient magnitude."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ob, npx, m2 = [], [], [], []
+        for iid, data, fmt in zip(batch["image_id"].to_pylist(),
+                                  batch["bytes"].to_pylist(),
+                                  batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            c0 = px[:, :, 0].astype(np.int64)
+            if c0.shape[0] < 3 or c0.shape[1] < 3:
+                continue
+            gx = c0[1:-1, 2:] - c0[1:-1, :-2]
+            gy = c0[2:, 1:-1] - c0[:-2, 1:-1]
+            gx, gy = gx.reshape(-1), gy.reshape(-1)
+            keep = (gx != 0) | (gy != 0)
+            gx, gy = gx[keep], gy[keep]
+            conds = [
+                (gx > 0) & (gy >= 0) & (gx > gy),
+                (gx > 0) & (gy > 0) & (gy >= gx),
+                (gx <= 0) & (gy > 0) & (gy > -gx),
+                (gx < 0) & (gy >= 0),
+                (gx < 0) & (gy < 0) & (-gx > -gy),
+                (gx <= 0) & (gy < 0),
+                (gx > 0) & (gy < 0) & (-gy > gx),
+            ]
+            o = np.select(conds, np.arange(7), default=7)
+            mag2 = gx * gx + gy * gy
+            cnt = np.bincount(o, minlength=8)
+            s2 = np.bincount(o, weights=mag2.astype(np.float64),
+                             minlength=8).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            ids.extend([iid] * len(nz))
+            ob.extend(nz)
+            npx.extend(cnt[nz])
+            m2.extend(s2[nz])
+        return pa.table({
+            "image_id": pa.array(ids),
+            "octant": pa.array(np.asarray(ob, np.int64)),
+            "n_px": pa.array(np.asarray(npx, np.int64)),
+            "sum_mag2": pa.array(np.asarray(m2, np.int64)),
+        })
+
+
+def image_grad_orient_hist(
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        GradOrientHist, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
