@@ -1368,6 +1368,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.levenshtein_prefix_pairs(
             docs, prefix_len=24, bucket_w=16, max_dist=6)
 
+    def docs_jaro_winkler_pairs(sf_dir: str):
+        # fuzzy-title JW screen: same (length-bucket, first-char)
+        # block, 20-char prefixes, similarity >= 0.85 after a 6dp
+        # round on BOTH sides; engine scorer verified 1e-12-equal to
+        # DuckDB's jaro_winkler_similarity over 5000 random cases
+        docs = sf_table(sf_dir, "documents",
+                        ["doc_id", "text", "n_chars"])
+        return text.jaro_winkler_prefix_pairs(
+            docs, prefix_len=20, bucket_w=16, min_sim=0.85)
+
+    def events_fisher_exact(sf_dir: str):
+        # one-sided Fisher exact test on the deterministic-arm
+        # conversion table — the small-sample exact companion to
+        # events_ab_conversion; tail summed from a cumulative
+        # log-factorial table (SUM LN, never lgamma) on both sides
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type"])
+        return relational.fisher_exact_conversion(ev)
+
     def event_type_cooccurrence(sf_dir: str):
         # market-basket association: for each unordered event-type
         # pair, how many users did both, plus the lift vs independent
@@ -2502,6 +2520,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         out = pd.concat(frames, ignore_index=True)
         return out.sort_values(["z", "x", "y"], ignore_index=True)
+
+    def geo_tile_compaction(sf_dir: str):
+        # H3-compact analog on the slippy pyramid: minimal mixed-zoom
+        # cover of the occupied z9 tiles (full quads collapse to
+        # parents recursively, z9 down to z6); distributed keys-only
+        # distinct + a grid-bounded driver fold; twin = per-level
+        # HAVING COUNT(*)=4 CTEs + anti-joins
+        idx = _geo_indexed(columns=["image_id"])
+        return tile.compact_tiles(idx, zoom=9, min_zoom=6)
 
     def run_history_series(sf_dir: str):
         # S7/A6: per-run global stats appended to a history partition,
@@ -5359,6 +5386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_self_knn": geo_self_knn,
         "geo_tile_assignments": geo_tile_assignments,
         "geo_tile_pyramid": geo_tile_pyramid,
+        "geo_tile_compaction": geo_tile_compaction,
         "run_history_series": run_history_series,
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
@@ -5432,6 +5460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_logprob": docs_bigram_logprob,
         "docs_bigram_pmi": docs_bigram_pmi,
         "docs_levenshtein_pairs": docs_levenshtein_pairs,
+        "docs_jaro_winkler_pairs": docs_jaro_winkler_pairs,
         "event_type_cooccurrence": event_type_cooccurrence,
         "part_triangle_count": part_triangle_count,
         "part_bfs_hops": part_bfs_hops,
@@ -5464,6 +5493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_home_cell": geo_track_home_cell,
         "orders_urgency_ttest": orders_urgency_ttest,
         "events_ab_conversion": events_ab_conversion,
+        "events_fisher_exact": events_fisher_exact,
         "events_weekly_profile": events_weekly_profile,
         "orders_urgency_ranksum": orders_urgency_ranksum,
         "orders_urgency_ks": orders_urgency_ks,
@@ -8806,6 +8836,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE bc.nb >= 5
             ORDER BY w1, w2
         """,
+        "docs_jaro_winkler_pairs": """
+            WITH d AS (SELECT doc_id, substr(text, 1, 20) AS p,
+                              n_chars // 16 AS bkt
+                       FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   ROUND(jaro_winkler_similarity(a.p, b.p), 6) AS jw
+            FROM d a JOIN d b
+              ON a.bkt = b.bkt
+             AND substr(a.p, 1, 1) = substr(b.p, 1, 1)
+             AND b.doc_id > a.doc_id
+            WHERE ROUND(jaro_winkler_similarity(a.p, b.p), 6) >= 0.85
+            ORDER BY a, b
+        """,
         "docs_levenshtein_pairs": """
             WITH d AS (SELECT doc_id, substr(text, 1, 24) AS p,
                               n_chars // 16 AS bkt
@@ -9517,6 +9560,59 @@ def oracle_sql() -> dict[str, str]:
                        ' p) * (1e0 / n0 + 1e0 / n1)) ELSE 0e0 END')}
                        AS z
             FROM ex
+        """,
+        "events_fisher_exact": f"""
+            WITH uc AS (SELECT user_id,
+                           SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS n_conv
+                        FROM events GROUP BY user_id),
+            ar AS (SELECT CAST(({_sql_splitmix64('user_id')}) % 2
+                              AS BIGINT) AS arm,
+                      CASE WHEN n_conv > 0 THEN 1 ELSE 0 END AS cv
+                   FROM uc),
+            mx AS MATERIALIZED (SELECT
+                      CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS r1,
+                      CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS r2,
+                      CAST(SUM(CASE WHEN arm = 0 THEN cv ELSE 0 END)
+                           AS BIGINT) AS k,
+                      CAST(SUM(CASE WHEN arm = 1 THEN cv ELSE 0 END)
+                           AS BIGINT) AS cb,
+                      CAST(SUM(cv) AS BIGINT) AS ct,
+                      CAST(COUNT(*) AS BIGINT) AS n
+                   FROM ar),
+            lf AS MATERIALIZED (
+                SELECT CAST(u.i AS BIGINT) AS i,
+                       SUM(CASE WHEN u.i >= 1
+                           THEN LN(CAST(u.i AS DOUBLE))
+                           ELSE 0e0 END)
+                       OVER (ORDER BY u.i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS v
+                FROM (SELECT unnest(range(0,
+                          (SELECT n FROM mx) + 1)) AS i) u),
+            t AS (SELECT m.r1, m.r2, m.k, m.cb, m.ct, m.n,
+                         CAST(u.i AS BIGINT) AS i
+                  FROM mx m,
+                       UNNEST(range(m.k,
+                           LEAST(m.r1, m.ct) + 1)) AS u(i)),
+            lp AS (SELECT t.r1, t.r2, t.k, t.cb,
+                      (SELECT v FROM lf WHERE i = t.r1)
+                      - (SELECT v FROM lf WHERE i = t.i)
+                      - (SELECT v FROM lf WHERE i = t.r1 - t.i)
+                      + (SELECT v FROM lf WHERE i = t.r2)
+                      - (SELECT v FROM lf WHERE i = t.ct - t.i)
+                      - (SELECT v FROM lf
+                         WHERE i = t.r2 - t.ct + t.i)
+                      - ((SELECT v FROM lf WHERE i = t.n)
+                         - (SELECT v FROM lf WHERE i = t.ct)
+                         - (SELECT v FROM lf WHERE i = t.n - t.ct))
+                          AS logp
+                   FROM t)
+            SELECT r1 AS n_a, r2 AS n_b, k AS conv_a, cb AS conv_b,
+                   ROUND(SUM(EXP(logp)), 6) AS p_fisher
+            FROM lp GROUP BY r1, r2, k, cb
         """,
         "events_weekly_profile": f"""
             WITH b AS (SELECT dayofweek(ts) * 24 + hour(ts) AS hw,
@@ -12054,6 +12150,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
                    CAST(y AS BIGINT) AS y, COUNT(*) AS n_images
             FROM p GROUP BY z, x, y ORDER BY z, x, y
+        """,
+        "geo_tile_compaction": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            t9 AS (SELECT DISTINCT
+                CAST(LEAST(floor((lon + 180.0) / 360.0 * 512.0),
+                           511) AS BIGINT) AS x,
+                CAST(LEAST(floor((1.0 - ln(tan(radians(lat))
+                        + sqrt(tan(radians(lat)) * tan(radians(lat))
+                               + 1.0)) / pi()) / 2.0 * 512.0),
+                           511) AS BIGINT) AS y
+                FROM gll),
+            f8 AS (SELECT x // 2 AS x, y // 2 AS y FROM t9
+                   GROUP BY 1, 2 HAVING COUNT(*) = 4),
+            f7 AS (SELECT x // 2 AS x, y // 2 AS y FROM f8
+                   GROUP BY 1, 2 HAVING COUNT(*) = 4),
+            f6 AS (SELECT x // 2 AS x, y // 2 AS y FROM f7
+                   GROUP BY 1, 2 HAVING COUNT(*) = 4),
+            outp AS (
+                SELECT 9 AS z, a.x, a.y FROM t9 a
+                LEFT JOIN f8 p ON p.x = a.x // 2 AND p.y = a.y // 2
+                WHERE p.x IS NULL
+                UNION ALL
+                SELECT 8, a.x, a.y FROM f8 a
+                LEFT JOIN f7 p ON p.x = a.x // 2 AND p.y = a.y // 2
+                WHERE p.x IS NULL
+                UNION ALL
+                SELECT 7, a.x, a.y FROM f7 a
+                LEFT JOIN f6 p ON p.x = a.x // 2 AND p.y = a.y // 2
+                WHERE p.x IS NULL
+                UNION ALL SELECT 6, x, y FROM f6)
+            SELECT CAST(z AS BIGINT) AS z, x, y FROM outp
+            ORDER BY z, x, y
         """,
         "geo_knn": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

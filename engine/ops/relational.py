@@ -3419,3 +3419,69 @@ def weekly_profile(
     z = (full - mu) / sd if sd > 0 else np.zeros(168)
     return pd.DataFrame({"hw": np.arange(168, dtype=np.int64),
                          "n": full, "z": z})
+
+
+def fisher_exact_conversion(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+) -> pd.DataFrame:
+    """One-sided Fisher exact test (P[X >= observed], hypergeometric
+    tail) on the same 2x2 conversion table as ``ab_conversion_ztest``
+    (deterministic splitmix arm assignment) — the small-sample exact
+    companion to the z-test. The distributed part is the identical
+    per-user census (one co-shuffle, 4 integers out); the tail sum
+    runs on the driver from a cumulative log-factorial table, the
+    SAME construction (SUM LN over 1..n, never lgamma) the SQL twin
+    uses, and is rounded 6dp on both sides."""
+    from engine.ops.sketch import _hash64
+
+    def per_user(b: pa.Table) -> pd.DataFrame:
+        u = np.asarray(b[user_col], np.int64)
+        conv = (np.asarray(b[type_col]).astype(object)
+                == convert_type).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        s = np.zeros(len(uu), np.int64)
+        np.add.at(s, inv, conv)
+        return pd.DataFrame({"user_id": uu, "n_conv": s})
+
+    users = sum_final(
+        events.map_batches(per_user, batch_format="pyarrow"),
+        ["user_id"])
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        arm = (_hash64(b["user_id"].to_numpy(np.int64))
+               & np.uint64(1)).astype(np.int64)
+        conv = (b["n_conv"].to_numpy(np.int64) > 0).astype(np.int64)
+        out = []
+        for a in (0, 1):
+            m = arm == a
+            out.append((a, int(m.sum()), int(conv[m].sum())))
+        return pd.DataFrame(out, columns=["arm", "n", "conv"])
+
+    cs = sum_final(
+        users.map_batches(census, batch_format="pandas"),
+        ["arm"]).to_pandas().set_index("arm")
+    r1 = int(cs.loc[0, "n"]) if 0 in cs.index else 0
+    r2 = int(cs.loc[1, "n"]) if 1 in cs.index else 0
+    k = int(cs.loc[0, "conv"]) if 0 in cs.index else 0
+    c1 = int(cs.loc[1, "conv"]) if 1 in cs.index else 0
+    ct = k + c1
+    n = r1 + r2
+    if n == 0 or ct == 0 or r1 == 0 or r2 == 0:
+        p = 1.0
+    else:
+        lf = np.concatenate(
+            [[0.0], np.cumsum(np.log(np.arange(1, n + 1,
+                                               dtype=np.float64)))])
+        hi = min(r1, ct)
+        i = np.arange(k, hi + 1, dtype=np.int64)
+        logp = (lf[r1] - lf[i] - lf[r1 - i]
+                + lf[r2] - lf[ct - i] - lf[r2 - ct + i]
+                - (lf[n] - lf[ct] - lf[n - ct]))
+        p = float(np.exp(logp).sum())
+    return pd.DataFrame({
+        "n_a": [r1], "n_b": [r2], "conv_a": [k], "conv_b": [c1],
+        "p_fisher": [round(p, 6)]})

@@ -745,3 +745,57 @@ def build_pyramid(
         cur = build_parent_tiles(cur, z)
         out[z - 1] = cur
     return out
+
+
+def compact_tiles(
+    pts: "ray.data.Dataset",
+    zoom: int = 9,
+    min_zoom: int = 6,
+) -> pd.DataFrame:
+    """H3-``compact``-analog on the slippy pyramid: the minimal
+    mixed-zoom tile set covering exactly the occupied base-``zoom``
+    tiles — every parent whose 4 children are fully covered replaces
+    them, recursively (a cell is emitted iff it is fully covered and
+    its parent is not). The distributed step is the keys-only DISTINCT
+    of occupied base tiles; the upward fold runs on the driver over
+    at most 4^zoom keys — bounded by the GRID, not the data (z12
+    worldwide is <=16.7M ints), the same driver-side-small contract as
+    the dimension-table folds. Deeper-than-grid-bound zooms would swap
+    the fold for per-level ``sum_final`` rounds."""
+    from engine.ops import relational
+
+    def keys(b: pd.DataFrame) -> pd.DataFrame:
+        tx, ty, _, _ = lonlat_to_tile(
+            b["lon"].to_numpy(), b["lat"].to_numpy(), zoom)
+        return pd.DataFrame({
+            "k": (tx.astype(np.int64) << np.int64(26))
+            | ty.astype(np.int64)}).drop_duplicates()
+
+    occ = relational.distinct(
+        pts.map_batches(keys, batch_format="pandas"),
+        ["k"]).to_pandas()["k"].to_numpy(np.int64)
+    x = occ >> np.int64(26)
+    y = occ & np.int64((1 << 26) - 1)
+    full = {zoom: np.stack([x, y], axis=1)}
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        ch = full[z + 1]
+        par = ch // 2
+        u, cnt = np.unique(par, axis=0, return_counts=True)
+        full[z] = u[cnt == 4]
+    frames = []
+    for z in range(min_zoom, zoom + 1):
+        cells = full[z]
+        if len(cells) == 0:
+            continue
+        if z == min_zoom:
+            keep = np.ones(len(cells), bool)
+        else:
+            pk = ((cells[:, 0] // 2) << np.int64(26)) | (cells[:, 1] // 2)
+            fk = ((full[z - 1][:, 0] << np.int64(26))
+                  | full[z - 1][:, 1])
+            keep = ~np.isin(pk, fk)
+        frames.append(pd.DataFrame({
+            "z": np.full(int(keep.sum()), z, np.int64),
+            "x": cells[keep, 0], "y": cells[keep, 1]}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["z", "x", "y"], ignore_index=True)
