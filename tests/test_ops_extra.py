@@ -4421,3 +4421,154 @@ def test_weekly_profile_known_bucket(ray_session):
     zs = out.set_index("hw")["z"]
     assert zs.loc[101] == zs.max() and zs.loc[101] > 5
     assert (zs.loc[~zs.index.isin([101, 0])] < 0).all()
+
+
+def test_adamic_adar_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.graph import adamic_adar
+
+    rng = np.random.default_rng(31)
+    n = 40
+    adj = np.triu(rng.random((n, n)) < 0.2, k=1)
+    ii, jj = np.nonzero(adj)
+    edf = pd.DataFrame({"a": ii.astype(np.int64),
+                        "b": jj.astype(np.int64)})
+    got = adamic_adar(ray.data.from_pandas(edf).repartition(3),
+                      k=15, num_shards=4)
+    full = adj | adj.T
+    deg = full.sum(axis=1)
+    cand = []
+    for b in range(n):
+        for c in range(b + 1, n):
+            if full[b, c]:
+                continue
+            common = np.flatnonzero(full[b] & full[c])
+            if len(common):
+                s = float(np.sum(1.0 / np.log(deg[common])))
+                cand.append((b, c, len(common), round(s, 6)))
+    cand.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = cand[:15]
+    rows = [(int(r.node_b), int(r.node_c), int(r.n_common),
+             float(r.aa_score)) for r in got.itertuples()]
+    assert rows == [
+        (b, c, m, pytest.approx(s, abs=1e-9)) for b, c, m, s in want]
+
+
+def test_hits_power_iteration(ray_session):
+    import ray.data
+
+    from engine.ops.graph import hits
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 30, 200)
+    dst = rng.integers(100, 140, 200)
+    edf = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates(
+        ignore_index=True)
+    got = hits(ray.data.from_pandas(edf).repartition(3), iters=4)
+    # single-process reference
+    nodes = np.unique(np.concatenate([edf["src"], edf["dst"]]))
+    pos = {v: i for i, v in enumerate(nodes)}
+    s = np.array([pos[v] for v in edf["src"]])
+    d = np.array([pos[v] for v in edf["dst"]])
+    hub = np.ones(len(nodes))
+    auth = np.zeros(len(nodes))
+    for _ in range(4):
+        auth = np.bincount(d, weights=hub[s], minlength=len(nodes))
+        auth /= auth.sum()
+        hub = np.bincount(s, weights=auth[d], minlength=len(nodes))
+        hub /= hub.sum()
+    np.testing.assert_allclose(got["auth"].to_numpy(), auth, atol=1e-12)
+    np.testing.assert_allclose(got["hub"].to_numpy(), hub, atol=1e-12)
+    # big path (sum_final folding) agrees exactly
+    got_big = hits(ray.data.from_pandas(edf).repartition(3), iters=4,
+                   broadcast_nodes=0)
+    np.testing.assert_allclose(got_big["auth"].to_numpy(),
+                               got["auth"].to_numpy(), atol=1e-12)
+
+
+def test_compact_tiles_exact_cover(ray_session):
+    import ray.data
+
+    from engine.pipeline.tile import compact_tiles, lonlat_to_tile
+
+    rng = np.random.default_rng(23)
+    # a dense cluster (forces full quads) plus sparse outliers
+    lon = np.concatenate([rng.uniform(9.0, 12.0, 6000),
+                          rng.uniform(-8, 8, 60)])
+    lat = np.concatenate([rng.uniform(43.0, 45.5, 6000),
+                          rng.uniform(36, 45, 60)])
+    ds = ray.data.from_pandas(pd.DataFrame({"lon": lon, "lat": lat}))
+    out = compact_tiles(ds, zoom=10, min_zoom=6)
+    # expand the mixed-zoom cover back to z10 and compare with the
+    # occupied set exactly
+    tx, ty, _, _ = lonlat_to_tile(lon, lat, 10)
+    occupied = set(zip(tx.tolist(), ty.tolist()))
+    expanded = set()
+    for r in out.itertuples():
+        f = 1 << (10 - int(r.z))
+        for dx in range(f):
+            for dy in range(f):
+                expanded.add((int(r.x) * f + dx, int(r.y) * f + dy))
+    assert expanded == occupied
+    # compaction really happened and covers are disjoint (set size
+    # equality above implies disjointness given exact cover)
+    assert (out["z"] < 10).any()
+    assert len(out) < len(occupied)
+
+
+def test_jaro_winkler_blocked_pairs(ray_session):
+    import ray.data
+
+    from engine.ops.text import _jaro_winkler, jaro_winkler_prefix_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["alpha beta gamma", "alpha beta gamme",
+                 "alpha beta gamma", "delta epsilon zeta",
+                 "delta epsilon zetb", "unrelated text here",
+                 "alpha beta gXmma", "zz"],
+    })
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+    got = jaro_winkler_prefix_pairs(
+        ray.data.from_pandas(docs).repartition(2),
+        prefix_len=20, bucket_w=16, min_sim=0.85)
+    # brute force over the same blocking rule
+    want = []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs.iloc[i], docs.iloc[j]
+            if (a["n_chars"] // 16 != b["n_chars"] // 16
+                    or a["text"][:1] != b["text"][:1]):
+                continue
+            s = round(_jaro_winkler(a["text"][:20], b["text"][:20]), 6)
+            if s >= 0.85:
+                want.append((int(a["doc_id"]), int(b["doc_id"]), s))
+    want.sort()
+    rows = [(int(r.a), int(r.b), float(r.jw)) for r in got.itertuples()]
+    assert rows == want
+    assert len(want) >= 2  # fixture exercises both hits and misses
+
+
+def test_fisher_exact_scipy_free_reference(ray_session):
+    import math
+
+    import ray.data
+
+    from engine.ops.relational import fisher_exact_conversion
+
+    rng = np.random.default_rng(41)
+    users = rng.integers(0, 300, 2000)
+    types = np.where(rng.random(2000) < 0.07, "purchase", "view")
+    ev = pd.DataFrame({"user_id": users, "event_type": types})
+    got = fisher_exact_conversion(
+        ray.data.from_pandas(ev).repartition(3))
+    r1, r2 = int(got["n_a"][0]), int(got["n_b"][0])
+    k, cb = int(got["conv_a"][0]), int(got["conv_b"][0])
+    ct, n = k + cb, r1 + r2
+    # exact-rational reference via math.comb
+    num = sum(math.comb(r1, i) * math.comb(r2, ct - i)
+              for i in range(k, min(r1, ct) + 1))
+    want = num / math.comb(n, ct)
+    assert float(got["p_fisher"][0]) == pytest.approx(want, abs=5e-6)
+    assert r1 + r2 == len(np.unique(users))
