@@ -1378,6 +1378,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.jaro_winkler_prefix_pairs(
             docs, prefix_len=20, bucket_w=16, min_sim=0.85)
 
+    def docs_rake_keywords(sf_dir: str):
+        # RAKE keyword extraction (stopword-delimited phrase core):
+        # corpus top-20 words by degree/frequency; integer partials,
+        # one vocabulary-bounded exchange; twin = windowed phrase-id
+        # cumsum over unnested tokens
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return text.rake_keywords(docs, k=20, stopwords=("a", "the"))
+
+    def events_bootstrap_ci(sf_dir: str):
+        # deterministic-hash percentile bootstrap (B=200) of the mean
+        # of per-user mean values: resample index = splitmix64(b*n+i)
+        # % n over the user-sorted mean vector, exactly re-derivable
+        # in SQL; distributed per-user combiner + driver fold
+        ev = sf_table(sf_dir, "events", ["user_id", "value"])
+        return relational.bootstrap_mean_ci(ev, n_boot=200, alpha=0.05)
+
     def events_fisher_exact(sf_dir: str):
         # one-sided Fisher exact test on the deterministic-arm
         # conversion table — the small-sample exact companion to
@@ -3681,6 +3697,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["o_cell", "d_cell", "n_trips"]]
 
+    def geo_gravity_fit(sf_dir: str):
+        # gravity-model fit over the OD flow matrix: ln(trips) ~ a +
+        # b * ln(center distance) closed-form OLS across distinct-cell
+        # pairs — the classic spatial-interaction decay estimate; the
+        # distributed work is the OD matrix itself, the fold is a
+        # 4-moment scalar over OD-pair-bounded rows
+        from engine.geo import h3like
+        from engine.geo.knn import haversine_m
+
+        od = geo_ops.trip_od_matrix(
+            _geo_tracked(), jump_m=800_000.0, res=4, num_shards=16,
+        ).to_pandas()
+        od = od[od["o_cell"] != od["d_cell"]]
+        olon, olat = h3like.cell_center(od["o_cell"].to_numpy(np.uint64))
+        dlon, dlat = h3like.cell_center(od["d_cell"].to_numpy(np.uint64))
+        dist = haversine_m(olon, olat, dlon, dlat)
+        x = np.log(dist)
+        y = np.log(od["n_trips"].to_numpy(np.float64))
+        n = len(x)
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+        dx = sxx - sx * sx / n
+        dy = syy - sy * sy / n
+        cov = sxy - sx * sy / n
+        slope = cov / dx if dx > 0 else 0.0
+        intercept = sy / n - slope * sx / n
+        r2 = cov * cov / (dx * dy) if dx > 0 and dy > 0 else 0.0
+        return pd.DataFrame({
+            "n_pairs": [n], "slope": [round(float(slope), 6)],
+            "intercept": [round(float(intercept), 6)],
+            "r2": [round(float(r2), 6)]})
+
     def geo_trip_segments(sf_dir: str):
         # spatial sessionization: a track opens a new trip wherever
         # the inter-fix jump exceeds 800 km (the fixture hops the
@@ -5494,6 +5542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_urgency_ttest": orders_urgency_ttest,
         "events_ab_conversion": events_ab_conversion,
         "events_fisher_exact": events_fisher_exact,
+        "docs_rake_keywords": docs_rake_keywords,
+        "events_bootstrap_ci": events_bootstrap_ci,
         "events_weekly_profile": events_weekly_profile,
         "orders_urgency_ranksum": orders_urgency_ranksum,
         "orders_urgency_ks": orders_urgency_ks,
@@ -5525,6 +5575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_participation_ratio": embedding_participation_ratio,
         "docs_zipf_fit": docs_zipf_fit,
         "geo_trip_od_matrix": geo_trip_od_matrix,
+        "geo_gravity_fit": geo_gravity_fit,
         "geo_cell_best_image": geo_cell_best_image,
         "geo_dist_to_boundary": geo_dist_to_boundary,
         "geo_snap_to_boundary": geo_snap_to_boundary,
@@ -9561,6 +9612,72 @@ def oracle_sql() -> dict[str, str]:
                        AS z
             FROM ex
         """,
+        "docs_rake_keywords": """
+            WITH arrs AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '[^a-z]+')
+                           AS arr
+                FROM documents),
+            tokp AS (SELECT doc_id, arr[i] AS token, i AS pos
+                     FROM arrs,
+                          UNNEST(range(1, len(arr) + 1)) AS u(i)),
+            tok AS (SELECT doc_id, token, pos FROM tokp
+                    WHERE token <> ''),
+            fl AS (SELECT doc_id, token, pos,
+                      CASE WHEN token IN ('a', 'the') THEN 1
+                           ELSE 0 END AS stop
+                   FROM tok),
+            ph AS (SELECT doc_id, token, stop,
+                      SUM(stop) OVER (PARTITION BY doc_id
+                                      ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW)
+                          AS pid
+                   FROM fl),
+            nz AS (SELECT doc_id, token, pid FROM ph WHERE stop = 0),
+            pl AS (SELECT doc_id, pid, COUNT(*) AS plen FROM nz
+                   GROUP BY doc_id, pid),
+            sc AS (SELECT n.token, COUNT(*) AS freq,
+                          SUM(p.plen) AS deg
+                   FROM nz n JOIN pl p
+                     ON p.doc_id = n.doc_id AND p.pid = n.pid
+                   GROUP BY n.token)
+            SELECT token, CAST(freq AS BIGINT) AS freq,
+                   CAST(deg AS BIGINT) AS deg,
+                   ROUND(CAST(deg AS DOUBLE) / freq, 6) AS rake
+            FROM sc ORDER BY rake DESC, token LIMIT 20
+        """,
+        "events_bootstrap_ci": f"""
+            WITH um AS (SELECT user_id, SUM(value) AS s,
+                               COUNT(value) AS c
+                        FROM events GROUP BY user_id),
+            ordv AS MATERIALIZED (
+                SELECT s / c AS v,
+                       ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS rn
+                FROM um),
+            nn AS MATERIALIZED (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ordv),
+            ks AS (SELECT CAST(u.i AS BIGINT) AS kk
+                   FROM (SELECT unnest(range(0,
+                       200 * (SELECT n FROM nn))) AS i) u),
+            ix AS (SELECT kk // (SELECT n FROM nn) AS b,
+                      CAST(({_sql_splitmix64('kk')})
+                           % (SELECT n FROM nn) AS BIGINT) AS rn
+                   FROM ks),
+            bm AS MATERIALIZED (
+                SELECT b, SUM(o.v) / (SELECT n FROM nn) AS m
+                FROM ix JOIN ordv o USING (rn) GROUP BY b),
+            srt AS MATERIALIZED (
+                SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r
+                FROM bm)
+            SELECT (SELECT n FROM nn) AS n_users,
+                   ROUND((SELECT SUM(v) FROM ordv)
+                         / (SELECT n FROM nn), 6) AS mean,
+                   ROUND((SELECT m FROM srt WHERE r = 5), 6)
+                       AS ci_lo,
+                   ROUND((SELECT m FROM srt WHERE r = 195), 6)
+                       AS ci_hi
+        """,
         "events_fisher_exact": f"""
             WITH uc AS (SELECT user_id,
                            SUM(CASE WHEN event_type = 'purchase'
@@ -11776,6 +11893,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN gcell c0 ON c0.i = e.s0
             JOIN gcell c1 ON c1.i = e.s1
             GROUP BY o_cell, d_cell
+        """,
+        "geo_gravity_fit": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gt AS (SELECT i % 50 AS track_id, i AS seq, lon, lat
+                   FROM gll),
+            gs AS (SELECT track_id, seq, lon, lat,
+                      LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+                   FROM gt
+                   WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+            gf AS (SELECT track_id, seq,
+                      CASE WHEN plon IS NULL
+                                OR {_sql_haversine('plat', 'plon',
+                                                   'lat', 'lon')}
+                                   > 800000e0
+                           THEN 1 ELSE 0 END AS newtrip
+                   FROM gs),
+            gtr AS (SELECT track_id, seq,
+                       SUM(newtrip) OVER (PARTITION BY track_id
+                                          ORDER BY seq
+                                          ROWS BETWEEN UNBOUNDED
+                                          PRECEDING AND CURRENT ROW)
+                           AS trip_id
+                    FROM gf),
+            gends AS (SELECT track_id, trip_id,
+                             MIN(seq) AS s0, MAX(seq) AS s1
+                      FROM gtr GROUP BY track_id, trip_id),
+            {_sql_geo_h3(4)},
+            od AS (SELECT c0.h3_r4 AS o_cell, c1.h3_r4 AS d_cell,
+                          COUNT(*) AS n_trips
+                   FROM gends e
+                   JOIN gcell c0 ON c0.i = e.s0
+                   JOIN gcell c1 ON c1.i = e.s1
+                   GROUP BY o_cell, d_cell),
+            dec AS (SELECT n_trips,
+                       CAST(o_cell // 268435456 % 268435456
+                            AS BIGINT) - 134217728 AS oq,
+                       CAST(o_cell % 268435456 AS BIGINT)
+                           - 134217728 AS orr,
+                       CAST(d_cell // 268435456 % 268435456
+                            AS BIGINT) - 134217728 AS dq,
+                       CAST(d_cell % 268435456 AS BIGINT)
+                           - 134217728 AS dr
+                    FROM od WHERE o_cell <> d_cell),
+            pt AS (SELECT n_trips,
+                      sqrt(3e0) * (oq + orr / 2e0) AS olon,
+                      1.5e0 * orr AS olat,
+                      sqrt(3e0) * (dq + dr / 2e0) AS dlon,
+                      1.5e0 * dr AS dlat
+                   FROM dec),
+            xy AS (SELECT
+                      LN({_sql_haversine('olat', 'olon',
+                                         'dlat', 'dlon')}) AS x,
+                      LN(CAST(n_trips AS DOUBLE)) AS y
+                   FROM pt),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+                     SUM(x * y) AS sxy, SUM(y * y) AS syy
+                  FROM xy)
+            SELECT n AS n_pairs,
+               ROUND(CASE WHEN sxx - sx * sx / n > 0e0
+                     THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                     ELSE 0e0 END, 6) AS slope,
+               ROUND(sy / n
+                     - CASE WHEN sxx - sx * sx / n > 0e0
+                       THEN (sxy - sx * sy / n)
+                            / (sxx - sx * sx / n)
+                       ELSE 0e0 END * sx / n, 6) AS intercept,
+               ROUND(CASE WHEN sxx - sx * sx / n > 0e0
+                          AND syy - sy * sy / n > 0e0
+                     THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                          / ((sxx - sx * sx / n)
+                             * (syy - sy * sy / n))
+                     ELSE 0e0 END, 6) AS r2
+            FROM m
         """,
         "geo_trip_segments": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},

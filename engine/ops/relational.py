@@ -3485,3 +3485,52 @@ def fisher_exact_conversion(
     return pd.DataFrame({
         "n_a": [r1], "n_b": [r2], "conv_a": [k], "conv_b": [c1],
         "p_fisher": [round(p, 6)]})
+
+
+def bootstrap_mean_ci(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    n_boot: int = 200,
+    alpha: float = 0.05,
+) -> pd.DataFrame:
+    """Percentile-bootstrap CI for the mean of per-user mean values,
+    with DETERMINISTIC hash resampling (Efron 1979 bootstrap, public
+    method; resample index i of replicate b is
+    ``splitmix64(b * n + i) % n`` over the user-id-sorted mean vector
+    — reproducible on any cluster shape, and exactly re-derivable in
+    SQL). The distributed work is the per-user (sum, count) combiner;
+    the B x n resample fold runs vectorized on the driver over the
+    n-row mean vector (user cardinality — the same driver-side-small
+    contract as the other per-user finals). Bounds use the explicit
+    k-th-smallest rank rule k = ceil(q * B); mean/lo/hi rounded 6dp."""
+    from engine.ops.sketch import _hash64
+
+    def per_user(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(user_col, as_index=False).agg(
+            __s=(value_col, "sum"), __c=(value_col, "count"))
+        g["__c"] = g["__c"].astype(np.int64)
+        return g
+
+    agg = sum_final(
+        events.map_batches(per_user, batch_format="pandas"),
+        [user_col]).to_pandas().sort_values(
+        user_col, ignore_index=True)
+    v = (agg["__s"].to_numpy(np.float64)
+         / agg["__c"].to_numpy(np.float64))
+    n = len(v)
+    if n == 0:
+        return pd.DataFrame({"n_users": [0], "mean": [0.0],
+                             "ci_lo": [0.0], "ci_hi": [0.0]})
+    ks = np.arange(n_boot * n, dtype=np.int64)
+    idx = (_hash64(ks) % np.uint64(n)).astype(np.int64)
+    means = v[idx].reshape(n_boot, n).mean(axis=1)
+    s = np.sort(means)
+    k_lo = int(np.ceil(alpha / 2.0 * n_boot))
+    k_hi = int(np.ceil((1.0 - alpha / 2.0) * n_boot))
+    return pd.DataFrame({
+        "n_users": [n],
+        "mean": [round(float(v.mean()), 6)],
+        "ci_lo": [round(float(s[k_lo - 1]), 6)],
+        "ci_hi": [round(float(s[k_hi - 1]), 6)]})

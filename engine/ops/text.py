@@ -1187,3 +1187,68 @@ def jaro_winkler_prefix_pairs(
            .to_pandas())
     return out.sort_values(["a", "b"], ignore_index=True)[
         ["a", "b", "jw"]]
+
+
+def rake_keywords(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    stopwords: tuple = ("a", "the"),
+) -> pd.DataFrame:
+    """RAKE keyword scores (Rose et al. 2010, public algorithm,
+    simplified to the stopword-delimited core): phrases are maximal
+    non-stopword token runs, word degree = sum of the lengths of the
+    phrases each occurrence sits in, score = degree / frequency.
+    Tokenizer identical to ``token_topk`` ([a-z]+ runs). Each batch
+    folds to per-token (freq, deg) integer partials — one vectorized
+    cumsum pass over the batch's token stream, no per-phrase Python —
+    then one vocabulary-bounded ``sum_final``; score is an exact
+    integer ratio rounded 6dp before the top-k ordering."""
+    from engine.ops import relational
+
+    stop = frozenset(stopwords)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        doc_ix: list[int] = []
+        for dix, s in enumerate(b["text"].astype(str)):
+            tt = _ALPHA_RE.findall(s.lower())
+            toks.extend(tt)
+            doc_ix.extend([dix] * len(tt))
+        empty = pd.DataFrame({"token": pd.Series(dtype=str),
+                              "freq": pd.Series(dtype=np.int64),
+                              "deg": pd.Series(dtype=np.int64)})
+        if not toks:
+            return empty
+        arr = np.asarray(toks, dtype=object)
+        dix = np.asarray(doc_ix, np.int64)
+        is_stop = np.isin(arr, list(stop))
+        newdoc = np.ones(len(arr), bool)
+        newdoc[1:] = dix[1:] != dix[:-1]
+        pid = np.cumsum(is_stop | newdoc)
+        keep = ~is_stop
+        if not keep.any():
+            return empty
+        kw, kp = arr[keep], pid[keep]
+        # phrase lengths -> degree of each kept occurrence
+        u, inv, cnt = np.unique(kp, return_inverse=True,
+                                return_counts=True)
+        deg_occ = cnt[inv].astype(np.int64)
+        tu, tinv = np.unique(kw, return_inverse=True)
+        freq = np.bincount(tinv).astype(np.int64)
+        deg = np.bincount(tinv, weights=deg_occ).astype(np.int64)
+        return pd.DataFrame({"token": tu, "freq": freq, "deg": deg})
+
+    counts = relational.sum_final(
+        ds.map_batches(local, batch_format="pandas"),
+        ["token"]).to_pandas()
+    if "token" not in counts.columns or not len(counts):
+        return pd.DataFrame({"token": pd.Series(dtype=str),
+                             "freq": pd.Series(dtype=np.int64),
+                             "deg": pd.Series(dtype=np.int64),
+                             "rake": pd.Series(dtype=np.float64)})
+    counts["rake"] = (counts["deg"].astype(np.float64)
+                      / counts["freq"]).round(6)
+    counts = counts.sort_values(
+        ["rake", "token"], ascending=[False, True], kind="stable",
+        ignore_index=True)
+    return counts.head(k)[["token", "freq", "deg", "rake"]]
