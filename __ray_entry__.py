@@ -3271,6 +3271,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("user_id", ignore_index=True)[
             ["user_id", "n", "dw"]]
 
+    def user_value_acf(sf_dir: str):
+        # per-user correlogram at lags 1-3 over the (ts, event_id)-
+        # ordered mean-centered value series: r_k = sum e_t e_{t-k}
+        # / sum e_t^2 — generalizes user_value_durbin_watson's lag-1
+        # screen (DW ~ 2 - 2 r_1) to a small spectrum per entity;
+        # three-LAG window SQL twin, one row per (user, lag)
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id", "value"])
+        out = relational.acf_lags(
+            ev, "user_id", ["ts", "event_id"], "value",
+            max_lag=3, min_n=8).to_pandas()
+        out["acf"] = out["acf"].round(4)
+        return out.sort_values(["user_id", "lag"],
+                               ignore_index=True)[
+            ["user_id", "lag", "n", "acf"]]
+
+    def user_value_perm_entropy(sf_dir: str):
+        # per-user Bandt-Pompe order-3 permutation entropy of the
+        # ordered value series, normalized by ln 6 — the model-free
+        # complexity screen (~1 iid, ~0 monotone/periodic); ordinal
+        # codes rebuilt from two LAGs + three comparisons in the twin
+        ev = sf_table(sf_dir, "events",
+                      ["user_id", "ts", "event_id", "value"])
+        out = relational.permutation_entropy(
+            ev, "user_id", ["ts", "event_id"], "value",
+            min_n=8).to_pandas()
+        out["perm_entropy"] = out["perm_entropy"].round(4)
+        return out.sort_values("user_id", ignore_index=True)[
+            ["user_id", "n_windows", "perm_entropy"]]
+
+    def event_type_jsd_arms(sf_dir: str):
+        # Jensen-Shannon divergence (nats) between the event-type
+        # mixes of the two splitmix64(user)&1 experiment arms — the
+        # composition-skew sanity check next to events_ab_conversion
+        # (near 0 when randomization is healthy); one (arm, type)
+        # count combiner, entropy fold on the driver
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type"])
+        out = relational.js_divergence_arms(ev)
+        out["jsd_nats"] = out["jsd_nats"].round(6)
+        return out[["n_a", "n_b", "jsd_nats"]]
+
     def user_decayed_engagement(sf_dir: str):
         # recency-weighted engagement: per-user sum of
         # 2^(-(t_end - t)/7d) event weights (half-life 7 days) — the
@@ -3612,6 +3653,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = geo_ops.morans_i_grid(idx)
         out["moran_i"] = out["moran_i"].round(6)
         return out[["n_cells", "s0_pairs", "moran_i"]]
+
+    def geo_geary_c(sf_dir: str):
+        # global Geary's C (rook adjacency, binary weights) over the
+        # same per-cell count grid as geo_morans_i — the squared-
+        # difference companion, sensitive to LOCAL patchiness: C < 1
+        # = clustering (the planted hotspot pushes it well below 1);
+        # SQL twin recomputes the grid and the neighbor squared diffs
+        idx = _geo_indexed(columns=["image_id"])
+        out = geo_ops.geary_c_grid(idx)
+        out["geary_c"] = out["geary_c"].round(6)
+        return out[["n_cells", "s0_pairs", "geary_c"]]
 
     def geo_getis_ord(sf_dir: str):
         # Getis-Ord Gi* local hotspot z-score per grid cell (rook +
@@ -5455,6 +5507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_track_medoids": geo_track_medoids,
         "geo_resample_tracks": geo_resample_tracks,
         "geo_morans_i": geo_morans_i,
+        "geo_geary_c": geo_geary_c,
         "geo_simplify_tracks": geo_simplify_tracks,
         "geo_getis_ord": geo_getis_ord,
         "geo_local_morans": geo_local_morans,
@@ -5550,6 +5603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_anova": orders_priority_anova,
         "orders_priority_kruskal": orders_priority_kruskal,
         "user_value_durbin_watson": user_value_durbin_watson,
+        "user_value_acf": user_value_acf,
+        "user_value_perm_entropy": user_value_perm_entropy,
+        "event_type_jsd_arms": event_type_jsd_arms,
         "event_type_dow_chi2": event_type_dow_chi2,
         "user_purchase_survival": user_purchase_survival,
         "user_decayed_engagement": user_decayed_engagement,
@@ -10444,6 +10500,38 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT SUM(xd * xd) FROM gdev), 6)
                        AS moran_i
         """,
+        "geo_geary_c": f"""
+            WITH {_sql_geo_lonlat(_GEO_N)},
+            gcc AS (SELECT CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
+                        AS gx,
+                        CAST(floor((lat - 35e0) / 1e0) AS BIGINT)
+                        AS gy
+                    FROM gll),
+            gcnt AS (SELECT gx, gy, COUNT(*) AS n FROM gcc
+                     WHERE gx >= 0 AND gx < 24
+                       AND gy >= 0 AND gy < 12
+                     GROUP BY gx, gy),
+            ggrid AS (SELECT CAST(x.range AS BIGINT) AS gx,
+                             CAST(y.range AS BIGINT) AS gy
+                      FROM range(24) x CROSS JOIN range(12) y),
+            gx0 AS (SELECT g.gx, g.gy,
+                       CAST(COALESCE(c.n, 0) AS DOUBLE) AS v
+                    FROM ggrid g LEFT JOIN gcnt c USING (gx, gy)),
+            gdev AS (SELECT gx, gy,
+                        v - (SELECT AVG(v) FROM gx0) AS xd
+                     FROM gx0),
+            gpair AS (SELECT a.v AS va, b.v AS vb
+                      FROM gx0 a JOIN gx0 b
+                        ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1)
+            SELECT CAST(288 AS BIGINT) AS n_cells,
+                   (SELECT COUNT(*) FROM gpair) AS s0_pairs,
+                   round((288e0 - 1e0)
+                         / (2e0 * (SELECT COUNT(*) FROM gpair))
+                         * ((SELECT SUM((va - vb) * (va - vb))
+                             FROM gpair)
+                            / (SELECT SUM(xd * xd) FROM gdev)), 6)
+                       AS geary_c
+        """,
         "geo_getis_ord": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},
             gcc AS (SELECT CAST(floor((lon - -12e0) / 1e0) AS BIGINT)
@@ -11598,6 +11686,97 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY user_id
             HAVING COUNT(*) >= 5 AND SUM(e * e) > 0
             ORDER BY user_id
+        """,
+        "user_value_acf": """
+            WITH b AS (SELECT user_id, value, ts, event_id,
+                              AVG(value) OVER (PARTITION BY user_id)
+                                  AS mu
+                       FROM events),
+            c AS (SELECT user_id, value - mu AS e,
+                         LAG(value - mu, 1) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id) AS e1,
+                         LAG(value - mu, 2) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id) AS e2,
+                         LAG(value - mu, 3) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id) AS e3
+                  FROM b),
+            g AS (SELECT user_id, COUNT(*) AS n, SUM(e * e) AS den,
+                         COALESCE(SUM(e * e1), 0) AS n1,
+                         COALESCE(SUM(e * e2), 0) AS n2,
+                         COALESCE(SUM(e * e3), 0) AS n3
+                  FROM c GROUP BY user_id
+                  HAVING COUNT(*) >= 8 AND SUM(e * e) > 0)
+            SELECT user_id, lag, n, round(num / den, 4) AS acf
+            FROM (SELECT user_id, CAST(1 AS BIGINT) AS lag, n,
+                         n1 AS num, den FROM g
+                  UNION ALL
+                  SELECT user_id, CAST(2 AS BIGINT), n, n2, den
+                  FROM g
+                  UNION ALL
+                  SELECT user_id, CAST(3 AS BIGINT), n, n3, den
+                  FROM g)
+            ORDER BY user_id, lag
+        """,
+        "user_value_perm_entropy": """
+            WITH c AS (SELECT user_id,
+                              LAG(value, 2) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS av,
+                              LAG(value, 1) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS bv,
+                              value AS cv
+                       FROM events),
+            p AS (SELECT user_id,
+                     4 * (CASE WHEN av <= bv THEN 1 ELSE 0 END)
+                     + 2 * (CASE WHEN av <= cv THEN 1 ELSE 0 END)
+                     + (CASE WHEN bv <= cv THEN 1 ELSE 0 END)
+                         AS code
+                  FROM c WHERE av IS NOT NULL),
+            k AS (SELECT user_id, code, COUNT(*) AS kn
+                  FROM p GROUP BY user_id, code),
+            t AS (SELECT user_id, SUM(kn) AS tot
+                  FROM k GROUP BY user_id)
+            SELECT k.user_id, CAST(t.tot AS BIGINT) AS n_windows,
+                   round(SUM(-(kn * 1e0 / tot)
+                             * ln(kn * 1e0 / tot)) / ln(6e0), 4)
+                       AS perm_entropy
+            FROM k JOIN t ON k.user_id = t.user_id
+            WHERE t.tot >= 8
+            GROUP BY k.user_id, t.tot
+            ORDER BY k.user_id
+        """,
+        "event_type_jsd_arms": f"""
+            WITH ar AS (SELECT
+                    CAST(({_sql_splitmix64('user_id')}) % 2
+                         AS BIGINT) AS arm,
+                    event_type
+                FROM events),
+            k AS (SELECT event_type,
+                     SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ka,
+                     SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS kb
+                  FROM ar GROUP BY event_type),
+            s AS (SELECT SUM(ka) AS na, SUM(kb) AS nb FROM k),
+            pq AS (SELECT ka * 1e0 / (SELECT na FROM s) AS p,
+                          kb * 1e0 / (SELECT nb FROM s) AS q
+                   FROM k),
+            h AS (SELECT
+                     SUM(CASE WHEN p + q > 0
+                         THEN -(0.5e0 * (p + q))
+                              * ln(0.5e0 * (p + q)) ELSE 0 END)
+                         AS hm,
+                     SUM(CASE WHEN p > 0 THEN -p * ln(p) ELSE 0 END)
+                         AS hp,
+                     SUM(CASE WHEN q > 0 THEN -q * ln(q) ELSE 0 END)
+                         AS hq
+                  FROM pq)
+            SELECT CAST((SELECT na FROM s) AS BIGINT) AS n_a,
+                   CAST((SELECT nb FROM s) AS BIGINT) AS n_b,
+                   round(hm - 0.5e0 * (hp + hq), 6) AS jsd_nats
+            FROM h
         """,
         "orders_urgency_ttest": """
             WITH c AS (SELECT

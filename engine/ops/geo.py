@@ -2276,6 +2276,66 @@ def morans_i_grid(
     })
 
 
+def geary_c_grid(
+    indexed: ray.data.Dataset,
+    lon0: float = -12.0, lat0: float = 35.0,
+    nx: int = 24, ny: int = 12,
+    cell_deg: float = 1.0,
+) -> pd.DataFrame:
+    """Global Geary's C spatial autocorrelation of per-grid-cell image
+    counts (rook adjacency, binary weights) — the squared-difference
+    companion of ``morans_i_grid``: C = ((N-1)/(2*S0)) * sum_ij w_ij
+    (x_i-x_j)^2 / sum_i (x_i-xbar)^2 over ALL nx*ny cells (empty
+    cells count 0). C < 1 means positive autocorrelation (clustering,
+    like the planted hotspot), C > 1 negative; unlike Moran's
+    cross-product, Geary is sensitive to LOCAL differences and the
+    pair (I, C) together distinguishes global trends from local
+    patchiness.
+
+    Identical scale shape to ``morans_i_grid``: the distributed stage
+    is the per-cell count combiner (one partial row per nonzero cell
+    per block); the statistic folds on the driver over the nx*ny cell
+    table (288 cells — the documented small side; at a resolution
+    where cells ~ cluster count the shifted squared diffs would shard
+    instead)."""
+    from engine.ops.relational import sum_final
+
+    def cells(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        gx = np.floor((lon - lon0) / cell_deg).astype(np.int64)
+        gy = np.floor((lat - lat0) / cell_deg).astype(np.int64)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        flat = gx[ok] * ny + gy[ok]
+        cnt = np.bincount(flat, minlength=nx * ny)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    partials = indexed.map_batches(cells, batch_format="pyarrow")
+    counts = sum_final(partials, ["cell"]).to_pandas()
+    x = np.zeros(nx * ny, np.float64)
+    if len(counts) and "cell" in counts.columns:  # empty-input guard
+        x[counts["cell"].to_numpy(np.int64)] = counts["n"].to_numpy()
+    grid = x.reshape(nx, ny)
+    xd = grid - x.mean()
+    # ordered-pair sum of (x_i - x_j)^2 over rook neighbors = 2x the
+    # undirected vertical + horizontal squared diffs
+    num = (((grid[1:, :] - grid[:-1, :]) ** 2).sum() * 2.0
+           + ((grid[:, 1:] - grid[:, :-1]) ** 2).sum() * 2.0)
+    s0 = 2 * ((nx - 1) * ny + nx * (ny - 1))
+    den = (xd * xd).sum()
+    # den == 0 (all counts equal, e.g. empty input): defined 0.0,
+    # matching the morans_i_grid/grouped_gini zero-variance convention
+    geary = ((nx * ny - 1) / (2.0 * s0)) * (num / den) \
+        if den > 0 else 0.0
+    return pd.DataFrame({
+        "n_cells": np.asarray([nx * ny], np.int64),
+        "s0_pairs": np.asarray([s0], np.int64),
+        "geary_c": np.asarray([geary], np.float64),
+    })
+
+
 def _simplify_open(
     x: np.ndarray, y: np.ndarray, epsilon: float
 ) -> np.ndarray:

@@ -3534,3 +3534,192 @@ def bootstrap_mean_ci(
         "mean": [round(float(v.mean()), 6)],
         "ci_lo": [round(float(s[k_lo - 1]), 6)],
         "ci_hi": [round(float(s[k_hi - 1]), 6)]})
+
+
+def acf_lags(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    col: str,
+    max_lag: int = 3,
+    min_n: int = 8,
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Per-group sample autocorrelation function at lags 1..max_lag
+    over the ordered, mean-centered series: r_k = sum_t e_t e_{t-k}
+    / sum_t e_t^2 with e = x - mean(x) per group — the spectral
+    fingerprint that generalizes ``durbin_watson``'s single lag-1
+    screen (DW ~ 2 - 2*r_1) to a small correlogram per entity.
+    Output one row per (group, lag).
+
+    Same segmented one-sort-per-shard layout as ``durbin_watson``:
+    hash groups to shards, sort each shard once, vectorized per-group
+    mean, lag products masked to same-group rows k apart. Groups with
+    < min_n rows or zero variance are dropped (HAVING in the twin)."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        gk = g[group_key].to_numpy()
+        v = g[col].to_numpy(np.float64)
+        e = v - g.groupby(group_key, sort=False)[col].transform(
+            "mean").to_numpy(np.float64)
+        base = pd.DataFrame({
+            group_key: gk,
+            "n": np.ones(len(g), np.int64),
+            "den": e * e,
+        }).groupby(group_key, as_index=False, sort=False).sum()
+        outs = []
+        for k in range(1, max_lag + 1):
+            if len(g) <= k:
+                continue
+            same = gk[k:] == gk[:-k]
+            prod = np.where(same, e[k:] * e[:-k], 0.0)
+            num = pd.DataFrame({
+                group_key: gk[k:], "num": prod,
+            }).groupby(group_key, as_index=False, sort=False).sum()
+            m = base.merge(num, on=group_key, how="left")
+            m["num"] = m["num"].fillna(0.0)
+            m = m[(m["n"] >= min_n) & (m["den"] > 0)]
+            o = m[[group_key]].copy()
+            o["lag"] = np.int64(k)
+            o["n"] = m["n"].astype(np.int64)
+            o["acf"] = (m["num"].to_numpy(np.float64)
+                        / m["den"].to_numpy(np.float64))
+            outs.append(o)
+        if not outs:
+            return pd.DataFrame({
+                group_key: pd.Series(dtype=np.int64),
+                "lag": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+                "acf": pd.Series(dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas"))
+
+
+def permutation_entropy(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    col: str,
+    min_n: int = 8,
+    num_shards: int = 256,
+) -> ray.data.Dataset:
+    """Per-group ordinal-pattern (Bandt-Pompe 2002, order m=3)
+    permutation entropy of the ordered value series, normalized to
+    [0, 1] by ln(6): the model-free complexity screen — ~1 for an
+    i.i.d./chaotic series, ~0 for a monotone or strictly periodic
+    one. Each length-3 window (a, b, c) maps to one of 6 ordinal
+    patterns; ties break toward the EARLIER position (the standard
+    (value, position) lexicographic rule), encoded as the 3-bit code
+    4*(a<=b) + 2*(a<=c) + (b<=c) — code 5 (a<=b, a>c, b<=c) and
+    code 2 (a>b, a<=c, b>c) violate transitivity and are unreachable,
+    leaving exactly the 6 valid permutations. The twin reproduces the code via two LAGs and
+    the same three comparisons, so both sides count identical
+    patterns.
+
+    Same segmented one-sort-per-shard layout as ``durbin_watson``;
+    windows never cross group boundaries. Groups with < min_n windows
+    are dropped."""
+
+    def f(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.sort_values(
+            [group_key] + order_cols, kind="stable"
+        ).drop(columns="__shard")
+        gk = g[group_key].to_numpy()
+        v = g[col].to_numpy(np.float64)
+        if len(g) < 3:
+            return pd.DataFrame({
+                group_key: pd.Series(dtype=np.int64),
+                "n_windows": pd.Series(dtype=np.int64),
+                "perm_entropy": pd.Series(dtype=np.float64)})
+        a, b, c = v[:-2], v[1:-1], v[2:]
+        same = (gk[:-2] == gk[1:-1]) & (gk[1:-1] == gk[2:])
+        code = (4 * (a <= b).astype(np.int64)
+                + 2 * (a <= c).astype(np.int64)
+                + (b <= c).astype(np.int64))
+        d = pd.DataFrame({group_key: gk[:-2], "code": code})[same]
+        if d.empty:
+            return pd.DataFrame({
+                group_key: pd.Series(dtype=np.int64),
+                "n_windows": pd.Series(dtype=np.int64),
+                "perm_entropy": pd.Series(dtype=np.float64)})
+        cnt = d.groupby([group_key, "code"]).size().rename(
+            "k").reset_index()
+        tot = cnt.groupby(group_key)["k"].transform("sum")
+        p = cnt["k"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        cnt["h"] = -p * np.log(p)
+        agg = cnt.groupby(group_key, as_index=False).agg(
+            n_windows=("k", "sum"), h=("h", "sum"))
+        agg = agg[agg["n_windows"] >= min_n]
+        out = agg[[group_key]].copy()
+        out["n_windows"] = agg["n_windows"].astype(np.int64)
+        out["perm_entropy"] = (agg["h"].to_numpy(np.float64)
+                               / np.log(6.0))
+        return out
+
+    return (
+        _sharded_by_key(ds, group_key, num_shards)
+        .groupby("__shard")
+        .map_groups(f, batch_format="pandas"))
+
+
+def js_divergence_arms(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> pd.DataFrame:
+    """Jensen-Shannon divergence (nats; Lin 1991) between the
+    event-type distributions of the two arms of a deterministic hash
+    split (arm = splitmix64(user) & 1 — the same reproducible
+    assignment as ``ab_conversion_ztest``): JSD = H((p+q)/2) -
+    (H(p) + H(q))/2, bounded in [0, ln 2]. The A/B sanity check that
+    the split did NOT skew the composition of traffic — near 0 when
+    randomization is healthy, and the symmetric, finite alternative
+    to KL when either arm has types the other lacks.
+
+    The distributed stage is one (arm, event_type) count combiner
+    (2 x |types| cells move, never rows); the entropy fold runs on
+    the driver over that tiny grid."""
+    from engine.ops.sketch import _hash64
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[user_col].to_numpy(np.int64)
+        arm = (_hash64(u) & np.uint64(1)).astype(np.int64)
+        g = pd.DataFrame({
+            "arm": arm, type_col: b[type_col].to_numpy(),
+            "n": np.ones(len(b), np.int64)})
+        return g.groupby(["arm", type_col],
+                         as_index=False, sort=False).sum()
+
+    cnt = sum_final(
+        events.map_batches(local, batch_format="pandas"),
+        ["arm", type_col]).to_pandas()
+    if cnt.empty:
+        return pd.DataFrame({"n_a": [0], "n_b": [0],
+                             "jsd_nats": [0.0]})
+    piv = cnt.pivot_table(index=type_col, columns="arm", values="n",
+                          fill_value=0, aggfunc="sum")
+    for arm in (0, 1):
+        if arm not in piv.columns:
+            piv[arm] = 0
+    na, nb = float(piv[0].sum()), float(piv[1].sum())
+    p = piv[0].to_numpy(np.float64) / na if na > 0 else 0.0
+    q = piv[1].to_numpy(np.float64) / nb if nb > 0 else 0.0
+    m = 0.5 * (p + q)
+
+    def h(x: np.ndarray) -> float:
+        nz = x[x > 0]
+        return float(-(nz * np.log(nz)).sum())
+
+    jsd = h(m) - 0.5 * (h(p) + h(q))
+    return pd.DataFrame({
+        "n_a": np.asarray([na], np.int64),
+        "n_b": np.asarray([nb], np.int64),
+        "jsd_nats": np.asarray([jsd], np.float64)})
