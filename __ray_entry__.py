@@ -4230,6 +4230,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("image_id", ignore_index=True)[
             ["image_id", "entropy", "contrast"]]
 
+    def image_fractal_dim(sf_dir: str):
+        # box-counting fractal dimension of the brighter-than-average
+        # pixel set over the lossless raw16 subset — the structural-
+        # complexity curation screen next to entropy/GLCM; occupancy
+        # is an all-integer comparison (s3 * n_pix > total), so the
+        # pixel-regeneration twin thresholds identically
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_fractal_dim(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "n_occupied", "fractal_dim"]]
+
+    def image_quadrant_asym(sf_dir: str):
+        # per-image left-right / top-bottom luminance asymmetry
+        # (middle row/col excluded on odd dims) over the raw16 subset
+        # — the horizon/vignetting screen; exact integer channel sums
+        # make the twin's AVG ratios bit-identical
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.image_quadrant_asymmetry(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out.sort_values("image_id", ignore_index=True)[
+            ["image_id", "lr_asym", "tb_asym"]]
+
     def image_colorfulness(sf_dir: str):
         # Hasler-Süsstrunk colorfulness over the lossless raw16
         # subset — the monochrome-corpus filter; opponent-plane sums
@@ -5534,6 +5573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pixel_histogram": image_pixel_histogram,
         "image_sharpness": image_sharpness,
         "image_entropy_contrast": image_entropy_contrast,
+        "image_fractal_dim": image_fractal_dim,
+        "image_quadrant_asym": image_quadrant_asym,
         "image_colorfulness": image_colorfulness,
         "image_otsu_threshold": image_otsu_threshold,
         "image_bitplane_entropy": image_bitplane_entropy,
@@ -5929,6 +5970,79 @@ def _sql_image_entropy_contrast(bins: int = 16) -> str:
                    AS contrast
         FROM st s JOIN hn ON hn.i = s.i
         ORDER BY image_id
+    """
+
+
+def _sql_image_fractal_dim() -> str:
+    # brighter-than-average occupancy is the all-integer comparison
+    # s3 * npix > tot (channel sums and counts are exact in float64);
+    # box counts at scales 1/2/4/8, OLS slope written in the engine's
+    # exact expression order
+    lns = "(ln(1e0) + ln(2e0) + ln(4e0) + ln(8e0))"
+    lns2 = ("(ln(1e0) * ln(1e0) + ln(2e0) * ln(2e0)"
+            " + ln(4e0) * ln(4e0) + ln(8e0) * ln(8e0))")
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        pg AS (SELECT i, y, x, SUM(px) AS s3 FROM gpx
+               GROUP BY i, y, x),
+        tt AS (SELECT i, SUM(s3) AS tot, COUNT(*) AS npix FROM pg
+               GROUP BY i),
+        oc AS (SELECT p.i, p.y, p.x FROM pg p JOIN tt t ON t.i = p.i
+               WHERE p.s3 * t.npix > t.tot),
+        bc AS (SELECT i, sc.s AS s,
+                  COUNT(DISTINCT (y // sc.s) * 64 + (x // sc.s))
+                      AS nb
+               FROM oc
+               CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS s) sc
+               GROUP BY i, sc.s),
+        fpv AS (SELECT t.i,
+                  ln(GREATEST(COALESCE(MAX(CASE WHEN s = 1
+                      THEN nb END), 0), 1)) AS y1,
+                  ln(GREATEST(COALESCE(MAX(CASE WHEN s = 2
+                      THEN nb END), 0), 1)) AS y2,
+                  ln(GREATEST(COALESCE(MAX(CASE WHEN s = 4
+                      THEN nb END), 0), 1)) AS y4,
+                  ln(GREATEST(COALESCE(MAX(CASE WHEN s = 8
+                      THEN nb END), 0), 1)) AS y8,
+                  COALESCE(MAX(CASE WHEN s = 1 THEN nb END), 0)
+                      AS nocc
+               FROM tt t LEFT JOIN bc ON bc.i = t.i
+               GROUP BY t.i)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               CAST(nocc AS BIGINT) AS n_occupied,
+               round(-((4e0 * (ln(1e0) * y1 + ln(2e0) * y2
+                               + ln(4e0) * y4 + ln(8e0) * y8)
+                        - {lns} * (y1 + y2 + y4 + y8))
+                       / (4e0 * {lns2} - {lns} * {lns})), 4)
+                   AS fractal_dim
+        FROM fpv ORDER BY image_id
+    """
+
+
+def _sql_image_quadrant_asym() -> str:
+    return f"""
+        WITH {_sql_pixels_cte(_GEO_N)},
+        pg AS (SELECT i, y, x, SUM(px) AS s3 FROM gpx
+               GROUP BY i, y, x),
+        q AS (SELECT p.i,
+                 SUM(CASE WHEN p.x < d.w // 2 THEN p.s3 END) AS sl,
+                 COUNT(CASE WHEN p.x < d.w // 2 THEN 1 END) AS nl,
+                 SUM(CASE WHEN p.x >= (d.w + 1) // 2
+                     THEN p.s3 END) AS sr,
+                 COUNT(CASE WHEN p.x >= (d.w + 1) // 2
+                       THEN 1 END) AS nr,
+                 SUM(CASE WHEN p.y < d.h // 2 THEN p.s3 END) AS st_,
+                 COUNT(CASE WHEN p.y < d.h // 2 THEN 1 END) AS nt,
+                 SUM(CASE WHEN p.y >= (d.h + 1) // 2
+                     THEN p.s3 END) AS sb,
+                 COUNT(CASE WHEN p.y >= (d.h + 1) // 2
+                       THEN 1 END) AS nb
+              FROM pg p JOIN praw d ON d.i = p.i
+              GROUP BY p.i)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+               round(abs(sl / nl - sr / nr), 6) AS lr_asym,
+               round(abs(st_ / nt - sb / nb), 6) AS tb_asym
+        FROM q ORDER BY image_id
     """
 
 
@@ -8724,6 +8838,8 @@ def oracle_sql() -> dict[str, str]:
         "image_patches": _sql_image_patches(),
         "image_sharpness": _sql_image_sharpness(),
         "image_entropy_contrast": _sql_image_entropy_contrast(),
+        "image_fractal_dim": _sql_image_fractal_dim(),
+        "image_quadrant_asym": _sql_image_quadrant_asym(),
         "image_colorfulness": _sql_image_colorfulness(),
         "image_otsu_threshold": _sql_image_otsu(),
         "image_bitplane_entropy": _sql_image_bitplane(),

@@ -1212,3 +1212,101 @@ def image_grad_orient_hist(
     return ds.map_batches(
         GradOrientHist, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class FractalDim:
+    """Per-image box-counting fractal dimension (Minkowski-Bouligand,
+    public method) of the brighter-than-average pixel set: threshold
+    each pixel on its exact integer channel sum (occupied iff
+    s3 * n_pix > total_sum — an all-integer comparison both the
+    engine and the SQL twin evaluate identically), count occupied
+    boxes at scales 1/2/4/8, and fit dim = -slope of ln(N_s) vs
+    ln(s) by closed-form OLS over the four points. ~2 for texture
+    filling the frame, ~1 for edge/line structure — the structural
+    complexity curation screen next to the entropy/GLCM features.
+    Empty occupied sets (perfectly flat images) get the defined 0.0."""
+
+    _LN_S = np.log(np.array([1.0, 2.0, 4.0, 8.0]))
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xs = self._LN_S
+        k = 4.0
+        sx = xs.sum()
+        sxx = (xs * xs).sum()
+        dims, occn = [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt).astype(np.float64)
+            h, w = px.shape[0], px.shape[1]
+            s3 = px.sum(axis=2)  # integer channel sums, exact
+            tot = s3.sum()
+            npix = float(h * w)
+            yy, xx = np.nonzero(s3 * npix > tot)
+            counts = np.empty(4, np.float64)
+            for j, s in enumerate((1, 2, 4, 8)):
+                counts[j] = len(np.unique((yy // s) * 64 + xx // s))
+            ys = np.log(np.maximum(counts, 1.0))
+            sy = ys.sum()
+            sxy = (xs * ys).sum()
+            slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+            dims.append(-slope)
+            occn.append(len(yy))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "n_occupied", pa.array(np.asarray(occn, np.int64)))
+        return out.append_column(
+            "fractal_dim", pa.array(np.round(dims, 4), pa.float64()))
+
+
+def image_fractal_dim(
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        FractalDim, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class QuadrantAsymmetry:
+    """Per-image left-right and top-bottom luminance asymmetry:
+    |mean(half) - mean(other half)| of the exact integer channel sum
+    plane, middle row/column excluded when the dimension is odd.
+    The horizon/vignetting/split-frame screen; near 0 for uniform
+    scenes. All sums are exact integers in float64, so the two AVG
+    ratios and their difference are bit-identical to the SQL twin's."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lr, tb = [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt).astype(np.float64)
+            h, w = px.shape[0], px.shape[1]
+            s3 = px.sum(axis=2)
+            left = s3[:, : w // 2]
+            right = s3[:, (w + 1) // 2:]
+            top = s3[: h // 2, :]
+            bottom = s3[(h + 1) // 2:, :]
+            lr.append(abs(left.sum() / left.size
+                          - right.sum() / right.size))
+            tb.append(abs(top.sum() / top.size
+                          - bottom.sum() / bottom.size))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "lr_asym", pa.array(np.round(lr, 6), pa.float64()))
+        return out.append_column(
+            "tb_asym", pa.array(np.round(tb, 6), pa.float64()))
+
+
+def image_quadrant_asymmetry(
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        QuadrantAsymmetry, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
