@@ -891,6 +891,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = sf_table(sf_dir, "documents", ["doc_id", "text"])
         return text.token_topk(ds, k=50)
 
+    def docs_lexical_richness(sf_dir: str):
+        # corpus-level Yule's K (repeat rate, length-invariant) and
+        # Herdan's C (type-token exponent) over the [a-z]+ token
+        # stream — the generated-boilerplate screen; (token, count)
+        # partials move, four scalars fold on the driver
+        ds = sf_table(sf_dir, "documents", ["text"])
+        out = text.lexical_richness(ds)
+        out["yule_k"] = out["yule_k"].round(6)
+        out["herdan_c"] = out["herdan_c"].round(6)
+        return out[["n_tokens", "n_types", "yule_k", "herdan_c"]]
+
+    def click_purchase_hourly_ccf(sf_dir: str):
+        # cross-correlation between the hourly click and purchase
+        # count series at lags 0-3h ("do purchases follow clicks k
+        # hours later") — the lead-lag screen behind funnel timing;
+        # one (hour, type) combiner, O(span) fold on the driver
+        ev = sf_table(sf_dir, "events", ["ts", "event_type"])
+        out = relational.hourly_ccf(
+            ev, "click", "purchase", max_lag=3)
+        out["ccf"] = out["ccf"].round(4)
+        return out[["lag", "ccf"]]
+
     def heavy_hitter_tokens(sf_dir: str):
         # EXACT phi-frequent tokens in two streaming passes over a
         # Misra-Gries candidate summary — O(k) state per batch, no
@@ -5477,6 +5499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event_type": distinct_users_per_event_type,
         "customer_big_order_counts": customer_big_order_counts,
         "docs_top_tokens": docs_top_tokens,
+        "docs_lexical_richness": docs_lexical_richness,
+        "click_purchase_hourly_ccf": click_purchase_hourly_ccf,
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "urgent_vs_big_orders": urgent_vs_big_orders,
         "embedding_norm_by_label": embedding_norm_by_label,
@@ -11802,6 +11826,66 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY user_id
             HAVING COUNT(*) >= 5 AND SUM(e * e) > 0
             ORDER BY user_id
+        """,
+        "docs_lexical_richness": """
+            WITH tok AS (SELECT unnest(list_filter(
+                             string_split_regex(lower(text),
+                                                '[^a-z]+'),
+                             t -> t <> '')) AS token
+                         FROM documents),
+            c AS (SELECT token, COUNT(*) AS n FROM tok
+                  GROUP BY token),
+            s AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+                         CAST(COUNT(*) AS DOUBLE) AS v,
+                         CAST(SUM(n * n) AS DOUBLE) AS s2
+                  FROM c)
+            SELECT CAST(nn AS BIGINT) AS n_tokens,
+                   CAST(v AS BIGINT) AS n_types,
+                   round(1e4 * (s2 - nn) / (nn * nn), 6) AS yule_k,
+                   round(ln(v) / ln(nn), 6) AS herdan_c
+            FROM s
+        """,
+        "click_purchase_hourly_ccf": """
+            WITH hh AS (SELECT CAST(FLOOR(epoch(ts) / 3600)
+                            AS BIGINT) AS hour, event_type
+                        FROM events
+                        WHERE event_type IN ('click', 'purchase')),
+            sp AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM hh),
+            spine AS (SELECT CAST(unnest(range(h0, h1 + 1))
+                          AS BIGINT) AS hour
+                      FROM sp),
+            ac AS (SELECT hour, COUNT(*) AS n FROM hh
+                   WHERE event_type = 'click' GROUP BY hour),
+            bc AS (SELECT hour, COUNT(*) AS n FROM hh
+                   WHERE event_type = 'purchase' GROUP BY hour),
+            ser AS (SELECT s.hour,
+                       CAST(COALESCE(a.n, 0) AS DOUBLE) AS a,
+                       CAST(COALESCE(b.n, 0) AS DOUBLE) AS b
+                    FROM spine s
+                    LEFT JOIN ac a USING (hour)
+                    LEFT JOIN bc b USING (hour)),
+            m AS (SELECT SUM(a) / COUNT(*) AS ma,
+                         SUM(b) / COUNT(*) AS mb FROM ser),
+            dv AS (SELECT hour, a - (SELECT ma FROM m) AS ad,
+                          b - (SELECT mb FROM m) AS bd
+                   FROM ser),
+            dn AS (SELECT sqrt((SELECT SUM(ad * ad) FROM dv)
+                               * (SELECT SUM(bd * bd) FROM dv))
+                       AS den),
+            lg AS (SELECT CAST(l.range AS BIGINT) AS lag
+                   FROM range(4) l),
+            pr AS (SELECT g.lag, SUM(x.ad * y.bd) AS num
+                   FROM lg g
+                   JOIN dv x ON TRUE
+                   JOIN dv y ON y.hour = x.hour + g.lag
+                   GROUP BY g.lag)
+            SELECT g.lag,
+                   CASE WHEN (SELECT den FROM dn) > 0
+                        THEN round(COALESCE(pr.num, 0)
+                                   / (SELECT den FROM dn), 4)
+                        ELSE 0e0 END AS ccf
+            FROM lg g LEFT JOIN pr ON pr.lag = g.lag
+            ORDER BY g.lag
         """,
         "user_value_acf": """
             WITH b AS (SELECT user_id, value, ts, event_id,

@@ -3723,3 +3723,67 @@ def js_divergence_arms(
         "n_a": np.asarray([na], np.int64),
         "n_b": np.asarray([nb], np.int64),
         "jsd_nats": np.asarray([jsd], np.float64)})
+
+
+def hourly_ccf(
+    events: ray.data.Dataset,
+    type_a: str,
+    type_b: str,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_lag: int = 3,
+) -> pd.DataFrame:
+    """Cross-correlation function between the HOURLY count series of
+    two event types at lags 0..max_lag hours: with a_t, b_t the
+    per-hour counts over the corpus's full [min, max] hour span
+    (silent hours count 0) and deviations from the span means,
+    r_k = sum_t (a_t - abar)(b_{t+k} - bbar) / sqrt(sum (a-abar)^2 *
+    sum (b-bbar)^2) — "does type_b follow type_a k hours later", the
+    lead-lag screen behind funnel timing. One row per lag.
+
+    The distributed stage is one (hour, type) count combiner (span x
+    2 cells move, never rows); the O(span)-length alignment and the
+    lag products fold on the driver — the same driver-side-small
+    contract as the other per-hour finals (720 hours at sf0.1)."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        et = b[type_col].to_numpy()
+        keep = (et == type_a) | (et == type_b)
+        if not keep.any():
+            return pd.DataFrame({"hour": pd.Series(dtype=np.int64),
+                                 "is_a": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        ts = b[ts_col].to_numpy()[keep]
+        hour = (ts.astype("datetime64[s]").astype(np.int64)
+                // 3600).astype(np.int64)
+        g = pd.DataFrame({
+            "hour": hour,
+            "is_a": (et[keep] == type_a).astype(np.int64),
+            "n": np.ones(int(keep.sum()), np.int64)})
+        return g.groupby(["hour", "is_a"],
+                         as_index=False, sort=False).sum()
+
+    cnt = sum_final(
+        events.map_batches(local, batch_format="pandas"),
+        ["hour", "is_a"]).to_pandas()
+    if cnt.empty or "hour" not in cnt.columns:
+        return pd.DataFrame({"lag": pd.Series(dtype=np.int64),
+                             "ccf": pd.Series(dtype=np.float64)})
+    h0, h1 = int(cnt["hour"].min()), int(cnt["hour"].max())
+    span = h1 - h0 + 1
+    a = np.zeros(span, np.float64)
+    b = np.zeros(span, np.float64)
+    ca = cnt[cnt["is_a"] == 1]
+    cb = cnt[cnt["is_a"] == 0]
+    a[ca["hour"].to_numpy(np.int64) - h0] = ca["n"].to_numpy()
+    b[cb["hour"].to_numpy(np.int64) - h0] = cb["n"].to_numpy()
+    ad = a - a.sum() / span
+    bd = b - b.sum() / span
+    den = np.sqrt((ad * ad).sum() * (bd * bd).sum())
+    lags = np.arange(max_lag + 1, dtype=np.int64)
+    ccf = np.zeros(max_lag + 1, np.float64)
+    if den > 0:
+        for k in range(max_lag + 1):
+            ccf[k] = (ad[: span - k] * bd[k:]).sum() / den
+    return pd.DataFrame({"lag": lags, "ccf": ccf})

@@ -1252,3 +1252,48 @@ def rake_keywords(
         ["rake", "token"], ascending=[False, True], kind="stable",
         ignore_index=True)
     return counts.head(k)[["token", "freq", "deg", "rake"]]
+
+
+def lexical_richness(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Corpus-level lexical-richness constants over the [a-z]+ token
+    stream: Yule's K = 1e4 * (sum_t c_t^2 - N) / N^2 (Yule 1944 —
+    repeat-rate; LOW for diverse vocabulary, high for template spam)
+    and Herdan's C = ln(V) / ln(N) (type-token law exponent), plus
+    the N/V census. The generated-boilerplate screen that, unlike
+    TTR, is insensitive to corpus length.
+
+    Same exchange as ``token_topk``: per-batch np.unique partial
+    counts, (token, count) partials move — never token instances;
+    the four scalars fold from the vocabulary table. All counts are
+    exact integers in float64, so both statistics land on the SQL
+    twin's exact floats."""
+    from engine.ops import relational
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for s in b["text"].astype(str):
+            toks.extend(_ALPHA_RE.findall(s.lower()))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({"token": u, "n": c.astype(np.int64)})
+
+    counts = relational.sum_final(
+        ds.map_batches(local, batch_format="pandas"),
+        ["token"]).to_pandas()
+    if "token" not in counts.columns or not len(counts):
+        return pd.DataFrame({"n_tokens": [0], "n_types": [0],
+                             "yule_k": [0.0], "herdan_c": [0.0]})
+    c = counts["n"].to_numpy(np.float64)
+    n = c.sum()
+    v = float(len(c))
+    s2 = (c * c).sum()
+    yule = 1e4 * (s2 - n) / (n * n)
+    herdan = np.log(v) / np.log(n)
+    return pd.DataFrame({
+        "n_tokens": np.asarray([n], np.int64),
+        "n_types": np.asarray([v], np.int64),
+        "yule_k": np.asarray([yule], np.float64),
+        "herdan_c": np.asarray([herdan], np.float64)})
