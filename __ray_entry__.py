@@ -3293,6 +3293,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("user_id", ignore_index=True)[
             ["user_id", "n", "dw"]]
 
+    def nation_spend_hhi(sf_dir: str):
+        # Herfindahl-Hirschman concentration of customer spending
+        # within each nation (1/n even -> 1 monopolized) — the
+        # market-concentration screen; exact-cents lift, two combiner
+        # exchanges, broadcast-once customer->nation side
+        orders = sf_table(sf_dir, "orders",
+                          ["o_custkey", "o_totalprice"])
+        cust = sf_table(sf_dir, "customer",
+                        ["c_custkey", "c_nationkey"])
+        out = relational.hhi_by_group(orders, cust)
+        out["hhi"] = out["hhi"].round(6)
+        return out[["c_nationkey", "n_customers", "hhi"]]
+
+    def price_pythagorean_means_by_flag(sf_dir: str):
+        # per-returnflag geometric and harmonic means of extended
+        # price (the AM >= GM >= HM trio; GM for ratio-like, HM for
+        # rate-like columns) — one (n, sum ln, sum 1/x) combiner
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_returnflag", "l_extendedprice"])
+        out = relational.grouped_pythagorean_means(
+            li, "l_returnflag", "l_extendedprice")
+        out["geo_mean"] = out["geo_mean"].round(4)
+        out["harm_mean"] = out["harm_mean"].round(4)
+        return out[["l_returnflag", "n", "geo_mean", "harm_mean"]]
+
     def user_value_acf(sf_dir: str):
         # per-user correlogram at lags 1-3 over the (ts, event_id)-
         # ordered mean-centered value series: r_k = sum e_t e_{t-k}
@@ -5669,6 +5694,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_kruskal": orders_priority_kruskal,
         "user_value_durbin_watson": user_value_durbin_watson,
         "user_value_acf": user_value_acf,
+        "nation_spend_hhi": nation_spend_hhi,
+        "price_pythagorean_means_by_flag":
+            price_pythagorean_means_by_flag,
         "user_value_perm_entropy": user_value_perm_entropy,
         "event_type_jsd_arms": event_type_jsd_arms,
         "event_type_dow_chi2": event_type_dow_chi2,
@@ -11826,6 +11854,34 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY user_id
             HAVING COUNT(*) >= 5 AND SUM(e * e) > 0
             ORDER BY user_id
+        """,
+        "nation_spend_hhi": """
+            WITH cs AS (SELECT c.c_nationkey, o.o_custkey,
+                           SUM(CAST(round(o.o_totalprice * 100)
+                                    AS BIGINT)) AS s
+                        FROM orders o
+                        JOIN customer c
+                          ON c.c_custkey = o.o_custkey
+                        GROUP BY 1, 2),
+            n AS (SELECT c_nationkey,
+                     SUM(CAST(s AS DOUBLE)) AS tot,
+                     SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         AS s2,
+                     COUNT(*) AS n_customers
+                  FROM cs GROUP BY 1)
+            SELECT c_nationkey,
+                   CAST(n_customers AS BIGINT) AS n_customers,
+                   round(s2 / (tot * tot), 6) AS hhi
+            FROM n ORDER BY c_nationkey
+        """,
+        "price_pythagorean_means_by_flag": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   round(exp(SUM(ln(l_extendedprice)) / COUNT(*)),
+                         4) AS geo_mean,
+                   round(COUNT(*) / SUM(1e0 / l_extendedprice), 4)
+                       AS harm_mean
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "docs_lexical_richness": """
             WITH tok AS (SELECT unnest(list_filter(

@@ -3787,3 +3787,107 @@ def hourly_ccf(
         for k in range(max_lag + 1):
             ccf[k] = (ad[: span - k] * bd[k:]).sum() / den
     return pd.DataFrame({"lag": lags, "ccf": ccf})
+
+
+def hhi_by_group(
+    left: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    *,
+    key: str = "o_custkey",
+    dim_key: str = "c_custkey",
+    group_col: str = "c_nationkey",
+    value_col: str = "o_totalprice",
+) -> pd.DataFrame:
+    """Herfindahl-Hirschman concentration index of per-entity value
+    share within each group: HHI = sum_e share_e^2 with share_e =
+    s_e / sum(s) over the group — 1/n_entities for perfectly even
+    spending, -> 1 for a single dominant customer. The market-
+    concentration screen over (orders x customer.nation).
+
+    Values lift to exact integer cents before any sum, so the
+    per-entity totals are exact in float64 (and HUGEINT in the SQL
+    twin). Two combiner exchanges move (entity, group, sum) then
+    (group, sum_s, sum_s2) partials — never rows; the dimension side
+    broadcasts once via cached_get."""
+    from engine.state import cached_get
+
+    dim_pdf = dim.to_pandas()
+    dk = dim_pdf[dim_key].to_numpy(np.int64)
+    dv = dim_pdf[group_col].to_numpy(np.int64)
+    order = np.argsort(dk, kind="stable")
+    ref = ray.put((dk[order], dv[order]))
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = cached_get(ref)
+        k = b[key].to_numpy(np.int64)
+        g = pd.DataFrame({
+            key: k,
+            group_col: vals[np.searchsorted(keys, k)],
+            "s": np.rint(b[value_col].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)})
+        return g.groupby([key, group_col],
+                         as_index=False, sort=False).sum()
+
+    per_ent = sum_final(
+        left.map_batches(local, batch_format="pandas"),
+        [key, group_col])
+
+    def sq(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["s"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            group_col: b[group_col].to_numpy(np.int64),
+            "tot": s, "s2": s * s,
+            "n_customers": np.ones(len(b), np.int64)})
+        return g.groupby(group_col, as_index=False, sort=False).sum()
+
+    agg = sum_final(
+        per_ent.map_batches(sq, batch_format="pandas"),
+        [group_col]).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({group_col: pd.Series(dtype=np.int64),
+                             "n_customers": pd.Series(dtype=np.int64),
+                             "hhi": pd.Series(dtype=np.float64)})
+    agg["hhi"] = (agg["s2"].to_numpy(np.float64)
+                  / (agg["tot"].to_numpy(np.float64)
+                     * agg["tot"].to_numpy(np.float64)))
+    out = agg[[group_col]].copy()
+    out["n_customers"] = agg["n_customers"].astype(np.int64)
+    out["hhi"] = agg["hhi"].astype(np.float64)
+    return out.sort_values(group_col, ignore_index=True)
+
+
+def grouped_pythagorean_means(
+    ds: ray.data.Dataset,
+    group_key: str,
+    col: str,
+) -> pd.DataFrame:
+    """Per-group geometric and harmonic means of a POSITIVE column:
+    gm = exp(sum(ln x) / n), hm = n / sum(1/x) — the AM >= GM >= HM
+    trio completing the arithmetic means elsewhere; GM is the right
+    average for ratio-like columns, HM for rate-like ones. One
+    (n, sum ln x, sum 1/x) combiner per group moves; the closed forms
+    fold on the driver over the group table."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].to_numpy(np.float64)
+        g = pd.DataFrame({
+            group_key: b[group_key].to_numpy(),
+            "n": np.ones(len(b), np.int64),
+            "sln": np.log(x),
+            "sinv": 1.0 / x})
+        return g.groupby(group_key, as_index=False, sort=False).sum()
+
+    agg = sum_final(
+        ds.map_batches(local, batch_format="pandas"),
+        [group_key]).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({group_key: pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64),
+                             "geo_mean": pd.Series(dtype=np.float64),
+                             "harm_mean": pd.Series(dtype=np.float64)})
+    n = agg["n"].to_numpy(np.float64)
+    out = agg[[group_key]].copy()
+    out["n"] = agg["n"].astype(np.int64)
+    out["geo_mean"] = np.exp(agg["sln"].to_numpy(np.float64) / n)
+    out["harm_mean"] = n / agg["sinv"].to_numpy(np.float64)
+    return out.sort_values(group_key, ignore_index=True)

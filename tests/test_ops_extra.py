@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from engine import fixtures
@@ -4572,3 +4573,250 @@ def test_fisher_exact_scipy_free_reference(ray_session):
     want = num / math.comb(n, ct)
     assert float(got["p_fisher"][0]) == pytest.approx(want, abs=5e-6)
     assert r1 + r2 == len(np.unique(users))
+
+
+def test_acf_lags_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import acf_lags
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n),
+        "ts": rng.integers(0, 10_000, n),
+        "event_id": np.arange(n),
+        "value": rng.normal(0, 1, n).round(3),
+    })
+    got = acf_lags(
+        ray.data.from_pandas(df).repartition(4),
+        "user_id", ["ts", "event_id"], "value",
+        max_lag=3, min_n=8, num_shards=8,
+    ).to_pandas().set_index(["user_id", "lag"])["acf"]
+    for u, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        v = g["value"].to_numpy(float)
+        if len(v) < 8:
+            assert (u, 1) not in got.index
+            continue
+        e = v - v.mean()
+        den = (e * e).sum()
+        for k in (1, 2, 3):
+            want = (e[k:] * e[:-k]).sum() / den
+            assert got[(u, k)] == pytest.approx(want, abs=1e-9)
+
+
+def test_permutation_entropy_known_series(ray_session):
+    import ray.data
+
+    from engine.ops.relational import permutation_entropy
+
+    # user 0: strictly increasing -> one ordinal pattern -> entropy 0
+    # user 1: alternating up/down -> two patterns, equal counts
+    n = 40
+    df = pd.DataFrame({
+        "user_id": np.repeat([0, 1], n),
+        "ts": np.tile(np.arange(n), 2),
+        "event_id": np.arange(2 * n),
+        "value": np.concatenate([
+            np.arange(n, dtype=float),
+            np.where(np.arange(n) % 2 == 0, 0.0, 1.0),
+        ]),
+    })
+    got = permutation_entropy(
+        ray.data.from_pandas(df).repartition(3),
+        "user_id", ["ts", "event_id"], "value",
+        min_n=8, num_shards=4,
+    ).to_pandas().set_index("user_id")
+    assert got.loc[0, "perm_entropy"] == pytest.approx(0.0)
+    assert int(got.loc[0, "n_windows"]) == n - 2
+    # alternating: patterns 0,1,0 and 1,0,1 alternate -> p = (k1, k2)
+    # with |k1 - k2| <= 1 -> entropy ~ ln 2 / ln 6
+    assert got.loc[1, "perm_entropy"] == pytest.approx(
+        np.log(2) / np.log(6), abs=1e-3)
+
+
+def test_geary_c_checkerboard_vs_direct(ray_session):
+    import ray.data
+
+    from engine.ops.geo import geary_c_grid
+
+    # two points per alternating cell -> perfect checkerboard counts;
+    # direct numpy evaluation of the same formula is the oracle
+    nx, ny = 24, 12
+    rows = []
+    for gx in range(nx):
+        for gy in range(ny):
+            if (gx + gy) % 2 == 0:
+                rows.append((-12.0 + gx + 0.5, 35.0 + gy + 0.5))
+                rows.append((-12.0 + gx + 0.4, 35.0 + gy + 0.4))
+    pts = pd.DataFrame(rows, columns=["lon", "lat"])
+    got = geary_c_grid(ray.data.from_pandas(pts).repartition(4))
+    grid = np.zeros((nx, ny))
+    grid[(np.add.outer(np.arange(nx), np.arange(ny)) % 2) == 0] = 2.0
+    xd = grid - grid.mean()
+    num = (((grid[1:, :] - grid[:-1, :]) ** 2).sum() * 2.0
+           + ((grid[:, 1:] - grid[:, :-1]) ** 2).sum() * 2.0)
+    s0 = 2 * ((nx - 1) * ny + nx * (ny - 1))
+    want = ((nx * ny - 1) / (2.0 * s0)) * (num / (xd * xd).sum())
+    assert float(got["geary_c"][0]) == pytest.approx(want, abs=1e-9)
+    assert want > 1.0  # checkerboard = negative autocorrelation
+
+
+def test_js_divergence_arms_bounds(ray_session):
+    import ray.data
+
+    from engine.ops.relational import js_divergence_arms
+    from engine.ops.sketch import _hash64
+
+    rng = np.random.default_rng(11)
+    users = rng.integers(0, 500, 4000)
+    types = rng.choice(["click", "view", "purchase"], 4000,
+                       p=[0.5, 0.4, 0.1])
+    ev = pd.DataFrame({"user_id": users, "event_type": types})
+    got = js_divergence_arms(ray.data.from_pandas(ev).repartition(3))
+    jsd = float(got["jsd_nats"][0])
+    assert 0.0 <= jsd <= np.log(2.0)
+    # brute force over the same splitmix arm split
+    arm = (_hash64(users.astype(np.int64)) & np.uint64(1)).astype(int)
+    ja = pd.crosstab(pd.Series(types), pd.Series(arm))
+    p = ja[0].to_numpy(float) / ja[0].sum()
+    q = ja[1].to_numpy(float) / ja[1].sum()
+    m = 0.5 * (p + q)
+
+    def h(x):
+        nz = x[x > 0]
+        return float(-(nz * np.log(nz)).sum())
+
+    assert jsd == pytest.approx(h(m) - 0.5 * (h(p) + h(q)), abs=1e-9)
+
+
+def test_hourly_ccf_planted_lag(ray_session):
+    import ray.data
+
+    from engine.ops.relational import hourly_ccf
+
+    # purchases are clicks shifted exactly +2 hours -> ccf peaks at 2
+    rng = np.random.default_rng(3)
+    hours = rng.integers(0, 200, 3000)
+    base = pd.Timestamp("2025-01-01").value // 10**9
+    clicks = pd.DataFrame({
+        "ts": pd.to_datetime((base + hours * 3600), unit="s"),
+        "event_type": "click"})
+    buys = pd.DataFrame({
+        "ts": pd.to_datetime((base + (hours + 2) * 3600), unit="s"),
+        "event_type": "purchase"})
+    ev = pd.concat([clicks, buys], ignore_index=True)
+    got = hourly_ccf(
+        ray.data.from_pandas(ev).repartition(4),
+        "click", "purchase", max_lag=3,
+    ).set_index("lag")["ccf"]
+    assert got.idxmax() == 2
+    # brute-force parity: same spine, same normalization (the span
+    # edges hold structural zeros, so the peak is < 1 by design)
+    span = 202  # clicks hours 0..199, purchases 2..201
+    a = np.zeros(span)
+    b = np.zeros(span)
+    np.add.at(a, hours, 1.0)
+    np.add.at(b, hours + 2, 1.0)
+    ad, bd = a - a.mean(), b - b.mean()
+    den = np.sqrt((ad * ad).sum() * (bd * bd).sum())
+    want = (ad[:-2] * bd[2:]).sum() / den
+    assert got[2] == pytest.approx(want, abs=1e-9)
+    assert got[2] > 0.8
+
+
+def test_lexical_richness_tiny_corpus(ray_session):
+    import ray.data
+
+    from engine.ops.text import lexical_richness
+
+    docs = pd.DataFrame({"text": [
+        "the cat the dog", "the bird"]})
+    got = lexical_richness(ray.data.from_pandas(docs).repartition(2))
+    # tokens: the x3, cat, dog, bird -> N=6, V=4, sum c^2 = 9+1+1+1=12
+    assert int(got["n_tokens"][0]) == 6
+    assert int(got["n_types"][0]) == 4
+    assert float(got["yule_k"][0]) == pytest.approx(
+        1e4 * (12 - 6) / 36.0, abs=1e-9)
+    assert float(got["herdan_c"][0]) == pytest.approx(
+        np.log(4) / np.log(6), abs=1e-9)
+
+
+def test_fractal_dim_filled_vs_line(ray_session):
+    from engine import codec
+    from engine.ops.multimodal import FractalDim
+
+    # half-plane bright image: occupied set is a filled 32x16 block
+    # -> box counts 512/128/32/8 -> dim exactly 2
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, 16:, :] = 200
+    data = codec.encode(img, "raw16")
+    batch = pa.table({
+        "image_id": ["a"], "bytes": [data], "fmt": ["raw16"]})
+    out = FractalDim()(batch)
+    assert out["n_occupied"][0].as_py() == 32 * 16
+    assert out["fractal_dim"][0].as_py() == pytest.approx(2.0)
+    # single bright row -> occupied is a 1x32 line -> dim exactly 1
+    img2 = np.zeros((32, 32, 3), np.uint8)
+    img2[5, :, :] = 255
+    out2 = FractalDim()(pa.table({
+        "image_id": ["b"], "bytes": [codec.encode(img2, "raw16")],
+        "fmt": ["raw16"]}))
+    assert out2["fractal_dim"][0].as_py() == pytest.approx(1.0)
+
+
+def test_quadrant_asymmetry_split_frame(ray_session):
+    from engine import codec
+    from engine.ops.multimodal import QuadrantAsymmetry
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, 16:, :] = 100  # right half brighter by 300 channel-sum
+    out = QuadrantAsymmetry()(pa.table({
+        "image_id": ["a"], "bytes": [codec.encode(img, "raw16")],
+        "fmt": ["raw16"]}))
+    assert out["lr_asym"][0].as_py() == pytest.approx(300.0)
+    assert out["tb_asym"][0].as_py() == pytest.approx(0.0)
+
+
+def test_hhi_by_group_monopoly_vs_even(ray_session):
+    import ray.data
+
+    from engine.ops.relational import hhi_by_group
+
+    # group 0: one customer takes all -> HHI 1; group 1: four equal
+    # customers -> HHI 1/4
+    orders = pd.DataFrame({
+        "o_custkey": [1, 1, 1, 2, 3, 4, 5],
+        "o_totalprice": [10.0, 20.0, 30.0, 8.0, 8.0, 8.0, 8.0]})
+    cust = pd.DataFrame({
+        "c_custkey": [1, 2, 3, 4, 5],
+        "c_nationkey": [0, 1, 1, 1, 1]})
+    got = hhi_by_group(
+        ray.data.from_pandas(orders).repartition(3),
+        ray.data.from_pandas(cust),
+    ).set_index("c_nationkey")
+    assert got.loc[0, "hhi"] == pytest.approx(1.0)
+    assert int(got.loc[0, "n_customers"]) == 1
+    assert got.loc[1, "hhi"] == pytest.approx(0.25)
+    assert int(got.loc[1, "n_customers"]) == 4
+
+
+def test_pythagorean_means_ordering(ray_session):
+    import ray.data
+
+    from engine.ops.relational import grouped_pythagorean_means
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(1.0, 100.0, 500)
+    df = pd.DataFrame({"g": np.repeat(["a", "b"], 250), "v": x})
+    got = grouped_pythagorean_means(
+        ray.data.from_pandas(df).repartition(4), "g", "v"
+    ).set_index("g")
+    for g in ("a", "b"):
+        v = df[df["g"] == g]["v"].to_numpy()
+        gm = np.exp(np.log(v).mean())
+        hm = len(v) / (1.0 / v).sum()
+        assert got.loc[g, "geo_mean"] == pytest.approx(gm, rel=1e-9)
+        assert got.loc[g, "harm_mean"] == pytest.approx(hm, rel=1e-9)
+        assert hm < gm < v.mean()  # AM >= GM >= HM strict for non-constant
