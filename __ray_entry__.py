@@ -5695,8 +5695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_durbin_watson": user_value_durbin_watson,
         "user_value_acf": user_value_acf,
         "nation_spend_hhi": nation_spend_hhi,
-        "price_pythagorean_means_by_flag":
-            price_pythagorean_means_by_flag,
+        "price_pythagorean_means_by_flag": price_pythagorean_means_by_flag,
         "user_value_perm_entropy": user_value_perm_entropy,
         "event_type_jsd_arms": event_type_jsd_arms,
         "event_type_dow_chi2": event_type_dow_chi2,
