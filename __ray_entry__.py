@@ -6091,8 +6091,8 @@ def _sql_image_quadrant_asym() -> str:
               FROM pg p JOIN praw d ON d.i = p.i
               GROUP BY p.i)
         SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
-               round(abs(sl / nl - sr / nr), 6) AS lr_asym,
-               round(abs(st_ / nt - sb / nb), 6) AS tb_asym
+               {_sql_round_even('abs(sl / nl - sr / nr)')} AS lr_asym,
+               {_sql_round_even('abs(st_ / nt - sb / nb)')} AS tb_asym
         FROM q ORDER BY image_id
     """
 
