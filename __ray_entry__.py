@@ -448,7 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         joined = relational.bucketed_join(
             li, part.map_batches(ren, batch_format="pandas"),
-            on="l_partkey", num_partitions=8,
+            on="l_partkey",
         )
         out = relational.partial_groupby_sum(
             joined, ["p_brand"], {"l_quantity": "sum_qty"}, count_as="n_items"
@@ -945,7 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["o_custkey"], {}, count_as="n_big",
         )
         out = relational.bucketed_join(
-            urgent, big, on="o_custkey", how="full_outer", num_partitions=8
+            urgent, big, on="o_custkey", how="full_outer"
         ).to_pandas()
         for c in ("n_urgent", "n_big"):
             out[c] = out[c].fillna(0).astype(np.int64)
@@ -5360,7 +5360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, ["user_id"], {}, count_as="u_n"
         )
         return relational.skew_hybrid_join(
-            ev, dim, on="user_id", hot_threshold=40, num_partitions=8
+            ev, dim, on="user_id", hot_threshold=40
         ).select_columns(["event_id", "user_id", "u_n"])
 
     def profile_lineitem(sf_dir: str):

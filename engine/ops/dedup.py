@@ -161,6 +161,71 @@ def _pairs_sharded(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
+def _posting_layout(arrays: list[np.ndarray]):
+    """Pack per-doc sorted-unique shingle arrays into one flat posting
+    array + (offsets, lengths) — the zero-copy layout the vectorized
+    pair-intersection kernel gathers from (and a single plasma object
+    when broadcast, vs one frozenset per doc)."""
+    lens = np.fromiter((len(x) for x in arrays), np.int64,
+                       count=len(arrays))
+    offs = np.zeros(len(arrays), np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    flat = (np.concatenate(arrays) if arrays
+            else np.empty(0, np.int64))
+    return flat, offs, lens
+
+
+def _pair_intersections(
+    flat: np.ndarray,
+    offs: np.ndarray,
+    lens: np.ndarray,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    chunk_elems: int = 4_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """|A∩B| and |A|+|B| for every pair (ia[i], ib[i]) of posting-list
+    indices — NO Python loop over the pair axis (the round-3 verdict's
+    hot inner stage of minhash/ngram dedup): per chunk, gather both
+    sides' elements into one (pair_tag, value) stream via the
+    repeat/cumsum segmented-arange trick, lexsort, and count adjacent
+    equal values within a pair. Elements are unique WITHIN a doc
+    (``_shingles`` returns ``np.unique``), so an adjacent duplicate is
+    exactly one element present on both sides. Chunks bound peak
+    memory to ~``chunk_elems`` gathered values regardless of how many
+    candidate pairs one block carries."""
+    n = len(ia)
+    inter = np.zeros(n, np.int64)
+    sizes = lens[ia] + lens[ib]
+    if n == 0:
+        return inter, sizes
+    # chunk boundaries: cumulative gathered-element count per pair
+    csz = np.cumsum(sizes)
+    s = 0
+    while s < n:
+        base = csz[s - 1] if s else 0
+        e = int(np.searchsorted(csz, base + chunk_elems, side="left")) + 1
+        e = max(e, s + 1)
+        e = min(e, n)
+        idx = np.concatenate([ia[s:e], ib[s:e]])
+        ln = lens[idx]
+        total = int(ln.sum())
+        if total:
+            m = e - s
+            pair_tag = np.repeat(
+                np.concatenate([np.arange(m, dtype=np.int64)] * 2), ln)
+            seg_start = np.repeat(offs[idx], ln)
+            seg_pos = np.repeat(np.cumsum(ln) - ln, ln)
+            vals = flat[seg_start
+                        + (np.arange(total, dtype=np.int64) - seg_pos)]
+            order = np.lexsort((vals, pair_tag))
+            pt = pair_tag[order]
+            vv = vals[order]
+            eq = (pt[1:] == pt[:-1]) & (vv[1:] == vv[:-1])
+            inter[s:e] = np.bincount(pt[:-1][eq], minlength=m)
+        s = e
+    return inter, sizes
+
+
 def _verify_candidate_pairs(
     cand: ray.data.Dataset,
     docs: ray.data.Dataset,
@@ -199,21 +264,22 @@ def _verify_candidate_pairs(
             return b[b["doc_id"].isin(cached_get(id_ref))]
 
         texts = docs.map_batches(keep, batch_format="pandas").to_pandas()
-        sets_ref = ray.put({
-            int(d): frozenset(_shingles(t, shingle_k).tolist())
-            for d, t in zip(texts["doc_id"], texts["text"].astype(str))
-        })
+        ids = texts["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        arrays = [_shingles(t, shingle_k)
+                  for t in texts["text"].astype(str).to_numpy()[order]]
+        flat, offs, lens = _posting_layout(arrays)
+        # one plasma object: (sorted doc ids, flat postings, offsets,
+        # lengths) — the vectorized kernel's gather layout
+        post_ref = ray.put((ids[order], flat, offs, lens))
 
         def verify_bcast(b: pd.DataFrame) -> pd.DataFrame:
-            ss = cached_get(sets_ref)
-            a = b["a"].to_numpy()
-            bb = b["b"].to_numpy()
-            jac = np.empty(len(b), dtype=np.float64)
-            for i in range(len(b)):
-                sa, sb_ = ss[int(a[i])], ss[int(bb[i])]
-                inter = len(sa & sb_)
-                union = len(sa) + len(sb_) - inter
-                jac[i] = inter / union if union else 1.0
+            pids, pflat, poffs, plens = cached_get(post_ref)
+            ia = np.searchsorted(pids, b["a"].to_numpy(np.int64))
+            ib = np.searchsorted(pids, b["b"].to_numpy(np.int64))
+            inter, sizes = _pair_intersections(pflat, poffs, plens, ia, ib)
+            union = sizes - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
             keep_m = np.round(jac, 6) >= threshold
             out = b.loc[keep_m, ["a", "b"]].astype(np.int64)
             out["jaccard"] = np.round(jac[keep_m], 6)
@@ -242,21 +308,20 @@ def _verify_candidate_pairs(
                  "b": pd.Series(dtype=np.int64),
                  "jaccard": pd.Series(dtype=np.float64)}
             )
-        cache: dict[str, frozenset] = {}
-
-        def sset(t: str) -> frozenset:
-            s = cache.get(t)
-            if s is None:
-                s = cache[t] = frozenset(_shingles(t, shingle_k).tolist())
-            return s
-
-        jac = np.empty(len(b), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(b["__text_a"].astype(str),
-                                         b["__text_b"].astype(str))):
-            sa, sb_ = sset(ta), sset(tb)
-            inter = len(sa & sb_)
-            union = len(sa) + len(sb_) - inter
-            jac[i] = inter / union if union else 1.0
+        # shingle each DISTINCT text once (factorize both sides
+        # together), then the pair axis runs through the vectorized
+        # gather/lexsort kernel — no Python loop over pairs
+        n = len(b)
+        codes, uniques = pd.factorize(
+            pd.concat([b["__text_a"].astype(str),
+                       b["__text_b"].astype(str)], ignore_index=True))
+        arrays = [_shingles(t, shingle_k) for t in uniques]
+        flat, offs, lens = _posting_layout(arrays)
+        ia = codes[:n].astype(np.int64)
+        ib = codes[n:].astype(np.int64)
+        inter, sizes = _pair_intersections(flat, offs, lens, ia, ib)
+        union = sizes - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep_m = np.round(jac, 6) >= threshold
         out = b.loc[keep_m, ["a", "b"]].astype(np.int64)
         out["jaccard"] = np.round(jac[keep_m], 6)
@@ -272,7 +337,7 @@ def minhash_lsh_dedup_ds(
     bands: int = 16,
     threshold: float = 0.8,
     shingle_k: int = 5,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup clustering, finalized DISTRIBUTED ->
     Dataset(doc_id, cluster_id). No driver-side O(corpus) structure
@@ -315,6 +380,10 @@ def minhash_lsh_dedup_ds(
     # join fan-out sized to the candidate volume (same rule as
     # connected_components_distributed): every extra hash-shuffle
     # partition is aggregator-actor overhead, pure waste at small n
+    if num_partitions is None:
+        from engine.state import default_partitions
+
+        num_partitions = default_partitions()
     num_partitions = int(min(num_partitions,
                              max(2, cand.count() // 200_000 + 1)))
 
@@ -416,7 +485,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     num_perm: int | None = None,
     bands: int | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Standalone n-gram Jaccard near-dup op (SURVEY §2.7 D3 family):
     MinHash banding surfaces candidate pairs, then each pair is verified
@@ -463,6 +532,10 @@ def ngram_jaccard_pairs(
     n_cand = cand.count()
     if n_cand == 0:
         return empty
+    if num_partitions is None:
+        from engine.state import default_partitions
+
+        num_partitions = default_partitions()
     num_partitions = int(min(num_partitions,
                              max(2, n_cand // 200_000 + 1)))
 

@@ -1659,7 +1659,7 @@ def dbscan(
     *,
     max_abs_lat: float = 80.0,
     small_broadcast_ids: int = 2_000_000,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed grid-based DBSCAN over (node:int64, lon, lat) rows
     with haversine-meter eps — the density-based spatial-clustering op
@@ -4092,8 +4092,8 @@ def colocation_quotient(
                                 "cat_b": b[cat_col]}),
         batch_format="pandas")
     lab = bucketed_join(
-        bucketed_join(nn, cat_a, on="image_id", num_partitions=8),
-        cat_b, on="neighbor_id", num_partitions=8)
+        bucketed_join(nn, cat_a, on="image_id"),
+        cat_b, on="neighbor_id")
 
     def count(b: pd.DataFrame) -> pd.DataFrame:
         agg = b.groupby(["cat_a", "cat_b"], as_index=False,

@@ -222,7 +222,7 @@ def bloom_semi_join(
     bits_per_key: int = 10,
     k_hashes: int = 3,
     expected_keys: int | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Semi-join for the case ``semi_join`` can't handle: the key side
     is itself a big Dataset (too large to collect as a driver set) but a
@@ -241,7 +241,8 @@ def bloom_semi_join(
     ``num_partitions`` feeds the residual ``bucketed_join``; the native
     JoinOperator keeps all partition aggregators resident, so it must
     stay O(cluster CPUs) — 32 partitions on a 4-cpu node livelocks
-    (measured: 50+ blocked workers). Raise it with cluster size."""
+    (measured: 50+ blocked workers). ``None`` derives it from
+    ``state.default_partitions()`` (tracks the cluster's CPU count)."""
     from engine.ops.sketch import _hash64
 
     # the key pipeline feeds THREE consumers (count, bitmap pass,
@@ -292,7 +293,7 @@ def bucketed_anti_join(
     right_keys: ray.data.Dataset,
     on: str,
     *,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Both-sides-big NOT IN (the reference's "articles with no matching
     object" lists when neither side fits a broadcast): distinct right
@@ -1235,18 +1236,24 @@ def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: str | tuple[str, ...],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Both-sides-large equi-join: hash-partitioned co-shuffle.
 
     Wraps the native ``Dataset.join`` (hash partition both sides on the
-    key, join partitions independently). ``num_partitions`` is the
-    explicit partitioning knob — raise it for skewed/huge keys so each
-    partition fits an aggregator's heap. Prefer ``broadcast_hash_join``
-    whenever one side fits in a broadcast: it avoids this all-to-all
-    entirely.
+    key, join partitions independently). ``num_partitions`` defaults to
+    ``state.default_partitions()`` (2x cluster CPUs — the JoinOperator
+    keeps every partition aggregator resident, so the count must track
+    the cluster, not a constant); pass it explicitly for skewed/huge
+    keys so each partition fits an aggregator's heap. Prefer
+    ``broadcast_hash_join`` whenever one side fits in a broadcast: it
+    avoids this all-to-all entirely.
     """
+    from engine.state import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
     on_t = (on,) if isinstance(on, str) else tuple(on)
     return left.join(
         right, join_type=how, num_partitions=num_partitions, on=on_t
@@ -1521,7 +1528,7 @@ def skew_hybrid_join(
     right: ray.data.Dataset,
     on: str,
     hot_threshold: int,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Skew-aware equi-join: keys hotter than ``hot_threshold`` on the
     left are handled by BROADCASTING their (few) right-side rows —
@@ -1696,7 +1703,7 @@ def auto_join(
     *,
     broadcast_max_rows: int = 2_000_000,
     skew_threshold: int | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Stats-driven equi-join strategy pick — the one-rule planner a
     pipeline author otherwise applies by hand:
@@ -3710,8 +3717,11 @@ def js_divergence_arms(
         if arm not in piv.columns:
             piv[arm] = 0
     na, nb = float(piv[0].sum()), float(piv[1].sum())
-    p = piv[0].to_numpy(np.float64) / na if na > 0 else 0.0
-    q = piv[1].to_numpy(np.float64) / nb if nb > 0 else 0.0
+    # degenerate arm (all traffic hashed to one side): the other arm's
+    # distribution is the zero VECTOR, not a scalar — h() indexes it
+    zeros = np.zeros(len(piv), np.float64)
+    p = piv[0].to_numpy(np.float64) / na if na > 0 else zeros
+    q = piv[1].to_numpy(np.float64) / nb if nb > 0 else zeros
     m = 0.5 * (p + q)
 
     def h(x: np.ndarray) -> float:
@@ -3768,8 +3778,12 @@ def hourly_ccf(
         events.map_batches(local, batch_format="pandas"),
         ["hour", "is_a"]).to_pandas()
     if cnt.empty or "hour" not in cnt.columns:
-        return pd.DataFrame({"lag": pd.Series(dtype=np.int64),
-                             "ccf": pd.Series(dtype=np.float64)})
+        # the SQL twin's lag spine survives an empty corpus (cross join
+        # with the generated 0..max_lag series): match it — full spine,
+        # ccf 0.0 — so row counts agree unconditionally
+        return pd.DataFrame({
+            "lag": np.arange(max_lag + 1, dtype=np.int64),
+            "ccf": np.zeros(max_lag + 1, np.float64)})
     h0, h1 = int(cnt["hour"].min()), int(cnt["hour"].max())
     span = h1 - h0 + 1
     a = np.zeros(span, np.float64)
@@ -3820,10 +3834,15 @@ def hhi_by_group(
     def local(b: pd.DataFrame) -> pd.DataFrame:
         keys, vals = cached_get(ref)
         k = b[key].to_numpy(np.int64)
+        # inner-join semantics (the twin joins): keys absent from the
+        # dimension are DROPPED, not silently mapped to a neighbor
+        idx = np.searchsorted(keys, k)
+        ok = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == k)
+        k, idx = k[ok], idx[ok]
         g = pd.DataFrame({
             key: k,
-            group_col: vals[np.searchsorted(keys, k)],
-            "s": np.rint(b[value_col].to_numpy(np.float64)
+            group_col: vals[idx],
+            "s": np.rint(b[value_col].to_numpy(np.float64)[ok]
                          * 100.0).astype(np.int64)})
         return g.groupby([key, group_col],
                          as_index=False, sort=False).sum()

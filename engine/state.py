@@ -26,6 +26,30 @@ import ray
 _CACHE: dict[str, Any] = {}
 
 
+def default_partitions(
+    mult: float = 2.0, floor: int = 8, cap: int = 4096
+) -> int:
+    """Cluster-derived partition count for co-shuffle joins and edge
+    repartitions: ``clamp(round(mult * cluster CPUs), floor, cap)``.
+
+    Ray's native ``Dataset.join`` keeps every partition's aggregator
+    actor resident, so the count must stay O(cluster CPUs) — 32
+    partitions on a 4-cpu session livelocks (50+ blocked workers),
+    while a fixed 8 on a 512-core cluster serializes the join. The
+    2x-CPUs rule reproduces the sandbox-tuned value (8 at the 4-cpu
+    test fixture) and scales with the cluster; partition count never
+    reaches results, only scheduling."""
+    cpus = 0.0
+    try:
+        if ray.is_initialized():
+            cpus = float(ray.cluster_resources().get("CPU", 0.0))
+    except Exception:
+        cpus = 0.0
+    if cpus <= 0:
+        cpus = 4.0
+    return int(max(floor, min(cap, round(cpus * mult))))
+
+
 def cached_get(ref: "ray.ObjectRef", build: Callable[[Any], Any] | None = None) -> Any:
     """Fetch ``ref`` once per worker process (optionally post-processed
     by ``build``, also memoized). Zero-copy for numpy-backed payloads."""

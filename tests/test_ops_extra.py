@@ -4820,3 +4820,22 @@ def test_pythagorean_means_ordering(ray_session):
         assert got.loc[g, "geo_mean"] == pytest.approx(gm, rel=1e-9)
         assert got.loc[g, "harm_mean"] == pytest.approx(hm, rel=1e-9)
         assert hm < gm < v.mean()  # AM >= GM >= HM strict for non-constant
+
+
+def test_default_partitions_tracks_cluster_cpus(ray_session, monkeypatch):
+    """Round-3 verdict item 3: join/shuffle partition defaults derive
+    from the cluster's CPU count (2x, clamped), not a sandbox-tuned
+    constant — 8 at the 4-cpu test fixture, scaling with the cluster."""
+    import ray
+
+    from engine.state import default_partitions
+
+    # live 4-cpu session -> the sandbox-tuned historical value
+    assert default_partitions() == 8
+
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 512.0})
+    assert default_partitions() == 1024
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 8192.0})
+    assert default_partitions() == 4096  # cap
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {})
+    assert default_partitions() == 8  # floor on unknown resources
