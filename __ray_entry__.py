@@ -2475,6 +2475,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         j = join.run_pip_join(idx, poly, concurrency=(1, 4))
         return j.select_columns(["image_id", "admin_id", "level", "is_primary"])
 
+    def geo_pip_join_incremental(sf_dir: str):
+        # the incremental-update loop's MERGE->join composition
+        # (engine/pipeline/incremental.py is the partition-invalidating
+        # flagship form, pytest-oracled): a deterministic changefile —
+        # DELETE i%97==3, MOVE i%89==5 (lon+0.35, lat-0.20), INSERT 500
+        # new ids past the corpus — applies via relational.merge_upserts
+        # (one shuffle), then the standard broadcast PIP join runs over
+        # the merged point set. The DuckDB twin applies the identical
+        # rules to the regenerated lon/lat stream.
+        import pyarrow as pa
+
+        from engine.pipeline.join import build_polygon_set
+        from engine.state import cached_get
+
+        base = _geo_indexed(columns=["image_id"]).select_columns(
+            ["image_id", "lon", "lat"])
+        i = np.arange(_GEO_N, dtype=np.int64)
+        del_m = (i % 97) == 3
+        mv_i = i[((i % 89) == 5) & ~del_m]
+        lon_m, lat_m = fixtures.row_lonlat(mv_i)
+        ins_i = np.arange(_GEO_N, _GEO_N + 500, dtype=np.int64)
+        lon_i, lat_i = fixtures.row_lonlat(ins_i)
+        delta = pd.DataFrame({
+            "image_id": [f"img{int(x):09d}" for x in
+                         np.concatenate([i[del_m], mv_i, ins_i])],
+            "lon": np.concatenate(
+                [np.zeros(int(del_m.sum())), lon_m + 0.35, lon_i]),
+            "lat": np.concatenate(
+                [np.zeros(int(del_m.sum())), lat_m - 0.20, lat_i]),
+            "__op": (["D"] * int(del_m.sum())
+                     + ["U"] * (len(mv_i) + len(ins_i))),
+        })
+        merged = relational.merge_upserts(
+            base, ray.data.from_pandas(delta), key="image_id")
+        poly_ref = ray.put(build_polygon_set(fixtures.polygons()))
+
+        def pip(batch: pa.Table) -> pa.Table:
+            polys = cached_get(poly_ref)
+            lon = np.asarray(batch["lon"], dtype=np.float64)
+            lat = np.asarray(batch["lat"], dtype=np.float64)
+            p_idx, g_idx = polys.contains_pairs(lon, lat)
+            levels = polys.levels[g_idx]
+            admin = polys.admin_ids[g_idx]
+            order = np.lexsort((admin, levels, p_idx))
+            ps, ls = p_idx[order], levels[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = (ps[1:] != ps[:-1]) | (ls[1:] != ls[:-1])
+            is_primary = np.empty(len(order), dtype=bool)
+            is_primary[order] = first
+            take = pa.array(p_idx, pa.int64())
+            return pa.table({
+                "image_id": pa.compute.take(batch["image_id"], take),
+                "admin_id": pa.array(admin, pa.string()),
+                "level": pa.array(levels.astype(np.int32), pa.int32()),
+                "is_primary": pa.array(is_primary),
+            })
+
+        return merged.map_batches(pip, batch_format="pyarrow")
+
     def geo_knn(sf_dir: str):
         from engine.pipeline.flagship import _poly_centroids
 
@@ -5567,6 +5626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_to_shards_pipeline": corpus_to_shards_pipeline,
         "prepare_image_corpus_pipeline": prepare_image_corpus_pipeline,
         "geo_pip_join": geo_pip_join,
+        "geo_pip_join_incremental": geo_pip_join_incremental,
         "geo_toponym_infer": geo_toponym_infer,
         "geo_josm_links": geo_josm_links,
         "geo_pip_join_from_osm_xml": geo_pip_join_from_osm_xml,
@@ -12846,6 +12906,30 @@ def oracle_sql() -> dict[str, str]:
             FROM gr WHERE rn <= 3
         """,
         "geo_pip_join": _SQL_GEO_PIP_JOIN.replace("__BASE__", _sql_geo_lonlat(_GEO_N)),
+        # MERGE-side twin of the incremental loop: the changefile rules
+        # (DELETE i%97==3, MOVE i%89==5 by +0.35/-0.20, INSERT 500 past
+        # the corpus) apply to the regenerated point stream in SQL, then
+        # the same ray-cast PIP join runs over the merged set
+        "geo_pip_join_incremental": f"""
+            WITH {_sql_geo_lonlat(_GEO_N + 500)},
+            gmer AS (
+                SELECT i,
+                    CASE WHEN i < {_GEO_N} AND (i % 89) = 5
+                              AND (i % 97) != 3
+                         THEN lon + 0.35 ELSE lon END AS lon,
+                    CASE WHEN i < {_GEO_N} AND (i % 89) = 5
+                              AND (i % 97) != 3
+                         THEN lat - 0.20 ELSE lat END AS lat
+                FROM gll
+                WHERE NOT (i < {_GEO_N} AND (i % 97) = 3)),
+            gpts AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0')
+                         AS image_id, lon, lat FROM gmer),
+            {_SQL_GEO_PIP}
+            SELECT image_id, admin_id, level,
+                   (ROW_NUMBER() OVER (PARTITION BY image_id, level
+                                       ORDER BY admin_id) = 1) AS is_primary
+            FROM ghits ORDER BY image_id, admin_id
+        """,
         "geo_pip_join_from_osm_xml":
             _SQL_GEO_PIP_JOIN.replace("__BASE__", _sql_geo_lonlat(_GEO_N)),
         "geo_admin_rollup": f"""

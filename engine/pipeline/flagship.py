@@ -66,6 +66,7 @@ def run_flagship(
     use_actors: bool = True,
     fused: bool = True,
     read_blocks: int | None = None,
+    planned: dict[str, list[str]] | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns summary counts.
 
@@ -97,7 +98,10 @@ def run_flagship(
     paths = sorted(glob.glob(os.path.join(images_dir, "*.parquet")))
     if not paths:
         raise FileNotFoundError(f"no parquet under {images_dir}")
-    planned = manifest.plan_partitions(paths, target_partitions)
+    if planned is None:
+        planned = manifest.plan_partitions(paths, target_partitions)
+    # else: caller-supplied plan (incremental update reuses the prior
+    # run's lineage plan so untouched partition ids stay stable)
     todo = manifest.plan_resume(man_dir, "join", planned) if resume else planned
     cand = _poly_centroids(poly)
     if fused:
