@@ -4705,33 +4705,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["image_id_a", "image_id_b", "n_shared"]]
 
     def image_augment(sf_dir: str):
-        # deterministic augmentation: hash(image_id)-seeded hflip /
-        # rot90 / center-crop, re-encoded; exactness pytest-oracled
+        # deterministic augmentation over the LOSSLESS raw16 subset:
+        # externally-planned hflip / rot90 / center-crop (plan =
+        # splitmix stream 20 of the numeric id — the SQL-reproducible
+        # planner form; the id-hash default stays pytest-oracled), then
+        # a position-weighted pixel checksum of the augmented image.
+        # The DuckDB twin regenerates the pixels, applies the SAME
+        # coordinate transforms and must match the checksum bit for
+        # bit. Full-corpus (qdct) byte exactness stays pytest-oracled.
         from engine.io import read_images
-        import zlib
 
-        ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt"])
-        out = multimodal.augment_images(ds, concurrency=(1, 4))
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
 
-        def crc(b: pd.DataFrame) -> pd.DataFrame:
-            b["aug_crc"] = [zlib.crc32(x) for x in b["aug_bytes"]]
+        def plan(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["fmt"] == "raw16"].copy()
+            i = b["image_id"].str[3:].astype(np.int64).to_numpy()
+            h = fixtures._hash_stream(i, 20)
+            b["plan_hflip"] = (h & np.uint64(1)).astype(bool)
+            b["plan_rot90"] = ((h >> np.uint64(1))
+                               % np.uint64(4)).astype(np.int64)
+            b["plan_crop_ix"] = ((h >> np.uint64(3))
+                                 % np.uint64(3)).astype(np.int64)
+            return b
+
+        out = multimodal.augment_images(
+            ds.map_batches(plan, batch_format="pandas"),
+            concurrency=(1, 4),
+            param_cols=("plan_hflip", "plan_rot90", "plan_crop_ix"))
+
+        def checksum(b: pd.DataFrame) -> pd.DataFrame:
+            sums = np.empty(len(b), np.int64)
+            for k, blob in enumerate(b["aug_bytes"]):
+                px = codec.decode(blob).astype(np.int64).ravel()
+                sums[k] = int((px * (1 + np.arange(px.size))).sum())
+            b = b.copy()
+            b["aug_checksum"] = sums
             return b[["image_id", "aug_w", "aug_h", "aug_hflip",
-                      "aug_rot90", "aug_crop", "aug_crc"]]
+                      "aug_rot90", "aug_crop", "aug_checksum"]]
 
-        return out.map_batches(crc, batch_format="pandas")
+        res = out.map_batches(checksum, batch_format="pandas").to_pandas()
+        return res.sort_values("image_id", ignore_index=True)
 
     def image_resize(sf_dir: str):
+        # 8x8 area-mean thumbnail over the lossless raw16 subset with
+        # a position-weighted pixel checksum; the DuckDB twin rebuilds
+        # the integer-boundary box means from regenerated pixels
+        # (half-even rounding reproduced). qdct byte exactness stays
+        # pytest-oracled via the codec PSNR/thumb suites.
         from engine.io import read_images
-        import zlib
 
-        ds = read_images(_geo_fixture_dir(), columns=["image_id", "bytes", "fmt"])
-        out = multimodal.resize_images(ds, size=8, concurrency=(1, 4))
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
 
-        def crc(b: pd.DataFrame) -> pd.DataFrame:
-            b["resized_crc"] = [zlib.crc32(x) for x in b["resized_bytes"]]
-            return b[["image_id", "resized_w", "resized_h", "resized_crc"]]
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
 
-        return out.map_batches(crc, batch_format="pandas")
+        out = multimodal.resize_images(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            size=8, concurrency=(1, 4))
+
+        def checksum(b: pd.DataFrame) -> pd.DataFrame:
+            sums = np.empty(len(b), np.int64)
+            for k, blob in enumerate(b["resized_bytes"]):
+                px = codec.decode(blob).astype(np.int64).ravel()
+                sums[k] = int((px * (1 + np.arange(px.size))).sum())
+            b = b.copy()
+            b["resized_checksum"] = sums
+            return b[["image_id", "resized_w", "resized_h",
+                      "resized_checksum"]]
+
+        res = out.map_batches(checksum, batch_format="pandas").to_pandas()
+        return res.sort_values("image_id", ignore_index=True)
 
     def image_dims_by_fmt(sf_dir: str):
         # image-axis per-codec stats: count, mean dims, total megapixels.
@@ -6006,16 +6051,17 @@ def _sql_gdims_body() -> str:
     """
 
 
-def _sql_pixels_cte(n: int) -> str:
+def _sql_pixels_cte(n: int, streams: list[int] | None = None) -> str:
     """CTE chain ending in gpx(i, c, px): every decoded pixel of every
     raw16 fixture row, regenerated bit-exactly from the splitmix chains
     (fixtures.image_pixels; raw16 decode is the lossless identity).
     np.rint's half-to-even is reproduced explicitly (SQL round() is
-    half-away)."""
+    half-away). Extra ``streams`` ride along in ghash for twins that
+    also need per-row parameter hashes (augment plan = stream 20)."""
     k0 = ("CAST(xor(xor(CAST(src AS UBIGINT) << 32, "
           "CAST(y AS UBIGINT) << 16), CAST(x AS UBIGINT)) AS HUGEINT)")
     return f"""
-        {_sql_geo_hashes(n, [10, 11, 12])},
+        {_sql_geo_hashes(n, list(streams or [10, 11, 12]))},
         {_sql_gdims_body()},
         praw AS (SELECT d.i, s.src, d.w, d.h
                  FROM gdim d JOIN gsrc s ON s.i = d.i
@@ -8946,6 +8992,89 @@ def oracle_sql() -> dict[str, str]:
         "embedding_participation_ratio": _sql_participation_ratio(),
         "image_norm_moments": _sql_image_norm_moments(),
         "image_pixel_histogram": _sql_image_pixel_histogram(16),
+        # 8x8 area-mean thumbnail checksum over the raw16 subset:
+        # integer box boundaries (o*dim)//8, box mean = AVG over the
+        # box's pixels (integer sums are exact in double, so this
+        # equals the engine's cumsum-difference tot/area bit for bit),
+        # half-even rounding, then the position-weighted checksum
+        "image_resize": f"""
+            WITH {_sql_pixels_cte(_GEO_N)},
+            rmap AS (
+                SELECT g.i, g.c, g.px, oy.o AS oy, ox.o AS ox
+                FROM gpx g JOIN gdim d ON d.i = g.i
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS o) oy
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS o) ox
+                WHERE (oy.o * d.h) // 8 <= g.y
+                  AND g.y < ((oy.o + 1) * d.h) // 8
+                  AND (ox.o * d.w) // 8 <= g.x
+                  AND g.x < ((ox.o + 1) * d.w) // 8),
+            ravg AS (SELECT i, oy, ox, c, AVG(px) AS v
+                     FROM rmap GROUP BY i, oy, ox, c),
+            rpx AS (SELECT i, oy, ox, c,
+                        LEAST(GREATEST(
+                            FLOOR(v + 0.5e0)
+                            - CASE WHEN FLOOR(v + 0.5e0) - v = 0.5e0
+                                        AND CAST(FLOOR(v + 0.5e0) AS BIGINT)
+                                            % 2 <> 0
+                                   THEN 1 ELSE 0 END, 0e0), 255e0) AS pxr
+                    FROM ravg)
+            SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+                   8 AS resized_w, 8 AS resized_h,
+                   CAST(SUM(pxr * (1 + (oy * 8 + ox) * 3 + c))
+                        AS BIGINT) AS resized_checksum
+            FROM rpx GROUP BY i ORDER BY image_id
+        """,
+        # externally-planned augmentation (plan hashes = splitmix
+        # stream 20): hflip -> rot90 (np.rot90 CCW coordinate maps) ->
+        # centered crop (trunc(dim * frac), floor-div offsets), then
+        # the same position-weighted checksum over the raw16 subset
+        "image_augment": f"""
+            WITH {_sql_pixels_cte(_GEO_N, [10, 11, 12, 20])},
+            apar AS (SELECT i, (h20 & 1) = 1 AS flip,
+                        CAST((h20 >> 1) % 4 AS INT) AS rot,
+                        CAST((h20 >> 3) % 3 AS INT) AS cix
+                     FROM ghash),
+            aflip AS (SELECT g.i, g.c, g.px, d.w, d.h, p.rot, p.cix,
+                        p.flip, g.y AS y1,
+                        CASE WHEN p.flip THEN d.w - 1 - g.x
+                             ELSE g.x END AS x1
+                      FROM gpx g JOIN gdim d ON d.i = g.i
+                      JOIN apar p ON p.i = g.i),
+            arot AS (SELECT i, c, px, rot, cix, flip,
+                        CASE rot WHEN 0 THEN y1 WHEN 1 THEN w - 1 - x1
+                                 WHEN 2 THEN h - 1 - y1 ELSE x1 END AS y2,
+                        CASE rot WHEN 0 THEN x1 WHEN 1 THEN y1
+                                 WHEN 2 THEN w - 1 - x1
+                                 ELSE h - 1 - y1 END AS x2,
+                        CASE WHEN rot % 2 = 1 THEN w ELSE h END AS h2,
+                        CASE WHEN rot % 2 = 1 THEN h ELSE w END AS w2
+                     FROM aflip),
+            adims AS (SELECT i, c, px, flip, rot, cix, y2, x2, h2, w2,
+                        CASE cix WHEN 0 THEN 1.0e0 WHEN 1 THEN 0.875e0
+                                 ELSE 0.75e0 END AS f
+                      FROM arot),
+            acrop AS (SELECT i, c, px, flip, rot, f, y2, x2, h2, w2,
+                        CAST(GREATEST(1, trunc(h2 * f)) AS INT) AS ch,
+                        CAST(GREATEST(1, trunc(w2 * f)) AS INT) AS cw
+                      FROM adims),
+            afin AS (SELECT i, c, px, flip, rot, f, ch, cw,
+                        y2 - (h2 - ch) // 2 AS y3,
+                        x2 - (w2 - cw) // 2 AS x3
+                     FROM acrop
+                     WHERE y2 >= (h2 - ch) // 2
+                       AND y2 < (h2 - ch) // 2 + ch
+                       AND x2 >= (w2 - cw) // 2
+                       AND x2 < (w2 - cw) // 2 + cw)
+            SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+                   CAST(ANY_VALUE(cw) AS BIGINT) AS aug_w,
+                   CAST(ANY_VALUE(ch) AS BIGINT) AS aug_h,
+                   ANY_VALUE(flip) AS aug_hflip,
+                   CAST(ANY_VALUE(rot) AS BIGINT) AS aug_rot90,
+                   ANY_VALUE(f) AS aug_crop,
+                   CAST(SUM(px * (1 + (y3 * cw + x3) * 3 + c))
+                        AS BIGINT) AS aug_checksum
+            FROM afin GROUP BY i ORDER BY image_id
+        """,
         "image_patches": _sql_image_patches(),
         "image_sharpness": _sql_image_sharpness(),
         "image_entropy_contrast": _sql_image_entropy_contrast(),

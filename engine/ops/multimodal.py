@@ -191,18 +191,32 @@ class Augment:
     corpora resumable and dedupable). Emits the applied params as
     columns for auditability, plus the re-encoded payload."""
 
-    def __init__(self, crop_fracs=(1.0, 0.875, 0.75), out_fmt: str = "raw16"):
+    def __init__(self, crop_fracs=(1.0, 0.875, 0.75), out_fmt: str = "raw16",
+                 param_cols: tuple[str, str, str] | None = None):
         self.crop_fracs = tuple(crop_fracs)
         self.out_fmt = out_fmt
+        # externally-planned augmentation: (hflip bool, rot90 int,
+        # crop_ix int) columns computed by an upstream planner stage
+        # replace the id-hash derivation — the form a curriculum/
+        # replication sampler feeds, and the SQL-reproducible form
+        # (the id hash is pandas hash_array, not SQL-expressible)
+        self.param_cols = param_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from engine.ops.sketch import _hash64
 
-        ids = batch["image_id"].to_pylist()
-        h = _hash64(np.asarray(ids, dtype=object))
-        flip = (h & np.uint64(1)).astype(bool)
-        rot = ((h >> np.uint64(1)) % np.uint64(4)).astype(np.int64)
-        cix = ((h >> np.uint64(3)) % np.uint64(len(self.crop_fracs))).astype(int)
+        if self.param_cols is not None:
+            fc, rc, cc = self.param_cols
+            flip = np.asarray(batch[fc]).astype(bool)
+            rot = np.asarray(batch[rc]).astype(np.int64)
+            cix = np.asarray(batch[cc]).astype(int)
+            batch = batch.drop_columns([fc, rc, cc])
+        else:
+            ids = batch["image_id"].to_pylist()
+            h = _hash64(np.asarray(ids, dtype=object))
+            flip = (h & np.uint64(1)).astype(bool)
+            rot = ((h >> np.uint64(1)) % np.uint64(4)).astype(np.int64)
+            cix = ((h >> np.uint64(3)) % np.uint64(len(self.crop_fracs))).astype(int)
         blobs, ws, hs = [], [], []
         for i, (data, fmt) in enumerate(
             zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
@@ -235,9 +249,13 @@ class Augment:
 
 
 def augment_images(ds: ray.data.Dataset, *, batch_size: int = 512,
-                   concurrency=(1, 8)) -> ray.data.Dataset:
+                   concurrency=(1, 8),
+                   param_cols: tuple[str, str, str] | None = None
+                   ) -> ray.data.Dataset:
+    kwargs = {"param_cols": param_cols} if param_cols else {}
     return ds.map_batches(
-        Augment, batch_format="pyarrow", batch_size=batch_size,
+        Augment, fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
 
