@@ -76,8 +76,12 @@ def parse_sf(sf_dir: str) -> float | None:
 
 
 def fixture_rows(sf: float | None) -> int:
-    """Flagship fixture size: ~600k rows/sf-unit, floor 2k (sf0.001-ish)."""
-    return max(2000, int(600_000 * (sf if sf is not None else 0.1)))
+    """Flagship fixture size: ~2.4M rows/sf-unit, floor 2k — 240k rows
+    at the driver's sf0.1 so the headline rows/s is real pipeline
+    throughput, not per-execution scheduling overhead (round-3 verdict
+    item 7: 60k rows ran in ~5.5s, mostly fixed cost; the protocol
+    number at 1.2M rows was 4x the 60k-row rate)."""
+    return max(2000, int(2_400_000 * (sf if sf is not None else 0.1)))
 
 
 def ensure_fixture(n: int, px_scale: int = 1) -> str:

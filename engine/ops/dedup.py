@@ -709,19 +709,36 @@ def embedding_near_dups(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
+    probe_bits: int = 1,
 ) -> pd.DataFrame:
     """Near-dup id pairs with cosine >= threshold.
 
     LSH bucket by random-hyperplane sign signature (groupby bucket)
-    with MULTI-PROBE: each vector is also emitted to its num_planes
-    1-bit-flip neighbor buckets (probe flag > 0), so a 0.95-cosine pair
-    straddling ONE hyperplane still meets in the exact bucket of either
-    member — the recall gap of exact-signature bucketing. Verification
-    is exact cosine within buckets, restricted to pairs where at least
-    one member is an exact-bucket (probe 0) row, so same-signature
-    pairs are verified once, not once per probe. Returns
-    DataFrame(a, b, cos) sorted.
+    with MULTI-PROBE: each vector is also emitted to every neighbor
+    bucket within hamming distance ``probe_bits`` of its signature
+    (probe flag > 0), so a near-threshold pair straddling up to
+    ``probe_bits`` hyperplanes still meets in the exact bucket of
+    either member — the recall gap of exact-signature bucketing.
+    GUARANTEED recall floor: any qualifying pair whose signatures
+    differ in <= probe_bits bits is found (one member's exact bucket
+    is the other's probe); pairs straddling more planes are
+    best-effort (raise probe_bits or num_planes). probe_bits=1 emits
+    num_planes probes per vector; probe_bits=2 adds the
+    C(num_planes, 2) two-flip probes — the boundary-recall option for
+    thresholds sitting right on a bucket face (round-3 verdict item
+    8, pytest-oracled with planted two-plane straddlers).
+    Verification is exact cosine within buckets, restricted to pairs
+    where at least one member is an exact-bucket (probe 0) row, so
+    same-signature pairs are verified once, not once per probe.
+    Returns DataFrame(a, b, cos) sorted.
     """
+    flip_masks = [1 << j for j in range(num_planes)]
+    if probe_bits >= 2:
+        flip_masks += [
+            (1 << i) | (1 << j)
+            for i in range(num_planes) for j in range(i + 1, num_planes)]
+    fm = np.asarray(flip_masks, dtype=np.int64)
+
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         v = np.stack(batch[vec_col].to_numpy())
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
@@ -729,15 +746,15 @@ def embedding_near_dups(
         signs = (v @ planes) > 0
         bucket = (signs * (1 << np.arange(num_planes))).sum(axis=1)
         n = len(bucket)
-        # probe 0 = exact bucket; probe j>0 = bucket with bit j-1 flipped
-        flips = (bucket[:, None]
-                 ^ (1 << np.arange(num_planes))[None, :]).ravel()
+        # probe 0 = exact bucket; probe > 0 = signature with one of the
+        # flip masks applied (all hamming-<=probe_bits neighbors)
+        flips = (bucket[:, None] ^ fm[None, :]).ravel()
         all_buckets = np.concatenate([bucket, flips]).astype(np.int64)
         probe = np.concatenate([
             np.zeros(n, np.int8),
-            np.ones(n * num_planes, np.int8)])
+            np.ones(n * len(fm), np.int8)])
         idx = np.concatenate([
-            np.arange(n), np.repeat(np.arange(n), num_planes)])
+            np.arange(n), np.repeat(np.arange(n), len(fm))])
         return pd.DataFrame(
             {id_col: batch[id_col].to_numpy()[idx],
              "bucket": all_buckets, "probe": probe,
@@ -776,6 +793,11 @@ def embedding_near_dups(
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
+    if pairs.empty and "a" not in pairs.columns:
+        # an all-empty group result loses its schema on to_pandas
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64),
+                             "cos": pd.Series(dtype=np.float64)})
     return pairs.drop_duplicates().sort_values(["a", "b"], ignore_index=True)
 
 
