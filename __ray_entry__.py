@@ -4923,6 +4923,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["rank"] = out["rank"].round(8)
         return out
 
+    def supplier_part_sssp(sf_dir: str):
+        # Bellman-Ford single-source shortest paths over the UNDIRECTED
+        # supplier<->part co-shipment graph, weight = min l_quantity of
+        # the (supplier, part) shipments; source = supplier 1. Dist
+        # stays a Dataset end-to-end (one co-shuffle relax join + one
+        # min-combiner per round); the SQL twin unrolls the rounds.
+        from engine.ops.graph import sssp
+
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_suppkey", "l_partkey", "l_quantity"])
+
+        def mk_edges(b: pd.DataFrame) -> pd.DataFrame:
+            s = b["l_suppkey"].to_numpy(np.int64)
+            p = b["l_partkey"].to_numpy(np.int64) + 10_000_000
+            w = b["l_quantity"].to_numpy(np.float64)
+            g = pd.DataFrame({
+                "src": np.concatenate([s, p]),
+                "dst": np.concatenate([p, s]),
+                "w": np.concatenate([w, w])})
+            return g.groupby(["src", "dst"], as_index=False).min()
+
+        edges = relational.partial_groupby_agg(
+            li.map_batches(mk_edges, batch_format="pandas"),
+            ["src", "dst"], {"w": ("w", "min")})
+        return sssp(edges, source=1, rounds=4)
+
+    def docs_bm25_topk(sf_dir: str):
+        # Okapi BM25 relevance of every document against a fixed
+        # query-term set (topic mining for curation); the twin
+        # evaluates the identical Lucene-idf formula in SQL
+        from engine.ops.text import bm25_topk
+
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return bm25_topk(
+            docs, ["merge", "vector", "window", "scan"], top_k=20)
+
+    def embedding_label_silhouette(sf_dir: str):
+        # centroid-silhouette clustering validation per label: two
+        # combiner passes (per-label centroid partials; broadcast-
+        # centroid scoring partials) — O(labels x dim) rows move
+        from engine.ops.simsearch import label_silhouette
+
+        emb = sf_table(sf_dir, "embeddings", ["embedding", "label"])
+        return label_silhouette(emb)
+
     def order_share_of_customer(sf_dir: str):
         # ratio-to-report: each order's share of its customer's total —
         # grouped totals (combiner) broadcast back into the same scan
@@ -5557,6 +5602,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": orders_above_cust_avg,
         "orders_price_histogram": orders_price_histogram,
         "supplier_part_pagerank": supplier_part_pagerank,
+        "supplier_part_sssp": supplier_part_sssp,
+        "docs_bm25_topk": docs_bm25_topk,
+        "embedding_label_silhouette": embedding_label_silhouette,
         "order_share_of_customer": order_share_of_customer,
         "approx_value_quantiles_by_type": approx_value_quantiles_by_type,
         "approx_user_event_counts": approx_user_event_counts,
@@ -7462,6 +7510,40 @@ def _sql_pagerank(iters: int = 8, damping: float = 0.85) -> str:
     )
 
 
+def _sql_sssp(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford over the undirected supplier<->part
+    graph (weight = min l_quantity per edge), source supplier 1 —
+    mirrors engine.ops.graph.sssp: each round, dist rows union the
+    one-hop relaxations and a MIN per node folds them. MATERIALIZED
+    CTEs: each d{i} is referenced twice per step, and inlined CTE
+    chains go exponential (the _sql_hits lesson)."""
+    head = """
+        WITH e0 AS MATERIALIZED (
+            SELECT l_suppkey AS s,
+                   CAST(l_partkey + 10000000 AS BIGINT) AS p,
+                   MIN(CAST(l_quantity AS DOUBLE)) AS w
+            FROM lineitem GROUP BY 1, 2),
+        e AS MATERIALIZED (
+            SELECT s AS src, p AS dst, w FROM e0
+            UNION ALL SELECT p, s, w FROM e0),
+        d0 AS (SELECT CAST(1 AS BIGINT) AS node, 0.0e0 AS dist)
+    """
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+        , d{i + 1} AS MATERIALIZED (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d{i} d JOIN e ON e.src = d.node
+            ) GROUP BY node)
+        """)
+    return (head + "".join(steps)
+            + f" SELECT node, ROUND(dist, 4) AS dist FROM d{rounds}"
+            " ORDER BY node")
+
+
 def _sql_hits(iters: int = 5) -> str:
     """Unrolled HITS half-steps over the bipartite customer->part
     digraph — mirrors engine.ops.graph.hits: auth = per-dst sum of
@@ -8984,6 +9066,75 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY prio DESC, o_orderkey LIMIT 100
         """,
         "supplier_part_pagerank": _sql_pagerank(iters=8, damping=0.85),
+        "supplier_part_sssp": _sql_sssp(rounds=4),
+        "docs_bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id, t FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(text),
+                                                     '[^a-z]+')) AS t
+                    FROM documents) WHERE t != ''),
+            dl AS (SELECT doc_id, COUNT(*) AS len
+                   FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE)
+                           FROM documents) AS n_docs,
+                          (SELECT CAST(COALESCE(SUM(len), 0) AS DOUBLE)
+                           FROM dl) AS sum_len),
+            qt AS (SELECT unnest(['merge', 'scan', 'vector',
+                                  'window']) AS term),
+            dfq AS (SELECT q.term,
+                        CAST(COUNT(DISTINCT k.doc_id) AS DOUBLE) AS df
+                    FROM qt q LEFT JOIN toks k ON k.t = q.term
+                    GROUP BY q.term),
+            tf AS (SELECT doc_id, t AS term,
+                        CAST(COUNT(*) AS DOUBLE) AS tf
+                   FROM toks
+                   WHERE t IN ('merge', 'scan', 'vector', 'window')
+                   GROUP BY doc_id, t),
+            sc AS (SELECT tf.doc_id,
+                        SUM(ln(1.0 + ((SELECT n_docs FROM st) - dfq.df
+                                      + 0.5) / (dfq.df + 0.5))
+                            * tf.tf * (1.2 + 1.0)
+                            / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.len
+                                  / ((SELECT sum_len FROM st)
+                                     / (SELECT n_docs FROM st))))
+                        ) AS score
+                   FROM tf
+                   JOIN dfq ON dfq.term = tf.term
+                   JOIN dl ON dl.doc_id = tf.doc_id
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, ROUND(score, 6) AS score FROM sc
+            ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20
+        """,
+        "embedding_label_silhouette": """
+            WITH el AS (
+                SELECT vec_id, label, CAST(e AS DOUBLE) AS e, i FROM (
+                    SELECT vec_id, label, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)),
+            cent AS (SELECT label, i, AVG(e) AS c
+                     FROM el GROUP BY label, i),
+            d2 AS (SELECT v.vec_id, v.label AS vlabel,
+                        c.label AS clabel,
+                        SUM((v.e - c.c) * (v.e - c.c)) AS ss
+                   FROM el v JOIN cent c ON c.i = v.i
+                   GROUP BY v.vec_id, v.label, c.label),
+            ab AS (SELECT vec_id, vlabel,
+                        MAX(CASE WHEN clabel = vlabel
+                                 THEN sqrt(ss) END) AS a,
+                        MIN(CASE WHEN clabel != vlabel
+                                 THEN sqrt(ss) END) AS b
+                   FROM d2 GROUP BY vec_id, vlabel),
+            s AS (SELECT vlabel AS label,
+                        CASE WHEN b IS NULL THEN 0.0
+                             WHEN GREATEST(a, b) > 0
+                             THEN (b - a) / GREATEST(a, b)
+                             ELSE 0.0 END AS sil
+                  FROM ab)
+            SELECT label, COUNT(*) AS n, ROUND(AVG(sil), 6) AS mean_sil
+            FROM s GROUP BY label ORDER BY label
+        """,
         "ann_pq_topk": _sql_pq_topk(10),
         # ---- round-3 twins for formerly rows-only queries ------------
         "ann_ivf_topk": _sql_ivf_topk(10, 4),

@@ -1686,8 +1686,10 @@ def dbscan(
 
     from engine.ops.dedup import connected_components_distributed
     from engine.ops.relational import partial_groupby_sum
-    from engine.state import cached_get
+    from engine.state import cached_get, default_partitions
 
+    if num_partitions is None:
+        num_partitions = default_partitions()
     if max_abs_lat >= 89.0:
         raise ValueError("dbscan grid cover needs max_abs_lat < 89")
     cos_w = float(np.cos(np.deg2rad(max_abs_lat)))

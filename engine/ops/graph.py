@@ -1385,3 +1385,67 @@ def hits(
 
     return pd.DataFrame({"node": nodes, "auth": auth, "hub": hub}
                         ).sort_values("node", ignore_index=True)
+
+
+def sssp(
+    edges: ray.data.Dataset,
+    source: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 6,
+) -> pd.DataFrame:
+    """Single-source shortest paths by distributed Bellman-Ford
+    (public algorithm): ``rounds`` relaxation sweeps, each ONE
+    hash-partitioned co-shuffle join (edges ⋈ dist on src) plus one
+    min-combiner groupby — dist stays a Dataset end-to-end (the
+    ``_pagerank_big`` shape; no O(V) driver state), so the hop bound
+    is the only driver-side scalar. Nodes unreached after ``rounds``
+    hops are absent from the result (the SQL twin's unrolled-CTE
+    semantics). Deterministic: min() relaxation is order-free.
+
+    Multi-edges are fine (min weight wins inside the combiner);
+    negative weights are accepted up to the fixed round count
+    (classic Bellman-Ford semantics, no cycle detection)."""
+    from engine.ops import relational
+    from engine.state import default_partitions
+
+    nparts = default_partitions()
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__s": b[src].to_numpy(np.int64),
+            "__d": b[dst].to_numpy(np.int64),
+            "__w": b[weight].to_numpy(np.float64)})
+
+    e_ds = edges.map_batches(norm, batch_format="pandas") \
+        .repartition(nparts).materialize()
+    state = ray.data.from_pandas(pd.DataFrame(
+        {"node": np.asarray([source], np.int64),
+         "dist": np.asarray([0.0], np.float64)}))
+
+    def relax(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "__d" not in b.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "dist": pd.Series(dtype=np.float64)})
+        g = pd.DataFrame({
+            "node": b["__d"].to_numpy(np.int64),
+            "dist": b["dist"].to_numpy(np.float64)
+            + b["__w"].to_numpy(np.float64)})
+        return g.groupby("node", as_index=False).min()
+
+    for r in range(rounds):
+        j = relational.bucketed_join(
+            e_ds, state.map_batches(
+                lambda b: b.rename(columns={"node": "__s"}),
+                batch_format="pandas"),
+            on="__s", num_partitions=nparts)
+        cand = j.map_batches(relax, batch_format="pandas")
+        merged = state.union(cand)
+        state = relational.partial_groupby_agg(
+            merged, ["node"], {"dist": ("dist", "min")}).materialize()
+
+    out = state.to_pandas().sort_values("node", ignore_index=True)
+    out["dist"] = out["dist"].round(4)
+    return out

@@ -826,3 +826,93 @@ def mmr_topk(
                          int(cand[j]), float(np.round(score[j], 6))))
     return pd.DataFrame(rows, columns=["query_vec_id", "rank",
                                        "vec_id", "mmr_score"])
+
+
+def label_silhouette(
+    emb: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Per-label mean centroid silhouette (Rousseeuw 1987's simplified
+    centroid form, the standard clustering-quality validation at
+    corpus scale where all-pairs silhouette is quadratic): per vector,
+    a = ||v - c_own||, b = min over other labels ||v - c_l||,
+    s = (b - a) / max(a, b); one row per label with n and mean s.
+
+    Two combiner passes — (label, sum-vector, n) centroid partials,
+    then broadcast-centroid scoring with (label, sum_s, n) partials —
+    so only O(labels x dim) and O(labels) rows ever cross the wire."""
+    from engine.ops import relational
+
+    def cent_part(t) -> pd.DataFrame:
+        import pyarrow as pa  # noqa: F401
+
+        col = t.column(vec_col).combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(t), -1).astype(np.float64)
+        lab = np.asarray(t.column(label_col), np.int64)
+        u = np.unique(lab)
+        rows = []
+        for lv in u:
+            m = lab == lv
+            rows.append((int(lv), mat[m].sum(axis=0), int(m.sum())))
+        d = mat.shape[1]
+        out = pd.DataFrame({
+            label_col: np.repeat([r[0] for r in rows], d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(rows)),
+            "__s": np.concatenate([r[1] for r in rows]),
+            "__n": np.repeat([float(r[2]) for r in rows], d) / d,
+        })
+        return out
+
+    cp = relational.sum_final(
+        emb.map_batches(cent_part, batch_format="pyarrow"),
+        [label_col, "dim"]).to_pandas()
+    if cp.empty:
+        return pd.DataFrame({label_col: pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64),
+                             "mean_sil": pd.Series(dtype=np.float64)})
+    labels = np.sort(cp[label_col].unique())
+    d = int(cp["dim"].max()) + 1
+    cent = np.zeros((len(labels), d))
+    counts = np.zeros(len(labels))
+    for li, lv in enumerate(labels):
+        sub = cp[cp[label_col] == lv].sort_values("dim")
+        counts[li] = sub["__n"].sum()  # __n carried /d per dim row
+        cent[li] = sub["__s"].to_numpy() / counts[li]
+    cent_ref = ray.put((labels, cent))
+
+    def score(t) -> pd.DataFrame:
+        from engine.state import cached_get
+
+        labs, c = cached_get(cent_ref)
+        col = t.column(vec_col).combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(t), -1).astype(np.float64)
+        lab = np.asarray(t.column(label_col), np.int64)
+        li = np.searchsorted(labs, lab)
+        # (rows x labels) distance matrix
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        a = dist[np.arange(len(mat)), li]
+        if c.shape[0] == 1:
+            # single cluster: silhouette undefined -> 0 by convention
+            s = np.zeros(len(mat))
+        else:
+            dist[np.arange(len(mat)), li] = np.inf
+            bb = dist.min(axis=1)
+            s = np.where(np.maximum(a, bb) > 0,
+                         (bb - a) / np.maximum(np.maximum(a, bb), 1e-300),
+                         0.0)
+        g = pd.DataFrame({label_col: lab, "__ss": s,
+                          "__n": np.ones(len(mat), np.int64)})
+        return g.groupby(label_col, as_index=False, sort=False).sum()
+
+    agg = relational.sum_final(
+        emb.map_batches(score, batch_format="pyarrow"),
+        [label_col]).to_pandas()
+    out = agg[[label_col]].copy()
+    out["n"] = agg["__n"].astype(np.int64)
+    out["mean_sil"] = (agg["__ss"] / agg["__n"]).round(6)
+    return out.sort_values(label_col, ignore_index=True)

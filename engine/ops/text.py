@@ -1522,3 +1522,93 @@ def lexical_richness(ds: ray.data.Dataset) -> pd.DataFrame:
         "n_types": np.asarray([v], np.int64),
         "yule_k": np.asarray([yule], np.float64),
         "herdan_c": np.asarray([herdan], np.float64)})
+
+
+# ------------------------------------------------------------- BM25
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Okapi BM25 (Robertson–Spärck Jones, public formula; the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant) of every doc
+    against a fixed query-term set — the relevance ranking a curation
+    pipeline uses to mine topic-matched training documents.
+
+    Two distributed passes, both combiner-shaped:
+      1. corpus stats: per-batch (n_docs, total_len, per-term df)
+         partials — O(terms) rows per batch cross the wire;
+      2. scoring: idf table + avgdl broadcast in the UDF closure; each
+         batch emits only its (doc_id, score>0) rows, and a per-batch
+         local top-k caps the fold at top_k x blocks rows.
+    Tokenizer: lowercase ``[a-z]+`` runs — the ``docs_top_tokens``
+    twin-equivalent of ``string_split_regex(lower(text), '[^a-z]+')``.
+    Deterministic order: (rounded score DESC, doc_id ASC)."""
+    terms = sorted(set(query_terms))
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        n_docs = len(batch)
+        total = 0
+        df_counts = np.zeros(len(terms), np.int64)
+        for s in batch["text"].astype(str):
+            toks = _ALPHA_RE.findall(s.lower())
+            total += len(toks)
+            tset = set(toks)
+            for j, t in enumerate(terms):
+                if t in tset:
+                    df_counts[j] += 1
+        out = pd.DataFrame({"term": ["", *terms],
+                            "df": np.r_[0, df_counts],
+                            "n_docs": np.r_[n_docs, np.zeros(len(terms),
+                                                             np.int64)],
+                            "total_len": np.r_[total,
+                                               np.zeros(len(terms),
+                                                        np.int64)]})
+        return out
+
+    parts = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    agg = parts.groupby("term", as_index=False).sum()
+    n_total = int(agg.loc[agg["term"] == "", "n_docs"].sum())
+    sum_len = int(agg.loc[agg["term"] == "", "total_len"].sum())
+    if n_total == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    avgdl = sum_len / n_total
+    dfs = {t: int(agg.loc[agg["term"] == t, "df"].sum()) for t in terms}
+    idf = {t: float(np.log(1.0 + (n_total - dfs[t] + 0.5)
+                           / (dfs[t] + 0.5))) for t in terms}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        sc = np.zeros(len(batch), np.float64)
+        for i, s in enumerate(batch["text"].astype(str)):
+            toks = _ALPHA_RE.findall(s.lower())
+            dl = len(toks)
+            if not dl:
+                continue
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            acc = 0.0
+            for t in terms:
+                tf = toks.count(t)
+                if tf:
+                    acc += idf[t] * tf * (k1 + 1.0) / (tf + norm)
+            sc[i] = acc
+        keep = sc > 0
+        out = pd.DataFrame({id_col: ids[keep],
+                            "score": np.round(sc[keep], 6)})
+        # local top-k: the driver folds top_k x blocks rows, not the hits
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True]).head(top_k)
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    return cand.sort_values(
+        ["score", id_col], ascending=[False, True],
+        kind="stable", ignore_index=True).head(top_k)
