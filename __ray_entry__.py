@@ -4968,6 +4968,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = sf_table(sf_dir, "embeddings", ["embedding", "label"])
         return label_silhouette(emb)
 
+    def kmv_distinct_users(sf_dir: str):
+        # KMV distinct sketch — deterministic given the splitmix hash,
+        # so the twin recomputes the SAME estimate (hash-equal oracle,
+        # unlike HLL's register estimate)
+        from engine.ops.sketch import kmv_count_distinct
+
+        ev = sf_table(sf_dir, "events", ["user_id"])
+        return kmv_count_distinct(ev, "user_id", k=256)
+
+    def events_cuped_means(sf_dir: str):
+        # CUPED variance-reduced A/B means (pre-period covariate)
+        ev = sf_table(sf_dir, "events", ["user_id", "ts", "value"])
+        return relational.cuped_adjusted_means(ev)
+
+    def purchase_attribution_counts(sf_dir: str):
+        # last-touch marketing attribution: each purchase credits the
+        # user's latest preceding click/view (as-of join), plus the
+        # unattributed remainder — conversion analysis over the event
+        # stream
+        ev = sf_table(sf_dir, "events",
+                      ["event_id", "ts", "user_id", "event_type"])
+
+        def purchases(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["event_type"] == "purchase"]
+
+        def touches(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["event_type"].isin(["click", "view"])]
+
+        p = ev.map_batches(purchases, batch_format="pandas")
+        n_purch = p.count()
+        j = relational.asof_join_grouped(
+            p, ev.map_batches(touches, batch_format="pandas"),
+            by="user_id", on="ts",
+            right_value_cols={"event_type": "attributed_type"},
+            left_cols=["event_id"],
+            right_tie_cols=["event_id"],
+        )
+        att = relational.partial_groupby_sum(
+            j, ["attributed_type"], {}, count_as="n").to_pandas()
+        none_n = n_purch - int(att["n"].sum()) if len(att) else n_purch
+        out = pd.concat([att, pd.DataFrame(
+            {"attributed_type": ["none"], "n": [none_n]})],
+            ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out.sort_values("attributed_type", ignore_index=True)
+
+    def acctbal_tukey_outliers(sf_dir: str):
+        # Tukey-fence outlier screen per segment: quartiles from the
+        # distributed continuous-quantile op, fences broadcast back
+        # into one counting pass
+        from engine.state import cached_get
+
+        cust = sf_table(sf_dir, "customer",
+                        ["c_mktsegment", "c_acctbal"])
+        q = relational.grouped_quantile_cont(
+            cust, ["c_mktsegment"], "c_acctbal",
+            {0.25: "q1", 0.75: "q3"}).to_pandas()
+        q["lo"] = q["q1"] - 1.5 * (q["q3"] - q["q1"])
+        q["hi"] = q["q3"] + 1.5 * (q["q3"] - q["q1"])
+        fences = ray.put(dict(zip(
+            q["c_mktsegment"],
+            zip(q["lo"].astype(float), q["hi"].astype(float)))))
+
+        def count(b: pd.DataFrame) -> pd.DataFrame:
+            f = cached_get(fences)
+            lo = b["c_mktsegment"].map(lambda s: f[s][0]).to_numpy()
+            hi = b["c_mktsegment"].map(lambda s: f[s][1]).to_numpy()
+            v = b["c_acctbal"].to_numpy(np.float64)
+            g = pd.DataFrame({
+                "c_mktsegment": b["c_mktsegment"],
+                "n": np.ones(len(b), np.int64),
+                "n_low": (v < lo).astype(np.int64),
+                "n_high": (v > hi).astype(np.int64)})
+            return g.groupby("c_mktsegment",
+                             as_index=False, sort=False).sum()
+
+        out = relational.sum_final(
+            cust.map_batches(count, batch_format="pandas"),
+            ["c_mktsegment"]).to_pandas()
+        for c in ("n", "n_low", "n_high"):
+            out[c] = out[c].astype(np.int64)
+        return out.sort_values("c_mktsegment", ignore_index=True)
+
     def order_share_of_customer(sf_dir: str):
         # ratio-to-report: each order's share of its customer's total —
         # grouped totals (combiner) broadcast back into the same scan
@@ -5605,6 +5688,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_sssp": supplier_part_sssp,
         "docs_bm25_topk": docs_bm25_topk,
         "embedding_label_silhouette": embedding_label_silhouette,
+        "kmv_distinct_users": kmv_distinct_users,
+        "events_cuped_means": events_cuped_means,
+        "purchase_attribution_counts": purchase_attribution_counts,
+        "acctbal_tukey_outliers": acctbal_tukey_outliers,
         "order_share_of_customer": order_share_of_customer,
         "approx_value_quantiles_by_type": approx_value_quantiles_by_type,
         "approx_user_event_counts": approx_user_event_counts,
@@ -9067,6 +9154,104 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_part_pagerank": _sql_pagerank(iters=8, damping=0.85),
         "supplier_part_sssp": _sql_sssp(rounds=4),
+        # KMV: the estimate is a pure function of the splitmix hashes,
+        # so the twin recomputes the identical value (hash-equal
+        # oracle for an approximate-distinct sketch)
+        "kmv_distinct_users": f"""
+            WITH h AS (SELECT DISTINCT
+                    CAST({_sql_splitmix64('user_id')} AS UBIGINT) AS hv
+                FROM events),
+            o AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+                  FROM h),
+            st AS (SELECT COUNT(*) AS nd FROM h)
+            SELECT CAST(LEAST(256, (SELECT nd FROM st)) AS BIGINT)
+                       AS k_used,
+                   ROUND(CASE
+                       WHEN (SELECT nd FROM st) = 0 THEN 0.0
+                       WHEN (SELECT nd FROM st) < 256
+                       THEN CAST((SELECT nd FROM st) AS DOUBLE)
+                       ELSE 255 / (CAST((SELECT hv FROM o WHERE rn = 256)
+                                        AS DOUBLE)
+                                   / 18446744073709551616.0)
+                   END, 4) AS approx_distinct
+        """,
+        "events_cuped_means": f"""
+            WITH bounds AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi
+                            FROM events),
+            sp AS (SELECT epoch_ns(lo)
+                       + CAST(trunc((epoch_ns(hi) - epoch_ns(lo))
+                                    * 0.5) AS BIGINT) AS s
+                   FROM bounds),
+            xy AS (SELECT user_id,
+                       SUM(CASE WHEN epoch_ns(ts) < (SELECT s FROM sp)
+                                THEN value ELSE 0 END) AS x,
+                       SUM(CASE WHEN epoch_ns(ts) < (SELECT s FROM sp)
+                                THEN 0 ELSE value END) AS y
+                   FROM events GROUP BY user_id),
+            ar AS (SELECT x, y,
+                       CAST(CAST({_sql_splitmix64('user_id')} AS UBIGINT)
+                            % 2 AS BIGINT) AS arm
+                   FROM xy),
+            m AS (SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                       SUM(x * x) AS sxx, SUM(y * y) AS syy
+                  FROM ar GROUP BY arm),
+            g AS (SELECT SUM(n) AS nn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+                       SUM(sxy) AS tsxy, SUM(sxx) AS tsxx FROM m),
+            th AS (SELECT
+                    (tsxy / nn - (tsx / nn) * (tsy / nn))
+                    / NULLIF(tsxx / nn - (tsx / nn) * (tsx / nn), 0)
+                        AS theta,
+                    tsx / nn AS mx
+                   FROM g)
+            SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n,
+                   ROUND(sy / n, 6) AS mean_raw,
+                   ROUND(sy / n - (SELECT theta FROM th)
+                         * (sx / n - (SELECT mx FROM th)), 6)
+                       AS mean_cuped,
+                   ROUND(1.0 - (syy / n - (sy / n) * (sy / n)
+                         - 2.0 * (SELECT theta FROM th)
+                           * (sxy / n - (sx / n) * (sy / n))
+                         + (SELECT theta FROM th)
+                           * (SELECT theta FROM th)
+                           * (sxx / n - (sx / n) * (sx / n)))
+                         / NULLIF(syy / n - (sy / n) * (sy / n), 0), 6)
+                       AS var_reduction
+            FROM m ORDER BY arm
+        """,
+        "purchase_attribution_counts": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            t AS (SELECT event_id, user_id, ts, event_type FROM events
+                  WHERE event_type IN ('click', 'view')),
+            m AS (SELECT p.event_id AS pid, t.event_type AS at
+                  FROM p JOIN t ON t.user_id = p.user_id
+                               AND t.ts <= p.ts
+                  QUALIFY ROW_NUMBER() OVER (
+                      PARTITION BY p.event_id
+                      ORDER BY t.ts DESC, t.event_id DESC) = 1)
+            SELECT at AS attributed_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM m GROUP BY at
+            UNION ALL
+            SELECT 'none',
+                   (SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM m)
+            ORDER BY attributed_type
+        """,
+        "acctbal_tukey_outliers": """
+            WITH q AS (SELECT c_mktsegment,
+                           quantile_cont(c_acctbal, 0.25) AS q1,
+                           quantile_cont(c_acctbal, 0.75) AS q3
+                       FROM customer GROUP BY c_mktsegment),
+            f AS (SELECT c_mktsegment, q1 - 1.5 * (q3 - q1) AS lo,
+                       q3 + 1.5 * (q3 - q1) AS hi FROM q)
+            SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN c.c_acctbal < f.lo
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(SUM(CASE WHEN c.c_acctbal > f.hi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+            FROM customer c JOIN f USING (c_mktsegment)
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
         "docs_bm25_topk": """
             WITH toks AS (
                 SELECT doc_id, t FROM (

@@ -3910,3 +3910,96 @@ def grouped_pythagorean_means(
     out["geo_mean"] = np.exp(agg["sln"].to_numpy(np.float64) / n)
     out["harm_mean"] = n / agg["sinv"].to_numpy(np.float64)
     return out.sort_values(group_key, ignore_index=True)
+
+
+def cuped_adjusted_means(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_frac: float = 0.5,
+) -> pd.DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, public): per user,
+    Y = total value in the experiment period, X = total value in the
+    pre-period (the earliest ``split_frac`` of the corpus time span);
+    theta = cov(X, Y) / var(X) over all users; the adjusted metric is
+    Y - theta (X - mean X). Arms = the deterministic splitmix hash
+    split (same rule as ``ab_conversion_ztest`` / JSD). One row per
+    arm: n users, raw mean, CUPED mean, and the variance-reduction
+    ratio 1 - var(Ycuped)/var(Y).
+
+    Exchanges: one (user, x, y) combiner groupby, then one pass of
+    per-arm moment partials (n, Σx, Σy, Σxy, Σx², Σy²) — the driver
+    folds O(arms) rows; theta and the means are closed forms."""
+    from engine.ops.sketch import _hash64
+
+    # corpus time span -> split point (driver scalars from min/max
+    # metadata-light aggregates)
+    lo = events.min(ts_col)
+    hi = events.max(ts_col)
+    import pandas as _pd
+
+    lo_i = _pd.Timestamp(lo).value
+    hi_i = _pd.Timestamp(hi).value
+    split_i = lo_i + int((hi_i - lo_i) * split_frac)
+
+    def per_user(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b[ts_col].astype("datetime64[ns]").astype(np.int64)
+        pre = ts < split_i
+        v = b[value_col].to_numpy(np.float64)
+        g = pd.DataFrame({
+            user_col: b[user_col].to_numpy(np.int64),
+            "x": np.where(pre, v, 0.0),
+            "y": np.where(pre, 0.0, v)})
+        return g.groupby(user_col, as_index=False, sort=False).sum()
+
+    xy = sum_final(
+        events.map_batches(per_user, batch_format="pandas"), [user_col])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[user_col].to_numpy(np.int64)
+        arm = (_hash64(u) & np.uint64(1)).astype(np.int64)
+        x = b["x"].to_numpy(np.float64)
+        y = b["y"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "arm": arm, "n": np.ones(len(b), np.int64),
+            "sx": x, "sy": y, "sxy": x * y,
+            "sxx": x * x, "syy": y * y})
+        return g.groupby("arm", as_index=False, sort=False).sum()
+
+    agg = sum_final(
+        xy.map_batches(moments, batch_format="pandas"), ["arm"]
+    ).to_pandas().sort_values("arm", ignore_index=True)
+    if agg.empty:
+        return pd.DataFrame({
+            "arm": pd.Series(dtype=np.int64),
+            "n": pd.Series(dtype=np.int64),
+            "mean_raw": pd.Series(dtype=np.float64),
+            "mean_cuped": pd.Series(dtype=np.float64),
+            "var_reduction": pd.Series(dtype=np.float64)})
+    # pooled theta over BOTH arms (the standard pre-experiment
+    # covariate is assignment-independent)
+    n = float(agg["n"].sum())
+    mx = float(agg["sx"].sum()) / n
+    my = float(agg["sy"].sum()) / n
+    cov = float(agg["sxy"].sum()) / n - mx * my
+    varx = float(agg["sxx"].sum()) / n - mx * mx
+    theta = cov / varx if varx > 0 else 0.0
+    out_rows = []
+    for _, r in agg.iterrows():
+        an = float(r["n"])
+        a_my = r["sy"] / an
+        a_mx = r["sx"] / an
+        mean_cuped = a_my - theta * (a_mx - mx)
+        vary = r["syy"] / an - a_my * a_my
+        # var(Y - theta X) within the arm
+        a_cov = r["sxy"] / an - a_mx * a_my
+        a_varx = r["sxx"] / an - a_mx * a_mx
+        var_adj = vary - 2.0 * theta * a_cov + theta * theta * a_varx
+        vr = 1.0 - var_adj / vary if vary > 0 else 0.0
+        out_rows.append((int(r["arm"]), int(r["n"]),
+                         round(a_my, 6), round(mean_cuped, 6),
+                         round(vr, 6)))
+    return pd.DataFrame(out_rows, columns=[
+        "arm", "n", "mean_raw", "mean_cuped", "var_reduction"])

@@ -380,3 +380,39 @@ def grouped_ddsketch_quantiles(
             est = 0.0 if b == zero_sent else gamma ** b * 2.0 / (1.0 + gamma)
             rows.append({group_key: key, "q": q, "est": est})
     return pd.DataFrame(rows)
+
+
+def kmv_count_distinct(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 256,
+) -> pd.DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    2002, public): keep the k smallest DISTINCT splitmix64 hash values;
+    with h_(k) the k-th smallest as a fraction of 2^64, the estimator
+    is (k-1)/h_(k). Fully deterministic given the hash — unlike HLL's
+    register layout, the sketch value itself is SQL-reproducible, so
+    the DuckDB twin recomputes the exact same estimate (the one
+    approximate-distinct family with a hash-equal oracle).
+
+    Mergeable: per-batch k-min arrays union + re-truncate (the
+    combiner); below k distinct hashes the estimate is the exact
+    distinct-hash count. One row out: (k_used, approx_distinct)."""
+    from engine.ops.sketch import _hash64  # self-import safe
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(_hash64(b[col].to_numpy()))
+        return pd.DataFrame({"h": h[:k].astype(np.uint64).view(np.int64)})
+
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    hs = np.unique(parts["h"].to_numpy().view(np.uint64))
+    if len(hs) == 0:
+        est = 0.0
+    elif len(hs) < k:
+        est = float(len(hs))
+    else:
+        hk = float(hs[k - 1]) / float(2 ** 64)
+        est = (k - 1) / hk
+    return pd.DataFrame({
+        "k_used": np.asarray([min(k, len(hs))], np.int64),
+        "approx_distinct": np.asarray([round(est, 4)], np.float64)})
