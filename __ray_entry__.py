@@ -2565,6 +2565,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].round(6)
         return out
 
+    def geo_density_gradient(sf_dir: str):
+        # Theil-Sen robust slope of per-cell density vs distance from
+        # the corpus mean center (outlier-immune sprawl gradient); the
+        # pairwise-median fold runs over the CELL table (grid-bounded)
+        idx = _geo_indexed(columns=["image_id"])
+        return geo_ops.theil_sen_gradient(idx)
+
+    def geo_cross_k(sf_dir: str):
+        # bivariate Ripley K12 between the 'en' and 'it' caption-lang
+        # point sets: does one language's coverage cluster around the
+        # other's, at 3 scales (grid-cover pair counting, no all-pairs)
+        import pyarrow.compute as pc
+
+        idx = _geo_indexed(columns=["image_id", "caption"])
+
+        def prep(t) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cat": np.asarray(pc.utf8_slice_codeunits(
+                    t["caption_canon"], 0, 2)).astype(object),
+                "lon": np.asarray(t["lon"], np.float64),
+                "lat": np.asarray(t["lat"], np.float64)})
+
+        pts = idx.map_batches(prep, batch_format="pyarrow")
+        return geo_ops.cross_k(
+            pts, [100_000.0, 300_000.0, 600_000.0], "en", "it")
+
     def geo_colocation_quotient(sf_dir: str):
         # which caption languages cluster together: NN colocation
         # quotient over the 3 lang categories via the certified
@@ -4968,6 +4994,157 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = sf_table(sf_dir, "embeddings", ["embedding", "label"])
         return label_silhouette(emb)
 
+    def q5_local_supplier_volume(sf_dir: str):
+        # TPC-H Q5 composition: revenue shipped within one region's
+        # nations (customer AND supplier in the same nation), one
+        # year. Join plan: tiny dims (region x nation, supplier map)
+        # broadcast; orders year-filtered then broadcast-joined to
+        # customer; lineitem STREAMS through auto_join (stats-driven
+        # pick broadcasts the filtered order side) — the fact table
+        # never shuffles.
+        from engine.state import cached_get
+
+        reg = sf_table(sf_dir, "region", None).to_pandas()
+        nat = sf_table(sf_dir, "nation", None).to_pandas()
+        rk = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+        nat = nat[nat["n_regionkey"] == rk]
+        nat_ids = set(nat["n_nationkey"].astype(int))
+        cust = sf_table(sf_dir, "customer",
+                        ["c_custkey", "c_nationkey"]).to_pandas()
+        cust = cust[cust["c_nationkey"].isin(nat_ids)]
+        orders = sf_table(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def year(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["o_orderdate"].astype("datetime64[ns]")
+            keep = (d >= pd.Timestamp("1996-01-01")) & \
+                   (d < pd.Timestamp("1997-01-01"))
+            return b.loc[keep, ["o_orderkey", "o_custkey"]]
+
+        cust = cust.rename(columns={"c_custkey": "o_custkey"})
+        ordy = relational.broadcast_hash_join(
+            orders.map_batches(year, batch_format="pandas"),
+            cust, on="o_custkey")
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_suppkey",
+                       "l_extendedprice", "l_discount"])
+        # attach supplier nation via broadcast map, then the equality
+        # filter and one n_name combiner
+        supp = sf_table(sf_dir, "supplier",
+                        ["s_suppkey", "s_nationkey"]).to_pandas()
+        sk = supp["s_suppkey"].to_numpy(np.int64)
+        sv = supp["s_nationkey"].to_numpy(np.int64)
+        so = np.argsort(sk, kind="stable")
+        s_ref = ray.put((sk[so], sv[so]))
+        o_pdf = ordy.to_pandas()
+        ok_ = o_pdf["o_orderkey"].to_numpy(np.int64)
+        on_ = o_pdf["c_nationkey"].to_numpy(np.int64)
+        oo = np.argsort(ok_, kind="stable")
+        o_ref = ray.put((ok_[oo], on_[oo]))
+        nmap = dict(zip(nat["n_nationkey"].astype(int),
+                        nat["n_name"].astype(str)))
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            skeys, snats = cached_get(s_ref)
+            okeys, onats = cached_get(o_ref)
+            lo = b["l_orderkey"].to_numpy(np.int64)
+            idx = np.searchsorted(okeys, lo)
+            hit = (idx < len(okeys)) & \
+                  (okeys[np.minimum(idx, len(okeys) - 1)] == lo)
+            if not hit.any():
+                return pd.DataFrame({
+                    "n_name": pd.Series(dtype=str),
+                    "revenue": pd.Series(dtype=np.float64)})
+            b = b[hit]
+            cnat = onats[idx[hit]]
+            ls = b["l_suppkey"].to_numpy(np.int64)
+            sidx = np.searchsorted(skeys, ls)
+            shit = (sidx < len(skeys)) & \
+                   (skeys[np.minimum(sidx, len(skeys) - 1)] == ls)
+            same = shit & (snats[np.minimum(sidx, len(skeys) - 1)]
+                           == cnat)
+            if not same.any():
+                return pd.DataFrame({
+                    "n_name": pd.Series(dtype=str),
+                    "revenue": pd.Series(dtype=np.float64)})
+            b = b[same]
+            rev = b["l_extendedprice"].to_numpy(np.float64) * \
+                (1.0 - b["l_discount"].to_numpy(np.float64))
+            g = pd.DataFrame({
+                "n_name": [nmap[int(x)] for x in cnat[same]],
+                "revenue": rev})
+            return g.groupby("n_name", as_index=False, sort=False).sum()
+
+        out = relational.sum_final(
+            li.map_batches(score, batch_format="pandas"),
+            ["n_name"]).to_pandas()
+        out["revenue"] = out["revenue"].round(4)
+        return out.sort_values("n_name", ignore_index=True)
+
+    def q10_returned_items(sf_dir: str):
+        # TPC-H Q10 composition: top-20 customers by revenue lost to
+        # returned items in one quarter — broadcast the quarter's
+        # orders into the lineitem stream, per-customer combiner, tiny
+        # final join to customer/nation names
+        from engine.state import cached_get
+
+        orders = sf_table(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def quarter(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["o_orderdate"].astype("datetime64[ns]")
+            keep = (d >= pd.Timestamp("1996-10-01")) & \
+                   (d < pd.Timestamp("1997-01-01"))
+            return b.loc[keep, ["o_orderkey", "o_custkey"]]
+
+        o_pdf = orders.map_batches(
+            quarter, batch_format="pandas").to_pandas()
+        ok_ = o_pdf["o_orderkey"].to_numpy(np.int64)
+        oc_ = o_pdf["o_custkey"].to_numpy(np.int64)
+        oo = np.argsort(ok_, kind="stable")
+        o_ref = ray.put((ok_[oo], oc_[oo]))
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_orderkey", "l_returnflag",
+                       "l_extendedprice", "l_discount"])
+
+        def per_cust(b: pd.DataFrame) -> pd.DataFrame:
+            okeys, ocust = cached_get(o_ref)
+            b = b[b["l_returnflag"] == "R"]
+            if not len(b):
+                return pd.DataFrame({
+                    "c_custkey": pd.Series(dtype=np.int64),
+                    "revenue": pd.Series(dtype=np.float64)})
+            lo = b["l_orderkey"].to_numpy(np.int64)
+            idx = np.searchsorted(okeys, lo)
+            hit = (idx < len(okeys)) & \
+                  (okeys[np.minimum(idx, len(okeys) - 1)] == lo)
+            b = b[hit]
+            rev = b["l_extendedprice"].to_numpy(np.float64) * \
+                (1.0 - b["l_discount"].to_numpy(np.float64))
+            g = pd.DataFrame({"c_custkey": ocust[idx[hit]],
+                              "revenue": rev})
+            return g.groupby("c_custkey",
+                             as_index=False, sort=False).sum()
+
+        agg = relational.sum_final(
+            li.map_batches(per_cust, batch_format="pandas"),
+            ["c_custkey"]).to_pandas()
+        agg["revenue"] = agg["revenue"].round(4)
+        agg = agg.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True],
+            kind="stable", ignore_index=True).head(20)
+        cust = sf_table(sf_dir, "customer",
+                        ["c_custkey", "c_name", "c_nationkey"]
+                        ).to_pandas()
+        nat = sf_table(sf_dir, "nation",
+                       ["n_nationkey", "n_name"]).to_pandas()
+        out = agg.merge(cust, on="c_custkey").merge(
+            nat, left_on="c_nationkey", right_on="n_nationkey")
+        return out[["c_custkey", "c_name", "n_name", "revenue"]] \
+            .sort_values(["revenue", "c_custkey"],
+                         ascending=[False, True], kind="stable",
+                         ignore_index=True)
+
     def kmv_distinct_users(sf_dir: str):
         # KMV distinct sketch — deterministic given the splitmix hash,
         # so the twin recomputes the SAME estimate (hash-equal oracle,
@@ -5688,6 +5865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_sssp": supplier_part_sssp,
         "docs_bm25_topk": docs_bm25_topk,
         "embedding_label_silhouette": embedding_label_silhouette,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q10_returned_items": q10_returned_items,
         "kmv_distinct_users": kmv_distinct_users,
         "events_cuped_means": events_cuped_means,
         "purchase_attribution_counts": purchase_attribution_counts,
@@ -5855,6 +6034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_quadrat_chi2": geo_quadrat_chi2,
         "geo_segregation_d": geo_segregation_d,
         "geo_colocation_quotient": geo_colocation_quotient,
+        "geo_cross_k": geo_cross_k,
+        "geo_density_gradient": geo_density_gradient,
         "geo_join_counts": geo_join_counts,
         "geo_stay_points": geo_stay_points,
         "geo_bearing_rose": geo_bearing_rose,
@@ -9157,6 +9338,39 @@ def oracle_sql() -> dict[str, str]:
         # KMV: the estimate is a pure function of the splitmix hashes,
         # so the twin recomputes the identical value (hash-equal
         # oracle for an approximate-distinct sketch)
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name, revenue FROM (
+                SELECT c.c_custkey,
+                       ANY_VALUE(c.c_name) AS c_name,
+                       ANY_VALUE(n.n_name) AS n_name,
+                       ROUND(SUM(l.l_extendedprice
+                                 * (1 - l.l_discount)), 4) AS revenue
+                FROM customer c
+                JOIN orders o ON o.o_custkey = c.c_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+                GROUP BY c.c_custkey)
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
         "kmv_distinct_users": f"""
             WITH h AS (SELECT DISTINCT
                     CAST({_sql_splitmix64('user_id')} AS UBIGINT) AS hv
@@ -11848,6 +12062,58 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(gm.n * (gm.n - 1) AS DOUBLE), 6)
                        AS e_bw
             FROM gj, gm
+        """,
+        "geo_density_gradient": f"""
+            WITH {_sql_geo_hashes(_GEO_N, [1, 2, 3, 4])},
+            {_sql_gll_body()},
+            {_sql_geo_h3(5)},
+            gc AS (SELECT c.h3_r5 AS cell, COUNT(*) AS n,
+                       AVG(g.lon) AS clon, AVG(g.lat) AS clat
+                   FROM gcell c JOIN gll g USING (i)
+                   GROUP BY c.h3_r5),
+            gmc AS (SELECT AVG(lon) AS mlon, AVG(lat) AS mlat
+                    FROM gll),
+            gdd AS (SELECT cell, n,
+                       {_sql_haversine('(SELECT mlat FROM gmc)',
+                                       '(SELECT mlon FROM gmc)',
+                                       'clat', 'clon')} AS d
+                    FROM gc),
+            gsl AS (SELECT median((CAST(b.n AS DOUBLE) - a.n)
+                                  / (b.d - a.d)) AS slope
+                    FROM gdd a JOIN gdd b
+                      ON a.cell < b.cell AND b.d != a.d)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gdd)
+                       AS n_cells,
+                   ROUND((SELECT slope FROM gsl), 10) AS slope,
+                   ROUND(median(CAST(n AS DOUBLE)
+                                - (SELECT slope FROM gsl) * d), 6)
+                       AS intercept
+            FROM gdd
+        """,
+        "geo_cross_k": f"""
+            WITH {_sql_geo_full(_GEO_N)},
+            gp AS (SELECT g.i AS node,
+                      substr(c.caption_canon, 1, 2) AS cat,
+                      g.lon, g.lat
+                   FROM gll g JOIN gcanon c USING (i)),
+            ga AS (SELECT * FROM gp WHERE cat = 'en'),
+            gb AS (SELECT * FROM gp WHERE cat = 'it'),
+            gd AS (SELECT {_sql_haversine('a.lat', 'a.lon',
+                                          'b.lat', 'b.lon')} AS d
+                   FROM ga a CROSS JOIN gb b),
+            grd AS (SELECT r_m FROM (VALUES (100000e0), (300000e0),
+                                            (600000e0)) t(r_m)),
+            gn AS (SELECT (SELECT COUNT(*) FROM ga) AS n_a,
+                          (SELECT COUNT(*) FROM gb) AS n_b)
+            SELECT g.r_m,
+                   CAST((SELECT n_a FROM gn) AS BIGINT) AS n_a,
+                   CAST((SELECT n_b FROM gn) AS BIGINT) AS n_b,
+                   COUNT(*) FILTER (WHERE d.d <= g.r_m) AS n_pairs,
+                   round(COUNT(*) FILTER (WHERE d.d <= g.r_m)
+                         / CAST(GREATEST(1, (SELECT n_a FROM gn)
+                                * (SELECT n_b FROM gn)) AS DOUBLE), 6)
+                       AS pair_frac
+            FROM grd g CROSS JOIN gd d GROUP BY g.r_m
         """,
         "geo_colocation_quotient": f"""
             WITH {_sql_geo_full(_GEO_N)},

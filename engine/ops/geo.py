@@ -4404,3 +4404,158 @@ def theil_sen_cells(
            .map_groups(per_cell, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["gx", "gy"], ignore_index=True)
+
+
+def cross_k(
+    points: ray.data.Dataset,
+    radii_m: list[float],
+    cat_a: str,
+    cat_b: str,
+    *,
+    cat_col: str = "cat",
+    max_abs_lat: float = 80.0,
+) -> pd.DataFrame:
+    """Bivariate (cross) Ripley K12: for each radius r, the exact count
+    of (A-point, B-point) pairs within haversine distance r, plus the
+    pair fraction n_pairs/(n_a*n_b) — "does category B cluster AROUND
+    category A" at multiple scales, the cross-category companion of
+    ``ripley_k`` (Ripley 1977, public statistic).
+
+    Same both-big grid-cover shape as ``ripley_k``: points of the two
+    categories explode into their 3x3 neighborhood with the cell edge
+    sized to the largest radius; one groupby(cell) co-locates every
+    candidate pair; per group one vectorized (real-A x all-B)
+    haversine matrix counts each qualifying pair exactly once (B's
+    ghost copy in A's home cell is unique). |radii|+2 partial rows
+    leave each group."""
+    from engine.geo.knn import haversine_m
+    from engine.ops.relational import sum_final
+
+    radii = sorted(float(r) for r in radii_m)
+    rmax = radii[-1]
+    if max_abs_lat >= 89.0:
+        raise ValueError("cross_k grid cover needs max_abs_lat < 89")
+    cos_w = float(np.cos(np.deg2rad(max_abs_lat)))
+    cd = rmax / (110_000.0 * cos_w)
+    n_r = len(radii)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        cat = b[cat_col].astype(str)
+        keep = cat.isin([cat_a, cat_b]).to_numpy()
+        b = b[keep]
+        if not len(b):
+            return pd.DataFrame({
+                "cell": pd.Series(dtype=np.int64),
+                "is_a": pd.Series(dtype=bool),
+                "lon": pd.Series(dtype=np.float64),
+                "lat": pd.Series(dtype=np.float64),
+                "real": pd.Series(dtype=bool)})
+        lat = b["lat"].to_numpy(np.float64)
+        if float(np.abs(lat).max()) > max_abs_lat:
+            raise ValueError(
+                f"cross_k: |lat| > max_abs_lat={max_abs_lat}")
+        lon = b["lon"].to_numpy(np.float64)
+        is_a = (b[cat_col].astype(str) == cat_a).to_numpy()
+        cx = np.floor(lon / cd).astype(np.int64)
+        cy = np.floor(lat / cd).astype(np.int64)
+        n = len(b)
+        off = np.array([-1, 0, 1], np.int64)
+        ox = np.repeat(np.tile(off, 3), n)
+        oy = np.repeat(np.repeat(off, 3), n)
+        return pd.DataFrame({
+            "cell": ((np.tile(cx, 9) + ox) * 4_294_967_296
+                     + (np.tile(cy, 9) + oy) + 2_147_483_648),
+            "is_a": np.tile(is_a, 9),
+            "lon": np.tile(lon, 9), "lat": np.tile(lat, 9),
+            "real": (ox == 0) & (oy == 0),
+        })
+
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        real_a = g[g["real"] & g["is_a"]]
+        bb = g[~g["is_a"]]
+        rix = [n_r, n_r + 1]  # sentinels: real-A count, real-B count
+        cnt = [int((g["real"] & g["is_a"]).sum()),
+               int((g["real"] & ~g["is_a"]).sum())]
+        if len(real_a) and len(bb):
+            d = haversine_m(
+                real_a["lon"].to_numpy()[:, None],
+                real_a["lat"].to_numpy()[:, None],
+                bb["lon"].to_numpy()[None, :],
+                bb["lat"].to_numpy()[None, :])
+            for k, r in enumerate(radii):
+                rix.append(k)
+                cnt.append(int((d <= r).sum()))
+        return pd.DataFrame({"r_ix": np.asarray(rix, np.int64),
+                             "n": np.asarray(cnt, np.int64)})
+
+    exploded = points.map_batches(explode, batch_format="pandas")
+    partials = exploded.groupby("cell").map_groups(
+        group_counts, batch_format="pandas")
+    tot = sum_final(partials, ["r_ix"]).to_pandas()
+    tot = (tot.set_index("r_ix")["n"] if len(tot)
+           else pd.Series(dtype=np.int64))
+    n_a = int(tot.get(n_r, 0))
+    n_b = int(tot.get(n_r + 1, 0))
+    pairs = np.array([int(tot.get(k, 0)) for k in range(n_r)],
+                     np.int64)
+    denom = max(1, n_a * n_b)
+    return pd.DataFrame({
+        "r_m": np.asarray(radii, np.float64),
+        "n_a": np.full(n_r, n_a, np.int64),
+        "n_b": np.full(n_r, n_b, np.int64),
+        "n_pairs": pairs,
+        "pair_frac": np.round(pairs / denom, 6)})
+
+
+def theil_sen_gradient(
+    indexed: ray.data.Dataset,
+    *,
+    cell_col: str = "h3_r5",
+) -> pd.DataFrame:
+    """Theil-Sen robust slope of per-cell image density against
+    distance from the corpus mean center — the monotone
+    "density decays with distance from the hotspot" screen, immune to
+    the heavy-tailed cell counts that wreck an OLS fit (Theil 1950 /
+    Sen 1968, public estimator).
+
+    Distributed part: ONE pass of per-cell (count, sum lon, sum lat)
+    partials + the global mean-center moments. The pairwise-median
+    fold runs on the driver over the CELL table (O(cells^2) pair
+    slopes — cells are the aggregated unit, bounded by the grid
+    resolution, not the corpus; documented small side). Returns one
+    row: n_cells, slope (images per meter), intercept."""
+    from engine.geo.knn import haversine_m
+    from engine.ops.relational import sum_final
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            cell_col: b[cell_col].to_numpy(np.uint64).view(np.int64),
+            "n": np.ones(len(b), np.int64),
+            "slon": b["lon"].to_numpy(np.float64),
+            "slat": b["lat"].to_numpy(np.float64)})
+        return g.groupby(cell_col, as_index=False, sort=False).sum()
+
+    cells = sum_final(
+        indexed.map_batches(part, batch_format="pandas"),
+        [cell_col]).to_pandas().sort_values(cell_col,
+                                            ignore_index=True)
+    if len(cells) < 2:
+        return pd.DataFrame({"n_cells": [len(cells)],
+                             "slope": [0.0], "intercept": [0.0]})
+    n = cells["n"].to_numpy(np.float64)
+    clon = cells["slon"].to_numpy() / n
+    clat = cells["slat"].to_numpy() / n
+    mlon = float(cells["slon"].sum() / n.sum())
+    mlat = float(cells["slat"].sum() / n.sum())
+    d = haversine_m(np.full(len(n), mlon), np.full(len(n), mlat),
+                    clon, clat)
+    ii, jj = np.triu_indices(len(n), k=1)
+    dd = d[jj] - d[ii]
+    ok = dd != 0
+    slopes = (n[jj][ok] - n[ii][ok]) / dd[ok]
+    slope = float(np.median(slopes)) if len(slopes) else 0.0
+    intercept = float(np.median(n - slope * d))
+    return pd.DataFrame({
+        "n_cells": np.asarray([len(n)], np.int64),
+        "slope": np.asarray([round(slope, 10)], np.float64),
+        "intercept": np.asarray([round(intercept, 6)], np.float64)})
