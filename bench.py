@@ -448,7 +448,7 @@ def scaling_corpus_mode(args) -> dict:
     the training-data twin of ``scaling_mode`` (same ramp/series/min
     rules); writes the CORPUS-BENCH block in BASELINE.md."""
     levels = sorted({args.scale_lo, args.scale_hi})
-    n = args.corpus_n or 120_000
+    n = args.corpus_n or 480_000
     series = max(3, args.repeats)
     results = {}
     for cpus in levels:
@@ -550,7 +550,7 @@ def main() -> None:
         sf = parse_sf(args.sf_dir)
         if args.corpus_only:
             rep = run_corpus_bench(
-                args.corpus_n or 120_000, args.cpus,
+                args.corpus_n or 480_000, args.cpus,
                 pre_seconds=args.pre_seconds, series=args.series,
             )
             line = {"metric": "corpus_prep_sec", "value": rep["sec"],

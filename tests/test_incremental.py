@@ -173,3 +173,45 @@ def test_final_state_equals_full_rerun(incr_run, tmp_path_factory):
                 assert np.array_equal(np.asarray(x), np.asarray(y)), col
         else:
             assert np.array_equal(va, vb), col
+
+
+def test_second_night_composes(incr_run):
+    """Night 2: a changefile touching the night-1 SPILL fragment (its
+    footer range now exists) plus a fresh insert must route correctly,
+    recompute only the incremental partition, and keep the original
+    partitions untouched."""
+    out_dir = incr_run["out_dir"]
+    img_dir = incr_run["img_dir"]
+    snap = {
+        stage: _snapshot(os.path.join(out_dir, stage))
+        for stage in ("joined", "knn", "tile_partials")
+    }
+    # delete one night-1 inserted id (lives in the spill fragment) and
+    # insert 5 more beyond it
+    d_ids = [f"img{N + 3:09d}"]
+    d_tab = fixtures.images_table(1, offset=0).slice(0, 1).set_column(
+        0, "image_id", pa.array(d_ids, pa.string()))
+    ins = fixtures.images_table(5, offset=N + 100)
+    ch = pa.concat_tables([d_tab, ins]).append_column(
+        "__op", pa.array(["D"] + ["U"] * 5, pa.string()))
+    res2 = incremental.run_incremental_update(
+        img_dir, out_dir, ch, run_id="night2",
+        batch_size=256, zoom=ZOOM)
+    # only the night-1 spill partition is stale; plus one new partition
+    assert res2["stale_partitions"] == ["pincr-night1"]
+    assert res2["spill_fragment"].endswith("images-incr-night2.parquet")
+    touched = {"pincr-night1", "pincr-night2"}
+    for stage, before in snap.items():
+        after = _snapshot(os.path.join(out_dir, stage))
+        for rel, meta in before.items():
+            pid = rel.split(os.sep)[0]
+            if pid in touched:
+                continue
+            assert after.get(rel) == meta, (
+                f"untouched {stage}/{rel} changed on night 2")
+    # the deleted night-1 insert is gone; night-2 inserts visible
+    knn = _read_tree(
+        os.path.join(out_dir, "knn", "**", "*.parquet"))
+    ids = set(knn["image_id"])
+    assert f"img{N + 3:09d}" not in ids
+    assert {f"img{i:09d}" for i in range(N + 100, N + 105)} & ids
