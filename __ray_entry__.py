@@ -4804,6 +4804,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = out.map_batches(checksum, batch_format="pandas").to_pandas()
         return res.sort_values("image_id", ignore_index=True)
 
+    def image_color_cast(sf_dir: str):
+        # white-balance / exposure QA over the lossless raw16 subset:
+        # gray-world cast ratio + clipped-pixel fractions (the frame
+        # drop screens); DuckDB twin recomputes from regenerated pixels
+        from engine.io import read_images
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        out = multimodal.channel_balance(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4)).to_pandas()
+        return out[["image_id", "cast_ratio", "clip_lo", "clip_hi"]] \
+            .sort_values("image_id", ignore_index=True)
+
     def image_dims_by_fmt(sf_dir: str):
         # image-axis per-codec stats: count, mean dims, total megapixels.
         # Oracle regenerates w/h/fmt from splitmix64 streams 10-12 over
@@ -6173,6 +6191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_similar_topk": image_similar_topk,
         "image_resize": image_resize,
         "image_dims_by_fmt": image_dims_by_fmt,
+        "image_color_cast": image_color_cast,
         "image_mpx_by_cell": image_mpx_by_cell,
         "image_payload_bytes_by_fmt": image_payload_bytes_by_fmt,
     }
@@ -11053,6 +11072,24 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.h, b.h)) <= 6
             ORDER BY a, b
+        """,
+        "image_color_cast": f"""
+            WITH {_sql_pixels_cte(_GEO_N)},
+            st AS (SELECT i, c, AVG(px) AS m FROM gpx GROUP BY i, c),
+            cr AS (SELECT i, MAX(m) / MIN(m) AS cast_ratio
+                   FROM st GROUP BY i),
+            cl AS (SELECT i,
+                       AVG(CASE WHEN px = 0 THEN 1e0 ELSE 0e0 END)
+                           AS clip_lo,
+                       AVG(CASE WHEN px = 255 THEN 1e0 ELSE 0e0 END)
+                           AS clip_hi
+                   FROM gpx GROUP BY i)
+            SELECT 'img' || lpad(CAST(cr.i AS VARCHAR), 9, '0')
+                       AS image_id,
+                   {_sql_round_even('cr.cast_ratio')} AS cast_ratio,
+                   {_sql_round_even('cl.clip_lo')} AS clip_lo,
+                   {_sql_round_even('cl.clip_hi')} AS clip_hi
+            FROM cr JOIN cl ON cl.i = cr.i ORDER BY image_id
         """,
         "image_dims_by_fmt": f"""
             WITH {_sql_geo_hashes(_GEO_N, [10, 11, 12])},

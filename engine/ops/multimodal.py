@@ -1328,3 +1328,44 @@ def image_quadrant_asymmetry(
     return ds.map_batches(
         QuadrantAsymmetry, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+class ChannelBalance:
+    """Per-image white-balance / exposure QA (decode actor stage):
+    gray-world cast ratio (max channel mean / min channel mean — 1.0
+    for a neutral image, >> 1 for a color cast) and the clipped-pixel
+    fractions at 0 and 255 (blown shadows / highlights) — the two
+    standard exposure screens an image-training pipeline drops frames
+    on."""
+
+    def __init__(self):
+        self.native = _NATIVE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ratios, lo, hi = [], [], []
+        for data, fmt in zip(batch["bytes"].to_pylist(),
+                             batch["fmt"].to_pylist()):
+            px = _decode_or_raise(data, fmt)
+            means = px.astype(np.float64).mean(axis=(0, 1))
+            ratios.append(float(means.max() / means.min())
+                          if means.min() > 0 else 0.0)
+            npx = float(px.size)
+            lo.append(float((px == 0).sum()) / npx)
+            hi.append(float((px == 255).sum()) / npx)
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "cast_ratio", pa.array(np.round(ratios, 6), pa.float64()))
+        out = out.append_column(
+            "clip_lo", pa.array(np.round(lo, 6), pa.float64()))
+        out = out.append_column(
+            "clip_hi", pa.array(np.round(hi, 6), pa.float64()))
+        return out
+
+
+def channel_balance(ds: ray.data.Dataset, *, batch_size: int = 512,
+                    concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        ChannelBalance, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
