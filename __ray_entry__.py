@@ -4993,6 +4993,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["src", "dst"], {"w": ("w", "min")})
         return sssp(edges, source=1, rounds=4)
 
+    def source_mix_weights(sf_dir: str):
+        # domain-mixing weights (the LLaMA-style data-recipe step):
+        # per-source char share vs a uniform target share -> sampling
+        # weight = target/actual. One combiner pass; O(sources) rows.
+        docs = sf_table(sf_dir, "documents", ["source", "n_chars"])
+        agg = relational.partial_groupby_sum(
+            docs, ["source"], {"n_chars": "sum_chars"},
+            count_as="n_docs").to_pandas()
+        total = float(agg["sum_chars"].sum())
+        k = len(agg)
+        agg["char_share"] = (agg["sum_chars"] / total).round(6)
+        agg["weight"] = ((1.0 / k)
+                         / (agg["sum_chars"] / total)).round(6)
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        agg["sum_chars"] = agg["sum_chars"].astype(np.int64)
+        return agg[["source", "n_docs", "sum_chars", "char_share",
+                    "weight"]].sort_values("source", ignore_index=True)
+
+    def docs_epoch_multiplicity(sf_dir: str):
+        # quality-tiered upsampling plan: per-doc epoch multiplicity
+        # 3/2/1 by global quality terciles (quantile_cont thresholds)
+        # — the deterministic "repeat good data" recipe step. Output:
+        # per-tier doc counts + total expanded rows.
+        from engine.ops.text import quality_score_batch
+
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        scored = docs.map_batches(
+            quality_score_batch, batch_format="pandas"
+        ).select_columns(["doc_id", "quality"])
+        qs = relational.grouped_quantile_cont(
+            scored.map_batches(
+                lambda b: b.assign(__g=0), batch_format="pandas"),
+            ["__g"], "quality", {1 / 3: "t1", 2 / 3: "t2"}).to_pandas()
+        t1, t2 = float(qs["t1"].iloc[0]), float(qs["t2"].iloc[0])
+
+        def tier(b: pd.DataFrame) -> pd.DataFrame:
+            q = b["quality"].to_numpy(np.float64)
+            ep = np.where(q > t2, 3, np.where(q > t1, 2, 1))
+            g = pd.DataFrame({"epochs": ep.astype(np.int64),
+                              "n_docs": np.ones(len(b), np.int64),
+                              "rows_out": ep.astype(np.int64)})
+            return g.groupby("epochs", as_index=False, sort=False).sum()
+
+        out = relational.sum_final(
+            scored.map_batches(tier, batch_format="pandas"),
+            ["epochs"]).to_pandas()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["rows_out"] = out["rows_out"].astype(np.int64)
+        return out.sort_values("epochs", ignore_index=True)
+
     def docs_bm25_topk(sf_dir: str):
         # Okapi BM25 relevance of every document against a fixed
         # query-term set (topic mining for curation); the twin
@@ -5882,6 +5932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_pagerank": supplier_part_pagerank,
         "supplier_part_sssp": supplier_part_sssp,
         "docs_bm25_topk": docs_bm25_topk,
+        "source_mix_weights": source_mix_weights,
+        "docs_epoch_multiplicity": docs_epoch_multiplicity,
         "embedding_label_silhouette": embedding_label_silhouette,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q10_returned_items": q10_returned_items,
@@ -9484,6 +9536,58 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_high
             FROM customer c JOIN f USING (c_mktsegment)
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "source_mix_weights": """
+            WITH agg AS (SELECT source,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                         FROM documents GROUP BY source),
+            t AS (SELECT CAST(SUM(sum_chars) AS DOUBLE) AS total,
+                       COUNT(*) AS k FROM agg)
+            SELECT source, n_docs, sum_chars,
+                   ROUND(sum_chars / (SELECT total FROM t), 6)
+                       AS char_share,
+                   ROUND((1.0 / (SELECT k FROM t))
+                         / (sum_chars / (SELECT total FROM t)), 6)
+                       AS weight
+            FROM agg ORDER BY source
+        """,
+        "docs_epoch_multiplicity": f"""
+            WITH wq AS (SELECT doc_id, text,
+                    len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t != '')) AS n_words,
+                    len(list_filter(string_split_regex(lower(text),
+                                                       '\\s+'),
+                        t -> t IN {_STOPWORDS_SQL})) AS n_stop,
+                    length(regexp_replace(text,
+                        '[0-9A-Za-z \\t\\n\\r\\x0b\\x0c\\x1c-\\x1f]',
+                        '', 'g')) AS n_punct
+                FROM documents),
+            ql AS (SELECT doc_id,
+                    {_sql_round_even(
+                        "LEAST(GREATEST("
+                        "0.4 * LEAST(1.0, length(text) / 200.0)"
+                        " + 0.3 * (CAST(n_stop AS DOUBLE)"
+                        "          / GREATEST(n_words, 1))"
+                        " + 0.3 * (1.0 - LEAST(1.0,"
+                        "     4.0 * CAST(n_punct AS DOUBLE)"
+                        "     / GREATEST(length(text), 1)))"
+                        ", 0.0), 1.0)")} AS quality
+                   FROM wq),
+            th AS (SELECT quantile_cont(quality,
+                              0.3333333333333333) AS t1,
+                          quantile_cont(quality,
+                              0.6666666666666666) AS t2
+                   FROM ql)
+            SELECT CAST(epochs AS BIGINT) AS epochs,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(epochs) AS BIGINT) AS rows_out
+            FROM (SELECT CASE
+                    WHEN quality > (SELECT t2 FROM th) THEN 3
+                    WHEN quality > (SELECT t1 FROM th) THEN 2
+                    ELSE 1 END AS epochs
+                  FROM ql)
+            GROUP BY epochs ORDER BY epochs
         """,
         "docs_bm25_topk": """
             WITH toks AS (
