@@ -1395,21 +1395,26 @@ def sssp(
     dst: str = "dst",
     weight: str = "w",
     rounds: int = 6,
+    broadcast_nodes: int = 2_000_000,
 ) -> pd.DataFrame:
     """Single-source shortest paths by distributed Bellman-Ford
-    (public algorithm): ``rounds`` relaxation sweeps, each ONE
-    hash-partitioned co-shuffle join (edges ⋈ dist on src) plus one
-    min-combiner groupby — dist stays a Dataset end-to-end (the
-    ``_pagerank_big`` shape; no O(V) driver state), so the hop bound
-    is the only driver-side scalar. Nodes unreached after ``rounds``
-    hops are absent from the result (the SQL twin's unrolled-CTE
+    (public algorithm): ``rounds`` relaxation sweeps, each one
+    relax pass plus one min-combiner groupby — dist stays a Dataset
+    end-to-end. While the reached set fits ``broadcast_nodes`` the
+    relax pass BROADCASTS the dist table and streams the edges
+    (no shuffle at all — round 1 reaches one node's neighbors; a
+    co-shuffle of the full edge set for that is pure waste, measured
+    17s -> ~3s on the suite's co-purchase graph); past the gate it
+    switches to the hash-partitioned co-shuffle join (the
+    ``_pagerank_big`` shape, no O(V) driver state). Nodes unreached
+    after ``rounds`` hops are absent (the SQL twin's unrolled-CTE
     semantics). Deterministic: min() relaxation is order-free.
 
     Multi-edges are fine (min weight wins inside the combiner);
     negative weights are accepted up to the fixed round count
     (classic Bellman-Ford semantics, no cycle detection)."""
     from engine.ops import relational
-    from engine.state import default_partitions
+    from engine.state import cached_get, default_partitions
 
     nparts = default_partitions()
 
@@ -1436,12 +1441,37 @@ def sssp(
         return g.groupby("node", as_index=False).min()
 
     for r in range(rounds):
-        j = relational.bucketed_join(
-            e_ds, state.map_batches(
-                lambda b: b.rename(columns={"node": "__s"}),
-                batch_format="pandas"),
-            on="__s", num_partitions=nparts)
-        cand = j.map_batches(relax, batch_format="pandas")
+        if state.count() <= broadcast_nodes:
+            pdf = state.to_pandas()
+            keys = pdf["node"].to_numpy(np.int64)
+            dv = pdf["dist"].to_numpy(np.float64)
+            order = np.argsort(keys, kind="stable")
+            ref = ray.put((keys[order], dv[order]))
+
+            def relax_bcast(b: pd.DataFrame) -> pd.DataFrame:
+                k, v = cached_get(ref)
+                s = b["__s"].to_numpy(np.int64)
+                idx = np.searchsorted(k, s)
+                hit = (idx < len(k)) & \
+                    (k[np.minimum(idx, len(k) - 1)] == s)
+                if not hit.any():
+                    return pd.DataFrame({
+                        "node": pd.Series(dtype=np.int64),
+                        "dist": pd.Series(dtype=np.float64)})
+                g = pd.DataFrame({
+                    "node": b["__d"].to_numpy(np.int64)[hit],
+                    "dist": v[idx[hit]]
+                    + b["__w"].to_numpy(np.float64)[hit]})
+                return g.groupby("node", as_index=False).min()
+
+            cand = e_ds.map_batches(relax_bcast, batch_format="pandas")
+        else:
+            j = relational.bucketed_join(
+                e_ds, state.map_batches(
+                    lambda b: b.rename(columns={"node": "__s"}),
+                    batch_format="pandas"),
+                on="__s", num_partitions=nparts)
+            cand = j.map_batches(relax, batch_format="pandas")
         merged = state.union(cand)
         state = relational.partial_groupby_agg(
             merged, ["node"], {"dist": ("dist", "min")}).materialize()

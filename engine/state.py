@@ -27,7 +27,7 @@ _CACHE: dict[str, Any] = {}
 
 
 def default_partitions(
-    mult: float = 2.0, floor: int = 8, cap: int = 4096
+    mult: float = 1.0, floor: int = 8, cap: int = 4096
 ) -> int:
     """Cluster-derived partition count for co-shuffle joins and edge
     repartitions: ``clamp(round(mult * cluster CPUs), floor, cap)``.
@@ -36,9 +36,11 @@ def default_partitions(
     actor resident, so the count must stay O(cluster CPUs) — 32
     partitions on a 4-cpu session livelocks (50+ blocked workers),
     while a fixed 8 on a 512-core cluster serializes the join. The
-    2x-CPUs rule reproduces the sandbox-tuned value (8 at the 4-cpu
-    test fixture) and scales with the cluster; partition count never
-    reaches results, only scheduling."""
+    1x-CPUs rule (floor 8 = the sandbox-tuned 4-cpu value) scales with
+    the cluster without over-spawning aggregators: at 32 cpus the 2x
+    variant's 64 join actors measurably slowed fixture-scale joins
+    (round-4 sweep: orders_of_rich_customers ~3s -> 5s). Partition
+    count never reaches results, only scheduling."""
     cpus = 0.0
     try:
         if ray.is_initialized():

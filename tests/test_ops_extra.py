@@ -4834,8 +4834,43 @@ def test_default_partitions_tracks_cluster_cpus(ray_session, monkeypatch):
     assert default_partitions() == 8
 
     monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 512.0})
-    assert default_partitions() == 1024
+    assert default_partitions() == 512
     monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 8192.0})
     assert default_partitions() == 4096  # cap
     monkeypatch.setattr(ray, "cluster_resources", lambda: {})
     assert default_partitions() == 8  # floor on unknown resources
+
+
+def test_sssp_broadcast_and_join_paths_agree(ray_session):
+    import ray.data
+
+    from engine.ops.graph import sssp
+
+    rng = np.random.default_rng(7)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 40, 300),
+        "dst": rng.integers(0, 40, 300),
+        "w": rng.uniform(1.0, 9.0, 300).round(3),
+    })
+    edges = edges[edges["src"] != edges["dst"]]
+    a = sssp(ray.data.from_pandas(edges).repartition(3), source=0,
+             rounds=5)
+    b = sssp(ray.data.from_pandas(edges).repartition(3), source=0,
+             rounds=5, broadcast_nodes=0)  # force the co-shuffle path
+    pd.testing.assert_frame_equal(a, b)
+    # single-process Bellman-Ford oracle (5 rounds)
+    import collections
+    dist = {0: 0.0}
+    ew = collections.defaultdict(lambda: float("inf"))
+    for s, d, w in edges.itertuples(index=False):
+        ew[(s, d)] = min(ew[(s, d)], w)
+    for _ in range(5):
+        nd = dict(dist)
+        for (s, d), w in ew.items():
+            if s in dist and dist[s] + w < nd.get(d, float("inf")):
+                nd[d] = dist[s] + w
+        dist = nd
+    want = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+    want["dist"] = want["dist"].round(4)
+    want["node"] = want["node"].astype(np.int64)
+    pd.testing.assert_frame_equal(a, want)
