@@ -193,48 +193,61 @@ def _pair_intersections(
     lens: np.ndarray,
     ia: np.ndarray,
     ib: np.ndarray,
-    chunk_elems: int = 4_000_000,
+    chunk_elems: int = 2_000_000,
 ) -> tuple[np.ndarray, np.ndarray]:
     """|A∩B| and |A|+|B| for every pair (ia[i], ib[i]) of posting-list
-    indices — NO Python loop over the pair axis (the round-3 verdict's
-    hot inner stage of minhash/ngram dedup): per chunk, gather both
-    sides' elements into one (pair_tag, value) stream via the
-    repeat/cumsum segmented-arange trick, lexsort, and count adjacent
-    equal values within a pair. Elements are unique WITHIN a doc
-    (``_shingles`` returns ``np.unique``), so an adjacent duplicate is
-    exactly one element present on both sides. Chunks bound peak
-    memory to ~``chunk_elems`` gathered values regardless of how many
-    candidate pairs one block carries."""
+    indices. GROUPED-BY-RIGHT-DOC binary search: pairs sort by ib, and
+    per distinct right doc ONE vectorized ``np.searchsorted`` of all
+    its partners' gathered elements runs against that doc's sorted
+    posting array (uint64 view — the int64 reinterpretation of the
+    hash values is NOT sorted). LSH candidate pairs share right docs
+    heavily (bucket structure), so the Python loop runs per DISTINCT
+    right doc, not per pair.
+
+    Measured on the sf0.1 corpus (5k docs, 204-element mean shingle
+    sets, 300k pairs): grouped-searchsorted 1.87s vs frozenset loop
+    3.66s vs a lexsorted (pair, value)-stream variant 18.4s — the
+    full-sort kernel loses to BOTH at real set sizes (E log E over
+    every gathered element); do not re-derive (round-4 measurement).
+    Within a hot right doc, pair-chunks bound gathered memory to
+    ~``chunk_elems`` elements."""
     n = len(ia)
     inter = np.zeros(n, np.int64)
     sizes = lens[ia] + lens[ib]
     if n == 0:
         return inter, sizes
-    # chunk boundaries: cumulative gathered-element count per pair
-    csz = np.cumsum(sizes)
-    s = 0
-    while s < n:
-        base = csz[s - 1] if s else 0
-        e = int(np.searchsorted(csz, base + chunk_elems, side="left")) + 1
-        e = max(e, s + 1)
-        e = min(e, n)
-        idx = np.concatenate([ia[s:e], ib[s:e]])
-        ln = lens[idx]
-        total = int(ln.sum())
-        if total:
-            m = e - s
-            pair_tag = np.repeat(
-                np.concatenate([np.arange(m, dtype=np.int64)] * 2), ln)
-            seg_start = np.repeat(offs[idx], ln)
-            seg_pos = np.repeat(np.cumsum(ln) - ln, ln)
-            vals = flat[seg_start
-                        + (np.arange(total, dtype=np.int64) - seg_pos)]
-            order = np.lexsort((vals, pair_tag))
-            pt = pair_tag[order]
-            vv = vals[order]
-            eq = (pt[1:] == pt[:-1]) & (vv[1:] == vv[:-1])
-            inter[s:e] = np.bincount(pt[:-1][eq], minlength=m)
-        s = e
+    uflat = flat.view(np.uint64)
+    order = np.argsort(ib, kind="stable")
+    ibs = ib[order]
+    ias = ia[order]
+    bounds = np.flatnonzero(np.r_[True, ibs[1:] != ibs[:-1]])
+    ends = np.r_[bounds[1:], len(ibs)]
+    for s, e in zip(bounds, ends):
+        b = ibs[s]
+        B = uflat[offs[b]: offs[b] + lens[b]]
+        p = s
+        while p < e:
+            # chunk partners of a hot right doc by gathered elements
+            ln_all = lens[ias[p:e]]
+            cs = np.cumsum(ln_all)
+            q = p + max(1, int(np.searchsorted(cs, chunk_elems)))
+            q = min(q, e)
+            idx_a = ias[p:q]
+            ln = lens[idx_a]
+            tot = int(ln.sum())
+            if tot:
+                seg_start = np.repeat(offs[idx_a], ln)
+                seg_pos = np.repeat(np.cumsum(ln) - ln, ln)
+                vals = uflat[seg_start
+                             + (np.arange(tot, dtype=np.int64)
+                                - seg_pos)]
+                pos = np.searchsorted(B, vals)
+                hit = (pos < len(B)) & \
+                    (B[np.minimum(pos, len(B) - 1)] == vals)
+                tags = np.repeat(np.arange(q - p), ln)
+                inter[order[p:q]] = np.bincount(
+                    tags[hit], minlength=q - p)
+            p = q
     return inter, sizes
 
 
