@@ -5104,27 +5104,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sv = supp["s_nationkey"].to_numpy(np.int64)
         so = np.argsort(sk, kind="stable")
         s_ref = ray.put((sk[so], sv[so]))
-        o_pdf = ordy.to_pandas()
-        ok_ = o_pdf["o_orderkey"].to_numpy(np.int64)
-        on_ = o_pdf["c_nationkey"].to_numpy(np.int64)
-        oo = np.argsort(ok_, kind="stable")
-        o_ref = ray.put((ok_[oo], on_[oo]))
         nmap = dict(zip(nat["n_nationkey"].astype(int),
                         nat["n_name"].astype(str)))
 
-        def score(b: pd.DataFrame) -> pd.DataFrame:
+        def score_common(b: pd.DataFrame,
+                         cnat: np.ndarray) -> pd.DataFrame:
             skeys, snats = cached_get(s_ref)
-            okeys, onats = cached_get(o_ref)
-            lo = b["l_orderkey"].to_numpy(np.int64)
-            idx = np.searchsorted(okeys, lo)
-            hit = (idx < len(okeys)) & \
-                  (okeys[np.minimum(idx, len(okeys) - 1)] == lo)
-            if not hit.any():
-                return pd.DataFrame({
-                    "n_name": pd.Series(dtype=str),
-                    "revenue": pd.Series(dtype=np.float64)})
-            b = b[hit]
-            cnat = onats[idx[hit]]
             ls = b["l_suppkey"].to_numpy(np.int64)
             sidx = np.searchsorted(skeys, ls)
             shit = (sidx < len(skeys)) & \
@@ -5143,9 +5128,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "revenue": rev})
             return g.groupby("n_name", as_index=False, sort=False).sum()
 
-        out = relational.sum_final(
-            li.map_batches(score, batch_format="pandas"),
-            ["n_name"]).to_pandas()
+        # the year+region-filtered order side broadcasts below the
+        # gate (one ray.put, read per worker); above it the fact
+        # table takes a hash co-shuffle join instead (J14's rule) —
+        # identical semantics, no driver pull
+        if ordy.count() <= 2_000_000:
+            o_pdf = ordy.to_pandas()
+            ok_ = o_pdf["o_orderkey"].to_numpy(np.int64)
+            on_ = o_pdf["c_nationkey"].to_numpy(np.int64)
+            oo = np.argsort(ok_, kind="stable")
+            o_ref = ray.put((ok_[oo], on_[oo]))
+
+            def score(b: pd.DataFrame) -> pd.DataFrame:
+                okeys, onats = cached_get(o_ref)
+                lo = b["l_orderkey"].to_numpy(np.int64)
+                idx = np.searchsorted(okeys, lo)
+                hit = (idx < len(okeys)) & \
+                      (okeys[np.minimum(idx, len(okeys) - 1)] == lo)
+                if not hit.any():
+                    return pd.DataFrame({
+                        "n_name": pd.Series(dtype=str),
+                        "revenue": pd.Series(dtype=np.float64)})
+                return score_common(b[hit], onats[idx[hit]])
+
+            scored = li.map_batches(score, batch_format="pandas")
+        else:
+            keyed = ordy.map_batches(
+                lambda b: b[["o_orderkey", "c_nationkey"]].rename(
+                    columns={"o_orderkey": "l_orderkey"}),
+                batch_format="pandas")
+            j = relational.bucketed_join(li, keyed, on="l_orderkey")
+
+            def score_j(b: pd.DataFrame) -> pd.DataFrame:
+                if b.empty or "c_nationkey" not in b.columns:
+                    return pd.DataFrame({
+                        "n_name": pd.Series(dtype=str),
+                        "revenue": pd.Series(dtype=np.float64)})
+                return score_common(
+                    b, b["c_nationkey"].to_numpy(np.int64))
+
+            scored = j.map_batches(score_j, batch_format="pandas")
+        out = relational.sum_final(scored, ["n_name"]).to_pandas()
         out["revenue"] = out["revenue"].round(4)
         return out.sort_values("n_name", ignore_index=True)
 

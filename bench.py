@@ -139,8 +139,12 @@ def run_flagship_bench(
     if not target_partitions:
         # ~600k rows/partition: fused partitions are shuffle-free streams
         # (pack combiner replaced the per-partition sort), so partitions
-        # can be large; the count keeps resume granularity reasonable
-        target_partitions = max(4, round(n / 600_000))
+        # can be large. Floor 1, not 4: each partition EXECUTION carries
+        # ~1.8s of scheduling/ramp fixed cost (measured at 240k rows /
+        # 32 cpus: 1 partition 99.5k rows/s, 4 partitions 30.3k), and
+        # the throughput metric should measure the stream, not resume
+        # granularity (real runs keep target_partitions=4+ for resume).
+        target_partitions = max(1, round(n / 600_000))
 
     img_dir = ensure_fixture(n, px_scale)
     # Warmup (see _ramp_warmup) + a tiny end-to-end run so workers have

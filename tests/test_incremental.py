@@ -215,3 +215,25 @@ def test_second_night_composes(incr_run):
     ids = set(knn["image_id"])
     assert f"img{N + 3:09d}" not in ids
     assert {f"img{i:09d}" for i in range(N + 100, N + 105)} & ids
+
+
+def test_stale_rows_preserve_lineage(tmp_path):
+    """Crash window: invalidation overwrites manifest rows BEFORE the
+    recompute runs. The stale rows must keep their fragment lists so
+    previous_plan (and a retried incremental run) still sees the full
+    plan."""
+    from engine.pipeline import manifest
+
+    man = str(tmp_path / "manifest")
+    plan = {"p00000": ["/a/f0.parquet", "/a/f1.parquet"],
+            "p00001": ["/a/f2.parquet"]}
+    for pid, frags in plan.items():
+        manifest.write_manifest_row(
+            man, partition_id=pid, stage="join",
+            input_fragment_ids=frags, row_count=10)
+    incremental.invalidate_partitions(man, {"p00001"}, plan)
+    got = incremental.previous_plan(man)
+    assert got == plan  # stale row kept p00001's fragments
+    # and the resume planner schedules exactly the stale partition
+    todo = manifest.plan_resume(man, "join", plan)
+    assert set(todo) == {"p00001"}
