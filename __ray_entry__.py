@@ -1286,6 +1286,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res
 
+    def ann_ivf_recall(sf_dir: str):
+        # recall@10 evaluation of the IVF index (nprobe=4) against the
+        # exact brute-force top-10 — the accuracy/throughput audit an
+        # ANN deployment runs before flipping traffic; composes the
+        # two existing pipelines and folds a 5x10-row overlap count
+        ivf = ann_ivf_topk(sf_dir)
+        bf = ann_cosine_topk(sf_dir)
+        # bf keys queries by vec_id; map back to the dense query_ix
+        # (queries are the 5 smallest vec_ids, in order)
+        qids = np.sort(bf["query_vec_id"].unique())
+        qix = {int(v): i for i, v in enumerate(qids)}
+        bf = bf.assign(query_ix=[qix[int(v)]
+                                 for v in bf["query_vec_id"]])
+        bset = set(zip(bf["query_ix"], bf["vec_id"]))
+        hits = np.fromiter(
+            ((int(r.query_ix), int(r.vec_id)) in bset
+             for r in ivf.itertuples()), bool, count=len(ivf))
+        g = ivf.assign(hit=hits).groupby(
+            "query_ix", as_index=False)["hit"].sum()
+        out = pd.DataFrame({
+            "query_ix": g["query_ix"].astype(np.int64),
+            "recall": (g["hit"] / 10.0).round(6)})
+        return out.sort_values("query_ix", ignore_index=True)
+
     # ---- geo / multimodal over the synthetic fixture -------------------
 
     def geo_h3_cell_counts(sf_dir: str):
@@ -6062,6 +6086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_plan": video_frame_plan,
         "audio_chunk_plan": audio_chunk_plan,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_recall": ann_ivf_recall,
         "geo_h3_cell_counts": geo_h3_cell_counts,
         "geo_s2_cell_counts": geo_s2_cell_counts,
         "geo_geohash_counts": geo_geohash_counts,
@@ -9683,6 +9708,37 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _sql_pq_topk(10),
         # ---- round-3 twins for formerly rows-only queries ------------
         "ann_ivf_topk": _sql_ivf_topk(10, 4),
+        # recall twin: both ranked lists re-derive in SQL (the IVF CTE
+        # chain and the brute-force chain run as parenthesized
+        # subqueries), then one overlap count per query
+        "ann_ivf_recall": f"""
+            WITH ivf AS ({_sql_ivf_topk(10, 4)}),
+            bfq AS (SELECT vec_id AS query_vec_id, embedding AS qe
+                    FROM embeddings ORDER BY vec_id LIMIT 5),
+            bfs AS (SELECT q.query_vec_id, e.vec_id,
+                        list_cosine_similarity(
+                            CAST(q.qe AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])) AS c
+                    FROM bfq q CROSS JOIN embeddings e),
+            bfr AS (SELECT query_vec_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_vec_id
+                                           ORDER BY c DESC, vec_id)
+                            - 1 AS rank
+                    FROM bfs),
+            bf AS (SELECT query_vec_id, vec_id FROM bfr
+                   WHERE rank < 10),
+            qmap AS (SELECT query_vec_id,
+                        ROW_NUMBER() OVER (ORDER BY query_vec_id) - 1
+                            AS query_ix
+                     FROM (SELECT DISTINCT query_vec_id FROM bf))
+            SELECT i.query_ix,
+                   ROUND(COUNT(b.vec_id) / 10.0, 6) AS recall
+            FROM ivf i
+            LEFT JOIN (SELECT m.query_ix, f.vec_id
+                       FROM bf f JOIN qmap m USING (query_vec_id)) b
+              ON b.query_ix = i.query_ix AND b.vec_id = i.vec_id
+            GROUP BY i.query_ix ORDER BY i.query_ix
+        """,
         "embedding_kmeans_clusters": _sql_kmeans_clusters(),
         "embedding_cluster_ari": _sql_cluster_ari(),
         "embedding_participation_ratio": _sql_participation_ratio(),
