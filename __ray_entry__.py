@@ -5067,6 +5067,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["rows_out"] = out["rows_out"].astype(np.int64)
         return out.sort_values("epochs", ignore_index=True)
 
+    def part_lpa_communities(sf_dir: str):
+        # deterministic synchronous label propagation (3 rounds,
+        # majority neighbor label, min-label ties) over the undirected
+        # supplier<->part graph; output = community size per surviving
+        # label — the cheap community pass before per-community
+        # sampling of a link graph
+        from engine.ops.graph import label_propagation
+
+        li = sf_table(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+        def mk(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.drop_duplicates()
+            s = b["l_suppkey"].to_numpy(np.int64)
+            p = b["l_partkey"].to_numpy(np.int64) + 10_000_000
+            return pd.DataFrame({
+                "src": np.concatenate([s, p]),
+                "dst": np.concatenate([p, s])})
+
+        edges = relational.distinct(
+            li.map_batches(mk, batch_format="pandas"), ["src", "dst"])
+        lab = label_propagation(edges, rounds=3)
+        g = lab.groupby("lab", as_index=False).size()
+        out = pd.DataFrame({
+            "label": g["lab"].astype(np.int64),
+            "size": g["size"].astype(np.int64)})
+        return out.sort_values("label", ignore_index=True)
+
     def docs_bm25_topk(sf_dir: str):
         # Okapi BM25 relevance of every document against a fixed
         # query-term set (topic mining for curation); the twin
@@ -5979,6 +6006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_pagerank": supplier_part_pagerank,
         "supplier_part_sssp": supplier_part_sssp,
         "docs_bm25_topk": docs_bm25_topk,
+        "part_lpa_communities": part_lpa_communities,
         "source_mix_weights": source_mix_weights,
         "docs_epoch_multiplicity": docs_epoch_multiplicity,
         "embedding_label_silhouette": embedding_label_silhouette,
@@ -7897,6 +7925,42 @@ def _sql_pagerank(iters: int = 8, damping: float = 0.85) -> str:
     )
 
 
+def _sql_lpa(rounds: int = 3) -> str:
+    """Unrolled deterministic label propagation over the undirected
+    supplier<->part graph — mirrors engine.ops.graph.label_propagation:
+    per round every node adopts the most frequent in-neighbor label
+    (ties -> smallest label), keeping its own when it has no
+    in-neighbor (LEFT JOIN); final output = community sizes."""
+    head = """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT l_suppkey AS s,
+                   CAST(l_partkey + 10000000 AS BIGINT) AS p
+            FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT s AS src, p AS dst FROM e0
+            UNION ALL SELECT p, s FROM e0),
+        l0 AS (SELECT DISTINCT src AS v, src AS lab FROM e)
+    """
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+        , c{i} AS MATERIALIZED (
+            SELECT e.dst AS v, l.lab, COUNT(*) AS c
+            FROM e JOIN l{i} l ON l.v = e.src
+            GROUP BY e.dst, l.lab),
+        p{i} AS (SELECT v, lab FROM (
+                    SELECT v, lab, ROW_NUMBER() OVER (
+                        PARTITION BY v ORDER BY c DESC, lab) AS rn
+                    FROM c{i}) WHERE rn = 1),
+        l{i + 1} AS MATERIALIZED (
+            SELECT l.v, COALESCE(p.lab, l.lab) AS lab
+            FROM l{i} l LEFT JOIN p{i} p ON p.v = l.v)
+        """)
+    return (head + "".join(steps)
+            + f" SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS size"
+            f" FROM l{rounds} GROUP BY lab ORDER BY label")
+
+
 def _sql_sssp(rounds: int = 4) -> str:
     """Unrolled Bellman-Ford over the undirected supplier<->part
     graph (weight = min l_quantity per edge), source supplier 1 —
@@ -9454,6 +9518,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_part_pagerank": _sql_pagerank(iters=8, damping=0.85),
         "supplier_part_sssp": _sql_sssp(rounds=4),
+        "part_lpa_communities": _sql_lpa(rounds=3),
         # KMV: the estimate is a pure function of the splitmix hashes,
         # so the twin recomputes the identical value (hash-equal
         # oracle for an approximate-distinct sketch)

@@ -1479,3 +1479,117 @@ def sssp(
     out = state.to_pandas().sort_values("node", ignore_index=True)
     out["dist"] = out["dist"].round(4)
     return out
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    broadcast_nodes: int = 2_000_000,
+) -> pd.DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, public) made DETERMINISTIC: each round every node adopts
+    the most frequent label among its in-neighbors, ties broken by the
+    SMALLEST label; labels start as node ids. Fixed round count — the
+    cheap community pass a corpus-curation pipeline runs on a
+    link/similarity graph before per-community sampling.
+
+    Execution per round (the ``sssp`` shape): below ``broadcast_nodes``
+    the label table broadcasts and the edge set streams through one
+    (dst, label) count combiner; above it one hash co-shuffle join.
+    The argmax fold is distributed (``argmax_per_group`` on count DESC,
+    label ASC via the negated tie column). Returns (node, label)."""
+    from engine.ops import relational
+    from engine.state import cached_get, default_partitions
+
+    nparts = default_partitions()
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__s": b[src].to_numpy(np.int64),
+                             "__d": b[dst].to_numpy(np.int64)})
+
+    e_ds = edges.map_batches(norm, batch_format="pandas") \
+        .repartition(nparts).materialize()
+
+    def ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["__s"].to_numpy(), b["__d"].to_numpy()])}).drop_duplicates()
+
+    nodes = relational.distinct(
+        e_ds.map_batches(ends, batch_format="pandas"), ["node"]
+    ).materialize()
+    labels = nodes.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"].to_numpy(np.int64),
+            "lab": b["node"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+
+    for _ in range(rounds):
+        if labels.count() <= broadcast_nodes:
+            pdf = labels.to_pandas()
+            k = pdf["node"].to_numpy(np.int64)
+            v = pdf["lab"].to_numpy(np.int64)
+            o = np.argsort(k, kind="stable")
+            ref = ray.put((k[o], v[o]))
+
+            def cnt(b: pd.DataFrame) -> pd.DataFrame:
+                kk, vv = cached_get(ref)
+                s = b["__s"].to_numpy(np.int64)
+                idx = np.searchsorted(kk, s)
+                g = pd.DataFrame({
+                    "node": b["__d"].to_numpy(np.int64),
+                    "lab": vv[idx],
+                    "c": np.ones(len(b), np.int64)})
+                return g.groupby(["node", "lab"],
+                                 as_index=False, sort=False).sum()
+
+            counts = e_ds.map_batches(cnt, batch_format="pandas")
+        else:
+            j = relational.bucketed_join(
+                e_ds, labels.map_batches(
+                    lambda b: b.rename(columns={"node": "__s"}),
+                    batch_format="pandas"),
+                on="__s", num_partitions=nparts)
+
+            def cnt_j(b: pd.DataFrame) -> pd.DataFrame:
+                if b.empty or "__d" not in b.columns:
+                    return pd.DataFrame({
+                        "node": pd.Series(dtype=np.int64),
+                        "lab": pd.Series(dtype=np.int64),
+                        "c": pd.Series(dtype=np.int64)})
+                g = pd.DataFrame({
+                    "node": b["__d"].to_numpy(np.int64),
+                    "lab": b["lab"].to_numpy(np.int64),
+                    "c": np.ones(len(b), np.int64)})
+                return g.groupby(["node", "lab"],
+                                 as_index=False, sort=False).sum()
+
+            counts = j.map_batches(cnt_j, batch_format="pandas")
+        agg = relational.sum_final(counts, ["node", "lab"])
+
+        def negtie(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__neg"] = -b["lab"].to_numpy(np.int64)
+            return b
+
+        picked = relational.argmax_per_group(
+            agg.map_batches(negtie, batch_format="pandas"),
+            "node", "c", "__neg").map_batches(
+            lambda b: b[["node", "lab"]], batch_format="pandas")
+        # nodes with no IN-neighbor keep their label (the twin's LEFT
+        # JOIN): prefer the picked row per node, else the old one
+        tag_old = labels.map_batches(
+            lambda b: b.assign(__pri=np.int64(0)),
+            batch_format="pandas")
+        tag_new = picked.map_batches(
+            lambda b: b.assign(__pri=np.int64(1)),
+            batch_format="pandas")
+        labels = relational.argmax_per_group(
+            tag_old.union(tag_new), "node", "__pri", "lab"
+        ).map_batches(
+            lambda b: b[["node", "lab"]],
+            batch_format="pandas").materialize()
+
+    return labels.to_pandas().sort_values("node", ignore_index=True)

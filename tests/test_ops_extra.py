@@ -4874,3 +4874,30 @@ def test_sssp_broadcast_and_join_paths_agree(ray_session):
     want["dist"] = want["dist"].round(4)
     want["node"] = want["node"].astype(np.int64)
     pd.testing.assert_frame_equal(a, want)
+
+
+def test_label_propagation_forced_join_path(ray_session):
+    """broadcast_nodes=0 forces the co-shuffle label join; results must
+    equal the broadcast path exactly (deterministic LPA)."""
+    import ray.data
+
+    from engine.ops.graph import label_propagation
+
+    rng = np.random.default_rng(13)
+    # two dense blobs plus a bridge
+    a = rng.integers(0, 15, (120, 2))
+    b = rng.integers(15, 30, (120, 2)) 
+    e = pd.DataFrame(np.vstack([a, b, [[14, 15]]]),
+                     columns=["src", "dst"])
+    e = e[e["src"] != e["dst"]].drop_duplicates(ignore_index=True)
+    e_sym = pd.concat([e, e.rename(columns={"src": "dst",
+                                            "dst": "src"})],
+                      ignore_index=True).drop_duplicates(
+        ignore_index=True)
+    x = label_propagation(
+        ray.data.from_pandas(e_sym).repartition(3), rounds=3)
+    y = label_propagation(
+        ray.data.from_pandas(e_sym).repartition(3), rounds=3,
+        broadcast_nodes=0)
+    pd.testing.assert_frame_equal(x, y)
+    assert x["lab"].nunique() <= 6  # blobs collapse to few labels
