@@ -4846,6 +4846,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["image_id", "cast_ratio", "clip_lo", "clip_hi"]] \
             .sort_values("image_id", ignore_index=True)
 
+    def image_thumb_near_dups(sf_dir: str):
+        # multimodal x simsearch composition: 8x8 RGB thumbnails of
+        # the raw16 subset become 192-d vectors, then EXACT all-pairs
+        # cosine >= 0.9995 finds visual near-duplicates (the exactness
+        # baseline the phash/LSH families trade recall against)
+        from engine.io import read_images
+        from engine.ops.simsearch import all_pairs_cosine_exact
+
+        ds = read_images(_geo_fixture_dir(),
+                         columns=["image_id", "bytes", "fmt"])
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        thumbs = multimodal.resize_images(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            size=8, concurrency=(1, 4))
+
+        def vecs(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["image_id"].str[3:].astype(np.int64).to_numpy()
+            embs = [codec.decode(blob).astype(np.float64).ravel()
+                    for blob in b["resized_bytes"]]
+            return pd.DataFrame({"vec_id": ids, "embedding": embs})
+
+        emb = thumbs.map_batches(vecs, batch_format="pandas")
+        return all_pairs_cosine_exact(emb, threshold=0.9995)
+
     def image_dims_by_fmt(sf_dir: str):
         # image-axis per-codec stats: count, mean dims, total megapixels.
         # Oracle regenerates w/h/fmt from splitmix64 streams 10-12 over
@@ -6320,6 +6347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": image_resize,
         "image_dims_by_fmt": image_dims_by_fmt,
         "image_color_cast": image_color_cast,
+        "image_thumb_near_dups": image_thumb_near_dups,
         "image_mpx_by_cell": image_mpx_by_cell,
         "image_payload_bytes_by_fmt": image_payload_bytes_by_fmt,
     }
@@ -11319,6 +11347,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
             FROM t a JOIN t b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.h, b.h)) <= 6
+            ORDER BY a, b
+        """,
+        "image_thumb_near_dups": f"""
+            WITH {_sql_pixels_cte(_GEO_N)},
+            rmap AS (
+                SELECT g.i, g.c, g.px, oy.o AS oy, ox.o AS ox
+                FROM gpx g JOIN gdim d ON d.i = g.i
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS o) oy
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS o) ox
+                WHERE (oy.o * d.h) // 8 <= g.y
+                  AND g.y < ((oy.o + 1) * d.h) // 8
+                  AND (ox.o * d.w) // 8 <= g.x
+                  AND g.x < ((ox.o + 1) * d.w) // 8),
+            ravg AS (SELECT i, oy, ox, c, AVG(px) AS v
+                     FROM rmap GROUP BY i, oy, ox, c),
+            rpx AS (SELECT i, (oy * 8 + ox) * 3 + c AS d,
+                        LEAST(GREATEST(
+                            FLOOR(v + 0.5e0)
+                            - CASE WHEN FLOOR(v + 0.5e0) - v = 0.5e0
+                                        AND CAST(FLOOR(v + 0.5e0)
+                                                 AS BIGINT) % 2 <> 0
+                                   THEN 1 ELSE 0 END, 0e0), 255e0)
+                            AS val
+                    FROM ravg),
+            rn AS (SELECT i, GREATEST(sqrt(SUM(val * val)), 1e-12)
+                          AS nrm
+                   FROM rpx GROUP BY i),
+            prs AS (SELECT a.i AS ia, b.i AS ib,
+                        SUM((a.val / na.nrm) * (b.val / nb.nrm)) AS c
+                    FROM rpx a
+                    JOIN rpx b ON b.i > a.i AND b.d = a.d
+                    JOIN rn na ON na.i = a.i
+                    JOIN rn nb ON nb.i = b.i
+                    GROUP BY a.i, b.i)
+            SELECT ia AS a, ib AS b, {_sql_round_even('c')} AS cos
+            FROM prs WHERE {_sql_round_even('c')} >= 0.9995
             ORDER BY a, b
         """,
         "image_color_cast": f"""

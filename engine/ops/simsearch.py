@@ -916,3 +916,57 @@ def label_silhouette(
     out["n"] = agg["__n"].astype(np.int64)
     out["mean_sil"] = (agg["__ss"] / agg["__n"]).round(6)
     return out.sort_values(label_col, ignore_index=True)
+
+
+def all_pairs_cosine_exact(
+    emb: ray.data.Dataset,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    broadcast_max_rows: int = 2_000_000,
+) -> pd.DataFrame:
+    """EXACT all-pairs cosine >= threshold -> (a, b, cos), a < b.
+
+    The corpus matrix broadcasts once (``ray.put``) and every batch
+    computes its (batch x corpus) similarity block, keeping only the
+    upper triangle (id_a < id_b) — O(n^2) compute spread over blocks
+    with zero shuffle, the exactness baseline the LSH family
+    (``dedup.embedding_near_dups``) trades recall against. Refuses
+    corpora above ``broadcast_max_rows`` (use the LSH path there —
+    exact all-pairs at 10^9 rows is not a sensible ask)."""
+    from engine.state import cached_get
+
+    n = emb.count()
+    if n > broadcast_max_rows:
+        raise ValueError(
+            "all_pairs_cosine_exact: corpus exceeds the broadcast "
+            "gate; use dedup.embedding_near_dups (LSH) at this scale")
+    pdf = emb.to_pandas()
+    ids = pdf[id_col].to_numpy(np.int64)
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order], mat[order]))
+
+    def block(b: pd.DataFrame) -> pd.DataFrame:
+        aid, amat = cached_get(ref)
+        bi = b[id_col].to_numpy(np.int64)
+        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        v = v / np.maximum(
+            np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sim = np.round(v @ amat.T, 6)
+        # threshold on the ROUNDED value so the SQL twin's arbitrary
+        # summation order can't flip a boundary pair
+        keep = (sim >= threshold) & (bi[:, None] < aid[None, :])
+        ri, ci = np.nonzero(keep)
+        return pd.DataFrame({
+            "a": bi[ri], "b": aid[ci], "cos": sim[ri, ci]})
+
+    out = emb.map_batches(block, batch_format="pandas").to_pandas()
+    if out.empty and "a" not in out.columns:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64),
+                             "cos": pd.Series(dtype=np.float64)})
+    return out.sort_values(["a", "b"], ignore_index=True)
