@@ -1520,6 +1520,9 @@ def label_propagation(
     nodes = relational.distinct(
         e_ds.map_batches(ends, batch_format="pandas"), ["node"]
     ).materialize()
+    if nodes.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "lab": pd.Series(dtype=np.int64)})
     labels = nodes.map_batches(
         lambda b: pd.DataFrame({
             "node": b["node"].to_numpy(np.int64),

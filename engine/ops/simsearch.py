@@ -937,6 +937,7 @@ def all_pairs_cosine_exact(
     exact all-pairs at 10^9 rows is not a sensible ask)."""
     from engine.state import cached_get
 
+    emb = emb.materialize()  # three consumers: count, pull, stream
     n = emb.count()
     if n > broadcast_max_rows:
         raise ValueError(

@@ -405,6 +405,10 @@ def kmv_count_distinct(
         return pd.DataFrame({"h": h[:k].astype(np.uint64).view(np.int64)})
 
     parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if parts.empty or "h" not in parts.columns:
+        return pd.DataFrame({
+            "k_used": np.asarray([0], np.int64),
+            "approx_distinct": np.asarray([0.0], np.float64)})
     hs = np.unique(parts["h"].to_numpy().view(np.uint64))
     if len(hs) == 0:
         est = 0.0

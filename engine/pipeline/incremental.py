@@ -219,6 +219,12 @@ def run_incremental_update(
         raise RuntimeError(
             f"no prior flagship manifest under {man_dir}; run "
             "run_flagship first — incremental resume needs its lineage")
+    if f"pincr-{run_id}" in plan:
+        raise ValueError(
+            f"run_id {run_id!r} was already used for an incremental "
+            "run against this out_dir; each changefile application "
+            "needs a distinct run_id (its spill fragment and "
+            "partition are named by it)")
     res = apply_changefile(
         images_dir, changes, spill_name=f"images-incr-{run_id}.parquet")
     rewritten = set(res["rewritten"])
