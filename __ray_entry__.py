@@ -5121,6 +5121,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "size": g["size"].astype(np.int64)})
         return out.sort_values("label", ignore_index=True)
 
+    def docs_bpe_merges(sf_dir: str):
+        # BPE tokenizer training over the corpus's word-frequency
+        # table (the distributed fold; the merge loop is vocab-sized).
+        # Non-SQL (iterative replace); reference-implementation pytest
+        # is the oracle.
+        from engine.ops.text import bpe_train
+
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+        return bpe_train(docs, n_merges=8)
+
     def docs_bm25_topk(sf_dir: str):
         # Okapi BM25 relevance of every document against a fixed
         # query-term set (topic mining for curation); the twin
@@ -6033,6 +6043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_pagerank": supplier_part_pagerank,
         "supplier_part_sssp": supplier_part_sssp,
         "docs_bm25_topk": docs_bm25_topk,
+        "docs_bpe_merges": docs_bpe_merges,
         "part_lpa_communities": part_lpa_communities,
         "source_mix_weights": source_mix_weights,
         "docs_epoch_multiplicity": docs_epoch_multiplicity,

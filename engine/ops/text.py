@@ -1612,3 +1612,56 @@ def bm25_topk(
     return cand.sort_values(
         ["score", id_col], ascending=[False, True],
         kind="stable", ignore_index=True).head(top_k)
+
+
+# ------------------------------------------------------- BPE training
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    n_merges: int = 8,
+) -> pd.DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, public
+    algorithm) over the corpus: the distributed pass folds the corpus
+    to its WORD-FREQUENCY table (``unigram_counts`` — the classic BPE
+    trick: merges depend only on (word, count), so the merge loop runs
+    over the vocabulary, corpus size never re-enters); then
+    ``n_merges`` rounds each pick the most frequent adjacent symbol
+    pair (ties -> lexicographically smallest (left, right)) and apply
+    the merge to every word. Vocabulary tables are ~1e5-1e6 rows; at
+    larger vocabularies shard the pair count by hash(word) and fold —
+    the loop structure is unchanged.
+
+    Returns one row per merge: merge_ix, left, right, pair_count,
+    new_symbol — the merge table a tokenizer ships with."""
+    vocab = unigram_counts(ds)
+    words = [tuple(w) for w in vocab["token"].astype(str)]
+    counts = vocab["n"].to_numpy(np.int64)
+    rows = []
+    for mi in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, c in zip(words, counts):
+            for a, b in zip(w[:-1], w[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + int(c)
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, rb), pc = best
+        new_sym = la + rb
+        rows.append((mi, la, rb, pc, new_sym))
+
+        def apply(w: tuple) -> tuple:
+            out = []
+            i = 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == la and w[i + 1] == rb:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            return tuple(out)
+
+        words = [apply(w) if la in w else w for w in words]
+    return pd.DataFrame(
+        rows, columns=["merge_ix", "left", "right", "pair_count",
+                       "new_symbol"])

@@ -744,3 +744,51 @@ def test_langid_fast_path_matches_loop(ray_session):
     df2 = pd.DataFrame({"doc_id": [0], "text": ["日本語のテキストです"]})
     g2 = t.LangId()(df2.copy())
     assert g2["lang_pred"][0] == "zh"
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Independent single-process BPE reference (count pairs over the
+    word-frequency table, merge best with (count desc, pair asc)
+    ties) must produce the identical merge sequence."""
+    import ray.data
+
+    from engine.ops.text import bpe_train
+
+    texts = ["low lower lowest low low",
+             "new newer newest new newer",
+             "wide wider widest wide",
+             "low new wide lower"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = bpe_train(ray.data.from_pandas(df).repartition(2), n_merges=6)
+
+    # reference
+    import collections, re
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            vocab[w] += 1
+    words = {tuple(w): c for w, c in vocab.items()}
+    merges = []
+    for _ in range(6):
+        pc = collections.Counter()
+        for w, c in words.items():
+            for a, b in zip(w[:-1], w[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, rb), n = best
+        merges.append((la, rb, n))
+        new_words = {}
+        for w, c in words.items():
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == la and w[i + 1] == rb:
+                    out.append(la + rb); i += 2
+                else:
+                    out.append(w[i]); i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    for k, (la, rb, n) in enumerate(merges):
+        assert got["left"][k] == la and got["right"][k] == rb, k
+        assert got["pair_count"][k] == n, k
