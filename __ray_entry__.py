@@ -5324,6 +5324,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          ascending=[False, True], kind="stable",
                          ignore_index=True)
 
+    def user_activity_streaks(sf_dir: str):
+        # islands-and-gaps engagement streaks at day granularity
+        # (gap > 3 days splits); one hash-shard co-shuffle + a
+        # vectorized per-shard pass
+        ev = sf_table(sf_dir, "events", ["user_id", "ts"])
+        return relational.activity_streaks(ev, max_gap_days=3)
+
     def kmv_distinct_users(sf_dir: str):
         # KMV distinct sketch — deterministic given the splitmix hash,
         # so the twin recomputes the SAME estimate (hash-equal oracle,
@@ -6050,6 +6057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_silhouette": embedding_label_silhouette,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q10_returned_items": q10_returned_items,
+        "user_activity_streaks": user_activity_streaks,
         "kmv_distinct_users": kmv_distinct_users,
         "events_cuped_means": events_cuped_means,
         "purchase_attribution_counts": purchase_attribution_counts,
@@ -9558,6 +9566,29 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_pagerank": _sql_pagerank(iters=8, damping=0.85),
         "supplier_part_sssp": _sql_sssp(rounds=4),
         "part_lpa_communities": _sql_lpa(rounds=3),
+        "user_activity_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            s AS (SELECT user_id, day,
+                      CASE WHEN LAG(day) OVER w IS NULL
+                                OR day - LAG(day) OVER w > 3
+                           THEN 1 ELSE 0 END AS brk
+                  FROM d
+                  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+            g AS (SELECT user_id, day,
+                      SUM(brk) OVER (PARTITION BY user_id
+                                     ORDER BY day) AS sid
+                  FROM s),
+            st AS (SELECT user_id, sid,
+                       MAX(day) - MIN(day) + 1 AS span,
+                       COUNT(*) AS ndays
+                   FROM g GROUP BY user_id, sid)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   CAST(MAX(span) AS BIGINT) AS longest_streak_days,
+                   CAST(SUM(ndays) AS BIGINT) AS active_days
+            FROM st GROUP BY user_id ORDER BY user_id
+        """,
         # KMV: the estimate is a pure function of the splitmix hashes,
         # so the twin recomputes the identical value (hash-equal
         # oracle for an approximate-distinct sketch)

@@ -4003,3 +4003,68 @@ def cuped_adjusted_means(
                          round(vr, 6)))
     return pd.DataFrame(out_rows, columns=[
         "arm", "n", "mean_raw", "mean_cuped", "var_reduction"])
+
+
+def activity_streaks(
+    events: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_gap_days: int = 3,
+    num_shards: int = 256,
+) -> pd.DataFrame:
+    """Islands-and-gaps at day granularity: per user, contiguous runs
+    of ACTIVE days where consecutive active days at most
+    ``max_gap_days`` apart stay in one streak — n_streaks,
+    longest_streak_days (covered span of the longest island, first to
+    last active day inclusive) and active_days. The engagement-streak
+    report behind retention dashboards.
+
+    One hash-shard co-shuffle (the ``window_rank`` pattern: every
+    user's rows land in one shard, many users per shard) and a single
+    vectorized pass per shard — day extraction, sorted distinct days,
+    gap splits via diff, all numpy."""
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        days = (g[ts_col].astype("datetime64[ns]").astype(np.int64)
+                // 86_400_000_000_000)
+        d = pd.DataFrame({user_col: g[user_col].to_numpy(np.int64),
+                          "day": days}).drop_duplicates()
+        d = d.sort_values([user_col, "day"], kind="stable")
+        if d.empty:
+            return pd.DataFrame({
+                user_col: pd.Series(dtype=np.int64),
+                "n_streaks": pd.Series(dtype=np.int64),
+                "longest_streak_days": pd.Series(dtype=np.int64),
+                "active_days": pd.Series(dtype=np.int64)})
+        u = d[user_col].to_numpy()
+        dy = d["day"].to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[True, (dy[1:] - dy[:-1]) > max_gap_days]
+        start = new_user | gap
+        # per-streak span via the sorted order: first day at each
+        # start, last day just before the next start
+        starts_ix = np.flatnonzero(start)
+        ends_ix = np.r_[starts_ix[1:], len(dy)] - 1
+        span = dy[ends_ix] - dy[starts_ix] + 1
+        streak_user = u[starts_ix]
+        s = pd.DataFrame({user_col: streak_user, "span": span})
+        agg = s.groupby(user_col, as_index=False).agg(
+            n_streaks=("span", "size"),
+            longest_streak_days=("span", "max"))
+        act = d.groupby(user_col, as_index=False).agg(
+            active_days=("day", "size"))
+        out = agg.merge(act, on=user_col)
+        out["n_streaks"] = out["n_streaks"].astype(np.int64)
+        out["longest_streak_days"] = \
+            out["longest_streak_days"].astype(np.int64)
+        out["active_days"] = out["active_days"].astype(np.int64)
+        return out[[user_col, "n_streaks", "longest_streak_days",
+                    "active_days"]]
+
+    out = _sharded_by_key(
+        events, user_col, num_shards
+    ).groupby("__shard").map_groups(
+        lambda g: per_shard(g.drop(columns="__shard")),
+        batch_format="pandas").to_pandas()
+    return out.sort_values(user_col, ignore_index=True)
