@@ -5324,6 +5324,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          ascending=[False, True], kind="stable",
                          ignore_index=True)
 
+    def customer_pareto_share(sf_dir: str):
+        # Pareto (80/20) concentration: revenue share of the top 20%
+        # of customers by order revenue — one per-customer combiner
+        # (cents-exact), the sorted fold runs over the O(customers)
+        # aggregate (documented small side; the rule generalizes with
+        # grouped_topk at 10^9 customers)
+        o = sf_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+        def cents(b: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "o_custkey": b["o_custkey"].to_numpy(np.int64),
+                "c": np.rint(b["o_totalprice"].to_numpy(np.float64)
+                             * 100.0).astype(np.int64)})
+            return g.groupby("o_custkey",
+                             as_index=False, sort=False).sum()
+
+        per = relational.sum_final(
+            o.map_batches(cents, batch_format="pandas"),
+            ["o_custkey"]).to_pandas()
+        v = np.sort(per["c"].to_numpy(np.int64))[::-1]
+        n = len(v)
+        k = max(1, int(n * 0.2))
+        share = float(v[:k].sum()) / float(v.sum()) if n else 0.0
+        return pd.DataFrame({
+            "n_customers": np.asarray([n], np.int64),
+            "top_k": np.asarray([k], np.int64),
+            "top20_share": np.asarray([round(share, 6)], np.float64)})
+
     def user_activity_streaks(sf_dir: str):
         # islands-and-gaps engagement streaks at day granularity
         # (gap > 3 days splits); one hash-shard co-shuffle + a
@@ -6057,6 +6085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_silhouette": embedding_label_silhouette,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q10_returned_items": q10_returned_items,
+        "customer_pareto_share": customer_pareto_share,
         "user_activity_streaks": user_activity_streaks,
         "kmv_distinct_users": kmv_distinct_users,
         "events_cuped_means": events_cuped_means,
@@ -9566,6 +9595,24 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_pagerank": _sql_pagerank(iters=8, damping=0.85),
         "supplier_part_sssp": _sql_sssp(rounds=4),
         "part_lpa_communities": _sql_lpa(rounds=3),
+        "customer_pareto_share": """
+            WITH per AS (SELECT o_custkey,
+                             SUM(CAST(round(o_totalprice * 100)
+                                      AS BIGINT)) AS c
+                         FROM orders GROUP BY o_custkey),
+            r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC) AS rn
+                  FROM per),
+            st AS (SELECT COUNT(*) AS n,
+                       GREATEST(1, CAST(trunc(COUNT(*) * 0.2)
+                                        AS BIGINT)) AS k
+                   FROM per)
+            SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_customers,
+                   (SELECT k FROM st) AS top_k,
+                   ROUND((SELECT CAST(SUM(c) AS DOUBLE) FROM r
+                          WHERE rn <= (SELECT k FROM st))
+                         / (SELECT CAST(SUM(c) AS DOUBLE) FROM per),
+                         6) AS top20_share
+        """,
         "user_activity_streaks": """
             WITH d AS (SELECT DISTINCT user_id,
                            epoch_us(ts) // 86400000000 AS day
