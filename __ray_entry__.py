@@ -5178,9 +5178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return b.loc[keep, ["o_orderkey", "o_custkey"]]
 
         cust = cust.rename(columns={"c_custkey": "o_custkey"})
+        # materialize before the count() gate: the gate executes the
+        # plan, and without this the to_pandas()/co-shuffle branch
+        # would recompute the year filter + join from scratch
         ordy = relational.broadcast_hash_join(
             orders.map_batches(year, batch_format="pandas"),
-            cust, on="o_custkey")
+            cust, on="o_custkey").materialize()
         li = sf_table(sf_dir, "lineitem",
                       ["l_orderkey", "l_suppkey",
                        "l_extendedprice", "l_discount"])
@@ -9714,9 +9717,9 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT SUM(n) AS nn, SUM(sx) AS tsx, SUM(sy) AS tsy,
                        SUM(sxy) AS tsxy, SUM(sxx) AS tsxx FROM m),
             th AS (SELECT
-                    (tsxy / nn - (tsx / nn) * (tsy / nn))
-                    / NULLIF(tsxx / nn - (tsx / nn) * (tsx / nn), 0)
-                        AS theta,
+                    COALESCE((tsxy / nn - (tsx / nn) * (tsy / nn))
+                    / NULLIF(tsxx / nn - (tsx / nn) * (tsx / nn), 0),
+                    0.0) AS theta,
                     tsx / nn AS mx
                    FROM g)
             SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n,
@@ -9724,13 +9727,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sy / n - (SELECT theta FROM th)
                          * (sx / n - (SELECT mx FROM th)), 6)
                        AS mean_cuped,
-                   ROUND(1.0 - (syy / n - (sy / n) * (sy / n)
+                   ROUND(COALESCE(1.0 - (syy / n - (sy / n) * (sy / n)
                          - 2.0 * (SELECT theta FROM th)
                            * (sxy / n - (sx / n) * (sy / n))
                          + (SELECT theta FROM th)
                            * (SELECT theta FROM th)
                            * (sxx / n - (sx / n) * (sx / n)))
-                         / NULLIF(syy / n - (sy / n) * (sy / n), 0), 6)
+                         / NULLIF(syy / n - (sy / n) * (sy / n), 0),
+                         0.0), 6)
                        AS var_reduction
             FROM m ORDER BY arm
         """,

@@ -1243,7 +1243,7 @@ def bucketed_join(
 
     Wraps the native ``Dataset.join`` (hash partition both sides on the
     key, join partitions independently). ``num_partitions`` defaults to
-    ``state.default_partitions()`` (2x cluster CPUs — the JoinOperator
+    ``state.default_partitions()`` (1x cluster CPUs — the JoinOperator
     keeps every partition aggregator resident, so the count must track
     the cluster, not a constant); pass it explicitly for skewed/huge
     keys so each partition fits an aggregator's heap. Prefer

@@ -27,11 +27,16 @@ existing primitives (round-3 verdict item 2):
    recomputes exactly the stale + new partitions and re-merges tiles
    from all partials.
 
-Partitioning assumption (documented per the driver mandate): fragment
-key-ranges are disjoint — true of the range/bucketed layouts this
-engine writes (``engine/io.py`` S9) and of the fixture writer. With
-overlapping ranges every overlapping fragment is treated as affected
-(correct, merely less selective).
+Overlapping fragment key-ranges are handled correctly (round-4 ADVICE
+item 1): a changed key routes to EVERY fragment whose [min, max]
+contains it — deletes apply everywhere, the upsert row lands in the
+first (sorted-path) containing fragment and acts as a delete in the
+rest, so a stale duplicate in a later overlapping fragment cannot
+survive. With the disjoint ranges the engine's own writers produce
+(``engine/io.py`` S9) this degenerates to the single-destination fast
+case. Fragments whose footer statistics are missing OR inexact
+(truncated min/max on long binary values, pyarrow
+``is_{min,max}_value_exact``) conservatively match every key.
 """
 
 from __future__ import annotations
@@ -55,8 +60,12 @@ def fragment_key_ranges(
     paths: list[str], key: str = "image_id"
 ) -> list[tuple[str, object, object]]:
     """(path, min, max) of ``key`` per fragment from parquet FOOTER
-    statistics only (no data read). Fragments lacking stats get
-    (None, None) and are treated as matching everything."""
+    statistics only (no data read). Fragments lacking stats — or whose
+    stats are INEXACT (parquet writers may truncate min/max for long
+    binary values while still reporting ``has_min_max``; pyarrow >= 13
+    exposes ``is_min_value_exact`` / ``is_max_value_exact``) — get
+    (None, None) and are treated as matching everything, the
+    conservative data-skipping fallback."""
     out = []
     for p in sorted(paths):
         md = pq.read_metadata(p)
@@ -65,7 +74,9 @@ def fragment_key_ranges(
         lo, hi = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
+            if (st is None or not st.has_min_max
+                    or getattr(st, "is_min_value_exact", True) is False
+                    or getattr(st, "is_max_value_exact", True) is False):
                 lo, hi = None, None
                 break
             lo = st.min if lo is None else min(lo, st.min)
@@ -80,28 +91,44 @@ def route_changes(
     key: str = "image_id",
     op_col: str = "__op",
 ) -> tuple[dict[str, pa.Table], pa.Table]:
-    """Split the changefile by destination fragment: each key goes to
-    the FIRST (sorted-path) fragment whose [min, max] contains it;
-    keys contained by no fragment -> the spill table (new inserts
-    beyond every existing range). Deletes that match no fragment are
-    dropped (deleting an absent key is a no-op)."""
+    """Split the changefile by destination fragment: each key routes
+    to EVERY fragment whose [min, max] contains it. Deletes apply in
+    all containing fragments; the upsert row replaces-or-inserts in
+    the FIRST (sorted-path) containing fragment and is demoted to a
+    delete in the others, so overlapping ranges cannot leave a stale
+    duplicate behind (round-4 ADVICE item 1). Keys contained by no
+    fragment -> the spill table (new inserts beyond every existing
+    range); deletes that match no fragment are dropped (deleting an
+    absent key is a no-op)."""
     ranges = fragment_key_ranges(paths, key)
     keys = np.asarray(changes[key].to_pylist(), dtype=object)
-    dest = np.full(len(keys), -1, dtype=np.int64)
+    ops = np.asarray(changes[op_col].to_pylist(), dtype=object)
+    is_ups = ops == "U"
+    primary = np.full(len(keys), -1, dtype=np.int64)
+    contains = []
     for fi, (_, lo, hi) in enumerate(ranges):
         if lo is None:
-            m = dest == -1
+            m = np.ones(len(keys), dtype=bool)
         else:
-            m = (dest == -1) & (keys >= lo) & (keys <= hi)
-        dest[m] = fi
+            m = (keys >= lo) & (keys <= hi)
+        contains.append(m)
+        primary[m & (primary == -1)] = fi
     per_frag: dict[str, pa.Table] = {}
     for fi, (p, _, _) in enumerate(ranges):
-        m = dest == fi
-        if m.any():
-            per_frag[p] = changes.filter(pa.array(m))
-    spill_mask = dest == -1
-    ops = np.asarray(changes[op_col].to_pylist(), dtype=object)
-    spill = changes.filter(pa.array(spill_mask & (ops == "U")))
+        m = contains[fi]
+        if not m.any():
+            continue
+        frag = changes.filter(pa.array(m))
+        demote = m & is_ups & (primary != fi)
+        if demote.any():
+            # non-primary overlapping fragment: the upsert acts as a
+            # pure delete of any stale copy of the key living here
+            new_ops = np.where(demote, "D", ops)[m]
+            frag = frag.set_column(
+                frag.schema.get_field_index(op_col), op_col,
+                pa.array(new_ops.tolist(), type=pa.string()))
+        per_frag[p] = frag
+    spill = changes.filter(pa.array((primary == -1) & is_ups))
     return per_frag, spill
 
 

@@ -91,6 +91,60 @@ def incr_run(ray_session, tmp_path_factory):
     }
 
 
+def test_overlapping_fragment_ranges_no_stale_duplicate(
+        ray_session, tmp_path):
+    """Round-4 ADVICE item 1: with OVERLAPPING fragment key-ranges a
+    changed key routes to every containing fragment — the upsert row
+    lands in the first, acts as a delete in the rest, and a delete
+    removes the key from all of them. A key duplicated across two
+    overlapping fragments must come out exactly once with the new
+    value (no silent stale copy)."""
+    img_dir = str(tmp_path / "ovl")
+    os.makedirs(img_dir)
+    base = fixtures.images_table(40)
+    ids = base["image_id"].to_pylist()
+    # frag a: rows 0..24; frag b: rows 15..39 -> ranges overlap and
+    # ids 15..24 exist in BOTH fragments (planted duplicates)
+    pq.write_table(base.slice(0, 25), os.path.join(img_dir, "a.parquet"))
+    pq.write_table(base.slice(15, 25), os.path.join(img_dir, "b.parquet"))
+
+    dup_up, dup_del = ids[18], ids[20]
+    donor = fixtures.images_table(1, offset=500)
+    ups = donor.set_column(0, "image_id",
+                           pa.array([dup_up], pa.string()))
+    d_tab = pa.table({
+        "image_id": pa.array([dup_del], pa.string()),
+        "bytes": pa.array([b""], pa.binary()),
+        "w": pa.array([0], pa.int32()),
+        "h": pa.array([0], pa.int32()),
+        "fmt": pa.array([""], pa.string()),
+        "caption": pa.array([""], pa.string()),
+        "phash": pa.array([0], pa.int64()),
+    })
+    changes = pa.concat_tables([d_tab, ups]).append_column(
+        "__op", pa.array(["D", "U"], pa.string()))
+
+    paths = sorted(glob.glob(os.path.join(img_dir, "*.parquet")))
+    per_frag, spill = incremental.route_changes(changes, paths)
+    assert spill.num_rows == 0
+    # both keys are in both fragments' ranges -> both deltas have both
+    assert set(per_frag) == set(paths)
+    a_ops = dict(zip(per_frag[paths[0]]["image_id"].to_pylist(),
+                     per_frag[paths[0]]["__op"].to_pylist()))
+    b_ops = dict(zip(per_frag[paths[1]]["image_id"].to_pylist(),
+                     per_frag[paths[1]]["__op"].to_pylist()))
+    assert a_ops == {dup_del: "D", dup_up: "U"}
+    # non-primary fragment: upsert demoted to delete
+    assert b_ops == {dup_del: "D", dup_up: "D"}
+
+    incremental.apply_changefile(img_dir, changes)
+    after = _read_tree(os.path.join(img_dir, "*.parquet"))
+    assert (after["image_id"] == dup_del).sum() == 0
+    got = after[after["image_id"] == dup_up]
+    assert len(got) == 1
+    assert got["caption"].iloc[0] == donor["caption"][0].as_py()
+
+
 def test_only_touched_partitions_recompute(incr_run):
     res1 = incr_run["res1"]
     assert res1["stale_partitions"] == ["p00001"]

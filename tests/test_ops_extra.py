@@ -4824,7 +4824,7 @@ def test_pythagorean_means_ordering(ray_session):
 
 def test_default_partitions_tracks_cluster_cpus(ray_session, monkeypatch):
     """Round-3 verdict item 3: join/shuffle partition defaults derive
-    from the cluster's CPU count (2x, clamped), not a sandbox-tuned
+    from the cluster's CPU count (1x, clamped), not a sandbox-tuned
     constant — 8 at the 4-cpu test fixture, scaling with the cluster."""
     import ray
 
