@@ -4318,6 +4318,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["explained_var"] = out["explained_var"].round(6)
         return out
 
+    def embedding_cov_moments(sf_dir: str):
+        # SQL-exact companion of embedding_pca_components (round-4
+        # verdict item 2): tr(C^p) p=1..4 from the SAME distributed
+        # (count, sum, Gram) partials that feed the eigensolve —
+        # DuckDB reproduces them via long-form covariance matrix
+        # products, so the distributed half of PCA is hash-checked;
+        # only the driver-side d x d eigh stays pytest-oracled.
+        from engine.ops import simsearch
+
+        ds = sf_table(sf_dir, "embeddings", ["embedding"])
+        return simsearch.embedding_cov_trace_moments(ds, powers=4)
+
     def image_sharpness(sf_dir: str):
         # focus scoring (variance of luminance Laplacian) in the
         # decode actor pool, over the lossless raw16 subset (DuckDB
@@ -6288,6 +6300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_norm_moments": image_norm_moments,
         "image_patch_dup_pairs": image_patch_dup_pairs,
         "embedding_pca_components": embedding_pca_components,
+        "embedding_cov_moments": embedding_cov_moments,
         "geo_line_density": geo_line_density,
         "geo_enclosing_circles": geo_enclosing_circles,
         "geo_flow_field": geo_flow_field,
@@ -9928,6 +9941,37 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans_clusters": _sql_kmeans_clusters(),
         "embedding_cluster_ari": _sql_cluster_ari(),
         "embedding_participation_ratio": _sql_participation_ratio(),
+        # trace moments of the embedding covariance: long-form matrix
+        # products over the same m1/m2 covariance CTEs (C2 = C x C,
+        # then tr(C^3) = sum C2 o C, tr(C^4) = sum C2 o C2)
+        "embedding_cov_moments": """
+            WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            dims AS (SELECT unnest(range(1, 65)) AS d),
+            m1 AS (SELECT d.d AS i, AVG(v[d.d]) AS mu
+                   FROM e CROSS JOIN dims d GROUP BY d.d),
+            m2 AS (SELECT a.d AS i, b.d AS j, AVG(v[a.d] * v[b.d]) AS m
+                   FROM e CROSS JOIN dims a CROSS JOIN dims b
+                   GROUP BY a.d, b.d),
+            c AS (SELECT m2.i, m2.j, m2.m - ma.mu * mb.mu AS cij
+                  FROM m2 JOIN m1 ma ON ma.i = m2.i
+                          JOIN m1 mb ON mb.i = m2.j),
+            c2 AS (SELECT a.i AS i, b.j AS j, SUM(a.cij * b.cij) AS v
+                   FROM c a JOIN c b ON a.j = b.i GROUP BY a.i, b.j)
+            SELECT CAST(1 AS BIGINT) AS power,
+                   ROUND((SELECT SUM(cij) FROM c WHERE i = j), 6)
+                       AS trace_val
+            UNION ALL
+            SELECT 2, ROUND((SELECT SUM(a.cij * b.cij) FROM c a
+                             JOIN c b ON a.i = b.j AND a.j = b.i), 6)
+            UNION ALL
+            SELECT 3, ROUND((SELECT SUM(x.v * c.cij) FROM c2 x
+                             JOIN c ON c.i = x.j AND c.j = x.i), 6)
+            UNION ALL
+            SELECT 4, ROUND((SELECT SUM(a.v * b.v) FROM c2 a
+                             JOIN c2 b ON a.i = b.j AND a.j = b.i), 6)
+            ORDER BY power
+        """,
         "image_norm_moments": _sql_image_norm_moments(),
         "image_pixel_histogram": _sql_image_pixel_histogram(16),
         # 8x8 area-mean thumbnail checksum over the raw16 subset:

@@ -39,8 +39,18 @@ def default_partitions(
     1x-CPUs rule (floor 8 = the sandbox-tuned 4-cpu value) scales with
     the cluster without over-spawning aggregators: at 32 cpus the 2x
     variant's 64 join actors measurably slowed fixture-scale joins
-    (round-4 sweep: orders_of_rich_customers ~3s -> 5s). Partition
-    count never reaches results, only scheduling."""
+    (round-4 sweep: orders_of_rich_customers ~3s -> 5s).
+
+    Cap rationale (round-4 verdict item 7): every join partition pins
+    one aggregator actor whose working set is ~one block (the
+    128 MiB ``target_max_block_size`` default), so the cap bounds
+    resident aggregator memory at ~4096 x 128 MiB = 512 GiB spread
+    across the cluster — comfortably within a 256-node fleet but a
+    hard wall for any single machine misreporting CPUs. Past the cap,
+    extra partitions shrink blocks BELOW the target size, so they add
+    scheduling and boundary-sampling overhead without adding usable
+    parallelism. Partition count never reaches results, only
+    scheduling."""
     cpus = 0.0
     try:
         if ray.is_initialized():

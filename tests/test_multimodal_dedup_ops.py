@@ -329,6 +329,16 @@ def test_embedding_pca_matches_numpy(ray_session):
         out["explained_var"], evals[:5] / evals.sum(), rtol=1e-9)
     assert (np.diff(out["eigval"]) <= 0).all()
 
+    # trace-identity tie to the SQL-twinned companion (round-4 verdict
+    # item 2): sum lambda^p over ALL eigenvalues == tr(C^p)
+    from engine.ops.simsearch import embedding_cov_trace_moments
+
+    mom = embedding_cov_trace_moments(
+        ray.data.from_arrow(t).repartition(4), powers=4)
+    assert mom["power"].tolist() == [1, 2, 3, 4]
+    for p, tv in zip(mom["power"], mom["trace_val"]):
+        assert tv == pytest.approx(float((evals ** p).sum()), abs=2e-6)
+
 
 def test_image_sharpness_blur_ordering(ray_session):
     import ray.data

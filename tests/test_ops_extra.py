@@ -4835,8 +4835,17 @@ def test_default_partitions_tracks_cluster_cpus(ray_session, monkeypatch):
 
     monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 512.0})
     assert default_partitions() == 512
+    # large-cluster property (round-4 verdict item 7): at 2048 CPUs
+    # the 1x rule stays under the documented aggregator-memory bound
+    # (4096 partitions x ~128MiB block working set per aggregator)
+    monkeypatch.setattr(ray, "cluster_resources",
+                        lambda: {"CPU": 2048.0})
+    assert default_partitions() == 2048
+    assert default_partitions(mult=0.5) == 1024
+    assert default_partitions(mult=0.25, floor=4, cap=1024) == 512
     monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 8192.0})
     assert default_partitions() == 4096  # cap
+    assert default_partitions(mult=0.5) == 4096  # still capped
     monkeypatch.setattr(ray, "cluster_resources", lambda: {})
     assert default_partitions() == 8  # floor on unknown resources
 

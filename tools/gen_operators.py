@@ -53,5 +53,23 @@ for qname, fname in names:
     lines.append(f"| `{qname}` | {o} | {ops} |")
 lines += ["", f"Totals: {len(names)} queries, {n_sql} SQL-oracled, "
           f"{len(names) - n_sql} pytest/self-oracled."]
+lines += ["", "## Twin-coverage notes", """
+- `image_resize`, `image_augment`, `image_features`,
+  `image_sharpness`, and the other pixel-regenerating image twins
+  cover the **lossless raw16 subset only** (1048 of 1500 fixture
+  rows): DuckDB can regenerate raw16 pixels bit-exactly from the id,
+  but not the qdct-coded rows, which would need the from-scratch DCT
+  codec inside SQL. Full-corpus byte exactness for BOTH codecs stays
+  pytest-oracled (PSNR gate + byte-identical re-encode tests) — do
+  not read the SQL twin as full-codec coverage.
+- `embedding_pca_components` is pytest-oracled (a d x d eigensolve is
+  not SQL-expressible); its distributed half — the (count, sum, Gram)
+  moment partials — is hash-checked exactly by the SQL-twinned
+  companion `embedding_cov_moments` (trace identities tr(C^p),
+  p = 1..4).
+- `docs_bpe_merges` is pytest-oracled (iterative argmax training);
+  both the driver-vocab and the sharded big path are covered by the
+  same reference-implementation oracle plus a forced-gate parity
+  test."""]
 open("OPERATORS.md", "w").write("\n".join(lines) + "\n")
 print(f"{len(names)} queries, {n_sql} SQL-oracled")
