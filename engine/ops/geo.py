@@ -4063,6 +4063,7 @@ def colocation_quotient(
     cat_col: str = "cat",
     id_col: str = "image_id",
     coarse_res: int = 5,
+    broadcast_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """Nearest-neighbor colocation quotient (Leslie & Kronenfeld
     2011, public formula): for every ordered category pair (A, B),
@@ -4071,31 +4072,29 @@ def colocation_quotient(
     N_B (or N_B - 1 when A = B) — which categories attract which.
 
     The NN pass is the certified halo-shuffle self-kNN (k=1, same
-    tie-break: distance then neighbor id); the pair labeling is two
-    hash co-shuffle joins of the NN edge list against the (id, cat)
-    table — both sides unbounded, no broadcast of the corpus; a
-    (cat_a, cat_b) count combiner then reduces everything to the
-    K x K grid where the exact-integer CLQ formula runs. Zero-count
-    pairs are kept (full grid, chi2_independence convention)."""
-    from engine.ops.relational import bucketed_join, sum_final
+    tie-break: distance then neighbor id). Pair labeling is
+    size-gated (J14's stats-driven rule, round-4 verdict item 3): at
+    or below ``broadcast_rows`` the (id, cat) map broadcasts once
+    (``ray.put`` of two sorted arrays) and both labels attach inside
+    one ``map_batches`` searchsorted pass — zero label shuffles;
+    above the gate two hash co-shuffle joins of the NN edge list
+    against the (id, cat) table run instead — both sides unbounded,
+    no corpus broadcast. A (cat_a, cat_b) count combiner then reduces
+    everything to the K x K grid where the exact-integer CLQ formula
+    runs. Zero-count pairs are kept (full grid, chi2_independence
+    convention)."""
+    import ray as _ray
 
+    from engine.ops.relational import bucketed_join, sum_final
+    from engine.state import cached_get
+
+    points = points.materialize()  # feeds kNN, labels AND margins
     geo = points.map_batches(
         lambda b: b[[id_col, "lon", "lat"]], batch_format="pandas")
     nn = self_knn_halo(geo, k=1, coarse_res=coarse_res)
     nn = nn.map_batches(
         lambda b: b[["image_id", "neighbor_id"]],
         batch_format="pandas")
-    cat_a = points.map_batches(
-        lambda b: pd.DataFrame({"image_id": b[id_col],
-                                "cat_a": b[cat_col]}),
-        batch_format="pandas")
-    cat_b = points.map_batches(
-        lambda b: pd.DataFrame({"neighbor_id": b[id_col],
-                                "cat_b": b[cat_col]}),
-        batch_format="pandas")
-    lab = bucketed_join(
-        bucketed_join(nn, cat_a, on="image_id"),
-        cat_b, on="neighbor_id")
 
     def count(b: pd.DataFrame) -> pd.DataFrame:
         agg = b.groupby(["cat_a", "cat_b"], as_index=False,
@@ -4104,8 +4103,40 @@ def colocation_quotient(
         agg["c_ab"] = agg["c_ab"].astype(np.int64)
         return agg
 
-    cnt = sum_final(lab.map_batches(count, batch_format="pandas"),
-                    ["cat_a", "cat_b"]).to_pandas()
+    if points.count() <= broadcast_rows:
+        lab_pdf = points.map_batches(
+            lambda b: pd.DataFrame({"id": b[id_col],
+                                    "cat": b[cat_col]}),
+            batch_format="pandas").to_pandas()
+        ids = lab_pdf["id"].to_numpy(object)
+        cats = lab_pdf["cat"].to_numpy(object)
+        order = np.argsort(ids, kind="stable")
+        lab_ref = _ray.put((ids[order], cats[order]))
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            sids, scats = cached_get(lab_ref)
+            a = scats[np.searchsorted(sids, b["image_id"].to_numpy(
+                object))]
+            c = scats[np.searchsorted(sids, b["neighbor_id"].to_numpy(
+                object))]
+            return count(pd.DataFrame({"cat_a": a, "cat_b": c}))
+
+        parts = nn.map_batches(attach, batch_format="pandas")
+        cnt = sum_final(parts, ["cat_a", "cat_b"]).to_pandas()
+    else:
+        cat_a = points.map_batches(
+            lambda b: pd.DataFrame({"image_id": b[id_col],
+                                    "cat_a": b[cat_col]}),
+            batch_format="pandas")
+        cat_b = points.map_batches(
+            lambda b: pd.DataFrame({"neighbor_id": b[id_col],
+                                    "cat_b": b[cat_col]}),
+            batch_format="pandas")
+        lab = bucketed_join(
+            bucketed_join(nn, cat_a, on="image_id"),
+            cat_b, on="neighbor_id")
+        cnt = sum_final(lab.map_batches(count, batch_format="pandas"),
+                        ["cat_a", "cat_b"]).to_pandas()
 
     def marg(b: pd.DataFrame) -> pd.DataFrame:
         vc = b[cat_col].value_counts()

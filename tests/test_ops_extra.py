@@ -4091,6 +4091,13 @@ def test_colocation_quotient_matches_bruteforce(ray_session):
             want = (cnt.get((ca, cb), 0) / marg[ca]) / (nbe / (n - 1))
             assert r["clq"] == pytest.approx(want, rel=1e-9)
 
+    # forced-gate parity (round-4 verdict item 3): the co-shuffle
+    # label-join path above broadcast_rows must match the broadcast
+    # searchsorted path exactly
+    big = colocation_quotient(ds, broadcast_rows=0)
+    pd.testing.assert_frame_equal(
+        big.reset_index(drop=True), out.reset_index())
+
 
 def test_join_counts_grid_matches_bruteforce(ray_session):
     import itertools
