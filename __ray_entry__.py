@@ -3569,6 +3569,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cramers_v"] = out["cramers_v"].round(6)
         return out
 
+    def event_type_dow_mi(sf_dir: str):
+        # mutual information I(type; ISO weekday) in nats + marginal
+        # entropies + arithmetic-NMI — chi2's information-theoretic
+        # companion (feature-selection / leakage screen); one (a, b)
+        # count combiner, margins fold on the driver
+        ev = sf_table(sf_dir, "events", ["event_type", "ts"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["dow"] = (b["ts"].dt.dayofweek + 1).astype(np.int64)
+            return b[["event_type", "dow"]]
+
+        return relational.mutual_information(
+            ev.map_batches(prep, batch_format="pandas"),
+            "event_type", "dow")
+
+    def event_value_winsorized_mean(sf_dir: str):
+        # per-type positional winsorized mean (10% fences):
+        # trimmed_mean's keep-the-mass robust companion
+        ev = sf_table(sf_dir, "events", ["event_type", "value"])
+        out = relational.winsorized_mean(
+            ev, "event_type", "value", trim_frac=0.1
+        ).to_pandas().sort_values("event_type", ignore_index=True)
+        out["winsorized_mean"] = out["winsorized_mean"].round(6)
+        return out
+
+    def customer_lorenz_deciles(sf_dir: str):
+        # Lorenz concentration curve of order spend at population
+        # deciles — the 10-point shape behind the Gini / Pareto
+        # scalars; per-customer combiner totals, sorted decile fold
+        orders = sf_table(sf_dir, "orders",
+                          ["o_custkey", "o_totalprice"])
+        return relational.lorenz_deciles(
+            orders, "o_custkey", "o_totalprice")
+
     def orders_urgency_ks(sf_dir: str):
         # two-sample Kolmogorov-Smirnov distribution-drift statistic
         # over the same cohorts as the t-test / rank-sum pair; ECDF
@@ -6357,6 +6392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_perm_entropy": user_value_perm_entropy,
         "event_type_jsd_arms": event_type_jsd_arms,
         "event_type_dow_chi2": event_type_dow_chi2,
+        "event_type_dow_mi": event_type_dow_mi,
+        "event_value_winsorized_mean": event_value_winsorized_mean,
+        "customer_lorenz_deciles": customer_lorenz_deciles,
         "user_purchase_survival": user_purchase_survival,
         "user_decayed_engagement": user_decayed_engagement,
         "acctbal_mad_by_segment": acctbal_mad_by_segment,
@@ -12977,6 +13015,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d_i AS BIGINT) AS n_events,
                    round(surv, 6) AS survival
             FROM s WHERE d_i > 0 ORDER BY hour
+        """,
+        "event_type_dow_mi": """
+            WITH j AS (SELECT event_type AS a, isodow(ts) AS b,
+                              CAST(COUNT(*) AS DOUBLE) AS n
+                       FROM events GROUP BY a, b),
+            t AS (SELECT SUM(n) AS tot FROM j),
+            ma AS (SELECT a, SUM(n) AS na FROM j GROUP BY a),
+            mb AS (SELECT b, SUM(n) AS nb FROM j GROUP BY b),
+            mi AS (SELECT SUM(j.n / t.tot
+                       * ln((j.n / t.tot)
+                            / ((ma.na / t.tot) * (mb.nb / t.tot))))
+                       AS v
+                   FROM j CROSS JOIN t
+                        JOIN ma ON ma.a = j.a JOIN mb ON mb.b = j.b),
+            ha AS (SELECT -SUM(na / t.tot * ln(na / t.tot)) AS v
+                   FROM ma CROSS JOIN t),
+            hb AS (SELECT -SUM(nb / t.tot * ln(nb / t.tot)) AS v
+                   FROM mb CROSS JOIN t)
+            SELECT ROUND((SELECT v FROM mi), 6) AS mi_nats,
+                   ROUND((SELECT v FROM ha), 6) AS h_a,
+                   ROUND((SELECT v FROM hb), 6) AS h_b,
+                   ROUND(CASE WHEN (SELECT v FROM ha)
+                                   + (SELECT v FROM hb) > 0
+                         THEN 2.0 * (SELECT v FROM mi)
+                              / ((SELECT v FROM ha)
+                                 + (SELECT v FROM hb))
+                         ELSE 0.0 END, 6) AS nmi
+        """,
+        "event_value_winsorized_mean": """
+            WITH r AS (SELECT event_type AS g, value AS v,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY value) AS rn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS n,
+                    CAST(FLOOR(0.1 * COUNT(*) OVER (
+                        PARTITION BY event_type)) AS BIGINT) AS k
+                FROM events),
+            w AS (SELECT g, n, k,
+                    CASE WHEN rn <= k OR rn > n - k
+                         THEN NULL ELSE v END AS mid,
+                    CASE WHEN rn = k + 1 THEN v END AS lof,
+                    CASE WHEN rn = n - k THEN v END AS hif
+                  FROM r)
+            SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(2 * MAX(k) AS BIGINT) AS n_clamped,
+                   ROUND((SUM(mid) + MAX(k) * MAX(lof)
+                          + MAX(k) * MAX(hif)) / MAX(n), 6)
+                       AS winsorized_mean
+            FROM w GROUP BY g ORDER BY event_type
+        """,
+        "customer_lorenz_deciles": """
+            WITH per AS (SELECT o_custkey AS k,
+                                SUM(o_totalprice) AS v
+                         FROM orders GROUP BY o_custkey),
+            r AS (SELECT k, v,
+                     ROW_NUMBER() OVER (ORDER BY v, k) AS rn,
+                     COUNT(*) OVER () AS n,
+                     SUM(v) OVER (ORDER BY v, k
+                                  ROWS UNBOUNDED PRECEDING) AS cv,
+                     SUM(v) OVER () AS tot
+                  FROM per),
+            d AS (SELECT unnest(range(1, 11)) AS decile)
+            SELECT CAST(d.decile AS BIGINT) AS decile,
+                   r.rn AS n_entities,
+                   ROUND(r.cv / r.tot, 6) AS cum_share
+            FROM d JOIN r
+                ON r.rn = CAST(CEIL(r.n * d.decile / 10.0) AS BIGINT)
+            ORDER BY decile
         """,
         "event_type_dow_chi2": """
             WITH c AS (SELECT event_type AS a, isodow(ts) AS b,

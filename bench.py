@@ -496,6 +496,107 @@ def scaling_corpus_mode(args) -> dict:
     return report
 
 
+CHANGEFILE_MARK_BEGIN = "<!-- CHANGEFILE-BENCH:BEGIN -->"
+CHANGEFILE_MARK_END = "<!-- CHANGEFILE-BENCH:END -->"
+
+
+def run_changefile_bench(
+    n: int, cpus: int, pre_seconds: float = 20.0,
+    change_frac: float = 0.01, target_partitions: int = 16,
+) -> dict:
+    """Incremental nightly-loop benchmark (round-4 verdict item 6):
+    base flagship run at bench scale, then a ~``change_frac``
+    changefile concentrated in one key neighborhood (the realistic
+    nightly shape — edits cluster in the areas that changed), then
+    ``run_incremental_update`` vs a from-scratch full rerun over the
+    SAME post-update images. Reports touched-partition count and the
+    incremental-vs-full wall-time ratio — the number that prices the
+    lineage/manifest machinery. The fixture is COPIED to scratch
+    first: the changefile application rewrites fragments in place."""
+    from engine import fixtures
+    from engine.pipeline import flagship, incremental
+
+    src = ensure_fixture(n)
+    work = tempfile.mkdtemp(prefix="graft_chbench_", dir=_scratch_root())
+    img_dir = os.path.join(work, "images")
+    shutil.copytree(src, img_dir)
+    marker = os.path.join(img_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
+
+    _ramp_warmup(cpus, seconds=max(2.0, pre_seconds / 10))
+    warm_dir = ensure_fixture(2000)
+    warm_out = tempfile.mkdtemp(prefix="graft_chbench_warm_",
+                                dir=_scratch_root())
+    flagship.run_flagship(
+        warm_dir, warm_out, target_partitions=2, batch_size=2048,
+        resume=False, run_id="warmup", partition_threads=1,
+        use_actors=False)
+
+    out_base = os.path.join(work, "out")
+    t0 = time.perf_counter()
+    flagship.run_flagship(
+        img_dir, out_base, target_partitions=target_partitions,
+        batch_size=2048, resume=False, run_id="base")
+    t_base = round(time.perf_counter() - t0, 3)
+
+    # ~1% changefile concentrated in a contiguous id window: 40%
+    # deletes, 60% in-place upserts, plus 0.1% brand-new inserts past
+    # every fragment's range (the spill partition)
+    nch = max(10, int(n * change_frac))
+    w0 = int(n * 0.37)
+    ndel = nch * 2 // 5
+    del_ids = [f"img{i:09d}" for i in range(w0, w0 + ndel)]
+    up_idx = list(range(w0 + ndel, w0 + nch))
+    donor = fixtures.images_table(len(up_idx), offset=n + 500_000)
+    import pyarrow as pa
+    ups = donor.set_column(
+        0, "image_id",
+        pa.array([f"img{i:09d}" for i in up_idx], pa.string()))
+    ins = fixtures.images_table(max(1, n // 1000), offset=n)
+    d_tab = pa.table({
+        "image_id": pa.array(del_ids, pa.string()),
+        "bytes": pa.array([b""] * ndel, pa.binary()),
+        "w": pa.array([0] * ndel, pa.int32()),
+        "h": pa.array([0] * ndel, pa.int32()),
+        "fmt": pa.array([""] * ndel, pa.string()),
+        "caption": pa.array([""] * ndel, pa.string()),
+        "phash": pa.array([0] * ndel, pa.int64()),
+    })
+    changes = pa.concat_tables([d_tab, ups, ins]).append_column(
+        "__op", pa.array(
+            ["D"] * ndel + ["U"] * (len(up_idx) + ins.num_rows),
+            pa.string()))
+
+    t1 = time.perf_counter()
+    summary = incremental.run_incremental_update(
+        img_dir, out_base, changes, run_id="night1", batch_size=2048)
+    t_incr = round(time.perf_counter() - t1, 3)
+
+    # honest comparator: full rerun over the SAME post-update images,
+    # equally warm (it runs after the base run primed every worker)
+    out_full = os.path.join(work, "out_full")
+    t2 = time.perf_counter()
+    flagship.run_flagship(
+        img_dir, out_full, target_partitions=target_partitions,
+        batch_size=2048, resume=False, run_id="full2")
+    t_full = round(time.perf_counter() - t2, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(warm_out, ignore_errors=True)
+    return {
+        "rows": n, "changes": changes.num_rows,
+        "change_frac": change_frac,
+        "partitions": summary["partitions"],
+        "stale_partitions": len(summary["stale_partitions"]) + 1,
+        "resumed_skipped": summary["resumed_skipped"],
+        "rewritten_fragments": len(summary["rewritten_fragments"]),
+        "base_sec": t_base, "incremental_sec": t_incr,
+        "full_rerun_sec": t_full,
+        "speedup_vs_full": round(t_full / t_incr, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -505,6 +606,8 @@ def main() -> None:
     ap.add_argument("--queries-only", action="store_true")
     ap.add_argument("--corpus-only", action="store_true")
     ap.add_argument("--corpus-n", type=int, default=0)
+    ap.add_argument("--changefile-bench", action="store_true")
+    ap.add_argument("--change-frac", type=float, default=0.01)
     ap.add_argument("--scaling-corpus", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     # N vs 4N protocol levels. 4->16 keeps BOTH levels under the
@@ -552,6 +655,45 @@ def main() -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
     try:
         sf = parse_sf(args.sf_dir)
+        if args.changefile_bench:
+            rep = run_changefile_bench(
+                args.n or 1_200_000, args.cpus,
+                pre_seconds=args.pre_seconds,
+                change_frac=args.change_frac)
+            block = (
+                "## Incremental nightly loop (changefile bench)\n\n"
+                f"`run_incremental_update` over a {rep['rows']}-row "
+                f"flagship base run ({rep['partitions']} partitions, "
+                "tmpfs), applying a "
+                f"{rep['changes']}-row changefile (~"
+                f"{round(rep['change_frac'] * 100, 1)}% of rows, "
+                "contiguous key window + out-of-range inserts) vs a "
+                "from-scratch full rerun over the same post-update "
+                "images, equally warm:\n\n"
+                "| metric | value |\n|---|---|\n"
+                f"| touched (stale+spill) partitions | "
+                f"{rep['stale_partitions']} / {rep['partitions']} |\n"
+                f"| partitions skipped by resume | "
+                f"{rep['resumed_skipped']} |\n"
+                f"| fragments rewritten in place | "
+                f"{rep['rewritten_fragments']} |\n"
+                f"| incremental wall sec | {rep['incremental_sec']} |\n"
+                f"| full-rerun wall sec | {rep['full_rerun_sec']} |\n"
+                f"| **speedup vs full rerun** | "
+                f"**{rep['speedup_vs_full']}x** |\n"
+            )
+            update_baseline_md(block, CHANGEFILE_MARK_BEGIN,
+                               CHANGEFILE_MARK_END)
+            line = {"metric": "changefile_incr_sec",
+                    "value": rep["incremental_sec"], "unit": "sec",
+                    "queries": {}, "sf": sf, "num_cpus": args.cpus,
+                    "changefile": rep}
+            out = json.dumps(line)
+            print(out)
+            if args.json_out:
+                with open(args.json_out, "w") as f:
+                    f.write(out)
+            return
         if args.corpus_only:
             rep = run_corpus_bench(
                 args.corpus_n or 480_000, args.cpus,

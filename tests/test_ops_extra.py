@@ -4917,3 +4917,92 @@ def test_label_propagation_forced_join_path(ray_session):
         broadcast_nodes=0)
     pd.testing.assert_frame_equal(x, y)
     assert x["lab"].nunique() <= 6  # blobs collapse to few labels
+
+
+def test_winsorized_mean_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import winsorized_mean
+
+    rng = np.random.default_rng(91)
+    n = 700
+    g = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    v = np.round(rng.normal(50, 20, n), 2)
+    ds = ray.data.from_pandas(pd.DataFrame({"g": g, "v": v}))
+    out = winsorized_mean(ds.repartition(4), "g", "v",
+                          trim_frac=0.1).to_pandas()
+    out = out.sort_values("g", ignore_index=True)
+    for i, gk in enumerate(["a", "b", "c"]):
+        s = np.sort(v[g == gk])
+        k = int(np.floor(0.1 * len(s)))
+        w = s.copy()
+        w[:k] = s[k]
+        w[len(s) - k:] = s[len(s) - 1 - k]
+        assert out["n"][i] == len(s)
+        assert out["n_clamped"][i] == 2 * k
+        assert out["winsorized_mean"][i] == pytest.approx(
+            w.mean(), rel=1e-12)
+
+
+def test_mutual_information_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import mutual_information
+
+    rng = np.random.default_rng(92)
+    n = 900
+    a = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    # b correlates with a -> MI strictly positive
+    b = np.where(rng.random(n) < 0.6, a, 
+                 np.array(["x", "y", "z"])[rng.integers(0, 3, n)])
+    ds = ray.data.from_pandas(pd.DataFrame({"a": a, "b": b}))
+    out = mutual_information(ds.repartition(3), "a", "b")
+
+    import collections
+    jc = collections.Counter(zip(a, b))
+    ac = collections.Counter(a)
+    bc = collections.Counter(b)
+    mi = sum((c / n) * np.log((c / n) / ((ac[i] / n) * (bc[j] / n)))
+             for (i, j), c in jc.items())
+    ha = -sum((c / n) * np.log(c / n) for c in ac.values())
+    hb = -sum((c / n) * np.log(c / n) for c in bc.values())
+    assert out["mi_nats"][0] == pytest.approx(round(mi, 6), abs=2e-6)
+    assert out["h_a"][0] == pytest.approx(round(ha, 6), abs=2e-6)
+    assert out["h_b"][0] == pytest.approx(round(hb, 6), abs=2e-6)
+    assert out["nmi"][0] == pytest.approx(
+        round(2 * mi / (ha + hb), 6), abs=2e-6)
+    assert out["mi_nats"][0] > 0.1
+    # independence sanity: identical uniform split of b vs constant a
+    ds2 = ray.data.from_pandas(pd.DataFrame(
+        {"a": ["k"] * 100, "b": list("uv") * 50}))
+    out2 = mutual_information(ds2, "a", "b")
+    assert out2["mi_nats"][0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_lorenz_deciles_matches_bruteforce(ray_session):
+    import ray.data
+
+    from engine.ops.relational import lorenz_deciles
+
+    rng = np.random.default_rng(93)
+    n = 480
+    key = rng.integers(0, 37, n)
+    val = np.round(rng.exponential(100, n), 2)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": key, "v": val}))
+    out = lorenz_deciles(ds.repartition(4), "k", "v")
+
+    per = pd.DataFrame({"k": key, "v": val}).groupby(
+        "k", as_index=False)["v"].sum().sort_values(
+        ["v", "k"], ignore_index=True)
+    cs = per["v"].cumsum().to_numpy()
+    tot = cs[-1]
+    m = len(per)
+    assert out["decile"].tolist() == list(range(1, 11))
+    for i, d in enumerate(range(1, 11)):
+        cut = int(np.ceil(m * d / 10))
+        assert out["n_entities"][i] == cut
+        assert out["cum_share"][i] == pytest.approx(
+            round(cs[cut - 1] / tot, 6), abs=2e-6)
+    # Lorenz curve is convex-increasing and ends at 1
+    assert (np.diff(out["cum_share"]) >= -1e-12).all()
+    assert out["cum_share"].iloc[-1] == pytest.approx(1.0)
