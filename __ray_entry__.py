@@ -4275,16 +4275,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.exact_dedup(ds, key="phash", order_col="image_id")
 
     def image_similar_topk(sf_dir: str):
-        # image-axis similarity search composition: per-image qdct/
-        # gradient feature vector (actor-pool decode) -> exact cosine
-        # top-k against 5 query images via the distributed top-k merge.
-        # Features come from the native decoder (non-SQL) — exactness
-        # pytest-oracled vs a numpy brute force with the same tie rule.
+        # image-axis similarity search composition: per-image feature
+        # vector (actor-pool decode) -> exact cosine top-k against the
+        # 5 smallest-id query images via the distributed top-k merge.
+        # Corpus restricted to the lossless raw16 subset so the DuckDB
+        # twin can regenerate the same 6-dim features from pixels
+        # (image_resize narrowing precedent; the full-corpus op incl.
+        # qdct stays pytest-oracled vs a numpy brute force)
         from engine.io import read_images
 
         ds = read_images(_geo_fixture_dir(),
                          columns=["image_id", "bytes", "fmt"])
-        feats = multimodal.image_features(ds, concurrency=(1, 4))
+
+        def raw_only(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["fmt"] == "raw16"]
+
+        feats = multimodal.image_features(
+            ds.map_batches(raw_only, batch_format="pandas"),
+            concurrency=(1, 4))
         fcols = ["mean_r", "mean_g", "mean_b",
                  "lum_mean", "lum_std", "edge_energy"]
 
@@ -4295,14 +4303,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "embedding": list(v)})
 
         corp = feats.map_batches(to_vec, batch_format="pandas").materialize()
-        qids = [f"img{i:09d}" for i in range(5)]
-        qdf = corp.filter(
-            expr=f"vec_id in {qids!r}"
-        ).to_pandas().sort_values("vec_id", ignore_index=True)
-        out = simsearch.brute_force_topk(
+
+        def first5(b: pd.DataFrame) -> pd.DataFrame:
+            # string ids: per-block sort-head combiner, then the <= 5
+            # survivors per block coalesce for the exact final prune
+            return b.sort_values("vec_id", kind="stable").head(5)
+
+        qdf = corp.map_batches(first5, batch_format="pandas") \
+            .repartition(1).map_batches(
+                first5, batch_format="pandas", batch_size=None
+            ).to_pandas().sort_values("vec_id", ignore_index=True)
+        res = simsearch.brute_force_topk(
             corp, np.stack(qdf["embedding"].to_numpy()), k=5,
         )
-        return out
+        res["query_vec_id"] = qdf["vec_id"].to_numpy()[
+            res["query_ix"].to_numpy()]
+        return res[["query_vec_id", "rank", "vec_id", "cos"]] \
+            .sort_values(["query_vec_id", "rank"], ignore_index=True)
 
     def image_features(sf_dir: str):
         # per-image feature extraction over the lossless raw16 subset
@@ -10116,6 +10133,34 @@ def oracle_sql() -> dict[str, str]:
         "image_dominant_color": _sql_image_dominant_color(),
         "image_equalize_audit": _sql_image_equalize_audit(),
         "image_features": _sql_image_features(),
+        # cosine top-5 over the raw16 features regenerated in SQL
+        # (feature values are 6dp-round-even on BOTH sides, so the
+        # score inputs are bit-identical; ties -> vec_id asc)
+        "image_similar_topk": f"""
+            WITH f AS (SELECT image_id,
+                              list_value(mean_r, mean_g, mean_b,
+                                         lum_mean, lum_std,
+                                         edge_energy) AS e
+                       FROM ({_sql_image_features()}) t),
+            q AS (SELECT image_id AS query_vec_id, e AS qe
+                  FROM f ORDER BY image_id LIMIT 5),
+            scored AS (
+                SELECT q.query_vec_id, f.image_id AS vec_id,
+                       list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(f.e AS DOUBLE[])) AS c
+                FROM q CROSS JOIN f),
+            ranked AS (
+                SELECT query_vec_id, vec_id, c,
+                       ROW_NUMBER() OVER (PARTITION BY query_vec_id
+                                          ORDER BY c DESC, vec_id) - 1
+                           AS rank
+                FROM scored)
+            SELECT query_vec_id, CAST(rank AS INT) AS rank, vec_id,
+                   ROUND(c, 6) AS cos
+            FROM ranked WHERE rank < 5
+            ORDER BY query_vec_id, rank
+        """,
         "simhash_documents": _sql_simhash(42),
         "docs_winnow_fingerprints": _sql_winnow(),
         "embedding_mmr_topk": _sql_mmr(),

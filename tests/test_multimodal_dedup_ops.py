@@ -238,20 +238,22 @@ def test_image_similar_topk_matches_bruteforce(ray_session):
 
     q = em.queries()
     got = q["image_similar_topk"]("/root/testdata/sf0.001")
-    got = got.sort_values(["query_ix", "rank"], ignore_index=True)
-    assert set(got.columns) >= {"query_ix", "rank", "vec_id", "cos"}
-    assert got["query_ix"].nunique() == 5
-    assert (got.groupby("query_ix").size() == 5).all()
+    got = got.sort_values(["query_vec_id", "rank"], ignore_index=True)
+    assert set(got.columns) >= {"query_vec_id", "rank", "vec_id", "cos"}
+    assert got["query_vec_id"].nunique() == 5
+    assert (got.groupby("query_vec_id").size() == 5).all()
 
-    # rebuild the full feature matrix driver-side as the oracle
-    import ray.data as rd
-
+    # rebuild the raw16-subset feature matrix driver-side as the
+    # oracle (the query narrows to raw16 so its DuckDB twin can
+    # regenerate the features; queries = 5 smallest raw16 ids)
     from engine.io import read_images
     from engine.ops import multimodal
 
     ds = read_images(em._geo_fixture_dir(),
                      columns=["image_id", "bytes", "fmt"])
-    f = multimodal.image_features(ds, concurrency=(1, 2)).to_pandas()
+    f = multimodal.image_features(
+        ds.filter(expr="fmt == 'raw16'"), concurrency=(1, 2)
+    ).to_pandas()
     fcols = ["mean_r", "mean_g", "mean_b", "lum_mean", "lum_std",
              "edge_energy"]
     v = f[fcols].to_numpy(dtype=np.float64)
@@ -259,15 +261,16 @@ def test_image_similar_topk_matches_bruteforce(ray_session):
     ids = f["image_id"].to_numpy()
     order = np.argsort(ids)
     v, ids = v[order], ids[order]
-    qids = [f"img{i:09d}" for i in range(5)]
+    qids = ids[:5].tolist()
+    assert got["query_vec_id"].unique().tolist() == qids
     qv = v[np.searchsorted(ids, qids)]
     sim = qv @ v.T
-    for qi in range(5):
+    for qi, qid in enumerate(qids):
         row = np.round(sim[qi], 12)
         best = sorted(zip(-row, ids))[:5]
         want_ids = [b[1] for b in best]
-        mine = got[got["query_ix"] == qi].sort_values("rank")
-        assert mine["vec_id"].tolist() == want_ids, qi
+        mine = got[got["query_vec_id"] == qid].sort_values("rank")
+        assert mine["vec_id"].tolist() == want_ids, qid
         np.testing.assert_allclose(
             mine["cos"].to_numpy(),
             [round(-b[0], 6) for b in best], rtol=0, atol=2e-6,
