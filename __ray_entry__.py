@@ -4370,6 +4370,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["explained_var"] = out["explained_var"].round(6)
         return out
 
+    def orders_lineitem_ri_audit(sf_dir: str):
+        # referential-integrity audit of the two FK edges a pipeline
+        # joins across: exact both-sides-big anti-joins count orphan
+        # child rows, childless parents and duplicated parent keys
+        li = sf_table(sf_dir, "lineitem", ["l_orderkey"])
+        orders = sf_table(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey"])
+        cust = sf_table(sf_dir, "customer", ["c_custkey"])
+        a = relational.fk_audit(li, orders, "l_orderkey", "o_orderkey",
+                                "lineitem->orders")
+        b = relational.fk_audit(orders, cust, "o_custkey", "c_custkey",
+                                "orders->customer")
+        return pd.concat([a, b], ignore_index=True).sort_values(
+            "fk", ignore_index=True)
+
+    def embedding_fisher_ratio(sf_dir: str):
+        # Fisher between/within variance ratio of the labeled corpus
+        # (LDA criterion) — scalar separability audit from one pass of
+        # (label, sum, count, sum-sq) moment partials
+        from engine.ops import simsearch
+
+        ds = sf_table(sf_dir, "embeddings", ["embedding", "label"])
+        return simsearch.embedding_fisher_ratio(ds)
+
+    def embedding_1nn_accuracy(sf_dir: str):
+        # leave-self-out 1-NN label agreement over the 64 smallest-id
+        # probes (cosine, (cos desc, id asc) ties) — the classic
+        # embedding eval; probe matrix broadcasts, corpus streams
+        from engine.ops import simsearch
+
+        ds = sf_table(sf_dir, "embeddings",
+                      ["vec_id", "embedding", "label"])
+        return simsearch.embedding_1nn_accuracy(ds, n_probes=64)
+
     def embedding_cov_moments(sf_dir: str):
         # SQL-exact companion of embedding_pca_components (round-4
         # verdict item 2): tr(C^p) p=1..4 from the SAME distributed
@@ -6353,6 +6387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_patch_dup_pairs": image_patch_dup_pairs,
         "embedding_pca_components": embedding_pca_components,
         "embedding_cov_moments": embedding_cov_moments,
+        "orders_lineitem_ri_audit": orders_lineitem_ri_audit,
+        "embedding_fisher_ratio": embedding_fisher_ratio,
+        "embedding_1nn_accuracy": embedding_1nn_accuracy,
         "geo_line_density": geo_line_density,
         "geo_enclosing_circles": geo_enclosing_circles,
         "geo_flow_field": geo_flow_field,
@@ -9999,6 +10036,79 @@ def oracle_sql() -> dict[str, str]:
         # trace moments of the embedding covariance: long-form matrix
         # products over the same m1/m2 covariance CTEs (C2 = C x C,
         # then tr(C^3) = sum C2 o C, tr(C^4) = sum C2 o C2)
+        "orders_lineitem_ri_audit": """
+            SELECT 'lineitem->orders' AS fk,
+                (SELECT COUNT(*) FROM lineitem) AS n_child,
+                (SELECT COUNT(*) FROM orders) AS n_parent,
+                (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                    (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey))
+                    AS child_orphan_rows,
+                (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                    (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey))
+                    AS parent_childless,
+                (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                 FROM orders) AS parent_dup_keys
+            UNION ALL
+            SELECT 'orders->customer',
+                (SELECT COUNT(*) FROM orders),
+                (SELECT COUNT(*) FROM customer),
+                (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                    (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)),
+                (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+                    (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey)),
+                (SELECT COUNT(*) - COUNT(DISTINCT c_custkey)
+                 FROM customer)
+            ORDER BY fk
+        """,
+        "embedding_fisher_ratio": """
+            WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            dims AS (SELECT unnest(range(1, 65)) AS d),
+            ls AS (SELECT label, d.d AS dim, SUM(v[d.d]) AS s,
+                          SUM(v[d.d] * v[d.d]) AS ss
+                   FROM e CROSS JOIN dims d GROUP BY label, d.d),
+            lcnt AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS nl
+                     FROM e GROUP BY label),
+            agg AS (SELECT l.label, c.nl, SUM(l.s * l.s) AS s2,
+                           SUM(l.ss) AS sq
+                    FROM ls l JOIN lcnt c ON c.label = l.label
+                    GROUP BY l.label, c.nl),
+            tots AS (SELECT SUM(nl) AS n, SUM(s2 / nl) AS sw,
+                            SUM(sq) AS sqt,
+                            COUNT(*) AS nlab FROM agg),
+            gd AS (SELECT dim, SUM(s) AS gs FROM ls GROUP BY dim),
+            g2 AS (SELECT SUM(gs * gs) AS gs2 FROM gd)
+            SELECT CAST(nlab AS BIGINT) AS n_labels,
+                   ROUND((sqt - sw) / n, 6) AS within_var,
+                   ROUND((sw - gs2 / n) / n, 6) AS between_var,
+                   ROUND(CASE WHEN sqt - sw > 0
+                         THEN (sw - gs2 / n) / (sqt - sw)
+                         ELSE 0.0 END, 6) AS fisher_ratio
+            FROM tots CROSS JOIN g2
+        """,
+        "embedding_1nn_accuracy": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                              label FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv, label AS qlab
+                  FROM e ORDER BY vec_id LIMIT 64),
+            sc AS (SELECT q.qid, q.qlab, e.vec_id, e.label,
+                      list_cosine_similarity(q.qv, e.v) AS c
+                   FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+            best AS (SELECT qid, qlab, label AS plab,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY c DESC, vec_id) AS rn
+                     FROM sc)
+            SELECT qlab AS label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+                   CAST(SUM(CASE WHEN plab = qlab THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   ROUND(SUM(CASE WHEN plab = qlab THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+            FROM best WHERE rn = 1 GROUP BY qlab ORDER BY qlab
+        """,
         "embedding_cov_moments": """
             WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

@@ -2540,6 +2540,51 @@ def trimmed_mean(
     )
 
 
+def fk_audit(
+    child: ray.data.Dataset,
+    parent: ray.data.Dataset,
+    child_key: str,
+    parent_key: str,
+    fk_name: str,
+    *,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Referential-integrity audit of one FK edge — the data-quality
+    gate a pipeline runs before trusting a join: child rows whose key
+    has no parent (orphans, would silently vanish from inner joins),
+    parent rows with no child (childless, would vanish from the other
+    side), and duplicated parent keys (would fan out). Both direction
+    checks are exact both-sides-big ``bucketed_anti_join``s (J10 —
+    NOT IN admits no sketch shortcut); key projections materialize
+    once and feed both directions. One output row of integer counts
+    per FK edge."""
+
+    def proj(key):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"__k": b[key]})
+        return f
+
+    ck = child.map_batches(
+        proj(child_key), batch_format="pandas").materialize()
+    pk = parent.map_batches(
+        proj(parent_key), batch_format="pandas").materialize()
+    n_child = ck.count()
+    n_parent = pk.count()
+    orphan_rows = bucketed_anti_join(
+        ck, pk, on="__k", num_partitions=num_partitions).count()
+    childless = bucketed_anti_join(
+        pk, ck, on="__k", num_partitions=num_partitions).count()
+    pdup = n_parent - distinct(pk, ["__k"]).count()
+    return pd.DataFrame({
+        "fk": [fk_name],
+        "n_child": np.array([n_child], np.int64),
+        "n_parent": np.array([n_parent], np.int64),
+        "child_orphan_rows": np.array([orphan_rows], np.int64),
+        "parent_childless": np.array([childless], np.int64),
+        "parent_dup_keys": np.array([pdup], np.int64),
+    })
+
+
 def winsorized_mean(
     ds: ray.data.Dataset,
     group_key: str,

@@ -446,6 +446,132 @@ def embedding_centroid_by_label(
     return tot[["label", "dim", "avg_val"]]
 
 
+def embedding_fisher_ratio(
+    corpus: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> "pd.DataFrame":
+    """Fisher discriminant ratio of the labeled embedding corpus:
+    between-class variance B = (1/n) sum_l n_l ||mu_l - mu||^2 over
+    within-class variance W = (1/n) sum_l sum_{x in l} ||x - mu_l||^2
+    (Fisher 1936 LDA criterion, public formula) — the scalar
+    label-separability audit next to the silhouette. Everything folds
+    from ONE pass of (label, sum-vector, count, sum-||x||^2) moment
+    partials; the exchange moves |labels| x d floats per block, never
+    vectors, and both variances are closed forms of those sums (so a
+    DuckDB UNNEST twin reproduces them exactly)."""
+    import pandas as pd
+
+    from engine.ops import relational
+
+    def local(t) -> pd.DataFrame:
+        col = t.column(vec_col).combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(t), -1).astype(np.float64)
+        labels = t.column(label_col).to_numpy()
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv)
+        sq = np.zeros(len(u), dtype=np.float64)
+        np.add.at(sq, inv, (mat * mat).sum(axis=1))
+        d = mat.shape[1]
+        out = pd.DataFrame({
+            "label": np.repeat(u, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                           len(u)),
+            "__s": sums.ravel(),
+            "__n": np.repeat(cnt, d).astype(np.int64),
+            "__sq": np.repeat(sq / d, d),  # evenly spread, refolds
+        })
+        return out
+
+    tot = relational.sum_final(
+        corpus.map_batches(local, batch_format="pyarrow"),
+        ["label", "dim"]).to_pandas()
+    if tot.empty or "label" not in tot.columns:
+        return pd.DataFrame({
+            "n_labels": [0], "within_var": [0.0],
+            "between_var": [0.0], "fisher_ratio": [0.0]})
+    # per-label aggregates: n_l (same on every dim row), sum_d s_d^2,
+    # and the refolded sum of ||x||^2
+    tot["__s2"] = tot["__s"] ** 2
+    g = tot.groupby("label").agg(
+        n=("__n", "first"), s2=("__s2", "sum"), sq=("__sq", "sum"))
+    n_l = g["n"].to_numpy(np.float64)
+    s2_l = g["s2"].to_numpy(np.float64)
+    sq_l = g["sq"].to_numpy(np.float64)
+    n = float(n_l.sum())
+    s_tot = tot.groupby("dim")["__s"].sum().to_numpy(np.float64)
+    sq_tot = float(sq_l.sum())
+    w = (sq_tot - float((s2_l / n_l).sum())) / n
+    b = (float((s2_l / n_l).sum()) - float((s_tot ** 2).sum()) / n) / n
+    return pd.DataFrame({
+        "n_labels": np.array([len(n_l)], np.int64),
+        "within_var": [round(w, 6)],
+        "between_var": [round(b, 6)],
+        "fisher_ratio": [round(b / w if w > 0 else 0.0, 6)]})
+
+
+def embedding_1nn_accuracy(
+    corpus: ray.data.Dataset,
+    *,
+    n_probes: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> "pd.DataFrame":
+    """1-NN leave-self-out label agreement over a deterministic probe
+    set (the ``n_probes`` smallest ids) — the classic embedding-space
+    eval (Cover & Hart 1967 NN classifier, public): for each probe,
+    the cosine-nearest OTHER vector's label is the prediction; report
+    per-label probe counts and accuracy. Probe matrix broadcasts once
+    (the existing brute-force machinery); the corpus streams — one
+    distributed top-2 pass, then an O(n_probes) driver fold with the
+    suite's (cos desc, id asc) tie rule."""
+    import pandas as pd
+
+    # consumed three times (probe prune, top-2 scan, label fetch)
+    corpus = corpus.materialize()
+    probes = corpus.map_batches(
+        lambda b: b.nsmallest(n_probes, id_col),
+        batch_format="pandas").repartition(1).map_batches(
+        lambda b: b.nsmallest(n_probes, id_col),
+        batch_format="pandas", batch_size=None).to_pandas()
+    probes = probes.sort_values(id_col, ignore_index=True)
+    q = np.stack(probes[vec_col].to_numpy()).astype(np.float64)
+    res = brute_force_topk(corpus, q, k=2,
+                           vec_col=vec_col, id_col=id_col)
+    pid = probes[id_col].to_numpy()
+    # first non-self hit per probe (rank order already encodes the
+    # (cos desc, id asc) tie rule)
+    res["__self"] = res[id_col].to_numpy() == pid[
+        res["query_ix"].to_numpy()]
+    nn = res[~res["__self"]].sort_values(
+        ["query_ix", "rank"]).groupby("query_ix", as_index=False
+                                      ).first()
+    # labels of the (<= 2 * n_probes) involved ids broadcast nowhere:
+    # one filtered read of the tiny id set
+    need = np.unique(np.concatenate([pid, nn[id_col].to_numpy()]))
+    lab = corpus.map_batches(
+        lambda b, need=set(need.tolist()):
+        b[b[id_col].isin(need)][[id_col, label_col]],
+        batch_format="pandas").to_pandas()
+    lmap = dict(zip(lab[id_col], lab[label_col]))
+    ldt = lab[label_col].dtype  # keep the source label dtype
+    own = np.array([lmap[i] for i in pid], dtype=ldt)
+    pred = np.array([lmap[i] for i in nn.sort_values("query_ix")
+                     [id_col]], dtype=ldt)
+    out = pd.DataFrame({"label": own, "ok": (own == pred)})
+    g = out.groupby("label", as_index=False).agg(
+        n_probes=("ok", "size"), n_correct=("ok", "sum"))
+    g["n_probes"] = g["n_probes"].astype(np.int64)
+    g["n_correct"] = g["n_correct"].astype(np.int64)
+    g["accuracy"] = (g["n_correct"] / g["n_probes"]).round(6)
+    return g.sort_values("label", ignore_index=True)
+
+
 def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42):
     """Plain-Euclidean Lloyd on a driver-side sample (no normalization
     — PQ quantizes raw subvectors)."""

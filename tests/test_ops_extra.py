@@ -5006,3 +5006,102 @@ def test_lorenz_deciles_matches_bruteforce(ray_session):
     # Lorenz curve is convex-increasing and ends at 1
     assert (np.diff(out["cum_share"]) >= -1e-12).all()
     assert out["cum_share"].iloc[-1] == pytest.approx(1.0)
+
+
+def test_fk_audit_planted_violations(ray_session):
+    import ray.data
+
+    from engine.ops.relational import fk_audit
+
+    child = pd.DataFrame({
+        "ck": [1, 1, 2, 3, 9, 9, 9]})  # 9 has no parent (3 rows)
+    parent = pd.DataFrame({
+        "pk": [1, 2, 3, 4, 4, 5]})  # 4 dup; 4 and 5 childless
+    out = fk_audit(
+        ray.data.from_pandas(child).repartition(2),
+        ray.data.from_pandas(parent).repartition(2),
+        "ck", "pk", "c->p")
+    r = out.iloc[0]
+    assert r["fk"] == "c->p"
+    assert r["n_child"] == 7 and r["n_parent"] == 6
+    assert r["child_orphan_rows"] == 3
+    assert r["parent_childless"] == 3  # rows 4, 4, 5
+    assert r["parent_dup_keys"] == 1
+
+
+def test_embedding_fisher_ratio_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.simsearch import embedding_fisher_ratio
+
+    rng = np.random.default_rng(94)
+    n, d, k = 300, 16, 4
+    lab = rng.integers(0, k, n).astype(np.int32)
+    centers = rng.normal(0, 3, (k, d))
+    x = centers[lab] + rng.normal(0, 1, (n, d))
+    t = pa.table({
+        "embedding": pa.array(list(x.astype(np.float32)),
+                              pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32())})
+    out = embedding_fisher_ratio(
+        ray.data.from_arrow(t).repartition(4))
+
+    xf = x.astype(np.float32).astype(np.float64)
+    mu = xf.mean(axis=0)
+    w = 0.0
+    b = 0.0
+    for li in range(k):
+        sel = xf[lab == li]
+        mul = sel.mean(axis=0)
+        w += ((sel - mul) ** 2).sum()
+        b += len(sel) * ((mul - mu) ** 2).sum()
+    w /= n
+    b /= n
+    assert out["n_labels"][0] == k
+    assert out["within_var"][0] == pytest.approx(w, abs=2e-5)
+    assert out["between_var"][0] == pytest.approx(b, abs=2e-5)
+    assert out["fisher_ratio"][0] == pytest.approx(b / w, abs=2e-5)
+    # separated blobs must dominate their spread
+    assert out["fisher_ratio"][0] > 1.0
+
+
+def test_embedding_1nn_accuracy_matches_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.simsearch import embedding_1nn_accuracy
+
+    rng = np.random.default_rng(95)
+    n, d, k = 120, 8, 3
+    lab = rng.integers(0, k, n).astype(np.int32)
+    centers = rng.normal(0, 4, (k, d))
+    x = centers[lab] + rng.normal(0, 0.5, (n, d))
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(x.astype(np.float32)),
+                              pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32())})
+    out = embedding_1nn_accuracy(
+        ray.data.from_arrow(t).repartition(4), n_probes=32)
+
+    xf = x.astype(np.float32).astype(np.float64)
+    v = xf / np.linalg.norm(xf, axis=1, keepdims=True)
+    sim = v[:32] @ v.T
+    import collections
+    cnt = collections.Counter()
+    ok = collections.Counter()
+    for qi in range(32):
+        row = np.round(sim[qi], 12)
+        cand = sorted(zip(-row, ids))
+        best = next(i for _, i in cand if i != ids[qi])
+        cnt[lab[qi]] += 1
+        ok[lab[qi]] += int(lab[best - 1000] == lab[qi])
+    for _, r in out.iterrows():
+        assert r["n_probes"] == cnt[r["label"]]
+        assert r["n_correct"] == ok[r["label"]]
+        assert r["accuracy"] == pytest.approx(
+            round(ok[r["label"]] / cnt[r["label"]], 6))
+    # well-separated blobs: overall accuracy high
+    assert sum(ok.values()) / 32 >= 0.9
