@@ -4370,6 +4370,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["explained_var"] = out["explained_var"].round(6)
         return out
 
+    def q6_forecast_revenue(sf_dir: str):
+        # TPC-H Q6 (public spec): pure scan-filter-aggregate over the
+        # fact table — one revenue partial per batch, zero shuffles;
+        # the column-pruned read is the whole plan
+        li = sf_table(sf_dir, "lineitem",
+                      ["l_shipdate", "l_discount", "l_quantity",
+                       "l_extendedprice"])
+
+        def local(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["l_shipdate"].astype("datetime64[ns]")
+            keep = ((d >= pd.Timestamp("1996-01-01"))
+                    & (d < pd.Timestamp("1997-01-01"))
+                    & (b["l_discount"] >= 0.05)
+                    & (b["l_discount"] <= 0.07)
+                    & (b["l_quantity"] < 24))
+            return pd.DataFrame({
+                "revenue": [float((b.loc[keep, "l_extendedprice"]
+                                   * b.loc[keep, "l_discount"]).sum())],
+                "n_rows": [int(keep.sum())]})
+
+        p = li.map_batches(local, batch_format="pandas").to_pandas()
+        return pd.DataFrame({
+            "revenue": [round(float(p["revenue"].sum()), 4)],
+            "n_rows": np.array([int(p["n_rows"].sum())], np.int64)})
+
+    def q13_customer_distribution(sf_dir: str):
+        # TPC-H Q13 (public spec, sans the comment-filter predicate
+        # our synthetic orders lack): per-customer order counts via
+        # one count combiner, LEFT join onto the customer universe
+        # (zero-order customers count), then the distribution
+        orders = sf_table(sf_dir, "orders", ["o_custkey"])
+        cust = sf_table(sf_dir, "customer", ["c_custkey"])
+        cnt = relational.partial_groupby_sum(
+            orders.map_batches(
+                lambda b: pd.DataFrame({"c_custkey": b["o_custkey"]}),
+                batch_format="pandas"),
+            ["c_custkey"], {}, count_as="c_count")
+        j = relational.bucketed_join(cust, cnt, on="c_custkey",
+                                     how="left_outer")
+
+        def hist(b: pd.DataFrame) -> pd.DataFrame:
+            c = b["c_count"].fillna(0).astype(np.int64)
+            g = pd.DataFrame({"c_count": c}).groupby(
+                "c_count", as_index=False).size().rename(
+                columns={"size": "custdist"})
+            g["custdist"] = g["custdist"].astype(np.int64)
+            return g
+
+        out = relational.sum_final(
+            j.map_batches(hist, batch_format="pandas"),
+            ["c_count"]).to_pandas()
+        return out.sort_values(
+            ["custdist", "c_count"], ascending=[False, False],
+            ignore_index=True)
+
+    def docs_heaps_fit(sf_dir: str):
+        # Heaps'-law vocabulary-growth fit V(n) = k * n^beta (Heaps
+        # 1978, public): per-token MIN doc_id (a min combiner — the
+        # distributed formulation: vocab at checkpoint c = tokens
+        # first seen at doc_id <= c), four doc-id-range checkpoints
+        # at power-of-two fractions (exact in float on both sides),
+        # then the closed-form least-squares fit in log space
+        from engine.ops.text import _ALPHA_RE
+
+        docs = sf_table(sf_dir, "documents", ["doc_id", "text"])
+
+        def tok_min(b: pd.DataFrame) -> pd.DataFrame:
+            toks: list[str] = []
+            ds_: list[int] = []
+            for d, s in zip(b["doc_id"].to_numpy(np.int64),
+                            b["text"].astype(str)):
+                u = set(_ALPHA_RE.findall(s.lower()))
+                toks.extend(u)
+                ds_.extend([int(d)] * len(u))
+            g = pd.DataFrame({"token": toks, "md": ds_})
+            return g.groupby("token", as_index=False).min()
+
+        md = relational.partial_groupby_agg(
+            docs.map_batches(tok_min, batch_format="pandas"),
+            ["token"], {"md": ("md", "min")}).materialize()
+        lo = int(docs.min("doc_id"))
+        hi = int(docs.max("doc_id"))
+        thrs = [lo + (hi - lo) * f for f in (0.125, 0.25, 0.5, 1.0)]
+
+        def cnt_thr(col):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                x = b[col].to_numpy(np.float64)
+                return pd.DataFrame({
+                    "ckpt": np.arange(1, 5, dtype=np.int64),
+                    "n": np.array([(x <= t).sum() for t in thrs],
+                                  np.int64)})
+            return f
+
+        nd = relational.sum_final(
+            docs.map_batches(cnt_thr("doc_id"),
+                             batch_format="pandas"),
+            ["ckpt"]).to_pandas().sort_values("ckpt")
+        nv = relational.sum_final(
+            md.map_batches(cnt_thr("md"), batch_format="pandas"),
+            ["ckpt"]).to_pandas().sort_values("ckpt")
+        lx = np.log(nd["n"].to_numpy(np.float64))
+        ly = np.log(nv["n"].to_numpy(np.float64))
+        beta = float(((lx * ly).mean() - lx.mean() * ly.mean())
+                     / ((lx * lx).mean() - lx.mean() ** 2))
+        ln_k = float(ly.mean() - beta * lx.mean())
+        return pd.DataFrame({
+            "ckpt": np.arange(1, 5, dtype=np.int64),
+            "n_docs": nd["n"].to_numpy(np.int64),
+            "vocab": nv["n"].to_numpy(np.int64),
+            "beta": np.round([beta] * 4, 6),
+            "ln_k": np.round([ln_k] * 4, 6)})
+
     def orders_lineitem_ri_audit(sf_dir: str):
         # referential-integrity audit of the two FK edges a pipeline
         # joins across: exact both-sides-big anti-joins count orphan
@@ -6388,6 +6500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_components": embedding_pca_components,
         "embedding_cov_moments": embedding_cov_moments,
         "orders_lineitem_ri_audit": orders_lineitem_ri_audit,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q13_customer_distribution": q13_customer_distribution,
+        "docs_heaps_fit": docs_heaps_fit,
         "embedding_fisher_ratio": embedding_fisher_ratio,
         "embedding_1nn_accuracy": embedding_1nn_accuracy,
         "geo_line_density": geo_line_density,
@@ -10036,6 +10151,62 @@ def oracle_sql() -> dict[str, str]:
         # trace moments of the embedding covariance: long-form matrix
         # products over the same m1/m2 covariance CTEs (C2 = C x C,
         # then tr(C^3) = sum C2 o C, tr(C^4) = sum C2 o C2)
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 4)
+                       AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey,
+                         CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "docs_heaps_fit": """
+            WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+                       FROM documents),
+            thr AS (SELECT ck, lo + (hi - lo) * f AS t
+                    FROM b CROSS JOIN (VALUES (1, 0.125e0),
+                        (2, 0.25e0), (3, 0.5e0), (4, 1.0e0))
+                        AS v(ck, f)),
+            tk AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z]+')) AS token
+                   FROM documents),
+            md AS (SELECT token, MIN(doc_id) AS md FROM tk
+                   GROUP BY token),
+            pts AS (SELECT thr.ck,
+                       (SELECT COUNT(*) FROM documents d
+                        WHERE d.doc_id <= thr.t) AS n_docs,
+                       (SELECT COUNT(*) FROM md
+                        WHERE md.md <= thr.t) AS vocab
+                    FROM thr),
+            fit AS (SELECT
+                       (AVG(ln(n_docs) * ln(vocab))
+                        - AVG(ln(n_docs)) * AVG(ln(vocab)))
+                       / (AVG(ln(n_docs) * ln(n_docs))
+                          - AVG(ln(n_docs)) * AVG(ln(n_docs)))
+                           AS beta
+                    FROM pts),
+            fk AS (SELECT (SELECT AVG(ln(vocab)) FROM pts)
+                       - (SELECT beta FROM fit)
+                         * (SELECT AVG(ln(n_docs)) FROM pts) AS ln_k)
+            SELECT CAST(ck AS BIGINT) AS ckpt,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(vocab AS BIGINT) AS vocab,
+                   ROUND((SELECT beta FROM fit), 6) AS beta,
+                   ROUND((SELECT ln_k FROM fk), 6) AS ln_k
+            FROM pts ORDER BY ckpt
+        """,
         "orders_lineitem_ri_audit": """
             SELECT 'lineitem->orders' AS fk,
                 (SELECT COUNT(*) FROM lineitem) AS n_child,
