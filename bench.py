@@ -452,7 +452,9 @@ def scaling_corpus_mode(args) -> dict:
     the training-data twin of ``scaling_mode`` (same ramp/series/min
     rules); writes the CORPUS-BENCH block in BASELINE.md."""
     levels = sorted({args.scale_lo, args.scale_hi})
-    n = args.corpus_n or 480_000
+    # 960k: the round-5 Arrow combiner made 480k fixed-overhead-bound
+    # at 16 cpus (same reasoning as round 4's 120k -> 480k bump)
+    n = args.corpus_n or 960_000
     series = max(3, args.repeats)
     results = {}
     for cpus in levels:

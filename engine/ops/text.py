@@ -401,7 +401,18 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
-def run_lang_id(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+def run_lang_id(ds: ray.data.Dataset, concurrency=None) -> ray.data.Dataset:
+    """Language-ID actor stage. ``concurrency=None`` derives the pool
+    cap from the cluster (1x CPUs, floor 4, cap 64) — the round-5
+    corpus-scaling fix: the old fixed ``(1, 4)`` cap was invisible at
+    the 4-cpu level but throttled the 16-cpu level to a quarter of the
+    machine (measured 55s of LangId CPU through 4 actors = the whole
+    sub-0.8 efficiency gap)."""
+    if concurrency is None:
+        from engine.state import default_partitions
+
+        concurrency = (1, default_partitions(mult=1.0, floor=4,
+                                             cap=64))
     return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
 
 
