@@ -26,6 +26,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from engine.state import default_pool
+
 _M61 = (1 << 61) - 1
 
 
@@ -274,7 +276,7 @@ def _verify_candidate_pairs(
       texts (no driver/broadcast structure bounded by the corpus),
       shingle sets cached per batch — the 10^9-doc path.
     """
-    from engine.state import cached_get
+    from engine.state import cached_get, default_pool
 
     def ends(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -645,7 +647,7 @@ class SimHasher:
 
 
 def simhash_table(docs: ray.data.Dataset) -> ray.data.Dataset:
-    return docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+    return docs.map_batches(SimHasher, batch_format="pandas", concurrency=default_pool())
 
 
 def phash_near_dups(

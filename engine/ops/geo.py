@@ -27,6 +27,7 @@ import pyarrow as pa
 import ray.data
 
 from engine.geo import h3like, knn as knn_mod
+from engine.state import default_pool
 
 
 def _halo_explode(batch: pa.Table, coarse_res: int, halo_rings: int) -> pa.Table:
@@ -606,7 +607,7 @@ def radius_join(
     poi_lon: np.ndarray,
     poi_lat: np.ndarray,
     radius_m: float,
-    concurrency=(1, 4),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Spatial DWithin join (PostGIS ``ST_DWithin`` semantics): every
     (point, poi) pair within ``radius_m`` meters, exact after a
@@ -700,7 +701,8 @@ def radius_join(
             })
 
     return points.map_batches(
-        Probe, batch_format="pandas", concurrency=concurrency
+        Probe, batch_format="pandas",
+        concurrency=default_pool(concurrency)
     )
 
 

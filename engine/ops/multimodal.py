@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray.data
 
 from engine import codec
+from engine.state import default_pool
 
 _NATIVE = set(codec.FORMATS)
 
@@ -166,20 +167,20 @@ class AudioChunker:
 
 
 def image_features(ds: ray.data.Dataset, *, batch_size: int = 512,
-                   concurrency=(1, 8)) -> ray.data.Dataset:
+                   concurrency=None) -> ray.data.Dataset:
     return ds.map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool(concurrency), num_cpus=1,
     )
 
 
 def resize_images(ds: ray.data.Dataset, size: int = 16, *, batch_size: int = 512,
-                  concurrency=(1, 8), keep_bytes: bool = False) -> ray.data.Dataset:
+                  concurrency=None, keep_bytes: bool = False) -> ray.data.Dataset:
     return ds.map_batches(
         Resize,
         fn_constructor_kwargs={"size": size, "keep_bytes": keep_bytes},
         batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        batch_size=batch_size, concurrency=default_pool(concurrency), num_cpus=1,
     )
 
 
@@ -249,14 +250,14 @@ class Augment:
 
 
 def augment_images(ds: ray.data.Dataset, *, batch_size: int = 512,
-                   concurrency=(1, 8),
+                   concurrency=None,
                    param_cols: tuple[str, str, str] | None = None
                    ) -> ray.data.Dataset:
     kwargs = {"param_cols": param_cols} if param_cols else {}
     return ds.map_batches(
         Augment, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool(concurrency), num_cpus=1,
     )
 
 
@@ -290,7 +291,7 @@ class PixelHistogram:
 
 def pixel_histogram(ds: ray.data.Dataset, bins: int = 16, *,
                     batch_size: int = 512,
-                    concurrency=(1, 8)) -> ray.data.Dataset:
+                    concurrency=None) -> ray.data.Dataset:
     """Distributed per-channel pixel histogram over the whole image
     corpus — the exposure/color-balance audit of an image-training
     pipeline. Decode runs in the actor pool; the merge is one tiny
@@ -301,7 +302,7 @@ def pixel_histogram(ds: ray.data.Dataset, bins: int = 16, *,
     partials = ds.map_batches(
         PixelHistogram, fn_constructor_kwargs={"bins": bins},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool(concurrency), num_cpus=1,
     )
     return sum_final(partials, ["channel", "bin"])
 
@@ -333,10 +334,10 @@ class Sharpness:
 
 
 def image_sharpness(ds: ray.data.Dataset, *, batch_size: int = 512,
-                    concurrency=(1, 8)) -> ray.data.Dataset:
+                    concurrency=None) -> ray.data.Dataset:
     return ds.map_batches(
         Sharpness, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool(concurrency), num_cpus=1,
     )
 
 
@@ -385,16 +386,16 @@ class Patchify:
 
 def patchify_images(ds: ray.data.Dataset, patch: int = 8, *,
                     batch_size: int = 256,
-                    concurrency=(1, 8)) -> ray.data.Dataset:
+                    concurrency=None) -> ray.data.Dataset:
     return ds.map_batches(
         Patchify, fn_constructor_kwargs={"patch": patch},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool(concurrency), num_cpus=1,
     )
 
 
 def pixel_moments(ds: ray.data.Dataset, *, batch_size: int = 512,
-                  concurrency=(1, 8)) -> "pd.DataFrame":
+                  concurrency=None) -> "pd.DataFrame":
     """Corpus per-channel pixel mean/std (population) — THE
     normalization constants a training pipeline bakes into its
     preprocessing. One (channel -> n, sum, sumsq) moment partial per
@@ -425,7 +426,7 @@ def pixel_moments(ds: ray.data.Dataset, *, batch_size: int = 512,
     tot = sum_final(
         ds.map_batches(
             Moments, batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, num_cpus=1),
+            concurrency=default_pool(concurrency), num_cpus=1),
         ["channel"]).to_pandas()
     mean = tot["s"] / tot["n"]
     var = tot["ss"] / tot["n"] - mean * mean
@@ -474,12 +475,12 @@ class EntropyContrast:
 
 def image_entropy_contrast(
     ds: ray.data.Dataset, bins: int = 16, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         EntropyContrast, fn_constructor_kwargs={"bins": bins},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class Colorfulness:
@@ -518,11 +519,11 @@ class Colorfulness:
 
 def image_colorfulness(
     ds: ray.data.Dataset, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         Colorfulness, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class OtsuThreshold:
@@ -572,11 +573,11 @@ class OtsuThreshold:
 
 def image_otsu(
     ds: ray.data.Dataset, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         OtsuThreshold, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class GLCMTexture:
@@ -619,12 +620,12 @@ class GLCMTexture:
 
 def image_glcm(
     ds: ray.data.Dataset, levels: int = 8, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         GLCMTexture, fn_constructor_kwargs={"levels": levels},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class HuMoments:
@@ -695,11 +696,11 @@ class HuMoments:
 
 def image_hu_moments(
     ds: ray.data.Dataset, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         HuMoments, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class RunLength:
@@ -736,11 +737,11 @@ class RunLength:
 
 def image_run_length(
     ds: ray.data.Dataset, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         RunLength, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class BusiestBlock:
@@ -786,11 +787,11 @@ class BusiestBlock:
 
 def image_busiest_block(
     ds: ray.data.Dataset, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         BusiestBlock, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class RadialProfile:
@@ -834,11 +835,11 @@ class RadialProfile:
 
 def image_radial_profile(
     ds: ray.data.Dataset, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         RadialProfile, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class QuantileStretch:
@@ -884,11 +885,11 @@ class QuantileStretch:
 
 def image_quantile_stretch(
     ds: ray.data.Dataset, *, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         QuantileStretch, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+        batch_size=batch_size, concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class TenengradFocus:
@@ -934,12 +935,12 @@ class TenengradFocus:
 
 def image_tenengrad(
     ds: ray.data.Dataset, *, thr: int = 250_000, batch_size: int = 512,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         TenengradFocus, fn_constructor_kwargs={"thr": thr},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class BorderContrast:
@@ -983,11 +984,11 @@ class BorderContrast:
 
 
 def image_border_contrast(
-    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         BorderContrast, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class DominantColor:
@@ -1021,11 +1022,11 @@ class DominantColor:
 
 
 def image_dominant_color(
-    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         DominantColor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class EqualizeAudit:
@@ -1065,11 +1066,11 @@ class EqualizeAudit:
 
 
 def image_equalize_audit(
-    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         EqualizeAudit, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class BitPlaneEntropy:
@@ -1107,11 +1108,11 @@ class BitPlaneEntropy:
 
 
 def image_bitplane_entropy(
-    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         BitPlaneEntropy, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class NeighborBrighter:
@@ -1153,11 +1154,11 @@ class NeighborBrighter:
 
 
 def image_neighbor_brighter(
-    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         NeighborBrighter, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 # ordered octant rules shared (verbatim) by the numpy np.select below
@@ -1225,11 +1226,11 @@ class GradOrientHist:
 
 
 def image_grad_orient_hist(
-    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         GradOrientHist, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class FractalDim:
@@ -1281,11 +1282,11 @@ class FractalDim:
 
 
 def image_fractal_dim(
-    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         FractalDim, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class QuadrantAsymmetry:
@@ -1323,11 +1324,11 @@ class QuadrantAsymmetry:
 
 
 def image_quadrant_asymmetry(
-    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=(1, 8),
+    ds: ray.data.Dataset, *, batch_size: int = 512, concurrency=None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         QuadrantAsymmetry, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+        batch_size=batch_size, concurrency=default_pool(concurrency), num_cpus=1)
 
 
 class ChannelBalance:
@@ -1364,8 +1365,8 @@ class ChannelBalance:
 
 
 def channel_balance(ds: ray.data.Dataset, *, batch_size: int = 512,
-                    concurrency=(1, 8)) -> ray.data.Dataset:
+                    concurrency=None) -> ray.data.Dataset:
     return ds.map_batches(
         ChannelBalance, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool(concurrency), num_cpus=1,
     )

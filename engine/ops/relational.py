@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from engine.state import default_pool
+
 
 def broadcast_hash_join(
     big: ray.data.Dataset,
@@ -50,7 +52,7 @@ def broadcast_hash_join(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return big.map_batches(Probe, batch_format="pandas", concurrency=(1, 8))
+    return big.map_batches(Probe, batch_format="pandas", concurrency=default_pool())
 
 
 def _key_frame(df: pd.DataFrame, on: Sequence[str]):
@@ -66,7 +68,7 @@ def semi_join(
                   else set(keys_df[on_l[0]]))
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        from engine.state import cached_get
+        from engine.state import cached_get, default_pool
 
         keys = cached_get(ref)  # deserialized once per worker, not per batch
         if len(on_l) > 1:

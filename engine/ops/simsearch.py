@@ -25,6 +25,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from engine.state import default_pool
+
 
 def _normalize(v: np.ndarray) -> np.ndarray:
     return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
@@ -100,7 +102,7 @@ def brute_force_topk(
                 }
             )
 
-    partials = corpus.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+    partials = corpus.map_batches(Score, batch_format="pandas", concurrency=default_pool())
     res = _topk_merge(partials, "query_ix", "cos", "vec_id", k)
     res["cos"] = np.round(res["cos"], 6)
     return res
@@ -142,7 +144,7 @@ def cosine_range_search(
             })
 
     return corpus.map_batches(
-        Score, batch_format="pandas", concurrency=(1, 8))
+        Score, batch_format="pandas", concurrency=default_pool())
 
 
 def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42):
@@ -197,7 +199,7 @@ def ivf_build(
     cent_ref = ray.put(cent)
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
-        from engine.state import cached_get
+        from engine.state import cached_get, default_pool
 
         c = cached_get(cent_ref)
         v = _normalize(np.stack(b[vec_col].to_numpy()).astype(np.float64))
@@ -307,7 +309,7 @@ def ivf_probe(
 
     partials = ray.data.read_parquet(
         files, columns=[id_col, vec_col, "bkt"]
-    ).map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+    ).map_batches(Score, batch_format="pandas", concurrency=default_pool())
     res = _topk_merge(partials, "query_ix", "cos", "vec_id", k)
     res["cos"] = np.round(res["cos"], 6)
     return res, stats
@@ -403,7 +405,7 @@ def kmeans_assign(
                 out[c] = batch[c].to_numpy()
             return pd.DataFrame(out)
 
-    return corpus.map_batches(Assign, batch_format="pandas", concurrency=(1, 8))
+    return corpus.map_batches(Assign, batch_format="pandas", concurrency=default_pool())
 
 
 def embedding_centroid_by_label(

@@ -17,6 +17,8 @@ import pandas as pd
 
 import ray.data
 
+from engine.state import default_pool
+
 # Tiny per-language stopword/character profiles (public common words).
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "was"},
@@ -741,14 +743,15 @@ class BannedTermsFilter:
 
 
 def flag_banned_terms(
-    ds: ray.data.Dataset, terms: list[str], concurrency=(1, 4)
+    ds: ray.data.Dataset, terms: list[str], concurrency=None
 ) -> ray.data.Dataset:
     import ray
 
     ref = ray.put(list(terms))
     return ds.map_batches(
         BannedTermsFilter, fn_constructor_kwargs={"terms_ref": ref},
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas",
+        concurrency=default_pool(concurrency),
     )
 
 

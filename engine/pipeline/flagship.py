@@ -58,8 +58,8 @@ def run_flagship(
     knn_k: int = 5,
     target_partitions: int = 4,
     resume: bool = True,
-    pip_concurrency=(2, 8),
-    decoder_concurrency=(2, 8),
+    pip_concurrency=None,
+    decoder_concurrency=None,
     batch_size: int = 2048,
     run_id: str = "run",
     partition_threads: int = 1,
@@ -93,6 +93,14 @@ def run_flagship(
     the multi-node analog being one driverless job per partition under
     ``ray job submit``.
     """
+    from engine.state import default_pool
+
+    # cluster-derived pool caps (round-5: fixed caps are scaling
+    # poison — see the LangId lesson in BASELINE.md); explicit
+    # tuples still pass through for tests and small fixtures
+    pip_concurrency = default_pool(pip_concurrency, mn=2, floor=8)
+    decoder_concurrency = default_pool(decoder_concurrency, mn=2, floor=8)
+
     poly = poly or fixtures.polygons()
     man_dir = os.path.join(out_dir, "manifest")
     paths = sorted(glob.glob(os.path.join(images_dir, "*.parquet")))

@@ -62,6 +62,23 @@ def default_partitions(
     return int(max(floor, min(cap, round(cpus * mult))))
 
 
+def default_pool(
+    concurrency=None, *, mn: int = 1, floor: int = 4, cap: int = 64
+):
+    """Resolve an actor-pool ``concurrency`` argument: explicit values
+    pass through; ``None`` becomes ``(mn, clamp(cluster CPUs, floor,
+    cap))`` — the round-5 rule after the LangId lesson: a FIXED pool
+    cap is scaling poison (invisible at a small cluster, it silently
+    throttles a big one — the (1, 4) LangId cap cost a quarter of the
+    16-cpu machine). Autoscaling pools only spawn actors under
+    backlog, so a cluster-sized max does not over-spawn on small
+    inputs; the cap bounds per-stage actor spawn cost on huge
+    clusters (each actor pays ~1s spawn + import)."""
+    if concurrency is not None:
+        return concurrency
+    return (mn, default_partitions(mult=1.0, floor=floor, cap=cap))
+
+
 def cached_get(ref: "ray.ObjectRef", build: Callable[[Any], Any] | None = None) -> Any:
     """Fetch ``ref`` once per worker process (optionally post-processed
     by ``build``, also memoized). Zero-copy for numpy-backed payloads."""
