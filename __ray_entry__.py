@@ -4370,6 +4370,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["explained_var"] = out["explained_var"].round(6)
         return out
 
+    def q18_large_volume_customers(sf_dir: str):
+        # TPC-H Q18 (public spec, threshold 150): per-order quantity
+        # combiner -> HAVING survivor set (a tiny fraction of orders,
+        # so it broadcasts by construction) -> two broadcast joins ->
+        # deterministic (totalprice desc, orderkey asc) top-100 via
+        # the sort-head prune pair; the lineitem fact never shuffles
+        li = sf_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        qty = relational.partial_groupby_sum(
+            li, ["l_orderkey"], {"l_quantity": "sum_qty"})
+
+        def gate(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["sum_qty"] > 150]
+
+        big = qty.map_batches(gate, batch_format="pandas") \
+            .to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
+        orders = sf_table(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_orderdate",
+                           "o_totalprice"])
+        j = relational.broadcast_hash_join(orders, big, on="o_orderkey")
+        cust = sf_table(sf_dir, "customer",
+                        ["c_custkey", "c_name"]).to_pandas().rename(
+            columns={"c_custkey": "o_custkey"})
+        j2 = relational.broadcast_hash_join(j, cust, on="o_custkey")
+
+        def prune(b: pd.DataFrame) -> pd.DataFrame:
+            return b.sort_values(
+                ["o_totalprice", "o_orderkey"],
+                ascending=[False, True], kind="stable").head(100)
+
+        out = j2.map_batches(prune, batch_format="pandas") \
+            .repartition(1).map_batches(
+                prune, batch_format="pandas", batch_size=None
+            ).to_pandas().reset_index(drop=True)
+        return out[["c_name", "o_custkey", "o_orderkey",
+                    "o_orderdate", "o_totalprice", "sum_qty"]]
+
+    def embedding_label_centroid_sims(sf_dir: str):
+        # pairwise cosine between label centroids (the class-confusion
+        # structure map next to Fisher/silhouette); centroids fold
+        # from the existing (label, dim) combiner partials, the K x K
+        # matrix is driver math
+        from engine.ops import simsearch
+
+        cent = simsearch.embedding_centroid_by_label(
+            sf_table(sf_dir, "embeddings", ["embedding", "label"]))
+        labs = np.sort(cent["label"].unique())
+        m = cent.pivot(index="label", columns="dim",
+                       values="avg_val").loc[labs].to_numpy(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        rows = []
+        for i, a in enumerate(labs):
+            for jx in range(i + 1, len(labs)):
+                b = labs[jx]
+                rows.append((a, b, round(
+                    float(m[i] @ m[jx] / (nrm[i] * nrm[jx])), 6)))
+        out = pd.DataFrame(rows,
+                           columns=["label_a", "label_b", "cos"])
+        ldt = cent["label"].dtype
+        out["label_a"] = out["label_a"].astype(ldt)
+        out["label_b"] = out["label_b"].astype(ldt)
+        return out
+
+    def event_gap_quantiles(sf_dir: str):
+        # per-type p50/p90 of inter-event gaps within each user's
+        # ordered stream of that type (cadence profile): one sharded
+        # LAG pass over a composite (user, type) key, then the exact
+        # grouped discrete quantiles; gap multisets are tie-order
+        # invariant (differences of consecutive order statistics)
+        ev = sf_table(sf_dir, "events",
+                      ["event_id", "user_id", "event_type", "ts"])
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "__grp": b["user_id"].astype(np.int64).astype(str)
+                + "|" + b["event_type"].astype(str),
+                "event_type": b["event_type"],
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "t": b["ts"].astype("datetime64[ns]").astype(np.int64)
+                / 1e9})
+
+        gaps = relational.lag_delta(
+            ev.map_batches(prep, batch_format="pandas"),
+            "__grp", ["t", "event_id"], "t", out="gap", fill=-1.0)
+
+        def keep(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b["gap"] >= 0, ["event_type", "gap"]]
+
+        h = gaps.map_batches(keep, batch_format="pandas").materialize()
+        q = relational.grouped_quantile_disc(
+            h, ["event_type"], "gap",
+            {0.5: "p50_gap_s", 0.9: "p90_gap_s"}).to_pandas()
+        n = relational.partial_groupby_sum(
+            h, ["event_type"], {}, count_as="n_gaps").to_pandas()
+        out = n.merge(q, on="event_type").sort_values(
+            "event_type", ignore_index=True)
+        out["p50_gap_s"] = out["p50_gap_s"].round(6)
+        out["p90_gap_s"] = out["p90_gap_s"].round(6)
+        return out[["event_type", "n_gaps", "p50_gap_s", "p90_gap_s"]]
+
     def q6_forecast_revenue(sf_dir: str):
         # TPC-H Q6 (public spec): pure scan-filter-aggregate over the
         # fact table — one revenue partial per batch, zero shuffles;
@@ -6501,6 +6600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cov_moments": embedding_cov_moments,
         "orders_lineitem_ri_audit": orders_lineitem_ri_audit,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "embedding_label_centroid_sims": embedding_label_centroid_sims,
+        "event_gap_quantiles": event_gap_quantiles,
         "q13_customer_distribution": q13_customer_distribution,
         "docs_heaps_fit": docs_heaps_fit,
         "embedding_fisher_ratio": embedding_fisher_ratio,
@@ -10151,6 +10253,48 @@ def oracle_sql() -> dict[str, str]:
         # trace moments of the embedding covariance: long-form matrix
         # products over the same m1/m2 covariance CTEs (C2 = C x C,
         # then tr(C^3) = sum C2 o C, tr(C^4) = sum C2 o C2)
+        "q18_large_volume_customers": """
+            WITH q AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                       FROM lineitem GROUP BY l_orderkey
+                       HAVING SUM(l_quantity) > 150)
+            SELECT c.c_name, o.o_custkey, o.o_orderkey,
+                   o.o_orderdate, o.o_totalprice, q.sum_qty
+            FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+                 JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        "embedding_label_centroid_sims": """
+            WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            dims AS (SELECT unnest(range(1, 65)) AS d),
+            m AS (SELECT label, d.d AS dim, AVG(v[d.d]) AS mu
+                  FROM e CROSS JOIN dims d GROUP BY label, d.d),
+            n AS (SELECT label, sqrt(SUM(mu * mu)) AS nrm
+                  FROM m GROUP BY label),
+            p AS (SELECT a.label AS la, b.label AS lb,
+                         SUM(a.mu * b.mu) AS dot
+                  FROM m a JOIN m b
+                      ON a.dim = b.dim AND a.label < b.label
+                  GROUP BY a.label, b.label)
+            SELECT p.la AS label_a, p.lb AS label_b,
+                   ROUND(p.dot / (na.nrm * nb.nrm), 6) AS cos
+            FROM p JOIN n na ON na.label = p.la
+                 JOIN n nb ON nb.label = p.lb
+            ORDER BY label_a, label_b
+        """,
+        "event_gap_quantiles": """
+            WITH s AS (SELECT user_id, event_type, event_id,
+                              epoch(ts) AS t FROM events),
+            g AS (SELECT event_type,
+                     t - LAG(t) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY t, event_id) AS gap
+                  FROM s),
+            h AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   ROUND(quantile_disc(gap, 0.5), 6) AS p50_gap_s,
+                   ROUND(quantile_disc(gap, 0.9), 6) AS p90_gap_s
+            FROM h GROUP BY event_type ORDER BY event_type
+        """,
         "q6_forecast_revenue": """
             SELECT ROUND(SUM(l_extendedprice * l_discount), 4)
                        AS revenue,
