@@ -2555,35 +2555,64 @@ def fk_audit(
     gate a pipeline runs before trusting a join: child rows whose key
     has no parent (orphans, would silently vanish from inner joins),
     parent rows with no child (childless, would vanish from the other
-    side), and duplicated parent keys (would fan out). Both direction
-    checks are exact both-sides-big ``bucketed_anti_join``s (J10 —
-    NOT IN admits no sketch shortcut); key projections materialize
-    once and feed both directions. One output row of integer counts
-    per FK edge."""
+    side), and duplicated parent keys (would fan out).
 
-    def proj(key):
+    Plan (round-5 rev — the first cut ran row-level both-big
+    anti-joins and was the suite's 15s heavy tail): ONE exchange
+    total. Each side emits per-batch (key, child_rows, parent_rows)
+    count partials (distinct keys per batch, not rows); the unioned
+    partials hash-shard by key, and each shard folds its complete
+    key groups into FOUR scalars — orphan child rows (parent count
+    0), childless parent rows (child count 0), distinct parent keys,
+    and the row totals. The driver sums one row per shard. Exact NOT
+    IN semantics with no anti-join machinery, no distinct pass, and
+    no per-direction re-scan."""
+
+    def partials(key, col):
         def f(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"__k": b[key]})
+            g = b.groupby(key, as_index=False, sort=False).size()
+            out = pd.DataFrame({"__k": g[key]})
+            out["__nc"] = np.int64(0)
+            out["__np"] = np.int64(0)
+            out[col] = g["size"].astype(np.int64)
+            return out
         return f
 
-    ck = child.map_batches(
-        proj(child_key), batch_format="pandas").materialize()
-    pk = parent.map_batches(
-        proj(parent_key), batch_format="pandas").materialize()
-    n_child = ck.count()
-    n_parent = pk.count()
-    orphan_rows = bucketed_anti_join(
-        ck, pk, on="__k", num_partitions=num_partitions).count()
-    childless = bucketed_anti_join(
-        pk, ck, on="__k", num_partitions=num_partitions).count()
-    pdup = n_parent - distinct(pk, ["__k"]).count()
+    both = child.map_batches(
+        partials(child_key, "__nc"), batch_format="pandas"
+    ).union(parent.map_batches(
+        partials(parent_key, "__np"), batch_format="pandas"))
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.drop(columns="__shard").groupby(
+            "__k", as_index=False, sort=False).sum()
+        nc = g["__nc"].to_numpy(np.int64)
+        np_ = g["__np"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_child": [int(nc.sum())],
+            "n_parent": [int(np_.sum())],
+            "child_orphan_rows": [int(nc[np_ == 0].sum())],
+            "parent_childless": [int(np_[nc == 0].sum())],
+            "parent_keys": [int((np_ > 0).sum())],
+        })
+
+    nsh = num_partitions or 256
+    per_shard = (
+        _sharded_by_key(both, "__k", nsh)
+        .groupby("__shard")
+        .map_groups(fold, batch_format="pandas")
+    ).to_pandas()
+    tot = per_shard.sum()
     return pd.DataFrame({
         "fk": [fk_name],
-        "n_child": np.array([n_child], np.int64),
-        "n_parent": np.array([n_parent], np.int64),
-        "child_orphan_rows": np.array([orphan_rows], np.int64),
-        "parent_childless": np.array([childless], np.int64),
-        "parent_dup_keys": np.array([pdup], np.int64),
+        "n_child": np.array([tot["n_child"]], np.int64),
+        "n_parent": np.array([tot["n_parent"]], np.int64),
+        "child_orphan_rows": np.array([tot["child_orphan_rows"]],
+                                      np.int64),
+        "parent_childless": np.array([tot["parent_childless"]],
+                                     np.int64),
+        "parent_dup_keys": np.array(
+            [tot["n_parent"] - tot["parent_keys"]], np.int64),
     })
 
 
