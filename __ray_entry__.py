@@ -2714,6 +2714,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def geo_polygon_centroids(sf_dir: str):
         return geo_ops.polygon_centroids(fixtures.polygons())
 
+    def geo_admin_nearest_admin(sf_dir: str):
+        # nearest neighboring admin by haversine centroid distance
+        # (the adjacency/confusion map of the admin hierarchy); the
+        # admin table is O(dozens) by construction, so the K x K fold
+        # is driver math over the distributed shoelace centroids;
+        # ties -> smaller admin_id (rows pre-sorted by admin_id)
+        from engine.geo.knn import haversine_m
+
+        cents = geo_ops.polygon_centroids(
+            fixtures.polygons()).to_pandas().sort_values(
+            "admin_id", ignore_index=True)
+        lon = cents["centroid_lon"].to_numpy(np.float64)
+        lat = cents["centroid_lat"].to_numpy(np.float64)
+        d = haversine_m(lon[:, None], lat[:, None],
+                        lon[None, :], lat[None, :])
+        np.fill_diagonal(d, np.inf)
+        d = np.round(d, 3)
+        nn = d.argmin(axis=1)  # first occurrence = smallest admin_id
+        return pd.DataFrame({
+            "admin_id": cents["admin_id"],
+            "level": cents["level"].astype(np.int64),
+            "nearest_admin_id": cents["admin_id"].to_numpy()[nn],
+            "dist_m": d[np.arange(len(nn)), nn]})
+
+    def click_to_purchase_latency(sf_dir: str):
+        # conversion-latency profile: per user, first purchase at or
+        # after the first click; p50/p90/mean seconds over converting
+        # users — one (user, min-click, min-purchase) combiner, then
+        # the exact discrete quantiles on the latency column
+        ev = sf_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+        big = np.iinfo(np.int64).max
+
+        def per_user(b: pd.DataFrame) -> pd.DataFrame:
+            m = b["event_type"].isin(["click", "purchase"])
+            b = b[m]
+            t = b["ts"].astype("datetime64[ns]").astype(np.int64)
+            g = pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "fc": np.where(b["event_type"] == "click", t, big),
+                "fp": np.where(b["event_type"] == "purchase", t, big)})
+            return g.groupby("user_id", as_index=False).min()
+
+        agg = relational.partial_groupby_agg(
+            ev.map_batches(per_user, batch_format="pandas"),
+            ["user_id"], {"fc": ("fc", "min"), "fp": ("fp", "min")})
+
+        def lat(b: pd.DataFrame) -> pd.DataFrame:
+            ok = (b["fc"] < big) & (b["fp"] < big) & (b["fp"] >= b["fc"])
+            out = pd.DataFrame(
+                {"lat": (b.loc[ok, "fp"].to_numpy(np.int64)
+                         - b.loc[ok, "fc"].to_numpy(np.int64)) / 1e9})
+            out["grp"] = np.int64(0)
+            return out
+
+        h = agg.map_batches(lat, batch_format="pandas").materialize()
+        q = relational.grouped_quantile_disc(
+            h, ["grp"], "lat", {0.5: "p50_s", 0.9: "p90_s"}
+        ).to_pandas()
+        stats = h.map_batches(
+            lambda b: pd.DataFrame({"n": [len(b)],
+                                    "s": [float(b["lat"].sum())]}),
+            batch_format="pandas").to_pandas()
+        n = int(stats["n"].sum())
+        return pd.DataFrame({
+            "n_users": np.array([n], np.int64),
+            "p50_s": [round(float(q["p50_s"].iloc[0]), 6)],
+            "p90_s": [round(float(q["p90_s"].iloc[0]), 6)],
+            "mean_s": [round(float(stats["s"].sum()) / n, 6)]})
+
     def geo_polygon_areas(sf_dir: str):
         # shoelace area with hole subtraction; the SQL twin recomputes
         # per-ring cross products with LEAD/FIRST_VALUE windows over the
@@ -6530,6 +6599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "run_history_series": run_history_series,
         "geo_phash_verify": geo_phash_verify,
         "geo_polygon_centroids": geo_polygon_centroids,
+        "geo_admin_nearest_admin": geo_admin_nearest_admin,
+        "click_to_purchase_latency": click_to_purchase_latency,
         "geo_polygon_areas": geo_polygon_areas,
         "geo_admin_image_density": geo_admin_image_density,
         "geo_idw_mpx_at_centroids": geo_idw_mpx_at_centroids,
@@ -12179,6 +12250,39 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SQL_GEO_CENTROIDS}
             SELECT admin_id, level, centroid_lon, centroid_lat
             FROM gcent ORDER BY admin_id
+        """,
+        "geo_admin_nearest_admin": f"""
+            WITH {_SQL_GEO_CENTROIDS},
+            p AS (SELECT a.admin_id, a.level, b.admin_id AS nb,
+                     round({_sql_haversine(
+                         'a.centroid_lat', 'a.centroid_lon',
+                         'b.centroid_lat', 'b.centroid_lon')}, 3)
+                         AS dist
+                  FROM gcent a JOIN gcent b
+                      ON b.admin_id <> a.admin_id),
+            r AS (SELECT admin_id, level, nb, dist,
+                     ROW_NUMBER() OVER (PARTITION BY admin_id
+                         ORDER BY dist, nb) AS rn
+                  FROM p)
+            SELECT admin_id, CAST(level AS BIGINT) AS level,
+                   nb AS nearest_admin_id, dist AS dist_m
+            FROM r WHERE rn = 1 ORDER BY admin_id
+        """,
+        "click_to_purchase_latency": """
+            WITH f AS (SELECT user_id,
+                    MIN(CASE WHEN event_type = 'click'
+                        THEN epoch(ts) END) AS fc,
+                    MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch(ts) END) AS fp
+                FROM events GROUP BY user_id),
+            l AS (SELECT fp - fc AS lat FROM f
+                  WHERE fc IS NOT NULL AND fp IS NOT NULL
+                    AND fp >= fc)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   ROUND(quantile_disc(lat, 0.5), 6) AS p50_s,
+                   ROUND(quantile_disc(lat, 0.9), 6) AS p90_s,
+                   ROUND(AVG(lat), 6) AS mean_s
+            FROM l
         """,
         "geo_admin_image_density": f"""
             WITH {_sql_geo_lonlat(_GEO_N)},
